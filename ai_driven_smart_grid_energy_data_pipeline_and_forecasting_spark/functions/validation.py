@@ -1,0 +1,82 @@
+"""Declarative CHECK-constraint enforcement and the drop-reason cascade.
+
+The reference enforces domain constraints twice: as Postgres CHECK
+clauses (``infra/init.sql:11-13,29-31,35``) and as pandas nullify+dropna
+(``silver_clean.py:88-94``); the dashboard then *re-derives* the drop
+reasons client-side (``streamlit/app.py:273-299``). Here all three are
+one rule table evaluated as Catalyst expressions, so the clean path and
+the explain path can never disagree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RangeRule:
+    """Domain rule for one column: value valid iff within [lo, hi]
+    (bounds inclusive, None = unbounded). NULL input is 'missing', not
+    'invalid' — the cascade labels them differently (O12)."""
+
+    col: str
+    lo: float | None = None
+    hi: float | None = None
+
+    def valid(self) -> Column:
+        c = F.col(self.col)
+        cond = F.lit(True)
+        if self.lo is not None:
+            cond = cond & (c >= F.lit(self.lo))
+        if self.hi is not None:
+            cond = cond & (c <= F.lit(self.hi))
+        return cond
+
+    def invalid(self) -> Column:
+        # invalid = present but out of domain; NULL is never invalid
+        return F.col(self.col).isNotNull() & ~self.valid()
+
+
+# The reference's Silver rules (init.sql:29-31): ghi>=0, temp in [-80,80], ws>=0.
+WEATHER_RULES = (
+    RangeRule("ghi_wm2", lo=0.0),
+    RangeRule("t2m_c", lo=-80.0, hi=80.0),
+    RangeRule("ws10_mps", lo=0.0),
+)
+
+
+def nullify_out_of_range(df: DataFrame, rules: tuple[RangeRule, ...]) -> DataFrame:
+    """O6: out-of-domain → NULL (``silver_clean.py:88-91``). Single
+    projection, no shuffle."""
+    return df.withColumns(
+        {r.col: F.when(r.valid(), F.col(r.col)) for r in rules}
+    )
+
+
+def drop_any_null(df: DataFrame, cols: list[str]) -> DataFrame:
+    """O7: drop rows with any critical NULL (``silver_clean.py:94``)."""
+    return df.na.drop(subset=cols)
+
+
+def drop_reason_cascade(
+    df: DataFrame,
+    rules: tuple[RangeRule, ...],
+    duplicate_flag: Column | None = None,
+) -> DataFrame:
+    """O12: first-failure-wins reason labeling
+    (``streamlit/app.py:273-299``). Order matters and matches the
+    reference exactly: invalid_<c>... then missing_<c>... then duplicate,
+    else kept. One chained CASE expression — codegen'd, zero shuffles.
+    """
+    reason = None
+    for r in rules:
+        clause = (r.invalid(), F.lit(f"invalid_{r.col}"))
+        reason = F.when(*clause) if reason is None else reason.when(*clause)
+    for r in rules:
+        reason = reason.when(F.col(r.col).isNull(), F.lit(f"missing_{r.col}"))
+    if duplicate_flag is not None:
+        reason = reason.when(duplicate_flag, F.lit("duplicate"))
+    return df.withColumn("reason", reason.otherwise(F.lit("kept")))

@@ -1,0 +1,172 @@
+"""Core relational operators from SURVEY.md §2 (A1-A9, O20-O24, J1-J3, W1-W3).
+
+Every operator here is a pure DataFrame→DataFrame function built from
+``pyspark.sql.functions`` only — fully Catalyst-visible, whole-stage
+codegen eligible, no Python in the row path. Scale notes per operator.
+
+Reference parity citations point into ``/root/reference`` (behavioral
+spec only; the implementations are Spark-native, not ports).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def summary(df: DataFrame, ts_col: str, where: Column | None = None) -> DataFrame:
+    """Count/min/max summary (A1; reference ``fastapi/app/main.py:81-104``).
+
+    One partial-agg + single-row final: map-side combine means the shuffle
+    carries exactly one row per partition regardless of input size.
+    Empty input → ``(0, NULL, NULL)``, matching the reference's 0-row path.
+    """
+    if where is not None:
+        df = df.filter(where)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+    )
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """DISTINCT + ORDER BY ASC (A2; ``main.py:74-77``).
+
+    Partial-distinct happens map-side before the shuffle, so the exchange
+    carries unique values only — safe at any row count when the domain is
+    small (sites / event types).
+    """
+    return df.select(col).distinct().orderBy(col)
+
+
+def latest_per_group(
+    df: DataFrame, keys: Sequence[str], order_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """Keep the newest row per key (A3; ``silver_clean.py:99-101`` does
+    sort + groupby(...).last() in pandas).
+
+    Implemented as ``max_by`` over a struct rather than a row_number
+    window: a groupBy aggregate gets map-side partial aggregation (the
+    shuffle carries one candidate row per key per partition), while a
+    window would shuffle every duplicate. At 100 TB with low duplication
+    that is the difference between shuffling ~|keys| rows and ~|input| rows.
+    """
+    order_struct = F.struct(*[F.col(order_col)] + [F.col(c) for c in tiebreak])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    agg = df.groupBy(*keys).agg(F.max_by(payload, order_struct).alias("_row"))
+    return agg.select([F.col(f"_row.{c}").alias(c) for c in df.columns])
+
+
+def mark_duplicates(
+    df: DataFrame, keys: Sequence[str], order_col: str, tiebreak: Sequence[str] = ()
+) -> DataFrame:
+    """Label (not drop) all-but-newest rows per key with ``is_duplicate``
+    (W2; the dashboard's ``duplicated(keep="last")``,
+    ``streamlit/app.py:294-299``). Needs every row, so this one *is* a
+    window — used only in the explain/diagnostics path, not the clean path.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]
+    )
+    return df.withColumn("is_duplicate", F.row_number().over(w) > F.lit(1))
+
+
+def topk_recent(df: DataFrame, ts_col: str, k: int, tiebreak: Sequence[str] = ()) -> DataFrame:
+    """Latest-k rows presented chronologically (O22; ``main.py:117-124``
+    does ``ORDER BY ts DESC LIMIT k`` then ``rows.reverse()``).
+
+    ``orderBy(desc).limit(k)`` compiles to ``TakeOrderedAndProject`` —
+    each partition keeps a k-row heap, the driver merges k·p rows; no
+    global sort. The chronological re-sort then acts on ≤k rows.
+    """
+    desc_cols = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    latest = df.orderBy(*desc_cols).limit(k)
+    return latest.orderBy(ts_col, *tiebreak)
+
+
+def half_open_window(
+    df: DataFrame, ts_col: str, lo, hi, extra: Column | None = None
+) -> DataFrame:
+    """Half-open time-range predicate ``[lo, hi)`` (O4/O5;
+    ``silver_clean.py:39-41``). Plain comparisons → parquet row-group
+    min/max skipping + (with date partitioning) partition pruning.
+    """
+    cond = (F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi))
+    if extra is not None:
+        cond = cond & extra
+    return df.filter(cond)
+
+
+def pivot_align(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    value_col: str,
+    names: Sequence[str],
+) -> DataFrame:
+    """N-way series alignment: long → wide, one row per key, one column
+    per series, missing → NULL (J1; ``nasa.py:91-108`` unions timestamp
+    keys across parameter dicts and probes each).
+
+    ``groupBy().pivot(values=...)`` with the pivot domain supplied
+    explicitly — no extra distinct pass — is a single shuffle on the key.
+    That replaces the reference's O(params × timestamps) driver loop.
+    """
+    return (
+        df.groupBy(key_col)
+        .pivot(name_col, list(names))
+        .agg(F.first(value_col, ignorenulls=True))
+        .orderBy(key_col)
+    )
+
+
+def completeness_by_bucket(
+    df: DataFrame, bucket: Column, bucket_name: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-bucket boolean-ALL completeness 0/1 matrix (A6;
+    ``streamlit/app.py:519-524``'s groupby-lambda). ``min(isNotNull)`` is
+    the distributed bool_and — partial-aggregated map-side.
+    """
+    aggs = [
+        F.min(F.col(c).isNotNull().cast("int")).alias(f"{c}_complete") for c in cols
+    ]
+    return df.groupBy(bucket.alias(bucket_name)).agg(*aggs).orderBy(bucket_name)
+
+
+def keep_metrics(raw: DataFrame, kept: DataFrame) -> DataFrame:
+    """Two-table scalar combine → dropped_rows / kept_percentage (J3/A8;
+    ``main.py:274-287``). Both sides collapse to single-row aggregates
+    before the cross join, so the join is trivially broadcast.
+    """
+    r = raw.agg(F.count(F.lit(1)).alias("raw_rows"))
+    k = kept.agg(F.count(F.lit(1)).alias("kept_rows"))
+    joined = r.crossJoin(k)
+    return joined.select(
+        "raw_rows",
+        "kept_rows",
+        F.greatest(F.col("raw_rows") - F.col("kept_rows"), F.lit(0)).alias("dropped_rows"),
+        F.when(
+            F.col("raw_rows") > 0,
+            F.round(F.col("kept_rows") / F.col("raw_rows") * 100.0, 4),
+        ).alias("kept_percentage"),
+    )
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """Frequency count ordered desc (A5/O21; ``streamlit/app.py:307-308``)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).orderBy(F.desc("n"), col)
+
+
+def melt(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str]) -> DataFrame:
+    """Wide→long reshape (A9; ``streamlit/app.py:525-526``'s ``melt``).
+    Spark's native ``unpivot`` — a generate, no shuffle at all.
+    """
+    return df.unpivot(
+        [F.col(c) for c in id_cols],
+        [F.col(c) for c in value_cols],
+        "variable",
+        "value",
+    )

@@ -1,0 +1,105 @@
+"""Event-stream analytics plans — the reference's dashboard analytics
+(``streamlit/app.py:260-310,434-541``) generalized to any keyed event
+table, exercised by the harness on the driver's ``events`` table.
+
+The reference computes these client-side in pandas on ≤336-row API
+responses; here they are server-side distributed plans that hold at
+100 TB: every one is a single scan → (optional window/shuffle) → small
+aggregate, with the filter/projection pushed into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.validation import RangeRule, drop_reason_cascade
+from ..operators.relational import mark_duplicates, value_counts
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+# Harness analog of the weather CHECK rules: value ∈ [0, 300].
+EVENT_RULES = (RangeRule("value", lo=0.0, hi=300.0),)
+
+
+def with_hour(events: DataFrame) -> DataFrame:
+    """W1 hour bucketing (``silver_clean.py:84-85``)."""
+    return events.withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
+
+
+def hourly_type_matrix(events: DataFrame, round_to: int = 4) -> DataFrame:
+    """J1 n-way alignment as groupBy+pivot: one row per hour, one column
+    per event type, avg(value), missing combination → NULL.
+
+    Pivot domain passed explicitly (EVENT_TYPES) so Spark skips the
+    distinct-values pre-pass — one shuffle total, keyed on the hour.
+    """
+    return (
+        with_hour(events)
+        .groupBy("ts_hour")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.avg("value"), round_to))
+        .orderBy("ts_hour")
+    )
+
+
+def hourly_completeness(events: DataFrame) -> DataFrame:
+    """A6/A7 completeness matrix: per hour, 0/1 per event type for
+    whether any observation of that type exists (the dashboard's
+    per-hour all-not-null heatmap, ``streamlit/app.py:519-526``)."""
+    wide = hourly_type_matrix(events)
+    return wide.select(
+        "ts_hour",
+        *[F.col(t).isNotNull().cast("int").alias(f"{t}_complete") for t in EVENT_TYPES],
+    )
+
+
+def hourly_long(events: DataFrame, round_to: int = 4) -> DataFrame:
+    """A9 wide→long: the melt of hourly_type_matrix with absent combos
+    dropped. Expressed directly as a long aggregate (same result, one
+    shuffle, no unpivot generate)."""
+    return (
+        with_hour(events)
+        .groupBy("ts_hour", F.col("event_type").alias("variable"))
+        .agg(F.round(F.avg("value"), round_to).alias("value"))
+        .orderBy("ts_hour", "variable")
+    )
+
+
+def labeled_events(events: DataFrame) -> DataFrame:
+    """O12 drop-reason cascade on the event stream: invalid_value →
+    missing_value → duplicate → kept, first failure wins
+    (``streamlit/app.py:273-299``). Duplicate = all-but-newest per
+    (user_id, hour), newest by (ts, event_id) (W2)."""
+    hourly = with_hour(events)
+    marked = mark_duplicates(
+        hourly, keys=["user_id", "ts_hour"], order_col="ts", tiebreak=["event_id"]
+    )
+    return drop_reason_cascade(marked, EVENT_RULES, duplicate_flag=F.col("is_duplicate"))
+
+
+def drop_reason_counts(events: DataFrame) -> DataFrame:
+    """A5 frequency count of drop reasons (``streamlit/app.py:307-308``)."""
+    return value_counts(labeled_events(events), "reason")
+
+
+def kept_events(events: DataFrame) -> DataFrame:
+    """The rows the clean would keep — input to keep-rate metrics."""
+    return labeled_events(events).filter(F.col("reason") == "kept")
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """F9/F10 JSON extraction: parse the ``props`` JSON payload, pull
+    ``$.k``, aggregate per event type. ``get_json_object`` is a JVM
+    built-in — no Python in the row path."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

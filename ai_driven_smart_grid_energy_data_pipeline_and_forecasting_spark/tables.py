@@ -1,0 +1,58 @@
+"""Test-data table loading and catalog registration.
+
+The driver's synthetic star schema (TESTDATA.md) is the harness input;
+the engine reads it exactly as it would read a production lakehouse:
+``spark.read.parquet`` with Catalyst doing column pruning and predicate
+pushdown into the scan. Never infer-and-cache eagerly — plans stay lazy.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark (≤4.x) cannot
+# read natively: read as epoch-nanos long, then integer-DIV to micros.
+# DIV (not float division) — epoch nanos ≈ 1.7e18 exceeds double's 2^53
+# mantissa, so a float path would corrupt microseconds.
+_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _NANOS_TS_COLS.get(name, []):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register all tables as temp views so operators can be written in
+    either DataFrame or SQL form against the same catalog names."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

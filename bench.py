@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is timed end-to-end including the terminal action. A warmup
+run of the smallest query absorbs JVM/codegen startup so numbers reflect
+steady-state plan execution, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scale-relevant queries (big scans, shuffles, joins,
+# windows) — not the tiny serving lookups.
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "latest_per_user_hour",
+    "hourly_type_pivot",
+    "drop_reason_counts",
+    "recent_events_topk",
+    "props_stats",
+]
+
+
+def main() -> None:
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    # warmup: boot JVM + parquet footer reads
+    queries["summary_events"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        df = queries[name](spark, SF_DIR)
+        # noop sink materializes every column of every row (count() would
+        # let Catalyst prune the projections and understate the work)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
