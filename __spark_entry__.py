@@ -23,6 +23,13 @@ from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans impor
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
     warehouse as W,
 )
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+    text as TX,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+    dedup as D,
+    similarity as S,
+)
 
 
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
@@ -137,6 +144,75 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_doc_text_stats(spark, sf_dir):
+    # Text quality/scoring surface (training-data pipeline)
+    return TX.text_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_doc_lang_id(spark, sf_dir):
+    # N-gram-profile language ID
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred")
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    # Order-insensitive document fingerprint (rolling token-set hash)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.doc_fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+def q_exact_dedup(spark, sf_dir):
+    # Exact dedup: hash-groupBy, canonical id + copy count
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    # Exact dedup on the token-set fingerprint
+    return D.fingerprint_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    # Exact n-gram Jaccard near-dup via inverted index
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    # MinHash banding + exact-Jaccard verify
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_signatures(spark, sf_dir):
+    # 32-bit SimHash signature per doc
+    return D.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    # Banded SimHash near-dup pairs (Hamming <= 6)
+    return D.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_ann_topk(spark, sf_dir):
+    # Brute-force cosine top-5 for query vectors vec_id < 8
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_bruteforce_topk(emb, F.col("vec_id") < 8, k=5)
+
+
+def q_embedding_near_pairs(spark, sf_dir):
+    # All-pairs cosine threshold (embedding near-dup)
+    return S.cosine_threshold_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_ann_lsh_pairs(spark, sf_dir):
+    # SRP-LSH bucketed near-neighbor pairs (scale path)
+    return S.ann_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), dims=64, threshold=0.2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "summary_events": q_summary_events,
@@ -153,10 +229,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
     }
 
 
 # ---------------------------------------------------------------- oracles
+
+# Shared DuckDB fragments mirroring the engine's text primitives exactly:
+# tokens = string_split(trim(text),' '); shingles = distinct 3-token grams;
+# h32(s) = first 8 md5 hex chars as BIGINT (== functions.text.h32).
+_TOKS = "string_split(trim(text), ' ')"
+_SHINGLE_CTE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(tk) - 2, 0)),
+         i -> array_to_string(tk[i:i+2], ' '))) AS shs
+       FROM toks),
+sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+inv AS (SELECT doc_id, unnest(shs) AS s FROM sh)
+"""
+
+
+def _h32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _minhash_sql() -> tuple[str, str]:
+    """(sig_cte, bands_cte) mirroring operators.dedup minhash/banding."""
+    mins = ",\n         ".join(
+        f"min({_h32_sql(repr(str(j) + ':') + ' || s')}) AS m{j}" for j in range(16)
+    )
+    sig = f"sig AS (SELECT doc_id,\n         {mins}\n  FROM inv GROUP BY doc_id)"
+    band_selects = []
+    for b in range(8):
+        bh = f"md5(CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR))"
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {bh} AS bh FROM sig"
+        )
+    bands = "bands AS (" + "\n  UNION ALL ".join(band_selects) + ")"
+    return sig, bands
+
+
+def _simhash_sig_sql() -> str:
+    sums = ",\n      ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents),
+h AS (SELECT doc_id, {_h32_sql('t')} AS th FROM tok),
+bits AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits)
+"""
+
+
+_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _srp_sig_sql() -> str:
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    terms = []
+    for bit, w in enumerate(hyperplanes(64)):
+        lits = "[" + ", ".join(repr(x) for x in w) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {lits}) > 0 THEN {1 << bit} ELSE 0 END)"
+        )
+    combine = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (SELECT vec_id, v, CAST({combine} AS BIGINT) AS srp FROM e)
+"""
+
+
+_LANG_HITS = {
+    lang: f"len(list_filter({_TOKS}, t -> list_contains({words!r}, t)))"
+    for lang, words in TX.LANG_PROFILES.items()
+}
+
+
+def _lang_case_sql() -> str:
+    langs = list(TX.LANG_PROFILES)
+    clauses = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(
+            f"{_LANG_HITS[lang]} >= {_LANG_HITS[o]}" for o in langs[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{langs[-1]}' END"
+
+
+_STATS = {
+    "n_tokens": f"len({_TOKS})",
+    "no_space_len": "length(replace(text, ' ', ''))",
+    "stripped": "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))",
+}
+_AVG_TOK = f"({_STATS['no_space_len']} * 1.0 / {_STATS['n_tokens']})"
+_PUNCT = f"((length(text) - {_STATS['stripped']}) * 1.0 / length(text))"
+_EN_LIST = repr(TX.EN_STOPWORDS)
+_STOP_HITS = f"len(list_filter({_TOKS}, t -> list_contains({_EN_LIST}, t)))"
+_QUALITY = (
+    f"(least(length(text) / 500.0, 1.0) * 0.4"
+    f" + least({_AVG_TOK} / 8.0, 1.0) * 0.3"
+    f" + (1.0 - least({_PUNCT} * 5.0, 1.0)) * 0.3)"
+)
 
 _CASCADE_CTE = """
 WITH ranked AS (
@@ -307,5 +502,127 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
             ORDER BY revenue DESC, n.n_name
+        """,
+        "doc_text_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs,
+                   CAST({_STATS['n_tokens']} AS BIGINT) AS n_tokens,
+                   {_AVG_TOK} AS avg_token_len,
+                   {_STOP_HITS} * 1.0 / {_STATS['n_tokens']} AS stop_ratio,
+                   {_PUNCT} AS punct_ratio,
+                   {_QUALITY} AS quality
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_lang_id": f"""
+            SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                     string_split(trim(lower(text)), ' '))), ' ')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY canonical_id
+        """,
+        "fingerprint_dedup": """
+            SELECT md5(array_to_string(list_sort(list_distinct(
+                     string_split(trim(lower(text)), ' '))), ' ')) AS fp,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1 ORDER BY canonical_id
+        """,
+        "ngram_jaccard_pairs": _SHINGLE_CTE
+        + """,
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   c * 1.0 / (sa.n + sb.n - c) AS jaccard
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "minhash_lsh_pairs": _SHINGLE_CTE
+        + ",\n"
+        + ",\n".join(_minhash_sql())
+        + """,
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT doc_a, doc_b,
+                     len(list_intersect(sa.shs, sb.shs)) * 1.0
+                       / (len(sa.shs) + len(sb.shs)
+                          - len(list_intersect(sa.shs, sb.shs))) AS jacc
+              FROM cands
+              JOIN sh sa ON doc_a = sa.doc_id
+              JOIN sh sb ON doc_b = sb.doc_id)
+            SELECT doc_a, doc_b, jacc AS jaccard
+            FROM verified WHERE jacc >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "simhash_signatures": _simhash_sig_sql()
+        + """
+            SELECT doc_id, simhash FROM sig ORDER BY doc_id
+        """,
+        "simhash_near_pairs": _simhash_sig_sql()
+        + """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b
+              ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            ORDER BY doc_a, doc_b
+        """,
+        "ann_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_COS_SQL.format(a='q.v', b='c.v')} AS sim
+              FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+            SELECT query_id, neighbor_id, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" <= 5
+            ORDER BY query_id, "rank"
+        """,
+        "embedding_near_pairs": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   {_COS_SQL.format(a='a.v', b='b.v')} AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.4
+            ORDER BY vec_a, vec_b
+        """,
+        "ann_lsh_pairs": _srp_sig_sql()
+        + f""",
+            bands AS (
+              SELECT vec_id, v, 0 AS band, srp & 255 AS bv FROM sig
+              UNION ALL
+              SELECT vec_id, v, 1 AS band, (srp >> 8) & 255 AS bv FROM sig),
+            cands AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b,
+                   {_COS_SQL.format(a='sa.v', b='sb.v')} AS sim
+            FROM cands
+            JOIN sig sa ON vec_a = sa.vec_id
+            JOIN sig sb ON vec_b = sb.vec_id
+            WHERE {_COS_SQL.format(a='sa.v', b='sb.v')} >= 0.2
+            ORDER BY vec_a, vec_b
         """,
     }

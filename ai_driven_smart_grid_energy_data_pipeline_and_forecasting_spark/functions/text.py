@@ -1,0 +1,130 @@
+"""Text-analysis functions for the training-data pipeline surface:
+tokenization, shingles, quality scoring, language ID, fingerprinting,
+and the cross-engine-deterministic 32-bit hash the dedup family builds on.
+
+All pure Catalyst expressions (split/transform/aggregate/md5) — no
+Python UDFs anywhere, so whole-stage codegen applies and the same
+computation is exactly reproducible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def h32(col: Column) -> Column:
+    """Deterministic 32-bit hash usable identically in Spark and DuckDB:
+    first 8 hex chars of md5, as a long in [0, 2^32).
+
+    Chosen over ``F.hash`` (Murmur3) because engine-native hashes don't
+    agree across engines; md5 is bit-identical everywhere. The md5 is
+    ~2x the cost of murmur3 — acceptable for shingle-level hashing,
+    and it keeps every dedup operator oracle-checkable.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (single-space convention of the corpus)."""
+    return F.split(F.trim(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles. Empty array (not a descending-sequence
+    artifact) when the doc has fewer than n tokens — ``F.sequence(1, 0)``
+    yields [1, 0] descending, so the guard is mandatory."""
+    toks = tokens(col)
+    n_sh = F.size(toks) - F.lit(n - 1)
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.when(n_sh >= 1, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# Tiny per-language stopword profiles (top function words). Order = tie
+# priority for the argmax.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "los", "en", "un"],
+    "fr": ["le", "la", "les", "et", "des", "que", "une", "dans"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"]
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Occurrence count (not set intersection) of profile words."""
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(wordlist, t)))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")
+    return (F.length(col) - F.length(stripped)) / F.length(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, " ", "")) / token_count(col)
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards mid-length docs and prose-like
+    token lengths, penalizes punctuation soup. Deterministic arithmetic
+    only (oracle-matchable)."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    tok_term = F.least(avg_token_len(col) / F.lit(8.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return length_term * 0.4 + tok_term * 0.3 + punct_term * 0.3
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram-profile language ID: argmax of per-language stopword
+    occurrence counts, priority order on ties (de < en < es < fr < zh by
+    declaration). A chained CASE — identical semantics to the SQL oracle."""
+    hits = {lang: stopword_hits(col, ws) for lang, ws in LANG_PROFILES.items()}
+    langs = list(LANG_PROFILES)
+    expr = None
+    for i, lang in enumerate(langs):
+        others = [hits[o] for o in langs[i + 1 :]]
+        cond = F.lit(True)
+        for o in others:
+            cond = cond & (hits[lang] >= o)
+        clause = (cond, F.lit(lang))
+        expr = F.when(*clause) if expr is None else expr.when(*clause)
+    return expr.otherwise(F.lit(langs[-1]))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct lowercase token set. Identical docs (up to token order /
+    duplication) collide — the exact-dedup key for shuffled near-copies."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(col)))))
+    return F.md5(canon)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats table: the quality/scoring surface."""
+    c = F.col(text_col)
+    # deliberately unrounded: per-row scalar arithmetic is bit-identical
+    # across engines (verified vs DuckDB), while ROUND implementations
+    # disagree exactly at x.xxxx5 boundaries — which ratios of small
+    # integers hit often
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_obs"),
+        token_count(c).cast("long").alias("n_tokens"),
+        avg_token_len(c).alias("avg_token_len"),
+        (stopword_hits(c, EN_STOPWORDS) / token_count(c)).alias("stop_ratio"),
+        punct_ratio(c).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+    )

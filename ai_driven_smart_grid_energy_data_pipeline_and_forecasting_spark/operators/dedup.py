@@ -1,0 +1,247 @@
+"""Deduplication family for the training-data pipeline surface:
+exact, n-gram Jaccard, MinHash+LSH, SimHash. All Catalyst-expression
+implementations with cross-engine-deterministic (md5-derived) hashing,
+so every stage is DuckDB-oracle-checkable.
+
+Scale design (the point of each variant):
+- exact: one hash-groupBy; partial agg map-side; shuffle carries one
+  row per distinct hash.
+- ngram-jaccard: inverted-index self-join — exact but O(sum df(s)^2)
+  in shingle document frequency; the honest baseline, quadratic on hot
+  shingles. At 100 TB you cap df or switch to MinHash.
+- minhash-lsh: signatures via partial-aggregatable per-band mins; the
+  only shuffle after the signature agg is on (band, band_hash) — pairs
+  emerge only within buckets. This is the 100 TB near-dedup path.
+- simhash: 32-bit sign-aggregate signature, banded by the high 16 bits
+  for candidate generation; Hamming verify on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import h32, tokens, word_shingles
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    canonical (minimum) doc_id and the copy count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+def fingerprint_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the order-insensitive token-set fingerprint —
+    catches shuffled/duplicated-token copies exact md5 misses."""
+    from ..functions.text import doc_fingerprint
+
+    return (
+        docs.groupBy(doc_fingerprint(F.col(text_col)).alias("fp"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("canonical_id")
+    )
+
+
+# ------------------------------------------------------- shingle utilities
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted-index rows, distinct per doc."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Exact token-n-gram Jaccard near-dup pairs via inverted index.
+
+    |A∩B| falls out of the shingle self-join as a pair count — no list
+    intersection materialized; set sizes join back in (both sides of
+    that join are keyed single rows per doc). The heavy operation is
+    the self-join on shingle, which is exactly the known hot-shingle
+    quadratic blowup — MinHash below is the mitigation at scale.
+    """
+    inv = doc_shingles(docs, text_col, n)
+    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+            ).alias("jacc"),
+        )
+    )
+    return (
+        j.filter(F.col("jacc") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.col("jacc").alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+N_HASHES = 16
+N_BANDS = 8  # 2 rows per band → candidate threshold ≈ (1/8)^(1/2) ≈ 0.35
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """K=16 minhash signature per doc. Each hash function is
+    h_j(s) = h32(j || ':' || s); per-doc min is a partial-aggregatable
+    groupBy agg — the shuffle carries 16 longs per doc per partition."""
+    inv = doc_shingles(docs, text_col, n)
+    hashed = inv.select(
+        "doc_id",
+        *[h32(F.concat(F.lit(f"{j}:"), F.col("sh"))).alias(f"h{j}") for j in range(N_HASHES)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(N_HASHES)]
+    )
+
+
+def _band_hash(b: int):
+    return F.md5(
+        F.concat_ws("_", F.col(f"m{2 * b}").cast("string"), F.col(f"m{2 * b + 1}").cast("string"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """MinHash banding: docs sharing any of 8 (2-row) band hashes become
+    candidates; candidates are verified with exact Jaccard over their
+    shingle sets. Output matches ngram_jaccard_pairs up to LSH recall.
+
+    Candidate generation shuffles on (band, band_hash) — hot buckets
+    (all-identical docs) are bounded by band width, and the verify join
+    touches only candidate docs' shingle arrays.
+    """
+    sig = minhash_signatures(docs, text_col, n)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = docs.select(
+        "doc_id", word_shingles(F.col(text_col), n).alias("shs")
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    verified = (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+                / F.size(F.array_union(F.col("sa.shs"), F.col("sb.shs")))
+            ).alias("jacc"),
+        )
+    )
+    return (
+        verified.filter(F.col("jacc") >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.col("jacc").alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct tokens: bit b is set iff the count
+    of tokens with bit b set exceeds those without. 32 conditional sums
+    in one groupBy — partial-aggregated, codegen'd."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    ).withColumn("th", h32(F.col("t")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "text") -> DataFrame:
+    """Banded SimHash near-dup: candidates share the high 16 bits (a
+    single equi-join — no quadratic all-pairs), verified by Hamming
+    distance ≤ max_hamming via bit_count(xor)."""
+    sig = simhash_signatures(docs, text_col)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.shiftright(F.col("a.simhash"), 16) == F.shiftright(F.col("b.simhash"), 16))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

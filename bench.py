@@ -34,6 +34,14 @@ HEADLINE = [
     "drop_reason_counts",
     "recent_events_topk",
     "props_stats",
+    "doc_text_stats",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "ann_topk",
+    "ann_lsh_pairs",
+    "embedding_near_pairs",
 ]
 
 
