@@ -27,8 +27,12 @@ from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions i
     text as TX,
 )
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+    asof as AS,
     dedup as D,
     similarity as S,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+    gold as G,
 )
 
 
@@ -213,6 +217,97 @@ def q_ann_lsh_pairs(spark, sf_dir):
     )
 
 
+def _pseudo_fact(spark, sf_dir):
+    """FACT_WEATHER-shaped frame derived from events (site=event_type,
+    ghi=value, wind=value/50) so the Gold math runs on harness data."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("site"),
+        F.col("ts").alias("ts_utc"),
+        F.col("value").alias("ghi_wm2"),
+        F.lit(10.0).alias("temp_c"),
+        (F.col("value") / 50.0).alias("wind_mps"),
+    )
+
+
+def _pseudo_features_hourly(spark, sf_dir):
+    """Hourly per-site energy series (max-aggregated: order-insensitive,
+    exactly reproducible cross-engine) feeding the forecast queries."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("site"),
+            F.date_trunc("hour", F.col("ts")).alias("ts_utc"),
+        )
+        .agg(
+            (F.max("value") / 100.0).alias("pv_est_mwh"),
+            (F.max("value") / 200.0).alias("wind_est_mwh"),
+        )
+    )
+
+
+def q_gold_features(spark, sf_dir):
+    # Gold mart_features: GHI Wh/m2 -> kWh, PV/wind energy estimates (init.sql:44-54)
+    return G.mart_features(_pseudo_fact(spark, sf_dir)).orderBy("site", "ts_utc")
+
+
+def q_gold_kpis(spark, sf_dir):
+    # Gold mart_kpis: capacity factors clamped to [0, 1.2] (init.sql:80-91)
+    return G.mart_kpis(G.mart_features(_pseudo_fact(spark, sf_dir))).orderBy(
+        "site", "ts_utc"
+    )
+
+
+def q_forecast_baseline(spark, sf_dir):
+    # Gold mart_forecast model='baseline': seasonal-naive lag(24) (init.sql:61-73)
+    fc = G.seasonal_naive_forecast(_pseudo_features_hourly(spark, sf_dir), horizons=[1, 24])
+    return fc.select(
+        "site", "ts_utc", "model", "var", "horizon_h",
+        F.round("yhat", 6).alias("yhat"),
+        F.round("yhat_lower", 6).alias("yhat_lower"),
+        F.round("yhat_upper", 6).alias("yhat_upper"),
+    ).orderBy("site", "var", "horizon_h", "ts_utc")
+
+
+def q_asof_purchase_view(spark, sf_dir):
+    # As-of join: each purchase matched to the user's most recent view
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), "event_id", "value"
+    )
+    right_raw = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts"), "value"
+    )
+    # dedupe right per (user, ts): max value — keeps the as-of match unique
+    right = right_raw.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    return AS.asof_join(left, right, keys=["user_id"], left_ts="ts", right_ts="ts").orderBy(
+        "user_id", "ts", "event_id"
+    )
+
+
+def q_dropped_events(spark, sf_dir):
+    # EXCEPT ALL: the dropped-rows view the dashboard re-derives by
+    # simulation (streamlit/app.py:477-517) computed relationally
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    kept = A.kept_events(_t(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "value"
+    )
+    return ev.exceptAll(kept).orderBy("event_id")
+
+
+def q_type_status_rollup(spark, sf_dir):
+    # ROLLUP aggregate (free Spark capability beyond reference, SURVEY §2.4)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "summary_events": q_summary_events,
@@ -241,6 +336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "gold_features": q_gold_features,
+        "gold_kpis": q_gold_kpis,
+        "forecast_baseline": q_forecast_baseline,
+        "asof_purchase_view": q_asof_purchase_view,
+        "dropped_events": q_dropped_events,
+        "type_status_rollup": q_type_status_rollup,
     }
 
 
@@ -361,7 +462,8 @@ WITH ranked AS (
            ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 ), labeled AS (
-  SELECT CASE
+  SELECT event_id, user_id, value,
+         CASE
            WHEN value IS NOT NULL AND NOT (value >= 0 AND value <= 300)
              THEN 'invalid_value'
            WHEN value IS NULL THEN 'missing_value'
@@ -369,6 +471,36 @@ WITH ranked AS (
            ELSE 'kept'
          END AS reason
   FROM ranked
+)
+"""
+
+_PSEUDO_FEATURES_CTE = """
+WITH s AS (
+  SELECT event_type AS site,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_utc,
+         max(value) / 100.0 AS pv_est_mwh,
+         max(value) / 200.0 AS wind_est_mwh
+  FROM events GROUP BY 1, 2
+),
+long AS (
+  SELECT site, ts_utc, 'pv' AS var, pv_est_mwh AS y FROM s
+  UNION ALL
+  SELECT site, ts_utc, 'wind' AS var, wind_est_mwh AS y FROM s
+),
+lagged AS (
+  SELECT site, ts_utc, var, y,
+         y - lag(y, 24) OVER w AS d24,
+         lag(y, 23) OVER w AS lag_h1,
+         lag(y, 0) OVER w AS lag_h24
+  FROM long
+  WINDOW w AS (PARTITION BY site, var ORDER BY ts_utc)
+),
+sig AS (
+  SELECT site, ts_utc, var, lag_h1, lag_h24,
+         stddev_samp(d24) OVER (
+           PARTITION BY site, var ORDER BY ts_utc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sigma
+  FROM lagged
 )
 """
 
@@ -624,5 +756,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig sb ON vec_b = sb.vec_id
             WHERE {_COS_SQL.format(a='sa.v', b='sb.v')} >= 0.2
             ORDER BY vec_a, vec_b
+        """,
+        # gold math mirrors plans/gold.py with identical association order
+        "gold_features": """
+            SELECT event_type AS site,
+                   CAST(ts AS TIMESTAMP) AS ts_utc,
+                   value / 1000.0 AS ghi_kwh_m2,
+                   value / 1000.0 * 0.2 * 10000.0 / 1000.0 AS pv_est_mwh,
+                   least(3062.5 * pow(value / 50.0, 3) * 0.4 / 1000000.0, 3.0)
+                     AS wind_est_mwh
+            FROM events ORDER BY site, ts_utc
+        """,
+        "gold_kpis": """
+            SELECT site, ts_utc,
+                   2.0 AS pv_capacity_mw,
+                   3.0 AS wind_capacity_mw,
+                   greatest(least(pv_est_mwh / 2.0, 1.2), 0.0) AS pv_cf,
+                   greatest(least(wind_est_mwh / 3.0, 1.2), 0.0) AS wind_cf
+            FROM (
+              SELECT event_type AS site,
+                     CAST(ts AS TIMESTAMP) AS ts_utc,
+                     value / 1000.0 * 0.2 * 10000.0 / 1000.0 AS pv_est_mwh,
+                     least(3062.5 * pow(value / 50.0, 3) * 0.4 / 1000000.0, 3.0)
+                       AS wind_est_mwh
+              FROM events
+            ) ORDER BY site, ts_utc
+        """,
+        "forecast_baseline": _PSEUDO_FEATURES_CTE
+        + """,
+            fc AS (
+              SELECT site, ts_utc + INTERVAL 1 HOUR AS ts_utc,
+                     'baseline' AS model, var, 1 AS horizon_h,
+                     lag_h1 AS yraw, sigma
+              FROM sig
+              UNION ALL
+              SELECT site, ts_utc + INTERVAL 24 HOUR AS ts_utc,
+                     'baseline' AS model, var, 24 AS horizon_h,
+                     lag_h24 AS yraw, sigma
+              FROM sig
+            )
+            SELECT site, ts_utc, model, var, horizon_h,
+                   round(greatest(yraw, 0.0), 6) AS yhat,
+                   round(greatest(greatest(yraw, 0.0)
+                         - 1.96 * coalesce(sigma, 0.0), 0.0), 6) AS yhat_lower,
+                   round(greatest(yraw, 0.0)
+                         + 1.96 * coalesce(sigma, 0.0), 6) AS yhat_upper
+            FROM fc WHERE yraw IS NOT NULL
+            ORDER BY site, var, horizon_h, ts_utc
+        """,
+        "asof_purchase_view": """
+            WITH l AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+              FROM events WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+              FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT l.user_id, l.ts, l.event_id, l.value,
+                   r.value AS value_right, r.ts AS matched_ts
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.user_id, l.ts, l.event_id
+        """,
+        "dropped_events": _CASCADE_CTE
+        + """
+            SELECT event_id, user_id, value FROM events
+            EXCEPT ALL
+            SELECT event_id, user_id, value FROM labeled WHERE reason = 'kept'
+            ORDER BY event_id
+        """,
+        "type_status_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
     }

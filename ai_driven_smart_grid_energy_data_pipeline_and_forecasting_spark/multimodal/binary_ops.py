@@ -1,0 +1,132 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed
+metadata, with mapInPandas decode/feature plumbing.
+
+Design: media bytes live in a ``binary`` column beside a metadata
+struct (modality, format, width/height/duration, byte length). All
+Spark-side mechanics — schema, partition sizing, Arrow batch shape,
+UDF signatures — are real and tested; only the *codec* call is stubbed
+(image/audio libraries are not in this container): ``decode_stub``
+raises ``NotImplementedError`` unless ``fake=True``, where it derives
+deterministic pseudo-features from the bytes so the pipeline shape is
+testable end to end.
+
+Scale notes: binary payloads make rows wide — keep
+``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks stay
+memory-bounded, and never collect. ``mapInPandas`` streams Arrow
+batches (bounded by arrow.maxRecordsPerBatch), so one task never holds
+more than a batch of media in memory at once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_s", T.DoubleType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float]:
+    """Codec boundary. Real deployments plug PIL/libav here; this
+    container has neither, so the default raises — and ``fake=True``
+    produces deterministic byte-derived pseudo-features with the same
+    shape the real decoder would emit."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs not available in this environment; "
+            "pass fake=True for deterministic pseudo-features"
+        )
+    if content is None:
+        return [0.0] * FEATURE_DIM
+    acc = [0] * FEATURE_DIM
+    for i, byte in enumerate(content):
+        acc[i % FEATURE_DIM] += byte
+    total = max(sum(acc), 1)
+    return [a / total for a in acc]
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction: binary → fixed-dim feature vector.
+
+    Iterator-of-batches form so each task holds one Arrow batch of
+    media at a time regardless of partition size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode_stub(c, m, fake=fake)
+                for c, m in zip(pdf["content"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Pure-relational metadata analytics over the binary table —
+    proves binary columns coexist with Catalyst ops (no decode)."""
+    return (
+        media.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("meta.n_bytes"), F.length("content").cast("long"))).alias(
+                "total_bytes"
+            ),
+            F.avg(F.col("meta.duration_s")).alias("avg_duration_s"),
+        )
+        .orderBy("modality")
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video rows: explode a deterministic
+    frame index per sampled position (decode stubbed). Shows the
+    generate-only fanout pattern (no shuffle)."""
+    n_frames = F.coalesce(
+        (F.col("meta.duration_s") * 24).cast("int"), F.lit(0)
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", F.explode(idx).alias("frame_idx"))
+    )

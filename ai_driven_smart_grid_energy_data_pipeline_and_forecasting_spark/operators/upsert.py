@@ -1,0 +1,69 @@
+"""Keyed upsert (MERGE) sink without assuming Delta Lake.
+
+The reference's idempotent ``INSERT ... ON CONFLICT (site, ts_utc) DO
+UPDATE`` (``nasa.py:126-149``, ``silver_clean.py:47-54``; re-run safety
+promised at ``README.md:36``) is the one semantic Spark's built-in
+Parquet writer lacks. Strategy here is the standard pure-Parquet
+fallback (SURVEY.md §7 "what's hard" #1):
+
+    read target ∪ updates → keep newest per key → dynamic partition
+    overwrite of ONLY the partitions the updates touch.
+
+With the table partitioned by ``site``, an incremental ingest rewrites
+just the affected site partitions, not the table — the same blast
+radius as Postgres's per-row upsert, amortized at Parquet granularity.
+On Delta/Iceberg deployments ``MERGE INTO`` replaces this wholesale;
+the call signature is the contract.
+
+Idempotency: keys are unique after ``latest_per_group``, so re-running
+the same batch rewrites identical bytes — observable no-op, matching
+the reference.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .relational import latest_per_group
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    partition_by: Sequence[str] = ("site",),
+) -> int:
+    """Upsert ``updates`` into the Parquet table at ``target_path`` keyed
+    by ``keys``; conflicts resolved by highest ``order_col`` (ingest
+    recency), ties by update-over-existing. Returns rows written.
+
+    Only partitions present in ``updates`` are read and rewritten
+    (partition pruning on the read, dynamic overwrite on the write).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    updates = updates.withColumn("_src", F.lit(1))
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path).withColumn("_src", F.lit(0))
+        # prune to touched partitions: tiny distinct list, broadcast semi join
+        touched = updates.select(*partition_by).distinct()
+        existing = existing.join(F.broadcast(touched), list(partition_by), "left_semi")
+        merged = existing.unionByName(updates)
+        # localCheckpoint: Spark refuses to overwrite a path it is
+        # simultaneously reading; materialize the merge first. On a real
+        # cluster this is a reliable-checkpoint or a Delta MERGE instead.
+        out = latest_per_group(
+            merged, keys=list(keys), order_col=order_col, tiebreak=["_src"]
+        ).drop("_src").localCheckpoint(eager=True)
+    else:
+        out = latest_per_group(
+            updates, keys=list(keys), order_col=order_col, tiebreak=["_src"]
+        ).drop("_src")
+    n = out.count()
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
+    return n

@@ -1,0 +1,132 @@
+"""Model-based forecasting via grouped-map pandas UDF — the reference's
+``mart_forecast`` model='sarimax' slot (``init.sql:61-73``; roadmap
+``README.md:54-58``).
+
+Per-(site, var) series are embarrassingly parallel:
+``groupBy(site, var).applyInPandas`` ships each group to one executor
+as an Arrow batch, fits there, returns MART_FORECAST-shaped rows. This
+is the engine's *only* Python-in-the-loop operator, and it is exactly
+the case the guide carves out: per-group model fitting that built-in
+expressions cannot express.
+
+Model: statsmodels SARIMAX when importable; otherwise a deterministic
+numpy surrogate — ordinary-least-squares AR on [lag-1, lag-24, const]
+(a seasonal AR(1); same API shape, no external dependency). Both paths
+produce yhat with ±1.96σ intervals from in-sample residuals.
+
+Scale guards: group = one (site, var) series; memory is bounded by the
+series length, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds transfer batches. Skewed site sizes are fine — AQE balances the
+shuffle, and each fit is O(n) in its own series only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FORECAST_SCHEMA = T.StructType(
+    [
+        T.StructField("site", T.StringType(), False),
+        T.StructField("ts_utc", T.TimestampType(), False),
+        T.StructField("model", T.StringType(), False),
+        T.StructField("var", T.StringType(), False),
+        T.StructField("horizon_h", T.IntegerType(), False),
+        T.StructField("yhat", T.DoubleType(), True),
+        T.StructField("yhat_lower", T.DoubleType(), True),
+        T.StructField("yhat_upper", T.DoubleType(), True),
+    ]
+)
+
+SEASON = 24
+
+
+def sarimax_forecast(
+    features: DataFrame, horizons: list[int] | None = None
+) -> DataFrame:
+    """MART_FEATURES → MART_FORECAST rows, model='sarimax' (statsmodels
+    when available, numpy seasonal-AR surrogate otherwise).
+
+    The fit helpers are nested inside the UDF on purpose: cloudpickle
+    serializes module-level functions *by reference*, which requires
+    every executor's Python worker to be able to import this package —
+    not guaranteed outside the repo checkout. Nested functions pickle
+    by value, making the UDF self-contained.
+    """
+    horizons = horizons or [1, 6, 24, 48]
+    hset = set(horizons)
+    season = SEASON
+    schema_cols = [f.name for f in FORECAST_SCHEMA.fields]
+
+    long = features.select(
+        "site", "ts_utc", F.col("pv_est_mwh").alias("pv"), F.col("wind_est_mwh").alias("wind")
+    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        def fit_predict_numpy(y):
+            # seasonal AR via OLS on [lag1, lag24, 1]; recursive multi-step
+            n = len(y)
+            if n <= season + 1:
+                return None
+            X = np.column_stack(
+                [y[season - 1 : n - 1], y[: n - season], np.ones(n - season)]
+            )
+            t = y[season:]
+            coef, *_ = np.linalg.lstsq(X, t, rcond=None)
+            resid = t - X @ coef
+            sigma = float(np.std(resid)) if len(resid) > 1 else 0.0
+            hist = list(y)
+            preds = {}
+            for h in range(1, max(hset) + 1):
+                nxt = coef[0] * hist[-1] + coef[1] * hist[-season] + coef[2]
+                nxt = max(float(nxt), 0.0)
+                hist.append(nxt)
+                if h in hset:
+                    preds[h] = nxt
+            return preds, sigma
+
+        def fit_predict_sarimax(y):
+            try:
+                from statsmodels.tsa.statespace.sarimax import SARIMAX
+            except ImportError:
+                return None
+            model = SARIMAX(
+                np.asarray(y), order=(1, 0, 0), seasonal_order=(1, 0, 0, season),
+                enforce_stationarity=False, enforce_invertibility=False,
+            )
+            res = model.fit(disp=False)
+            mean = res.get_forecast(steps=max(hset)).predicted_mean
+            sigma = float(np.std(res.resid)) if len(res.resid) > 1 else 0.0
+            return {h: max(float(mean[h - 1]), 0.0) for h in hset}, sigma
+
+        pdf = pdf.sort_values("ts_utc")
+        y = pdf["y"].astype(float).to_numpy()
+        site = pdf["site"].iloc[0]
+        var = pdf["var"].iloc[0]
+        origin = pdf["ts_utc"].iloc[-1]
+        fitted = fit_predict_sarimax(y) or fit_predict_numpy(y)
+        if fitted is None:
+            return pd.DataFrame(columns=[f.name for f in FORECAST_SCHEMA.fields])
+        preds, sigma = fitted
+        rows = []
+        for h, yhat in sorted(preds.items()):
+            rows.append(
+                {
+                    "site": site,
+                    "ts_utc": origin + pd.Timedelta(hours=h),
+                    "model": "sarimax",
+                    "var": var,
+                    "horizon_h": h,
+                    "yhat": yhat,
+                    "yhat_lower": max(yhat - 1.96 * sigma, 0.0),
+                    "yhat_upper": yhat + 1.96 * sigma,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return long.groupBy("site", "var").applyInPandas(fit_group, FORECAST_SCHEMA)

@@ -1,0 +1,92 @@
+"""Streaming bronze/silver ingest (SURVEY.md §2.8).
+
+The reference's batch loop — 7-day fetch chunks → parse → align →
+idempotent upsert (``nasa.py:160-177``) — maps onto Structured
+Streaming as:
+
+- source: file-drop of NASA payload JSON (one file per fetched chunk);
+  each micro-batch is one chunk — the direct analog of the loop body.
+- exactly-once effect: ``foreachBatch`` + keyed merge_upsert — the
+  idempotent sink makes replays observable no-ops, like the
+  reference's ``ON CONFLICT DO UPDATE`` re-runs (``README.md:36``).
+- late data: watermark on ts_utc (default 48 h). In-watermark
+  duplicates resolve inside the merge (latest ingested_at wins —
+  reference semantics, ``silver_clean.py:99-101``, which plain
+  ``dropDuplicates`` would get wrong: it keeps *first* seen).
+  Beyond-watermark corrections take the batch merge path.
+- silver: tumbling 1 h windows (``window(ts_utc, '1 hour')``) mirror
+  the hour-floor binning (``silver_clean.py:85``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.upsert import merge_upsert
+from ..sources.nasa_power import payloads_to_bronze
+
+WATERMARK = "48 hours"
+
+
+def read_payload_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-drop source: JSON lines files with (site, payload) columns —
+    one file per fetch chunk = one micro-batch per trigger."""
+    return (
+        spark.readStream.schema("site STRING, payload STRING")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+
+
+def stream_to_bronze(
+    stream: DataFrame,
+    bronze_path: str,
+    checkpoint_dir: str,
+    ingested_at=None,
+) -> StreamingQuery:
+    """payload stream → parse/align → idempotent keyed upsert per batch.
+
+    The merge runs inside foreachBatch so the sink stays exactly-once
+    in effect even though the parse re-runs on replay: same keys, same
+    recency resolution, same bytes.
+    """
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        bronze = payloads_to_bronze(batch, ingested_at)
+        merge_upsert(
+            batch.sparkSession,
+            bronze_path,
+            bronze,
+            keys=["site", "ts_utc"],
+            order_col="ingested_at",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hourly_stream_aggregate(events: DataFrame, ts_col: str = "ts_utc") -> DataFrame:
+    """Watermarked tumbling-hour aggregate — the streaming form of the
+    silver hour binning. Emits one row per (site, hour) with mean obs;
+    state for hours older than the watermark is dropped."""
+    return (
+        events.withWatermark(ts_col, WATERMARK)
+        .groupBy("site", F.window(F.col(ts_col), "1 hour").alias("w"))
+        .agg(
+            F.avg("ghi_wm2").alias("ghi_wm2"),
+            F.avg("t2m_c").alias("t2m_c"),
+            F.avg("ws10_mps").alias("ws10_mps"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .select("site", F.col("w.start").alias("ts_utc"), "ghi_wm2", "t2m_c", "ws10_mps", "n_obs")
+    )

@@ -1,0 +1,124 @@
+"""Gold layer: feature math, KPI clamps, seasonal-naive baseline,
+grouped-map forecast plumbing, as-of join evaluation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+    WIND_CAPACITY_MW,
+    mart_features,
+    mart_kpis,
+    seasonal_naive_forecast,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.forecast import (
+    sarimax_forecast,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.asof import (
+    asof_join,
+)
+
+UTC = dt.timezone.utc
+
+
+@pytest.fixture(scope="module")
+def fact(spark):
+    # 8 days of hourly data, 2 sites: a daily sine-ish profile via hour index
+    rows = []
+    base = dt.datetime(2025, 1, 1, tzinfo=UTC)
+    for site in ["s1", "s2"]:
+        for h in range(24 * 8):
+            t = base + dt.timedelta(hours=h)
+            ghi = max(0.0, 500.0 * (1 - abs(t.hour - 12) / 12) + (50 if site == "s2" else 0))
+            rows.append((site, t, ghi, 10.0, 5.0 + (h % 24) / 10))
+    return spark.createDataFrame(
+        rows, "site STRING, ts_utc TIMESTAMP, ghi_wm2 DOUBLE, temp_c DOUBLE, wind_mps DOUBLE"
+    )
+
+
+def test_features_math(fact):
+    feats = mart_features(fact)
+    row = feats.filter((F.col("site") == "s1") & (F.hour("ts_utc") == 12)).first()
+    assert row.ghi_kwh_m2 == pytest.approx(0.5)  # 500 W/m² × 1h = 0.5 kWh/m²
+    assert row.pv_est_mwh == pytest.approx(0.5 * 0.2 * 10000 / 1000)  # 1.0 MWh
+    assert row.wind_est_mwh <= WIND_CAPACITY_MW  # capacity cap
+
+
+def test_kpis_in_domain(fact):
+    kpis = mart_kpis(mart_features(fact))
+    bad = kpis.filter(
+        (F.col("pv_cf") < 0) | (F.col("pv_cf") > 1.2)
+        | (F.col("wind_cf") < 0) | (F.col("wind_cf") > 1.2)
+    ).count()
+    assert bad == 0  # init.sql:83-86 CHECK domain
+
+
+def test_seasonal_naive_h24_equals_lag(fact):
+    feats = mart_features(fact)
+    fc = seasonal_naive_forecast(feats, horizons=[24])
+    # h=24 forecast for target ts T must equal actual at T-24h
+    joined = (
+        fc.filter(F.col("var") == "pv")
+        .alias("f")
+        .join(
+            feats.select(
+                "site",
+                (F.col("ts_utc") + F.expr("INTERVAL 24 HOURS")).alias("ts_utc"),
+                F.col("pv_est_mwh").alias("actual_lag"),
+            ).alias("a"),
+            ["site", "ts_utc"],
+        )
+    )
+    mismatches = joined.filter(F.abs(F.col("yhat") - F.col("actual_lag")) > 1e-9).count()
+    assert mismatches == 0
+    assert fc.filter(F.col("yhat_lower") > F.col("yhat")).count() == 0
+
+
+def test_forecast_schema_and_horizons(fact):
+    fc = seasonal_naive_forecast(mart_features(fact), horizons=[1, 6, 24, 48])
+    assert set(r.horizon_h for r in fc.select("horizon_h").distinct().collect()) == {1, 6, 24, 48}
+    assert fc.columns == [
+        "site", "ts_utc", "model", "var", "horizon_h", "yhat", "yhat_lower", "yhat_upper",
+    ]
+
+
+def test_sarimax_grouped_map(fact):
+    fc = sarimax_forecast(mart_features(fact), horizons=[1, 24])
+    rows = fc.collect()
+    # 2 sites × 2 vars × 2 horizons
+    assert len(rows) == 8
+    assert all(r.model == "sarimax" and r.yhat >= 0 for r in rows)
+    assert all(r.yhat_upper >= r.yhat >= r.yhat_lower for r in rows)
+
+
+def test_asof_forecast_vs_actual(spark, fact):
+    feats = mart_features(fact)
+    fc = seasonal_naive_forecast(feats, horizons=[24]).filter(F.col("var") == "pv")
+    actual = feats.select("site", "ts_utc", F.col("pv_est_mwh").alias("actual"))
+    joined = asof_join(
+        fc.select("site", "ts_utc", "yhat"), actual, keys=["site"], tolerance_hours=0
+    )
+    row = joined.filter(F.col("actual").isNotNull()).first()
+    assert row is not None
+    # tolerance 0: match must be the exact same hour
+    assert row.matched_ts == row.ts_utc
+
+
+def test_asof_takes_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2025, 1, 1, 5, tzinfo=UTC), 1.0)],
+        "site STRING, ts_utc TIMESTAMP, x DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", dt.datetime(2025, 1, 1, 3, tzinfo=UTC), 30.0),
+            ("k", dt.datetime(2025, 1, 1, 5, tzinfo=UTC), 50.0),
+            ("k", dt.datetime(2025, 1, 1, 7, tzinfo=UTC), 70.0),
+        ],
+        "site STRING, ts_utc TIMESTAMP, y DOUBLE",
+    )
+    out = asof_join(left, right, keys=["site"]).collect()[0]
+    assert out.y == 50.0  # equal-ts right row visible; future row not

@@ -1,0 +1,87 @@
+"""NASA payload parser (F10) tests — both shapes, malformed keys,
+missing params, full-outer alignment (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.sources.nasa_power import (
+    parse_payloads,
+    payloads_to_bronze,
+)
+
+SHAPE_A = {
+    "properties": {
+        "parameter": {
+            "ALLSKY_SFC_SW_DWN": {"2025010100": 0.0, "2025010101": 12.5, "2025010102": None},
+            "T2M": {"2025010100": -3.1, "2025010101": -2.8, "bad_key": 99.0},
+            "WS10M": {"2025010100": 4.2, "2025010101": None},
+        }
+    }
+}
+
+SHAPE_B = {
+    "properties": {
+        "parameter": {
+            "ALLSKY_SFC_SW_DWN": {"20250102": [0.0, 1.5] + [None] * 22},
+            "T2M": {"20250102": [-3.1] * 24},
+            "WS10M": {"20250102": [4.0] * 24},
+        }
+    }
+}
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    rows = [("site_a", json.dumps(SHAPE_A)), ("site_b", json.dumps(SHAPE_B))]
+    return spark.createDataFrame(rows, "site STRING, payload STRING")
+
+
+def test_shape_a_hourly_keys(payloads):
+    series = parse_payloads(payloads).filter(F.col("site") == "site_a").collect()
+    ghi = {r.ts_utc.hour: r.value for r in series if r.param == "ALLSKY_SFC_SW_DWN"}
+    assert ghi == {0: 0.0, 1: 12.5, 2: None}
+
+
+def test_malformed_key_skipped(payloads):
+    t2m = (
+        parse_payloads(payloads)
+        .filter((F.col("site") == "site_a") & (F.col("param") == "T2M"))
+        .collect()
+    )
+    assert len(t2m) == 2  # bad_key dropped, like nasa.py:73-74
+    assert {r.value for r in t2m} == {-3.1, -2.8}
+
+
+def test_shape_b_hour_is_list_index(payloads):
+    series = parse_payloads(payloads).filter(F.col("site") == "site_b").collect()
+    ghi = {r.ts_utc.hour: r.value for r in series if r.param == "ALLSKY_SFC_SW_DWN"}
+    assert ghi[0] == 0.0 and ghi[1] == 1.5 and ghi[5] is None
+    assert len(ghi) == 24
+
+
+def test_alignment_full_outer_with_nulls(payloads):
+    bronze = payloads_to_bronze(payloads, ingested_at="2025-01-03 00:00:00")
+    a = {r.ts_utc.hour: r for r in bronze.filter(F.col("site") == "site_a").collect()}
+    # hour 2 exists only in GHI: other params NULL (nasa.py:102-107)
+    assert a[2].ghi_wm2 is None  # JSON null kept
+    assert a[2].t2m_c is None and a[2].ws10_mps is None
+    assert a[0].ghi_wm2 == 0.0 and a[0].t2m_c == -3.1 and a[0].ws10_mps == 4.2
+
+
+def test_raw_json_payload_shape(payloads):
+    bronze = payloads_to_bronze(payloads, ingested_at="2025-01-03 00:00:00")
+    row = bronze.filter((F.col("site") == "site_a") & (F.hour("ts_utc") == 0)).collect()[0]
+    d = json.loads(row.raw_json)
+    assert d["source"] == "NASA_POWER"
+    assert d["ghi_wm2"] == 0.0 and d["t2m_c"] == -3.1 and d["ws10_mps"] == 4.2
+
+
+def test_bronze_schema_columns(payloads):
+    bronze = payloads_to_bronze(payloads)
+    assert bronze.columns == [
+        "site", "ts_utc", "ghi_wm2", "t2m_c", "ws10_mps", "raw_json", "ingested_at",
+    ]

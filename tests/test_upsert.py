@@ -1,0 +1,79 @@
+"""merge_upsert: ON CONFLICT DO UPDATE semantics on plain Parquet —
+insert, update-wins-by-recency, idempotent re-run (README.md:36)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+    merge_upsert,
+)
+
+UTC = dt.timezone.utc
+SCHEMA = "site STRING, ts_utc TIMESTAMP, v DOUBLE, ingested_at TIMESTAMP"
+
+
+def ts(h):
+    return dt.datetime(2025, 1, 1, h, tzinfo=UTC)
+
+
+def ing(d):
+    return dt.datetime(2025, 1, 2 + d, tzinfo=UTC)
+
+
+@pytest.fixture()
+def target(tmp_path):
+    return str(tmp_path / "bronze")
+
+
+def read_all(spark, path):
+    return {
+        (r.site, r.ts_utc.hour): (r.v, r.ingested_at)
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_initial_insert(spark, target):
+    df = spark.createDataFrame([("a", ts(0), 1.0, ing(0)), ("b", ts(0), 2.0, ing(0))], SCHEMA)
+    n = merge_upsert(spark, target, df, keys=["site", "ts_utc"], order_col="ingested_at")
+    assert n == 2
+    assert read_all(spark, target)[("a", 0)][0] == 1.0
+
+
+def test_update_newer_wins(spark, target):
+    first = spark.createDataFrame([("a", ts(0), 1.0, ing(0))], SCHEMA)
+    merge_upsert(spark, target, first, keys=["site", "ts_utc"], order_col="ingested_at")
+    update = spark.createDataFrame([("a", ts(0), 9.0, ing(1)), ("a", ts(1), 5.0, ing(1))], SCHEMA)
+    merge_upsert(spark, target, update, keys=["site", "ts_utc"], order_col="ingested_at")
+    out = read_all(spark, target)
+    assert out[("a", 0)][0] == 9.0  # updated
+    assert out[("a", 1)][0] == 5.0  # inserted
+    assert len(out) == 2
+
+
+def test_stale_update_does_not_regress(spark, target):
+    newer = spark.createDataFrame([("a", ts(0), 9.0, ing(5))], SCHEMA)
+    merge_upsert(spark, target, newer, keys=["site", "ts_utc"], order_col="ingested_at")
+    stale = spark.createDataFrame([("a", ts(0), 1.0, ing(0))], SCHEMA)
+    merge_upsert(spark, target, stale, keys=["site", "ts_utc"], order_col="ingested_at")
+    assert read_all(spark, target)[("a", 0)][0] == 9.0
+
+
+def test_idempotent_rerun(spark, target):
+    df = spark.createDataFrame([("a", ts(0), 1.0, ing(0)), ("b", ts(2), 3.0, ing(0))], SCHEMA)
+    merge_upsert(spark, target, df, keys=["site", "ts_utc"], order_col="ingested_at")
+    before = read_all(spark, target)
+    merge_upsert(spark, target, df, keys=["site", "ts_utc"], order_col="ingested_at")
+    assert read_all(spark, target) == before
+
+
+def test_untouched_partition_preserved(spark, target):
+    base = spark.createDataFrame([("a", ts(0), 1.0, ing(0)), ("b", ts(0), 2.0, ing(0))], SCHEMA)
+    merge_upsert(spark, target, base, keys=["site", "ts_utc"], order_col="ingested_at")
+    only_a = spark.createDataFrame([("a", ts(1), 7.0, ing(1))], SCHEMA)
+    merge_upsert(spark, target, only_a, keys=["site", "ts_utc"], order_col="ingested_at")
+    out = read_all(spark, target)
+    assert out[("b", 0)][0] == 2.0  # site b untouched by dynamic overwrite
+    assert out[("a", 1)][0] == 7.0
