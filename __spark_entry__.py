@@ -295,6 +295,131 @@ def q_dropped_events(spark, sf_dir):
     return ev.exceptAll(kept).orderBy("event_id")
 
 
+def _pseudo_bronze(spark, sf_dir):
+    """RAW_WEATHER-shaped frame from events; t2m = value − 150 lands
+    some rows outside [−80, 80] so every O6/O7 branch executes."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("site"),
+        F.col("ts").alias("ts_utc"),
+        F.col("value").alias("ghi_wm2"),
+        (F.col("value") - 150.0).alias("t2m_c"),
+        (F.col("value") / 50.0).alias("ws10_mps"),
+        F.col("ts").alias("ingested_at"),
+    )
+
+
+def q_silver_clean(spark, sf_dir):
+    # Full Silver chain (silver_clean.py:74-121): W1 hour-floor, O6
+    # range-nullify, O7 drop-critical-nulls, A3 latest-per-key dedup,
+    # O2 rename/project, W3 alignment guard — one fused plan
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        silver as SV,
+    )
+
+    return SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir))
+
+
+def q_customers_with_orders(spark, sf_dir):
+    # O11 membership as a relational op: left-semi join (main.py:219-222)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    # anti-join complement of O11 — the "404 path" set
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q_events_iso_payload(spark, sf_dir):
+    # S8 JSON API sink shape: ISO-8601 timestamps (main.py:22-23),
+    # serialization kept relational; toJSON() is the serving edge
+    ev = _t(spark, sf_dir, "events")
+    return (
+        R.topk_recent(ev, "ts", 100, tiebreak=["event_id"])
+        .select(
+            "event_id",
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+00:00")
+            ).alias("ts_iso"),
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_upsert_merge(spark, sf_dir):
+    # S6/S7 MERGE semantics as a pure relational op: latest-wins union
+    # keyed (user_id, ts_hour), ties update-over-existing
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        upsert as U,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    shaped = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        "value",
+        F.col("ts").alias("ingested_at"),
+    )
+    target = shaped.filter(F.col("ingested_at") < "2024-01-15 00:00:00")
+    updates = shaped.filter(F.col("ingested_at") >= "2024-01-10 00:00:00")
+    merged = U.merge_frames(
+        target, updates, keys=["user_id", "ts_hour"], order_col="ingested_at"
+    )
+    return merged.orderBy("user_id", "ts_hour")
+
+
+def q_revenue_q6(spark, sf_dir):
+    # TPC-H Q6 shape: single-scan filter+agg — the pushdown showcase
+    # (predicates and 3-column pruning reach the parquet scan)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_doc_token_counts(spark, sf_dir):
+    # Token counting: whitespace + BPE-ish regex (training-data surface)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("ws_tokens"),
+        TX.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_forecast_sarimax(spark, sf_dir):
+    # Gold mart_forecast model='sarimax' via groupBy().applyInPandas —
+    # per-(site,var) model fit; not SQL-expressible, rows-only check
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        forecast as FC,
+    )
+
+    fc = FC.sarimax_forecast(_pseudo_features_hourly(spark, sf_dir), horizons=[1, 24])
+    return fc.orderBy("site", "var", "horizon_h", "ts_utc")
+
+
 def q_type_status_rollup(spark, sf_dir):
     # ROLLUP aggregate (free Spark capability beyond reference, SURVEY §2.4)
     li = _t(spark, sf_dir, "lineitem")
@@ -342,6 +467,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "dropped_events": q_dropped_events,
         "type_status_rollup": q_type_status_rollup,
+        "silver_clean": q_silver_clean,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "events_iso_payload": q_events_iso_payload,
+        "upsert_merge": q_upsert_merge,
+        "revenue_q6": q_revenue_q6,
+        "doc_token_counts": q_doc_token_counts,
+        "forecast_sarimax": q_forecast_sarimax,
     }
 
 
@@ -843,4 +976,89 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
         """,
+        "silver_clean": """
+            WITH b AS (
+              SELECT event_type AS site, CAST(ts AS TIMESTAMP) AS ts_utc,
+                     value AS ghi_wm2, value - 150.0 AS t2m_c,
+                     value / 50.0 AS ws10_mps,
+                     CAST(ts AS TIMESTAMP) AS ingested_at
+              FROM events
+            ), v AS (
+              SELECT site, ts_utc, date_trunc('hour', ts_utc) AS ts_hour,
+                     CASE WHEN ghi_wm2 >= 0 THEN ghi_wm2 END AS ghi_wm2,
+                     CASE WHEN t2m_c BETWEEN -80 AND 80 THEN t2m_c END AS t2m_c,
+                     CASE WHEN ws10_mps >= 0 THEN ws10_mps END AS ws10_mps,
+                     ingested_at
+              FROM b
+            ), c AS (
+              SELECT * FROM v
+              WHERE ghi_wm2 IS NOT NULL AND t2m_c IS NOT NULL
+                AND ws10_mps IS NOT NULL
+            ), d AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY site, ts_hour
+                ORDER BY ingested_at DESC, ts_utc DESC) AS rn
+              FROM c
+            )
+            SELECT site, CAST(ts_hour AS TIMESTAMP) AS ts_utc, ghi_wm2,
+                   t2m_c AS temp_c, ws10_mps AS wind_mps
+            FROM d WHERE rn = 1
+            ORDER BY site, ts_utc
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey
+        """,
+        "events_iso_payload": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S') || '+00:00' AS ts_iso,
+                   event_type, value
+            FROM (
+              SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+            ) ORDER BY event_id
+        """,
+        "upsert_merge": """
+            WITH shaped AS (
+              SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+                     value, CAST(ts AS TIMESTAMP) AS ingested_at
+              FROM events
+            ), un AS (
+              SELECT *, 0 AS _src FROM shaped
+              WHERE ingested_at < TIMESTAMP '2024-01-15 00:00:00'
+              UNION ALL
+              SELECT *, 1 AS _src FROM shaped
+              WHERE ingested_at >= TIMESTAMP '2024-01-10 00:00:00'
+            ), d AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts_hour
+                ORDER BY ingested_at DESC, _src DESC) AS rn
+              FROM un
+            )
+            SELECT user_id, ts_hour, value, ingested_at
+            FROM d WHERE rn = 1
+            ORDER BY user_id, ts_hour
+        """,
+        "revenue_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "doc_token_counts": f"""
+            SELECT doc_id,
+                   CAST({_STATS['n_tokens']} AS INTEGER) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # forecast_sarimax: intentionally no oracle — per-group model fit
+        # via applyInPandas is not SQL-expressible (rows-only check)
     }

@@ -34,6 +34,20 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenizer classes: letter runs, single digits,
+# single punctuation marks — the GPT-2-family split shape. The pattern
+# uses only literal character classes so Java regex (Spark) and RE2
+# (DuckDB) agree symbol-for-symbol.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-proxy token count: letter runs + digits + punctuation.
+    A real BPE merges within letter runs, so this lower-bounds GPT-2-ish
+    token counts while staying engine-portable and vectorized."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct n-token shingles. Empty array (not a descending-sequence
     artifact) when the doc has fewer than n tokens — ``F.sequence(1, 0)``

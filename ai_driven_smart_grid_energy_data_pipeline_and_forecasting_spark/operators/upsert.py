@@ -31,6 +31,27 @@ from pyspark.sql import functions as F
 from .relational import latest_per_group
 
 
+def merge_frames(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """The MERGE resolution core, path-free: union target and updates,
+    keep the newest row per key (``order_col`` recency; ties resolved
+    update-over-existing — the reference's ON CONFLICT DO UPDATE).
+    ``merge_upsert`` wraps this with partition-pruned IO; use this form
+    directly for in-pipeline (non-sink) merge semantics."""
+    t = target.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+    return (
+        latest_per_group(
+            t.unionByName(u), keys=list(keys), order_col=order_col, tiebreak=["_src"]
+        )
+        .drop("_src")
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
