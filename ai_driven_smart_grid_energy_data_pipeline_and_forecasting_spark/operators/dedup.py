@@ -18,6 +18,10 @@ Scale design (the point of each variant):
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,10 +58,37 @@ def fingerprint_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFra
 # ------------------------------------------------------- shingle utilities
 
 
+def doc_shingle_sets(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shs) — the distinct n-token shingle array per doc,
+    built in an Arrow-batched Python kernel. The pure-expression form
+    (``functions.text.word_shingles``: transform+sequence+
+    array_to_string) is a higher-order-function chain Catalyst
+    evaluates interpreted, measured ~5× slower than ``str.split`` at
+    corpus scale; semantics are identical (trim spaces, split on
+    single space, first-occurrence-ordered distinct)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shs_out = []
+            for text in pdf[text_col]:
+                toks = ("" if text is None else text).strip(" ").split(" ")
+                seen: dict[str, None] = {}
+                for i in range(len(toks) - n + 1):
+                    seen.setdefault(" ".join(toks[i : i + n]))
+                shs_out.append(list(seen))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "shs": shs_out})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel, "doc_id long, shs array<string>"
+    )
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) inverted-index rows, distinct per doc."""
-    return docs.select(
-        "doc_id", F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    return doc_shingle_sets(docs, text_col, n).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
 
 
@@ -198,9 +229,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = docs.select(
-        "doc_id", word_shingles(F.col(text_col), n).alias("shs")
-    )
+    sets = doc_shingle_sets(docs, text_col, n)
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     verified = (

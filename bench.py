@@ -42,6 +42,12 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh_pairs",
     "embedding_near_pairs",
+    "silver_clean",
+    "upsert_merge",
+    "revenue_q6",
+    "doc_token_counts",
+    "forecast_sarimax",
+    "asof_purchase_view",
 ]
 
 
