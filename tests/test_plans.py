@@ -1,0 +1,94 @@
+"""Plan-contract tests: assert the physical-plan properties the engine
+is designed around (SURVEY.md §4) so an optimization regression fails
+CI, not a benchmark run later.
+
+Checked properties:
+- predicate pushdown + column pruning reach the parquet scan;
+- dimension joins broadcast (no shuffle of the big fact side);
+- dedup is a partial-aggregatable max_by agg, not a window;
+- no interpreted BroadcastNestedLoopJoin in the similarity family
+  (the regression behind the round-1 10× slowdown).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(plan: str, table: str) -> list[str]:
+    return [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and f"{table}.parquet" in line
+    ]
+
+
+def test_q6_scan_prunes_columns_and_pushes_filters(spark):
+    plan = _plan(spark, "revenue_q6")
+    scans = _scan_lines(plan, "lineitem")
+    assert scans, plan
+    scan = scans[0]
+    # projection pruning: only the 4 referenced columns in ReadSchema
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    assert m is not None, scan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, cols
+    # the range/equality predicates reach the scan
+    assert "DataFilters: [" in scan and "l_quantity" in scan.split("DataFilters")[1]
+
+
+def test_events_window_filter_pushdown(spark):
+    plan = _plan(spark, "events_window_filter")
+    scans = _scan_lines(plan, "events")
+    assert scans, plan
+    # equality predicate on event_type is pushable as-is; the ts range
+    # compares a converted column (nanos->micros) so it cannot reach
+    # the scan — assert at least the pushable one does
+    assert "event_type" in scans[0].split("DataFilters")[1]
+
+
+def test_local_supplier_volume_broadcasts_dims(spark):
+    plan = _plan(spark, "local_supplier_volume")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # region/nation/customer/supplier are all dim-side: no sort-merge
+    # join should be needed at this scale profile
+    assert "CartesianProduct" not in plan
+
+
+def test_latest_per_user_hour_is_aggregate_not_window(spark):
+    plan = _plan(spark, "latest_per_user_hour")
+    assert "max_by" in plan or "ObjectHashAggregate" in plan, plan
+    assert "Window" not in plan, "dedup must stay a partial-aggregatable agg"
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "pricing_summary")
+    # two HashAggregate levels (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["embedding_near_pairs", "ann_lsh_pairs", "ann_topk"]
+)
+def test_similarity_avoids_nested_loop_join(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        f"{name}: dense scoring regressed to an interpreted BNLJ condition"
+    )
