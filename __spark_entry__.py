@@ -409,6 +409,23 @@ def q_doc_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF coarse-quantizer ANN: probe 4 of 16 clusters (scale path
+    # without a resident corpus matrix)
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(
+        emb, F.col("vec_id") < 8, k=5, n_centroids=16, n_probe=4
+    )
+
+
+def q_forecast_eval(spark, sf_dir):
+    # Forecast-vs-actual evaluation join + error metrics (the Gold
+    # join the reference roadmap implies; SURVEY.md §7 phase 3)
+    feats = _pseudo_features_hourly(spark, sf_dir)
+    fc = G.seasonal_naive_forecast(feats, horizons=[1, 24])
+    return G.forecast_accuracy(fc, feats)
+
+
 def q_forecast_sarimax(spark, sf_dir):
     # Gold mart_forecast model='sarimax' via groupBy().applyInPandas —
     # per-(site,var) model fit; not SQL-expressible, rows-only check
@@ -475,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_q6": q_revenue_q6,
         "doc_token_counts": q_doc_token_counts,
         "forecast_sarimax": q_forecast_sarimax,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "forecast_eval": q_forecast_eval,
     }
 
 
@@ -1061,4 +1080,76 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            asg AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM e, cents c) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+            probes AS (
+              SELECT query_id, cluster FROM (
+                SELECT q.query_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_COS_SQL.format(a='q.qv', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM q, cents c) WHERE rn <= 4),
+            scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     {_COS_SQL.format(a='q.qv', b='e.v')} AS sim
+              FROM probes p
+              JOIN asg a ON a.cluster = p.cluster
+              JOIN e ON e.vec_id = a.vec_id
+              JOIN q ON q.query_id = p.query_id
+              WHERE a.vec_id != p.query_id)
+            SELECT query_id, neighbor_id, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" <= 5
+            ORDER BY query_id, "rank"
+        """,
+        "forecast_eval": _PSEUDO_FEATURES_CTE
+        + """,
+            fc AS (
+              SELECT site, ts_utc + INTERVAL 1 HOUR AS ts_utc,
+                     'baseline' AS model, var, 1 AS horizon_h,
+                     lag_h1 AS yraw, sigma
+              FROM sig
+              UNION ALL
+              SELECT site, ts_utc + INTERVAL 24 HOUR AS ts_utc,
+                     'baseline' AS model, var, 24 AS horizon_h,
+                     lag_h24 AS yraw, sigma
+              FROM sig
+            ),
+            f AS (
+              SELECT site, ts_utc, model, var, horizon_h,
+                     greatest(yraw, 0.0) AS yhat,
+                     greatest(greatest(yraw, 0.0)
+                       - 1.96 * coalesce(sigma, 0.0), 0.0) AS yhat_lower,
+                     greatest(yraw, 0.0)
+                       + 1.96 * coalesce(sigma, 0.0) AS yhat_upper
+              FROM fc WHERE yraw IS NOT NULL
+            ),
+            act AS (
+              SELECT site, ts_utc, 'pv' AS var, pv_est_mwh AS y FROM s
+              UNION ALL
+              SELECT site, ts_utc, 'wind' AS var, wind_est_mwh AS y FROM s
+            )
+            SELECT model, var, horizon_h, count(*) AS n,
+                   round(avg(abs(yhat - y)), 4) AS mae,
+                   round(sqrt(avg((yhat - y) * (yhat - y))), 4) AS rmse,
+                   round(avg(CASE WHEN y >= yhat_lower AND y <= yhat_upper
+                                  THEN 1.0 ELSE 0.0 END), 4)
+                     AS interval_coverage
+            FROM f JOIN act USING (site, ts_utc, var)
+            GROUP BY model, var, horizon_h
+            ORDER BY model, var, horizon_h
+        """,
     }

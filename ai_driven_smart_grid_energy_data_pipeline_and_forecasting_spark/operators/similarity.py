@@ -235,6 +235,118 @@ def cosine_threshold_pairs(
     )
 
 
+# ------------------------------------------------------------ IVF probe
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer assigns every
+    corpus vector to its nearest centroid; queries probe only their
+    ``n_probe`` closest clusters and score exactly within them. Recall
+    trades against the ``n_probe/n_centroids`` ratio; the scored set
+    shrinks from |C| to ~|C|·n_probe/n_centroids per query.
+
+    Centroids here are the deterministic id-ordered head of the corpus
+    (a fixed sample — Lloyd refinement is an offline concern that
+    changes centroid quality, not the plan shape). Scale profile: the
+    corpus never leaves its partitions — assignment is one streamed
+    kernel pass; the probe join broadcasts (query, cluster) pairs; only
+    candidate rows are scored. This is the resident-matrix-free
+    alternative to ``cosine_threshold_pairs`` alongside
+    ``ann_lsh_pairs``.
+    """
+    spark = emb.sparkSession
+    cpdf = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
+    c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
+    c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
+    c_norm = _ordered_norms(c_mat)
+    bc_c = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, mc, nc = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            nx = _ordered_norms(mx)
+            sim = _ordered_gemm(mx, mc) / np.multiply.outer(nx, nc)
+            # argmax takes the first maximum — centroids are id-sorted,
+            # so ties resolve to the smallest centroid id (= the SQL
+            # ORDER BY sim DESC, cid ASC convention)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "v": pdf[vec_col],
+                    "cluster": ids_c[np.argmax(sim, axis=1)],
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign, "neighbor_id long, v array<float>, cluster long"
+    )
+
+    qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = _as_matrix(qpdf[vec_col], dims)
+    q_norm = _ordered_norms(q_mat) if len(q_ids) else np.empty(0)
+    probe_rows = []
+    if len(q_ids):
+        qsim = _ordered_gemm(q_mat, c_mat) / np.multiply.outer(q_norm, c_norm)
+        for i in range(len(q_ids)):
+            top = np.lexsort((c_ids, -qsim[i]))[:n_probe]
+            probe_rows.extend((int(q_ids[i]), int(c_ids[j])) for j in top)
+    probes = spark.createDataFrame(probe_rows or [(-1, -1)], "query_id long, cluster long")
+    if not probe_rows:
+        probes = probes.filter(F.lit(False))
+    bc_q = spark.sparkContext.broadcast(
+        {int(q_ids[i]): (q_mat[i], float(q_norm[i])) for i in range(len(q_ids))}
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmap = bc_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf["v"], dims)
+            nx = _ordered_norms(mx)
+            qm = np.stack([qmap[q][0] for q in pdf["query_id"]])
+            qn = np.asarray([qmap[q][1] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "sim": _ordered_rowdot(qm, mx) / (qn * nx),
+                }
+            )
+
+    scored = cand.mapInPandas(score, "query_id long, neighbor_id long, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ----------------------------------------------- random-hyperplane LSH
 
 SRP_BITS = 16

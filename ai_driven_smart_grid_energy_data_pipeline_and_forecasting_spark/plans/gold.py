@@ -116,3 +116,40 @@ def seasonal_naive_forecast(
             (F.col("yhat") + 1.96 * F.coalesce(F.col("sigma"), F.lit(0.0))).alias("yhat_upper"),
         )
     )
+
+
+def forecast_accuracy(forecast: DataFrame, features: DataFrame) -> DataFrame:
+    """Forecast-vs-actual evaluation — the Gold-layer join the reference
+    roadmap implies but never built (SURVEY.md §7 phase 3; the
+    ``mart_forecast`` rows of ``init.sql:61-73`` are useless without
+    it). Equi-join of forecasts to later actuals on (site, ts_utc, var)
+    — both sides hour-aligned so no as-of tolerance is needed — then
+    per (model, var, horizon) error metrics.
+
+    Shuffle profile: one join shuffle on the composite key, one tiny
+    final agg; at 100 TB both sides are partitioned by site so the join
+    co-locates.
+    """
+    actual = features.select(
+        "site", "ts_utc", F.col("pv_est_mwh").alias("pv"), F.col("wind_est_mwh").alias("wind")
+    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    j = forecast.join(actual, ["site", "ts_utc", "var"])
+    err = F.col("yhat") - F.col("y")
+    return (
+        j.groupBy("model", "var", "horizon_h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.abs(err)), 4).alias("mae"),
+            F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+            F.round(
+                F.avg(
+                    (
+                        (F.col("y") >= F.col("yhat_lower"))
+                        & (F.col("y") <= F.col("yhat_upper"))
+                    ).cast("double")
+                ),
+                4,
+            ).alias("interval_coverage"),
+        )
+        .orderBy("model", "var", "horizon_h")
+    )
