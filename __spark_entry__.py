@@ -409,6 +409,27 @@ def q_doc_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_order_priority_sql(spark, sf_dir):
+    # TPC-H Q4 shape written in the engine's SQL surface (spark.sql over
+    # registered views): EXISTS decorrelates to a left-semi join
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # IVF coarse-quantizer ANN: probe 4 of 16 clusters (scale path
     # without a resident corpus matrix)
@@ -494,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_sarimax": q_forecast_sarimax,
         "ann_ivf_topk": q_ann_ivf_topk,
         "forecast_eval": q_forecast_eval,
+        "order_priority_sql": q_order_priority_sql,
     }
 
 
@@ -1080,6 +1102,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "order_priority_sql": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
         "ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings),

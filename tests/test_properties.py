@@ -1,0 +1,134 @@
+"""Property-based tests (SURVEY.md §5 rebuild plan, item e):
+idempotency of the MERGE sink semantics and the silver cleaning
+invariants, over hypothesis-generated adversarial inputs (duplicate
+keys, NULLs, out-of-range values, sub-hour timestamps).
+
+Examples are kept small and few — each one round-trips through a Spark
+job — but unshrunk failures still pin down semantic bugs the fixture
+tests can't reach.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+    latest_per_group,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+    merge_frames,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.silver import (
+    clean_to_hourly,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# RAW_WEATHER-shaped rows: keys collide (3 sites × 48 hours), values
+# include NULLs and out-of-range readings, timestamps are sub-hour
+raw_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["site_a", "site_b", "site_c"]),
+        st.integers(min_value=0, max_value=48 * 60 - 1),  # minutes offset
+        st.one_of(st.none(), st.floats(-100, 1500, allow_nan=False)),  # ghi
+        st.one_of(st.none(), st.floats(-200, 200, allow_nan=False)),  # t2m
+        st.one_of(st.none(), st.floats(-5, 60, allow_nan=False)),  # ws
+        st.integers(min_value=0, max_value=5),  # ingest tick
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+BRONZE_SCHEMA = (
+    "site string, ts_utc timestamp, ghi_wm2 double, t2m_c double, "
+    "ws10_mps double, ingested_at timestamp"
+)
+
+
+def _bronze_df(spark, rows):
+    data = [
+        (
+            site,
+            BASE + dt.timedelta(minutes=m),
+            ghi,
+            t2m,
+            ws,
+            BASE + dt.timedelta(hours=tick),
+        )
+        for site, m, ghi, t2m, ws, tick in rows
+    ]
+    return spark.createDataFrame(data, BRONZE_SCHEMA)
+
+
+@settings(**SETTINGS)
+@given(rows=raw_rows)
+def test_silver_clean_invariants(spark, rows):
+    out = clean_to_hourly(_bronze_df(spark, rows)).collect()
+    keys = [(r.site, r.ts_utc) for r in out]
+    assert len(keys) == len(set(keys)), "silver key (site, ts_utc) must be unique"
+    for r in out:
+        assert r.ts_utc.minute == 0 and r.ts_utc.second == 0
+        assert r.ghi_wm2 is not None and r.ghi_wm2 >= 0
+        assert r.temp_c is not None and -80 <= r.temp_c <= 80
+        assert r.wind_mps is not None and r.wind_mps >= 0
+
+
+@settings(**SETTINGS)
+@given(rows=raw_rows)
+def test_silver_clean_idempotent(spark, rows):
+    once = clean_to_hourly(_bronze_df(spark, rows))
+    # feeding silver back through the chain (as a bronze frame with
+    # ingested_at = ts) must be a no-op: already aligned, valid, unique
+    again = clean_to_hourly(
+        once.select(
+            "site",
+            "ts_utc",
+            "ghi_wm2",
+            F.col("temp_c").alias("t2m_c"),
+            F.col("wind_mps").alias("ws10_mps"),
+            F.col("ts_utc").alias("ingested_at"),
+        )
+    )
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, again.collect()))
+
+
+@settings(**SETTINGS)
+@given(rows=raw_rows, rows2=raw_rows)
+def test_merge_frames_idempotent_and_unique(spark, rows, rows2):
+    target = latest_per_group(
+        _bronze_df(spark, rows), keys=["site", "ts_utc"], order_col="ingested_at"
+    )
+    updates = _bronze_df(spark, rows2)
+    merged = merge_frames(target, updates, keys=["site", "ts_utc"], order_col="ingested_at")
+    twice = merge_frames(merged, updates, keys=["site", "ts_utc"], order_col="ingested_at")
+    got, got2 = merged.collect(), twice.collect()
+    keys = [(r.site, r.ts_utc) for r in got]
+    assert len(keys) == len(set(keys)), "merge output keys must be unique"
+    assert sorted(map(tuple, got)) == sorted(map(tuple, got2)), "re-applying a batch must be a no-op"
+
+
+@settings(**SETTINGS)
+@given(rows=raw_rows)
+def test_latest_per_group_picks_maximal_row(spark, rows):
+    df = _bronze_df(spark, rows)
+    out = latest_per_group(
+        df, keys=["site"], order_col="ingested_at", tiebreak=["ts_utc"]
+    ).collect()
+    rows_all = df.collect()
+    by_site: dict[str, list] = {}
+    for r in rows_all:
+        by_site.setdefault(r.site, []).append(r)
+    assert len(out) == len(by_site)
+    for r in out:
+        best = max(by_site[r.site], key=lambda x: (x.ingested_at, x.ts_utc))
+        assert (r.ingested_at, r.ts_utc) == (best.ingested_at, best.ts_utc)
