@@ -86,9 +86,25 @@ def doc_shingle_sets(
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows, distinct per doc."""
-    return doc_shingle_sets(docs, text_col, n).select(
-        "doc_id", F.explode("shs").alias("sh")
+    """(doc_id, shingle) inverted-index rows, distinct per doc —
+    emitted flat from the kernel (an Arrow list<string> column plus a
+    Spark-side explode costs ~2× the flat form)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            shs: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = ("" if text is None else text).strip(" ").split(" ")
+                seen: dict[str, None] = {}
+                for i in range(len(toks) - n + 1):
+                    seen.setdefault(" ".join(toks[i : i + n]))
+                ids.extend([doc_id] * len(seen))
+                shs.extend(seen)
+            yield pd.DataFrame({"doc_id": ids, "sh": shs})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel, "doc_id long, sh string"
     )
 
 
