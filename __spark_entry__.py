@@ -409,6 +409,55 @@ def q_doc_token_counts(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _pseudo_media(spark, sf_dir):
+    """MEDIA-shaped frame from documents: text bytes as the opaque
+    binary payload, modality round-robined by doc_id — real binary
+    column + typed metadata through the multimodal plumbing."""
+    docs = _t(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.octet_length("text") / 100.0).alias("duration_s"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def q_media_stats(spark, sf_dir):
+    # Multimodal: relational analytics over binary+metadata columns
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal import (
+        binary_ops as MM,
+    )
+
+    return MM.media_stats(_pseudo_media(spark, sf_dir)).select(
+        "modality",
+        "n",
+        "total_bytes",
+        F.round("avg_duration_s", 4).alias("avg_duration_s"),
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    # Multimodal: deterministic frame-index fanout for video rows
+    # (generate-only explode, no shuffle; decode is the stubbed codec)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal import (
+        binary_ops as MM,
+    )
+
+    return MM.sample_frames(_pseudo_media(spark, sf_dir), every_n=2).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 def q_order_priority_sql(spark, sf_dir):
     # TPC-H Q4 shape written in the engine's SQL surface (spark.sql over
     # registered views): EXISTS decorrelates to a left-semi join
@@ -516,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "forecast_eval": q_forecast_eval,
         "order_priority_sql": q_order_priority_sql,
+        "media_stats": q_media_stats,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -1102,6 +1153,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "media_stats": """
+            WITH m AS (
+              SELECT CASE CAST(doc_id % 3 AS INTEGER)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                       ELSE 'video' END AS modality,
+                     octet_length(encode(text)) AS n_bytes
+              FROM documents
+            )
+            SELECT modality, count(*) AS n,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   round(avg(n_bytes / 100.0), 4) AS avg_duration_s
+            FROM m GROUP BY modality ORDER BY modality
+        """,
+        "media_frame_sample": """
+            WITH v AS (
+              SELECT doc_id AS media_id,
+                     CAST(trunc(octet_length(encode(text)) / 100.0 * 24)
+                          AS INTEGER) AS n_frames
+              FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+            )
+            SELECT media_id,
+                   CAST(unnest(range(0, greatest(n_frames - 1, 0) + 1, 2))
+                        AS INTEGER) AS frame_idx
+            FROM v ORDER BY media_id, frame_idx
+        """,
         "order_priority_sql": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders o
