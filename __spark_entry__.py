@@ -432,6 +432,53 @@ def _pseudo_media(spark, sf_dir):
     )
 
 
+def q_hourly_window_agg(spark, sf_dir):
+    # Streaming silver aggregate exercised through its batch-identical
+    # plan (groupBy(window(ts,1h)) — same function the stream runs)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming import (
+        ingest_stream as ST,
+    )
+
+    agg = ST.hourly_stream_aggregate(_pseudo_bronze(spark, sf_dir))
+    return agg.select(
+        "site",
+        "ts_utc",
+        F.round("ghi_wm2", 4).alias("ghi_wm2"),
+        F.round("t2m_c", 4).alias("t2m_c"),
+        F.round("ws10_mps", 4).alias("ws10_mps"),
+        "n_obs",
+    ).orderBy("site", "ts_utc")
+
+
+def q_type_value_stats_salted(spark, sf_dir):
+    # Skew-hardened two-phase salted aggregate: event_type has only 5
+    # values over the whole table — the hot-key case
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        skew as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = SK.salted_agg(
+        ev,
+        keys=["event_type"],
+        metrics={
+            "n": ("value", "count"),
+            "sum_value": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+            "avg_value": ("value", "avg"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 4).alias("avg_value"),
+    ).orderBy("event_type")
+
+
 def q_media_stats(spark, sf_dir):
     # Multimodal: relational analytics over binary+metadata columns
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal import (
@@ -567,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority_sql": q_order_priority_sql,
         "media_stats": q_media_stats,
         "media_frame_sample": q_media_frame_sample,
+        "hourly_window_agg": q_hourly_window_agg,
+        "type_value_stats_salted": q_type_value_stats_salted,
     }
 
 
@@ -1153,6 +1202,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "hourly_window_agg": """
+            WITH b AS (
+              SELECT event_type AS site,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_utc,
+                     value AS ghi, value - 150.0 AS t2m, value / 50.0 AS ws
+              FROM events
+            )
+            SELECT site, ts_utc,
+                   round(avg(ghi), 4) AS ghi_wm2,
+                   round(avg(t2m), 4) AS t2m_c,
+                   round(avg(ws), 4) AS ws10_mps,
+                   count(*) AS n_obs
+            FROM b GROUP BY site, ts_utc ORDER BY site, ts_utc
+        """,
+        "type_value_stats_salted": """
+            SELECT event_type,
+                   count(value) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "media_stats": """
             WITH m AS (
               SELECT CASE CAST(doc_id % 3 AS INTEGER)
