@@ -432,6 +432,28 @@ def _pseudo_media(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    # TPC-H Q14 shape: broadcast part dim into lineitem, conditional
+    # aggregate -> promo revenue share per month
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
 def q_hourly_window_agg(spark, sf_dir):
     # Streaming silver aggregate exercised through its batch-identical
     # plan (groupBy(window(ts,1h)) — same function the stream runs)
@@ -616,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "hourly_window_agg": q_hourly_window_agg,
         "type_value_stats_salted": q_type_value_stats_salted,
+        "promo_revenue": q_promo_revenue,
     }
 
 
@@ -1202,6 +1225,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "promo_revenue": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                     AS ship_month,
+                   round(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END) * 100.0
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                     AS promo_pct,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY 1
+        """,
         "hourly_window_agg": """
             WITH b AS (
               SELECT event_type AS site,

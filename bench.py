@@ -48,6 +48,9 @@ HEADLINE = [
     "doc_token_counts",
     "forecast_sarimax",
     "asof_purchase_view",
+    "promo_revenue",
+    "type_value_stats_salted",
+    "hourly_window_agg",
 ]
 
 
@@ -57,8 +60,11 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entry_mod.queries()
 
-    # warmup: boot JVM + parquet footer reads
+    # warmup: boot JVM + parquet footer reads + spawn the Python UDF
+    # workers (otherwise their one-time fork cost lands on whichever
+    # kernel-backed query happens to run first)
     queries["summary_events"](spark, SF_DIR).collect()
+    spark.range(2048).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
