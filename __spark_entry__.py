@@ -461,15 +461,11 @@ def q_hourly_window_agg(spark, sf_dir):
         ingest_stream as ST,
     )
 
-    agg = ST.hourly_stream_aggregate(_pseudo_bronze(spark, sf_dir))
-    return agg.select(
-        "site",
-        "ts_utc",
-        F.round("ghi_wm2", 4).alias("ghi_wm2"),
-        F.round("t2m_c", 4).alias("t2m_c"),
-        F.round("ws10_mps", 4).alias("ws10_mps"),
-        "n_obs",
-    ).orderBy("site", "ts_utc")
+    # deterministic=True makes the quotients bit-stable under any
+    # partitioning, so no rounding tolerance is needed (and F.round vs
+    # DuckDB round disagree on boundary doubles — see det_mean)
+    agg = ST.hourly_stream_aggregate(_pseudo_bronze(spark, sf_dir), deterministic=True)
+    return agg.orderBy("site", "ts_utc")
 
 
 def q_type_value_stats_salted(spark, sf_dir):
@@ -479,25 +475,28 @@ def q_type_value_stats_salted(spark, sf_dir):
         skew as SK,
     )
 
-    ev = _t(spark, sf_dir, "events")
+    # sum over the exact decimal image of value: salted re-association
+    # stays bit-exact AND matches the oracle without rounding
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(20,6)")
+    )
     out = SK.salted_agg(
         ev,
         keys=["event_type"],
         metrics={
             "n": ("value", "count"),
-            "sum_value": ("value", "sum"),
+            "sum_value": ("value_dec", "sum"),
             "min_value": ("value", "min"),
             "max_value": ("value", "max"),
-            "avg_value": ("value", "avg"),
         },
     )
     return out.select(
         "event_type",
         "n",
-        F.round("sum_value", 2).alias("sum_value"),
+        F.col("sum_value").cast("double").alias("sum_value"),
         "min_value",
         "max_value",
-        F.round("avg_value", 4).alias("avg_value"),
+        (F.col("sum_value").cast("double") / F.col("n")).alias("avg_value"),
     ).orderBy("event_type")
 
 
@@ -852,11 +851,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hourly_type_pivot": """
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
-                   round(avg(value) FILTER (event_type = 'click'), 4) AS click,
-                   round(avg(value) FILTER (event_type = 'error'), 4) AS error,
-                   round(avg(value) FILTER (event_type = 'purchase'), 4) AS purchase,
-                   round(avg(value) FILTER (event_type = 'signup'), 4) AS signup,
-                   round(avg(value) FILTER (event_type = 'view'), 4) AS view
+                   CAST(sum(CAST(value AS DECIMAL(20,6)))
+                        FILTER (event_type = 'click') AS DOUBLE)
+                     / count(value) FILTER (event_type = 'click') AS click,
+                   CAST(sum(CAST(value AS DECIMAL(20,6)))
+                        FILTER (event_type = 'error') AS DOUBLE)
+                     / count(value) FILTER (event_type = 'error') AS error,
+                   CAST(sum(CAST(value AS DECIMAL(20,6)))
+                        FILTER (event_type = 'purchase') AS DOUBLE)
+                     / count(value) FILTER (event_type = 'purchase') AS purchase,
+                   CAST(sum(CAST(value AS DECIMAL(20,6)))
+                        FILTER (event_type = 'signup') AS DOUBLE)
+                     / count(value) FILTER (event_type = 'signup') AS signup,
+                   CAST(sum(CAST(value AS DECIMAL(20,6)))
+                        FILTER (event_type = 'view') AS DOUBLE)
+                     / count(value) FILTER (event_type = 'view') AS view
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "hourly_completeness": """
@@ -871,7 +880,8 @@ def oracle_sql() -> dict[str, str]:
         "hourly_long": """
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
                    event_type AS variable,
-                   round(avg(value), 4) AS value
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(value) AS value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "drop_reason_counts": _CASCADE_CTE
@@ -1071,7 +1081,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ts AS TIMESTAMP) AS ts_utc,
                    value / 1000.0 AS ghi_kwh_m2,
                    value / 1000.0 * 0.2 * 10000.0 / 1000.0 AS pv_est_mwh,
-                   least(3062.5 * pow(value / 50.0, 3) * 0.4 / 1000000.0, 3.0)
+                   least(3062.5 * ((value / 50.0) * (value / 50.0) * (value / 50.0)) * 0.4 / 1000000.0, 3.0)
                      AS wind_est_mwh
             FROM events ORDER BY site, ts_utc
         """,
@@ -1085,7 +1095,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type AS site,
                      CAST(ts AS TIMESTAMP) AS ts_utc,
                      value / 1000.0 * 0.2 * 10000.0 / 1000.0 AS pv_est_mwh,
-                     least(3062.5 * pow(value / 50.0, 3) * 0.4 / 1000000.0, 3.0)
+                     least(3062.5 * ((value / 50.0) * (value / 50.0) * (value / 50.0)) * 0.4 / 1000000.0, 3.0)
                        AS wind_est_mwh
               FROM events
             ) ORDER BY site, ts_utc
@@ -1246,19 +1256,24 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT site, ts_utc,
-                   round(avg(ghi), 4) AS ghi_wm2,
-                   round(avg(t2m), 4) AS t2m_c,
-                   round(avg(ws), 4) AS ws10_mps,
+                   CAST(sum(CAST(ghi AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(ghi) AS ghi_wm2,
+                   CAST(sum(CAST(t2m AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(t2m) AS t2m_c,
+                   CAST(sum(CAST(ws AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(ws) AS ws10_mps,
                    count(*) AS n_obs
             FROM b GROUP BY site, ts_utc ORDER BY site, ts_utc
         """,
         "type_value_stats_salted": """
             SELECT event_type,
                    count(value) AS n,
-                   round(sum(value), 2) AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value,
                    min(value) AS min_value,
                    max(value) AS max_value,
-                   round(avg(value), 4) AS avg_value
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(value) AS avg_value
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "media_stats": """

@@ -26,9 +26,19 @@ def with_hour(events: DataFrame) -> DataFrame:
     return events.withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
 
 
-def hourly_type_matrix(events: DataFrame, round_to: int = 4) -> DataFrame:
+def det_mean(col: str):
+    """Order-independent mean: exact decimal(20,6) sum ÷ count, cast
+    back to double. Float ``avg`` partial-aggregates in shuffle order,
+    so its last ulp — and therefore any rounded digit sitting on a
+    boundary — depends on partitioning; the decimal sum is exact, so
+    the quotient is bit-stable under any partitioning AND bit-identical
+    to the SQL oracle's mirrored expression (no rounding needed)."""
+    return F.sum(F.col(col).cast("decimal(20,6)")).cast("double") / F.count(col)
+
+
+def hourly_type_matrix(events: DataFrame) -> DataFrame:
     """J1 n-way alignment as groupBy+pivot: one row per hour, one column
-    per event type, avg(value), missing combination → NULL.
+    per event type, mean(value), missing combination → NULL.
 
     Pivot domain passed explicitly (EVENT_TYPES) so Spark skips the
     distinct-values pre-pass — one shuffle total, keyed on the hour.
@@ -37,7 +47,7 @@ def hourly_type_matrix(events: DataFrame, round_to: int = 4) -> DataFrame:
         with_hour(events)
         .groupBy("ts_hour")
         .pivot("event_type", EVENT_TYPES)
-        .agg(F.round(F.avg("value"), round_to))
+        .agg(det_mean("value"))
         .orderBy("ts_hour")
     )
 
@@ -53,14 +63,14 @@ def hourly_completeness(events: DataFrame) -> DataFrame:
     )
 
 
-def hourly_long(events: DataFrame, round_to: int = 4) -> DataFrame:
+def hourly_long(events: DataFrame) -> DataFrame:
     """A9 wide→long: the melt of hourly_type_matrix with absent combos
     dropped. Expressed directly as a long aggregate (same result, one
     shuffle, no unpivot generate)."""
     return (
         with_hour(events)
         .groupBy("ts_hour", F.col("event_type").alias("variable"))
-        .agg(F.round(F.avg("value"), round_to).alias("value"))
+        .agg(det_mean("value").alias("value"))
         .orderBy("ts_hour", "variable")
     )
 

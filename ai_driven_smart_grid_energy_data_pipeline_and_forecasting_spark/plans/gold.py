@@ -34,8 +34,12 @@ def mart_features(fact: DataFrame) -> DataFrame:
     """FACT_WEATHER → MART_FEATURES (init.sql:44-54)."""
     ghi_kwh = F.col("ghi_wm2") / 1000.0  # 1-hour integration, W/m² → kWh/m²
     pv_mwh = ghi_kwh * PV_EFFICIENCY * PV_AREA_M2 / 1000.0
-    # P = ½ρAv³Cp (W) capped at rated capacity, × 1 h → MWh
-    wind_w = 0.5 * AIR_DENSITY * ROTOR_AREA_M2 * F.pow(F.col("wind_mps"), 3) * WIND_CP
+    # P = ½ρAv³Cp (W) capped at rated capacity, × 1 h → MWh.
+    # v³ as v·v·v, not pow(v,3): multiplication is correctly rounded
+    # everywhere, while Math.pow tolerates 1 ulp — enough to break
+    # bit-exact cross-engine comparison.
+    v = F.col("wind_mps")
+    wind_w = 0.5 * AIR_DENSITY * ROTOR_AREA_M2 * (v * v * v) * WIND_CP
     wind_mwh = F.least(wind_w / 1_000_000.0, F.lit(WIND_CAPACITY_MW))
     return fact.select(
         "site",

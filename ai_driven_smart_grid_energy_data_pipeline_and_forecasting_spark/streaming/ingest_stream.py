@@ -75,17 +75,36 @@ def stream_to_bronze(
     )
 
 
-def hourly_stream_aggregate(events: DataFrame, ts_col: str = "ts_utc") -> DataFrame:
+def hourly_stream_aggregate(
+    events: DataFrame, ts_col: str = "ts_utc", deterministic: bool = False
+) -> DataFrame:
     """Watermarked tumbling-hour aggregate — the streaming form of the
     silver hour binning. Emits one row per (site, hour) with mean obs;
-    state for hours older than the watermark is dropped."""
+    state for hours older than the watermark is dropped.
+
+    ``deterministic=True`` computes means as exact-decimal sums divided
+    by counts: float ``avg`` partial-aggregates in shuffle order, so
+    two runs (or two engines) can differ in the last ulp — enough to
+    flip a rounded digit when the true mean sits on a rounding
+    boundary. Decimal(20,6) summation is exact, so the quotient is
+    bit-stable under any partitioning. Costs ~2× on the agg; the
+    default float path is fine when the consumer doesn't hash-compare.
+    """
+
+    def mean(c: str):
+        if deterministic:
+            return (
+                F.sum(F.col(c).cast("decimal(20,6)")).cast("double") / F.count(c)
+            ).alias(c)
+        return F.avg(c).alias(c)
+
     return (
         events.withWatermark(ts_col, WATERMARK)
         .groupBy("site", F.window(F.col(ts_col), "1 hour").alias("w"))
         .agg(
-            F.avg("ghi_wm2").alias("ghi_wm2"),
-            F.avg("t2m_c").alias("t2m_c"),
-            F.avg("ws10_mps").alias("ws10_mps"),
+            mean("ghi_wm2"),
+            mean("t2m_c"),
+            mean("ws10_mps"),
             F.count(F.lit(1)).alias("n_obs"),
         )
         .select("site", F.col("w.start").alias("ts_utc"), "ghi_wm2", "t2m_c", "ws10_mps", "n_obs")
