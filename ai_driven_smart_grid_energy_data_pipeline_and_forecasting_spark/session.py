@@ -36,6 +36,16 @@ def get_spark(app_name: str = "smartgrid-spark", shuffle_partitions: int | None 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split size is SIZING, not semantics: the harness tables are
+        # single ~1-10 MB parquet files, which at the 128 MB default
+        # scan as 1-3 tasks on 32 cores. 1 MB splits parallelize those
+        # scans; a real cluster reading 100 TB of ≥128 MB files should
+        # override back via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(1 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
