@@ -320,6 +320,43 @@ def q_silver_clean(spark, sf_dir):
     return SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir))
 
 
+def q_silver_reason_counts(spark, sf_dir):
+    # O12 with the reference's exact silver label set (invalid_ghi ->
+    # invalid_temp -> invalid_wind -> missing_* -> duplicate -> kept;
+    # streamlit/app.py:273-299)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        silver as SV,
+    )
+
+    labels = SV.silver_drop_reasons(_pseudo_bronze(spark, sf_dir))
+    return (
+        labels.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "reason")
+    )
+
+
+def q_silver_clean_vs_actual(spark, sf_dir):
+    # SURVEY §5 differential-as-query: cascade kept-count must equal the
+    # clean chain's output count per site (diff column must be all 0)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        silver as SV,
+    )
+
+    return SV.clean_vs_actual_diff(_pseudo_bronze(spark, sf_dir))
+
+
+def q_forecast_mllib(spark, sf_dir):
+    # MLlib path: one global distributed LinearRegression over lag
+    # features — not SQL-expressible (rows-only check)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        forecast as FC,
+    )
+
+    fc = FC.mllib_forecast(_pseudo_features_hourly(spark, sf_dir), horizons=[1, 24])
+    return fc.orderBy("site", "var", "horizon_h", "ts_utc")
+
+
 def q_customers_with_orders(spark, sf_dir):
     # O11 membership as a relational op: left-semi join (main.py:219-222)
     c = _t(spark, sf_dir, "customer")
@@ -638,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_window_agg": q_hourly_window_agg,
         "type_value_stats_salted": q_type_value_stats_salted,
         "promo_revenue": q_promo_revenue,
+        "silver_reason_counts": q_silver_reason_counts,
+        "silver_clean_vs_actual": q_silver_clean_vs_actual,
+        "forecast_mllib": q_forecast_mllib,
     }
 
 
@@ -778,6 +818,43 @@ WITH ranked AS (
            ELSE 'kept'
          END AS reason
   FROM ranked
+)
+"""
+
+_SILVER_CASCADE_CTE = """
+WITH b AS (
+  SELECT event_type AS site, CAST(ts AS TIMESTAMP) AS ts_utc,
+         value AS ghi_wm2, value - 150.0 AS t2m_c,
+         value / 50.0 AS ws10_mps,
+         CAST(ts AS TIMESTAMP) AS ingested_at
+  FROM events
+), h AS (
+  SELECT *, date_trunc('hour', ts_utc) AS ts_hour,
+         (ghi_wm2 IS NOT NULL AND ghi_wm2 < 0) AS inv_g,
+         (t2m_c IS NOT NULL AND (t2m_c < -80 OR t2m_c > 80)) AS inv_t,
+         (ws10_mps IS NOT NULL AND ws10_mps < 0) AS inv_w
+  FROM b
+), v AS (
+  SELECT *, (NOT inv_g AND NOT inv_t AND NOT inv_w
+             AND ghi_wm2 IS NOT NULL AND t2m_c IS NOT NULL
+             AND ws10_mps IS NOT NULL) AS valid
+  FROM h
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY site, ts_hour
+    ORDER BY CAST(valid AS INT) DESC, ingested_at DESC, ts_utc DESC) AS rn
+  FROM v
+), lab AS (
+  SELECT site,
+         CASE WHEN inv_g THEN 'invalid_ghi'
+              WHEN inv_t THEN 'invalid_temp'
+              WHEN inv_w THEN 'invalid_wind'
+              WHEN ghi_wm2 IS NULL THEN 'missing_ghi'
+              WHEN t2m_c IS NULL THEN 'missing_temp'
+              WHEN ws10_mps IS NULL THEN 'missing_wind'
+              WHEN rn > 1 THEN 'duplicate'
+              ELSE 'kept' END AS reason
+  FROM r
 )
 """
 
@@ -1235,6 +1312,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "silver_reason_counts": _SILVER_CASCADE_CTE
+        + """
+            SELECT reason, count(*) AS n FROM lab
+            GROUP BY reason ORDER BY n DESC, reason
+        """,
+        "silver_clean_vs_actual": _SILVER_CASCADE_CTE
+        + """,
+            sim AS (
+              SELECT site, count(*) AS sim_kept FROM lab
+              WHERE reason = 'kept' GROUP BY site
+            ),
+            cleaned AS (
+              SELECT site, ts_hour FROM (
+                SELECT site, ts_hour,
+                       row_number() OVER (
+                         PARTITION BY site, ts_hour
+                         ORDER BY ingested_at DESC, ts_utc DESC) AS rn2
+                FROM v WHERE valid
+              ) WHERE rn2 = 1
+            ),
+            act AS (SELECT site, count(*) AS actual_rows FROM cleaned GROUP BY site)
+            SELECT COALESCE(sim.site, act.site) AS site,
+                   COALESCE(sim_kept, 0) AS sim_kept,
+                   COALESCE(actual_rows, 0) AS actual_rows,
+                   COALESCE(sim_kept, 0) - COALESCE(actual_rows, 0) AS diff
+            FROM sim FULL OUTER JOIN act ON sim.site = act.site
+            ORDER BY site
+        """,
+        # forecast_mllib: intentionally no oracle — distributed
+        # normal-equation LinearRegression is not SQL-expressible
         "promo_revenue": """
             SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
                      AS ship_month,

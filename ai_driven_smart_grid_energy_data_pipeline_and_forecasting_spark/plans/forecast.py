@@ -130,3 +130,73 @@ def sarimax_forecast(
         return pd.DataFrame(rows)
 
     return long.groupBy("site", "var").applyInPandas(fit_group, FORECAST_SCHEMA)
+
+
+def mllib_forecast(
+    features: DataFrame, horizons: list[int] | None = None
+) -> DataFrame:
+    """MLlib-based forecast filling the same MART_FORECAST shape
+    (``init.sql:61-73``) with model='mllib_lr': one global
+    ``pyspark.ml`` LinearRegression (normal-equation solver —
+    deterministic, no SGD) over lag features [y(t−h), y(t−24·⌈h/24⌉),
+    var indicator], trained distributed and applied distributed.
+
+    Complements ``sarimax_forecast`` (per-group applyInPandas): this is
+    the path where ONE model learns across every (site, var) series —
+    MLlib's fit is a distributed normal-equation solve, so training
+    scales with the cluster rather than with the largest single group.
+    Intervals are ±1.96σ of in-sample residuals (global, like the
+    baseline's residual-σ convention).
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.sql import Window
+
+    horizons = horizons or [1, 24]
+    season = 24
+    long = features.select(
+        "site",
+        "ts_utc",
+        F.col("pv_est_mwh").alias("pv"),
+        F.col("wind_est_mwh").alias("wind"),
+    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    w = Window.partitionBy("site", "var").orderBy("ts_utc")
+
+    out = None
+    for h in horizons:
+        back = season * -(-h // season)
+        feat = (
+            long.withColumn("lag_h", F.lag("y", h).over(w))
+            .withColumn("lag_season", F.lag("y", back).over(w))
+            .withColumn("is_pv", (F.col("var") == "pv").cast("double"))
+            .filter(F.col("lag_h").isNotNull() & F.col("lag_season").isNotNull())
+        )
+        assembler = VectorAssembler(
+            inputCols=["lag_h", "lag_season", "is_pv"], outputCol="features"
+        )
+        vec = assembler.transform(feat)
+        lr = LinearRegression(
+            featuresCol="features", labelCol="y", solver="normal", regParam=0.0
+        )
+        model = lr.fit(vec)
+        pred = model.transform(vec)
+        sigma = pred.agg(
+            F.stddev(F.col("y") - F.col("prediction")).alias("s")
+        ).collect()[0]["s"] or 0.0
+        row = pred.select(
+            "site",
+            "ts_utc",
+            F.lit("mllib_lr").alias("model"),
+            "var",
+            F.lit(h).cast("int").alias("horizon_h"),
+            F.greatest(F.col("prediction"), F.lit(0.0)).alias("yhat"),
+            F.greatest(
+                F.greatest(F.col("prediction"), F.lit(0.0)) - 1.96 * sigma,
+                F.lit(0.0),
+            ).alias("yhat_lower"),
+            (F.greatest(F.col("prediction"), F.lit(0.0)) + 1.96 * sigma).alias(
+                "yhat_upper"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -52,3 +52,76 @@ def clean_to_hourly(bronze: DataFrame) -> DataFrame:
     return fact.filter(
         (F.minute("ts_utc") == 0) & (F.second("ts_utc") == 0)
     ).orderBy("site", "ts_utc")
+
+
+def silver_drop_reasons(bronze: DataFrame) -> DataFrame:
+    """O12 for the weather pipeline: label every bronze row with the
+    reference dashboard's first-failure-wins reason cascade
+    (``streamlit/app.py:273-299``): invalid_ghi → invalid_temp →
+    invalid_wind → missing_* → duplicate → kept.
+
+    The duplicate rank orders valid rows first (valid DESC, recency
+    DESC), so a valid row's row_number is its position among valid rows
+    only — reproducing the reference's ``reason.eq("kept")`` guard
+    without a second pass.
+    """
+    from pyspark.sql import Window
+
+    h = bronze.withColumn("ts_hour", F.date_trunc("hour", F.col("ts_utc")))
+    invalid_ghi = F.col("ghi_wm2").isNotNull() & (F.col("ghi_wm2") < 0)
+    invalid_temp = F.col("t2m_c").isNotNull() & (
+        (F.col("t2m_c") < -80) | (F.col("t2m_c") > 80)
+    )
+    invalid_wind = F.col("ws10_mps").isNotNull() & (F.col("ws10_mps") < 0)
+    valid = (
+        ~invalid_ghi
+        & ~invalid_temp
+        & ~invalid_wind
+        & F.col("ghi_wm2").isNotNull()
+        & F.col("t2m_c").isNotNull()
+        & F.col("ws10_mps").isNotNull()
+    )
+    w = Window.partitionBy("site", "ts_hour").orderBy(
+        valid.cast("int").desc(), F.col("ingested_at").desc(), F.col("ts_utc").desc()
+    )
+    rn = F.row_number().over(w)
+    reason = (
+        F.when(invalid_ghi, "invalid_ghi")
+        .when(invalid_temp, "invalid_temp")
+        .when(invalid_wind, "invalid_wind")
+        .when(F.col("ghi_wm2").isNull(), "missing_ghi")
+        .when(F.col("t2m_c").isNull(), "missing_temp")
+        .when(F.col("ws10_mps").isNull(), "missing_wind")
+        .when(rn > 1, "duplicate")
+        .otherwise("kept")
+    )
+    return h.withColumn("reason", reason)
+
+
+def clean_vs_actual_diff(bronze: DataFrame) -> DataFrame:
+    """The reference Data-Health page's accidental differential test
+    (``streamlit/app.py:477-517``; SURVEY.md §5) made a first-class
+    query: the label cascade's kept-count must equal the clean chain's
+    output count per site — two independent implementations of the
+    same semantics reconciled relationally. diff != 0 is a bug."""
+    sim = (
+        silver_drop_reasons(bronze)
+        .filter(F.col("reason") == "kept")
+        .groupBy("site")
+        .agg(F.count(F.lit(1)).alias("sim_kept"))
+    )
+    act = clean_to_hourly(bronze).groupBy("site").agg(
+        F.count(F.lit(1)).alias("actual_rows")
+    )
+    return (
+        sim.join(act, "site", "full_outer")
+        .select(
+            "site",
+            F.coalesce("sim_kept", F.lit(0)).alias("sim_kept"),
+            F.coalesce("actual_rows", F.lit(0)).alias("actual_rows"),
+            (
+                F.coalesce("sim_kept", F.lit(0)) - F.coalesce("actual_rows", F.lit(0))
+            ).alias("diff"),
+        )
+        .orderBy("site")
+    )
