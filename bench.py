@@ -51,6 +51,8 @@ HEADLINE = [
     "promo_revenue",
     "type_value_stats_salted",
     "hourly_window_agg",
+    "silver_reason_counts",
+    "forecast_mllib",
 ]
 
 
