@@ -320,6 +320,22 @@ def q_silver_clean(spark, sf_dir):
     return SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir))
 
 
+def q_value_percentiles(spark, sf_dir):
+    # Exact interpolated percentiles per group (sort-based, so no
+    # float-sum order sensitivity; Spark percentile == DuckDB
+    # quantile_cont bit-for-bit, probed at gate scale)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_silver_reason_counts(spark, sf_dir):
     # O12 with the reference's exact silver label set (invalid_ghi ->
     # invalid_temp -> invalid_wind -> missing_* -> duplicate -> kept;
@@ -678,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silver_reason_counts": q_silver_reason_counts,
         "silver_clean_vs_actual": q_silver_clean_vs_actual,
         "forecast_mllib": q_forecast_mllib,
+        "value_percentiles": q_value_percentiles,
     }
 
 
@@ -1312,6 +1329,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "value_percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "silver_reason_counts": _SILVER_CASCADE_CTE
         + """
             SELECT reason, count(*) AS n FROM lab
