@@ -122,3 +122,36 @@ def test_asof_takes_latest_at_or_before(spark):
     )
     out = asof_join(left, right, keys=["site"]).collect()[0]
     assert out.y == 50.0  # equal-ts right row visible; future row not
+
+
+def test_asof_broadcast_matches_union_window(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.asof import (
+        asof_join,
+        asof_join_broadcast,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    a = asof_join(left, right, keys=["user_id"], left_ts="ts", right_ts="ts")
+    b = asof_join_broadcast(left, right, keys=["user_id"], left_ts="ts", right_ts="ts")
+    assert sorted(a.columns) == sorted(b.columns)
+    ra = sorted(map(tuple, a.select(*sorted(a.columns)).collect()))
+    rb = sorted(map(tuple, b.select(*sorted(a.columns)).collect()))
+    assert ra == rb
+    # and with a tolerance window both strategies agree too
+    at = asof_join(left, right, keys=["user_id"], left_ts="ts", right_ts="ts", tolerance_hours=24)
+    bt = asof_join_broadcast(left, right, keys=["user_id"], left_ts="ts", right_ts="ts", tolerance_hours=24)
+    rat = sorted(map(tuple, at.select(*sorted(at.columns)).collect()))
+    rbt = sorted(map(tuple, bt.select(*sorted(at.columns)).collect()))
+    assert rat == rbt
