@@ -320,6 +320,33 @@ def q_silver_clean(spark, sf_dir):
     return SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir))
 
 
+def q_pipeline_lineage(spark, sf_dir):
+    # The reference dashboard's lineage page (streamlit/app.py:556-563)
+    # shows bronze->silver->gold row flow with 0-valued Gold links
+    # (never built); here every tier is real
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        silver as SV,
+    )
+
+    b = _pseudo_bronze(spark, sf_dir)
+    tiers = [
+        ("1_bronze", b),
+        ("2_silver", SV.clean_to_hourly(b)),
+        ("3_gold_features", G.mart_features(_pseudo_fact(spark, sf_dir))),
+        (
+            "4_gold_forecast",
+            G.seasonal_naive_forecast(_pseudo_features_hourly(spark, sf_dir), horizons=[1, 24]),
+        ),
+    ]
+    out = None
+    for tier, df in tiers:
+        row = df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(tier).alias("tier"), "n_rows"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tier")
+
+
 def q_value_percentiles(spark, sf_dir):
     # Exact interpolated percentiles per group (sort-based, so no
     # float-sum order sensitivity; Spark percentile == DuckDB
@@ -695,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silver_clean_vs_actual": q_silver_clean_vs_actual,
         "forecast_mllib": q_forecast_mllib,
         "value_percentiles": q_value_percentiles,
+        "pipeline_lineage": q_pipeline_lineage,
     }
 
 
@@ -1329,6 +1357,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "pipeline_lineage": _PSEUDO_FEATURES_CTE
+        + """,
+            counts AS (
+              SELECT (SELECT count(*) FROM sig WHERE lag_h1 IS NOT NULL)
+                   + (SELECT count(*) FROM sig WHERE lag_h24 IS NOT NULL)
+                     AS fc_n
+            )
+            SELECT tier, n_rows FROM (
+              SELECT '1_bronze' AS tier,
+                     (SELECT count(*) FROM events) AS n_rows
+              UNION ALL
+              SELECT '2_silver', (SELECT count(*) FROM (
+                SELECT DISTINCT event_type, date_trunc('hour', ts)
+                FROM events
+                WHERE value >= 0
+                  AND (value - 150.0) BETWEEN -80 AND 80
+                  AND value / 50.0 >= 0))
+              UNION ALL
+              SELECT '3_gold_features', (SELECT count(*) FROM events)
+              UNION ALL
+              SELECT '4_gold_forecast', (SELECT fc_n FROM counts)
+            ) ORDER BY tier
+        """,
         "value_percentiles": """
             SELECT event_type,
                    quantile_cont(value, 0.5) AS p50,
