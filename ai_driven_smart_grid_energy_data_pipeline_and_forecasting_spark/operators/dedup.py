@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import h32, tokens, word_shingles
+from ..functions.text import h32, tokens
 
 # ------------------------------------------------------------------ exact
 
