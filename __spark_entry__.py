@@ -320,6 +320,14 @@ def q_silver_clean(spark, sf_dir):
     return SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir))
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    # Transitive closure of the near-dup pair graph -> dedup groups
+    # (connected components by iterative min-label propagation; the
+    # step that turns pairwise LSH output into canonical-doc groups)
+    pairs = D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return D.connected_components(pairs).orderBy("doc_id")
+
+
 def q_pipeline_lineage(spark, sf_dir):
     # The reference dashboard's lineage page (streamlit/app.py:556-563)
     # shows bronze->silver->gold row flow with 0-valued Gold links
@@ -723,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_mllib": q_forecast_mllib,
         "value_percentiles": q_value_percentiles,
         "pipeline_lineage": q_pipeline_lineage,
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -1357,6 +1366,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "near_dup_clusters": _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + ",\n"
+        + ",\n".join(_minhash_sql())
+        + """,
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT doc_a, doc_b,
+                     len(list_intersect(sa.shs, sb.shs)) * 1.0
+                       / (len(sa.shs) + len(sb.shs)
+                          - len(list_intersect(sa.shs, sb.shs))) AS jacc
+              FROM cands
+              JOIN sh sa ON doc_a = sa.doc_id
+              JOIN sh sb ON doc_b = sb.doc_id),
+            und AS (
+              SELECT doc_a AS a, doc_b AS b FROM verified WHERE jacc >= 0.5
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM verified WHERE jacc >= 0.5),
+            reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+            SELECT a AS doc_id, least(a, min(b)) AS component
+            FROM reach GROUP BY a ORDER BY doc_id
+        """,
         "pipeline_lineage": _PSEUDO_FEATURES_CTE
         + """,
             counts AS (

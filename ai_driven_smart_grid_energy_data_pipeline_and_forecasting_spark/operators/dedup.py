@@ -318,3 +318,61 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "t
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------- transitive dedup clusters
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    component) with component = min doc_id reachable. This is the step
+    that turns pairwise similarity output into dedup *groups* (pick one
+    canonical doc per component, drop the rest).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum of its label and its neighbors' labels; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — dup
+    chains, not paths). Each round is one join + one agg, all
+    DataFrame ops; the driver only checks the convergence counter.
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't re-derive rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("u.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
