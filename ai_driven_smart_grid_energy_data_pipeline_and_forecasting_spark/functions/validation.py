@@ -80,3 +80,25 @@ def drop_reason_cascade(
     if duplicate_flag is not None:
         reason = reason.when(duplicate_flag, F.lit("duplicate"))
     return df.withColumn("reason", reason.otherwise(F.lit("kept")))
+
+
+def split_quarantine(
+    df: DataFrame, rules: tuple[RangeRule, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """O9 as a routing operator: (clean, quarantined). Clean rows pass
+    every rule (NULLs pass — 'missing' is O7's concern, not a domain
+    violation); quarantined rows carry a ``violations`` array naming
+    every failed rule so the bad-records table is self-describing.
+    Both frames derive from one scan — Catalyst shares the subplan."""
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(r.invalid(), F.lit(r.col)).otherwise(F.lit(None))
+                for r in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("violations", viol)
+    clean = tagged.filter(F.size("violations") == 0).drop("violations")
+    quarantined = tagged.filter(F.size("violations") > 0)
+    return clean, quarantined

@@ -109,3 +109,46 @@ def hourly_stream_aggregate(
         )
         .select("site", F.col("w.start").alias("ts_utc"), "ghi_wm2", "t2m_c", "ws10_mps", "n_obs")
     )
+
+
+def stream_to_silver(
+    stream: DataFrame,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint_dir: str,
+    ingested_at=None,
+) -> StreamingQuery:
+    """The full streaming medallion loop in one query: payload stream →
+    bronze MERGE → silver clean chain → silver MERGE, all inside one
+    ``foreachBatch`` so both tiers commit per micro-batch and replays
+    are observable no-ops at both levels (the reference's re-run
+    contract, ``README.md:36``, extended to the tier it never built).
+
+    The silver pass recleans only the sites present in the batch —
+    the same blast radius as the bronze merge's partition pruning."""
+    from ..plans.silver import clean_to_hourly
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        bronze = payloads_to_bronze(batch, ingested_at)
+        merge_upsert(
+            spark, bronze_path, bronze,
+            keys=["site", "ts_utc"], order_col="ingested_at",
+        )
+        touched = [r.site for r in bronze.select("site").distinct().collect()]
+        bronze_now = spark.read.parquet(bronze_path).filter(
+            F.col("site").isin(touched)
+        )
+        merge_upsert(
+            spark, silver_path, clean_to_hourly(bronze_now),
+            keys=["site", "ts_utc"], order_col="ts_utc",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -135,3 +135,26 @@ def test_drop_reason_cascade_labels(bronze, spark):
     dup = [r for r in labeled.collect() if r.ts_utc.hour == 8 and r.site == "chicago_il"]
     reasons = {r.ghi_wm2: r.reason for r in dup}
     assert reasons == {111.0: "duplicate", 222.0: "kept"}
+
+
+def test_split_quarantine_routes_and_names_violations(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.validation import (
+        WEATHER_RULES,
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 100.0, 20.0, 5.0),     # clean
+            ("b", -5.0, 20.0, 5.0),      # ghi violation
+            ("c", -5.0, 95.0, -1.0),     # three violations
+            ("d", None, 20.0, 5.0),      # NULL passes domain rules
+        ],
+        "site string, ghi_wm2 double, t2m_c double, ws10_mps double",
+    )
+    clean, quarantined = split_quarantine(df, WEATHER_RULES)
+    assert {r.site for r in clean.collect()} == {"a", "d"}
+    bad = {r.site: r.violations for r in quarantined.collect()}
+    assert bad["b"] == ["ghi_wm2"]
+    assert sorted(bad["c"]) == ["ghi_wm2", "t2m_c", "ws10_mps"]
+    assert clean.count() + quarantined.count() == df.count()
