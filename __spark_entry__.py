@@ -320,6 +320,23 @@ def q_silver_clean(spark, sf_dir):
     return SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir))
 
 
+def q_quarantine_summary(spark, sf_dir):
+    # O9 routing operator: domain violators quarantined with named
+    # violations; summarized per violated rule
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.validation import (
+        WEATHER_RULES,
+        split_quarantine,
+    )
+
+    _, bad = split_quarantine(_pseudo_bronze(spark, sf_dir), WEATHER_RULES)
+    return (
+        bad.select(F.explode("violations").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .orderBy("rule")
+    )
+
+
 def q_near_dup_clusters(spark, sf_dir):
     # Transitive closure of the near-dup pair graph -> dedup groups
     # (connected components by iterative min-label propagation; the
@@ -732,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "pipeline_lineage": q_pipeline_lineage,
         "near_dup_clusters": q_near_dup_clusters,
+        "quarantine_summary": q_quarantine_summary,
     }
 
 
@@ -1366,6 +1384,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # forecast_sarimax: intentionally no oracle — per-group model fit
         # via applyInPandas is not SQL-expressible (rows-only check)
+        "quarantine_summary": """
+            WITH b AS (
+              SELECT value AS ghi_wm2, value - 150.0 AS t2m_c,
+                     value / 50.0 AS ws10_mps
+              FROM events
+            ), v AS (
+              SELECT CASE WHEN ghi_wm2 IS NOT NULL AND ghi_wm2 < 0
+                          THEN 'ghi_wm2' END AS v1,
+                     CASE WHEN t2m_c IS NOT NULL
+                               AND (t2m_c < -80 OR t2m_c > 80)
+                          THEN 't2m_c' END AS v2,
+                     CASE WHEN ws10_mps IS NOT NULL AND ws10_mps < 0
+                          THEN 'ws10_mps' END AS v3
+              FROM b
+            ), exploded AS (
+              SELECT v1 AS rule FROM v WHERE v1 IS NOT NULL
+              UNION ALL SELECT v2 FROM v WHERE v2 IS NOT NULL
+              UNION ALL SELECT v3 FROM v WHERE v3 IS NOT NULL
+            )
+            SELECT rule, count(*) AS n_violations
+            FROM exploded GROUP BY rule ORDER BY rule
+        """,
         "near_dup_clusters": _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
         + ",\n"
         + ",\n".join(_minhash_sql())
