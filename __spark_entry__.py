@@ -693,6 +693,48 @@ def q_type_status_rollup(spark, sf_dir):
     )
 
 
+def q_returned_item_report(spark, sf_dir):
+    # TPC-H Q10-shaped lost-revenue-by-customer (scale surface)
+    return W.returned_item_report(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_large_volume_customers(spark, sf_dir):
+    # TPC-H Q18-shaped HAVING-filtered fact self-aggregate (scale surface)
+    return W.large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_supplier_part_stats(spark, sf_dir):
+    # TPC-H Q16-shaped distinct-aggregate over a broadcast dim join
+    return W.supplier_part_stats(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    # Gap-based sessionization (training-pipeline staple; generalizes W1
+    # hourly bucketing to data-driven boundaries)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        session_stats,
+    )
+
+    return session_stats(_t(spark, sf_dir, "events"))
+
+
+def q_embedding_clusters(spark, sf_dir):
+    # Nearest-centroid assignment + per-cluster stats (IVF coarse
+    # quantizer as an analytic; deterministic id-ordered centroids)
+    return S.cluster_assign_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "summary_events": q_summary_events,
@@ -750,6 +792,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lineage": q_pipeline_lineage,
         "near_dup_clusters": q_near_dup_clusters,
         "quarantine_summary": q_quarantine_summary,
+        "returned_item_report": q_returned_item_report,
+        "large_volume_customers": q_large_volume_customers,
+        "supplier_part_stats": q_supplier_part_stats,
+        "user_sessions": q_user_sessions,
+        "embedding_clusters": q_embedding_clusters,
     }
 
 
@@ -1642,5 +1689,94 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN act USING (site, ts_utc, var)
             GROUP BY model, var, horizon_h
             ORDER BY model, var, horizon_h
+        """,
+        "returned_item_report": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+              FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250.0
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   o.o_totalprice, big.sum_qty
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "supplier_part_stats": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT l.l_suppkey) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#45'
+              AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+            GROUP BY p.p_brand, p.p_type, p.p_size
+            ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """,
+        "user_sessions": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > 28800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ordered
+            ), sess AS (
+              SELECT user_id, ts, event_type,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   CAST(min(ts) AS TIMESTAMP) AS session_start,
+                   CAST(max(ts) AS TIMESTAMP) AS session_end,
+                   CAST(floor(epoch(max(ts))) - floor(epoch(min(ts)))
+                        AS BIGINT) AS duration_sec,
+                   count(DISTINCT event_type) AS n_event_types
+            FROM sess
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "embedding_clusters": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            scored AS (
+              SELECT e.vec_id, c.cid,
+                     {_COS_SQL.format(a='e.v', b='c.cv')} AS sim
+              FROM e CROSS JOIN c),
+            ranked AS (
+              SELECT vec_id, cid, sim,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY sim DESC, cid) AS rn
+              FROM scored)
+            SELECT cid AS cluster, count(*) AS n_members,
+                   min(sim) AS min_sim, max(sim) AS max_sim
+            FROM ranked WHERE rn = 1
+            GROUP BY cid ORDER BY cluster
         """,
     }

@@ -1,0 +1,77 @@
+"""Gap-based sessionization over event streams.
+
+A session is a maximal run of one user's events where consecutive
+events are no further apart than ``gap_seconds``. The reference has no
+session concept (its time grouping is the fixed hourly floor,
+``silver_clean.py:84-85``); sessionization generalizes that bucketing
+to data-driven boundaries, and is a staple of training-data pipelines
+(conversation threading, browse-session corpus grouping).
+
+Spark-first design: one ``lag`` window flags session starts, a running
+``sum`` over the same window numbers sessions per user — both windows
+share a single hash partitioning on the user key, so the whole
+assignment costs exactly one shuffle. The stats aggregate groups by
+``(user, session_id)``; session_id is functionally dependent on the
+user partitioning, but Catalyst cannot know that, so the groupBy adds
+one more exchange — at 100 TB both exchanges hash the same ~uniform
+user key, no skew hot-spot (user cardinality grows with data size).
+
+All outputs are shuffle-order invariant: counts, min/max timestamps,
+and integer second differences — no float folds, so the DuckDB oracle
+matches bit-exactly under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_sessions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 28800,
+    tiebreak: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Add a per-user ``session_id`` (1-based, in time order).
+
+    A new session opens at the first event and whenever the gap since
+    the previous event exceeds ``gap_seconds`` (strict: gap == limit
+    stays in-session). Ties on the timestamp are ordered by
+    ``tiebreak`` so numbering is total and deterministic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds)
+    ).cast("int")
+    running = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("session_id", F.sum(is_new).over(running))
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 28800,
+    tiebreak: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """One row per (user, session): size, bounds, duration, distinct
+    event types. Every aggregate is order-invariant (no float sums)."""
+    sess = assign_sessions(events, user_col, ts_col, gap_seconds, tiebreak)
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long")))
+            .alias("duration_sec"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .orderBy(user_col, "session_id")
+    )

@@ -347,6 +347,67 @@ def ann_ivf_topk(
     )
 
 
+def cluster_assign_stats(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cluster assignment + per-cluster summary.
+
+    The coarse-quantizer half of IVF (see ``ann_ivf_topk``) exposed as
+    its own analytic: every corpus vector is assigned to its most
+    similar centroid (deterministic id-ordered head of the corpus; a
+    Lloyd refinement would change centroid quality, not plan shape) and
+    the result is summarized per cluster.
+
+    Scale profile: centroids broadcast (n_centroids × dims × 8 B);
+    the corpus streams through one Arrow kernel pass — no shuffle until
+    the tiny per-cluster aggregate. Outputs are partition-order
+    invariant: counts plus min/max of similarities (no float sums), so
+    the DuckDB oracle matches bit-exactly.
+    """
+    spark = emb.sparkSession
+    cpdf = (
+        emb.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
+    )
+    c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
+    c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
+    c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
+    c_norm = _ordered_norms(c_mat)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, mc, nc = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            nx = _ordered_norms(mx)
+            sim = _ordered_gemm(mx, mc) / np.multiply.outer(nx, nc)
+            best = np.argmax(sim, axis=1)  # ties -> smallest centroid id
+            yield pd.DataFrame(
+                {
+                    "cluster": ids_c[best],
+                    "sim": sim[np.arange(len(best)), best],
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign, "cluster long, sim double"
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("sim").alias("min_sim"),
+            F.max("sim").alias("max_sim"),
+        )
+        .orderBy("cluster")
+    )
+
+
 # ----------------------------------------------- random-hyperplane LSH
 
 SRP_BITS = 16

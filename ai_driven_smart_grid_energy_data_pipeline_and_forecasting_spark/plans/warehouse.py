@@ -72,6 +72,106 @@ def shipping_priority(
     )
 
 
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-07-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped: lost-revenue-by-customer over returned items.
+
+    Plan: lineitem scans with the returnflag filter pushed down; orders
+    date-pruned at the scan; the one big shuffle is lineitem ⋈ orders
+    on orderkey; customer⋈nation is a broadcast arm attached after the
+    fact join so the exchange never carries dimension columns. Top-k by
+    revenue is TakeOrderedAndProject — no global sort."""
+    line = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        line.join(ords, line.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(k)
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: float = 250.0,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds
+    ``min_qty``, with their customer.
+
+    Plan: the HAVING pre-aggregate runs map-side-partial on lineitem,
+    shuffling only (orderkey, partial-sum); survivors (rare) join back
+    to orders on the same key — AQE sees the tiny filtered side and
+    broadcasts it; customer attaches broadcast. Quantity sums are exact
+    (integral doubles), so the oracle matches bit-exactly."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(k)
+    )
+
+
+def supplier_part_stats(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand_excl: str = "Brand#45",
+    sizes: tuple[int, ...] = (1, 3, 9, 14, 19, 23, 36, 45),
+) -> DataFrame:
+    """TPC-H Q16-shaped: distinct supplier count per (brand, type,
+    size) for a filtered part family.
+
+    Plan: part filters push to the scan; part is the broadcast side of
+    the join with lineitem (dimension ⋈ fact, no fact shuffle for the
+    join); the distinct-agg expands to the two-phase
+    partial-distinct → final-count pipeline (Spark plans count(DISTINCT)
+    as an Expand + two exchanges on the group key — skew-safe here:
+    group cardinality = brands × types × sizes)."""
+    pf = part.filter(
+        (F.col("p_brand") != brand_excl) & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
 def local_supplier_volume(
     region: DataFrame,
     nation: DataFrame,

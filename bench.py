@@ -53,6 +53,11 @@ HEADLINE = [
     "hourly_window_agg",
     "silver_reason_counts",
     "forecast_mllib",
+    "returned_item_report",
+    "large_volume_customers",
+    "supplier_part_stats",
+    "user_sessions",
+    "embedding_clusters",
 ]
 
 
