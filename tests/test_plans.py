@@ -92,3 +92,40 @@ def test_similarity_avoids_nested_loop_join(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{name}: dense scoring regressed to an interpreted BNLJ condition"
     )
+
+
+def test_returned_item_report_plan(spark):
+    plan = _plan(spark, "returned_item_report")
+    # customer⋈nation arm broadcasts; returnflag filter reaches the scan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    scans = _scan_lines(plan, "lineitem")
+    assert scans and "l_returnflag" in scans[0].split("DataFilters")[1], plan
+
+
+def test_supplier_part_stats_plan(spark):
+    plan = _plan(spark, "supplier_part_stats")
+    # part is the broadcast build side: the lineitem fact never
+    # shuffles for the join itself
+    assert "BroadcastHashJoin" in plan
+    scans = _scan_lines(plan, "part")
+    assert scans and "p_size" in scans[0].split("DataFilters")[1], plan
+    # distinct-agg plans as the two-phase Expand pipeline
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_large_volume_customers_partial_agg(spark):
+    plan = _plan(spark, "large_volume_customers")
+    # the HAVING pre-aggregate must partial-aggregate map-side so the
+    # exchange carries (orderkey, partial-sum) not raw lineitems
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_sessions_single_partitioning(spark):
+    plan = _plan(spark, "user_sessions")
+    # lag + running-sum share one user_id partitioning: exactly one
+    # window-feeding exchange plus the final groupBy exchange — more
+    # exchanges means the two windows stopped sharing their sort
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
