@@ -735,6 +735,44 @@ def q_embedding_clusters(spark, sf_dir):
     return S.cluster_assign_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_nation_trade_volume(spark, sf_dir):
+    # TPC-H Q7-shaped nation-pair shipped revenue by year (scale surface)
+    return W.nation_trade_volume(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+def q_discounted_brand_revenue(spark, sf_dir):
+    # TPC-H Q19-shaped disjunctive predicate with pushable envelope
+    return W.discounted_brand_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    # TPC-H Q22-shaped anti-join + explicit scalar-subquery broadcast
+    return W.idle_rich_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_type_status_cube(spark, sf_dir):
+    # CUBE aggregate (free Spark capability beyond reference, SURVEY §2.4)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "summary_events": q_summary_events,
@@ -797,6 +835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_part_stats": q_supplier_part_stats,
         "user_sessions": q_user_sessions,
         "embedding_clusters": q_embedding_clusters,
+        "nation_trade_volume": q_nation_trade_volume,
+        "discounted_brand_revenue": q_discounted_brand_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
+        "type_status_cube": q_type_status_cube,
     }
 
 
@@ -1760,6 +1802,65 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "discounted_brand_revenue": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size <= 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size <= 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "idle_rich_customers": """
+            WITH thr AS (
+              SELECT sum(CAST(c_acctbal AS DECIMAL(20,6))) AS total_bal,
+                     count(*) AS n_pos
+              FROM customer WHERE c_acctbal > 0.0
+            ), rich AS (
+              SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+              FROM customer c, thr
+              WHERE CAST(c.c_acctbal AS DECIMAL(20,6)) * thr.n_pos
+                      > thr.total_bal
+            )
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE)
+                     AS total_acctbal
+            FROM rich
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = rich.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "type_status_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
         "embedding_clusters": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -172,6 +172,145 @@ def supplier_part_stats(
     )
 
 
+def nation_trade_volume(
+    supplier: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped: shipped revenue between two nations by year and
+    direction.
+
+    Plan: both nation lookups and the supplier dim broadcast; orders
+    pre-joins its (broadcast) customer-nation arm so the one real
+    shuffle is lineitem ⋈ orders on orderkey. The pair filter
+    ((a→b) ∨ (b→a)) evaluates on two broadcast-provided columns after
+    the joins — a cheap codegen'd predicate, never a join condition."""
+    nsel = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = supplier.join(
+        F.broadcast(nsel), supplier.s_nationkey == nsel.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(
+        F.broadcast(nsel), customer.c_nationkey == nsel.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    ords = orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(cust), F.col("o_custkey") == cust.c_custkey
+    )
+    line = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        line.join(ords, line.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), line.l_suppkey == supp.s_suppkey)
+        .filter(
+            ((F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b))
+            | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def discounted_brand_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q19-shaped: one scalar revenue over a 3-arm disjunctive
+    brand/size/quantity predicate.
+
+    Plan: part predicates (the size bounds and brand list) push to the
+    part scan; part broadcasts; the per-arm quantity bounds evaluate
+    post-join in codegen. The OR of quantity ranges collapses to a
+    pushable [1,30] envelope on the lineitem scan — Catalyst does not
+    derive that itself, so it is stated explicitly (at 100 TB the
+    envelope skips most row groups via min/max stats)."""
+    arms = [
+        ("Brand#12", 5, 1.0, 11.0),
+        ("Brand#23", 10, 10.0, 20.0),
+        ("Brand#34", 15, 20.0, 30.0),
+    ]
+    pf = part.filter(
+        F.col("p_brand").isin(*[a[0] for a in arms])
+        & (F.col("p_size") <= max(a[1] for a in arms))
+    ).select("p_partkey", "p_brand", "p_size")
+    qty_envelope = (F.col("l_quantity") >= min(a[2] for a in arms)) & (
+        F.col("l_quantity") <= max(a[3] for a in arms)
+    )
+    cond = None
+    for brand, size_hi, q_lo, q_hi in arms:
+        arm = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= size_hi)
+            & (F.col("l_quantity") >= q_lo)
+            & (F.col("l_quantity") <= q_hi)
+        )
+        cond = arm if cond is None else cond | arm
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        lineitem.filter(qty_envelope)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .filter(cond)
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+def idle_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    idle_since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22-shaped: per-segment count/balance of above-average-
+    balance customers with no recent orders (none since ``idle_since``).
+
+    Plan: the global threshold is a one-row broadcast (the scalar
+    subquery made explicit); the no-recent-orders test is a left-anti
+    join on custkey with the date filter pushed to the orders scan — at
+    scale that is the shuffle, on a uniform key. The above-average
+    comparison is stated multiplicatively (bal · n > total, all exact
+    decimals) so it is bit-reproducible across engines and
+    partitionings — no float division anywhere."""
+    pos = customer.filter(F.col("c_acctbal") > 0.0)
+    thr = pos.agg(
+        F.sum(F.col("c_acctbal").cast("decimal(20,6)")).alias("total_bal"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(thr))
+        .filter(
+            F.col("c_acctbal").cast("decimal(20,6)") * F.col("n_pos")
+            > F.col("total_bal")
+        )
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(idle_since).cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def local_supplier_volume(
     region: DataFrame,
     nation: DataFrame,

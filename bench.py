@@ -58,6 +58,9 @@ HEADLINE = [
     "supplier_part_stats",
     "user_sessions",
     "embedding_clusters",
+    "nation_trade_volume",
+    "discounted_brand_revenue",
+    "idle_rich_customers",
 ]
 
 
