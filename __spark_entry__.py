@@ -729,6 +729,16 @@ def q_user_sessions(spark, sf_dir):
     return session_stats(_t(spark, sf_dir, "events"))
 
 
+def q_session_window_agg(spark, sf_dir):
+    # Native merging session_window (streaming-capable form of
+    # user_sessions; same gap semantics, single-aggregate plan)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        session_window_stats,
+    )
+
+    return session_window_stats(_t(spark, sf_dir, "events"))
+
+
 def q_embedding_clusters(spark, sf_dir):
     # Nearest-centroid assignment + per-cluster stats (IVF coarse
     # quantizer as an analytic; deterministic id-ordered centroids)
@@ -834,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "supplier_part_stats": q_supplier_part_stats,
         "user_sessions": q_user_sessions,
+        "session_window_agg": q_session_window_agg,
         "embedding_clusters": q_embedding_clusters,
         "nation_trade_volume": q_nation_trade_volume,
         "discounted_brand_revenue": q_discounted_brand_revenue,
@@ -1802,6 +1813,35 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "session_window_agg": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > 28800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ordered
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS session_id
+              FROM flagged
+            )
+            SELECT user_id,
+                   CAST(min(ts) AS TIMESTAMP) AS session_start,
+                   CAST(max(ts) + INTERVAL 28800 SECONDS AS TIMESTAMP)
+                     AS session_end,
+                   count(*) AS n_events
+            FROM sess
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_start
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -53,6 +53,37 @@ def assign_sessions(
     return events.withColumn("session_id", F.sum(is_new).over(running))
 
 
+def session_window_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 28800,
+) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` — the same
+    gap semantics as ``assign_sessions`` (verified: an event exactly at
+    prev + gap merges; strictly beyond opens a new session), but planned
+    as a single merging-window aggregate instead of lag + running-sum +
+    groupBy. One shuffle on the user key, no window sort pass — and the
+    identical expression works under Structured Streaming with a
+    watermark (``streaming.ingest_stream.stream_session_aggregate``),
+    which the two-window formulation cannot.
+
+    ``session_end`` is the window's exclusive end (last event + gap) —
+    the watermark-eviction boundary, not the last-event time."""
+    w = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        events.groupBy(F.col(user_col), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy(user_col, "session_start")
+    )
+
+
 def session_stats(
     events: DataFrame,
     user_col: str = "user_id",

@@ -111,6 +111,34 @@ def hourly_stream_aggregate(
     )
 
 
+def stream_session_aggregate(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 28800,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Watermarked streaming sessionization: Spark's merging
+    ``session_window`` keeps one open session per user in state,
+    extends it while events keep arriving within the gap, and emits +
+    evicts it once the watermark passes ``session_end`` (last event +
+    gap). The batch twin (``operators.sessions.session_window_stats``)
+    is the identical expression without the watermark — the oracle-
+    checked `session_window_agg` driver query pins its semantics."""
+    w = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_to_silver(
     stream: DataFrame,
     bronze_path: str,

@@ -57,6 +57,7 @@ HEADLINE = [
     "large_volume_customers",
     "supplier_part_stats",
     "user_sessions",
+    "session_window_agg",
     "embedding_clusters",
     "nation_trade_volume",
     "discounted_brand_revenue",

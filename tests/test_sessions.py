@@ -86,6 +86,42 @@ def test_session_invariants_on_testdata(spark):
     assert overlap == 0
 
 
+def test_session_window_matches_gap_formulation(spark):
+    # native session_window must produce the same sessions as the
+    # lag + running-sum formulation: same starts, sizes, and an end
+    # offset by exactly the gap
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        session_window_stats,
+    )
+
+    ev = load_table(spark, "events", SF)
+    gap = 28800
+    a = session_stats(ev, gap_seconds=gap).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    b = session_window_stats(ev, gap_seconds=gap)
+    ra = [(r.user_id, r.session_start, r.session_end, r.n_events) for r in a.collect()]
+    rb = [
+        (r.user_id, r.session_start, r.session_end - dt.timedelta(seconds=gap), r.n_events)
+        for r in b.collect()
+    ]
+    assert sorted(ra) == sorted(rb)
+
+
+def test_session_window_streams(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.ingest_stream import (
+        stream_session_aggregate,
+    )
+
+    rate = spark.readStream.format("rate").load()
+    stream = rate.select(
+        (F.col("value") % 5).alias("user_id"), F.col("timestamp").alias("ts")
+    )
+    out = stream_session_aggregate(stream)
+    assert out.isStreaming
+    assert set(out.columns) == {"user_id", "session_start", "session_end", "n_events"}
+
+
 def test_cluster_assign_stats(spark):
     emb = load_table(spark, "embeddings", SF)
     out = cluster_assign_stats(emb, n_centroids=16).collect()
