@@ -783,6 +783,46 @@ def q_type_status_cube(spark, sf_dir):
     )
 
 
+def q_doc_split_counts(spark, sf_dir):
+    # Deterministic hash-based train/val/test split (reproducible across
+    # runs/engines/partitionings — no RNG)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        with_split,
+    )
+
+    d = with_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    # Per-stratum deterministic sample with nested-sample property
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    return (
+        stratified_hash_sample(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "source",
+            {"src0": 0.5, "src1": 0.2, "src2": 0.1},
+        )
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "summary_events": q_summary_events,
@@ -850,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_brand_revenue": q_discounted_brand_revenue,
         "idle_rich_customers": q_idle_rich_customers,
         "type_status_cube": q_type_status_cube,
+        "doc_split_counts": q_doc_split_counts,
+        "doc_stratified_sample": q_doc_stratified_sample,
     }
 
 
@@ -1813,6 +1855,36 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "doc_split_counts": f"""
+            WITH b AS (
+              SELECT n_chars,
+                     {_h32_sql("'split' || CAST(doc_id AS VARCHAR)")} % 10000
+                       AS bkt
+              FROM documents
+            ), s AS (
+              SELECT n_chars,
+                     CASE WHEN bkt < 9000 THEN 'train'
+                          WHEN bkt < 9500 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM b
+            )
+            SELECT split, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM s GROUP BY split ORDER BY split
+        """,
+        "doc_stratified_sample": f"""
+            WITH b AS (
+              SELECT doc_id, source,
+                     {_h32_sql("'sample' || CAST(doc_id AS VARCHAR)")} % 10000
+                       AS bkt
+              FROM documents
+            )
+            SELECT doc_id, source FROM b
+            WHERE (source = 'src0' AND bkt < 5000)
+               OR (source = 'src1' AND bkt < 2000)
+               OR (source = 'src2' AND bkt < 1000)
+            ORDER BY doc_id
         """,
         "session_window_agg": """
             WITH ordered AS (

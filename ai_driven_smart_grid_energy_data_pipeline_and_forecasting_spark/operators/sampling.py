@@ -1,0 +1,77 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need *reproducible* sampling: the same document
+must land in the same split on every run, on every engine, under any
+partitioning — re-runs of a 100 TB job cannot be allowed to move
+examples between train and eval. RNG-based sampling (``df.sample``,
+``sampleBy``) is seed-stable only within one engine and one partition
+layout, so everything here derives from the content key instead:
+``bucket = h32(key) % n`` with md5-backed ``h32`` (bit-identical in
+Spark and DuckDB — see ``functions.text.h32``).
+
+Scale profile: all pure per-row Catalyst expressions — no shuffle, no
+RNG state, filters fully codegen'd; a split or sample composes with
+partition pruning and pushdown exactly like any other predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import h32
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "", n: int = BUCKETS) -> Column:
+    """Stable bucket in [0, n) from the key's md5. ``salt`` decouples
+    independent sampling decisions on the same key (split vs subsample
+    vs A/B arm) — different salts give independent bucket streams."""
+    return h32(F.concat(F.lit(salt), key.cast("string"))) % n
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a named split by hash-bucket range.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the last split). Ranges are contiguous bucket
+    intervals, so growing one split later only *moves the boundary* —
+    rows never shuffle between non-adjacent splits (the stable-split
+    property hash-based assignment exists for)."""
+    b = hash_bucket(F.col(key_col), salt)
+    expr = None
+    lo = 0
+    names = list(weights)
+    for name in names:
+        hi = lo + int(round(weights[name] * BUCKETS))
+        hi = BUCKETS if name == names[-1] and sum(weights.values()) >= 0.999 else hi
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr.otherwise(names[-1]))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its hash bucket
+    falls under its stratum's rate (unlisted strata drop). The same
+    key survives at any rate ≥ its bucket position — raising a rate
+    strictly grows the sample (nested-sample property)."""
+    b = hash_bucket(F.col(key_col), salt)
+    cond = F.lit(False)
+    for stratum, rate in rates.items():
+        cond = cond | (
+            (F.col(stratum_col) == stratum) & (b < int(round(rate * BUCKETS)))
+        )
+    return df.filter(cond)
