@@ -805,6 +805,19 @@ def q_doc_split_counts(spark, sf_dir):
     )
 
 
+def q_doc_filter_cascade(spark, sf_dir):
+    # Gopher/C4-style labeled quality cascade (text-domain O12 analog)
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            TX.quality_drop_reason(F.col("text"), F.col("lang")).alias("reason")
+        )
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("reason")
+    )
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     # Per-stratum deterministic sample with nested-sample property
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
@@ -892,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_status_cube": q_type_status_cube,
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_filter_cascade": q_doc_filter_cascade,
     }
 
 
@@ -1855,6 +1869,23 @@ def oracle_sql() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "doc_filter_cascade": f"""
+            WITH s AS (
+              SELECT {_STATS['n_tokens']} AS n_tok,
+                     length(text) AS n_ch,
+                     {_AVG_TOK} AS avt,
+                     lang,
+                     {_STOP_HITS} AS hits
+              FROM documents
+            )
+            SELECT CASE WHEN n_tok < 20 THEN 'too_short'
+                        WHEN n_ch > 450 THEN 'too_long'
+                        WHEN lang = 'en' AND hits = 0 THEN 'low_stopword'
+                        WHEN avt < 4.3 THEN 'short_tokens'
+                        ELSE 'kept' END AS reason,
+                   count(*) AS n_docs
+            FROM s GROUP BY reason ORDER BY reason
         """,
         "doc_split_counts": f"""
             WITH b AS (

@@ -126,6 +126,39 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(canon)
 
 
+def quality_drop_reason(
+    text_col: Column,
+    lang_col: Column,
+    min_tokens: int = 20,
+    max_chars: int = 450,
+    min_avg_token_len: float = 4.3,
+) -> Column:
+    """Gopher/C4-style quality filter cascade, first-failure-wins (the
+    text-domain analog of the reference's drop-reason cascade,
+    ``streamlit/app.py:273-299``): a document gets exactly one label —
+    the first rule it violates in a fixed priority order — so reason
+    counts partition the corpus and are auditable.
+
+    Rules (all public-heuristic shapes: length bounds, symbol density,
+    stopword presence): too_short (< min_tokens), too_long
+    (> max_chars), low_stopword (English doc with zero function-word
+    hits), short_tokens (avg token below prose range — symbol soup),
+    else kept. Pure per-row Catalyst expressions — integer-derived
+    ratios are bit-identical across engines, so thresholds compare
+    identically in the DuckDB oracle."""
+    n_tok = token_count(text_col)
+    return (
+        F.when(n_tok < min_tokens, "too_short")
+        .when(F.length(text_col) > max_chars, "too_long")
+        .when(
+            (lang_col == "en") & (stopword_hits(text_col, EN_STOPWORDS) == 0),
+            "low_stopword",
+        )
+        .when(avg_token_len(text_col) < min_avg_token_len, "short_tokens")
+        .otherwise("kept")
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document stats table: the quality/scoring surface."""
     c = F.col(text_col)

@@ -62,6 +62,8 @@ HEADLINE = [
     "nation_trade_volume",
     "discounted_brand_revenue",
     "idle_rich_customers",
+    "doc_split_counts",
+    "doc_filter_cascade",
 ]
 
 
