@@ -770,6 +770,58 @@ def q_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_order_count_distribution(spark, sf_dir):
+    # TPC-H Q13-shaped outer-join orders-per-customer distribution
+    return W.order_count_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    # TPC-H Q17-shaped decorrelated per-part-average threshold
+    return W.small_quantity_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_top_revenue_supplier(spark, sf_dir):
+    # TPC-H Q15-shaped revenue view + scalar-max join (ties kept)
+    return W.top_revenue_supplier(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+def q_nation_market_share(spark, sf_dir):
+    # TPC-H Q8-shaped conditional-sum market-share ratio per year
+    return W.nation_market_share(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_product_type_profit(spark, sf_dir):
+    # TPC-H Q9-shaped profit by nation/year (retailprice cost proxy)
+    return W.product_type_profit(
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_shipping_delay_report(spark, sf_dir):
+    # TPC-H Q12-shaped delay-bucket × priority-class conditional counts
+    return W.shipping_delay_report(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 def q_type_status_cube(spark, sf_dir):
     # CUBE aggregate (free Spark capability beyond reference, SURVEY §2.4)
     li = _t(spark, sf_dir, "lineitem")
@@ -903,6 +955,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discounted_brand_revenue": q_discounted_brand_revenue,
         "idle_rich_customers": q_idle_rich_customers,
         "type_status_cube": q_type_status_cube,
+        "order_count_distribution": q_order_count_distribution,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "nation_market_share": q_nation_market_share,
+        "product_type_profit": q_product_type_profit,
+        "shipping_delay_report": q_shipping_delay_report,
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_filter_cascade": q_doc_filter_cascade,
@@ -1996,6 +2054,116 @@ def oracle_sql() -> dict[str, str]:
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "order_count_distribution": """
+            WITH per_cust AS (
+              SELECT c.c_custkey,
+                     count(o.o_custkey) AS c_count
+              FROM customer c
+              LEFT JOIN (SELECT o_custkey FROM orders
+                         WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   count(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "small_quantity_revenue": """
+            SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#13'
+              AND l.l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity)
+                FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+              )
+        """,
+        "top_revenue_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s
+            JOIN rev r ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "nation_market_share": """
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   round(
+                     CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                   * (CAST(1 AS DECIMAL(3,2))
+                                      - CAST(l.l_discount AS DECIMAL(18,2)))
+                              ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * (CAST(1 AS DECIMAL(3,2))
+                                   - CAST(l.l_discount AS DECIMAL(18,2))))
+                            AS DOUBLE), 4)
+                     AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            WHERE r.r_name = 'ASIA'
+              AND p.p_type = 'PROMO'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_year
+            ORDER BY o_year
+        """,
+        "product_type_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(sum(
+                     CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(3,2))
+                             - CAST(l.l_discount AS DECIMAL(18,2)))
+                          AS DECIMAL(30,6))
+                     - CAST(CAST(0.10 AS DECIMAL(4,2))
+                            * CAST(p.p_retailprice AS DECIMAL(18,2))
+                            * CAST(l.l_quantity AS DECIMAL(18,2))
+                            AS DECIMAL(30,6))
+                   ), 2) AS DOUBLE) AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE contains(p.p_name, 'widget')
+            GROUP BY nation, o_year
+            ORDER BY nation, o_year DESC
+        """,
+        "shipping_delay_report": """
+            SELECT CASE
+                     WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                       THEN 'fast'
+                     WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                       THEN 'normal'
+                     ELSE 'slow'
+                   END AS delay_bucket,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY delay_bucket
+            ORDER BY delay_bucket
         """,
         "type_status_cube": """
             SELECT l_returnflag, l_linestatus,

@@ -350,3 +350,254 @@ def local_supplier_volume(
         .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+def order_count_distribution(
+    customer: DataFrame,
+    orders: DataFrame,
+    priority_excl: str = "4-NOT SPECIFIED",
+) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of orders-per-customer, including
+    zero-order customers (the comment-pattern exclusion becomes an
+    order-priority exclusion — the harness schema has no comments).
+
+    Plan: the filtered orders side pre-aggregates to (custkey, count)
+    map-side before any join, so the customer ⋈ counts join carries one
+    row per *customer*, not per order; at harness SF the counted side is
+    small enough for AQE to broadcast, at 100 TB it shuffles on the
+    uniform custkey. The outer join keeps zero-order customers (count
+    coalesced to 0). Second aggregate is tiny (distinct count values)."""
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != priority_excl)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left_outer")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def small_quantity_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    brand: str = "Brand#13",
+    frac: float = 0.2,
+    years: float = 7.0,
+) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue lost if small-quantity
+    orders (below ``frac`` of the part's mean quantity) were not taken.
+
+    Plan: the correlated scalar subquery (per-part avg) is decorrelated
+    into a per-part aggregate joined back — both sides pre-filtered by
+    the broadcast brand-part list, so the aggregate and the probe scan
+    the same pruned fraction of lineitem. The per-part threshold frame
+    is dimension-sized (one row per brand part) and broadcasts; nothing
+    shuffles the fact side twice at scale."""
+    pf = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice").join(
+        F.broadcast(pf), F.col("l_partkey") == pf.p_partkey
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(frac) * F.avg("l_quantity")).alias("qty_thresh")
+    ).select(F.col("l_partkey").alias("t_partkey"), "qty_thresh")
+    return (
+        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(years), 2).alias("avg_yearly")
+        )
+    )
+
+
+def top_revenue_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-shaped: the supplier(s) with maximum shipped revenue in
+    a quarter (the reference view + scalar-max, ties kept).
+
+    Plan: one map-side-partial aggregate over the date-pruned lineitem
+    scan builds the revenue view keyed by suppkey; the global max is a
+    one-row broadcast joined back (no second pass over the fact); the
+    supplier dimension attaches broadcast. Revenue is rounded before the
+    max comparison so the tie test is on the exact published value."""
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def nation_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_2",
+    region_name: str = "ASIA",
+    p_type: str = "PROMO",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8-shaped: ``target_nation``'s share of ``region_name``'s
+    market for one part type, per order year.
+
+    Plan: every dimension arm (part-type filter, customer→nation→region
+    market selector, supplier→nation labeler) broadcasts; the single
+    fact-fact shuffle is lineitem ⋈ orders on orderkey with both sides
+    scan-pruned (part semi-reduction on lineitem via the broadcast,
+    date window on orders). The share is a conditional-sum ratio
+    computed in one aggregate — no second pass, no self-join."""
+    mkt_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(mkt_nations), customer.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    pf = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    # Exact-decimal volume (inputs carry ≤2 decimals) so both sums are
+    # fold-order-invariant; the ratio divides as double only at the end.
+    vol = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    zero = F.lit(0).cast("decimal(21,4)")
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .join(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(
+    nation: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_token: str = "widget",
+    cost_factor: float = 0.1,
+) -> DataFrame:
+    """TPC-H Q9-shaped: profit by supplier nation and order year for a
+    part-name family. The harness schema has no partsupp, so supply
+    cost is proxied as ``cost_factor × p_retailprice × l_quantity`` —
+    same expression shape (join-provided unit cost × quantity).
+
+    Plan: the part-name filter (a non-anchored contains — not pushable
+    as a parquet predicate, but evaluated in the scan stage on the tiny
+    part table) broadcasts; supplier→nation broadcasts; the one shuffle
+    is lineitem ⋈ orders on orderkey. Profit folds to one expression so
+    the aggregate stays a single partial/final hash-agg pair."""
+    pf = part.filter(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    # Profit mixes a sum and a difference of money terms — the one shape
+    # where double fold-order reaches the rounded cents. All inputs carry
+    # ≤2 decimals, so decimal arithmetic is EXACT: the sum is
+    # partition-count- and engine-invariant by construction.
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    cost = (
+        F.lit(str(cost_factor)).cast("decimal(4,2)")
+        * F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    )
+    profit = rev.cast("decimal(30,6)") - cost.cast("decimal(30,6)")
+    return (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+        .join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def shipping_delay_report(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    fast_days: int = 30,
+    normal_days: int = 90,
+) -> DataFrame:
+    """TPC-H Q12-shaped: line counts by ship-delay bucket × order
+    priority class (the harness schema has no shipmode/commitdate, so
+    the mode split becomes an order-date→ship-date delay bucket).
+
+    Plan: one shuffle (lineitem ⋈ orders on orderkey); the bucket and
+    the priority-class indicator are both codegen'd CASE expressions,
+    so the aggregate is a 3-group conditional count — partial map-side,
+    one tiny exchange."""
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= fast_days, "fast")
+        .when(delay <= normal_days, "normal")
+        .otherwise("slow")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(is_high.cast("bigint")).alias("high_line_count"),
+            F.sum((~is_high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )

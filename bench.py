@@ -64,6 +64,10 @@ HEADLINE = [
     "idle_rich_customers",
     "doc_split_counts",
     "doc_filter_cascade",
+    "order_count_distribution",
+    "nation_market_share",
+    "product_type_profit",
+    "shipping_delay_report",
 ]
 
 

@@ -129,3 +129,46 @@ def test_user_sessions_single_partitioning(spark):
     # exchanges means the two windows stopped sharing their sort
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "nation_market_share",
+        "product_type_profit",
+        "top_revenue_supplier",
+        "shipping_delay_report",
+        "small_quantity_revenue",
+    ],
+)
+def test_new_warehouse_shapes_no_interpreted_joins(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_nation_market_share_broadcasts_all_dims(spark):
+    # The only allowed shuffle joins are fact-fact; every dimension arm
+    # (part, customer market selector, supplier labeler) must broadcast.
+    plan = _plan(spark, "nation_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_order_count_distribution_preaggregates_orders(spark):
+    # The orders side must collapse to (custkey, count) BEFORE joining
+    # customer — the join may not carry one row per order.
+    plan = _plan(spark, "order_count_distribution")
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1, plan
+    assert "orders.parquet" in plan[agg_pos:], (
+        "orders scan must feed a pre-aggregate below the join"
+    )
+
+
+def test_small_quantity_revenue_single_fact_pattern(spark):
+    # Decorrelation contract: the brand-part list broadcasts into both
+    # the threshold aggregate and the probe; no sort-merge join of two
+    # full lineitem scans.
+    plan = _plan(spark, "small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
