@@ -822,6 +822,43 @@ def q_shipping_delay_report(spark, sf_dir):
     )
 
 
+def q_regional_cheapest_supplier(spark, sf_dir):
+    # TPC-H Q2-shaped correlated-min decorrelated to a min_by arg-min
+    return W.regional_cheapest_supplier(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_important_part_share(spark, sf_dir):
+    # TPC-H Q11-shaped global-fraction HAVING (exact-decimal threshold)
+    return W.important_part_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+def q_excess_share_suppliers(spark, sf_dir):
+    # TPC-H Q20-shaped semi-join chain over quantity shares
+    return W.excess_share_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+def q_sole_failing_supplier(spark, sf_dir):
+    # TPC-H Q21-shaped EXISTS/NOT-EXISTS pair folded into one aggregate
+    return W.sole_failing_supplier(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
 def q_type_status_cube(spark, sf_dir):
     # CUBE aggregate (free Spark capability beyond reference, SURVEY §2.4)
     li = _t(spark, sf_dir, "lineitem")
@@ -961,6 +998,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": q_nation_market_share,
         "product_type_profit": q_product_type_profit,
         "shipping_delay_report": q_shipping_delay_report,
+        "regional_cheapest_supplier": q_regional_cheapest_supplier,
+        "important_part_share": q_important_part_share,
+        "excess_share_suppliers": q_excess_share_suppliers,
+        "sole_failing_supplier": q_sole_failing_supplier,
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_filter_cascade": q_doc_filter_cascade,
@@ -2164,6 +2205,94 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY delay_bucket
             ORDER BY delay_bucket
+        """,
+        "regional_cheapest_supplier": """
+            WITH su AS (
+              SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'
+            ), pr AS (
+              SELECT l.l_partkey, p.p_partkey, p.p_name,
+                     su.s_suppkey, su.s_name, su.s_acctbal, su.nation,
+                     CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                / CAST(l.l_quantity AS DECIMAL(18,2)), 6)
+                          AS DOUBLE) AS price
+              FROM lineitem l
+              JOIN su ON l.l_suppkey = su.s_suppkey
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_size = 15
+            ), rk AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY price, s_suppkey) AS rn,
+                     min(price) OVER (PARTITION BY l_partkey) AS min_price
+              FROM pr
+            )
+            SELECT p_partkey, p_name, min_price,
+                   s_suppkey, s_name, s_acctbal, nation
+            FROM rk WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey
+            LIMIT 100
+        """,
+        "important_part_share": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(3,2))
+                            - CAST(l_discount AS DECIMAL(18,2))))
+                       AS value_dec
+              FROM lineitem GROUP BY l_partkey
+            ), tot AS (SELECT sum(value_dec) AS total_dec FROM per_part)
+            SELECT l_partkey,
+                   CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+            FROM per_part, tot
+            WHERE value_dec * 1000000 > total_dec * 500
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "excess_share_suppliers": """
+            WITH qty AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     sum(l.l_quantity) AS supp_qty
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE contains(p.p_name, 'red')
+              GROUP BY l.l_partkey, l.l_suppkey
+            ), tot AS (
+              SELECT l_partkey, sum(supp_qty) AS part_qty
+              FROM qty GROUP BY l_partkey
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE s.s_suppkey IN (
+              SELECT q.l_suppkey
+              FROM qty q JOIN tot t USING (l_partkey)
+              WHERE q.supp_qty > 0.125 * t.part_qty
+            )
+            ORDER BY s.s_suppkey
+        """,
+        "sole_failing_supplier": """
+            WITH per_order AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                         THEN l_suppkey END) AS n_fail_supp,
+                     max(CASE WHEN l_returnflag = 'R'
+                              THEN l_suppkey END) AS fail_suppkey
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+            FROM per_order po
+            JOIN orders o ON po.l_orderkey = o.o_orderkey
+                         AND o.o_orderstatus = 'F'
+            JOIN supplier s ON po.fail_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE po.n_supp > 1 AND po.n_fail_supp = 1
+              AND n.n_name = 'NATION_3'
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY numwait DESC, s.s_suppkey
+            LIMIT 100
         """,
         "type_status_cube": """
             SELECT l_returnflag, l_linestatus,

@@ -601,3 +601,194 @@ def shipping_delay_report(
         )
         .orderBy("delay_bucket")
     )
+
+
+def regional_cheapest_supplier(
+    region: DataFrame,
+    nation: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    region_name: str = "EUROPE",
+    size: int = 15,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-shaped: per part, the region supplier offering the
+    minimum unit price (no partsupp in the harness schema, so unit
+    price is observed ``l_extendedprice / l_quantity`` and the
+    correlated min decorrelates over shipped lines).
+
+    Plan: supplier→nation→region broadcasts as one arm; the part-size
+    filter broadcasts as the other; the correlated MIN is a single
+    ``min_by``/``min`` aggregate over the pruned fact — one shuffle on
+    partkey, no join-back (arg-min replaces the Q2 self-join entirely).
+    Ties break to the lowest suppkey via the composite ordering struct,
+    which keeps the result deterministic across partitionings."""
+    rn = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(rn), supplier.s_nationkey == rn.n_nationkey
+    ).select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    pf = part.filter(F.col("p_size") == size).select("p_partkey", "p_name")
+    # Exact-decimal unit price: extendedprice has 2 decimals, quantity is
+    # integral — round to 6 in decimal so min/tie comparisons are
+    # engine-invariant (double division would tie-break on last bits).
+    unit_price = F.round(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        / F.col("l_quantity").cast("decimal(18,2)"),
+        6,
+    ).cast("double")
+    best = F.min_by(
+        F.struct("s_suppkey", "s_name", "s_acctbal", "nation"),
+        F.struct(F.col("price"), F.col("s_suppkey")),
+    )
+    return (
+        lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .withColumn("price", unit_price)
+        .groupBy("p_partkey", "p_name")
+        .agg(F.min("price").alias("min_price"), best.alias("s"))
+        .select(
+            "p_partkey", "p_name", "min_price",
+            F.col("s.s_suppkey").alias("s_suppkey"),
+            F.col("s.s_name").alias("s_name"),
+            F.col("s.s_acctbal").alias("s_acctbal"),
+            F.col("s.nation").alias("nation"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(k)
+    )
+
+
+def important_part_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str | None = None,
+    frac: float = 0.0005,
+) -> DataFrame:
+    """TPC-H Q11-shaped: parts whose shipped value exceeds ``frac`` of
+    the total shipped value (global scalar fraction HAVING).
+
+    Plan: one map-side-partial aggregate keyed by partkey; the global
+    total re-aggregates the *per-part* sums (tiny — part cardinality,
+    not fact cardinality: no second fact scan) and broadcasts back as a
+    one-row threshold. Value sums are exact decimals so the threshold
+    comparison is engine- and partitioning-invariant."""
+    li = lineitem
+    if brand is not None:
+        pf = part.filter(F.col("p_brand") == brand).select("p_partkey")
+        li = li.join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+    val = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("value_dec"))
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    # State the fraction as an integer ratio (frac = num/1e6) so the
+    # HAVING comparison is pure integer-scaled decimal arithmetic —
+    # exact in both engines, no decimal-precision truncation.
+    num = round(frac * 1_000_000)
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec") * F.lit(1_000_000)
+            > F.col("total_dec") * F.lit(num)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def excess_share_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_token: str = "red",
+    share: float = 0.125,
+) -> DataFrame:
+    """TPC-H Q20-shaped: suppliers responsible for more than ``share``
+    of a part family's total shipped quantity (the excess-stock
+    semi-join chain re-expressed over observed shipments). The default
+    share is an exact binary fraction (1/8) so share × integral-qty
+    compares identically in IEEE arithmetic on every engine.
+
+    Plan: the name-filtered part list broadcasts into the fact scan;
+    quantity aggregates once per (partkey, suppkey) map-side; the
+    per-part total reuses that aggregate (re-agg of partials, not a
+    second fact pass). Survivors form a small distinct suppkey set that
+    semi-joins (broadcast) into supplier — the Q20 IN-subquery chain
+    with each step explicit."""
+    pf = part.filter(F.col("p_name").contains(name_token)).select("p_partkey")
+    qty = (
+        lineitem.select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(pf), F.col("l_partkey") == pf.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    totals = qty.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    heavy = (
+        qty.join(totals, "l_partkey")
+        .filter(F.col("supp_qty") > F.lit(share) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            F.broadcast(heavy), supplier.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def sole_failing_supplier(
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers from one nation who were the *sole*
+    returned-line supplier on a multi-supplier order (no
+    commit/receipt dates in the harness schema, so "kept waiting"
+    becomes ``l_returnflag = 'R'``; the EXISTS / NOT-EXISTS pair
+    becomes per-order distinct-supplier counts).
+
+    Plan: both correlated subqueries collapse into ONE aggregate over
+    the order's lines — count of distinct suppliers overall and among
+    failing lines — so the fact shuffles once on orderkey instead of
+    three self-joins; the nation-filtered supplier dim broadcasts into
+    the final count."""
+    per_order = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_fail_supp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("fail_suppkey"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_fail_supp") == 1))
+    )
+    fo = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    supp = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        per_order.join(fo, per_order.l_orderkey == fo.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), F.col("fail_suppkey") == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(k)
+    )

@@ -68,6 +68,8 @@ HEADLINE = [
     "nation_market_share",
     "product_type_profit",
     "shipping_delay_report",
+    "regional_cheapest_supplier",
+    "sole_failing_supplier",
 ]
 
 

@@ -172,3 +172,28 @@ def test_small_quantity_revenue_single_fact_pattern(spark):
     plan = _plan(spark, "small_quantity_revenue")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_regional_cheapest_supplier_argmin_no_self_join(spark):
+    # The Q2 correlated min must decorrelate to ONE min_by aggregate —
+    # no join-back of a per-part min table onto the fact.
+    plan = _plan(spark, "regional_cheapest_supplier")
+    assert "min_by" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sole_failing_supplier_single_fact_aggregate(spark):
+    # Q21's EXISTS/NOT-EXISTS pair must fold into one per-order
+    # aggregate: exactly one scan of lineitem in the plan.
+    plan = _plan(spark, "sole_failing_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_important_part_share_reuses_fact_exchange(spark):
+    # The global total re-aggregates the per-part partials: after AQE
+    # finalizes, the per-part shuffle must be a ReusedExchange (one
+    # physical scan + partial-agg of the fact, not two).
+    df = entry_mod.queries()["important_part_share"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
