@@ -907,6 +907,60 @@ def q_doc_filter_cascade(spark, sf_dir):
     )
 
 
+def q_doc_pack_stats(spark, sf_dir):
+    # Concat-and-chunk sequence packing: per-shard docs/tokens/sequences
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_stats(pack_sequences(d, budget=512, n_shards=16), budget=512)
+
+
+def q_doc_mixture_counts(spark, sf_dir):
+    # Deterministic domain-mixture resampling: kept docs per source
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        weighted_mixture_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = weighted_mixture_sample(
+        d, "doc_id", "source", {"src1": 3.0, "src5": 1.0, "src17": 2.0}
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+def q_doc_contamination(spark, sf_dir):
+    # Benchmark-contamination audit: corpus docs sharing a 5-gram with
+    # the eval slice (source='src0'), counted per source
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hits = ngram_contamination(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=5,
+    )
+    return (
+        d.join(hits, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("source")
+    )
+
+
+def q_doc_pii_stats(spark, sf_dir):
+    # PII audit: per-kind match totals + redaction character delta
+    return TX.pii_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     # Per-stratum deterministic sample with nested-sample property
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
@@ -1005,6 +1059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_counts": q_doc_split_counts,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_filter_cascade": q_doc_filter_cascade,
+        "doc_pack_stats": q_doc_pack_stats,
+        "doc_mixture_counts": q_doc_mixture_counts,
+        "doc_contamination": q_doc_contamination,
+        "doc_pii_stats": q_doc_pii_stats,
     }
 
 
@@ -1985,6 +2043,92 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'kept' END AS reason,
                    count(*) AS n_docs
             FROM s GROUP BY reason ORDER BY reason
+        """,
+        "doc_pack_stats": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                                          1, 8)) AS BIGINT) AS h,
+                     CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ), p AS (
+              SELECT h % 16 AS shard, n_tok,
+                     sum(n_tok) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS tok_end
+              FROM d
+            )
+            SELECT shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(floor((sum(n_tok) - 1) / 512) + 1 AS BIGINT) AS n_seqs,
+                   CAST(sum(CASE WHEN floor((tok_end - 1) / 512)
+                                   <> floor((tok_end - n_tok) / 512)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
+            FROM p GROUP BY shard ORDER BY shard
+        """,
+        "doc_mixture_counts": """
+            WITH cnt AS (SELECT source, count(*) AS n
+                         FROM documents GROUP BY source),
+            w AS (SELECT * FROM (VALUES ('src1', 3.0), ('src5', 1.0),
+                                        ('src17', 2.0)) AS t(source, wt)),
+            sc AS (SELECT min(c.n / w.wt) AS scale
+                   FROM cnt c JOIN w USING (source)),
+            rates AS (SELECT w.source,
+                             least(1.0, sc.scale * w.wt / c.n) AS rate
+                      FROM w JOIN cnt c USING (source), sc)
+            SELECT d.source, count(*) AS n_docs
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE CAST(('0x' || substr(md5('mixture'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 10000
+                  < CAST(round(r.rate * 10000) AS BIGINT)
+            GROUP BY d.source ORDER BY d.source
+        """,
+        "doc_contamination": """
+            WITH toks AS (SELECT doc_id, source,
+                                 string_split(trim(text), ' ') AS tk
+                          FROM documents),
+            sh AS (SELECT doc_id, source, list_distinct(list_transform(
+                     generate_series(1, greatest(len(tk) - 4, 0)),
+                     i -> array_to_string(tk[i:i+4], ' '))) AS shs
+                   FROM toks),
+            inv AS (SELECT doc_id, source, unnest(shs) AS s FROM sh),
+            ev AS (SELECT DISTINCT s FROM inv WHERE source = 'src0'),
+            hit AS (SELECT DISTINCT i.doc_id FROM inv i JOIN ev USING (s)
+                    WHERE i.source <> 'src0')
+            SELECT d.source, count(*) AS n_contaminated
+            FROM documents d JOIN hit USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
+        """,
+        "doc_pii_stats": """
+            SELECT count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+                     AS BIGINT) AS n_email,
+                   CAST(sum(CASE WHEN len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+                   CAST(sum(len(regexp_extract_all(text,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')))
+                     AS BIGINT) AS n_ipv4,
+                   CAST(sum(CASE WHEN len(regexp_extract_all(text,
+                     '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_ipv4,
+                   CAST(sum(len(regexp_extract_all(text,
+                     '\\+[0-9][0-9 ()-]{6,14}[0-9]')))
+                     AS BIGINT) AS n_phone,
+                   CAST(sum(CASE WHEN len(regexp_extract_all(text,
+                     '\\+[0-9][0-9 ()-]{6,14}[0-9]')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+                   CAST(sum(length(text) - length(
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IPV4>', 'g'),
+                       '\\+[0-9][0-9 ()-]{6,14}[0-9]',
+                       '<PHONE>', 'g'))) AS BIGINT) AS redaction_char_delta
+            FROM documents
         """,
         "doc_split_counts": f"""
             WITH b AS (

@@ -175,3 +175,50 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         punct_ratio(c).alias("punct_ratio"),
         quality_score(c).alias("quality"),
     )
+
+
+# PII patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: literal classes, bounded repetition, no
+# backrefs/lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9][0-9 ()-]{6,14}[0-9]",
+}
+
+
+def pii_count(col: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (vectorized regexp, no UDF)."""
+    return F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder — the standard
+    pre-training scrub. A fixed chain of ``regexp_replace`` (email →
+    ipv4 → phone; order matters only for overlapping matches, which the
+    placeholder tokens preclude). Pure codegen'd expressions: at 100 TB
+    this runs in the scan stage with zero extra passes."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level PII audit: per-kind match totals + affected-doc
+    counts, one scan, one scalar aggregate."""
+    c = F.col(text_col)
+    aggs = []
+    for kind in PII_PATTERNS:
+        n = pii_count(c, kind)
+        aggs.append(F.sum(n.cast("bigint")).alias(f"n_{kind}"))
+        aggs.append(
+            F.sum((n > 0).cast("bigint")).alias(f"docs_with_{kind}")
+        )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *aggs,
+        F.sum(
+            (F.length(c) - F.length(redact_pii(c))).cast("bigint")
+        ).alias("redaction_char_delta"),
+    )

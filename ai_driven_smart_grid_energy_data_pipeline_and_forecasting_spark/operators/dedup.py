@@ -376,3 +376,30 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+# ------------------------------------------------------- contamination
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing at least
+    one exact n-token shingle with the eval set (the decontamination
+    primitive every training pipeline runs before a data release).
+
+    Shape: eval shingles form a distinct inverted index (the small
+    side — eval sets are thousands of docs, the corpus is the 100 TB
+    side); the corpus index LEFT SEMI joins against it, so matched
+    shingles short-circuit and nothing materializes a pair list (unlike
+    the near-dup operators, overlap *existence* is enough). At scale the
+    semi join broadcasts the eval index; a distinct on doc_id collapses
+    multi-shingle hits map-side."""
+    ev = doc_shingles(eval_set, text_col=text_col, n=n).select("sh").distinct()
+    hits = doc_shingles(corpus, text_col=text_col, n=n).join(
+        F.broadcast(ev), "sh", "left_semi"
+    )
+    return hits.select("doc_id").distinct()

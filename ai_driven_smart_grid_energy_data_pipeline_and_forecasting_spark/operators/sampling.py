@@ -75,3 +75,42 @@ def stratified_hash_sample(
             (F.col(stratum_col) == stratum) & (b < int(round(rate * BUCKETS)))
         )
     return df.filter(cond)
+
+
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep-rates that reshape a corpus to a target domain
+    mixture with maximum coverage (no upsampling): the bottleneck
+    stratum (smallest count-to-weight ratio) keeps everything and every
+    other stratum downsamples to match the target proportions.
+
+    Pure arithmetic on the (tiny) per-stratum count table — the data
+    itself is never collected."""
+    present = {s: w for s, w in weights.items() if s in counts and w > 0}
+    scale = min(counts[s] / w for s, w in present.items())
+    return {s: min(1.0, scale * w / counts[s]) for s, w in present.items()}
+
+
+def weighted_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministically resample ``df`` toward the ``weights`` domain
+    mixture (strata not in ``weights`` drop — the LLM-corpus "domain
+    mixing" step).
+
+    Two passes: a per-stratum count aggregate (rows = #strata — the one
+    driver-visible table), then the pure-predicate hash sample. Rerunning
+    on the same corpus keeps exactly the same documents; growing a
+    stratum's weight only widens its bucket interval (nested samples)."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return stratified_hash_sample(
+        df, key_col, stratum_col, mixture_rates(counts, weights), salt
+    )

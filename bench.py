@@ -70,6 +70,9 @@ HEADLINE = [
     "shipping_delay_report",
     "regional_cheapest_supplier",
     "sole_failing_supplier",
+    "doc_pack_stats",
+    "doc_contamination",
+    "doc_pii_stats",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Unit + property tests for the round-2 training-data operators:
+sequence packing, domain-mixture resampling, contamination audit, and
+PII redaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+    pii_count,
+    pii_stats,
+    redact_pii,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+    ngram_contamination,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.packing import (
+    pack_sequences,
+    pack_stats,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+    mixture_rates,
+    weighted_mixture_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# ---------------------------------------------------------------- packing
+
+
+def test_packing_conserves_docs_and_tokens(spark, docs):
+    packed = pack_sequences(docs, budget=128, n_shards=8)
+    stats = pack_stats(packed, budget=128)
+    agg = stats.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).first()
+    assert agg["d"] == docs.count()
+    expect_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), " "))).alias("t")
+    ).first()["t"]
+    assert agg["t"] == expect_tokens
+
+
+def test_packing_deterministic_under_repartition(spark, docs):
+    a = pack_sequences(docs, budget=128, n_shards=8)
+    b = pack_sequences(docs.repartition(13), budget=128, n_shards=8)
+    cols = ["doc_id", "shard", "seq_id", "crosses_boundary"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_packing_seq_ids_dense_and_budget_respected(spark, docs):
+    budget = 128
+    packed = pack_sequences(docs, budget=budget, n_shards=4)
+    # Within a shard, each doc's start offset lies inside its seq_id's
+    # token window — the definition of concat-and-chunk.
+    bad = packed.filter(
+        (F.col("tok_end") - F.col("n_tok")) / budget < F.col("seq_id")
+    ).count()
+    assert bad == 0
+    # A doc crossing the boundary must end in a later sequence.
+    incons = packed.filter(
+        F.col("crosses_boundary")
+        & (F.floor((F.col("tok_end") - 1) / budget) == F.col("seq_id"))
+    ).count()
+    assert incons == 0
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def test_mixture_rates_bottleneck_keeps_all():
+    rates = mixture_rates({"a": 100, "b": 1000}, {"a": 1.0, "b": 1.0})
+    assert rates["a"] == 1.0
+    assert abs(rates["b"] - 0.1) < 1e-12
+
+
+def test_mixture_sample_shapes_corpus(spark, docs):
+    weights = {"src1": 3.0, "src5": 1.0, "src17": 2.0}
+    kept = weighted_mixture_sample(docs, "doc_id", "source", weights)
+    counts = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # only listed strata survive
+    assert set(counts) <= set(weights)
+    # proportions approximate the target (hash sampling at tiny SF is
+    # noisy — just require the heaviest stratum dominates the lightest)
+    if {"src1", "src5"} <= set(counts):
+        assert counts["src1"] > counts["src5"]
+
+
+def test_mixture_sample_is_subset_and_deterministic(spark, docs):
+    weights = {"src1": 3.0, "src5": 1.0, "src17": 2.0}
+    a = weighted_mixture_sample(docs, "doc_id", "source", weights)
+    b = weighted_mixture_sample(docs.repartition(7), "doc_id", "source", weights)
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+    assert b.select("doc_id").exceptAll(a.select("doc_id")).count() == 0
+    assert a.join(docs, "doc_id", "left_anti").count() == 0
+
+
+# ---------------------------------------------------------- contamination
+
+
+def test_contamination_detects_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "XX alpha beta gamma delta epsilon YY")],
+        "doc_id long, text string",
+    )
+    hits = ngram_contamination(corpus, eval_set, n=5).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+
+
+def test_contamination_clean_corpus_empty(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    eval_set = spark.createDataFrame(
+        [(2, "h i j k l m n")], "doc_id long, text string"
+    )
+    assert ngram_contamination(corpus, eval_set, n=5).count() == 0
+
+
+# ---------------------------------------------------------------- PII
+
+
+def test_pii_redaction_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice.smith+spam@example.co.uk today"),
+            (2, "server at 192.168.0.1 answered"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()
+    }
+    assert out[1] == "contact me at <EMAIL> today"
+    assert out[2] == "server at <IPV4> answered"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "no pii here at all"
+
+    stats = pii_stats(df).first()
+    assert stats["n_docs"] == 4
+    assert stats["n_email"] == 1
+    assert stats["n_ipv4"] == 1
+    assert stats["n_phone"] == 1
+    assert stats["docs_with_email"] == 1
+    assert stats["redaction_char_delta"] > 0
+
+
+def test_pii_count_multiple_matches(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.com and c@d.org wrote from 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    row = df.select(
+        pii_count(F.col("text"), "email").alias("e"),
+        pii_count(F.col("text"), "ipv4").alias("i"),
+    ).first()
+    assert row["e"] == 2
+    assert row["i"] == 1
