@@ -961,6 +961,16 @@ def q_doc_pii_stats(spark, sf_dir):
     return TX.pii_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_repetition_stats(spark, sf_dir):
+    # Gopher-style repetition audit per language
+    return TX.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_corpus_ngram_topk(spark, sf_dir):
+    # Corpus heavy-hitter bigrams (count desc, gram asc tiebreak)
+    return TX.corpus_ngram_topk(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     # Per-stratum deterministic sample with nested-sample property
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
@@ -1063,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_counts": q_doc_mixture_counts,
         "doc_contamination": q_doc_contamination,
         "doc_pii_stats": q_doc_pii_stats,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "corpus_ngram_topk": q_corpus_ngram_topk,
     }
 
 
@@ -2129,6 +2141,44 @@ def oracle_sql() -> dict[str, str]:
                        '\\+[0-9][0-9 ()-]{6,14}[0-9]',
                        '<PHONE>', 'g'))) AS BIGINT) AS redaction_char_delta
             FROM documents
+        """,
+        "doc_repetition_stats": """
+            WITH t AS (
+              SELECT lang, string_split(trim(text), ' ') AS tk
+              FROM documents
+            ), d AS (
+              SELECT lang,
+                     CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_grams,
+                     CAST(greatest(len(tk) - 1, 0)
+                          - len(list_distinct(list_transform(
+                              generate_series(1, greatest(len(tk) - 1, 0)),
+                              i -> array_to_string(tk[i:i+1], ' '))))
+                       AS BIGINT) AS n_dup
+              FROM t
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_grams) AS BIGINT) AS total_grams,
+                   CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+                   round(CAST(sum(n_dup) AS DOUBLE)
+                         / CAST(sum(n_grams) AS DOUBLE), 6) AS rep_frac,
+                   CAST(sum(CASE WHEN n_dup * 5 > n_grams * 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep
+            FROM d GROUP BY lang ORDER BY lang
+        """,
+        "corpus_ngram_topk": """
+            WITH t AS (
+              SELECT string_split(trim(text), ' ') AS tk FROM documents
+            ), g AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 1, 0)),
+                       i -> array_to_string(tk[i:i+1], ' '))) AS gram
+              FROM t
+            )
+            SELECT gram, count(*) AS n
+            FROM g GROUP BY gram
+            ORDER BY n DESC, gram
+            LIMIT 20
         """,
         "doc_split_counts": f"""
             WITH b AS (

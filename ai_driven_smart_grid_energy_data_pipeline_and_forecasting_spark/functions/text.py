@@ -222,3 +222,89 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.length(c) - F.length(redact_pii(c))).cast("bigint")
         ).alias("redaction_char_delta"),
     )
+
+
+def ngram_totals(col: Column, n: int = 2) -> Column:
+    """Total (non-distinct) n-gram count: ``max(len(tokens)-(n-1), 0)``."""
+    return F.greatest(token_count(col) - F.lit(n - 1), F.lit(0))
+
+
+def ngram_distinct(col: Column, n: int = 2) -> Column:
+    """Distinct n-gram count (via the shared shingle builder)."""
+    return F.size(word_shingles(col, n))
+
+
+def repetition_stats(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 2,
+    high_num: int = 1,
+    high_den: int = 5,
+) -> DataFrame:
+    """Gopher-style repetition audit per group: how much of the corpus
+    is repeated n-grams, and how many documents exceed the
+    high-repetition threshold (``dup/total > high_num/high_den``,
+    stated as an integer cross-multiplication so the comparison is
+    exact on every engine).
+
+    The aggregate ratio divides two exact integer sums — one division
+    at the end, no mean-of-ratios fold-order hazard. Scale: per-row
+    expressions + one small groupBy; no shuffle of text, only counts."""
+    c = F.col(text_col)
+    total = ngram_totals(c, n)
+    dup = total - ngram_distinct(c, n)
+    return (
+        docs.select(
+            F.col(group_col),
+            total.cast("long").alias("n_grams"),
+            dup.cast("long").alias("n_dup"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("total_grams"),
+            F.sum("n_dup").alias("dup_grams"),
+            F.round(
+                F.sum("n_dup").cast("double") / F.sum("n_grams").cast("double"), 6
+            ).alias("rep_frac"),
+            F.sum(
+                (F.col("n_dup") * high_den > F.col("n_grams") * high_num)
+                .cast("bigint")
+            ).alias("n_high_rep"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def corpus_ngram_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide heavy-hitter n-grams: explode every (non-distinct)
+    n-gram, count, top-k with a total tiebreak (count desc, gram asc).
+
+    Scale: the explode multiplies rows ×~doc_len, but the partial
+    aggregate collapses them map-side before the one exchange on the
+    gram key; top-k is TakeOrderedAndProject (no global sort). At
+    extreme vocabularies a count-min sketch pre-pass would bound the
+    exchange — unnecessary while distinct-gram cardinality ≪ corpus
+    size, which holds for natural-language n-grams."""
+    toks = tokens(F.col(text_col))
+    n_sh = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(k)
+    )
