@@ -661,6 +661,15 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    # IVF with a TRAINED MLlib-KMeans coarse quantizer (model-dependent
+    # output -> rows-only driver check, like the forecast fits)
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_ivf_topk(
+        emb, F.col("vec_id") < 8, k=5, n_centroids=16, n_probe=4
+    )
+
+
 def q_forecast_eval(spark, sf_dir):
     # Forecast-vs-actual evaluation join + error metrics (the Gold
     # join the reference roadmap implies; SURVEY.md §7 phase 3)
@@ -1032,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_counts": q_doc_token_counts,
         "forecast_sarimax": q_forecast_sarimax,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "forecast_eval": q_forecast_eval,
         "order_priority_sql": q_order_priority_sql,
         "media_stats": q_media_stats,

@@ -263,7 +263,6 @@ def ann_ivf_topk(
     alternative to ``cosine_threshold_pairs`` alongside
     ``ann_lsh_pairs``.
     """
-    spark = emb.sparkSession
     cpdf = (
         emb.filter(F.col(id_col) < n_centroids)
         .select(id_col, vec_col)
@@ -272,6 +271,24 @@ def ann_ivf_topk(
     c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
     c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
     c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
+    return _ivf_flow(emb, query_filter, c_ids, c_mat, k, n_probe, dims, id_col, vec_col)
+
+
+def _ivf_flow(
+    emb: DataFrame,
+    query_filter: Column,
+    c_ids: np.ndarray,
+    c_mat: np.ndarray,
+    k: int,
+    n_probe: int,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF assign→probe→score pipeline, parameterized by the
+    coarse-quantizer centroids (fixed head sample or a trained model —
+    the plan is identical either way)."""
+    spark = emb.sparkSession
     c_norm = _ordered_norms(c_mat)
     bc_c = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
@@ -345,6 +362,47 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def kmeans_ivf_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: MLlib KMeans
+    (distributed Lloyd — each iteration is one map-side partial
+    assignment + a tiny per-center aggregate, no data ever collected)
+    learns the ``n_centroids`` centers, then the standard IVF
+    assign→probe→score flow runs against them.
+
+    Versus ``ann_ivf_topk``'s fixed head-sample centroids this buys
+    balanced cells (better recall at the same ``n_probe``) for
+    ``max_iter`` extra passes over the corpus — the classic offline
+    index-build trade. Model-dependent output → rows-only driver check
+    (the one query class SURVEY.md exempts from SQL oracles, like the
+    forecast fits).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, maxIter=max_iter, seed=seed, featuresCol="features"
+    ).fit(train)
+    c_mat = np.stack([np.asarray(c) for c in model.clusterCenters()]).astype(
+        np.float64
+    )
+    c_ids = np.arange(len(c_mat), dtype=np.int64)
+    return _ivf_flow(emb, query_filter, c_ids, c_mat, k, n_probe, dims, id_col, vec_col)
 
 
 def cluster_assign_stats(

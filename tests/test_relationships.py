@@ -73,3 +73,26 @@ def test_ivf_neighbors_scored_identically_to_bruteforce(emb):
 def test_exact_dedup_partitions_the_corpus(docs):
     groups = D.exact_dedup_groups(docs).agg(F.sum("n_copies")).collect()[0][0]
     assert groups == docs.count(), "dedup groups must partition all docs"
+
+
+def test_kmeans_ivf_scores_consistent_and_recall_reasonable(emb):
+    exact = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in S.ann_bruteforce_topk(emb, F.col("vec_id") < 8, k=50).collect()
+    }
+    trained = S.kmeans_ivf_topk(emb, F.col("vec_id") < 8, k=5).collect()
+    for r in trained:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert r.sim == exact[key], "scores must be bit-identical"
+    # trained cells should recover a reasonable share of true top-5
+    got = {(r.query_id, r.neighbor_id) for r in trained}
+    per_q: dict = {}
+    for (q, n), s in exact.items():
+        per_q.setdefault(q, []).append((-s, n))
+    truth = set()
+    for q, lst in per_q.items():
+        for _, n in sorted(lst)[:5]:
+            truth.add((q, n))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.3, f"trained-IVF recall {recall} unreasonably low"
