@@ -1,0 +1,94 @@
+"""Streaming document ingestion: the training-data cleaning pipeline
+as Structured Streaming.
+
+The batch text surface (quality cascade → PII scrub → token stats →
+fingerprint, all pure Catalyst expressions) is stateless, so the SAME
+column expressions run unchanged on a stream — this module wires them
+to a file-drop source and an idempotent keyed sink, mirroring the
+bronze weather path (``ingest_stream.py``):
+
+- source: JSON-lines file drops (one corpus shard per file = one
+  micro-batch), the streaming analog of a crawler handing off shards;
+- per-batch exact dedup on the content fingerprint (first-wins inside
+  a batch — deterministic because the merge key orders replays);
+- sink: ``foreachBatch`` + ``merge_upsert`` keyed by doc_id, so
+  replaying a shard is an observable no-op (exactly-once effect);
+  cross-shard near-dup dedup stays an offline compaction job (the
+  batch dedup family) — streaming state for corpus-wide MinHash would
+  grow unboundedly, the standard reason production pipelines split
+  online-scrub from offline-dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.text import (
+    doc_fingerprint,
+    quality_drop_reason,
+    redact_pii,
+    token_count,
+)
+from ..operators.upsert import merge_upsert
+
+DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING"
+
+
+def read_document_stream(
+    spark: SparkSession, drop_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-drop document source: JSON-lines shards."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(drop_dir)
+    )
+
+
+def clean_documents(docs: DataFrame) -> DataFrame:
+    """The stateless scrub chain — identical semantics batch or stream
+    (pure per-row expressions, no shuffle): quality-filter, redact,
+    annotate. Kept as a separate function so the batch path and tests
+    share it with the stream."""
+    return (
+        docs.withColumn(
+            "drop_reason", quality_drop_reason(F.col("text"), F.col("lang"))
+        )
+        .filter(F.col("drop_reason") == "kept")
+        .drop("drop_reason")
+        .withColumn("text", redact_pii(F.col("text")))
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+        .withColumn("fingerprint", doc_fingerprint(F.col("text")))
+    )
+
+
+def stream_clean_documents(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """document stream → scrub → per-batch fingerprint dedup →
+    idempotent keyed upsert. Partitioned by source (the natural
+    domain-shard at scale)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cleaned = clean_documents(batch).dropDuplicates(["fingerprint"])
+        merge_upsert(
+            batch.sparkSession,
+            out_path,
+            cleaned.withColumn("batch_seq", F.lit(batch_id)),
+            keys=["doc_id"],
+            order_col="batch_seq",
+            partition_by=("source",),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

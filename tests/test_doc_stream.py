@@ -1,0 +1,94 @@
+"""Streaming document-scrub pipeline: file-drop shards → quality
+filter + PII redaction + fingerprint dedup → idempotent keyed sink."""
+
+from __future__ import annotations
+
+import json
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.doc_stream import (
+    read_document_stream,
+    stream_clean_documents,
+)
+
+GOOD = (
+    "the curious researchers collected numerous fascinating documents "
+    "describing interesting machine learning experiments and the careful "
+    "validation procedures that guarantee reliable statistical outcomes "
+    "throughout extended evaluation campaigns"
+)
+
+
+def _drop(drop_dir, name, rows):
+    drop_dir.mkdir(exist_ok=True)
+    (drop_dir / name).write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+
+
+def _row(doc_id, text, lang="en", source="srcA"):
+    return {"doc_id": doc_id, "text": text, "lang": lang, "source": source}
+
+
+def test_stream_scrubs_filters_and_dedups(spark, tmp_path):
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    _drop(
+        drop,
+        "shard1.json",
+        [
+            _row(1, GOOD + " contact bob@example.com please"),
+            _row(2, "too short"),  # quality-filtered
+            _row(3, GOOD),  # duplicate fingerprint of 4
+            _row(4, GOOD),
+        ],
+    )
+    q = stream_clean_documents(read_document_stream(spark, str(drop)), out, ckpt)
+    q.awaitTermination(60)
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    # doc 2 quality-filtered; docs 3/4 deduped to one survivor
+    assert 2 not in rows
+    assert len({d for d in rows if d in (3, 4)}) == 1
+    assert "<EMAIL>" in rows[1].text and "bob@" not in rows[1].text
+    assert rows[1].n_tokens > 0
+
+
+def test_stream_replay_is_idempotent(spark, tmp_path):
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "clean")
+    _drop(drop, "shard1.json", [_row(1, GOOD), _row(2, GOOD + " extra tail")])
+
+    q = stream_clean_documents(
+        read_document_stream(spark, str(drop)), out, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(60)
+    first = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+
+    # fresh checkpoint -> the same shard replays from scratch
+    q2 = stream_clean_documents(
+        read_document_stream(spark, str(drop)), out, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(60)
+    second = sorted(
+        (r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert first == second
+
+
+def test_stream_incremental_shards_accumulate(spark, tmp_path):
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    _drop(drop, "shard1.json", [_row(1, GOOD)])
+    q = stream_clean_documents(read_document_stream(spark, str(drop)), out, ckpt)
+    q.awaitTermination(60)
+
+    _drop(drop, "shard2.json", [_row(5, GOOD + " fresh content arrives")])
+    q = stream_clean_documents(read_document_stream(spark, str(drop)), out, ckpt)
+    q.awaitTermination(60)
+
+    ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 5}
