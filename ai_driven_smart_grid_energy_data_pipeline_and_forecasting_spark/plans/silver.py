@@ -125,3 +125,86 @@ def clean_vs_actual_diff(bronze: DataFrame) -> DataFrame:
         )
         .orderBy("site")
     )
+
+
+def incremental_silver_refresh(
+    spark,
+    bronze_path: str,
+    silver_path: str,
+    bronze_delta: DataFrame,
+) -> int:
+    """Incremental view maintenance for the silver table: merge a
+    bronze delta, then recompute ONLY the ``(site, hour)`` groups the
+    delta touches — the 100 TB alternative to re-running the full
+    clean (a delta touching 0.01% of groups reads/writes 0.01% of the
+    table, modulo partition granularity).
+
+    Semantics a plain keyed merge cannot give: group *deletion*. If an
+    update invalidates every surviving row of an hour (range rules /
+    critical nulls / recency dedup), that hour must DISAPPEAR from
+    silver; here each touched group is replaced wholesale (delete-then-
+    insert), so the result is row-identical to a full recompute — the
+    test asserts exactly that equivalence.
+
+    IO profile: bronze read pruned to touched sites (partition prune)
+    then touched hours (broadcast semi join); silver rewrite is a
+    dynamic partition overwrite of touched sites only. On Delta this
+    whole function is ``MERGE WHEN MATCHED/NOT MATCHED BY SOURCE
+    DELETE`` — the call signature is the contract. A site whose every
+    group empties leaves a stale partition dir under dynamic overwrite
+    (an empty frame overwrites nothing), so those dirs are removed
+    explicitly — transactional table formats subsume this.
+
+    Returns rows now present in the refreshed groups.
+    """
+    import os
+    import shutil
+
+    from ..operators.upsert import merge_upsert
+
+    merge_upsert(
+        spark, bronze_path, bronze_delta, keys=["site", "ts_utc"],
+        order_col="ingested_at",
+    )
+    touched = (
+        bronze_delta.select(
+            "site", F.date_trunc("hour", F.col("ts_utc")).alias("ts_hour")
+        ).distinct()
+    )
+    sites = touched.select("site").distinct()
+    bronze = spark.read.parquet(bronze_path)
+    cand = (
+        bronze.join(F.broadcast(sites), "site", "left_semi")
+        .withColumn("_g", F.date_trunc("hour", F.col("ts_utc")))
+        .join(
+            F.broadcast(touched.withColumnRenamed("ts_hour", "_g")),
+            ["site", "_g"],
+            "left_semi",
+        )
+        .drop("_g")
+    )
+    recomputed = clean_to_hourly(cand)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched_as_silver_key = touched.withColumnRenamed("ts_hour", "ts_utc")
+    if os.path.exists(silver_path):
+        pruned = spark.read.parquet(silver_path).join(
+            F.broadcast(sites), "site", "left_semi"
+        )
+        kept = pruned.join(
+            F.broadcast(touched_as_silver_key), ["site", "ts_utc"], "left_anti"
+        )
+        out = kept.unionByName(recomputed).localCheckpoint(eager=True)
+    else:
+        out = recomputed.localCheckpoint(eager=True)
+    n = out.count()
+    out.write.mode("overwrite").partitionBy("site").parquet(silver_path)
+
+    # stale-partition cleanup: touched sites that ended with zero rows
+    remaining = {r["site"] for r in out.select("site").distinct().collect()}
+    for r in sites.collect():
+        if r["site"] not in remaining:
+            d = os.path.join(silver_path, f"site={r['site']}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    return n
