@@ -831,6 +831,43 @@ def q_shipping_delay_report(spark, sf_dir):
     )
 
 
+def q_event_funnel(spark, sf_dir):
+    # Ordered funnel: view -> click -> purchase (strictly increasing ts)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"], max_gap_hours=24)
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    # Window top-k per group: top-3 customers by order value per nation
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("order_value")
+    )
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("order_value"), F.col("c_custkey")
+    )
+    return (
+        per_cust.join(F.broadcast(dim), per_cust.o_custkey == dim.c_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "c_custkey", "c_name", "order_value")
+        .orderBy("n_name", "rk")
+    )
+
+
 def q_regional_cheapest_supplier(spark, sf_dir):
     # TPC-H Q2-shaped correlated-min decorrelated to a min_by arg-min
     return W.regional_cheapest_supplier(
@@ -1073,6 +1110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_type_profit": q_product_type_profit,
         "shipping_delay_report": q_shipping_delay_report,
         "regional_cheapest_supplier": q_regional_cheapest_supplier,
+        "event_funnel": q_event_funnel,
+        "top_customers_per_nation": q_top_customers_per_nation,
         "important_part_share": q_important_part_share,
         "excess_share_suppliers": q_excess_share_suppliers,
         "sole_failing_supplier": q_sole_failing_supplier,
@@ -2409,6 +2448,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY delay_bucket
             ORDER BY delay_bucket
+        """,
+        "event_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1
+              FROM events WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+              GROUP BY e.user_id
+            )
+            SELECT * FROM (
+              SELECT 1 AS step, 'view' AS step_name,
+                     (SELECT count(*) FROM s1) AS n_users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM s2)
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+            ) ORDER BY step
+        """,
+        "top_customers_per_nation": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                          AS DOUBLE) AS order_value
+              FROM orders GROUP BY o_custkey
+            ), ranked AS (
+              SELECT n.n_name, c.c_custkey, c.c_name, p.order_value,
+                     row_number() OVER (PARTITION BY n.n_name
+                                        ORDER BY p.order_value DESC,
+                                                 c.c_custkey) AS rk
+              FROM per_cust p
+              JOIN customer c ON p.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+            )
+            SELECT n_name, CAST(rk AS INTEGER) AS rk,
+                   c_custkey, c_name, order_value
+            FROM ranked WHERE rk <= 3
+            ORDER BY n_name, rk
         """,
         "regional_cheapest_supplier": """
             WITH su AS (

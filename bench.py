@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_pack_stats",
     "doc_contamination",
     "doc_pii_stats",
+    "event_funnel",
+    "top_customers_per_nation",
 ]
 
 

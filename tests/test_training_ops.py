@@ -177,3 +177,39 @@ def test_pii_count_multiple_matches(spark):
     ).first()
     assert row["e"] == 2
     assert row["i"] == 1
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_ordering_and_gap_semantics(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.funnel import (
+        funnel_counts,
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+
+    def ev(uid, typ, hours):
+        return (uid, typ, t0 + dt.timedelta(hours=hours))
+
+    rows = [
+        # u1: full ordered funnel within gaps
+        ev(1, "view", 0), ev(1, "click", 1), ev(1, "purchase", 2),
+        # u2: click BEFORE view -> stops at view
+        ev(2, "click", 0), ev(2, "view", 1),
+        # u3: click too late (gap 30h > 24h) -> stops after view
+        ev(3, "view", 0), ev(3, "click", 30),
+        # u4: no view at all -> not even step 1
+        ev(4, "click", 0), ev(4, "purchase", 1),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    got = {
+        r.step_name: r.n_users
+        for r in funnel_counts(
+            events, ["view", "click", "purchase"], max_gap_hours=24
+        ).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
