@@ -831,6 +831,34 @@ def q_shipping_delay_report(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    # Weekly cohort retention: users grouped by first-signup week,
+    # counted per activity-week offset. One fact pass for cohorts (min
+    # agg), one for activity; the cohort map (one row per user)
+    # broadcasts back onto the fact — no self-join of events.
+    ev = _t(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .filter(F.col("act_week") >= F.col("cohort_week"))
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def q_event_funnel(spark, sf_dir):
     # Ordered funnel: view -> click -> purchase (strictly increasing ts)
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.funnel import (
@@ -1111,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_delay_report": q_shipping_delay_report,
         "regional_cheapest_supplier": q_regional_cheapest_supplier,
         "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "top_customers_per_nation": q_top_customers_per_nation,
         "important_part_share": q_important_part_share,
         "excess_share_suppliers": q_excess_share_suppliers,
@@ -2448,6 +2477,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY delay_bucket
             ORDER BY delay_bucket
+        """,
+        "cohort_retention": """
+            WITH cohorts AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                       AS cohort_week
+              FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), activity AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+              FROM events
+            )
+            SELECT c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week, a.act_week) / 7
+                        AS INTEGER) AS week_offset,
+                   count(*) AS n_active
+            FROM activity a JOIN cohorts c USING (user_id)
+            WHERE a.act_week >= c.cohort_week
+            GROUP BY c.cohort_week, week_offset
+            ORDER BY c.cohort_week, week_offset
         """,
         "event_funnel": """
             WITH s1 AS (

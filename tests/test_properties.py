@@ -16,6 +16,9 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+    load_table,
+)
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
     latest_per_group,
 )
@@ -132,3 +135,29 @@ def test_latest_per_group_picks_maximal_row(spark, rows):
     for r in out:
         best = max(by_site[r.site], key=lambda x: (x.ingested_at, x.ts_utc))
         assert (r.ingested_at, r.ts_utc) == (best.ingested_at, best.ts_utc)
+
+
+# ------------------------------------------- approximate-agg consistency
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(
+        F.approx_count_distinct("user_id", rsd=0.05)
+    ).first()[0]
+    assert abs(approx - exact) <= max(3 * 0.05 * exact, 1), (exact, approx)
+
+
+def test_approx_percentile_brackets_exact(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    exact = ev.select(
+        F.percentile("value", F.lit(0.5)).alias("p")
+    ).first()["p"]
+    approx = ev.select(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p")
+    ).first()["p"]
+    lo, hi = ev.selectExpr(
+        "percentile(value, 0.45) AS lo", "percentile(value, 0.55) AS hi"
+    ).first()
+    assert lo <= approx <= hi, (lo, approx, hi, exact)
