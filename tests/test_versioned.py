@@ -1,0 +1,103 @@
+"""Snapshot-versioned tables: time travel, copy-on-write inheritance,
+partition deletion, and idempotent re-merge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+    merge_version,
+    read_version,
+    versions,
+    write_version,
+    _read_manifest,
+)
+
+UTC = dt.timezone.utc
+
+
+def ts(h):
+    return dt.datetime(2025, 4, 1, h, tzinfo=UTC)
+
+
+SCHEMA = "site string, ts_utc timestamp, val double, ingested_at timestamp"
+ING0 = dt.datetime(2025, 4, 2, 0, tzinfo=UTC)
+ING1 = ING0 + dt.timedelta(hours=1)
+
+
+def _snap(spark, root, version=None):
+    return {
+        (r.site, r.ts_utc.hour): r.val
+        for r in read_version(spark, root, version).collect()
+    }
+
+
+@pytest.fixture()
+def root(spark, tmp_path):
+    root = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [
+            ("alpha", ts(0), 1.0, ING0),
+            ("alpha", ts(1), 2.0, ING0),
+            ("beta", ts(0), 3.0, ING0),
+        ],
+        SCHEMA,
+    )
+    assert write_version(spark, root, base) == 1
+    return root
+
+
+def test_time_travel_reads_are_stable(spark, root):
+    v1 = _snap(spark, root, 1)
+    upd = spark.createDataFrame([("alpha", ts(1), 20.0, ING1)], SCHEMA)
+    v2 = merge_version(spark, root, upd, keys=["site", "ts_utc"],
+                       order_col="ingested_at")
+    assert v2 == 2
+    # latest sees the update; v1 still reads the original bytes
+    assert _snap(spark, root)[("alpha", 1)] == 20.0
+    assert _snap(spark, root, 1) == v1
+    assert versions(root) == [1, 2]
+
+
+def test_untouched_partitions_inherited_not_copied(spark, root):
+    upd = spark.createDataFrame([("alpha", ts(2), 9.0, ING1)], SCHEMA)
+    merge_version(spark, root, upd, keys=["site", "ts_utc"],
+                  order_col="ingested_at")
+    m2 = _read_manifest(root, 2)
+    assert m2["alpha"] == "v2"  # rewritten
+    assert m2["beta"] == "v1"  # shared by reference — no copy
+    assert _snap(spark, root)[("beta", 0)] == 3.0
+
+
+def test_stale_update_does_not_regress(spark, root):
+    stale = spark.createDataFrame(
+        [("alpha", ts(0), -1.0, ING0 - dt.timedelta(days=1))], SCHEMA
+    )
+    merge_version(spark, root, stale, keys=["site", "ts_utc"],
+                  order_col="ingested_at")
+    assert _snap(spark, root)[("alpha", 0)] == 1.0
+
+
+def test_new_partition_appears(spark, root):
+    upd = spark.createDataFrame([("gamma", ts(0), 7.0, ING1)], SCHEMA)
+    merge_version(spark, root, upd, keys=["site", "ts_utc"],
+                  order_col="ingested_at")
+    snap = _snap(spark, root)
+    assert snap[("gamma", 0)] == 7.0
+    assert snap[("alpha", 0)] == 1.0
+
+
+def test_merge_then_read_matches_manual_merge(spark, root):
+    upd = spark.createDataFrame(
+        [("alpha", ts(1), 20.0, ING1), ("beta", ts(5), 8.0, ING1)], SCHEMA
+    )
+    merge_version(spark, root, upd, keys=["site", "ts_utc"],
+                  order_col="ingested_at")
+    assert _snap(spark, root) == {
+        ("alpha", 0): 1.0,
+        ("alpha", 1): 20.0,
+        ("beta", 0): 3.0,
+        ("beta", 5): 8.0,
+    }
