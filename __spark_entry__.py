@@ -831,6 +831,26 @@ def q_shipping_delay_report(spark, sf_dir):
     )
 
 
+def q_silver_rolling_features(spark, sf_dir):
+    # Rolling-frame feature block over the silver series (§2.5 Gold)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        gold as G,
+        silver as SV,
+    )
+
+    return G.rolling_features(SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir)))
+
+
+def q_silver_gap_fill(spark, sf_dir):
+    # Hourly spine + bounded forward-fill (sensor-series repair)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        gold as G,
+        silver as SV,
+    )
+
+    return G.gap_fill_hourly(SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir)))
+
+
 def q_cohort_retention(spark, sf_dir):
     # Weekly cohort retention: users grouped by first-signup week,
     # counted per activity-week offset. One fact pass for cohorts (min
@@ -1140,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_cheapest_supplier": q_regional_cheapest_supplier,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "silver_rolling_features": q_silver_rolling_features,
+        "silver_gap_fill": q_silver_gap_fill,
         "top_customers_per_nation": q_top_customers_per_nation,
         "important_part_share": q_important_part_share,
         "excess_share_suppliers": q_excess_share_suppliers,
@@ -2477,6 +2499,103 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY delay_bucket
             ORDER BY delay_bucket
+        """,
+        "silver_rolling_features": """
+            WITH b AS (
+              SELECT event_type AS site, CAST(ts AS TIMESTAMP) AS ts_utc,
+                     value AS ghi_wm2, value - 150.0 AS t2m_c,
+                     value / 50.0 AS ws10_mps,
+                     CAST(ts AS TIMESTAMP) AS ingested_at
+              FROM events
+            ), v AS (
+              SELECT site, ts_utc, date_trunc('hour', ts_utc) AS ts_hour,
+                     CASE WHEN ghi_wm2 >= 0 THEN ghi_wm2 END AS ghi_wm2,
+                     CASE WHEN t2m_c BETWEEN -80 AND 80 THEN t2m_c END AS t2m_c,
+                     CASE WHEN ws10_mps >= 0 THEN ws10_mps END AS ws10_mps,
+                     ingested_at
+              FROM b
+            ), c AS (
+              SELECT * FROM v
+              WHERE ghi_wm2 IS NOT NULL AND t2m_c IS NOT NULL
+                AND ws10_mps IS NOT NULL
+            ), d AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY site, ts_hour
+                ORDER BY ingested_at DESC, ts_utc DESC) AS rn
+              FROM c
+            ), fact AS (
+              SELECT site, CAST(ts_hour AS TIMESTAMP) AS ts_utc, ghi_wm2
+              FROM d WHERE rn = 1
+            )
+            SELECT site, ts_utc, ghi_wm2,
+                   CAST(sum(CAST(ghi_wm2 AS DECIMAL(20,6))) OVER w AS DOUBLE)
+                     / count(ghi_wm2) OVER w AS roll_mean,
+                   min(ghi_wm2) OVER w AS roll_min,
+                   max(ghi_wm2) OVER w AS roll_max,
+                   lag(ghi_wm2, 1) OVER
+                     (PARTITION BY site ORDER BY ts_utc) AS lag_1h,
+                   lag(ghi_wm2, 24) OVER
+                     (PARTITION BY site ORDER BY ts_utc) AS lag_24h
+            FROM fact
+            WINDOW w AS (PARTITION BY site ORDER BY ts_utc
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            ORDER BY site, ts_utc
+        """,
+        "silver_gap_fill": """
+            WITH b AS (
+              SELECT event_type AS site, CAST(ts AS TIMESTAMP) AS ts_utc,
+                     value AS ghi_wm2, value - 150.0 AS t2m_c,
+                     value / 50.0 AS ws10_mps,
+                     CAST(ts AS TIMESTAMP) AS ingested_at
+              FROM events
+            ), v AS (
+              SELECT site, ts_utc, date_trunc('hour', ts_utc) AS ts_hour,
+                     CASE WHEN ghi_wm2 >= 0 THEN ghi_wm2 END AS ghi_wm2,
+                     CASE WHEN t2m_c BETWEEN -80 AND 80 THEN t2m_c END AS t2m_c,
+                     CASE WHEN ws10_mps >= 0 THEN ws10_mps END AS ws10_mps,
+                     ingested_at
+              FROM b
+            ), c AS (
+              SELECT * FROM v
+              WHERE ghi_wm2 IS NOT NULL AND t2m_c IS NOT NULL
+                AND ws10_mps IS NOT NULL
+            ), d AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY site, ts_hour
+                ORDER BY ingested_at DESC, ts_utc DESC) AS rn
+              FROM c
+            ), fact AS (
+              SELECT site, CAST(ts_hour AS TIMESTAMP) AS ts_utc,
+                     ghi_wm2, t2m_c AS temp_c, ws10_mps AS wind_mps
+              FROM d WHERE rn = 1
+            ), spine AS (
+              SELECT site, unnest(generate_series(lo, hi,
+                                  INTERVAL 1 HOUR)) AS ts_utc
+              FROM (SELECT site, min(ts_utc) AS lo, max(ts_utc) AS hi
+                    FROM fact GROUP BY site)
+            ), dense AS (
+              SELECT s.site, CAST(s.ts_utc AS TIMESTAMP) AS ts_utc,
+                     f.ghi_wm2, f.temp_c, f.wind_mps
+              FROM spine s LEFT JOIN fact f
+                ON s.site = f.site AND s.ts_utc = f.ts_utc
+            )
+            SELECT site, ts_utc,
+                   last_value(ghi_wm2 IGNORE NULLS) OVER w AS ghi_wm2,
+                   ghi_wm2 IS NULL
+                     AND last_value(ghi_wm2 IGNORE NULLS) OVER w IS NOT NULL
+                     AS ghi_wm2_filled,
+                   last_value(temp_c IGNORE NULLS) OVER w AS temp_c,
+                   temp_c IS NULL
+                     AND last_value(temp_c IGNORE NULLS) OVER w IS NOT NULL
+                     AS temp_c_filled,
+                   last_value(wind_mps IGNORE NULLS) OVER w AS wind_mps,
+                   wind_mps IS NULL
+                     AND last_value(wind_mps IGNORE NULLS) OVER w IS NOT NULL
+                     AS wind_mps_filled
+            FROM dense
+            WINDOW w AS (PARTITION BY site ORDER BY ts_utc
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY site, ts_utc
         """,
         "cohort_retention": """
             WITH cohorts AS (

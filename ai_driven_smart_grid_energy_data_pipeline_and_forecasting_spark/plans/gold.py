@@ -157,3 +157,79 @@ def forecast_accuracy(forecast: DataFrame, features: DataFrame) -> DataFrame:
         )
         .orderBy("model", "var", "horizon_h")
     )
+
+
+def rolling_features(
+    fact: DataFrame,
+    value_col: str = "ghi_wm2",
+    window_hours: int = 24,
+) -> DataFrame:
+    """Rolling-frame feature engineering over the silver series (the
+    lag/rolling surface SURVEY §2.5 marks as Gold's need): per site,
+    trailing ``window_hours``-row mean/min/max plus lag-1 and lag-24 —
+    the standard forecasting feature block.
+
+    Determinism: the trailing mean divides an exact decimal windowed
+    sum by the windowed count (float window-sums would accumulate in
+    frame order but round at the oracle's last ulp; decimals cannot).
+    Scale: one shuffle (site), one in-partition sort amortized across
+    ALL the frames — Spark evaluates every window over the same
+    (partition, order) spec in a single Window exec."""
+    w = Window.partitionBy("site").orderBy("ts_utc")
+    frame = w.rowsBetween(-(window_hours - 1), 0)
+    v = F.col(value_col)
+    vdec = v.cast("decimal(20,6)")
+    return fact.select(
+        "site",
+        "ts_utc",
+        v.alias(value_col),
+        (F.sum(vdec).over(frame).cast("double") / F.count(v).over(frame))
+        .alias("roll_mean"),
+        F.min(v).over(frame).alias("roll_min"),
+        F.max(v).over(frame).alias("roll_max"),
+        F.lag(v, 1).over(w).alias("lag_1h"),
+        F.lag(v, 24).over(w).alias("lag_24h"),
+    ).orderBy("site", "ts_utc")
+
+
+def gap_fill_hourly(
+    fact: DataFrame,
+    value_cols: tuple[str, ...] = ("ghi_wm2", "temp_c", "wind_mps"),
+    max_fill_hours: int = 6,
+) -> DataFrame:
+    """Resample each site's series onto a dense hourly spine and
+    forward-fill gaps up to ``max_fill_hours`` (the standard sensor-
+    series repair before feature/forecast stages; longer gaps stay
+    NULL so models can mask them).
+
+    Plan: the spine is ``sequence(min, max, 1 hour)`` per site —
+    generated from the site's own aggregate, exploded; no driver loop,
+    no cross join. The fill is ``last(value, ignorenulls)`` over a
+    bounded trailing frame — one Window exec shared by all columns,
+    plus a filled-flag per column. Scale: dense spine rows ≈ hours ×
+    sites; the window is the same (site, ts) partitioning the rest of
+    the silver pipeline already uses."""
+    spine = (
+        fact.groupBy("site")
+        .agg(F.min("ts_utc").alias("lo"), F.max("ts_utc").alias("hi"))
+        .select(
+            "site",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("ts_utc"),
+        )
+    )
+    dense = spine.join(fact, ["site", "ts_utc"], "left_outer")
+    w = (
+        Window.partitionBy("site")
+        .orderBy("ts_utc")
+        .rowsBetween(-max_fill_hours, 0)
+    )
+    out_cols = [F.col("site"), F.col("ts_utc")]
+    for c in value_cols:
+        filled = F.last(F.col(c), ignorenulls=True).over(w)
+        out_cols.append(filled.alias(c))
+        out_cols.append(
+            (F.col(c).isNull() & filled.isNotNull()).alias(f"{c}_filled")
+        )
+    return dense.select(*out_cols).orderBy("site", "ts_utc")

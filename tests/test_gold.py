@@ -155,3 +155,35 @@ def test_asof_broadcast_matches_union_window(spark):
     rat = sorted(map(tuple, at.select(*sorted(at.columns)).collect()))
     rbt = sorted(map(tuple, bt.select(*sorted(at.columns)).collect()))
     assert rat == rbt
+
+
+def test_gap_fill_bounded_forward_fill(spark):
+    import datetime as dt
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        gap_fill_hourly,
+    )
+
+    t0 = dt.datetime(2025, 5, 1, 0)
+
+    def row(h, v):
+        return ("s1", t0 + dt.timedelta(hours=h), v, v, v)
+
+    # hours 0,1 present; 2..4 missing (fillable); 5 present; 6..14
+    # missing (beyond the 6h fill bound after hour 11); 15 present
+    fact = spark.createDataFrame(
+        [row(0, 10.0), row(1, 11.0), row(5, 15.0), row(15, 25.0)],
+        "site string, ts_utc timestamp, ghi_wm2 double, temp_c double, wind_mps double",
+    )
+    out = {
+        r.ts_utc.hour: (r.ghi_wm2, r.ghi_wm2_filled)
+        for r in gap_fill_hourly(fact, max_fill_hours=6).collect()
+    }
+    assert len(out) == 16  # dense spine 0..15
+    assert out[1] == (11.0, False)
+    assert out[2] == (11.0, True)  # filled from hour 1
+    assert out[4] == (11.0, True)
+    assert out[5] == (15.0, False)
+    assert out[11] == (15.0, True)  # 6 hours after 5 — still in bound
+    assert out[12][0] is None  # beyond the fill bound -> stays NULL
+    assert out[15] == (25.0, False)
