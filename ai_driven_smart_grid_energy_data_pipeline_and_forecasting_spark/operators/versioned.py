@@ -155,3 +155,44 @@ def merge_version(
         manifest[val] = vtag
     _write_manifest(root, ver, manifest)
     return ver
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    keys: Sequence[str],
+    partition_by: str = "site",
+) -> DataFrame:
+    """Change-data-capture between two snapshots: one row per key that
+    was inserted / deleted / updated, with both value structs. The
+    audit/debug primitive versioning exists for ("what changed between
+    the run that worked and the run that didn't").
+
+    Plan: full outer join on the key columns; manifest-identical
+    partitions (inherited by reference — the common case) could be
+    skipped entirely at plan time, an optimization a file-level format
+    gets for free; here both sides are partition-pruned scans and the
+    join shuffles on the uniform natural key."""
+    old = read_version(spark, root, from_version, partition_by)
+    new = read_version(spark, root, to_version, partition_by)
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*val_cols).alias("old_val"), F.lit(1).alias("_o")
+    )
+    n = new.select(
+        *keys, F.struct(*val_cols).alias("new_val"), F.lit(1).alias("_n")
+    )
+    j = o.join(n, list(keys), "full_outer")
+    change = (
+        F.when(F.col("_o").isNull(), "insert")
+        .when(F.col("_n").isNull(), "delete")
+        .when(F.col("old_val") != F.col("new_val"), "update")
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change", "old_val", "new_val")
+        .orderBy(*keys)
+    )

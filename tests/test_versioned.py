@@ -101,3 +101,30 @@ def test_merge_then_read_matches_manual_merge(spark, root):
         ("beta", 0): 3.0,
         ("beta", 5): 8.0,
     }
+
+
+def test_snapshot_diff_classifies_changes(spark, root):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        snapshot_diff,
+    )
+
+    upd = spark.createDataFrame(
+        [
+            ("alpha", ts(1), 20.0, ING1),   # update
+            ("gamma", ts(0), 7.0, ING1),    # insert (new partition)
+        ],
+        SCHEMA,
+    )
+    merge_version_kwargs = dict(keys=["site", "ts_utc"], order_col="ingested_at")
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        merge_version,
+    )
+
+    merge_version(spark, root, upd, **merge_version_kwargs)
+    diff = {
+        (r.site, r.ts_utc.hour): r.change
+        for r in snapshot_diff(
+            spark, root, 1, 2, keys=["site", "ts_utc"]
+        ).collect()
+    }
+    assert diff == {("alpha", 1): "update", ("gamma", 0): "insert"}
