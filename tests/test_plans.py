@@ -197,3 +197,27 @@ def test_important_part_share_reuses_fact_exchange(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["event_funnel", "cohort_retention", "top_customers_per_nation",
+     "silver_rolling_features", "silver_gap_fill"],
+)
+def test_event_and_series_shapes_no_interpreted_joins(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rolling_features_single_window_exec(spark):
+    # All frames share one (site, ts) sort: exactly one Window node.
+    plan = _plan(spark, "silver_rolling_features")
+    assert plan.count("Window ") + plan.count("Window\n") <= 2, plan
+
+
+def test_gap_fill_no_driver_loop_spine(spark):
+    # The dense spine must come from explode(sequence(...)), not a
+    # driver-side collect: plan contains a Generate node.
+    plan = _plan(spark, "silver_gap_fill")
+    assert "Generate" in plan, plan
