@@ -661,6 +661,12 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_embedding_quantization(spark, sf_dir):
+    # int8 scalar-quantization audit: reconstruction error vs the
+    # scale/2-per-dim bound, corpus-wide
+    return S.quantization_error_stats(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ann_ivf_trained(spark, sf_dir):
     # IVF with a TRAINED MLlib-KMeans coarse quantizer (model-dependent
     # output -> rows-only driver check, like the forecast fits)
@@ -1127,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_sarimax": q_forecast_sarimax,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "embedding_quantization": q_embedding_quantization,
         "forecast_eval": q_forecast_eval,
         "order_priority_sql": q_order_priority_sql,
         "media_stats": q_media_stats,
@@ -2596,6 +2603,31 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY site ORDER BY ts_utc
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
             ORDER BY site, ts_utc
+        """,
+        "embedding_quantization": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0
+                       AS scale
+              FROM v
+            ), err AS (
+              SELECT vec_id, scale,
+                     list_max(list_transform(e,
+                       x -> abs(floor(x / (CASE WHEN scale = 0.0
+                                           THEN 1.0 ELSE scale END) + 0.5)
+                                * (CASE WHEN scale = 0.0
+                                   THEN 1.0 ELSE scale END) - x)))
+                       AS max_err
+              FROM s
+            )
+            SELECT count(*) AS n_vectors,
+                   max(max_err) AS worst_abs_err,
+                   CAST(sum(CASE WHEN max_err <= scale * 0.5 + 1e-12
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound
+            FROM err
         """,
         "cohort_retention": """
             WITH cohorts AS (

@@ -75,6 +75,9 @@ HEADLINE = [
     "doc_pii_stats",
     "event_funnel",
     "top_customers_per_nation",
+    "cohort_retention",
+    "silver_rolling_features",
+    "silver_gap_fill",
 ]
 
 

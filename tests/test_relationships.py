@@ -96,3 +96,11 @@ def test_kmeans_ivf_scores_consistent_and_recall_reasonable(emb):
             truth.add((q, n))
     recall = len(got & truth) / len(truth)
     assert recall >= 0.3, f"trained-IVF recall {recall} unreasonably low"
+
+
+def test_quantization_codes_bounded_and_error_within_bound(emb):
+    q = S.quantize_embeddings(emb).collect()
+    assert all(-127 <= c <= 127 for r in q for c in r.qvec)
+    stats = S.quantization_error_stats(emb).first()
+    assert stats.n_within_bound == stats.n_vectors
+    assert stats.worst_abs_err >= 0.0
