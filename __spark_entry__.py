@@ -857,6 +857,34 @@ def q_silver_gap_fill(spark, sf_dir):
     return G.gap_fill_hourly(SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir)))
 
 
+def q_value_outliers(spark, sf_dir):
+    # Batch analog of the streaming running-z-score operator: per-type
+    # standardization with EXACT decimal moments (sum, sum-of-squares)
+    # so the variance — unlike stddev_pop's float fold — is partition-
+    # and engine-invariant; z computes in double only at the end.
+    ev = _t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(20,6)")
+    moments = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * vdec).alias("s2"),
+    )
+    j = ev.join(F.broadcast(moments), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        j.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("z"))), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_cohort_retention(spark, sf_dir):
     # Weekly cohort retention: users grouped by first-signup week,
     # counted per activity-week offset. One fact pass for cohorts (min
@@ -1167,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_cheapest_supplier": q_regional_cheapest_supplier,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "value_outliers": q_value_outliers,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -2628,6 +2657,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN max_err <= scale * 0.5 + 1e-12
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound
             FROM err
+        """,
+        "value_outliers": """
+            WITH m AS (
+              SELECT event_type,
+                     count(*) AS n,
+                     sum(CAST(value AS DECIMAL(20,6))) AS s1,
+                     sum(CAST(value AS DECIMAL(20,6))
+                         * CAST(value AS DECIMAL(20,6))) AS s2
+              FROM events GROUP BY event_type
+            ), z AS (
+              SELECT e.event_type,
+                     (e.value - CAST(m.s1 AS DOUBLE) / m.n)
+                       / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                              - (CAST(m.s1 AS DOUBLE) / m.n)
+                                * (CAST(m.s1 AS DOUBLE) / m.n)) AS z
+              FROM events e JOIN m USING (event_type)
+            )
+            SELECT event_type, count(*) AS n_outliers,
+                   round(max(abs(z)), 6) AS max_abs_z
+            FROM z WHERE abs(z) > 2.5
+            GROUP BY event_type ORDER BY event_type
         """,
         "cohort_retention": """
             WITH cohorts AS (
