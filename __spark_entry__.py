@@ -857,6 +857,47 @@ def q_silver_gap_fill(spark, sf_dir):
     return G.gap_fill_hourly(SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir)))
 
 
+def q_value_histogram(spark, sf_dir):
+    # Fixed-width binning (width_bucket analog via integer floor) —
+    # the distribution profile every monitoring dashboard needs; bin
+    # arithmetic is integer-exact so the oracle matches bit-wise
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("int")
+    return (
+        ev.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", F.col("bucket") * 25.0)
+        .select("event_type", "bucket", "lo", "n")
+        .orderBy("event_type", "bucket")
+    )
+
+
+def q_above_type_average_sql(spark, sf_dir):
+    # SQL-surface correlated scalar subquery: Catalyst decorrelates the
+    # per-type average into an aggregate + join (no per-row re-scan) —
+    # the declarative twin of small_quantity_revenue's manual
+    # decorrelation. Exact decimal mean so the threshold is
+    # engine-invariant.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n_above
+        FROM events e
+        WHERE value > (
+          SELECT CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(value)
+          FROM events i WHERE i.event_type = e.event_type
+        )
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
 def q_value_outliers(spark, sf_dir):
     # Batch analog of the streaming running-z-score operator: per-type
     # standardization with EXACT decimal moments (sum, sum-of-squares)
@@ -1196,6 +1237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "value_outliers": q_value_outliers,
+        "value_histogram": q_value_histogram,
+        "above_type_average_sql": q_above_type_average_sql,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
         "top_customers_per_nation": q_top_customers_per_nation,
@@ -2657,6 +2700,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN max_err <= scale * 0.5 + 1e-12
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound
             FROM err
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+                   CAST(floor(value / 25.0) AS INTEGER) * 25.0 AS lo,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type, bucket
+            ORDER BY event_type, bucket
+        """,
+        "above_type_average_sql": """
+            SELECT event_type, count(*) AS n_above
+            FROM events e
+            WHERE value > (
+              SELECT CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(value)
+              FROM events i WHERE i.event_type = e.event_type
+            )
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "value_outliers": """
             WITH m AS (

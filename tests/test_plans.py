@@ -221,3 +221,13 @@ def test_gap_fill_no_driver_loop_spine(spark):
     # driver-side collect: plan contains a Generate node.
     plan = _plan(spark, "silver_gap_fill")
     assert "Generate" in plan, plan
+
+
+def test_above_type_average_sql_decorrelates(spark):
+    # The correlated scalar subquery must decorrelate into an
+    # aggregate + equi-join (one extra scan at most), never a per-row
+    # re-execution (which would surface as a nested-loop shape).
+    plan = _plan(spark, "above_type_average_sql")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
