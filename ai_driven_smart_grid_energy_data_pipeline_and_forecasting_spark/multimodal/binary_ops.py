@@ -130,3 +130,63 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         media.filter(F.col("modality") == "video")
         .select("media_id", F.explode(idx).alias("frame_idx"))
     )
+
+
+def resize_stub(
+    content: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """Resize codec boundary (PIL/libvips in a real deployment). The
+    fake path emits a deterministic byte payload sized proportionally
+    to the target area so downstream size accounting is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "pass fake=True for deterministic pseudo-resize"
+        )
+    if content is None:
+        return b""
+    target = max(width * height // 64, 1)
+    reps = (target + len(content) - 1) // max(len(content), 1)
+    return (content * max(reps, 1))[:target]
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """mapInPandas image resize: binary → binary with updated metadata
+    (the thumbnailing / normalization pass every multimodal training
+    pipeline runs before feature extraction). Only image rows are
+    touched; the codec call is the stub boundary. Iterator-of-batches:
+    one Arrow batch of media per task in memory, never the partition."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                resize_stub(c, width, height, fake=fake)
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": resized,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in resized],
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").select(
+        "media_id", "modality", "content"
+    ).mapInPandas(run, out_schema)

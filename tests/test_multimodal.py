@@ -57,3 +57,22 @@ def test_sample_frames_fanout(media):
     # 1.0s × 24fps = 24 frames, every 2nd → indices 0,2,...,22
     assert [r.frame_idx for r in frames] == list(range(0, 24, 2))
     assert all(r.media_id == 4 for r in frames)
+
+
+def test_resize_images_updates_metadata_and_batches(spark, media):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        resize_images,
+        resize_stub,
+    )
+
+    out = resize_images(media, width=32, height=32).collect()
+    n_images = media.filter("modality = 'image'").count()
+    assert len(out) == n_images
+    for r in out:
+        assert r.width == 32 and r.height == 32
+        assert r.n_bytes == len(r.content) == 32 * 32 // 64
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        resize_stub(b"abc", 8, 8, fake=False)
