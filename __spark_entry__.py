@@ -857,6 +857,17 @@ def q_silver_gap_fill(spark, sf_dir):
     return G.gap_fill_hourly(SV.clean_to_hourly(_pseudo_bronze(spark, sf_dir)))
 
 
+def q_hourly_distinct_users(spark, sf_dir):
+    # Exact hourly distinct users — the accuracy reference for the
+    # streaming HLL twin (streaming.hourly_stream_distinct_users)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ts_hour"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("ts_hour")
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     # Fixed-width binning (width_bucket analog via integer floor) —
     # the distribution profile every monitoring dashboard needs; bin
@@ -1238,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "value_outliers": q_value_outliers,
         "value_histogram": q_value_histogram,
+        "hourly_distinct_users": q_hourly_distinct_users,
         "above_type_average_sql": q_above_type_average_sql,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
@@ -2700,6 +2712,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN max_err <= scale * 0.5 + 1e-12
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound
             FROM err
+        """,
+        "hourly_distinct_users": """
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY ts_hour
+            ORDER BY ts_hour
         """,
         "value_histogram": """
             SELECT event_type,

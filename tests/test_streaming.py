@@ -135,3 +135,49 @@ def test_stream_to_silver_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     after = sorted(map(tuple, spark.read.parquet(silver).collect()))
     assert before == after
+
+
+def test_stream_distinct_users_within_sketch_tolerance(spark, tmp_path):
+    import datetime as dt
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.ingest_stream import (
+        hourly_stream_distinct_users,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0)
+    rows = [
+        (t0 + dt.timedelta(hours=h, minutes=m), (h * 37 + m) % 50)
+        for h in range(3)
+        for m in range(0, 60, 2)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "ts_utc timestamp, user_id long").write.parquet(src)
+
+    stream = spark.readStream.schema("ts_utc timestamp, user_id long").parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        hourly_stream_distinct_users(stream)
+        .writeStream.format("memory")
+        .queryName("distinct_users_hll")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    approx = {
+        r.ts_hour: r.n_users_approx
+        for r in spark.sql("SELECT * FROM distinct_users_hll").collect()
+    }
+    exact = {
+        r.ts_hour: r.n_users
+        for r in spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", F.col("ts_utc")).alias("ts_hour"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for hour, est in approx.items():
+        assert abs(est - exact[hour]) <= max(0.1 * exact[hour], 2), (
+            hour, est, exact[hour],
+        )
