@@ -1141,6 +1141,11 @@ def q_doc_pii_stats(spark, sf_dir):
     return TX.pii_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_commonness(spark, sf_dir):
+    # Unigram-commonness audit (integer-exact LM-filter proxy)
+    return TX.commonness_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_repetition_stats(spark, sf_dir):
     # Gopher-style repetition audit per language
     return TX.repetition_stats(_t(spark, sf_dir, "documents"))
@@ -1265,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": q_doc_contamination,
         "doc_pii_stats": q_doc_pii_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_commonness": q_doc_commonness,
         "corpus_ngram_topk": q_corpus_ngram_topk,
     }
 
@@ -2332,6 +2338,22 @@ def oracle_sql() -> dict[str, str]:
                        '\\+[0-9][0-9 ()-]{6,14}[0-9]',
                        '<PHONE>', 'g'))) AS BIGINT) AS redaction_char_delta
             FROM documents
+        """,
+        "doc_commonness": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(string_split(trim(text), ' ')) AS token
+              FROM documents
+            ), freq AS (
+              SELECT token, count(*) AS tok_freq FROM tok GROUP BY token
+            )
+            SELECT t.source,
+                   count(*) AS n_tokens,
+                   CAST(sum(f.tok_freq) AS BIGINT) AS freq_sum,
+                   round(CAST(sum(f.tok_freq) AS DOUBLE) / count(*), 4)
+                     AS mean_commonness
+            FROM tok t JOIN freq f USING (token)
+            GROUP BY t.source ORDER BY t.source
         """,
         "doc_repetition_stats": """
             WITH t AS (

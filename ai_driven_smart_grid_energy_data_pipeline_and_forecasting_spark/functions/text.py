@@ -308,3 +308,38 @@ def corpus_ngram_topk(
         .orderBy(F.desc("n"), "gram")
         .limit(k)
     )
+
+
+def commonness_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-frequency ("commonness") audit per group — the
+    integer-exact proxy for LM-likelihood filtering: documents built
+    from rare tokens score low, boilerplate built from the corpus's
+    most common tokens scores high. Two aggregates: a global unigram
+    frequency table (vocabulary-sized — broadcasts), then per-group
+    totals. The score divides two exact integer sums at the very end,
+    so no transcendental functions (log's last ulp is libm-specific,
+    banned by the determinism policy) and no float fold-order anywhere.
+
+    Scale: explode multiplies rows by doc length but both aggregates
+    partial-combine map-side; the frequency join is a broadcast of the
+    vocabulary."""
+    tok = docs.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_freq"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tok_freq").alias("freq_sum"),
+            F.round(
+                F.sum("tok_freq").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_commonness"),
+        )
+        .orderBy(group_col)
+    )
