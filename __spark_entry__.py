@@ -868,6 +868,37 @@ def q_hourly_distinct_users(spark, sf_dir):
     )
 
 
+def q_users_purchase_and_error(spark, sf_dir):
+    # INTERSECT set op (SURVEY §2.6 notes the reference has none —
+    # free Spark capability): users appearing in both event classes.
+    # Plans as a distinct + left-semi shape, one shuffle per side.
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+def q_type_status_grouping_sets(spark, sf_dir):
+    # Explicit GROUPING SETS (the general form of the ROLLUP/CUBE pair
+    # already covered): per-type, per-status, and grand-total rows only
+    # — no (type, status) cross cells.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def q_value_histogram(spark, sf_dir):
     # Fixed-width binning (width_bucket analog via integer floor) —
     # the distribution profile every monitoring dashboard needs; bin
@@ -1255,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "value_histogram": q_value_histogram,
         "hourly_distinct_users": q_hourly_distinct_users,
+        "users_purchase_and_error": q_users_purchase_and_error,
+        "type_status_grouping_sets": q_type_status_grouping_sets,
         "above_type_average_sql": q_above_type_average_sql,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
@@ -2741,6 +2774,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ts_hour
             ORDER BY ts_hour
+        """,
+        "users_purchase_and_error": """
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'error'
+            ORDER BY user_id
+        """,
+        "type_status_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            ORDER BY l_returnflag, l_linestatus
         """,
         "value_histogram": """
             SELECT event_type,
