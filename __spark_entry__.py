@@ -868,6 +868,56 @@ def q_hourly_distinct_users(spark, sf_dir):
     )
 
 
+def q_balance_quartiles(spark, sf_dir):
+    # ntile ranking window: per-nation acctbal quartile boundaries.
+    # ntile is rank-based (no float arithmetic) so quartile membership
+    # is engine-exact given the total (balance, custkey) tiebreak.
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo_bal"),
+            F.max("c_acctbal").alias("hi_bal"),
+        )
+        .orderBy("c_nationkey", "quartile")
+    )
+
+
+def q_customer_running_revenue(spark, sf_dir):
+    # Ordered running total per customer (cumulative frame): exact
+    # decimal cumsum so every prefix is partition-invariant; limited to
+    # one segment's customers to keep the gate result compact.
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    ).select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn(
+            "running_total",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w), 2
+            ).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
 def q_users_purchase_and_error(spark, sf_dir):
     # INTERSECT set op (SURVEY §2.6 notes the reference has none —
     # free Spark capability): users appearing in both event classes.
@@ -1288,6 +1338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_distinct_users": q_hourly_distinct_users,
         "users_purchase_and_error": q_users_purchase_and_error,
         "type_status_grouping_sets": q_type_status_grouping_sets,
+        "balance_quartiles": q_balance_quartiles,
+        "customer_running_revenue": q_customer_running_revenue,
         "above_type_average_sql": q_above_type_average_sql,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
@@ -2774,6 +2826,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ts_hour
             ORDER BY ts_hour
+        """,
+        "balance_quartiles": """
+            WITH q AS (
+              SELECT c_nationkey, c_acctbal,
+                     ntile(4) OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal, c_custkey)
+                       AS quartile
+              FROM customer
+            )
+            SELECT c_nationkey, CAST(quartile AS INTEGER) AS quartile,
+                   count(*) AS n,
+                   min(c_acctbal) AS lo_bal,
+                   max(c_acctbal) AS hi_bal
+            FROM q
+            GROUP BY c_nationkey, quartile
+            ORDER BY c_nationkey, quartile
+        """,
+        "customer_running_revenue": """
+            SELECT o.o_custkey, o.o_orderkey,
+                   CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+                   CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                              OVER (PARTITION BY o.o_custkey
+                                    ORDER BY o.o_orderdate, o.o_orderkey
+                                    ROWS UNBOUNDED PRECEDING), 2)
+                        AS DOUBLE) AS running_total
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'MACHINERY'
+            ORDER BY o.o_custkey, o.o_orderdate, o.o_orderkey
         """,
         "users_purchase_and_error": """
             SELECT user_id FROM events WHERE event_type = 'purchase'
