@@ -868,6 +868,37 @@ def q_hourly_distinct_users(spark, sf_dir):
     )
 
 
+def q_order_gap_stats(spark, sf_dir):
+    # lead() inter-arrival analysis: days between consecutive orders
+    # per customer, averaged per market segment. Gap arithmetic is
+    # integer datediff; the mean divides exact integer sums.
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("next_date", F.lead("o_orderdate").over(w))
+        .filter(F.col("next_date").isNotNull())
+        .withColumn(
+            "gap_days", F.datediff(F.col("next_date"), F.col("o_orderdate"))
+        )
+    )
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_days").alias("total_gap_days"),
+            F.round(
+                F.sum("gap_days").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_balance_quartiles(spark, sf_dir):
     # ntile ranking window: per-nation acctbal quartile boundaries.
     # ntile is rank-based (no float arithmetic) so quartile membership
@@ -1340,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_status_grouping_sets": q_type_status_grouping_sets,
         "balance_quartiles": q_balance_quartiles,
         "customer_running_revenue": q_customer_running_revenue,
+        "order_gap_stats": q_order_gap_stats,
         "above_type_average_sql": q_above_type_average_sql,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
@@ -2826,6 +2858,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ts_hour
             ORDER BY ts_hour
+        """,
+        "order_gap_stats": """
+            WITH g AS (
+              SELECT o_custkey, o_orderdate,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate,
+                                                      o_orderkey)
+                       AS next_date
+              FROM orders
+            ), gaps AS (
+              SELECT o_custkey,
+                     date_diff('day', o_orderdate, next_date) AS gap_days
+              FROM g WHERE next_date IS NOT NULL
+            )
+            SELECT c.c_mktsegment,
+                   count(*) AS n_gaps,
+                   CAST(sum(gap_days) AS BIGINT) AS total_gap_days,
+                   round(CAST(sum(gap_days) AS DOUBLE) / count(*), 4)
+                     AS avg_gap_days,
+                   CAST(max(gap_days) AS BIGINT) AS max_gap_days
+            FROM gaps JOIN customer c ON gaps.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+            ORDER BY c.c_mktsegment
         """,
         "balance_quartiles": """
             WITH q AS (
