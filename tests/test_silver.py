@@ -158,3 +158,23 @@ def test_split_quarantine_routes_and_names_violations(spark):
     assert bad["b"] == ["ghi_wm2"]
     assert sorted(bad["c"]) == ["ghi_wm2", "t2m_c", "ws10_mps"]
     assert clean.count() + quarantined.count() == df.count()
+
+
+def test_half_open_window_boundary_rows(spark):
+    # FIXTURES.md §1 "window boundary": a row at exactly `start` is
+    # kept, a row at exactly `end` is excluded — the [start, end)
+    # contract of silver_clean.py:40-41,137-138.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        half_open_window,
+    )
+
+    lo, hi = ts(2), ts(5)
+    rows = [
+        ("s", ts(1)), ("s", lo), ("s", ts(3)), ("s", hi), ("s", ts(6)),
+    ]
+    df = spark.createDataFrame(rows, "site string, ts_utc timestamp")
+    got = sorted(
+        r.ts_utc.hour
+        for r in half_open_window(df, "ts_utc", lo, hi).collect()
+    )
+    assert got == [2, 3]
