@@ -868,6 +868,28 @@ def q_hourly_distinct_users(spark, sf_dir):
     )
 
 
+def q_sliding_window_agg(spark, sf_dir):
+    # Sliding (hopping) event-time windows — 2h length, 1h hop: each
+    # event lands in exactly two windows. Native F.window, the same
+    # expression Structured Streaming runs with a watermark; the mean
+    # divides an exact decimal sum (partition-invariant).
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "2 hours", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+                / F.count("value")
+            ).alias("mean_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "n", "mean_value")
+        .orderBy("w_start")
+    )
+
+
 def q_order_gap_stats(spark, sf_dir):
     # lead() inter-arrival analysis: days between consecutive orders
     # per customer, averaged per market segment. Gap arithmetic is
@@ -1372,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_quartiles": q_balance_quartiles,
         "customer_running_revenue": q_customer_running_revenue,
         "order_gap_stats": q_order_gap_stats,
+        "sliding_window_agg": q_sliding_window_agg,
         "above_type_average_sql": q_above_type_average_sql,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
@@ -2858,6 +2881,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ts_hour
             ORDER BY ts_hour
+        """,
+        "sliding_window_agg": """
+            WITH assigned AS (
+              SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                             date_trunc('hour', ts)]) AS w_start,
+                     value
+              FROM events
+            )
+            SELECT CAST(w_start AS TIMESTAMP) AS w_start,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(value) AS mean_value
+            FROM assigned
+            GROUP BY w_start
+            ORDER BY w_start
         """,
         "order_gap_stats": """
             WITH g AS (

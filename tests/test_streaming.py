@@ -181,3 +181,43 @@ def test_stream_distinct_users_within_sketch_tolerance(spark, tmp_path):
         assert abs(est - exact[hour]) <= max(0.1 * exact[hour], 2), (
             hour, est, exact[hour],
         )
+
+
+def test_stream_sliding_window_matches_batch(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 2, 1, 0, 0)
+    rows = [
+        (t0 + dt.timedelta(hours=h, minutes=m), float(h * 10 + m))
+        for h in range(3)
+        for m in (0, 30)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "ts_utc timestamp, value double").write.parquet(src)
+
+    def agg(df):
+        return (
+            df.groupBy(F.window(F.col("ts_utc"), "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+
+    stream = spark.readStream.schema("ts_utc timestamp, value double").parquet(src)
+    q = (
+        agg(stream.withWatermark("ts_utc", "1 hour"))
+        .writeStream.format("memory")
+        .queryName("sliding_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    got = {
+        r.w_start: r.n
+        for r in spark.sql("SELECT * FROM sliding_counts").collect()
+    }
+    want = {r.w_start: r.n for r in agg(spark.read.parquet(src)).collect()}
+    assert got == want
+    # every event belongs to exactly two 2h/1h windows
+    assert sum(got.values()) == 2 * len(rows)
