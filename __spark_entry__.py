@@ -868,6 +868,37 @@ def q_hourly_distinct_users(spark, sf_dir):
     )
 
 
+def q_orders_expectations(spark, sf_dir):
+    # Deequ-style single-pass expectation suite over orders: the whole
+    # report is ONE aggregate scan (row count, key uniqueness, null
+    # audit, domain membership, bounds)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.expectations import (
+        Expectation,
+        duplicate_key_count,
+        expectation_report,
+        max_of,
+        min_of,
+        null_count,
+        out_of_set_count,
+        row_count,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    suite = [
+        Expectation("rows_at_least_100", row_count(), lo=100),
+        Expectation("orderkey_unique", duplicate_key_count("o_orderkey"), hi=0),
+        Expectation("custkey_no_nulls", null_count("o_custkey"), hi=0),
+        Expectation(
+            "status_in_domain",
+            out_of_set_count("o_orderstatus", ["F", "O", "P"]),
+            hi=0,
+        ),
+        Expectation("totalprice_nonneg", min_of("o_totalprice"), lo=0),
+        Expectation("totalprice_under_cap", max_of("o_totalprice"), hi=1e9),
+    ]
+    return expectation_report(o, suite)
+
+
 def q_sliding_window_agg(spark, sf_dir):
     # Sliding (hopping) event-time windows — 2h length, 1h hop: each
     # event lands in exactly two windows. Native F.window, the same
@@ -1395,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_revenue": q_customer_running_revenue,
         "order_gap_stats": q_order_gap_stats,
         "sliding_window_agg": q_sliding_window_agg,
+        "orders_expectations": q_orders_expectations,
         "above_type_average_sql": q_above_type_average_sql,
         "silver_rolling_features": q_silver_rolling_features,
         "silver_gap_fill": q_silver_gap_fill,
@@ -2881,6 +2913,40 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ts_hour
             ORDER BY ts_hour
+        """,
+        "orders_expectations": """
+            WITH m AS (
+              SELECT CAST(count(*) AS DOUBLE) AS m_rows,
+                     CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE)
+                       AS m_dupes,
+                     CAST(sum(CASE WHEN o_custkey IS NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS m_nulls,
+                     CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                              THEN 1 ELSE 0 END) AS DOUBLE) AS m_domain,
+                     CAST(min(o_totalprice) AS DOUBLE) AS m_min,
+                     CAST(max(o_totalprice) AS DOUBLE) AS m_max
+              FROM orders
+            )
+            SELECT * FROM (
+              SELECT 'rows_at_least_100' AS "check", m_rows AS metric,
+                     100.0 AS lo, CAST(NULL AS DOUBLE) AS hi,
+                     m_rows >= 100.0 AS passed FROM m
+              UNION ALL
+              SELECT 'orderkey_unique', m_dupes, CAST(NULL AS DOUBLE),
+                     0.0, m_dupes <= 0.0 FROM m
+              UNION ALL
+              SELECT 'custkey_no_nulls', m_nulls, CAST(NULL AS DOUBLE),
+                     0.0, m_nulls <= 0.0 FROM m
+              UNION ALL
+              SELECT 'status_in_domain', m_domain, CAST(NULL AS DOUBLE),
+                     0.0, m_domain <= 0.0 FROM m
+              UNION ALL
+              SELECT 'totalprice_nonneg', m_min, 0.0,
+                     CAST(NULL AS DOUBLE), m_min >= 0.0 FROM m
+              UNION ALL
+              SELECT 'totalprice_under_cap', m_max, CAST(NULL AS DOUBLE),
+                     1000000000.0, m_max <= 1000000000.0 FROM m
+            ) ORDER BY "check"
         """,
         "sliding_window_agg": """
             WITH assigned AS (
