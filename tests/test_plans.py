@@ -231,3 +231,10 @@ def test_above_type_average_sql_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_orders_expectations_single_pass(spark):
+    # The whole suite must fold into ONE aggregate over ONE scan —
+    # the property that makes a 20-check suite cost one job at 100 TB.
+    plan = _plan(spark, "orders_expectations")
+    assert plan.count("orders.parquet") == 1, plan
