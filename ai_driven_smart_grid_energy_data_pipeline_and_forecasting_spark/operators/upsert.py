@@ -88,3 +88,46 @@ def merge_upsert(
     n = out.count()
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(target_path)
     return n
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: Sequence[str] = ("site",),
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Rewrite a partitioned Parquet table with right-sized files — the
+    maintenance job every streaming-merge sink needs: ``foreachBatch``
+    upserts spray one small file set per micro-batch, and at 100 TB
+    file-count (driver listing, task scheduling, open cost) becomes the
+    bottleneck before data size does.
+
+    Per partition: files_out = ceil(partition_bytes / target) via
+    ``coalesce`` (no shuffle — coalesce only narrows). Returns
+    {partition_value: files_after}. Content is byte-identical (same
+    rows, same schema); only the file layout changes — asserted by the
+    round-trip test. Transactional formats run this as OPTIMIZE; the
+    logic is the same."""
+    import math
+
+    out: dict[str, int] = {}
+    table = spark.read.parquet(path)
+    part_vals = [
+        tuple(str(v) for v in r)
+        for r in table.select(*partition_by).distinct().collect()
+    ]
+    for vals in sorted(part_vals):
+        sub = os.path.join(
+            path, *[f"{k}={v}" for k, v in zip(partition_by, vals)]
+        )
+        size = sum(
+            os.path.getsize(os.path.join(sub, f))
+            for f in os.listdir(sub)
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        part_df = spark.read.parquet(sub).coalesce(n_files)
+        compacted = part_df.localCheckpoint(eager=True)
+        compacted.coalesce(n_files).write.mode("overwrite").parquet(sub)
+        out["/".join(vals)] = n_files
+    return out

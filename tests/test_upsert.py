@@ -77,3 +77,46 @@ def test_untouched_partition_preserved(spark, target):
     out = read_all(spark, target)
     assert out[("b", 0)][0] == 2.0  # site b untouched by dynamic overwrite
     assert out[("a", 1)][0] == 7.0
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+        compact_partitions,
+        merge_upsert,
+    )
+    import datetime as dt
+    import os
+
+    path = str(tmp_path / "t")
+    # simulate micro-batch spray: 5 merges, each writing its own files
+    for b in range(5):
+        rows = [
+            ("s1", dt.datetime(2025, 1, 1, b, m), float(b * 10 + m),
+             dt.datetime(2025, 1, 2, b))
+            for m in range(3)
+        ]
+        df = spark.createDataFrame(
+            rows, "site string, ts_utc timestamp, v double, ingested_at timestamp"
+        ).repartition(4)
+        merge_upsert(spark, path, df, keys=["site", "ts_utc"],
+                     order_col="ingested_at")
+
+    before = {
+        (r.site, r.ts_utc): r.v for r in spark.read.parquet(path).collect()
+    }
+    files_before = len(
+        [f for f in os.listdir(os.path.join(path, "site=s1"))
+         if f.endswith(".parquet")]
+    )
+
+    report = compact_partitions(spark, path)
+    assert report == {"s1": 1}
+    files_after = len(
+        [f for f in os.listdir(os.path.join(path, "site=s1"))
+         if f.endswith(".parquet")]
+    )
+    assert files_after == 1 and files_after <= files_before
+    after = {
+        (r.site, r.ts_utc): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert after == before
