@@ -59,3 +59,77 @@ def test_bucket_metadata_in_catalog(spark, bucketed):
     desc = {r.col_name: r.data_type for r in spark.sql(f"DESCRIBE EXTENDED {lt}").collect()}
     assert desc.get("Num Buckets") == "4", desc
     assert "o_orderkey" in desc.get("Bucket Columns", ""), desc
+
+
+def test_zorder_interleave_locality():
+    # Morton key must interleave bits: (max,max) -> all ones; (0,0) -> 0
+    # and one-dimension neighbors differ in low bits only.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.layout import (
+        zorder_column,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import get_spark
+
+    spark = get_spark("tests")
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (255.0, 255.0), (0.0, 255.0), (255.0, 0.0)],
+        "x double, y double",
+    )
+    z = {
+        (r.x, r.y): r._z
+        for r in zorder_column(df, ["x", "y"], bits=8).collect()
+    }
+    assert z[(0.0, 0.0)] == 0
+    assert z[(255.0, 255.0)] == (1 << 16) - 1
+    # axis-extreme corners take alternating bit patterns
+    assert z[(0.0, 255.0)] + z[(255.0, 0.0)] == (1 << 16) - 1
+
+
+def test_zorder_write_shrinks_file_bounding_boxes(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.layout import (
+        write_zordered,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "value"
+    )
+
+    def bbox_area_sum(path):
+        total = 0.0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo_u = hi_u = lo_v = hi_v = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    name = col.path_in_schema
+                    if name == "user_id":
+                        lo_u = st.min if lo_u is None else min(lo_u, st.min)
+                        hi_u = st.max if hi_u is None else max(hi_u, st.max)
+                    elif name == "value":
+                        lo_v = st.min if lo_v is None else min(lo_v, st.min)
+                        hi_v = st.max if hi_v is None else max(hi_v, st.max)
+            total += (hi_u - lo_u) * (hi_v - lo_v)
+        return total
+
+    plain = str(tmp_path / "plain")
+    ev.repartition(8).write.parquet(plain)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=8)
+
+    # rows preserved byte-for-byte
+    assert (
+        spark.read.parquet(zpath).exceptAll(spark.read.parquet(plain)).count()
+        == 0
+    )
+    # the z-layout's per-file (user, value) bounding boxes must cover a
+    # fraction of the random layout's area -> min/max skipping works on
+    # BOTH dimensions at once
+    assert bbox_area_sum(zpath) < 0.5 * bbox_area_sum(plain)
