@@ -1340,57 +1340,13 @@ def q_doc_stratified_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order matters: the round-1 driver artifact only covered the
+    # first 50 entries, so the 53 entries it never reached are listed FIRST
+    # here.  Every entry is oracle-checked locally by tests/test_entry_oracle.py
+    # regardless of order; this ordering only affects which rows a
+    # count/time-bounded external sweep certifies first.
     return {
-        "summary_events": q_summary_events,
-        "distinct_event_types": q_distinct_event_types,
-        "latest_per_user_hour": q_latest_per_user_hour,
-        "recent_events_topk": q_recent_events_topk,
-        "events_window_filter": q_events_window_filter,
-        "hourly_type_pivot": q_hourly_type_pivot,
-        "hourly_completeness": q_hourly_completeness,
-        "hourly_long": q_hourly_long,
-        "drop_reason_counts": q_drop_reason_counts,
-        "keep_metrics": q_keep_metrics,
-        "props_stats": q_props_stats,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "doc_text_stats": q_doc_text_stats,
-        "doc_lang_id": q_doc_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "exact_dedup": q_exact_dedup,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_signatures": q_simhash_signatures,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ann_topk": q_ann_topk,
-        "embedding_near_pairs": q_embedding_near_pairs,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
-        "gold_features": q_gold_features,
-        "gold_kpis": q_gold_kpis,
-        "forecast_baseline": q_forecast_baseline,
-        "asof_purchase_view": q_asof_purchase_view,
-        "dropped_events": q_dropped_events,
-        "type_status_rollup": q_type_status_rollup,
-        "silver_clean": q_silver_clean,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "events_iso_payload": q_events_iso_payload,
-        "upsert_merge": q_upsert_merge,
-        "revenue_q6": q_revenue_q6,
-        "doc_token_counts": q_doc_token_counts,
-        "forecast_sarimax": q_forecast_sarimax,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "embedding_quantization": q_embedding_quantization,
-        "forecast_eval": q_forecast_eval,
-        "order_priority_sql": q_order_priority_sql,
-        "media_stats": q_media_stats,
-        "media_frame_sample": q_media_frame_sample,
-        "hourly_window_agg": q_hourly_window_agg,
-        "type_value_stats_salted": q_type_value_stats_salted,
-        "promo_revenue": q_promo_revenue,
+        # --- round-1 unchecked tail, promoted to the front -------------------
         "silver_reason_counts": q_silver_reason_counts,
         "silver_clean_vs_actual": q_silver_clean_vs_actual,
         "forecast_mllib": q_forecast_mllib,
@@ -1444,6 +1400,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_commonness": q_doc_commonness,
         "corpus_ngram_topk": q_corpus_ngram_topk,
+        # --- round-1 green rows (already driver-certified) -------------------
+        "summary_events": q_summary_events,
+        "distinct_event_types": q_distinct_event_types,
+        "latest_per_user_hour": q_latest_per_user_hour,
+        "recent_events_topk": q_recent_events_topk,
+        "events_window_filter": q_events_window_filter,
+        "hourly_type_pivot": q_hourly_type_pivot,
+        "hourly_completeness": q_hourly_completeness,
+        "hourly_long": q_hourly_long,
+        "drop_reason_counts": q_drop_reason_counts,
+        "keep_metrics": q_keep_metrics,
+        "props_stats": q_props_stats,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "doc_text_stats": q_doc_text_stats,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "gold_features": q_gold_features,
+        "gold_kpis": q_gold_kpis,
+        "forecast_baseline": q_forecast_baseline,
+        "asof_purchase_view": q_asof_purchase_view,
+        "dropped_events": q_dropped_events,
+        "type_status_rollup": q_type_status_rollup,
+        "silver_clean": q_silver_clean,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "events_iso_payload": q_events_iso_payload,
+        "upsert_merge": q_upsert_merge,
+        "revenue_q6": q_revenue_q6,
+        "doc_token_counts": q_doc_token_counts,
+        "forecast_sarimax": q_forecast_sarimax,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "embedding_quantization": q_embedding_quantization,
+        "forecast_eval": q_forecast_eval,
+        "order_priority_sql": q_order_priority_sql,
+        "media_stats": q_media_stats,
+        "media_frame_sample": q_media_frame_sample,
+        "hourly_window_agg": q_hourly_window_agg,
+        "type_value_stats_salted": q_type_value_stats_salted,
+        "promo_revenue": q_promo_revenue,
     }
 
 
