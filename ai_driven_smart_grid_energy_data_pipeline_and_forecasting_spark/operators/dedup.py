@@ -112,24 +112,44 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard near-dup pairs via inverted index.
 
     |A∩B| falls out of the shingle self-join as a pair count — no list
     intersection materialized; set sizes join back in (both sides of
     that join are keyed single rows per doc). The heavy operation is
-    the self-join on shingle, which is exactly the known hot-shingle
-    quadratic blowup — MinHash below is the mitigation at scale.
+    the self-join on shingle, which is O(Σ df(s)²) in shingle document
+    frequency — one stop-shingle in 1% of a 10B-doc corpus is a 10^14-row
+    join.  ``max_df`` is the standard prefilter for that blowup: shingles
+    whose document frequency exceeds it are dropped from the index AND
+    from the set sizes, so the result is exact Jaccard over the df-capped
+    shingle vocabulary (stop-shingle removal).  With ``max_df=None`` (or a
+    cap no shingle reaches) the output is bit-identical to the uncapped
+    exact form.  The hot-shingle list is tiny by construction (only
+    shingles with df > max_df), so the exclusion is a broadcast anti-join
+    — no extra full shuffle of the index.
 
     Measured note: a PPJoin-style prefix-filter variant (canonical-order
     prefix index + array intersect/union verify) was tried and ran
     2–3× SLOWER on this corpus at sf0.1 — the verify step materializes
     shingle arrays per candidate, while this formulation only counts
     join rows that partial-aggregate map-side. Prefer this shape until
-    profiled otherwise; at extreme df skew, go MinHash.
+    profiled otherwise; at extreme df skew, cap df here or go MinHash.
     """
     inv = doc_shingles(docs, text_col, n)
+    if max_df is not None:
+        hot = (
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
     sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = inv.alias("a")
     b = inv.alias("b")

@@ -58,6 +58,21 @@ def test_srp_lsh_pairs_subset_of_exact_cosine(emb):
         assert sim == exact[k], "verify scores must be bit-identical"
 
 
+def test_cosine_pairs_invariant_to_block_count(emb):
+    # block-matrix decomposition must not change results: per-pair
+    # arithmetic is dimension-ordered, independent of blocking
+    base = sorted(
+        (r.vec_a, r.vec_b, r.sim)
+        for r in S.cosine_threshold_pairs(emb, threshold=0.2, n_blocks=1).collect()
+    )
+    for nb in (3, 8):
+        got = sorted(
+            (r.vec_a, r.vec_b, r.sim)
+            for r in S.cosine_threshold_pairs(emb, threshold=0.2, n_blocks=nb).collect()
+        )
+        assert got == base, f"n_blocks={nb} changed the exact pair set"
+
+
 def test_ivf_neighbors_scored_identically_to_bruteforce(emb):
     exact = {
         (r.query_id, r.neighbor_id): r.sim
@@ -68,6 +83,48 @@ def test_ivf_neighbors_scored_identically_to_bruteforce(emb):
         key = (r.query_id, r.neighbor_id)
         assert key in exact, "IVF produced a neighbor brute force never scored"
         assert r.sim == exact[key]
+
+
+def test_ngram_jaccard_max_df_noop_when_unbound(docs):
+    base = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    capped = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10_000).collect()
+    )
+    assert capped == base, "a cap no shingle reaches must be a bit-exact no-op"
+
+
+def test_ngram_jaccard_max_df_drops_hot_shingles(spark):
+    # "a b c" appears in all 4 docs (df=4); "b c d" only in docs 1,2.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d f"),
+            (3, "a b c x y"),
+            (4, "a b c p q"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert uncapped == {(1, 2): pytest.approx(0.5)}
+    # cap binds on "a b c": docs 1,2 keep {"b c d", "c d *"} → jacc 1/3
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.3, max_df=3).collect()
+    }
+    assert capped == {(1, 2): pytest.approx(1 / 3)}
+    # a non-binding cap reproduces the exact result
+    loose = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10).collect()
+    }
+    assert loose == uncapped
 
 
 def test_exact_dedup_partitions_the_corpus(docs):
