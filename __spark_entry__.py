@@ -184,6 +184,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    # Exact Jaccard over the df-capped shingle vocabulary: shingles shared
+    # by more than max_df docs are dropped from index AND sizes (the
+    # PPJoin-era hot-shingle prefilter; the 100 TB mitigation for the
+    # inverted-index self-join's quadratic blowup).  max_df=6 binds at
+    # both sf0.001 (max df 9) and sf0.01 (max df 7).
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_df=6
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     # MinHash banding + exact-Jaccard verify
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
@@ -1346,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of order; this ordering only affects which rows a
     # count/time-bounded external sweep certifies first.
     return {
+        # --- new in round 2 --------------------------------------------------
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         # --- round-1 unchecked tail, promoted to the front -------------------
         "silver_reason_counts": q_silver_reason_counts,
         "silver_clean_vs_actual": q_silver_clean_vs_actual,
@@ -1847,6 +1860,24 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "ngram_jaccard_capped": _SHINGLE_CTE
+        + """,
+            df AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
+            inv2 AS (SELECT i.doc_id, i.s FROM inv i
+                     JOIN df ON i.s = df.s WHERE df.df <= 6),
+            sizes2 AS (SELECT doc_id, count(*) AS n FROM inv2 GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   c * 1.0 / (sa.n + sb.n - c) AS jaccard
+            FROM inter
+            JOIN sizes2 sa ON doc_a = sa.doc_id
+            JOIN sizes2 sb ON doc_b = sb.doc_id
             WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
             ORDER BY doc_a, doc_b
         """,
