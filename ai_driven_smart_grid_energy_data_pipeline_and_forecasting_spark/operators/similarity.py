@@ -188,49 +188,89 @@ def cosine_threshold_pairs(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All corpus pairs with cosine ≥ threshold — embedding near-dup.
 
-    Exact all-pairs is inherently O(n²) with one side resident: the
-    full matrix ships to every task (as a broadcast join would), the
-    other side streams in Arrow blocks, and each block scores against
-    the matrix in one vectorized kernel; only matching pairs leave the
-    task. This is the exact baseline for corpora whose matrix fits an
-    executor (n·dims·8 bytes); beyond that, ``ann_lsh_pairs`` is the
-    scale path (no resident matrix, no n²)."""
+    Exact all-pairs is inherently O(n²) in *scoring*, but nothing needs
+    to be resident on the driver or broadcast whole: block-matrix
+    self-join.  Vectors are assigned to B = ``n_blocks`` blocks by
+    ``id % B``; each unordered block pair (i ≤ j) becomes one
+    ``applyInPandas`` group holding the two block matrices (tagged by
+    side), scored in one vectorized kernel; only pairs ≥ threshold leave
+    the task.  Each unordered vector pair is scored exactly once: the
+    diagonal group (i == i) applies a strict id< mask, off-diagonal
+    groups emit (min, max).
+
+    Scale shape: shuffle volume is corpus × (B+1) — each vector is
+    replicated into the B+1 block pairs it participates in — and peak
+    task memory is the two block matrices, ~2·(n/B)·dims·8 bytes.  Pick
+    ``n_blocks`` ≈ n·dims·8 / task_budget to bound memory; replication
+    grows only linearly in B.  No driver collect, no full-corpus
+    broadcast — the O(n²) stays in the kernel FLOPs, which is what
+    "exact all-pairs" irreducibly costs.  Beyond that, ``ann_lsh_pairs``
+    is the sub-quadratic scale path.  Per-pair arithmetic is
+    dimension-ordered (`_ordered_gemm`), so results are bit-identical
+    for any B.
+    """
     spark = emb.sparkSession
-    pdf = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    mat = _as_matrix(pdf[vec_col], dims)
-    norms = _ordered_norms(mat) if len(ids) else np.empty(0)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    if n_blocks is None:
+        n_blocks = max(8, spark.sparkContext.defaultParallelism // 4)
+    pairs = spark.createDataFrame(
+        [
+            (i, j, i * n_blocks + j)
+            for i in range(n_blocks)
+            for j in range(i, n_blocks)
+        ],
+        "blk_a int, blk_b int, pair_id int",
+    )
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    a_side = v.join(F.broadcast(pairs), v.blk == pairs.blk_a).select(
+        "pair_id", "vid", "vec", F.lit(0).alias("side")
+    )
+    b_side = v.join(
+        F.broadcast(pairs.filter(F.col("blk_a") != F.col("blk_b"))),
+        v.blk == pairs.blk_b,
+    ).select("pair_id", "vid", "vec", F.lit(1).alias("side"))
+    both = a_side.unionByName(b_side)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_all, m_all, n_all = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mx = _as_matrix(pdf[vec_col], dims)
-            nx = _ordered_norms(mx)
-            ids_x = pdf[id_col].to_numpy(dtype=np.int64)
-            sim = _ordered_gemm(mx, m_all) / np.multiply.outer(nx, n_all)
-            ai, bi = np.nonzero(
-                (sim >= threshold) & np.less.outer(ids_x, ids_all)
+    def score_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        diagonal = len(b) == 0
+        if diagonal:
+            b = a
+        ids_a = a["vid"].to_numpy(dtype=np.int64)
+        ids_b = b["vid"].to_numpy(dtype=np.int64)
+        ma = _as_matrix(a["vec"], dims)
+        mb = _as_matrix(b["vec"], dims)
+        sim = _ordered_gemm(ma, mb) / np.multiply.outer(
+            _ordered_norms(ma), _ordered_norms(mb)
+        )
+        mask = sim >= threshold
+        if diagonal:
+            mask &= np.less.outer(ids_a, ids_b)
+        ai, bi = np.nonzero(mask)
+        if not len(ai):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
             )
-            if len(ai):
-                yield pd.DataFrame(
-                    {
-                        "vec_a": ids_x[ai],
-                        "vec_b": ids_all[bi],
-                        "sim": sim[ai, bi],
-                    }
-                )
+        xa, xb = ids_a[ai], ids_b[bi]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(xa, xb),
+                "vec_b": np.maximum(xa, xb),
+                "sim": sim[ai, bi],
+            }
+        )
 
-    n_tasks = emb.sparkSession.sparkContext.defaultParallelism
     return (
-        emb.select(id_col, vec_col)
-        .repartition(n_tasks)
-        .mapInPandas(score, "vec_a long, vec_b long, sim double")
+        both.groupBy("pair_id")
+        .applyInPandas(score_pair, "vec_a long, vec_b long, sim double")
         .orderBy("vec_a", "vec_b")
     )
 
