@@ -426,14 +426,22 @@ def q_silver_clean_vs_actual(spark, sf_dir):
 
 
 def q_forecast_mllib(spark, sf_dir):
-    # MLlib path: one global distributed LinearRegression over lag
-    # features — not SQL-expressible (rows-only check)
+    # MLlib path: one global distributed LinearRegression (normal-
+    # equation solver) over lag features. Oracle-checked: the DuckDB
+    # twin solves the identical normal equations in closed form
+    # (Cramer), and both sides round to 6 decimals (the forecast-family
+    # convention), absorbing solver-order float noise.
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
         forecast as FC,
     )
 
     fc = FC.mllib_forecast(_pseudo_features_hourly(spark, sf_dir), horizons=[1, 24])
-    return fc.orderBy("site", "var", "horizon_h", "ts_utc")
+    return fc.select(
+        "site", "ts_utc", "model", "var", "horizon_h",
+        F.round("yhat", 6).alias("yhat"),
+        F.round("yhat_lower", 6).alias("yhat_lower"),
+        F.round("yhat_upper", 6).alias("yhat_upper"),
+    ).orderBy("site", "var", "horizon_h", "ts_utc")
 
 
 def q_customers_with_orders(spark, sf_dir):
@@ -1675,6 +1683,94 @@ sig AS (
 """
 
 
+def _det3_sql(m) -> str:
+    """3×3 determinant as a SQL expression (entries are SQL strings)."""
+    return (
+        f"({m[0][0]})*(({m[1][1]})*({m[2][2]})-({m[1][2]})*({m[2][1]}))"
+        f"-({m[0][1]})*(({m[1][0]})*({m[2][2]})-({m[1][2]})*({m[2][0]}))"
+        f"+({m[0][2]})*(({m[1][0]})*({m[2][1]})-({m[1][1]})*({m[2][0]}))"
+    )
+
+
+def _det4_sql(m) -> str:
+    """4×4 determinant via first-row cofactor expansion."""
+    terms = []
+    for j in range(4):
+        minor = [[m[r][c] for c in range(4) if c != j] for r in range(1, 4)]
+        sign = 1 if j % 2 == 0 else -1
+        terms.append(f"({sign})*({m[0][j]})*({_det3_sql(minor)})")
+    return " + ".join(terms)
+
+
+def _mllib_oracle_sql() -> str:
+    """Closed-form OLS twin of ``mllib_forecast``: the normal equations
+    (X'X)β = X'y solved by Cramer's rule over plain SQL aggregates —
+    algebraically identical to MLlib's normal-equation solver, so after
+    the shared round-to-6 both engines agree exactly. One CTE chain per
+    horizon, UNION ALL."""
+    a = [
+        ["s00", "s01", "s02", "s03"],
+        ["s01", "s11", "s12", "s13"],
+        ["s02", "s12", "s22", "s23"],
+        ["s03", "s13", "s23", "s33"],
+    ]
+    b = ["b0", "b1", "b2", "b3"]
+    det_a = _det4_sql(a)
+    betas = []
+    for i in range(4):
+        ai = [[b[r] if c == i else a[r][c] for c in range(4)] for r in range(4)]
+        betas.append(f"({_det4_sql(ai)}) / det_a AS c{i}")
+    parts = []
+    for h in (1, 24):
+        back = 24 * (h // 24 + 1) if h % 24 == 0 else 24
+        parts.append(f"""
+f{h} AS (
+  SELECT * FROM (
+    SELECT site, ts_utc, var, y,
+           lag(y, {h}) OVER w AS lag_h,
+           lag(y, {back}) OVER w AS lag_season,
+           CASE WHEN var = 'pv' THEN 1.0 ELSE 0.0 END AS is_pv
+    FROM long WINDOW w AS (PARTITION BY site, var ORDER BY ts_utc)
+  ) WHERE lag_h IS NOT NULL AND lag_season IS NOT NULL
+),
+m{h} AS (
+  SELECT count(*) * 1.0 AS s00,
+         sum(lag_h) AS s01, sum(lag_season) AS s02, sum(is_pv) AS s03,
+         sum(lag_h * lag_h) AS s11, sum(lag_h * lag_season) AS s12,
+         sum(lag_h * is_pv) AS s13,
+         sum(lag_season * lag_season) AS s22, sum(lag_season * is_pv) AS s23,
+         sum(is_pv * is_pv) AS s33,
+         sum(y) AS b0, sum(y * lag_h) AS b1,
+         sum(y * lag_season) AS b2, sum(y * is_pv) AS b3
+  FROM f{h}
+),
+d{h} AS (SELECT *, {det_a} AS det_a FROM m{h}),
+beta{h} AS (SELECT {', '.join(betas)} FROM d{h}),
+pred{h} AS (
+  SELECT f.site, f.ts_utc, f.var, f.y,
+         c0 + c1 * f.lag_h + c2 * f.lag_season + c3 * f.is_pv AS pred
+  FROM f{h} f CROSS JOIN beta{h}
+),
+sg{h} AS (SELECT coalesce(stddev_samp(y - pred), 0.0) AS sigma FROM pred{h}),
+out{h} AS (
+  SELECT site, ts_utc, 'mllib_lr' AS model, var, {h} AS horizon_h,
+         round(greatest(pred, 0.0), 6) AS yhat,
+         round(greatest(greatest(pred, 0.0) - 1.96 * sigma, 0.0), 6)
+           AS yhat_lower,
+         round(greatest(pred, 0.0) + 1.96 * sigma, 6) AS yhat_upper
+  FROM pred{h} CROSS JOIN sg{h}
+)""")
+    return (
+        _PSEUDO_FEATURES_CTE
+        + ","
+        + ",".join(parts)
+        + """
+SELECT * FROM out1 UNION ALL SELECT * FROM out24
+ORDER BY site, var, horizon_h, ts_utc
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "summary_events": """
@@ -2338,6 +2434,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY "rank" <= 5
             ORDER BY query_id, "rank"
         """,
+        "forecast_mllib": _mllib_oracle_sql(),
         "forecast_eval": _PSEUDO_FEATURES_CTE
         + """,
             fc AS (

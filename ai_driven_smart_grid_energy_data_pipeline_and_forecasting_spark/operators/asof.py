@@ -99,6 +99,7 @@ def asof_join_broadcast(
     left_ts: str = "ts_utc",
     right_ts: str = "ts_utc",
     tolerance_hours: int | None = None,
+    max_build_rows: int = 5_000_000,
 ) -> DataFrame:
     """Broadcast strategy for the same as-of semantics: the right side
     is collected into per-key sorted timestamp arrays (the build side
@@ -106,6 +107,12 @@ def asof_join_broadcast(
     probed with a vectorized ``searchsorted`` per left batch. The left
     side never shuffles — the right strategy when the right side is a
     small dimension-like series and the left is the 100 TB fact.
+
+    The build side MUST be dimension-sized: ``max_build_rows`` guards
+    the collect so a misrouted large right side fails loudly with a
+    pointer to ``asof_join`` (the both-sides-large strategy) instead of
+    OOMing the driver.  The extra ``count()`` is one agg over the side
+    we were about to collect anyway.
 
     Output schema and semantics identical to ``asof_join`` (right rows
     at exactly the left timestamp match; collisions suffixed
@@ -115,6 +122,15 @@ def asof_join_broadcast(
     lpay = [c for c in left.columns if c not in keys and c != left_ts]
     rpay = [c for c in right.columns if c not in keys and c != right_ts]
     spark = left.sparkSession
+
+    n_right = right.count()
+    if n_right > max_build_rows:
+        raise ValueError(
+            f"asof_join_broadcast build side has {n_right:,} rows "
+            f"(max_build_rows={max_build_rows:,}); this strategy collects "
+            "the right side to the driver — use asof_join (union-and-window) "
+            "for large right sides, or raise max_build_rows deliberately."
+        )
 
     rpdf = right.select(*keys, right_ts, *rpay).toPandas()
     build: dict = {}

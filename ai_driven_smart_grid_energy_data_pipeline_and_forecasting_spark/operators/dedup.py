@@ -361,6 +361,11 @@ def connected_components(
     DataFrame ops; the driver only checks the convergence counter.
     ``localCheckpoint`` truncates the growing lineage so round N's plan
     doesn't re-derive rounds 1..N-1.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — silently returning unconverged labels would
+    split dedup groups with no signal. A component's diameter bounds the
+    rounds needed, so raise ``max_iter`` for pathological chain graphs.
     """
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -395,6 +400,12 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — "
+            "returning partial labels would silently split dedup groups."
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
 
 

@@ -50,9 +50,13 @@ def funnel_reach(
                 F.col(ts_col)
                 <= F.col(f"t{i-1}") + F.expr(f"INTERVAL {max_gap_hours} HOURS")
             )
+        # No broadcast hint: step-1 reach is one row per converting
+        # user, which at corpus scale can exceed broadcast limits — let
+        # AQE pick the strategy from runtime sizes (it broadcasts small
+        # reach frames on its own).
         nxt = (
             events.filter(F.col(type_col) == step)
-            .join(F.broadcast(out.select(user_col, f"t{i-1}")), user_col)
+            .join(out.select(user_col, f"t{i-1}"), user_col)
             .filter(cond)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias(f"t{i}"))

@@ -90,6 +90,38 @@ def merge_upsert(
     return n
 
 
+def _partition_sizes(
+    spark: SparkSession, path: str, partition_by: Sequence[str]
+) -> dict[tuple[str, ...], int]:
+    """One recursive Hadoop-FileSystem listing → {partition values:
+    total parquet bytes}. Goes through the FS API, not ``os``, so the
+    same code paths work on HDFS/S3A mounts, and the whole table costs
+    a single metadata pass instead of one listing per partition."""
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    sizes: dict[tuple[str, ...], int] = {}
+    while it.hasNext():
+        st = it.next()
+        fp = st.getPath().toString()
+        if not fp.endswith(".parquet"):
+            continue
+        kv = dict(
+            seg.split("=", 1)
+            for seg in fp.split("/")[:-1]
+            if "=" in seg
+        )
+        try:
+            key = tuple(unquote(kv[k]) for k in partition_by)
+        except KeyError:
+            continue  # stray file outside the partition layout
+        sizes[key] = sizes.get(key, 0) + st.getLen()
+    return sizes
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -102,32 +134,48 @@ def compact_partitions(
     file-count (driver listing, task scheduling, open cost) becomes the
     bottleneck before data size does.
 
-    Per partition: files_out = ceil(partition_bytes / target) via
-    ``coalesce`` (no shuffle — coalesce only narrows). Returns
-    {partition_value: files_after}. Content is byte-identical (same
-    rows, same schema); only the file layout changes — asserted by the
+    One job for the whole table: partition byte sizes come from a single
+    recursive FS listing; each partition's row set is hashed into
+    ceil(bytes / target) buckets (content hash — deterministic, no RNG);
+    one repartition on (partition cols, bucket) then one dynamic
+    partition overwrite rewrites every partition in parallel. No
+    per-partition driver loop — 100k partitions is one shuffle, not a
+    day of serial jobs. Returns {partition_value: files_planned}
+    (a bucket-to-task hash collision can merge two buckets of the same
+    partition into one file — fewer, larger files, never lost rows).
+    Content is row-identical; only layout changes — asserted by the
     round-trip test. Transactional formats run this as OPTIMIZE; the
     logic is the same."""
     import math
 
-    out: dict[str, int] = {}
+    sizes = _partition_sizes(spark, path, partition_by)
+    if not sizes:
+        return {}
+    n_files = {
+        vals: max(1, math.ceil(sz / target_file_bytes))
+        for vals, sz in sizes.items()
+    }
+    nf_df = spark.createDataFrame(
+        [(*vals, nf) for vals, nf in n_files.items()],
+        ", ".join([f"_pv_{k} string" for k in partition_by] + ["_nf int"]),
+    )
     table = spark.read.parquet(path)
-    part_vals = [
-        tuple(str(v) for v in r)
-        for r in table.select(*partition_by).distinct().collect()
-    ]
-    for vals in sorted(part_vals):
-        sub = os.path.join(
-            path, *[f"{k}={v}" for k, v in zip(partition_by, vals)]
-        )
-        size = sum(
-            os.path.getsize(os.path.join(sub, f))
-            for f in os.listdir(sub)
-            if f.endswith(".parquet")
-        )
-        n_files = max(1, math.ceil(size / target_file_bytes))
-        part_df = spark.read.parquet(sub).coalesce(n_files)
-        compacted = part_df.localCheckpoint(eager=True)
-        compacted.coalesce(n_files).write.mode("overwrite").parquet(sub)
-        out["/".join(vals)] = n_files
-    return out
+    data_cols = [c for c in table.columns if c not in partition_by]
+    cond = None
+    for k in partition_by:
+        eq = table[k].cast("string") == nf_df[f"_pv_{k}"]
+        cond = eq if cond is None else (cond & eq)
+    bucketed = table.join(F.broadcast(nf_df), cond).withColumn(
+        "_b", F.pmod(F.xxhash64(*data_cols), F.col("_nf"))
+    )
+    total = sum(n_files.values())
+    out = (
+        bucketed.repartition(total, *partition_by, "_b")
+        .drop("_b", "_nf", *[f"_pv_{k}" for k in partition_by])
+        # materialize before overwriting the path being read (see
+        # merge_upsert; Delta/Iceberg replace this with a commit)
+        .localCheckpoint(eager=True)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    return {"/".join(vals): nf for vals, nf in sorted(n_files.items())}

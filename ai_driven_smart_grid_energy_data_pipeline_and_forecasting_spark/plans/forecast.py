@@ -164,7 +164,11 @@ def mllib_forecast(
 
     out = None
     for h in horizons:
-        back = season * -(-h // season)
+        # seasonal lag: the next season multiple STRICTLY beyond h —
+        # when h is itself a multiple of the season, season*ceil(h/24)
+        # would equal h, making lag_season ≡ lag_h (a singular normal
+        # system whose "solution" is solver-dependent noise)
+        back = season * (h // season + 1) if h % season == 0 else season * -(-h // season)
         feat = (
             long.withColumn("lag_h", F.lag("y", h).over(w))
             .withColumn("lag_season", F.lag("y", back).over(w))

@@ -11,7 +11,10 @@ bronze weather path (``ingest_stream.py``):
   micro-batch), the streaming analog of a crawler handing off shards;
 - per-batch exact dedup on the content fingerprint (first-wins inside
   a batch — deterministic because the merge key orders replays);
-- sink: ``foreachBatch`` + ``merge_upsert`` keyed by doc_id, so
+- sink: ``foreachBatch`` + ``merge_upsert`` keyed by (source, doc_id) —
+  the merge key includes the partition column, so the key always
+  resolves inside the one partition the merge rewrites (a key that
+  crossed partitions would leave stale rows in the untouched ones);
   replaying a shard is an observable no-op (exactly-once effect);
   cross-shard near-dup dedup stays an offline compaction job (the
   batch dedup family) — streaming state for corpus-wide MinHash would
@@ -71,7 +74,10 @@ def stream_clean_documents(
 ) -> StreamingQuery:
     """document stream → scrub → per-batch fingerprint dedup →
     idempotent keyed upsert. Partitioned by source (the natural
-    domain-shard at scale)."""
+    domain-shard at scale); the merge key is (source, doc_id) so the
+    key prefix IS the partition key — merge_upsert prunes to touched
+    partitions, and a key that didn't determine its partition could
+    silently duplicate across them."""
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -81,7 +87,7 @@ def stream_clean_documents(
             batch.sparkSession,
             out_path,
             cleaned.withColumn("batch_seq", F.lit(batch_id)),
-            keys=["doc_id"],
+            keys=["source", "doc_id"],
             order_col="batch_seq",
             partition_by=("source",),
         )

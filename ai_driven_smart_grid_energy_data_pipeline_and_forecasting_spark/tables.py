@@ -36,6 +36,11 @@ _NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    # Pin UTC on whatever session the caller supplies (the driver hands
+    # us its own, not get_spark's): date_trunc hour-binning and
+    # timestamp-literal casts are session-zone-dependent, and a +05:30
+    # session would silently shift every result away from the oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)

@@ -92,3 +92,33 @@ def test_stream_incremental_shards_accumulate(spark, tmp_path):
 
     ids = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert ids == {1, 5}
+
+
+def test_stream_same_doc_updates_within_source_and_splits_across(spark, tmp_path):
+    # merge key is (source, doc_id): a re-ingest under the SAME source
+    # updates in place; under a DIFFERENT source it is a distinct row
+    # (the key prefix is the partition key, so no stale cross-partition
+    # duplicate can survive a merge)
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    _drop(drop, "shard1.json", [_row(1, GOOD, source="srcA")])
+    q = stream_clean_documents(read_document_stream(spark, str(drop)), out, ckpt)
+    q.awaitTermination(60)
+
+    _drop(
+        drop,
+        "shard2.json",
+        [
+            _row(1, GOOD + " revised under the same source", source="srcA"),
+            _row(1, GOOD + " republished by a second source", source="srcB"),
+        ],
+    )
+    q = stream_clean_documents(read_document_stream(spark, str(drop)), out, ckpt)
+    q.awaitTermination(60)
+
+    rows = sorted(
+        (r.source, r.doc_id, r.text) for r in spark.read.parquet(out).collect()
+    )
+    assert [(s, d) for s, d, _ in rows] == [("srcA", 1), ("srcB", 1)]
+    assert "revised" in rows[0][2]  # srcA updated in place, not duplicated

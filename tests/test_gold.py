@@ -157,6 +157,26 @@ def test_asof_broadcast_matches_union_window(spark):
     assert rat == rbt
 
 
+def test_asof_broadcast_guard_trips_on_large_build_side(spark):
+    import pytest as _pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.asof import (
+        asof_join_broadcast,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    left = ev.select("user_id", "ts", "value").limit(10)
+    with _pytest.raises(ValueError, match="asof_join"):
+        asof_join_broadcast(
+            left, ev.select("user_id", "ts", "value"),
+            keys=["user_id"], left_ts="ts", right_ts="ts",
+            max_build_rows=100,
+        )
+
+
 def test_gap_fill_bounded_forward_fill(spark):
     import datetime as dt
 

@@ -85,3 +85,50 @@ def test_bronze_schema_columns(payloads):
     assert bronze.columns == [
         "site", "ts_utc", "ghi_wm2", "t2m_c", "ws10_mps", "raw_json", "ingested_at",
     ]
+
+
+# ---------------------------------------------------- S1 HTTP transport
+
+
+def test_build_power_url_matches_reference_assembly():
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.sources.fetch import (
+        build_power_url,
+    )
+
+    url = build_power_url(52.5, 13.4, "20250101", "20250102")
+    base, _, qs = url.partition("?")
+    assert base == "https://power.larc.nasa.gov/api/temporal/hourly/point"
+    # insertion-ordered query string, params comma-joined (nasa.py:34-46)
+    assert qs == (
+        "parameters=ALLSKY_SFC_SW_DWN,T2M,WS10M&community=RE"
+        "&longitude=13.4&latitude=52.5&start=20250101&end=20250102"
+        "&format=JSON&time-standard=UTC"
+    )
+
+
+def test_fetch_power_mocked_transport_feeds_distributed_parse(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.sources.fetch import (
+        fetch_payload_rows,
+    )
+
+    seen: list[tuple[str, float]] = []
+
+    def transport(url: str, timeout: float) -> str:
+        seen.append((url, timeout))
+        return json.dumps(SHAPE_A)
+
+    bronze = payloads_to_bronze(
+        fetch_payload_rows(
+            spark,
+            [("site_a", 52.5, 13.4)],
+            "20250101",
+            "20250102",
+            transport=transport,
+        ),
+        ingested_at="2025-01-03 00:00:00",
+    )
+    rows = {r.ts_utc.hour: r for r in bronze.collect()}
+    assert len(seen) == 1 and seen[0][1] == 60  # one call, 60 s timeout
+    assert "start=20250101&end=20250102" in seen[0][0]
+    assert rows[0].ghi_wm2 == 0.0 and rows[0].t2m_c == -3.1
+    assert rows[2].ghi_wm2 is None  # JSON null survives the full path

@@ -247,3 +247,19 @@ def test_expectation_report_flags_violations(spark):
     # NULL cat is not counted as out-of-set (three-valued logic keeps
     # domain checks orthogonal to null checks)
     assert got["cat_domain"][1] in (True, False)
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+    import pytest as _pytest
+
+    # a 6-vertex chain needs ~5 rounds of min-label propagation
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    ok = connected_components(chain, max_iter=10).collect()
+    assert {r.component for r in ok} == {0}
