@@ -1359,15 +1359,23 @@ def q_doc_stratified_sample(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the round-1 driver artifact only covered the
-    # first 50 entries, so the 53 entries it never reached are listed FIRST
-    # here.  Every entry is oracle-checked locally by tests/test_entry_oracle.py
+    # Registry order matters: the driver sweep certifies the first ~50 entries
+    # per round.  Round 3 front-loads the only five queries without a green
+    # driver row across rounds 1-2: the four doc/text queries stranded at
+    # positions 51-54 in r2, plus shipping_delay_report (r2 hash-fail traced
+    # to the oracle's uncast integer CASE-sum, fixed with CAST ... AS BIGINT).
+    # Every entry is oracle-checked locally by tests/test_entry_oracle.py
     # regardless of order; this ordering only affects which rows a
     # count/time-bounded external sweep certifies first.
     return {
-        # --- new in round 2 --------------------------------------------------
+        # --- round-3 certification targets (never driver-green before) ------
+        "doc_pii_stats": q_doc_pii_stats,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_commonness": q_doc_commonness,
+        "corpus_ngram_topk": q_corpus_ngram_topk,
+        "shipping_delay_report": q_shipping_delay_report,
+        # --- round-2 green rows ---------------------------------------------
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        # --- round-1 unchecked tail, promoted to the front -------------------
         "silver_reason_counts": q_silver_reason_counts,
         "silver_clean_vs_actual": q_silver_clean_vs_actual,
         "forecast_mllib": q_forecast_mllib,
@@ -1390,7 +1398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_supplier": q_top_revenue_supplier,
         "nation_market_share": q_nation_market_share,
         "product_type_profit": q_product_type_profit,
-        "shipping_delay_report": q_shipping_delay_report,
         "regional_cheapest_supplier": q_regional_cheapest_supplier,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
@@ -1417,10 +1424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_stats": q_doc_pack_stats,
         "doc_mixture_counts": q_doc_mixture_counts,
         "doc_contamination": q_doc_contamination,
-        "doc_pii_stats": q_doc_pii_stats,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "doc_commonness": q_doc_commonness,
-        "corpus_ngram_topk": q_corpus_ngram_topk,
         # --- round-1 green rows (already driver-certified) -------------------
         "summary_events": q_summary_events,
         "distinct_event_types": q_distinct_event_types,
@@ -2911,10 +2914,10 @@ def oracle_sql() -> dict[str, str]:
                        THEN 'normal'
                      ELSE 'slow'
                    END AS delay_bucket,
-                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY delay_bucket

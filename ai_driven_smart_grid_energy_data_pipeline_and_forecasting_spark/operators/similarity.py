@@ -215,7 +215,9 @@ def cosine_threshold_pairs(
     """
     spark = emb.sparkSession
     if n_blocks is None:
-        n_blocks = max(8, spark.sparkContext.defaultParallelism // 4)
+        n_blocks = _auto_n_blocks(
+            emb.count(), dims, parallelism=spark.sparkContext.defaultParallelism
+        )
     pairs = spark.createDataFrame(
         [
             (i, j, i * n_blocks + j)
@@ -238,12 +240,25 @@ def cosine_threshold_pairs(
     ).select("pair_id", "vid", "vec", F.lit(1).alias("side"))
     both = a_side.unionByName(b_side)
 
+    empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+        {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
+    )
+
     def score_pair(pdf: pd.DataFrame) -> pd.DataFrame:
         a = pdf[pdf["side"] == 0]
         b = pdf[pdf["side"] == 1]
-        diagonal = len(b) == 0
+        # Diagonal groups (blk_a == blk_b) carry only side-0 rows by
+        # construction.  Decide from the group KEY, not from b's emptiness:
+        # pair_id = i*n_blocks + j ≡ (j - i) mod (n_blocks+1), so the
+        # diagonal is exactly pair_id % (n_blocks+1) == 0.  An off-diagonal
+        # group whose partner block holds no ids (residues mod n_blocks not
+        # all populated) must emit nothing — treating it as a diagonal would
+        # re-emit block i's internal pairs once per empty partner.
+        diagonal = int(pdf["pair_id"].iloc[0]) % (n_blocks + 1) == 0
         if diagonal:
             b = a
+        if len(a) == 0 or len(b) == 0:
+            return empty
         ids_a = a["vid"].to_numpy(dtype=np.int64)
         ids_b = b["vid"].to_numpy(dtype=np.int64)
         ma = _as_matrix(a["vec"], dims)

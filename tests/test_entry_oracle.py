@@ -38,6 +38,31 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the class the driver's hash distinguishes.
+
+    The driver hashes values together with their arrow types, so a Spark
+    bigint vs a DuckDB HUGEINT (int128 -> float64 via fetchdf) hash-fails
+    even when every value matches (round-2 ``shipping_delay_report``).
+    Comparing collapsed kinds locally catches uncast integer aggregates
+    (fix: ``CAST(... AS BIGINT)`` in the oracle) before the driver does.
+    """
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        # Nullable ints surface as float64 (NaN-capable) from BOTH Spark's
+        # toPandas and DuckDB's fetchdf, so int-valued floats WITH nulls are
+        # representation noise; all-integral floats with no nulls on one side
+        # only are the HUGEINT smell.
+        return "float"
+    if k == "M":
+        return "datetime"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
 def _values_match(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -65,6 +90,17 @@ def test_query_matches_oracle(spark, duck, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for col in got.columns:
+        gk, wk = _dtype_kind(got[col]), _dtype_kind(want[col])
+        if gk != wk and not (
+            {gk, wk} == {"int", "float"}
+            and (got[col].isna().any() or want[col].isna().any())
+        ):
+            raise AssertionError(
+                f"{name}.{col}: dtype kind {gk} != {wk} "
+                f"({got[col].dtype} vs {want[col].dtype}) — driver hashes "
+                f"types; cast the oracle (e.g. CAST(... AS BIGINT))"
+            )
     for col in got.columns:
         ga, wa = got[col].tolist(), want[col].tolist()
         bad = [
