@@ -182,6 +182,39 @@ def ann_bruteforce_topk(
     )
 
 
+#: Per-task memory budget the auto block count is sized against.  A
+#: block-pair task materializes two (n/B)×dims float64 matrices plus the
+#: Arrow batch they came from; 128 MiB keeps that comfortably inside a
+#: default 1 GiB-heap executor core even with the gemm temporaries.
+_DEFAULT_TASK_BUDGET_BYTES = 128 * 1024 * 1024
+
+
+def _auto_n_blocks(
+    n_rows: int,
+    dims: int,
+    parallelism: int = 32,
+    task_budget_bytes: int = _DEFAULT_TASK_BUDGET_BYTES,
+) -> int:
+    """Derive the block count for :func:`cosine_threshold_pairs`.
+
+    This is the docstring formula made code (VERDICT r2 #8): peak task
+    memory is the two side matrices, ~2·(n/B)·dims·8 bytes, so the
+    memory floor is B ≥ 2·n·dims·8 / task_budget — a caller can no
+    longer pick (or default into) a B that OOMs a task.  Below that
+    floor, use just enough blocks that the B(B+1)/2 block-pair groups
+    cover the cluster's cores; shuffle volume grows linearly in B
+    (corpus × (B+1)), so parallelism we can't use isn't worth paying
+    replication for.
+    """
+    if n_rows <= 0:
+        return 1
+    mem_floor = -(-2 * n_rows * dims * 8 // max(1, task_budget_bytes))
+    par_floor = 1
+    while par_floor * (par_floor + 1) // 2 < max(1, parallelism):
+        par_floor += 1
+    return max(int(mem_floor), par_floor)
+
+
 def cosine_threshold_pairs(
     emb: DataFrame,
     threshold: float,

@@ -73,6 +73,38 @@ def test_cosine_pairs_invariant_to_block_count(emb):
         assert got == base, f"n_blocks={nb} changed the exact pair set"
 
 
+def test_cosine_pairs_sparse_residues_no_duplicates(emb):
+    # ADVICE r2 (high): ids that do NOT populate every residue mod
+    # n_blocks leave some blocks empty; an off-diagonal group with an
+    # empty b-side must emit NOTHING — the old emptiness-based diagonal
+    # detection re-emitted block i's internal pairs once per empty
+    # partner block.  Force the pathology: keep only ids ≡ 0 (mod 8)
+    # and run with n_blocks=8 so 7 of 8 blocks are empty.
+    sparse = emb.filter(F.col("vec_id") % 8 == 0)
+    base = sorted(
+        (r.vec_a, r.vec_b, r.sim)
+        for r in S.cosine_threshold_pairs(sparse, threshold=0.2, n_blocks=1).collect()
+    )
+    got_list = [
+        (r.vec_a, r.vec_b, r.sim)
+        for r in S.cosine_threshold_pairs(sparse, threshold=0.2, n_blocks=8).collect()
+    ]
+    assert len(got_list) == len(set(got_list)), "duplicate pairs emitted"
+    assert sorted(got_list) == base
+
+
+def test_auto_n_blocks_bounds_task_memory():
+    # the auto default must (a) satisfy the 2·(n/B)·dims·8 ≤ budget
+    # memory bound for large corpora and (b) never under-parallelize
+    # small ones below the block-pair count the cluster can use
+    n, dims, budget = 10_000_000, 512, S._DEFAULT_TASK_BUDGET_BYTES
+    b = S._auto_n_blocks(n, dims, parallelism=32)
+    assert 2 * (n / b) * dims * 8 <= budget
+    small = S._auto_n_blocks(1000, 64, parallelism=32)
+    assert small * (small + 1) // 2 >= 32
+    assert S._auto_n_blocks(0, 64) == 1
+
+
 def test_ivf_neighbors_scored_identically_to_bruteforce(emb):
     exact = {
         (r.query_id, r.neighbor_id): r.sim
