@@ -23,8 +23,19 @@ matches bit-exactly under any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _epoch_seconds(col: Column) -> Column:
+    """Epoch seconds for any timestamp flavor. ``CAST(ts AS BIGINT)`` is
+    legal for TIMESTAMP but a DATATYPE_MISMATCH AnalysisException for
+    TIMESTAMP_NTZ (Spark 4), and the testdata's parquet encoding has
+    flipped between the two across regenerations. Casting through
+    ``timestamp_ltz`` first is a no-op for LTZ and interprets NTZ in the
+    session zone — pinned UTC by ``tables.load_table`` — so both
+    encodings yield the same epoch the DuckDB oracle computes."""
+    return col.cast("timestamp_ltz").cast("long")
 
 
 def assign_sessions(
@@ -45,7 +56,7 @@ def assign_sessions(
     prev_ts = F.lag(ts_col).over(w)
     is_new = (
         prev_ts.isNull()
-        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds)
+        | (_epoch_seconds(F.col(ts_col)) - _epoch_seconds(prev_ts) > gap_seconds)
     ).cast("int")
     running = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -100,7 +111,7 @@ def session_stats(
             F.count(F.lit(1)).alias("n_events"),
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
-            (F.max(F.col(ts_col).cast("long")) - F.min(F.col(ts_col).cast("long")))
+            (F.max(_epoch_seconds(F.col(ts_col))) - F.min(_epoch_seconds(F.col(ts_col))))
             .alias("duration_sec"),
             F.countDistinct("event_type").alias("n_event_types"),
         )

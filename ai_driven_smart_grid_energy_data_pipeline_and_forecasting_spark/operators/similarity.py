@@ -188,6 +188,13 @@ def ann_bruteforce_topk(
 #: default 1 GiB-heap executor core even with the gemm temporaries.
 _DEFAULT_TASK_BUDGET_BYTES = 128 * 1024 * 1024
 
+#: Above this block count, exact all-pairs stops being the right tool:
+#: the B(B+1)/2 block-pair table exceeds broadcast comfort (~4096 →
+#: 8.4M pairs) and — more fundamentally — a corpus whose memory floor
+#: needs that many blocks implies O(n²) kernel FLOPs nobody should pay.
+#: `ann_lsh_pairs` is the sub-quadratic path at that scale.
+_MAX_AUTO_N_BLOCKS = 4096
+
 
 def _auto_n_blocks(
     n_rows: int,
@@ -205,10 +212,23 @@ def _auto_n_blocks(
     cover the cluster's cores; shuffle volume grows linearly in B
     (corpus × (B+1)), so parallelism we can't use isn't worth paying
     replication for.
+
+    Refuses (loudly, not with a silent cap) when the memory floor
+    exceeds ``_MAX_AUTO_N_BLOCKS``: at that point exact all-pairs is
+    the wrong algorithm and the caller should use :func:`ann_lsh_pairs`
+    — or pass ``n_blocks`` explicitly if they really mean it.
     """
     if n_rows <= 0:
         return 1
     mem_floor = -(-2 * n_rows * dims * 8 // max(1, task_budget_bytes))
+    if mem_floor > _MAX_AUTO_N_BLOCKS:
+        raise ValueError(
+            f"cosine_threshold_pairs: corpus needs n_blocks={mem_floor} to fit "
+            f"the {task_budget_bytes >> 20} MiB task budget, above the "
+            f"{_MAX_AUTO_N_BLOCKS} auto cap — exact all-pairs is impractical at "
+            f"this scale; use ann_lsh_pairs (sub-quadratic) or pass n_blocks "
+            f"explicitly to override."
+        )
     par_floor = 1
     while par_floor * (par_floor + 1) // 2 < max(1, parallelism):
         par_floor += 1
@@ -248,21 +268,35 @@ def cosine_threshold_pairs(
     """
     spark = emb.sparkSession
     if n_blocks is None:
+        # One extra count() action (a scan of emb's lineage) before the
+        # real job — the price of a safe default.  Callers with a known
+        # row count (or a cached input) can pass n_blocks to skip it.
         n_blocks = _auto_n_blocks(
             emb.count(), dims, parallelism=spark.sparkContext.defaultParallelism
         )
-    pairs = spark.createDataFrame(
-        [
-            (i, j, i * n_blocks + j)
-            for i in range(n_blocks)
-            for j in range(i, n_blocks)
-        ],
-        "blk_a int, blk_b int, pair_id int",
+    # Block-pair table generated distributed (spark.range), never as a
+    # driver-side Python list: at the 100 TB floor B can reach tens of
+    # thousands and B(B+1)/2 tuples would OOM the driver.  pair_id is
+    # LONG — i*n_blocks + j overflows int32 once n_blocks > 46341.
+    pairs = (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            F.floor(F.col("id") / n_blocks).cast("int").alias("blk_a"),
+            F.pmod(F.col("id"), n_blocks).cast("int").alias("blk_b"),
+            F.col("id").alias("pair_id"),
+        )
+        .filter(F.col("blk_a") <= F.col("blk_b"))
     )
+    # Blocks are assigned by hash, not id % B: results are provably
+    # invariant to the blocking (every unordered pair is scored exactly
+    # once either way), so hashing changes only balance — and it keeps
+    # the 2·(n/B)·dims·8 task-memory guarantee honest under skewed or
+    # sparse id distributions (e.g. ids all ≡ 0 mod B, which would put
+    # the whole corpus in one block under modulo assignment).
     v = emb.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     a_side = v.join(F.broadcast(pairs), v.blk == pairs.blk_a).select(
         "pair_id", "vid", "vec", F.lit(0).alias("side")

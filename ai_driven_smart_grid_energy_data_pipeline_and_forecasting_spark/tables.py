@@ -28,11 +28,32 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark (≤4.x) cannot
-# read natively: read as epoch-nanos long, then integer-DIV to micros.
-# DIV (not float division) — epoch nanos ≈ 1.7e18 exceeds double's 2^53
-# mantissa, so a float path would corrupt microseconds.
-_NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# Declared canonical-timestamp columns, normalized to TIMESTAMP (LTZ,
+# session zone pinned UTC) whatever encoding the parquet arrives in.
+# The driver has regenerated testdata with three encodings so far:
+#   - TIMESTAMP(NANOS): Spark ≤4.x can't read natively → read as
+#     epoch-nanos long (legacy.parquet.nanosAsLong), integer-DIV to
+#     micros. DIV, not float division — epoch nanos ≈ 1.7e18 exceeds
+#     double's 2^53 mantissa, a float path corrupts microseconds.
+#   - timestamp[us] without UTC adjustment → Spark reads TIMESTAMP_NTZ;
+#     cast to LTZ interprets the wall-clock as UTC (session zone).
+#   - timestamp[us, tz=UTC] → already TIMESTAMP, no-op.
+# Normalizing here (instead of per-operator shims) means a future
+# encoding flip breaks one table-load test, not a scattered set of
+# operators — the round-3 NTZ drift broke sessionization downstream.
+_CANONICAL_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def _normalize_ts(df: DataFrame, cols: list[str]) -> DataFrame:
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        t = dtypes.get(c)
+        if t == "bigint":  # epoch nanos via nanosAsLong
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp_ltz"))
+        # "timestamp" (LTZ) or absent column: leave as-is
+    return df
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
@@ -43,11 +64,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    dtypes = dict(df.dtypes)
-    for c in _NANOS_TS_COLS.get(name, []):
-        if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-    return df
+    return _normalize_ts(df, _CANONICAL_TS_COLS.get(name, []))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

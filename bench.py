@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_text_stats",
     "exact_dedup",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_topk",
@@ -105,28 +106,36 @@ def main() -> None:
     # (Catalyst analysis + Janino, ~1s per plan regardless of data); the
     # second is the steady-state execution a long-lived engine delivers.
     # We report steady-state per query and keep the cold total visible.
+    # Each query is fenced in try/except: one regression must cost one
+    # number, not the whole artifact (round 3 lost all 52 timings to a
+    # single AnalysisException).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     cold_total = 0.0
     for name in HEADLINE:
         if name not in queries:
             continue
-        cold = run_once(name)
-        warm = run_once(name)
+        try:
+            cold = run_once(name)
+            warm = run_once(name)
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         cold_total += cold
         timings[name] = round(min(cold, warm), 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total_sec": round(cold_total, 4),
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total_sec": round(cold_total, 4),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

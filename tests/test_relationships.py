@@ -105,6 +105,17 @@ def test_auto_n_blocks_bounds_task_memory():
     assert S._auto_n_blocks(0, 64) == 1
 
 
+def test_auto_n_blocks_refuses_impractical_scale():
+    # 1e9 rows × 512 dims needs B ≈ 61k to satisfy the memory bound —
+    # exact all-pairs is the wrong algorithm there; the auto path must
+    # refuse loudly and point at ann_lsh_pairs, not silently derive a B
+    # whose pair table and shuffle replication are unusable.
+    import pytest
+
+    with pytest.raises(ValueError, match="ann_lsh_pairs"):
+        S._auto_n_blocks(1_000_000_000, 512, parallelism=32)
+
+
 def test_ivf_neighbors_scored_identically_to_bruteforce(emb):
     exact = {
         (r.query_id, r.neighbor_id): r.sim
