@@ -120,3 +120,57 @@ def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
         (r.site, r.ts_utc): r.v for r in spark.read.parquet(path).collect()
     }
     assert after == before
+
+
+def test_compact_null_and_zero_padded_partitions(spark, tmp_path):
+    # ADVICE r2 medium: path-derived partition matching silently skipped
+    # NULL partitions (__HIVE_DEFAULT_PARTITION__) and values whose
+    # inferred-type string differs from the directory name. Identity now
+    # comes from the data, so both must be compacted and reported.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+        compact_partitions,
+    )
+    import os
+
+    path = str(tmp_path / "t")
+    rows = [(None, 1.0), (None, 2.0), ("00123", 3.0), ("00123", 4.0)]
+    df = spark.createDataFrame(rows, "site string, v double").repartition(4)
+    df.write.partitionBy("site").parquet(path)
+
+    before = {(r.site, r.v) for r in spark.read.parquet(path).collect()}
+    report = compact_partitions(spark, path)
+    assert report == {"__HIVE_DEFAULT_PARTITION__": 1, "00123": 1}
+    # zero-padded directory name survives the rewrite byte-identically
+    assert os.path.isdir(os.path.join(path, "site=00123"))
+    assert os.path.isdir(os.path.join(path, "site=__HIVE_DEFAULT_PARTITION__"))
+    for d in ("site=00123", "site=__HIVE_DEFAULT_PARTITION__"):
+        n = len([f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")])
+        assert n == 1, d
+    after = {(r.site, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_crash_between_write_and_publish_keeps_old_snapshot(spark, tmp_path, monkeypatch):
+    # VERDICT r3 #6: staged write + rename publish. Killing the writer
+    # after the staged write but before publish must leave the previous
+    # snapshot fully readable; the next writer clears the stale staging
+    # and succeeds.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import upsert
+
+    target = str(tmp_path / "bronze")
+    base = spark.createDataFrame([("a", ts(0), 1.0, ing(0))], SCHEMA)
+    upsert.merge_upsert(spark, target, base, keys=["site", "ts_utc"], order_col="ingested_at")
+
+    def crash(*args, **kwargs):
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(upsert, "_publish_staged", crash)
+    update = spark.createDataFrame([("a", ts(0), 9.0, ing(1))], SCHEMA)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert.merge_upsert(spark, target, update, keys=["site", "ts_utc"], order_col="ingested_at")
+    # old snapshot intact — staged bytes are invisible to readers
+    assert read_all(spark, target)[("a", 0)][0] == 1.0
+    monkeypatch.undo()
+    # recovery: stale staging is cleared, retry lands the update
+    upsert.merge_upsert(spark, target, update, keys=["site", "ts_utc"], order_col="ingested_at")
+    assert read_all(spark, target)[("a", 0)][0] == 9.0
