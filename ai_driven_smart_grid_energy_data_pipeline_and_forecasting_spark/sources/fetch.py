@@ -13,11 +13,15 @@ Parity with the reference:
 - same base URL, parameter list, community=RE, format=JSON,
   time-standard=UTC query assembly (``nasa.py:34-46``)
 - 60 s timeout, raise on HTTP error status (``nasa.py:50-54``)
+- plus bounded exponential retry on transient failures (timeouts,
+  connection drops, 5xx) — the resilience the reference's bare
+  ``requests.get`` lacks; 4xx client errors fail immediately.
 """
 
 from __future__ import annotations
 
 import json
+import time
 from typing import Any, Callable, Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +30,8 @@ from .nasa_power import PARAMS
 
 POWER_BASE = "https://power.larc.nasa.gov/api/temporal/hourly/point"
 DEFAULT_TIMEOUT_S = 60
+DEFAULT_RETRIES = 4
+BACKOFF_BASE_S = 0.5
 
 
 def build_power_url(
@@ -55,6 +61,23 @@ def _default_transport(url: str, timeout: float) -> str:
     return response.text
 
 
+def _is_retryable(exc: BaseException) -> bool:
+    """Transient-failure classification: network timeouts/drops and 5xx
+    responses retry; 4xx (bad request, auth, rate-key) means the retry
+    would send the same wrong thing again, so it fails immediately."""
+    try:
+        import requests
+
+        if isinstance(exc, (requests.Timeout, requests.ConnectionError)):
+            return True
+        if isinstance(exc, requests.HTTPError):
+            resp = exc.response
+            return resp is not None and 500 <= resp.status_code < 600
+    except ImportError:
+        pass
+    return isinstance(exc, (TimeoutError, ConnectionError))
+
+
 def fetch_power(
     lat: float,
     lon: float,
@@ -62,15 +85,32 @@ def fetch_power(
     end_yyyymmdd: str,
     timeout: float = DEFAULT_TIMEOUT_S,
     transport: Callable[[str, float], str] | None = None,
+    retries: int = DEFAULT_RETRIES,
+    backoff_s: float = BACKOFF_BASE_S,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> str:
     """GET one payload as raw JSON text (reference ``nasa.py:50-54``).
 
     Returns text, not a parsed dict: the parse belongs to the
     distributed side (``parse_payloads``), and text round-trips into a
     DataFrame column without a driver-side json.loads/dumps cycle.
+
+    Transient failures retry up to ``retries`` times with exponential
+    backoff (backoff_s · 2^attempt — deterministic, no jitter RNG; one
+    driver-side fetch per (site, window) has no thundering-herd risk).
+    The retry wraps whatever ``transport`` is injected, so pooled or
+    mock transports inherit it; ``sleep`` is injectable for tests.
     """
     url = build_power_url(lat, lon, start_yyyymmdd, end_yyyymmdd)
-    return (transport or _default_transport)(url, timeout)
+    send = transport or _default_transport
+    for attempt in range(retries + 1):
+        try:
+            return send(url, timeout)
+        except Exception as exc:
+            if attempt >= retries or not _is_retryable(exc):
+                raise
+            sleep(backoff_s * (2**attempt))
+    raise AssertionError("unreachable")  # loop always returns or raises
 
 
 def fetch_payload_rows(

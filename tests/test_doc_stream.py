@@ -122,3 +122,50 @@ def test_stream_same_doc_updates_within_source_and_splits_across(spark, tmp_path
     )
     assert [(s, d) for s, d, _ in rows] == [("srcA", 1), ("srcB", 1)]
     assert "revised" in rows[0][2]  # srcA updated in place, not duplicated
+
+
+def test_stream_property_rotating_sources_exactly_one_row_per_key(spark, tmp_path):
+    # VERDICT r2 #6 property test: re-ingesting the SAME doc_id under a
+    # rotating source sequence (hypothesis-generated) must always end
+    # with exactly one live row per (source, doc_id) — the merge key —
+    # and that row must carry the LAST text ingested for that key.
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sources=st.lists(
+            st.sampled_from(["srcA", "srcB", "srcC"]), min_size=1, max_size=5
+        )
+    )
+    def run(sources):
+        counter[0] += 1
+        base = tmp_path / f"case{counter[0]}"
+        base.mkdir()
+        drop = base / "drop"
+        out, ckpt = str(base / "clean"), str(base / "ckpt")
+        for i, src in enumerate(sources):
+            _drop(
+                drop,
+                f"shard{i}.json",
+                [_row(1, GOOD + f" revision {i}", source=src)],
+            )
+            q = stream_clean_documents(
+                read_document_stream(spark, str(drop)), out, ckpt
+            )
+            q.awaitTermination(60)
+        rows = spark.read.parquet(out).collect()
+        keys = [(r.source, r.doc_id) for r in rows]
+        assert len(keys) == len(set(keys)), f"duplicate merge keys: {keys}"
+        assert set(keys) == {(s, 1) for s in set(sources)}
+        last_rev = {s: max(i for i, x in enumerate(sources) if x == s)
+                    for s in set(sources)}
+        for r in rows:
+            assert f"revision {last_rev[r.source]}" in r.text
+
+    run()
