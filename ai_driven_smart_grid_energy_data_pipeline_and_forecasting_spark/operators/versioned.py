@@ -20,7 +20,16 @@ plan time: each scan is still partition-pruned Parquet.
 
 Versions are dense integers (no wall-clock anywhere — deterministic
 and replay-safe). Concurrency control is out of scope (single-writer
-harness); a production port would CAS the manifest pointer.
+harness; see SCALE.md "Write concurrency"); a production port would
+CAS the manifest pointer.
+
+Commit protocol: a version's data files are written first (one
+partitioned Spark job — no per-partition driver loop, so a commit is
+one job whether it touches 3 partitions or 100k), then the manifest is
+published with write-temp + atomic rename. The manifest IS the commit:
+a crash before it leaves the previous version fully readable and the
+half-written data dir is unreferenced garbage the next commit
+overwrites.
 """
 
 from __future__ import annotations
@@ -57,10 +66,29 @@ def _read_manifest(root: str, version: int) -> dict[str, str]:
 
 
 def _write_manifest(root: str, version: int, partitions: dict[str, str]) -> None:
+    """Publish the manifest atomically: write a temp file, then
+    ``os.replace`` (atomic on POSIX). Readers resolve either the old
+    version list or the new one — never a torn manifest."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     path = os.path.join(_manifest_dir(root), f"v{version}.json")
-    with open(path, "w") as fh:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"version": version, "partitions": partitions}, fh, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _written_partitions(root: str, vtag: str, partition_by: str) -> list[str]:
+    """Partition values actually written under ``data/<vtag>`` — the
+    ground truth for the manifest (a merge that produced zero rows for
+    a partition writes no directory, so the manifest can never claim a
+    partition with no files)."""
+    d = os.path.join(root, "data", vtag)
+    if not os.path.isdir(d):
+        return []
+    prefix = f"{partition_by}="
+    return sorted(
+        name[len(prefix):] for name in os.listdir(d) if name.startswith(prefix)
+    )
 
 
 def _part_path(root: str, data_version: str, part_key: str, part_val: str) -> str:
@@ -74,15 +102,17 @@ def write_version(
     partition_by: str = "site",
 ) -> int:
     """Commit ``df`` as the next full snapshot (initial load / full
-    rebuild). Every partition is written under this version."""
+    rebuild). Every partition is written under this version — in ONE
+    partitioned write job; the old per-partition filter-and-write loop
+    was a serial job per partition, a day of driver round-trips at 100k
+    partitions. ``partitionBy`` produces the same ``<part>=<val>``
+    layout the manifest references."""
     ver = (versions(root)[-1] + 1) if versions(root) else 1
     vtag = f"v{ver}"
-    manifest: dict[str, str] = {}
-    part_vals = [r[0] for r in df.select(partition_by).distinct().collect()]
-    for val in sorted(map(str, part_vals)):
-        part = df.filter(F.col(partition_by) == val).drop(partition_by)
-        part.write.mode("overwrite").parquet(_part_path(root, vtag, partition_by, val))
-        manifest[val] = vtag
+    df.write.mode("overwrite").partitionBy(partition_by).parquet(
+        os.path.join(root, "data", vtag)
+    )
+    manifest = {val: vtag for val in _written_partitions(root, vtag, partition_by)}
     _write_manifest(root, ver, manifest)
     return ver
 
@@ -126,33 +156,52 @@ def merge_version(
     new version; untouched partitions are INHERITED by manifest
     reference — their files are shared, not copied. A touched
     partition whose merge yields zero rows drops out of the manifest
-    (partition deletion, which plain upsert cannot express)."""
+    (partition deletion, which plain upsert cannot express).
+
+    The commit is ONE Spark job: the touched slice of the current
+    snapshot (per-partition scans unioned at plan time — partition
+    pruning, no data copied) unions with the updates, one
+    ``latest_per_group`` resolves every key, and one ``partitionBy``
+    write lands every rewritten partition. The old shape looped
+    partitions on the driver with a per-partition read-merge-
+    checkpoint-write — O(touched) serial jobs and an eager
+    materialization each; this is O(1) jobs for any touched count.
+    Writes target the NEW version directory, so there is no
+    read-own-input hazard and no checkpoint."""
     prev_manifest = _read_manifest(root, versions(root)[-1]) if versions(root) else {}
     ver = (versions(root)[-1] + 1) if versions(root) else 1
     vtag = f"v{ver}"
 
+    # driver-bounded: one row per touched partition value
     touched = sorted(
         str(r[0]) for r in updates.select(partition_by).distinct().collect()
     )
+    cur_parts = [
+        spark.read.parquet(_part_path(root, prev_manifest[val], partition_by, val))
+        .withColumn(partition_by, F.lit(val))
+        for val in touched
+        if val in prev_manifest
+    ]
+    # the merge key must include the partition column — a key that
+    # crossed partitions could leave a stale twin in an untouched one
+    merge_keys = list(keys) if partition_by in keys else [partition_by, *keys]
+    target = (
+        reduce(lambda a, b: a.unionByName(b), cur_parts)
+        if cur_parts
+        else updates.limit(0)
+    )
+    merged = merge_frames(target, updates, keys=merge_keys, order_col=order_col)
+    merged.write.mode("overwrite").partitionBy(partition_by).parquet(
+        os.path.join(root, "data", vtag)
+    )
+
     manifest = dict(prev_manifest)
+    written = set(_written_partitions(root, vtag, partition_by))
     for val in touched:
-        upd = updates.filter(F.col(partition_by) == val).drop(partition_by)
-        if val in prev_manifest:
-            cur = spark.read.parquet(
-                _part_path(root, prev_manifest[val], partition_by, val)
-            )
-            merged = merge_frames(cur, upd, keys=[k for k in keys if k != partition_by],
-                                  order_col=order_col)
+        if val in written:
+            manifest[val] = vtag
         else:
-            merged = upd.dropDuplicates([k for k in keys if k != partition_by])
-        merged = merged.localCheckpoint(eager=True)
-        if merged.isEmpty():
-            manifest.pop(val, None)
-            continue
-        merged.write.mode("overwrite").parquet(
-            _part_path(root, vtag, partition_by, val)
-        )
-        manifest[val] = vtag
+            manifest.pop(val, None)  # merge emptied the partition
     _write_manifest(root, ver, manifest)
     return ver
 

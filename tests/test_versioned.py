@@ -128,3 +128,29 @@ def test_snapshot_diff_classifies_changes(spark, root):
         ).collect()
     }
     assert diff == {("alpha", 1): "update", ("gamma", 0): "insert"}
+
+
+def test_crash_before_manifest_leaves_previous_version_readable(spark, root, monkeypatch):
+    # The manifest write IS the commit: killing the writer after the
+    # data-file job but before the manifest publish must leave the
+    # latest committed version fully readable, and the next commit must
+    # succeed (the orphaned data dir is overwritten, not tripped over).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import versioned
+
+    before_versions = versions(root)
+    before = _snap(spark, root)
+
+    def crash(*args, **kwargs):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(versioned, "_write_manifest", crash)
+    upd = spark.createDataFrame([("alpha", ts(1), 99.0, ING1)], SCHEMA)
+    kw = dict(keys=["site", "ts_utc"], order_col="ingested_at")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_version(spark, root, upd, **kw)
+    assert versions(root) == before_versions  # nothing committed
+    assert _snap(spark, root) == before       # old snapshot intact
+    monkeypatch.undo()
+    ver = merge_version(spark, root, upd, **kw)
+    assert versions(root)[-1] == ver
+    assert _snap(spark, root)[("alpha", 1)] == 99.0
