@@ -237,9 +237,24 @@ def minhash_lsh_pairs(
     candidates; candidates are verified with exact Jaccard over their
     shingle sets. Output matches ngram_jaccard_pairs up to LSH recall.
 
-    Candidate generation shuffles on (band, band_hash) — hot buckets
-    (all-identical docs) are bounded by band width, and the verify join
-    touches only candidate docs' shingle arrays.
+    Shaped so the expensive subplans execute ONCE. A bands⋈bands
+    self-join re-executes the whole signature chain (corpus scan,
+    Python shingle kernel, 16-min aggregate) on each side — measured 4
+    MapInPandas executions per run with zero exchange reuse (broadcast
+    joins don't create reusable exchanges). Instead: candidates come
+    from ONE shuffle of the band rows — groupBy (band, band_hash),
+    collect the bucket's doc ids, expand in-bucket pairs with a double
+    explode (pure codegen) — and the verify step scans the shingle
+    sets ONCE, exploding each candidate pair into two (pair, doc)
+    roles and regrouping, instead of joining the sets subplan twice.
+    Two kernel passes total (signatures + verify sets), down from four.
+
+    Scale notes: the bucket collect_list is bounded by bucket width —
+    run exact dedup first (standard pipeline order) so identical docs
+    can't pile one bucket to corpus size; the candidate-pair output is
+    O(Σ bucket²) regardless of formulation, which is the LSH
+    parameterization's job to bound. The verify shuffle carries
+    shingle arrays only for candidate docs, not the corpus.
     """
     sig = minhash_signatures(docs, text_col, n)
     bands = sig.select(
@@ -253,30 +268,38 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("doc_id", "e.band", "e.bh")
-    a = bands.alias("a")
-    b = bands.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     sets = doc_shingle_sets(docs, text_col, n)
-    sa = sets.alias("sa")
-    sb = sets.alias("sb")
+    roles = cands.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
+    # exactly one non-null per (pair, role): first(ignorenulls) is
+    # deterministic under any partitioning
     verified = (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        roles.join(sets, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("shs")), ignorenulls=True
+            ).alias("shs_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("shs")), ignorenulls=True
+            ).alias("shs_b"),
+        )
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
-                / F.size(F.array_union(F.col("sa.shs"), F.col("sb.shs")))
+                F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+                / F.size(F.array_union(F.col("shs_a"), F.col("shs_b")))
             ).alias("jacc"),
         )
     )
@@ -315,22 +338,29 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "text") -> DataFrame:
-    """Banded SimHash near-dup: candidates share the high 16 bits (a
-    single equi-join — no quadratic all-pairs), verified by Hamming
-    distance ≤ max_hamming via bit_count(xor)."""
+    """Banded SimHash near-dup: candidates share the high 16 bits,
+    verified by Hamming distance ≤ max_hamming via bit_count(xor).
+
+    Candidates come from one shuffle on the 16-bit bucket — groupBy,
+    collect the bucket's (doc_id, simhash) structs, expand in-bucket
+    pairs with a double explode — rather than a sig⋈sig self-join,
+    which would execute the 32-sum signature aggregate (a full corpus
+    scan) once per side. Bucket width is bounded by signature locality
+    (identical docs go through exact dedup first)."""
     sig = simhash_signatures(docs, text_col)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    buckets = (
+        sig.groupBy(F.shiftright(F.col("simhash"), 16).alias("bucket"))
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    pairs = (
+        buckets.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b,
-            (F.shiftright(F.col("a.simhash"), 16) == F.shiftright(F.col("b.simhash"), 16))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),

@@ -657,12 +657,16 @@ def ann_lsh_pairs(
     with exact cosine ≥ threshold. Distinct pairs survive both bands
     colliding.
 
-    Shuffle discipline: the band self-join and candidate distinct move
-    only (id, band, bucket) triples — never the 512-byte vectors;
-    vectors rejoin once per surviving candidate, and the cosine verify
-    runs in a row-paired numpy kernel (same dimension-ordered
-    arithmetic as the oracle; a Catalyst filter here would be pushed
-    into the hash join's non-equi condition and evaluated interpreted).
+    Shuffle discipline: candidate generation is ONE shuffle on
+    (band, bucket) — groupBy, collect the bucket's ids, double-explode
+    the in-bucket pairs — moving only (id, band, bucket) triples, never
+    the 512-byte vectors, and never re-executing the signature kernel
+    (a bands⋈bands self-join runs it once per side — measured, no
+    exchange reuse under broadcast planning). Vectors rejoin once per
+    surviving candidate, and the cosine verify runs in a row-paired
+    numpy kernel (same dimension-ordered arithmetic as the oracle; a
+    Catalyst filter here would be pushed into the hash join's non-equi
+    condition and evaluated interpreted).
     """
     sig = srp_signatures(emb, dims, id_col, vec_col)
     bands = sig.select(
@@ -679,16 +683,13 @@ def ann_lsh_pairs(
             )
         ).alias("e"),
     ).select("vid", "e.band", "e.bv")
-    a = bands.alias("a")
-    b = bands.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        bands.groupBy("band", "bv")
+        .agg(F.collect_list("vid").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("vec_a"), "ids")
+        .select("vec_a", F.explode("ids").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .distinct()
     )
     va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
