@@ -86,14 +86,18 @@ def doc_shingle_sets(
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) inverted-index rows, distinct per doc —
+    """(doc_id, sh, n_sh) inverted-index rows, distinct per doc —
     emitted flat from the kernel (an Arrow list<string> column plus a
-    Spark-side explode costs ~2× the flat form)."""
+    Spark-side explode costs ~2× the flat form). ``n_sh`` is the doc's
+    distinct-shingle count, known for free inside the kernel — carrying
+    it on every row lets the uncapped Jaccard join skip a whole
+    set-size aggregation branch (one int64 per row of Arrow transfer)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids: list = []
             shs: list[str] = []
+            szs: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 toks = ("" if text is None else text).strip(" ").split(" ")
                 seen: dict[str, None] = {}
@@ -101,10 +105,11 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
                     seen.setdefault(" ".join(toks[i : i + n]))
                 ids.extend([doc_id] * len(seen))
                 shs.extend(seen)
-            yield pd.DataFrame({"doc_id": ids, "sh": shs})
+                szs.extend([len(seen)] * len(seen))
+            yield pd.DataFrame({"doc_id": ids, "sh": shs, "n_sh": szs})
 
     return docs.select("doc_id", text_col).mapInPandas(
-        kernel, "doc_id long, sh string"
+        kernel, "doc_id long, sh string, n_sh long"
     )
 
 
@@ -142,38 +147,75 @@ def ngram_jaccard_pairs(
     profiled otherwise; at extreme df skew, cap df here or go MinHash.
     """
     inv = doc_shingles(docs, text_col, n)
+    # One aggregate per shingle — the posting list — generates the
+    # pairs via a double explode: one Exchange on `sh`, and the Python
+    # shingle kernel executes ONCE (an inv⋈inv self-join re-executes
+    # the kernel per side; measured, no exchange reuse under broadcast
+    # planning). The df cap becomes a filter on posting-list size — no
+    # separate hot-shingle anti-join pass. A posting list materializes
+    # df ids in one task; under the cap that is ≤ max_df — and the
+    # uncapped form was already unusable at stop-shingle df (df² join
+    # rows), so the cap remains the 100 TB path either way.
+    #
+    # Set sizes: the kernel emits each doc's distinct-shingle count on
+    # every index row, so the UNCAPPED path carries (id, n_sh) through
+    # the posting list and needs no size aggregate at all — the
+    # whole query is kernel → shuffle(sh) → shuffle(pair). The capped
+    # path must recount over surviving shingles only (exact Jaccard on
+    # the capped vocabulary), one extra branch off the same posting
+    # aggregate.
+    posting = inv.groupBy("sh").agg(
+        F.collect_list(F.struct("doc_id", "n_sh")).alias("ids")
+    )
     if max_df is not None:
-        hot = (
-            inv.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("sh")
+        posting = posting.filter(F.size("ids") <= max_df)
+    pair_rows = (
+        posting.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if max_df is None:
+        j = (
+            pair_rows.groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.first("a.n_sh").alias("n_a"),
+                F.first("b.n_sh").alias("n_b"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
+                    "jacc"
+                ),
+            )
         )
-        inv = inv.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    else:
+        sizes = (
+            posting.select(F.explode("ids").alias("a"))
+            .groupBy(F.col("a.doc_id").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        inter = pair_rows.groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        ).agg(F.count(F.lit(1)).alias("inter"))
+        sa = sizes.alias("sa")
+        sb = sizes.alias("sb")
+        j = (
+            inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("inter")
+                    / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
+                ).alias("jacc"),
+            )
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
-            ).alias("jacc"),
-        )
-    )
     return (
         j.filter(F.col("jacc") >= F.lit(threshold))
         .select("doc_a", "doc_b", F.col("jacc").alias("jaccard"))

@@ -154,12 +154,23 @@ def mllib_forecast(
 
     horizons = horizons or [1, 24]
     season = 24
-    long = features.select(
-        "site",
-        "ts_utc",
-        F.col("pv_est_mwh").alias("pv"),
-        F.col("wind_est_mwh").alias("wind"),
-    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    # Materialize the unpivoted series once: every fit, residual-σ
+    # aggregate, and the final projection is a separate action, and
+    # each would otherwise re-execute the full upstream feature lineage
+    # (silver → gold chain over raw events) — ~5 executions per call.
+    # The hourly series is orders of magnitude smaller than its input
+    # (one row per site×var×hour), so this is the standard iterative-ML
+    # trade: checkpoint the training frame, not the raw scan.
+    long = (
+        features.select(
+            "site",
+            "ts_utc",
+            F.col("pv_est_mwh").alias("pv"),
+            F.col("wind_est_mwh").alias("wind"),
+        )
+        .unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("site", "var").orderBy("ts_utc")
 
     out = None
