@@ -174,3 +174,34 @@ def test_crash_between_write_and_publish_keeps_old_snapshot(spark, tmp_path, mon
     # recovery: stale staging is cleared, retry lands the update
     upsert.merge_upsert(spark, target, update, keys=["site", "ts_utc"], order_col="ingested_at")
     assert read_all(spark, target)[("a", 0)][0] == 9.0
+
+
+def test_merge_and_compact_with_nested_partitions(spark, tmp_path):
+    # staged publish renames LEAF partition dirs; two-level partitioning
+    # (site=/day=) exercises the nested-dir detection and parent mkdirs
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+        compact_partitions,
+        merge_upsert,
+    )
+    import os
+
+    path = str(tmp_path / "t2")
+    kw = dict(keys=["site", "day", "ts_utc"], order_col="ingested_at",
+              partition_by=("site", "day"))
+    s = "site string, day int, ts_utc timestamp, v double, ingested_at timestamp"
+    base = spark.createDataFrame(
+        [("a", 1, ts(0), 1.0, ing(0)), ("a", 2, ts(0), 2.0, ing(0)),
+         ("b", 1, ts(0), 3.0, ing(0))], s)
+    merge_upsert(spark, path, base, **kw)
+    upd = spark.createDataFrame([("a", 1, ts(0), 9.0, ing(1))], s)
+    merge_upsert(spark, path, upd, **kw)
+
+    out = {(r.site, r.day): r.v for r in spark.read.parquet(path).collect()}
+    assert out == {("a", 1): 9.0, ("a", 2): 2.0, ("b", 1): 3.0}
+    assert os.path.isdir(os.path.join(path, "site=a", "day=1"))
+    assert not os.path.isdir(os.path.join(path, "_staging"))
+
+    report = compact_partitions(spark, path, partition_by=("site", "day"))
+    assert report == {"a/1": 1, "a/2": 1, "b/1": 1}
+    after = {(r.site, r.day): r.v for r in spark.read.parquet(path).collect()}
+    assert after == out
