@@ -166,6 +166,8 @@ def _file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
     Underscore/dot-prefixed work dirs (``_staging``, ``_trash``) are
     excluded, matching what Parquet readers see."""
     fs, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        return {}
     root = fs.makeQualified(jvm.org.apache.hadoop.fs.Path(path)).toUri().getPath()
     it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(path), True)
     sizes: dict[str, int] = {}
