@@ -1340,6 +1340,12 @@ def q_corpus_ngram_topk(spark, sf_dir):
     return TX.corpus_ngram_topk(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_keywords(spark, sf_dir):
+    # Per-doc keyword extraction: top-5 terms by (tf desc, df asc) —
+    # the log-free TF-IDF ordering; integer-exact, window-bounded
+    return TX.doc_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     # Per-stratum deterministic sample with nested-sample property
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
@@ -1373,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_commonness": q_doc_commonness,
         "corpus_ngram_topk": q_corpus_ngram_topk,
+        "doc_keywords": q_doc_keywords,
         "shipping_delay_report": q_shipping_delay_report,
         # --- round-2 green rows ---------------------------------------------
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -2702,6 +2709,29 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY gram
             ORDER BY n DESC, gram
             LIMIT 20
+        """,
+        "doc_keywords": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf
+              FROM tok GROUP BY doc_id, token
+            ), dfreq AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), r AS (
+              SELECT t.doc_id, t.token,
+                     CAST(t.tf AS BIGINT) AS tf,
+                     CAST(d.df AS BIGINT) AS df,
+                     CAST(row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY t.tf DESC, d.df ASC, t.token ASC
+                     ) AS INT) AS rank
+              FROM tf t JOIN dfreq d USING (token)
+            )
+            SELECT doc_id, rank, token, tf, df
+            FROM r WHERE rank <= 5
+            ORDER BY doc_id, rank
         """,
         "doc_split_counts": f"""
             WITH b AS (

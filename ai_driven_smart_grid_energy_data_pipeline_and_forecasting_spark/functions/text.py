@@ -343,3 +343,40 @@ def commonness_stats(
         )
         .orderBy(group_col)
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k distinctive terms per document — keyword extraction by
+    (tf DESC, df ASC, term ASC): the TF-IDF ordering without the
+    logarithm. For a FIXED document, rank by tf·ln(N/df) is exactly
+    rank by (tf, −df) on ties-broken integer pairs whenever one term
+    dominates another on both coordinates; using the integer ordering
+    directly keeps the operator engine-exact (log's last ulp is
+    libm-specific, banned by the determinism policy) while producing
+    the classic "frequent here, rare elsewhere" keyword list.
+
+    Plan shape at scale: tf is a (doc, term) aggregate (map-side
+    partial), df one more aggregate over the tf table (one row per
+    distinct (doc, term) — already deduped, so df = document
+    frequency, not term count), the join shuffles on term, and the
+    per-doc top-k is a bounded window. No floats anywhere, so the
+    DuckDB oracle matches bit-exactly under any partitioning."""
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(df_, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )

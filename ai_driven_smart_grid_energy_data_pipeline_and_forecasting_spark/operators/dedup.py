@@ -202,18 +202,35 @@ def ngram_jaccard_pairs(
         inter = pair_rows.groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         ).agg(F.count(F.lit(1)).alias("inter"))
-        sa = sizes.alias("sa")
-        sb = sizes.alias("sb")
+        # one scan of sizes (same role-explode shape as the minhash
+        # verify) — joining sizes twice as sa/sb re-executes the whole
+        # posting subplan per broadcast side
+        roles = inter.select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
         j = (
-            inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            roles.join(sizes, "doc_id")
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.first("inter").alias("inter"),
+                F.first(
+                    F.when(F.col("doc_id") == F.col("doc_a"), F.col("n_sh")),
+                    ignorenulls=True,
+                ).alias("n_a"),
+                F.first(
+                    F.when(F.col("doc_id") == F.col("doc_b"), F.col("n_sh")),
+                    ignorenulls=True,
+                ).alias("n_b"),
+            )
             .select(
                 "doc_a",
                 "doc_b",
-                (
-                    F.col("inter")
-                    / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("inter"))
-                ).alias("jacc"),
+                (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
+                    "jacc"
+                ),
             )
         )
     return (

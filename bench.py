@@ -74,6 +74,7 @@ HEADLINE = [
     "doc_pack_stats",
     "doc_contamination",
     "doc_pii_stats",
+    "doc_keywords",
     "event_funnel",
     "top_customers_per_nation",
     "cohort_retention",

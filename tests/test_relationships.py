@@ -204,3 +204,18 @@ def test_quantization_codes_bounded_and_error_within_bound(emb):
     stats = S.quantization_error_stats(emb).first()
     assert stats.n_within_bound == stats.n_vectors
     assert stats.worst_abs_err >= 0.0
+
+
+def test_lsh_plans_bound_kernel_executions(docs):
+    # Plan contract for the round-4 rework: candidate generation must
+    # not re-execute the Python kernel per self-join side. If a future
+    # edit reintroduces a bands-vs-bands or index-vs-index join, the
+    # MapInPandas count jumps and this fails before the bench does.
+    def n_kernels(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("MapInPandas")
+
+    assert n_kernels(D.ngram_jaccard_pairs(docs)) <= 1
+    # capped: the sizes branch re-plans the posting subplan once (its
+    # shuffle is AQE-reusable at runtime); the pair branch is the other
+    assert n_kernels(D.ngram_jaccard_pairs(docs, max_df=50)) <= 2
+    assert n_kernels(D.minhash_lsh_pairs(docs)) <= 2  # signatures + verify sets
