@@ -356,6 +356,19 @@ def q_near_dup_clusters(spark, sf_dir):
     return D.connected_components(pairs).orderBy("doc_id")
 
 
+def q_dedup_corpus(spark, sf_dir):
+    # End-to-end near-dedup: LSH pairs -> components -> keep one
+    # canonical doc per cluster plus all singletons (the operation a
+    # training pipeline actually runs; composition of the pair + CC ops)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return (
+        D.dedup_corpus(docs, pairs)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_pipeline_lineage(spark, sf_dir):
     # The reference dashboard's lineage page (streamlit/app.py:556-563)
     # shows bronze->silver->gold row flow with 0-valued Gold links
@@ -1389,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": q_value_percentiles,
         "pipeline_lineage": q_pipeline_lineage,
         "near_dup_clusters": q_near_dup_clusters,
+        "dedup_corpus": q_dedup_corpus,
         "quarantine_summary": q_quarantine_summary,
         "returned_item_report": q_returned_item_report,
         "large_volume_customers": q_large_volume_customers,
@@ -1531,6 +1545,38 @@ def _minhash_sql() -> tuple[str, str]:
         )
     bands = "bands AS (" + "\n  UNION ALL ".join(band_selects) + ")"
     return sig, bands
+
+
+def _cc_sql_prefix() -> str:
+    """Recursive-CTE transitive closure over verified MinHash pairs —
+    shared by the ``near_dup_clusters`` oracle (emits components) and
+    the ``dedup_corpus`` oracle (anti-joins non-canonical members)."""
+    return (
+        _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + ",\n"
+        + ",\n".join(_minhash_sql())
+        + """,
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT doc_a, doc_b,
+                     len(list_intersect(sa.shs, sb.shs)) * 1.0
+                       / (len(sa.shs) + len(sb.shs)
+                          - len(list_intersect(sa.shs, sb.shs))) AS jacc
+              FROM cands
+              JOIN sh sa ON doc_a = sa.doc_id
+              JOIN sh sb ON doc_b = sb.doc_id),
+            und AS (
+              SELECT doc_a AS a, doc_b AS b FROM verified WHERE jacc >= 0.5
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM verified WHERE jacc >= 0.5),
+            reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)"""
+    )
 
 
 def _simhash_sig_sql() -> str:
@@ -2244,32 +2290,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT rule, count(*) AS n_violations
             FROM exploded GROUP BY rule ORDER BY rule
         """,
-        "near_dup_clusters": _SHINGLE_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
-        + ",\n"
-        + ",\n".join(_minhash_sql())
-        + """,
-            cands AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-            verified AS (
-              SELECT doc_a, doc_b,
-                     len(list_intersect(sa.shs, sb.shs)) * 1.0
-                       / (len(sa.shs) + len(sb.shs)
-                          - len(list_intersect(sa.shs, sb.shs))) AS jacc
-              FROM cands
-              JOIN sh sa ON doc_a = sa.doc_id
-              JOIN sh sb ON doc_b = sb.doc_id),
-            und AS (
-              SELECT doc_a AS a, doc_b AS b FROM verified WHERE jacc >= 0.5
-              UNION
-              SELECT doc_b AS a, doc_a AS b FROM verified WHERE jacc >= 0.5),
-            reach(a, b) AS (
-              SELECT a, b FROM und
-              UNION
-              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        "near_dup_clusters": _cc_sql_prefix()
+        + """
             SELECT a AS doc_id, least(a, min(b)) AS component
             FROM reach GROUP BY a ORDER BY doc_id
+        """,
+        "dedup_corpus": _cc_sql_prefix()
+        + """,
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d
+            LEFT JOIN comp c
+              ON d.doc_id = c.doc_id AND c.doc_id != c.component
+            WHERE c.doc_id IS NULL
+            ORDER BY d.doc_id
         """,
         "pipeline_lineage": _PSEUDO_FEATURES_CTE
         + """,

@@ -523,3 +523,26 @@ def ngram_contamination(
         F.broadcast(ev), "sh", "left_semi"
     )
     return hits.select("doc_id").distinct()
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """The end-to-end dedup a corpus pipeline actually runs: given the
+    near-dup pair output (any of the pair family), keep exactly one
+    canonical document per connected component (minimum id — stable,
+    engine-portable) and every untouched singleton. Composes
+    ``connected_components`` with one LEFT ANTI join: the non-canonical
+    member list is component-bounded (one row per *duplicate*, not per
+    pair), so at 100 TB the anti join's build side is the duplicate
+    fraction of the corpus, typically broadcastable after heavy dedup
+    rounds; AQE picks broadcast vs shuffle from its runtime size."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -72,6 +72,7 @@ HEADLINE = [
     "regional_cheapest_supplier",
     "sole_failing_supplier",
     "doc_pack_stats",
+    "dedup_corpus",
     "doc_contamination",
     "doc_pii_stats",
     "doc_keywords",

@@ -263,3 +263,19 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(chain, max_iter=2)
     ok = connected_components(chain, max_iter=10).collect()
     assert {r.component for r in ok} == {0}
+
+
+def test_dedup_corpus_keeps_canonicals_and_singletons(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        dedup_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # components: {1,2,3} (chain), {5,6}; 4 and 7 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    kept = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
+    assert kept == [1, 4, 5, 7]
