@@ -456,10 +456,18 @@ def connected_components(
     split dedup groups with no signal. A component's diameter bounds the
     rounds needed, so raise ``max_iter`` for pathological chain graphs.
     """
+    # Materialize the edge list once: `pairs` usually carries the whole
+    # near-dup pipeline as lineage (kernel, banding, verify), the union
+    # references it twice, and the loop joins edges EVERY round — an
+    # unmaterialized graph re-executes the pair pipeline 2× per
+    # iteration (measured: dedup_corpus 6.9s → 4.5s at sf0.1). The
+    # edge list is one row per near-dup pair ×2, tiny next to the
+    # corpus that produced it.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("v"))
