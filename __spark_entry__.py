@@ -369,6 +369,19 @@ def q_dedup_corpus(spark, sf_dir):
     )
 
 
+def q_embedding_dedup(spark, sf_dir):
+    # Same end-to-end dedup composition in embedding space: exact
+    # cosine pairs -> components -> canonical survivors (dedup_corpus
+    # is id/pair-column generic)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_threshold_pairs(emb, threshold=0.4)
+    return (
+        D.dedup_corpus(emb, pairs, id_col="vec_id", src="vec_a", dst="vec_b")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 def q_pipeline_lineage(spark, sf_dir):
     # The reference dashboard's lineage page (streamlit/app.py:556-563)
     # shows bronze->silver->gold row flow with 0-valued Gold links
@@ -1403,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lineage": q_pipeline_lineage,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_corpus": q_dedup_corpus,
+        "embedding_dedup": q_embedding_dedup,
         "quarantine_summary": q_quarantine_summary,
         "returned_item_report": q_returned_item_report,
         "large_volume_customers": q_large_volume_customers,
@@ -2089,6 +2103,30 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.4
             ORDER BY vec_a, vec_b
+        """,
+        "embedding_dedup": f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.4),
+            und AS (
+              SELECT vec_a AS a, vec_b AS b FROM p
+              UNION SELECT vec_b AS a, vec_a AS b FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+            comp AS (
+              SELECT a AS vec_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a)
+            SELECT emb.vec_id
+            FROM embeddings emb
+            LEFT JOIN comp c
+              ON emb.vec_id = c.vec_id AND c.vec_id != c.component
+            WHERE c.vec_id IS NULL
+            ORDER BY emb.vec_id
         """,
         "ann_lsh_pairs": _srp_sig_sql()
         + f""",
