@@ -298,14 +298,35 @@ def cosine_threshold_pairs(
         F.col(vec_col).alias("vec"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    a_side = v.join(F.broadcast(pairs), v.blk == pairs.blk_a).select(
-        "pair_id", "vid", "vec", F.lit(0).alias("side")
+    # One corpus scan, not two: instead of joining v once per side (a
+    # union whose branches each re-scan the embeddings), explode each
+    # block pair into its (block, pair, side) memberships — side 1 is
+    # dropped for diagonal pairs, which carry only side 0 by contract —
+    # and join the corpus against that broadcast once.
+    pairs_long = (
+        pairs.select(
+            (F.col("blk_a") == F.col("blk_b")).alias("diag"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("blk_a").alias("blk"),
+                        F.col("pair_id"),
+                        F.lit(0).alias("side"),
+                    ),
+                    F.struct(
+                        F.col("blk_b").alias("blk"),
+                        F.col("pair_id"),
+                        F.lit(1).alias("side"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .filter(~((F.col("e.side") == 1) & F.col("diag")))
+        .select("e.blk", "e.pair_id", "e.side")
     )
-    b_side = v.join(
-        F.broadcast(pairs.filter(F.col("blk_a") != F.col("blk_b"))),
-        v.blk == pairs.blk_b,
-    ).select("pair_id", "vid", "vec", F.lit(1).alias("side"))
-    both = a_side.unionByName(b_side)
+    both = v.join(F.broadcast(pairs_long), v.blk == pairs_long.blk).select(
+        "pair_id", "vid", "vec", "side"
+    )
 
     empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
         {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
