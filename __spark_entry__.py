@@ -1392,15 +1392,16 @@ def q_doc_stratified_sample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver sweep certifies the first ~50 entries
-    # per round.  Round 3 front-loads the only five queries without a green
-    # driver row across rounds 1-2: the four doc/text queries stranded at
-    # positions 51-54 in r2, plus shipping_delay_report (r2 hash-fail traced
-    # to the oracle's uncast integer CASE-sum, fixed with CAST ... AS BIGINT).
+    # per round.  Round 4's certification targets all sit inside that window:
+    # the three NEW queries (doc_keywords pos 5, dedup_corpus, embedding_dedup)
+    # and user_sessions (r3 regression, fixed via NTZ-safe epoch casts —
+    # operators/sessions.py).  Round 3 front-loaded the five never-green rows,
+    # all certified green in CORRECTNESS_r03.
     # Every entry is oracle-checked locally by tests/test_entry_oracle.py
     # regardless of order; this ordering only affects which rows a
     # count/time-bounded external sweep certifies first.
     return {
-        # --- round-3 certification targets (never driver-green before) ------
+        # --- rounds-3/4 certification targets -------------------------------
         "doc_pii_stats": q_doc_pii_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_commonness": q_doc_commonness,
