@@ -279,3 +279,57 @@ def test_dedup_corpus_keeps_canonicals_and_singletons(spark):
     )
     kept = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
     assert kept == [1, 4, 5, 7]
+
+
+def test_dedup_corpus_property_random_graphs(spark):
+    # Invariants for any pair graph: (1) kept ∪ dropped partitions the
+    # corpus; (2) exactly the minimum id of every connected component
+    # survives; (3) singletons always survive. Verified against a
+    # pure-Python union-find oracle over hypothesis-generated graphs.
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        dedup_corpus,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 19), st.integers(0, 19)).filter(
+                lambda e: e[0] != e[1]
+            ),
+            max_size=15,
+        )
+    )
+    def run(edges):
+        n = 20
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = sorted({min(v for v in range(n) if find(v) == find(r))
+                           for r in range(n)})
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(n)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+            "doc_a long, doc_b long",
+        )
+        if not edges:
+            pairs = pairs.filter("doc_a != doc_a")  # empty graph
+        kept = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
+        assert kept == expected, f"edges={edges}"
+
+    run()
