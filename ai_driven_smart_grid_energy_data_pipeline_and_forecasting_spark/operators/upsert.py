@@ -60,13 +60,63 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def _leaf_dirs(fs, jvm, root: str) -> set[str]:
+    """Relative paths of every directory under ``root`` that directly
+    contains a file (one recursive listing)."""
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(HPath(root)):
+        return set()
+    root_uri = fs.makeQualified(HPath(root)).toUri().getPath()
+    leaves: set[str] = set()
+    it = fs.listFiles(HPath(root), True)
+    while it.hasNext():
+        fp = it.next().getPath().getParent().toUri().getPath()
+        leaves.add(fp[len(root_uri):].strip("/"))
+    return leaves
+
+
+def _has_parquet_files(fs, jvm, root: str) -> bool:
+    """True iff any ``.parquet`` file exists under ``root``."""
+    HPath = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(HPath(root)):
+        return False
+    it = fs.listFiles(HPath(root), True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def _clear_work_dirs(spark: SparkSession, path: str) -> None:
-    """Drop stale ``_staging``/``_trash`` left by a crashed writer. Safe
-    because a crash strictly before publish leaves the live tree
-    untouched — staged bytes are garbage, never the only copy."""
+    """Clear ``_staging``/``_trash`` left by a crashed writer — but
+    RECOVER first (ADVICE r4): a crash inside ``_publish_staged``'s
+    rename loop can leave a partition whose only copies live in the
+    work dirs (live→trash done, staged→live not yet). For each leaf
+    under ``_trash`` whose live dir is missing, roll the publish
+    forward (staged→live) when the staged fileset is complete
+    (``_SUCCESS`` present), else roll it back (trash→live). Only then
+    are the work dirs deleted — staged/trash bytes are never the only
+    copy at the moment of deletion. A crash strictly before publish
+    leaves no ``_trash``, so the pre-publish path is a plain delete as
+    before."""
     fs, jvm = _hadoop_fs(spark, path)
-    for d in (f"{path}/_staging", f"{path}/_trash"):
-        p = jvm.org.apache.hadoop.fs.Path(d)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    trash_root = f"{path}/_trash"
+    staged_root = f"{path}/_staging/data"
+    staged_complete = fs.exists(HPath(f"{staged_root}/_SUCCESS"))
+    for rel in sorted(_leaf_dirs(fs, jvm, trash_root)):
+        live = HPath(f"{path}/{rel}")
+        if fs.exists(live):
+            continue  # this leaf's publish completed; trash copy is stale
+        staged = HPath(f"{staged_root}/{rel}")
+        if staged_complete and fs.exists(staged):
+            fs.mkdirs(live.getParent())
+            fs.rename(staged, live)  # roll forward: finish the publish
+        else:
+            fs.mkdirs(live.getParent())
+            fs.rename(HPath(f"{trash_root}/{rel}"), live)  # roll back
+    for d in (f"{path}/_staging", trash_root):
+        p = HPath(d)
         if fs.exists(p):
             fs.delete(p, True)
 
@@ -121,6 +171,14 @@ def _staged_overwrite(
     _clear_work_dirs(spark, path)
     staged = f"{path}/_staging/data"
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(staged)
+    # A zero-row df stages only _SUCCESS (ADVICE r4): reading that back
+    # throws UNABLE_TO_INFER_SCHEMA, and there is nothing to publish —
+    # the old in-place path was a no-op for empty batches, so this one
+    # must be too (module contract: re-run idempotency).
+    fs, jvm = _hadoop_fs(spark, path)
+    if not _has_parquet_files(fs, jvm, staged):
+        _clear_work_dirs(spark, path)
+        return 0
     n = spark.read.parquet(staged).count()  # metadata-only row count
     _publish_staged(spark, path, len(partition_by))
     return n
@@ -238,10 +296,17 @@ def compact_partitions(
     infer_prev = spark.conf.get(infer_key, "true")
     spark.conf.set(infer_key, "false")
     try:
+        # url_decode is form-decoding ('+' → space), but the Hadoop-side
+        # keys in _file_sizes keep a literal '+' (ADVICE r4): pre-encode
+        # '+' as %2B so only percent-escapes decode and '+' round-trips.
         table = spark.read.parquet(path).withColumn(
             "_path",
             F.url_decode(
-                F.regexp_replace(F.input_file_name(), _URI_SCHEME_RE, "")
+                F.regexp_replace(
+                    F.regexp_replace(F.input_file_name(), _URI_SCHEME_RE, ""),
+                    r"\+",
+                    "%2B",
+                )
             ),
         )
         data_cols = [

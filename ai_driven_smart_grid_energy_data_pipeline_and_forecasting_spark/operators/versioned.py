@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from collections.abc import Sequence
 from functools import reduce
 
@@ -43,6 +44,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .upsert import merge_frames
+
+#: Directory label Spark/Hive writes for a NULL (or empty-string)
+#: partition value.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+#: Characters Spark's ExternalCatalogUtils escapes in partition
+#: directory names (Hive's FileUtils.charToEscape): C0 controls plus
+#: the listed specials. '+' and space are NOT escaped.
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^') | frozenset(
+    chr(i) for i in range(0x20)
+)
+
+
+def _escape_part_val(val: object) -> str:
+    """Partition value → the directory-name form Spark writes for it
+    (``site=<this>``). Manifest keys use THIS form everywhere (ADVICE
+    r4): comparing raw ``str(value)`` against ``os.listdir`` names
+    silently dropped NULLs and any value containing ':','/','%','='
+    from the manifest."""
+    if val is None:
+        return _HIVE_NULL
+    s = str(val)
+    if s == "":
+        return _HIVE_NULL
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in s
+    )
+
+
+def _unescape_part_val(name: str) -> str | None:
+    """Inverse of ``_escape_part_val``: directory name → column value
+    (None for the default-partition label)."""
+    if name == _HIVE_NULL:
+        return None
+    return re.sub(
+        "%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
 
 
 def _manifest_dir(root: str) -> str:
@@ -133,9 +171,13 @@ def read_version(
     manifest = _read_manifest(root, ver)
     parts = []
     for val in sorted(manifest):
+        # manifest keys are directory-name form; the column gets the
+        # UNESCAPED value back (NULL for the default-partition label)
         p = spark.read.parquet(
             _part_path(root, manifest[val], partition_by, val)
-        ).withColumn(partition_by, F.lit(val))
+        ).withColumn(
+            partition_by, F.lit(_unescape_part_val(val)).cast("string")
+        )
         parts.append(p)
     if not parts:
         raise ValueError(f"version {ver} is empty")
@@ -172,13 +214,20 @@ def merge_version(
     ver = (versions(root)[-1] + 1) if versions(root) else 1
     vtag = f"v{ver}"
 
-    # driver-bounded: one row per touched partition value
+    # driver-bounded: one row per touched partition value; compared and
+    # stored in directory-name (Hive-escaped) form so NULLs and values
+    # Spark escapes match what lands on disk (ADVICE r4)
     touched = sorted(
-        str(r[0]) for r in updates.select(partition_by).distinct().collect()
+        {
+            _escape_part_val(r[0])
+            for r in updates.select(partition_by).distinct().collect()
+        }
     )
     cur_parts = [
         spark.read.parquet(_part_path(root, prev_manifest[val], partition_by, val))
-        .withColumn(partition_by, F.lit(val))
+        .withColumn(
+            partition_by, F.lit(_unescape_part_val(val)).cast("string")
+        )
         for val in touched
         if val in prev_manifest
     ]

@@ -176,6 +176,98 @@ def test_crash_between_write_and_publish_keeps_old_snapshot(spark, tmp_path, mon
     assert read_all(spark, target)[("a", 0)][0] == 9.0
 
 
+def test_crash_mid_publish_recovers_stranded_partition(spark, tmp_path):
+    # ADVICE r4 medium: a crash inside the publish rename loop (live
+    # moved to _trash, staged not yet moved to live) left the partition's
+    # only copies in the work dirs — and the next writer deleted them.
+    # Recovery must roll the publish forward (staged fileset complete).
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import upsert
+
+    target = str(tmp_path / "bronze")
+    base = spark.createDataFrame(
+        [("a", ts(0), 1.0, ing(0)), ("b", ts(0), 2.0, ing(0))], SCHEMA
+    )
+    upsert.merge_upsert(spark, target, base, keys=["site", "ts_utc"], order_col="ingested_at")
+
+    # stage a completed update fileset for site=a, then simulate the
+    # crash point: live→_trash done, staged→live NOT done
+    upd = spark.createDataFrame([("a", ts(0), 9.0, ing(1))], SCHEMA)
+    upd.write.partitionBy("site").parquet(os.path.join(target, "_staging", "data"))
+    os.renames(os.path.join(target, "site=a"), os.path.join(target, "_trash", "site=a"))
+    assert not os.path.isdir(os.path.join(target, "site=a"))
+
+    # the next writer (touching only site=b) must not lose site=a
+    upd_b = spark.createDataFrame([("b", ts(1), 5.0, ing(1))], SCHEMA)
+    upsert.merge_upsert(spark, target, upd_b, keys=["site", "ts_utc"], order_col="ingested_at")
+    out = read_all(spark, target)
+    assert out[("a", 0)][0] == 9.0  # rolled FORWARD to the staged update
+    assert out[("b", 0)][0] == 2.0 and out[("b", 1)][0] == 5.0
+    assert not os.path.isdir(os.path.join(target, "_trash"))
+    assert not os.path.isdir(os.path.join(target, "_staging"))
+
+
+def test_crash_mid_publish_rolls_back_without_complete_staging(spark, tmp_path):
+    # Same crash point, but the staged fileset is incomplete (no
+    # _SUCCESS): recovery must roll BACK from _trash to the previous
+    # committed bytes.
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import upsert
+
+    target = str(tmp_path / "bronze")
+    base = spark.createDataFrame([("a", ts(0), 1.0, ing(0))], SCHEMA)
+    upsert.merge_upsert(spark, target, base, keys=["site", "ts_utc"], order_col="ingested_at")
+
+    upd = spark.createDataFrame([("a", ts(0), 9.0, ing(1))], SCHEMA)
+    upd.write.partitionBy("site").parquet(os.path.join(target, "_staging", "data"))
+    os.remove(os.path.join(target, "_staging", "data", "_SUCCESS"))
+    os.renames(os.path.join(target, "site=a"), os.path.join(target, "_trash", "site=a"))
+
+    upsert._clear_work_dirs(spark, target)
+    assert read_all(spark, target)[("a", 0)][0] == 1.0  # previous snapshot back
+    assert not os.path.isdir(os.path.join(target, "_trash"))
+
+
+def test_empty_update_batch_is_a_noop(spark, target):
+    # ADVICE r4 medium: a zero-row update stages only _SUCCESS, and the
+    # staged read-back threw UNABLE_TO_INFER_SCHEMA. Must be a no-op
+    # returning 0 — re-run idempotency is the module contract.
+    base = spark.createDataFrame([("a", ts(0), 1.0, ing(0))], SCHEMA)
+    merge_upsert(spark, target, base, keys=["site", "ts_utc"], order_col="ingested_at")
+    empty = spark.createDataFrame([], SCHEMA)
+    n = merge_upsert(spark, target, empty, keys=["site", "ts_utc"], order_col="ingested_at")
+    assert n == 0
+    assert read_all(spark, target)[("a", 0)][0] == 1.0
+    # empty INITIAL load (no existing table) is also a no-op
+    fresh = target + "_fresh"
+    assert merge_upsert(spark, fresh, empty, keys=["site", "ts_utc"], order_col="ingested_at") == 0
+
+
+def test_compact_partition_value_with_plus_sign(spark, tmp_path):
+    # ADVICE r4 low: url_decode form-decodes '+' to space, so partitions
+    # whose values contain '+' missed the file-size join and were
+    # silently excluded from compaction.
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [("a+b", float(i)) for i in range(4)] + [("plain", 9.0)]
+    df = spark.createDataFrame(rows, "site string, v double").repartition(4)
+    df.write.partitionBy("site").parquet(path)
+
+    before = {(r.site, r.v) for r in spark.read.parquet(path).collect()}
+    report = compact_partitions(spark, path)
+    assert report == {"a+b": 1, "plain": 1}
+    n = len([f for f in os.listdir(os.path.join(path, "site=a+b")) if f.endswith(".parquet")])
+    assert n == 1
+    assert {(r.site, r.v) for r in spark.read.parquet(path).collect()} == before
+
+
 def test_merge_and_compact_with_nested_partitions(spark, tmp_path):
     # staged publish renames LEAF partition dirs; two-level partitioning
     # (site=/day=) exercises the nested-dir detection and parent mkdirs

@@ -130,6 +130,53 @@ def test_snapshot_diff_classifies_changes(spark, root):
     assert diff == {("alpha", 1): "update", ("gamma", 0): "insert"}
 
 
+def test_merge_version_null_and_escaped_partition_values(spark, tmp_path):
+    # ADVICE r4 low: merge_version compared raw str(value) against
+    # Hive-escaped directory names, so NULL partitions (written as
+    # __HIVE_DEFAULT_PARTITION__) and values Spark escapes (':') never
+    # matched the written set — fresh partitions dropped out of the
+    # manifest and later snapshots silently lost their rows.
+    root = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [
+            (None, ts(0), 1.0, ING0),        # NULL partition value
+            ("a:b", ts(0), 2.0, ING0),       # ':' is Hive-escaped to %3A
+            ("plain", ts(0), 3.0, ING0),
+        ],
+        SCHEMA,
+    )
+    assert write_version(spark, root, base) == 1
+
+    upd = spark.createDataFrame(
+        [(None, ts(1), 10.0, ING1), ("a:b", ts(0), 20.0, ING1)], SCHEMA
+    )
+    v2 = merge_version(spark, root, upd, keys=["site", "ts_utc"],
+                       order_col="ingested_at")
+    assert v2 == 2
+
+    m2 = _read_manifest(root, 2)
+    assert m2["__HIVE_DEFAULT_PARTITION__"] == "v2"
+    assert m2["a%3Ab"] == "v2"
+    assert m2["plain"] == "v1"  # untouched, inherited
+
+    snap = {
+        (r.site, r.ts_utc.hour): r.val
+        for r in read_version(spark, root, 2).collect()
+    }
+    assert snap == {
+        (None, 0): 1.0,
+        (None, 1): 10.0,
+        ("a:b", 0): 20.0,
+        ("plain", 0): 3.0,
+    }
+    # time travel still resolves v1 with the unescaped column values
+    snap1 = {
+        (r.site, r.ts_utc.hour): r.val
+        for r in read_version(spark, root, 1).collect()
+    }
+    assert snap1 == {(None, 0): 1.0, ("a:b", 0): 2.0, ("plain", 0): 3.0}
+
+
 def test_crash_before_manifest_leaves_previous_version_readable(spark, root, monkeypatch):
     # The manifest write IS the commit: killing the writer after the
     # data-file job but before the manifest publish must leave the
