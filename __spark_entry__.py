@@ -1392,75 +1392,18 @@ def q_doc_stratified_sample(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver sweep certifies the first ~50 entries
-    # per round.  Round 4's certification targets all sit inside that window:
-    # the three NEW queries (doc_keywords pos 5, dedup_corpus, embedding_dedup)
-    # and user_sessions (r3 regression, fixed via NTZ-safe epoch casts —
-    # operators/sessions.py).  Round 3 front-loaded the five never-green rows,
-    # all certified green in CORRECTNESS_r03.
+    # per round.  Round 5 front-loads the STALE tail (VERDICT r4 "Missing #1"):
+    # the r1 block (summary_events .. promo_revenue) last earned a *driver*
+    # green before the testdata regenerations, then the three rows rotated out
+    # of the r4 sweep (sole_failing_supplier, doc_split_counts,
+    # doc_stratified_sample, last green r3).  New r5 entries go at the very
+    # top (never driver-certified).  Rows certified green in r2-r4 at
+    # current-generation testdata sit at the back.
     # Every entry is oracle-checked locally by tests/test_entry_oracle.py
     # regardless of order; this ordering only affects which rows a
     # count/time-bounded external sweep certifies first.
     return {
-        # --- rounds-3/4 certification targets -------------------------------
-        "doc_pii_stats": q_doc_pii_stats,
-        "doc_repetition_stats": q_doc_repetition_stats,
-        "doc_commonness": q_doc_commonness,
-        "corpus_ngram_topk": q_corpus_ngram_topk,
-        "doc_keywords": q_doc_keywords,
-        "shipping_delay_report": q_shipping_delay_report,
-        # --- round-2 green rows ---------------------------------------------
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "silver_reason_counts": q_silver_reason_counts,
-        "silver_clean_vs_actual": q_silver_clean_vs_actual,
-        "forecast_mllib": q_forecast_mllib,
-        "value_percentiles": q_value_percentiles,
-        "pipeline_lineage": q_pipeline_lineage,
-        "near_dup_clusters": q_near_dup_clusters,
-        "dedup_corpus": q_dedup_corpus,
-        "embedding_dedup": q_embedding_dedup,
-        "quarantine_summary": q_quarantine_summary,
-        "returned_item_report": q_returned_item_report,
-        "large_volume_customers": q_large_volume_customers,
-        "supplier_part_stats": q_supplier_part_stats,
-        "user_sessions": q_user_sessions,
-        "session_window_agg": q_session_window_agg,
-        "embedding_clusters": q_embedding_clusters,
-        "nation_trade_volume": q_nation_trade_volume,
-        "discounted_brand_revenue": q_discounted_brand_revenue,
-        "idle_rich_customers": q_idle_rich_customers,
-        "type_status_cube": q_type_status_cube,
-        "order_count_distribution": q_order_count_distribution,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "top_revenue_supplier": q_top_revenue_supplier,
-        "nation_market_share": q_nation_market_share,
-        "product_type_profit": q_product_type_profit,
-        "regional_cheapest_supplier": q_regional_cheapest_supplier,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "value_outliers": q_value_outliers,
-        "value_histogram": q_value_histogram,
-        "hourly_distinct_users": q_hourly_distinct_users,
-        "users_purchase_and_error": q_users_purchase_and_error,
-        "type_status_grouping_sets": q_type_status_grouping_sets,
-        "balance_quartiles": q_balance_quartiles,
-        "customer_running_revenue": q_customer_running_revenue,
-        "order_gap_stats": q_order_gap_stats,
-        "sliding_window_agg": q_sliding_window_agg,
-        "orders_expectations": q_orders_expectations,
-        "above_type_average_sql": q_above_type_average_sql,
-        "silver_rolling_features": q_silver_rolling_features,
-        "silver_gap_fill": q_silver_gap_fill,
-        "top_customers_per_nation": q_top_customers_per_nation,
-        "important_part_share": q_important_part_share,
-        "excess_share_suppliers": q_excess_share_suppliers,
-        "sole_failing_supplier": q_sole_failing_supplier,
-        "doc_split_counts": q_doc_split_counts,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_filter_cascade": q_doc_filter_cascade,
-        "doc_pack_stats": q_doc_pack_stats,
-        "doc_mixture_counts": q_doc_mixture_counts,
-        "doc_contamination": q_doc_contamination,
-        # --- round-1 green rows (already driver-certified) -------------------
+        # --- stale tail: last driver-green in r1, re-certify first ----------
         "summary_events": q_summary_events,
         "distinct_event_types": q_distinct_event_types,
         "latest_per_user_hour": q_latest_per_user_hour,
@@ -1511,6 +1454,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_window_agg": q_hourly_window_agg,
         "type_value_stats_salted": q_type_value_stats_salted,
         "promo_revenue": q_promo_revenue,
+        # --- rotated out of the r4 sweep (last driver-green r3) -------------
+        "sole_failing_supplier": q_sole_failing_supplier,
+        "doc_split_counts": q_doc_split_counts,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        # --- driver-certified r2-r4 at current testdata ---------------------
+        "doc_pii_stats": q_doc_pii_stats,
+        "doc_repetition_stats": q_doc_repetition_stats,
+        "doc_commonness": q_doc_commonness,
+        "corpus_ngram_topk": q_corpus_ngram_topk,
+        "doc_keywords": q_doc_keywords,
+        "shipping_delay_report": q_shipping_delay_report,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "silver_reason_counts": q_silver_reason_counts,
+        "silver_clean_vs_actual": q_silver_clean_vs_actual,
+        "forecast_mllib": q_forecast_mllib,
+        "value_percentiles": q_value_percentiles,
+        "pipeline_lineage": q_pipeline_lineage,
+        "near_dup_clusters": q_near_dup_clusters,
+        "dedup_corpus": q_dedup_corpus,
+        "embedding_dedup": q_embedding_dedup,
+        "quarantine_summary": q_quarantine_summary,
+        "returned_item_report": q_returned_item_report,
+        "large_volume_customers": q_large_volume_customers,
+        "supplier_part_stats": q_supplier_part_stats,
+        "user_sessions": q_user_sessions,
+        "session_window_agg": q_session_window_agg,
+        "embedding_clusters": q_embedding_clusters,
+        "nation_trade_volume": q_nation_trade_volume,
+        "discounted_brand_revenue": q_discounted_brand_revenue,
+        "idle_rich_customers": q_idle_rich_customers,
+        "type_status_cube": q_type_status_cube,
+        "order_count_distribution": q_order_count_distribution,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "top_revenue_supplier": q_top_revenue_supplier,
+        "nation_market_share": q_nation_market_share,
+        "product_type_profit": q_product_type_profit,
+        "regional_cheapest_supplier": q_regional_cheapest_supplier,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "value_outliers": q_value_outliers,
+        "value_histogram": q_value_histogram,
+        "hourly_distinct_users": q_hourly_distinct_users,
+        "users_purchase_and_error": q_users_purchase_and_error,
+        "type_status_grouping_sets": q_type_status_grouping_sets,
+        "balance_quartiles": q_balance_quartiles,
+        "customer_running_revenue": q_customer_running_revenue,
+        "order_gap_stats": q_order_gap_stats,
+        "sliding_window_agg": q_sliding_window_agg,
+        "orders_expectations": q_orders_expectations,
+        "above_type_average_sql": q_above_type_average_sql,
+        "silver_rolling_features": q_silver_rolling_features,
+        "silver_gap_fill": q_silver_gap_fill,
+        "top_customers_per_nation": q_top_customers_per_nation,
+        "important_part_share": q_important_part_share,
+        "excess_share_suppliers": q_excess_share_suppliers,
+        "doc_filter_cascade": q_doc_filter_cascade,
+        "doc_pack_stats": q_doc_pack_stats,
+        "doc_mixture_counts": q_doc_mixture_counts,
+        "doc_contamination": q_doc_contamination,
     }
 
 
