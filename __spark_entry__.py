@@ -650,6 +650,32 @@ def q_type_value_stats_salted(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_salted_join_segments(spark, sf_dir):
+    # Skew-hardened shuffle JOIN (VERDICT r4 ask #2): events fact ⋈
+    # customer dim through salted_join — probe side salted uniformly,
+    # build side replicated n_salt ways, join on (key, salt). Result
+    # must be identical to the plain join, so the oracle is the plain
+    # SQL join; the straggler-spread evidence lives in tests/test_skew.py.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        skew as SK,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"),
+        F.col("value").cast("decimal(20,6)").alias("value_dec"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = SK.salted_join(ev, cust, ["c_custkey"], n_salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_media_stats(spark, sf_dir):
     # Multimodal: relational analytics over binary+metadata columns
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal import (
@@ -1403,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of order; this ordering only affects which rows a
     # count/time-bounded external sweep certifies first.
     return {
+        # --- new r5 entries: never driver-certified, go first ---------------
+        "salted_join_segments": q_salted_join_segments,
         # --- stale tail: last driver-green in r1, re-certify first ----------
         "summary_events": q_summary_events,
         "distinct_event_types": q_distinct_event_types,
@@ -2437,6 +2465,14 @@ def oracle_sql() -> dict[str, str]:
                      / count(ws) AS ws10_mps,
                    count(*) AS n_obs
             FROM b GROUP BY site, ts_utc ORDER BY site, ts_utc
+        """,
+        "salted_join_segments": """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "type_value_stats_salted": """
             SELECT event_type,
