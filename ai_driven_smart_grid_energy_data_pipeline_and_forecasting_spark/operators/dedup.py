@@ -432,30 +432,116 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "t
 # ------------------------------------------- transitive dedup clusters
 
 
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm): converges in O(log n)-ish rounds regardless of component
+    DIAMETER, vs O(diameter) for min-label propagation — the right
+    kernel for pathological chain/path graphs.
+
+    ``edges``: distinct canonical pairs (u > v), no self-loops. Each
+    round: large-star connects every strictly-larger neighbor of u to
+    min(Γ(u) ∪ {u}) (on the symmetrized edge set); small-star connects
+    u and its smaller neighbors to their minimum. Both are one
+    groupBy-min + one join — the same shuffle budget per round as one
+    propagation step. Fixed point = every component is a star centered
+    at its minimum id; detected by edge-set equality (count match +
+    empty subtract), then vertices map to their star center."""
+    cur = edges.localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(max_iter):
+        # large-star over the symmetrized neighborhood
+        sym = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("_mv"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # small-star on the (canonical, u > v) large-star output
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("_mv"))
+        nxt = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("_mv"))
+            .select(F.col("v").alias("u"), F.col("_mv").alias("v"))
+            .union(mins2.select("u", F.col("_mv").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.subtract(cur).isEmpty():
+            return nxt
+        cur, n_cur = nxt, n_nxt
+    raise RuntimeError(
+        f"star-contraction connected components did not converge in "
+        f"{max_iter} rounds; the bound is ~O(log n) — this indicates a "
+        "bug or an adversarial graph, not a deep chain."
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    algorithm: str = "propagate",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id,
     component) with component = min doc_id reachable. This is the step
     that turns pairwise similarity output into dedup *groups* (pick one
     canonical doc per component, drop the rest).
 
-    Iterative min-label propagation: each round every vertex takes the
-    minimum of its label and its neighbors' labels; converges in
-    O(component diameter) rounds (near-dup clusters are shallow — dup
-    chains, not paths). Each round is one join + one agg, all
-    DataFrame ops; the driver only checks the convergence counter.
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    doesn't re-derive rounds 1..N-1.
+    ``algorithm="propagate"`` (default) is iterative min-label
+    propagation: each round every vertex takes the minimum of its label
+    and its neighbors' labels; converges in O(component diameter)
+    rounds (near-dup clusters are shallow — dup chains, not paths).
+    Each round is one join + one agg, all DataFrame ops; the driver
+    only checks the convergence counter. ``localCheckpoint`` truncates
+    the growing lineage so round N's plan doesn't re-derive rounds
+    1..N-1.
+
+    ``algorithm="star"`` is alternating large-star/small-star
+    contraction (``_cc_star``): O(log n)-ish rounds independent of
+    diameter — pick it when components may be long chains (a depth-1000
+    path converges in <15 rounds where propagation needs 1000).
 
     Raises ``RuntimeError`` if labels are still changing after
     ``max_iter`` rounds — silently returning unconverged labels would
-    split dedup groups with no signal. A component's diameter bounds the
-    rounds needed, so raise ``max_iter`` for pathological chain graphs.
+    split dedup groups with no signal. Under ``propagate`` a
+    component's diameter bounds the rounds needed, so raise
+    ``max_iter`` — or switch to ``star`` — for chain graphs.
     """
+    if algorithm not in ("propagate", "star"):
+        raise ValueError(f"algorithm must be 'propagate' or 'star', got {algorithm!r}")
+    if algorithm == "star":
+        canon = (
+            pairs.select(
+                F.greatest(F.col(src), F.col(dst)).alias("u"),
+                F.least(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        verts = (
+            pairs.select(F.col(src).alias("v"))
+            .union(pairs.select(F.col(dst).alias("v")))
+            .distinct()
+            .alias("n")
+        )
+        stars = _cc_star(canon, max_iter).alias("s")
+        # fixed point is a star per component: non-roots appear once as
+        # u → their center; roots (and any vertex only ever seen as a
+        # center) map to themselves
+        return verts.join(stars, F.col("n.v") == F.col("s.u"), "left").select(
+            F.col("n.v").alias("doc_id"),
+            F.coalesce(F.col("s.v"), F.col("n.v")).alias("component"),
+        )
     # Materialize the edge list once: `pairs` usually carries the whole
     # near-dup pipeline as lineage (kernel, banding, verify), the union
     # references it twice, and the loop joins edges EVERY round — an

@@ -265,6 +265,77 @@ def test_connected_components_raises_when_unconverged(spark):
     assert {r.component for r in ok} == {0}
 
 
+def test_star_contraction_matches_propagation_on_random_graphs(spark):
+    # The O(log n) star-contraction variant must produce IDENTICAL
+    # labels to min-label propagation (both = min id per component),
+    # checked against a pure-Python union-find oracle.
+    import random
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(1105)
+    n = 30
+    for _ in range(4):
+        edges = [
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randint(0, 25))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        verts = sorted({v for e in edges for v in e})
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {
+            v: min(w for w in verts if find(w) == find(v)) for v in verts
+        }
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for algo in ("propagate", "star"):
+            got = {
+                r.doc_id: r.component
+                for r in connected_components(
+                    pairs, max_iter=40, algorithm=algo
+                ).collect()
+            }
+            assert got == expected, (algo, edges)
+
+
+def test_star_contraction_converges_fast_on_deep_chain(spark):
+    # VERDICT r4 ask #6: a 1000-deep path needs ~1000 propagation
+    # rounds but must converge in <15 star-contraction rounds.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "doc_a long, doc_b long"
+    )
+    out = connected_components(chain, max_iter=15, algorithm="star").collect()
+    assert len(out) == 1000
+    assert {r.component for r in out} == {0}
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    with _pytest.raises(ValueError, match="algorithm"):
+        connected_components(pairs, algorithm="bogus")
+
+
 def test_dedup_corpus_keeps_canonicals_and_singletons(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
         dedup_corpus,
