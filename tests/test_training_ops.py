@@ -259,9 +259,11 @@ def test_connected_components_raises_when_unconverged(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
     )
+    # the convergence guard belongs to the distributed loop — auto mode
+    # would route this tiny graph to the driver union-find
     with _pytest.raises(RuntimeError, match="converge"):
-        connected_components(chain, max_iter=2)
-    ok = connected_components(chain, max_iter=10).collect()
+        connected_components(chain, max_iter=2, algorithm="propagate")
+    ok = connected_components(chain, max_iter=10, algorithm="propagate").collect()
     assert {r.component for r in ok} == {0}
 
 
@@ -299,7 +301,7 @@ def test_star_contraction_matches_propagation_on_random_graphs(spark):
         if not edges:
             continue
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        for algo in ("propagate", "star"):
+        for algo in ("propagate", "star", "driver", "auto"):
             got = {
                 r.doc_id: r.component
                 for r in connected_components(
