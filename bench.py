@@ -81,6 +81,26 @@ HEADLINE = [
     "cohort_retention",
     "silver_rolling_features",
     "silver_gap_fill",
+    # r5 additions (VERDICT r4 ask #8): plan shapes with no tracked
+    # number yet — window frames, grouping sets/cube, expectation
+    # suites, iterative CC, quantization, IVF, the salted join
+    "near_dup_clusters",
+    "embedding_dedup",
+    "sliding_window_agg",
+    "customer_running_revenue",
+    "value_outliers",
+    "doc_mixture_counts",
+    "hourly_completeness",
+    "type_status_grouping_sets",
+    "type_status_cube",
+    "orders_expectations",
+    "embedding_quantization",
+    "balance_quartiles",
+    "order_gap_stats",
+    "hourly_distinct_users",
+    "above_type_average_sql",
+    "salted_join_segments",
+    "ann_ivf_topk",
 ]
 
 
