@@ -1,0 +1,193 @@
+"""One-off scale-slope probe (VERDICT r4 missing #3): synthesize a 5x
+replica of sf0.1 into a temp dir, run the heaviest headline queries at
+both scales, and report the runtime slope t(5x)/t(1x) per query.
+
+Generation preserves each table's distributional shape while keeping
+output cardinalities LINEAR in the input (naive row duplication would
+make every copied document/embedding a near-duplicate of its original
+and blow the pair queries up quadratically by construction):
+
+- lineitem/orders: 5 copies with disjoint order keys (dims fixed, as a
+  growing fact over a stable dimension set).
+- events: 5 copies with disjoint event ids and per-copy time shifts of
+  whole 366-day years, so hour-bucket/session structure replicates
+  instead of piling onto the same hours.
+- documents: 5 copies with disjoint doc ids; copy i>0 reorders each
+  doc's tokens by a deterministic per-copy token sort key, which
+  preserves the token (and token-count/quality) distribution and the
+  near-dup structure WITHIN a copy while making cross-copy shingle
+  overlap vanish — pair counts scale ~5x, not ~25x.
+- embeddings: 5 copies with disjoint vec ids; copy i>0 rolls the
+  vector dimensions by 7*i, preserving norms and the similarity
+  structure within a copy while decorrelating copies.
+
+Usage: python scripts/scale_probe.py [--skip-gen]
+Writes the measured table to stdout; SCALE.md records the results.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import (  # noqa: E402
+    get_spark,
+)
+import __spark_entry__ as entry_mod  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_probe/sf0.5"
+COPIES = 5
+
+PROBE_QUERIES = [
+    "pricing_summary",
+    "revenue_q6",
+    "latest_per_user_hour",
+    "silver_clean",
+    "user_sessions",
+    "exact_dedup",
+    "ngram_jaccard_capped",
+    "minhash_lsh_pairs",
+    "ann_lsh_pairs",
+    "dedup_corpus",
+    "forecast_mllib",
+    "returned_item_report",
+]
+
+
+def _copies(df, i_col_expr):
+    """Union COPIES variants of df, tagging each with _i via i_col_expr."""
+    parts = [i_col_expr(df, i) for i in range(COPIES)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def generate(spark) -> None:
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+
+    # dims: copied verbatim
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{OUT}/{t}.parquet"
+        )
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    _copies(
+        orders,
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * okey_span)
+        ),
+    ).write.mode("overwrite").parquet(f"{OUT}/orders.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    _copies(
+        li,
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * okey_span)
+        ),
+    ).write.mode("overwrite").parquet(f"{OUT}/lineitem.parquet")
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ekey_span = ev.agg(F.max("event_id")).first()[0] + 1
+    _copies(
+        ev,
+        lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * ekey_span)
+        ).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {i * 366} DAYS")
+        ),
+    ).write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    dkey_span = docs.agg(F.max("doc_id")).first()[0] + 1
+
+    def doc_copy(df, i):
+        out = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * dkey_span))
+        if i == 0:
+            return out
+        # deterministic per-copy token reorder keyed on (token,
+        # POSITION, i): near-dup docs share tokens at mostly the same
+        # positions, so they reorder the same way and stay near-dups
+        # within a copy; unrelated docs sharing tokens at different
+        # positions get uncorrelated orders. (Keying on token alone
+        # sorts every doc into one copy-global token order — word-order
+        # normalization that EXPLODES cross-doc shingle overlap; the
+        # first probe run measured minhash at a 33x slope from exactly
+        # that artifact.)
+        toks = F.split(F.trim(F.col("text")), " ")
+        reordered = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        toks,
+                        F.sequence(F.lit(0), F.size(toks) - 1),
+                        lambda t, p: F.struct(
+                            F.xxhash64(t, p, F.lit(i)).alias("k"), t.alias("t")
+                        ),
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        )
+        return out.withColumn("text", reordered)
+
+    _copies(docs, doc_copy).write.mode("overwrite").parquet(
+        f"{OUT}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    vkey_span = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    def emb_copy(df, i):
+        out = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * vkey_span))
+        if i == 0:
+            return out
+        k = (7 * i) % 64
+        rolled = F.concat(
+            F.slice("embedding", k + 1, 64 - k), F.slice("embedding", 1, k)
+        )
+        return out.withColumn("embedding", rolled)
+
+    _copies(emb, emb_copy).write.mode("overwrite").parquet(
+        f"{OUT}/embeddings.parquet"
+    )
+
+
+def measure(spark) -> None:
+    queries = entry_mod.queries()
+    # warmups (same rationale as bench.py)
+    queries["summary_events"](spark, BASE).collect()
+    spark.range(2048).mapInPandas(lambda it: it, "id long").count()
+
+    def run_once(name, sf_dir):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    print(f"{'query':28s} {'t_sf0.1':>8s} {'t_sf0.5':>8s} {'slope':>6s}  (ideal <= 5.0)")
+    for name in PROBE_QUERIES:
+        t1 = min(run_once(name, BASE), run_once(name, BASE))
+        t5 = min(run_once(name, OUT), run_once(name, OUT))
+        print(f"{name:28s} {t1:8.2f} {t5:8.2f} {t5 / t1:6.2f}")
+
+
+if __name__ == "__main__":
+    spark = get_spark("scale-probe")
+    if "--skip-gen" not in sys.argv:
+        generate(spark)
+        for t in (
+            "orders", "lineitem", "events", "documents", "embeddings"
+        ):
+            n = spark.read.parquet(f"{OUT}/{t}.parquet").count()
+            print(f"generated {t}: {n} rows", file=sys.stderr)
+    measure(spark)
+    spark.stop()
