@@ -115,13 +115,77 @@ def bmp_decode(content: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
     return width, height, rows
 
 
+def wav_encode(
+    samples: list[int], framerate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """int16 PCM samples → WAV bytes via the stdlib ``wave`` module."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def wav_decode(content: bytes) -> tuple[int, int, list[int]]:
+    """WAV bytes → (framerate, n_channels, int16 PCM samples). Raises
+    ``ValueError`` for non-PCM/non-16-bit payloads — callers fall back
+    to the stub boundary."""
+    import io
+    import struct
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM WAV is supported")
+            n = w.getnframes()
+            raw = w.readframes(n)
+            samples = list(
+                struct.unpack(f"<{n * w.getnchannels()}h", raw)
+            )
+            return w.getframerate(), w.getnchannels(), samples
+    except wave.Error as exc:
+        raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+
+
 def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float]:
-    """Codec boundary. Uncompressed 24-bit BMP decodes for REAL (pure
-    stdlib — see ``bmp_decode``): features are [width, height, n_pixels,
-    mean_r, mean_g, mean_b, mean_luma, aspect]. Other formats need
-    PIL/libav, absent in this container, so they raise — and
-    ``fake=True`` produces deterministic byte-derived pseudo-features
-    with the same shape the real decoder would emit."""
+    """Codec boundary. Two formats decode for REAL with pure stdlib:
+    uncompressed 24-bit BMP (``bmp_decode``; features [width, height,
+    n_pixels, mean_r, mean_g, mean_b, mean_luma, aspect]) and 16-bit
+    PCM WAV (``wav_decode``; features [n_samples, framerate,
+    duration_s, mean_abs, rms, peak, zero_crossing_rate, n_channels]).
+    Other formats need PIL/libav, absent in this container, so they
+    raise — and ``fake=True`` produces deterministic byte-derived
+    pseudo-features with the same shape the real decoder would emit."""
+    if not fake and content is not None and bytes(content[:4]) == b"RIFF":
+        rate, n_ch, samples = wav_decode(bytes(content))
+        n = len(samples)
+        if n == 0:
+            return [0.0, float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, float(n_ch)]
+        mean_abs = sum(abs(s) for s in samples) / n
+        rms = (sum(s * s for s in samples) / n) ** 0.5
+        peak = float(max(abs(s) for s in samples))
+        zc = sum(
+            1
+            for i in range(1, n)
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        ) / max(n - 1, 1)
+        return [
+            float(n),
+            float(rate),
+            n / (rate * n_ch),
+            mean_abs,
+            rms,
+            peak,
+            zc,
+            float(n_ch),
+        ]
     if not fake and content is not None and bytes(content[:2]) == b"BM":
         w, h, rows = bmp_decode(bytes(content))
         n = max(w * h, 1)
@@ -141,9 +205,10 @@ def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float
         ]
     if not fake:
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP decodes natively; other media "
-            "codecs are not available in this environment — "
-            "pass fake=True for deterministic pseudo-features"
+            "only uncompressed 24-bit BMP and 16-bit PCM WAV decode "
+            "natively; other media codecs are not available in this "
+            "environment — pass fake=True for deterministic "
+            "pseudo-features"
         )
     if content is None:
         return [0.0] * FEATURE_DIM

@@ -137,6 +137,38 @@ def test_resize_stub_real_bmp_nearest_neighbor():
     assert rows[3][3] == (255, 255, 255)
 
 
+def test_wav_roundtrip_and_real_decode_features():
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        wav_decode,
+        wav_encode,
+    )
+
+    # one full square-wave period: +1000 x2, -1000 x2, repeated
+    samples = [1000, 1000, -1000, -1000] * 4
+    data = wav_encode(samples, framerate=8000)
+    rate, n_ch, back = wav_decode(data)
+    assert (rate, n_ch) == (8000, 1)
+    assert back == samples
+
+    n, rate_f, dur, mean_abs, rms, peak, zcr, ch = decode_stub(data, "audio")
+    assert (n, rate_f, ch) == (16.0, 8000.0, 1.0)
+    assert abs(dur - 16 / 8000) < 1e-12
+    assert mean_abs == 1000.0 and rms == 1000.0 and peak == 1000.0
+    # 7 sign flips over 15 transitions (++--) x4 has no wraparound flip
+    assert abs(zcr - 7 / 15) < 1e-12
+
+
+def test_wav_rejects_non_pcm():
+    import pytest as _pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        wav_decode,
+    )
+
+    with _pytest.raises(ValueError):
+        wav_decode(b"RIFF1234WAVEgarbage")
+
+
 def test_real_bmp_through_spark_kernels(spark):
     # The same real byte path through the Arrow mapInPandas kernels:
     # feature extraction and resize with fake=False over BMP rows.
