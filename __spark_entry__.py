@@ -650,6 +650,22 @@ def q_type_value_stats_salted(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_doc_duplicated_spans(spark, sf_dir):
+    # Span-level duplicate detection: per-doc rollup of maximal token
+    # ranges whose every 5-gram repeats in >= 2 distinct docs (the
+    # shingle-granularity form of exact-substring dedup). Integer-exact.
+    spans = D.duplicated_spans(_t(spark, sf_dir, "documents"), n=5, min_df=2)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+            F.max("span_tokens").cast("long").alias("longest_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_forecast_sarimax_audit(spark, sf_dir):
     # Deterministic invariants of the model-dependent SARIMAX fit
     # (VERDICT r4 ask #7): the yhat values are rows-only by design, but
@@ -1504,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "doc_duplicated_spans": q_doc_duplicated_spans,
         # --- stale tail: last driver-green in r1, re-certify first ----------
         "summary_events": q_summary_events,
         "distinct_event_types": q_distinct_event_types,
@@ -2538,6 +2555,40 @@ def oracle_sql() -> dict[str, str]:
                      / count(ws) AS ws10_mps,
                    count(*) AS n_obs
             FROM b GROUP BY site, ts_utc ORDER BY site, ts_utc
+        """,
+        "doc_duplicated_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 4, 0)),
+                       i -> {'p': i - 1,
+                             'gram': array_to_string(tk[i:i+4], ' ')})) AS s
+              FROM toks
+            ),
+            grams AS (SELECT doc_id, s.p AS p, s.gram AS gram FROM sh),
+            hot AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hp AS (SELECT g.doc_id, g.p FROM grams g JOIN hot USING (gram)),
+            isl AS (
+              SELECT doc_id, p,
+                     p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                       AS grp
+              FROM hp
+            ),
+            spans AS (
+              SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+              FROM isl GROUP BY doc_id, grp
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+                   CAST(max(e - s + 1) AS BIGINT) AS longest_span
+            FROM spans GROUP BY doc_id ORDER BY doc_id
         """,
         "forecast_sarimax_audit": """
             WITH feats AS (

@@ -22,7 +22,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,6 +114,64 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
     return docs.select("doc_id", text_col).mapInPandas(
         kernel, "doc_id long, sh string, n_sh long"
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level duplicate detection: maximal token ranges whose every
+    n-gram occurs in ≥ ``min_df`` DISTINCT documents — the
+    shingle-granularity form of exact-substring dedup (the observation
+    behind suffix-array span dedup in published corpus-dedup work:
+    boilerplate and quoted passages repeat across documents even when
+    whole docs are unique). Returns (doc_id, span_start, span_end,
+    span_tokens) with 0-based inclusive token indices.
+
+    Plan, pure Catalyst: positional n-grams via one generate-only
+    posexplode (no Python); the gram df aggregate partial-aggregates
+    map-side and ``min_df`` filters BEFORE the semi join back, so the
+    join's build side is only the corpus-repeated gram set; maximal
+    runs fold via the gaps-and-islands window (p − row_number() is
+    constant exactly on consecutive-p runs) — one window, one final
+    agg. Shuffle inventory: gram agg + gram semi join + doc_id window,
+    all key-partitioned, nothing corpus-quadratic."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda p: F.array_join(F.slice(toks, p + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(gram_arr).alias("p", "gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gram")
+    )
+    hp = grams.join(hot, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = hp.withColumn("_grp", F.col("p") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "_grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + n - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
     )
 
 

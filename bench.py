@@ -101,6 +101,7 @@ HEADLINE = [
     "above_type_average_sql",
     "salted_join_segments",
     "ann_ivf_topk",
+    "doc_duplicated_spans",
 ]
 
 

@@ -338,6 +338,31 @@ def test_connected_components_rejects_unknown_algorithm(spark):
         connected_components(pairs, algorithm="bogus")
 
 
+def test_duplicated_spans_finds_cross_doc_runs(spark):
+    # Two docs share the 6-token run "a b c d e f" (two overlapping
+    # 5-grams -> one maximal span); doc 3 repeats a 5-gram only within
+    # itself (df counts DISTINCT docs, so it must NOT flag).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f x y z w v u"),
+            (2, "q r a b c d e f s t u v"),
+            (3, "m n o p q m n o p q k l"),
+            (4, "totally unrelated words here only once now"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): r.span_tokens
+        for r in duplicated_spans(docs, n=5, min_df=2).collect()
+    }
+    # doc 1: tokens 0-5; doc 2: tokens 2-7; nothing else
+    assert spans == {(1, 0, 5): 6, (2, 2, 7): 6}
+
+
 def test_dedup_corpus_keeps_canonicals_and_singletons(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
         dedup_corpus,
