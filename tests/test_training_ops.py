@@ -363,6 +363,62 @@ def test_duplicated_spans_finds_cross_doc_runs(spark):
     assert spans == {(1, 0, 5): 6, (2, 2, 7): 6}
 
 
+def test_duplicated_spans_property_random_docs(spark):
+    # Any corpus over a tiny alphabet: spans must exactly equal the
+    # pure-Python oracle (positional n-grams -> df filter -> maximal
+    # consecutive runs), including the no-span and short-doc cases.
+    import random
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    def oracle(doc_rows, n, min_df):
+        gram_docs: dict = {}
+        doc_grams: dict = {}
+        for d, text in doc_rows:
+            toks = text.strip(" ").split(" ")
+            ps = []
+            for p in range(max(len(toks) - n + 1, 0)):
+                g = " ".join(toks[p : p + n])
+                gram_docs.setdefault(g, set()).add(d)
+                ps.append((p, g))
+            doc_grams[d] = ps
+        hot = {g for g, s in gram_docs.items() if len(s) >= min_df}
+        out = set()
+        for d, ps in doc_grams.items():
+            run: list[int] = []
+            for p, g in ps:
+                if g in hot:
+                    if run and p == run[-1] + 1:
+                        run.append(p)
+                    else:
+                        if run:
+                            out.add((d, run[0], run[-1] + n - 1))
+                        run = [p]
+            if run:
+                out.add((d, run[0], run[-1] + n - 1))
+        return out
+
+    rng = random.Random(505)
+    for trial in range(3):
+        rows = [
+            (
+                d,
+                " ".join(
+                    rng.choice("abcde") for _ in range(rng.randint(0, 14))
+                ),
+            )
+            for d in range(12)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicated_spans(df, n=3, min_df=2).collect()
+        }
+        assert got == oracle(rows, 3, 2), rows
+
+
 def test_dedup_corpus_keeps_canonicals_and_singletons(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
         dedup_corpus,
