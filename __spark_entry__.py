@@ -763,6 +763,73 @@ def q_salted_join_segments(spark, sf_dir):
     )
 
 
+def q_session_attribution(spark, sf_dir):
+    # Bucketized RANGE JOIN with an equi key (operators/range_join.py):
+    # sessions are built from browse events only (purchases excluded, so
+    # the join is not circular), then purchases are attributed to the
+    # browse session whose [start, end] window contains them. Without
+    # the bin trick Catalyst plans this theta join as a nested loop —
+    # the 100 TB cliff; here it's a plain hash join on (user_id, bin).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.range_join import (
+        range_join_ts,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        session_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    browse = ev.where(F.col("event_type") != "purchase")
+    sess = session_stats(browse).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(20,6)").alias("value_dec")
+    )
+    hit = range_join_ts(
+        purchases, sess, "ts", "session_start", "session_end",
+        bin_width_seconds=28800, equi_keys=("user_id",),
+    )
+    return (
+        hit.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value_dec").cast("double").alias("purchase_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q_value_tier_report(spark, sf_dir):
+    # Pure-range (no equi key) bucketized range join: non-uniform
+    # quadratic value tiers [5k², 5(k+1)²) — a band lookup that cannot
+    # be expressed as floor(value/width), so it is a genuine interval
+    # join, planned as an equi-join on the manufactured bin column.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.range_join import (
+        range_join,
+    )
+
+    tiers = spark.range(10).select(
+        F.col("id").alias("tier"),
+        (F.col("id") * F.col("id") * F.lit(5.0)).alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1) * F.lit(5.0)).alias("hi"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        F.col("value").cast("decimal(20,6)").alias("value_dec"),
+    )
+    hit = range_join(ev, tiers, "value", "lo", "hi", bin_width=20.0)
+    return (
+        hit.groupBy("tier", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("tier")
+    )
+
+
 def q_media_stats(spark, sf_dir):
     # Multimodal: relational analytics over binary+metadata columns
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal import (
@@ -1517,6 +1584,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # count/time-bounded external sweep certifies first.
     return {
         # --- new r5 entries: never driver-certified, go first ---------------
+        "session_attribution": q_session_attribution,
+        "value_tier_report": q_value_tier_report,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2613,6 +2682,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS full_k_queries,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 8
+        """,
+        "session_attribution": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events WHERE event_type <> 'purchase'
+            ), flagged AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR epoch(ts) - epoch(prev_ts) > 28800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM ordered
+            ), sess AS (
+              SELECT user_id, ts,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS session_id
+              FROM flagged
+            ), bounds AS (
+              SELECT user_id, session_id,
+                     min(ts) AS session_start, max(ts) AS session_end
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT p.user_id, b.session_id,
+                   count(*) AS n_purchases,
+                   CAST(sum(CAST(p.value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS purchase_value
+            FROM events p
+            JOIN bounds b ON p.user_id = b.user_id
+                         AND p.ts >= b.session_start
+                         AND p.ts <= b.session_end
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.user_id, b.session_id
+            ORDER BY p.user_id, b.session_id
+        """,
+        "value_tier_report": """
+            WITH tiers AS (
+              SELECT k AS tier, 5.0 * k * k AS lo,
+                     5.0 * (k + 1) * (k + 1) AS hi
+              FROM range(10) t(k)
+            )
+            SELECT tier, lo, hi,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events e JOIN tiers
+              ON e.value >= tiers.lo AND e.value < tiers.hi
+            GROUP BY tier, lo, hi
+            ORDER BY tier
         """,
         "salted_join_segments": """
             SELECT c_mktsegment,

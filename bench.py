@@ -102,6 +102,8 @@ HEADLINE = [
     "salted_join_segments",
     "ann_ivf_topk",
     "doc_duplicated_spans",
+    "session_attribution",
+    "value_tier_report",
 ]
 
 
