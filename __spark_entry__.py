@@ -382,6 +382,17 @@ def q_embedding_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    # SemDeDup (cluster-scoped semantic dedup, arXiv:2303.09540): IVF
+    # cells bound the quadratic — pairs only within a cell, then the
+    # same components->survivors composition as embedding_dedup. The
+    # 100 TB path where the global block-matrix self-join stops scaling.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, n_centroids=8, threshold=0.4).select(
+        "vec_id"
+    )
+
+
 def q_pipeline_lineage(spark, sf_dir):
     # The reference dashboard's lineage page (streamlit/app.py:556-563)
     # shows bronze->silver->gold row flow with 0-valued Gold links
@@ -1586,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new r5 entries: never driver-certified, go first ---------------
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
+        "semantic_dedup": q_semantic_dedup,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2316,6 +2328,42 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN comp c
               ON emb.vec_id = c.vec_id AND c.vec_id != c.component
             WHERE c.vec_id IS NULL
+            ORDER BY emb.vec_id
+        """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     {_COS_SQL.format(a='e.v', b='c.cv')} AS sim
+              FROM e CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT vec_id, v, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+                FROM scored) WHERE rn = 1),
+            p AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM assigned a JOIN assigned b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.4),
+            und AS (
+              SELECT vec_a AS a, vec_b AS b FROM p
+              UNION SELECT vec_b AS a, vec_a AS b FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+            comp AS (
+              SELECT a AS vec_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a)
+            SELECT emb.vec_id
+            FROM embeddings emb
+            LEFT JOIN comp c2
+              ON emb.vec_id = c2.vec_id AND c2.vec_id != c2.component
+            WHERE c2.vec_id IS NULL
             ORDER BY emb.vec_id
         """,
         "ann_lsh_pairs": _srp_sig_sql()

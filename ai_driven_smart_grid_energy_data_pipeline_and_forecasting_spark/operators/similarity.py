@@ -814,3 +814,142 @@ def quantization_error_stats(
             (F.col("max_err") <= F.col("scale") * 0.5 + 1e-12).cast("bigint")
         ).alias("n_within_bound"),
     )
+
+
+# ------------------------------------------- cluster-scoped (SemDeDup)
+
+
+def semantic_cell_pairs(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int = 32768,
+) -> DataFrame:
+    """Near-dup embedding pairs, SemDeDup-style (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public arXiv:2303.09540): a coarse quantizer
+    assigns every vector to its nearest centroid, and exact pairwise
+    cosine runs only WITHIN each cell. The global O(n²) of
+    ``cosine_threshold_pairs`` becomes O(Σ|cell|²) — with k balanced
+    cells that is n²/k, and the cells are embarrassingly parallel.
+    Cross-cell near-dups are missed by construction; that recall trade
+    is the published algorithm, not a shortcut (near-dups cluster
+    together under any reasonable quantizer).
+
+    Plan: one Arrow assignment pass (centroids broadcast, corpus never
+    collected) → ONE shuffle grouping (id, vector) by cell →
+    ``applyInPandas`` computes the cell's pair list with the same
+    dimension-ordered arithmetic as every other kernel here (bit-equal
+    to the DuckDB oracle). A cell larger than ``max_cell_rows`` raises
+    loudly — at that size the quantizer is too coarse and the fix is
+    more centroids, not a silent quadratic blowup (same refuse-loudly
+    contract as ``cosine_threshold_pairs``).
+
+    Centroids are the deterministic id-ordered corpus head, matching
+    ``ann_ivf_topk``/``cluster_assign_stats`` (ties → smallest centroid
+    id); swap in MLlib KMeans centers for balanced cells offline.
+    """
+    spark = emb.sparkSession
+    cpdf = (
+        emb.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
+    )
+    c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
+    c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
+    c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
+    c_norm = _ordered_norms(c_mat)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_c, mc, nc = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            nx = _ordered_norms(mx)
+            sim = _ordered_gemm(mx, mc) / np.multiply.outer(nx, nc)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "v": pdf[vec_col],
+                    "cluster": ids_c[np.argmax(sim, axis=1)],
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign, "id long, v array<float>, cluster long"
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell_rows:
+            raise RuntimeError(
+                f"semantic_cell_pairs: cell {int(pdf['cluster'].iloc[0])} has "
+                f"{n} rows (> max_cell_rows={max_cell_rows}). Raise "
+                "n_centroids (finer quantizer) or max_cell_rows explicitly."
+            )
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
+            )
+        order = np.argsort(pdf["id"].to_numpy(dtype=np.int64))
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        m = _as_matrix(pdf["v"], dims)[order]
+        nrm = _ordered_norms(m)
+        out_a, out_b, out_s = [], [], []
+        # row-blocked upper triangle: bounds kernel memory at
+        # block × |cell| doubles regardless of cell size
+        block = 512
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            sim = _ordered_gemm(m[i0:i1], m) / np.multiply.outer(
+                nrm[i0:i1], nrm
+            )
+            for i in range(i0, i1):
+                j = np.nonzero(sim[i - i0] >= threshold)[0]
+                j = j[j > i]
+                if len(j):
+                    out_a.append(np.full(len(j), ids[i]))
+                    out_b.append(ids[j])
+                    out_s.append(sim[i - i0][j])
+        if not out_a:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a),
+                "vec_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        cell_pairs, "vec_a long, vec_b long, sim double"
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """End-to-end SemDeDup: cell-scoped near-dup pairs → connected
+    components → one canonical survivor per component (minimum id) plus
+    all untouched singletons. Composes ``semantic_cell_pairs`` with
+    ``dedup.dedup_corpus`` — identical survivor semantics to
+    ``embedding_dedup`` but with the cell-bounded candidate generation
+    that scales past the block-matrix form."""
+    from .dedup import dedup_corpus
+
+    pairs = semantic_cell_pairs(
+        emb, n_centroids, threshold, dims, id_col, vec_col
+    )
+    return dedup_corpus(
+        emb.select(id_col), pairs, id_col=id_col, src="vec_a", dst="vec_b"
+    ).orderBy(id_col)

@@ -104,6 +104,7 @@ HEADLINE = [
     "doc_duplicated_spans",
     "session_attribution",
     "value_tier_report",
+    "semantic_dedup",
 ]
 
 

@@ -487,3 +487,83 @@ def test_dedup_corpus_property_random_graphs(spark):
         assert kept == expected, f"edges={edges}"
 
     run()
+
+
+# --------------------------------------------------- semantic (SemDeDup)
+
+
+def test_semantic_cell_pairs_match_within_cell_bruteforce(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        semantic_cell_pairs,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in semantic_cell_pairs(emb, n_centroids=4, threshold=0.4).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    nrm = np.sqrt((m * m).sum(axis=1))
+    cm = m[np.argsort(ids)][: 4]
+    cid = np.sort(ids)[:4]
+    cn = np.sqrt((cm * cm).sum(axis=1))
+    sim_c = (m @ cm.T) / np.outer(nrm, cn)
+    cell = cid[np.argmax(sim_c, axis=1)]
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cell[i] == cell[j]:
+                s = float(m[i] @ m[j] / (nrm[i] * nrm[j]))
+                if s >= 0.4 - 1e-9:
+                    want.add((int(ids[i]), int(ids[j])))
+    # BLAS vs ordered-fold rounding can flip only knife-edge pairs;
+    # assert set equality modulo pairs within 1e-9 of the threshold
+    assert got == want
+
+
+def test_semantic_dedup_survivors_superset_of_global(spark):
+    # cell-scoped pairs are a subset of global pairs, so components are
+    # finer and every global survivor (component min) must survive here
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        dedup_corpus,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        cosine_threshold_pairs,
+        semantic_dedup,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    sem = {r.vec_id for r in semantic_dedup(emb, n_centroids=4, threshold=0.4).collect()}
+    glob_pairs = cosine_threshold_pairs(emb, threshold=0.4)
+    glob = {
+        r.vec_id
+        for r in dedup_corpus(
+            emb.select("vec_id"), glob_pairs, id_col="vec_id",
+            src="vec_a", dst="vec_b",
+        ).collect()
+    }
+    assert glob <= sem
+
+
+def test_semantic_cell_guard_raises(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        semantic_cell_pairs,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+    import pytest as _pt
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    with _pt.raises(Exception) as ei:
+        semantic_cell_pairs(emb, n_centroids=2, max_cell_rows=3).count()
+    assert "max_cell_rows" in str(ei.value)
