@@ -713,6 +713,38 @@ def q_forecast_sarimax_audit(spark, sf_dir):
     )
 
 
+def q_sketch_accuracy_audit(spark, sf_dir):
+    # Engine-native sketch aggregates (HLL++ distinct, KLL-style
+    # percentile_approx) are not SQL-reproducible bit-for-bit, so —
+    # same invariant-audit pattern as forecast_sarimax_audit — the
+    # oracle checks their published error bounds against exactly
+    # computed references: HLL at rsd=0.02 must land within 10% of the
+    # exact distinct count (generous: ~5 sigma), and the approximate
+    # median must fall between the exact 45th and 55th percentiles
+    # (accuracy=10000 bounds rank error at n/10000 < 1 row here).
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.expr("percentile(value, 0.45)").alias("_p45"),
+        F.expr("percentile(value, 0.55)").alias("_p55"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("_p50a"),
+    )
+    return per.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * 0.10
+        ).alias("hll_ok"),
+        (
+            (F.col("_p50a") >= F.col("_p45")) & (F.col("_p50a") <= F.col("_p55"))
+        ).alias("p50_ok"),
+    ).orderBy("event_type")
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     # Deterministic invariants of the trained-KMeans IVF (VERDICT r4
     # ask #7): neighbor identities depend on the learned centroids
@@ -1598,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
+        "sketch_accuracy_audit": q_sketch_accuracy_audit,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2730,6 +2763,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS full_k_queries,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 8
+        """,
+        "sketch_accuracy_audit": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS hll_ok, TRUE AS p50_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "session_attribution": """
             WITH ordered AS (

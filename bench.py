@@ -105,6 +105,7 @@ HEADLINE = [
     "session_attribution",
     "value_tier_report",
     "semantic_dedup",
+    "sketch_accuracy_audit",
 ]
 
 
