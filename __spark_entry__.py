@@ -393,6 +393,31 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_doc_scrubbed_spans(spark, sf_dir):
+    # Span scrub composition: duplicated_spans flags cross-document
+    # n-gram runs, scrub_spans cuts those tokens out of the surviving
+    # text (the byte-level half of span dedup — documents survive,
+    # boilerplate doesn't)
+    docs = _t(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, n=5, min_df=2)
+    return D.scrub_spans(docs, spans).orderBy("doc_id")
+
+
+def q_source_quota_cap(spark, sf_dir):
+    # Per-domain quota (RefinedWeb/C4-style host capping): keep the 3
+    # smallest doc_ids per source — deterministic, engine-portable
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        quota_cap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        quota_cap(docs, "source", cap=3)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("source", "doc_id")
+    )
+
+
 def q_pipeline_lineage(spark, sf_dir):
     # The reference dashboard's lineage page (streamlit/app.py:556-563)
     # shows bronze->silver->gold row flow with 0-valued Gold links
@@ -1631,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
         "sketch_accuracy_audit": q_sketch_accuracy_audit,
+        "doc_scrubbed_spans": q_doc_scrubbed_spans,
+        "source_quota_cap": q_source_quota_cap,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2739,6 +2766,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
                    CAST(max(e - s + 1) AS BIGINT) AS longest_span
             FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_scrubbed_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS tk
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 4, 0)),
+                       i -> {'p': i - 1,
+                             'gram': array_to_string(tk[i:i+4], ' ')})) AS s
+              FROM toks
+            ),
+            grams AS (SELECT doc_id, s.p AS p, s.gram AS gram FROM sh),
+            hot AS (
+              SELECT gram FROM grams
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hp AS (SELECT g.doc_id, g.p FROM grams g JOIN hot USING (gram)),
+            isl AS (
+              SELECT doc_id, p,
+                     p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                       AS grp
+              FROM hp
+            ),
+            spans AS (
+              SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+              FROM isl GROUP BY doc_id, grp
+            ),
+            ptok AS (
+              SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(tk)),
+                       i -> {'p': i - 1, 'tok': tk[i]})) AS t
+              FROM toks
+            ),
+            pt AS (SELECT doc_id, t.p AS p, t.tok AS tok FROM ptok),
+            removed AS (
+              SELECT DISTINCT pt.doc_id, pt.p
+              FROM pt JOIN spans s2
+                ON pt.doc_id = s2.doc_id AND pt.p BETWEEN s2.s AND s2.e
+            ),
+            kept AS (
+              SELECT pt.doc_id, pt.p, pt.tok
+              FROM pt LEFT JOIN removed r
+                ON pt.doc_id = r.doc_id AND pt.p = r.p
+              WHERE r.p IS NULL
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY p) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                   CAST(len(t.tk) - coalesce(a.n_kept, 0) AS BIGINT)
+                     AS n_removed,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+            ORDER BY t.doc_id
+        """,
+        "source_quota_cap": """
+            SELECT doc_id, source, lang, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) <= 3
+            ORDER BY source, doc_id
         """,
         "forecast_sarimax_audit": """
             WITH feats AS (

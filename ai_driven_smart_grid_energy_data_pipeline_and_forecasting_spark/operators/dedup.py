@@ -186,6 +186,57 @@ def duplicated_spans(
     )
 
 
+def scrub_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document with its flagged token spans REMOVED — the
+    consumer of ``duplicated_spans`` (published span-dedup pipelines
+    cut the duplicated bytes out of the surviving text rather than drop
+    whole documents). ``spans`` is any (doc_id, span_start, span_end)
+    frame with 0-based inclusive token indices; overlapping spans are
+    fine (a token inside ANY span is removed once).
+
+    Plan: spans fold to one array per doc (shuffle bounded by the
+    flagged-doc count), join back equi on doc_id — broadcastable
+    whenever the flagged fraction is small, AQE decides — and the
+    token cut is a single Catalyst higher-order ``filter`` with a
+    positional lambda over the split array: no posexplode, so the
+    corpus's token stream never hits a shuffle, and untouched docs
+    (NULL span array) stream through with the text untouched. The
+    interpreted-HOF cost is per-token × spans-per-doc, linear in
+    corpus size — unlike the numeric-kernel cases (see
+    ``similarity.py`` module notes) there is no quadratic inner loop
+    to hoist into numpy.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text), one row per
+    input doc.
+    """
+    sp = spans.groupBy(F.col(id_col)).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    in_any_span = lambda i: F.coalesce(  # noqa: E731
+        F.exists(
+            "_spans",
+            lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+        ),
+        F.lit(False),
+    )
+    kept = F.filter(toks, lambda tok, i: ~in_any_span(i))
+    return (
+        docs.join(sp, id_col, "left")
+        .select(
+            id_col,
+            F.size(toks).alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 

@@ -114,3 +114,37 @@ def weighted_mixture_sample(
     return stratified_hash_sample(
         df, key_col, stratum_col, mixture_rates(counts, weights), salt
     )
+
+
+def quota_cap(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    order_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Keep at most ``cap`` rows per stratum — the per-domain quota
+    step of web-corpus curation (RefinedWeb/C4 cap the documents any
+    single host may contribute so megasites don't dominate the
+    mixture). Selection is deterministic: the ``cap`` smallest rows by
+    ``order_cols`` within each stratum, so re-runs and engines agree
+    row-for-row (contrast RNG subsampling; see the module docstring).
+
+    Plan: one shuffle on the stratum key for the rank window. A hot
+    stratum (one domain = half the corpus) makes that window's sort the
+    straggler at 100 TB; since only the ``cap`` smallest survive, the
+    fix is a pre-filter with the same shape as the final rank — a
+    per-partition ``rank <= cap`` cut (mapPartitions-local window or a
+    groupBy-topK partial) before the global window, which bounds the
+    shuffled stratum at cap × n_partitions rows. That refinement
+    changes no results, only the straggler profile, and is left to the
+    caller's AQE/skew settings until measured — the window itself is
+    the honest baseline plan.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__qr", F.row_number().over(w))
+        .filter(F.col("__qr") <= cap)
+        .drop("__qr")
+    )

@@ -106,6 +106,8 @@ HEADLINE = [
     "value_tier_report",
     "semantic_dedup",
     "sketch_accuracy_audit",
+    "doc_scrubbed_spans",
+    "source_quota_cap",
 ]
 
 

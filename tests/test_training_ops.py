@@ -567,3 +567,75 @@ def test_semantic_cell_guard_raises(spark):
     with _pt.raises(Exception) as ei:
         semantic_cell_pairs(emb, n_centroids=2, max_cell_rows=3).count()
     assert "max_cell_rows" in str(ei.value)
+
+
+# ----------------------------------------------------- span scrub, quota
+
+
+def test_scrub_spans_edge_cases(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        scrub_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),     # overlapping spans [1,3] + [3,4] -> remove b..e
+            (2, "x y z"),           # fully scrubbed
+            (3, "p q r"),           # untouched (no span rows)
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3), (1, 3, 4), (2, 0, 2)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {r.doc_id: r for r in scrub_spans(docs, spans).collect()}
+    assert got[1].clean_text == "a f" and got[1].n_removed == 4
+    assert got[2].clean_text == "" and got[2].n_removed == 3
+    assert got[3].clean_text == "p q r" and got[3].n_removed == 0
+    assert all(got[i].n_tokens == len(d.split())
+               for i, d in [(1, "a b c d e f"), (2, "x y z"), (3, "p q r")])
+
+
+def test_scrub_composes_with_duplicated_spans(spark):
+    # every removed token must sit inside a reported span; clean text of
+    # an unflagged doc is byte-identical to the original
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        duplicated_spans,
+        scrub_spans,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    spans = duplicated_spans(docs, n=5, min_df=2)
+    flagged = {r.doc_id for r in spans.select("doc_id").distinct().collect()}
+    out = scrub_spans(docs, spans)
+    orig = {r.doc_id: r.text.strip() for r in docs.collect()}
+    for r in out.collect():
+        if r.doc_id not in flagged:
+            assert r.n_removed == 0 and r.clean_text == orig[r.doc_id]
+        else:
+            assert 0 < r.n_removed <= r.n_tokens
+
+
+def test_quota_cap_deterministic_smallest(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        quota_cap,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    capped = quota_cap(docs, "source", cap=2)
+    rows = capped.select("doc_id", "source").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    full = {}
+    for r in docs.select("doc_id", "source").collect():
+        full.setdefault(r.source, []).append(r.doc_id)
+    for src, ids in full.items():
+        assert sorted(by_src.get(src, [])) == sorted(ids)[:2]
