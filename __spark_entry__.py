@@ -418,6 +418,36 @@ def q_source_quota_cap(spark, sf_dir):
     )
 
 
+def q_doc_epoch_mixture(spark, sf_dir):
+    # Per-domain epoch UPSAMPLING (the other half of mixture_rates,
+    # which never upsamples): LLaMA-recipe-style epochs per source —
+    # en seen 2.5x, de 1.25x, fr 0.5x, es 1.0x, zh dropped. Exact-binary
+    # fractions so the hash-threshold compare is bit-stable cross-engine.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    up = epoch_upsample(
+        docs, "doc_id", "lang", {"en": 2.5, "de": 1.25, "fr": 0.5, "es": 1.0}
+    )
+    return up.select("doc_id", "lang", "copy_idx").orderBy("doc_id", "copy_idx")
+
+
+def q_incremental_novel_docs(spark, sf_dir):
+    # Incremental dedup against an ingested index: batch = every 5th
+    # doc, index = the rest; novel = batch fingerprints unseen in the
+    # index (the daily-crawl check that avoids re-deduplicating 100 TB)
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    return (
+        D.novel_against_index(new, idx)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_pipeline_lineage(spark, sf_dir):
     # The reference dashboard's lineage page (streamlit/app.py:556-563)
     # shows bronze->silver->gold row flow with 0-valued Gold links
@@ -1658,6 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_accuracy_audit": q_sketch_accuracy_audit,
         "doc_scrubbed_spans": q_doc_scrubbed_spans,
         "source_quota_cap": q_source_quota_cap,
+        "doc_epoch_mixture": q_doc_epoch_mixture,
+        "incremental_novel_docs": q_incremental_novel_docs,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2826,6 +2858,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.clean_text, '') AS clean_text
             FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
             ORDER BY t.doc_id
+        """,
+        "doc_epoch_mixture": f"""
+            WITH e AS (
+              SELECT doc_id, lang,
+                     CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.25
+                               WHEN 'fr' THEN 0.5 WHEN 'es' THEN 1.0
+                     END AS ep,
+                     {_h32_sql("'epochs' || CAST(doc_id AS VARCHAR)")} % 10000
+                       AS bkt
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang,
+                     CAST(floor(ep)
+                          + CASE WHEN bkt < (ep - floor(ep)) * 10000
+                                 THEN 1 ELSE 0 END AS BIGINT) AS n
+              FROM e WHERE ep IS NOT NULL
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_idx
+            FROM c
+            ORDER BY doc_id, copy_idx
+        """,
+        "incremental_novel_docs": """
+            WITH fp AS (
+              SELECT doc_id, source, n_chars,
+                     md5(array_to_string(list_sort(list_distinct(
+                       string_split(trim(lower(text)), ' '))), ' ')) AS fp,
+                     doc_id % 5 = 0 AS is_new
+              FROM documents)
+            SELECT doc_id, source, n_chars
+            FROM fp
+            WHERE is_new
+              AND fp NOT IN (SELECT fp FROM fp WHERE NOT is_new)
+            ORDER BY doc_id
         """,
         "source_quota_cap": """
             SELECT doc_id, source, lang, n_chars

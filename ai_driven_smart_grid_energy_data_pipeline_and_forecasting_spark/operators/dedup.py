@@ -837,3 +837,36 @@ def dedup_corpus(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+def novel_against_index(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup: the new-batch rows whose order-insensitive
+    token-set fingerprint (``functions.text.doc_fingerprint``, the
+    ``fingerprint_dedup`` key) does NOT already exist in an ingested
+    corpus — the daily-crawl-vs-index check a continuously growing
+    corpus runs instead of re-deduplicating 100 TB from scratch.
+
+    One semi-structured anti join on the fingerprint: the index side
+    reduces to its distinct fingerprint column (map-side partial
+    distinct; at steady state this is the corpus's fingerprint index,
+    which a production deployment would persist and bucket by ``fp`` so
+    the daily anti join co-locates without a full index shuffle).
+    Batch-internal duplicates are intentionally kept — within-batch
+    dedup is ``exact_dedup``/``fingerprint_dedup_groups``'s job and
+    composes before or after.
+    """
+    from ..functions.text import doc_fingerprint
+
+    idx = index_docs.select(
+        doc_fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    return (
+        new_docs.withColumn("fp", doc_fingerprint(F.col(text_col)))
+        .join(idx, "fp", "left_anti")
+        .drop("fp")
+    )

@@ -148,3 +148,45 @@ def quota_cap(
         .filter(F.col("__qr") <= cap)
         .drop("__qr")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    epochs: dict[str, float],
+    salt: str = "epochs",
+) -> DataFrame:
+    """Deterministic per-stratum UPSAMPLING: repeat each row of stratum
+    ``s`` ``epochs[s]`` times on average — the "epochs per domain" knob
+    of published LLM data recipes (e.g. LLaMA's per-source epoch
+    counts), where high-quality domains are seen >1× per training pass.
+    ``mixture_rates`` deliberately never upsamples; this is its other
+    half. Strata absent from ``epochs`` drop (same convention).
+
+    Every row gets ``floor(e)`` copies plus one more iff its hash
+    bucket clears the fractional part — so e=2.5 repeats every doc
+    twice and a deterministic, content-keyed half of them a third
+    time. Re-runs reproduce the same copies exactly; raising e only
+    adds copies (nested, like the samplers above). Output adds
+    ``copy_idx`` (1-based) so downstream shuffles can decorrelate
+    copies.
+
+    Scale: pure per-row expressions + a generate-only explode — no
+    shuffle, no RNG, no driver data. Use exact-binary epoch fractions
+    (x/2^k) if bit-stable cross-engine replay matters.
+    """
+    pairs: list[Column] = []
+    for s, e in epochs.items():
+        pairs += [F.lit(s), F.lit(float(e))]
+    e = F.create_map(*pairs)[F.col(stratum_col)]
+    base = F.floor(e).cast("long")
+    frac = e - F.floor(e)
+    extra = (
+        hash_bucket(F.col(key_col), salt) < frac * F.lit(float(BUCKETS))
+    ).cast("long")
+    n = base + extra
+    seq = F.when(n >= 1, F.sequence(F.lit(1).cast("long"), n)).otherwise(
+        F.array().cast("array<long>")
+    )
+    return df.withColumn("copy_idx", F.explode(seq))

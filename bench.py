@@ -108,6 +108,8 @@ HEADLINE = [
     "sketch_accuracy_audit",
     "doc_scrubbed_spans",
     "source_quota_cap",
+    "doc_epoch_mixture",
+    "incremental_novel_docs",
 ]
 
 

@@ -58,3 +58,71 @@ def test_stratified_sample_nested_and_scoped(spark):
     assert lo_ids <= hi_ids  # nested-sample property
     # unlisted strata never leak into the sample
     assert hi.filter(F.col("source") != "src0").count() == 0
+
+
+def test_epoch_upsample_copy_counts(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        epoch_upsample,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    epochs = {"en": 2.5, "de": 1.25, "fr": 0.5, "es": 1.0}
+    up = epoch_upsample(docs, "doc_id", "lang", epochs)
+    rows = up.groupBy("doc_id", "lang").count().collect()
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    seen = set()
+    for r in rows:
+        e = epochs.get(r.lang)
+        assert e is not None, "unlisted stratum must drop"
+        assert r["count"] in (int(e), int(e) + (1 if e != int(e) else 0)), (
+            r.lang, r["count"], e)
+        seen.add(r.doc_id)
+    # zh docs dropped entirely; es exactly once
+    for doc_id, lang in langs.items():
+        if lang == "zh":
+            assert doc_id not in seen
+    es = [r["count"] for r in rows if r.lang == "es"]
+    assert es and all(c == 1 for c in es)
+
+
+def test_epoch_upsample_nested_in_rate(spark):
+    # raising an epoch factor only ADDS copies (same nested property as
+    # the hash samplers): copies at e=1.25 are a subset of e=1.75
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        epoch_upsample,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    lo = {(r.doc_id, r.copy_idx) for r in epoch_upsample(
+        docs, "doc_id", "lang", {"en": 1.25}).select("doc_id", "copy_idx").collect()}
+    hi = {(r.doc_id, r.copy_idx) for r in epoch_upsample(
+        docs, "doc_id", "lang", {"en": 1.75}).select("doc_id", "copy_idx").collect()}
+    assert lo <= hi
+
+
+def test_novel_against_index(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        novel_against_index,
+    )
+
+    idx = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "hello world"),          # exact dup of 2
+            (11, "world hello"),          # token-set dup of 2 (reordered)
+            (12, "entirely new content"), # novel
+            (13, "entirely new content"), # batch-internal dup: kept
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in novel_against_index(new, idx).collect())
+    assert got == [12, 13]
