@@ -57,6 +57,12 @@ PROBE_QUERIES = [
     "dedup_corpus",
     "forecast_mllib",
     "returned_item_report",
+    # r5 additions: the new heavy operators
+    "semantic_dedup",
+    "doc_duplicated_spans",
+    "doc_scrubbed_spans",
+    "session_attribution",
+    "value_tier_report",
 ]
 
 

@@ -238,3 +238,67 @@ def test_orders_expectations_single_pass(spark):
     # the property that makes a 20-check suite cost one job at 100 TB.
     plan = _plan(spark, "orders_expectations")
     assert plan.count("orders.parquet") == 1, plan
+
+
+# ----------------------------------------------------- round-5 operators
+
+
+def test_session_attribution_no_nested_loop(spark):
+    # the range join must be a hash/sort-merge join on (user_id, bin),
+    # never the BNLJ Catalyst natively plans for theta conditions
+    plan = _plan(spark, "session_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_value_tier_report_no_nested_loop(spark):
+    plan = _plan(spark, "value_tier_report")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_scrub_spans_no_token_explode(spark):
+    # the token cut is a per-row HOF filter: the only Generate allowed
+    # is the span pipeline's positional-gram posexplode — the full
+    # token stream itself must not be exploded a second time for the
+    # scrub, and the doc<-spans join must not be a nested loop
+    plan = _plan(spark, "doc_scrubbed_spans")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Generate posexplode") <= 1, plan
+
+
+def test_semantic_dedup_single_cell_shuffle(spark):
+    # assignment kernel -> ONE exchange on the cell key -> per-cell
+    # pair kernel; pair generation itself adds no further exchange
+    # (the CC/survivor stages after it have their own)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        semantic_cell_pairs,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    plan = (
+        semantic_cell_pairs(emb, n_centroids=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_epoch_upsample_shuffle_free(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        epoch_upsample,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR)
+    plan = (
+        epoch_upsample(docs, "doc_id", "lang", {"en": 2.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
