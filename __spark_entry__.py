@@ -1575,6 +1575,34 @@ def q_doc_filter_cascade(spark, sf_dir):
     )
 
 
+def q_curated_corpus(spark, sf_dir):
+    # The END-TO-END curation pipeline a training run actually executes,
+    # as one DAG: quality cascade (keep only 'kept') -> exact
+    # fingerprint dedup (canonical min-id survivor) -> per-domain quota
+    # cap -> deterministic hash split. Every stage reuses an operator
+    # already oracled on its own; this query certifies their
+    # composition end-to-end (the same role dedup_corpus plays for the
+    # pair family).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        quota_cap,
+        with_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    kept = d.where(
+        TX.quality_drop_reason(F.col("text"), F.col("lang")) == "kept"
+    )
+    canon = kept.groupBy(TX.doc_fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    capped = quota_cap(surv, "source", cap=5)
+    split = with_split(
+        capped, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return split.select("doc_id", "source", "lang", "split").orderBy("doc_id")
+
+
 def q_doc_pack_stats(spark, sf_dir):
     # Concat-and-chunk sequence packing: per-shard docs/tokens/sequences
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.packing import (
@@ -1690,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_cap": q_source_quota_cap,
         "doc_epoch_mixture": q_doc_epoch_mixture,
         "incremental_novel_docs": q_incremental_novel_docs,
+        "curated_corpus": q_curated_corpus,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2858,6 +2887,48 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.clean_text, '') AS clean_text
             FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
             ORDER BY t.doc_id
+        """,
+        "curated_corpus": f"""
+            WITH s AS (
+              SELECT doc_id, source, lang, text,
+                     CASE WHEN {_STATS['n_tokens']} < 20 THEN 'too_short'
+                          WHEN length(text) > 450 THEN 'too_long'
+                          WHEN lang = 'en' AND {_STOP_HITS} = 0
+                            THEN 'low_stopword'
+                          WHEN {_AVG_TOK} < 4.3 THEN 'short_tokens'
+                          ELSE 'kept' END AS reason
+              FROM documents
+            ),
+            kept AS (SELECT * FROM s WHERE reason = 'kept'),
+            canon AS (
+              SELECT min(doc_id) AS doc_id
+              FROM (
+                SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct(
+                         string_split(trim(lower(text)), ' '))), ' ')) AS fp
+                FROM kept)
+              GROUP BY fp
+            ),
+            surv AS (
+              SELECT k.doc_id, k.source, k.lang FROM kept k
+              JOIN canon c ON k.doc_id = c.doc_id
+            ),
+            capped AS (
+              SELECT * FROM surv
+              QUALIFY row_number() OVER (PARTITION BY source
+                                         ORDER BY doc_id) <= 5
+            ),
+            b AS (
+              SELECT doc_id, source, lang,
+                     {_h32_sql("'split' || CAST(doc_id AS VARCHAR)")} % 10000
+                       AS bkt
+              FROM capped
+            )
+            SELECT doc_id, source, lang,
+                   CASE WHEN bkt < 9000 THEN 'train'
+                        WHEN bkt < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
         "doc_epoch_mixture": f"""
             WITH e AS (

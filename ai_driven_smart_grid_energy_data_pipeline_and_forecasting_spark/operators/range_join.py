@@ -59,7 +59,7 @@ def range_join(
     point_col: str,
     lo_col: str,
     hi_col: str,
-    bin_width: float,
+    bin_width: float | None = None,
     equi_keys: tuple[str, ...] = (),
     closed_hi: bool = False,
     max_bins_per_interval: int = 4096,
@@ -74,34 +74,44 @@ def range_join(
     across keys. Output columns: all point columns, then the interval
     columns not shadowed by point columns or equi keys.
 
-    ``bin_width`` must be positive and in the point column's units
-    (seconds if you pre-cast timestamps — see ``range_join_ts``).
-    Intervals whose span would explode into more than
-    ``max_bins_per_interval`` bins raise ``RuntimeError`` up front:
-    that parameterization means bin_width is ~10^3 times too small for
-    the data, and the blowup should be a loud refusal, not an OOM an
-    hour into the job.
+    ``bin_width`` is in the point column's units (seconds if you
+    pre-cast timestamps — see ``range_join_ts``). ``None`` (default)
+    self-tunes to the MEDIAN interval span — the sweet spot where a
+    typical interval explodes into ~2 bins — from the same single
+    tiny aggregate that feeds the replication guard (dims are small by
+    definition of "interval table"; even a fact-sized side costs one
+    scan + scalar agg, not a join). Intervals that would explode into
+    more than ``max_bins_per_interval`` bins raise ``RuntimeError`` up
+    front: that parameterization means bin_width is ~10^3 times too
+    small for the data, and the blowup should be a loud refusal, not
+    an OOM an hour into the job.
     """
-    if bin_width <= 0:
+    if bin_width is not None and bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     _check_cols(points, [point_col, *equi_keys], "point")
     _check_cols(intervals, [lo_col, hi_col, *equi_keys], "interval")
 
+    span = F.col(hi_col) - F.col(lo_col)
+    stats = intervals.select(
+        F.max(span).alias("max_span"),
+        F.percentile_approx(span, 0.5).alias("med_span"),
+    ).first()
+    if bin_width is None:
+        med = stats["med_span"]
+        bin_width = float(med) if med is not None and med > 0 else 1.0
+    if stats["max_span"] is not None:
+        worst = int(stats["max_span"] / bin_width) + 2
+        if worst > max_bins_per_interval:
+            raise RuntimeError(
+                f"range_join: an interval spans ~{worst} bins of width "
+                f"{bin_width} (> max_bins_per_interval="
+                f"{max_bins_per_interval}). Raise bin_width toward the "
+                "typical interval span, or raise the cap explicitly if "
+                "the replication is intended."
+            )
+
     lo_bin = F.floor(F.col(lo_col) / F.lit(bin_width))
     hi_bin = F.floor(F.col(hi_col) / F.lit(bin_width))
-    n_bins = (hi_bin - lo_bin + F.lit(1)).alias("__rj_nbins")
-
-    # Refuse degenerate replication loudly. One tiny aggregate on the
-    # interval side (dims are small by definition of "interval table";
-    # even a fact-sized side costs one scan + scalar agg, not a join).
-    worst = intervals.select(F.max(n_bins).alias("m")).first()["m"]
-    if worst is not None and worst > max_bins_per_interval:
-        raise RuntimeError(
-            f"range_join: an interval spans {worst} bins of width "
-            f"{bin_width} (> max_bins_per_interval={max_bins_per_interval}). "
-            "Raise bin_width toward the typical interval span, or raise "
-            "the cap explicitly if the replication is intended."
-        )
 
     exploded = intervals.withColumn(
         _BIN, F.explode(F.sequence(lo_bin, hi_bin))
@@ -109,6 +119,22 @@ def range_join(
     binned = points.withColumn(
         _BIN, F.floor(F.col(point_col) / F.lit(bin_width))
     )
+    # name collisions outside the equi keys: the point side wins (the
+    # interval duplicate is dropped) — same convention as the output
+    # projection below, applied pre-join so references stay unambiguous
+    collide = [
+        c
+        for c in exploded.columns
+        if c in set(binned.columns) and c not in (*equi_keys, _BIN)
+    ]
+    if lo_col in collide or hi_col in collide:
+        raise ValueError(
+            f"range_join: bound columns {lo_col!r}/{hi_col!r} also exist "
+            "on the point side — rename one side, the range predicate "
+            "cannot disambiguate them"
+        )
+    if collide:
+        exploded = exploded.drop(*collide)
     in_range = (F.col(point_col) >= F.col(lo_col)) & (
         F.col(point_col) <= F.col(hi_col)
         if closed_hi

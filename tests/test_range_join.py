@@ -127,3 +127,16 @@ def test_timestamp_wrapper(spark):
     tags = sorted((r.ts.minute + 60 * r.ts.hour, r.tag) for r in got.collect())
     # closed ends: minute 0, 30 and 60 (=exact hi) in s1; 200min in s2
     assert tags == [(0, "s1"), (30, "s1"), (60, "s1"), (200, "s2")]
+
+
+def test_auto_bin_width_matches_explicit(spark):
+    points, intervals = _points(spark), _intervals(spark)
+    auto = range_join(points, intervals, "v", "lo", "hi", equi_keys=("k",))
+    rows = sorted((r.k, r.v, r.lo, r.hi, r.tag) for r in auto.collect())
+    assert rows == _naive(points, intervals, ["k"], False)
+
+
+def test_auto_bin_width_empty_intervals(spark):
+    points = _points(spark)
+    empty = _intervals(spark).filter("lo > 1e18")
+    assert range_join(points, empty, "v", "lo", "hi").count() == 0
