@@ -1579,6 +1579,22 @@ def q_doc_filter_cascade(spark, sf_dir):
     )
 
 
+def q_incremental_novel_near(spark, sf_dir):
+    # NEAR-dup incremental dedup: same batch/index split as
+    # incremental_novel_docs, but matches are LSH-candidate + exact
+    # Jaccard >= 0.5 — catches the re-fetched-with-edits page the
+    # fingerprint check misses. The index side's band rows are the
+    # persistable LSH index; the batch only probes.
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    return (
+        D.novel_against_index_near(new, idx, threshold=0.5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_curated_corpus(spark, sf_dir):
     # The END-TO-END curation pipeline a training run actually executes,
     # as one DAG: quality cascade (keep only 'kept') -> exact
@@ -1722,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_cap": q_source_quota_cap,
         "doc_epoch_mixture": q_doc_epoch_mixture,
         "incremental_novel_docs": q_incremental_novel_docs,
+        "incremental_novel_near": q_incremental_novel_near,
         "curated_corpus": q_curated_corpus,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
@@ -2891,6 +2908,29 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.clean_text, '') AS clean_text
             FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
             ORDER BY t.doc_id
+        """,
+        "incremental_novel_near": _SHINGLE_CTE
+        + ",\n"
+        + ",\n".join(_minhash_sql())
+        + """,
+            cands AS (
+              SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS idx_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh
+               AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+            matched AS (
+              SELECT DISTINCT new_id
+              FROM cands
+              JOIN sh sa ON new_id = sa.doc_id
+              JOIN sh sb ON idx_id = sb.doc_id
+              WHERE len(list_intersect(sa.shs, sb.shs)) * 1.0
+                      / (len(sa.shs) + len(sb.shs)
+                         - len(list_intersect(sa.shs, sb.shs))) >= 0.5)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d
+            LEFT JOIN matched m ON d.doc_id = m.new_id
+            WHERE d.doc_id % 5 = 0 AND m.new_id IS NULL
+            ORDER BY d.doc_id
         """,
         "curated_corpus": f"""
             WITH s AS (

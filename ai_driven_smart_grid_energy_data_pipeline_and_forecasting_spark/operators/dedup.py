@@ -870,3 +870,72 @@ def novel_against_index(
         .join(idx, "fp", "left_anti")
         .drop("fp")
     )
+
+
+def _lsh_bands(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """(doc_id, band, bh) rows — the persistable LSH index of a corpus
+    (same banding as ``minhash_lsh_pairs``)."""
+    sig = minhash_signatures(docs, text_col, n)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _band_hash(b).alias("bh"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+
+
+def novel_against_index_near(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate incremental dedup: new-batch rows with no
+    verified near-duplicate (exact shingle Jaccard ≥ ``threshold``) in
+    the ingested corpus — the fuzzy complement of
+    ``novel_against_index`` (which only catches token-set-identical
+    copies; a crawl re-fetch with one changed sentence sails through
+    it).
+
+    Candidates come from a cross-corpus LSH band join, NOT a
+    self-join: the index side's (doc_id, band, bh) rows are exactly
+    the persistable LSH index — at steady state a deployment stores
+    them (and the index shingle sets) bucketed by (band, bh), and the
+    daily batch computes only its own signatures and probes, touching
+    the 100 TB corpus nowhere. Verification is exact Jaccard over the
+    two corpora's shingle sets, each computed in one kernel pass.
+    Recall is LSH recall (same banding parameters and the same
+    exact-dedup-first bucket-width discipline as
+    ``minhash_lsh_pairs``); a missed near-dup is a false "novel", the
+    standard LSH trade.
+    """
+    nb = _lsh_bands(new_docs, text_col, n).withColumnRenamed("doc_id", "new_id")
+    ib = _lsh_bands(index_docs, text_col, n).withColumnRenamed("doc_id", "idx_id")
+    cands = nb.join(ib, ["band", "bh"]).select("new_id", "idx_id").distinct()
+    sets_new = (
+        doc_shingle_sets(new_docs, text_col, n)
+        .withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("shs", "shs_a")
+    )
+    sets_idx = (
+        doc_shingle_sets(index_docs, text_col, n)
+        .withColumnRenamed("doc_id", "idx_id")
+        .withColumnRenamed("shs", "shs_b")
+    )
+    jacc = F.size(F.array_intersect("shs_a", "shs_b")) / F.size(
+        F.array_union("shs_a", "shs_b")
+    )
+    matched = (
+        cands.join(sets_new, "new_id")
+        .join(sets_idx, "idx_id")
+        .filter(jacc >= F.lit(threshold))
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return new_docs.join(matched, "doc_id", "left_anti")

@@ -110,6 +110,7 @@ HEADLINE = [
     "source_quota_cap",
     "doc_epoch_mixture",
     "incremental_novel_docs",
+    "incremental_novel_near",
     "curated_corpus",
 ]
 

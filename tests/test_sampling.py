@@ -126,3 +126,27 @@ def test_novel_against_index(spark):
     )
     got = sorted(r.doc_id for r in novel_against_index(new, idx).collect())
     assert got == [12, 13]
+
+
+def test_novel_against_index_near(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        novel_against_index_near,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    idx = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                                   # exact dup
+            (11, base + " lambda"),                       # near dup (J=8/9)
+            (12, "totally different words here entirely never overlapping"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.doc_id for r in novel_against_index_near(new, idx, threshold=0.5).collect()
+    )
+    assert got == [12]
