@@ -161,3 +161,59 @@ def test_approx_percentile_brackets_exact(spark):
         "percentile(value, 0.45) AS lo", "percentile(value, 0.55) AS hi"
     ).first()
     assert lo <= approx <= hi, (lo, approx, hi, exact)
+
+
+def test_range_join_property_vs_allpairs(spark):
+    """Random points/intervals (including degenerate and negative
+    spans) must match the all-pairs theta join at any bin width."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.range_join import (
+        range_join,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(-50, 50)), max_size=12
+        ),
+        ivs=st.lists(
+            st.tuples(
+                st.integers(0, 2), st.integers(-50, 50), st.integers(-5, 60)
+            ),
+            max_size=8,
+        ),
+        width=st.sampled_from([0.9, 7.0, 33.0]),
+    )
+    def run(pts, ivs, width):
+        points = spark.createDataFrame(
+            [(f"k{k}", float(v)) for k, v in pts] or [("k0", 0.0)],
+            "k string, v double",
+        )
+        if not pts:
+            points = points.filter("v != v")
+        intervals = spark.createDataFrame(
+            [(f"k{k}", float(lo), float(lo + span)) for k, lo, span in ivs]
+            or [("k0", 0.0, 0.0)],
+            "k string, lo double, hi double",
+        )
+        if not ivs:
+            intervals = intervals.filter("lo != lo")
+        got = sorted(
+            (r.k, r.v, r.lo, r.hi)
+            for r in range_join(
+                points, intervals, "v", "lo", "hi",
+                bin_width=width, equi_keys=("k",),
+            ).collect()
+        )
+        want = sorted(
+            (f"k{k}", float(v), float(lo), float(lo + span))
+            for k, v in pts
+            for k2, lo, span in ivs
+            if k == k2 and lo <= v < lo + span
+        )
+        assert got == want, (pts, ivs, width)
+
+    run()

@@ -639,3 +639,21 @@ def test_quota_cap_deterministic_smallest(spark):
         full.setdefault(r.source, []).append(r.doc_id)
     for src, ids in full.items():
         assert sorted(by_src.get(src, [])) == sorted(ids)[:2]
+
+
+def test_scrub_spans_null_text_passthrough(spark):
+    # NULL text propagates as NULL (Spark 3+ size-of-null semantics) —
+    # pinned so a future refactor doesn't silently turn it into a crash
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        scrub_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(2, 0, 0)], "doc_id long, span_start long, span_end long"
+    )
+    got = {r.doc_id: r for r in scrub_spans(docs, spans).collect()}
+    assert got[1].clean_text is None and got[1].n_tokens is None
+    assert got[2].clean_text == "b c"
