@@ -405,14 +405,17 @@ def q_doc_scrubbed_spans(spark, sf_dir):
 
 def q_source_quota_cap(spark, sf_dir):
     # Per-domain quota (RefinedWeb/C4-style host capping): keep the 3
-    # smallest doc_ids per source — deterministic, engine-portable
+    # smallest doc_ids per source — deterministic, engine-portable.
+    # spray=8 runs the skew-safe two-phase cut (hot-domain sort spread
+    # over 8 reducers), proven row-identical to the plain window by the
+    # oracle itself
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
         quota_cap,
     )
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        quota_cap(docs, "source", cap=3)
+        quota_cap(docs, "source", cap=3, spray=8)
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("source", "doc_id")
     )

@@ -121,28 +121,41 @@ def quota_cap(
     stratum_col: str,
     cap: int,
     order_cols: tuple[str, ...] = ("doc_id",),
+    spray: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per stratum — the per-domain quota
     step of web-corpus curation (RefinedWeb/C4 cap the documents any
     single host may contribute so megasites don't dominate the
     mixture). Selection is deterministic: the ``cap`` smallest rows by
-    ``order_cols`` within each stratum, so re-runs and engines agree
-    row-for-row (contrast RNG subsampling; see the module docstring).
+    ``order_cols`` within each stratum (``order_cols`` must be a total
+    order — ties make the rank cut arbitrary), so re-runs and engines
+    agree row-for-row (contrast RNG subsampling; see the module
+    docstring).
 
     Plan: one shuffle on the stratum key for the rank window. A hot
-    stratum (one domain = half the corpus) makes that window's sort the
-    straggler at 100 TB; since only the ``cap`` smallest survive, the
-    fix is a pre-filter with the same shape as the final rank — a
-    per-partition ``rank <= cap`` cut (mapPartitions-local window or a
-    groupBy-topK partial) before the global window, which bounds the
-    shuffled stratum at cap × n_partitions rows. That refinement
-    changes no results, only the straggler profile, and is left to the
-    caller's AQE/skew settings until measured — the window itself is
-    the honest baseline plan.
+    stratum (one domain = half the corpus) makes that window's sort
+    the straggler at 100 TB; ``spray=P`` adds the skew-safe pre-cut:
+    rank first within (stratum, hash(order_cols) % P) — the hot
+    stratum's sort spreads over P reducers — keep the per-bucket
+    ``cap`` smallest, then run the global window on the survivors,
+    now ≤ cap·P rows per stratum. Every true global top-``cap`` row is
+    in its own bucket's top ``cap``, so the result is IDENTICAL to the
+    plain window (equivalence-tested); only the straggler profile
+    changes — the same contract as ``skew.salted_agg``.
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(stratum_col).orderBy(*order_cols)
+    if spray is not None and spray > 1:
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(spray)
+        )
+        pre = Window.partitionBy(F.col(stratum_col), bucket).orderBy(*order_cols)
+        df = (
+            df.withColumn("__pqr", F.row_number().over(pre))
+            .filter(F.col("__pqr") <= cap)
+            .drop("__pqr")
+        )
     return (
         df.withColumn("__qr", F.row_number().over(w))
         .filter(F.col("__qr") <= cap)

@@ -657,3 +657,27 @@ def test_scrub_spans_null_text_passthrough(spark):
     got = {r.doc_id: r for r in scrub_spans(docs, spans).collect()}
     assert got[1].clean_text is None and got[1].n_tokens is None
     assert got[2].clean_text == "b c"
+
+
+def test_quota_cap_spray_identical_to_plain(spark):
+    # skew-safe two-phase cut must be row-identical to the plain window
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        quota_cap,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    plain = {
+        (r.doc_id, r.source)
+        for r in quota_cap(docs, "source", cap=3).select("doc_id", "source").collect()
+    }
+    for spray in (2, 8, 64):
+        sprayed = {
+            (r.doc_id, r.source)
+            for r in quota_cap(docs, "source", cap=3, spray=spray)
+            .select("doc_id", "source")
+            .collect()
+        }
+        assert sprayed == plain, spray
