@@ -884,7 +884,7 @@ def q_session_attribution(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     browse = ev.where(F.col("event_type") != "purchase")
-    sess = session_stats(browse).select(
+    sess = session_stats(browse, ordered=False).select(
         "user_id", "session_id", "session_start", "session_end"
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(

@@ -101,19 +101,20 @@ def session_stats(
     ts_col: str = "ts",
     gap_seconds: int = 28800,
     tiebreak: tuple[str, ...] = ("event_id",),
+    ordered: bool = True,
 ) -> DataFrame:
     """One row per (user, session): size, bounds, duration, distinct
-    event types. Every aggregate is order-invariant (no float sums)."""
+    event types. Every aggregate is order-invariant (no float sums).
+    ``ordered=False`` skips the presentation sort — pass it when the
+    result feeds another operator (a global orderBy is a range
+    exchange + sort that a downstream join immediately destroys)."""
     sess = assign_sessions(events, user_col, ts_col, gap_seconds, tiebreak)
-    return (
-        sess.groupBy(user_col, "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_end"),
-            (F.max(_epoch_seconds(F.col(ts_col))) - F.min(_epoch_seconds(F.col(ts_col))))
-            .alias("duration_sec"),
-            F.countDistinct("event_type").alias("n_event_types"),
-        )
-        .orderBy(user_col, "session_id")
+    out = sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(_epoch_seconds(F.col(ts_col))) - F.min(_epoch_seconds(F.col(ts_col))))
+        .alias("duration_sec"),
+        F.countDistinct("event_type").alias("n_event_types"),
     )
+    return out.orderBy(user_col, "session_id") if ordered else out
