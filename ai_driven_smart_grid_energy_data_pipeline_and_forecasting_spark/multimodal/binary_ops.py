@@ -154,15 +154,68 @@ def wav_decode(content: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(f"not a PCM WAV payload: {exc}") from exc
 
 
+def pgm_encode(rows: list[list[int]]) -> bytes:
+    """Grayscale rows (top-down, 0-255) → binary PGM (P5, maxval 255)."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    return (f"P5\n{w} {h}\n255\n").encode("ascii") + bytes(
+        px for row in rows for px in row
+    )
+
+
+def pgm_decode(content: bytes) -> tuple[int, int, list[list[int]]]:
+    """Binary PGM (P5) bytes → (width, height, grayscale rows). Only the
+    plain header form this engine emits (single whitespace tokens, #
+    comments allowed, maxval ≤ 255); anything else raises ValueError."""
+    if bytes(content[:2]) != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    # header = magic + 3 ASCII tokens (w, h, maxval), '#' comments allowed
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        if i >= len(content):
+            raise ValueError("truncated PGM header")
+        c = content[i : i + 1]
+        if c == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(content) and content[j : j + 1].isdigit():
+                j += 1
+            toks.append(int(content[i:j]))
+            i = j
+        else:
+            raise ValueError("malformed PGM header")
+    i += 1  # exactly one whitespace after maxval, then raster
+    w, h, maxval = toks
+    if maxval > 255:
+        raise ValueError("only 8-bit PGM is supported")
+    if len(content) - i < w * h:
+        raise ValueError("truncated PGM raster")
+    return w, h, [
+        list(content[i + r * w : i + (r + 1) * w]) for r in range(h)
+    ]
+
+
 def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float]:
-    """Codec boundary. Two formats decode for REAL with pure stdlib:
+    """Codec boundary. Three formats decode for REAL with pure stdlib:
     uncompressed 24-bit BMP (``bmp_decode``; features [width, height,
-    n_pixels, mean_r, mean_g, mean_b, mean_luma, aspect]) and 16-bit
-    PCM WAV (``wav_decode``; features [n_samples, framerate,
-    duration_s, mean_abs, rms, peak, zero_crossing_rate, n_channels]).
-    Other formats need PIL/libav, absent in this container, so they
-    raise — and ``fake=True`` produces deterministic byte-derived
-    pseudo-features with the same shape the real decoder would emit."""
+    n_pixels, mean_r, mean_g, mean_b, mean_luma, aspect]), binary PGM
+    P5 (``pgm_decode``; same shape with the gray mean in all three
+    channel slots) and 16-bit PCM WAV (``wav_decode``; features
+    [n_samples, framerate, duration_s, mean_abs, rms, peak,
+    zero_crossing_rate, n_channels]). Other formats need PIL/libav,
+    absent in this container, so they raise — and ``fake=True``
+    produces deterministic byte-derived pseudo-features with the same
+    shape the real decoder would emit."""
+    if not fake and content is not None and bytes(content[:2]) == b"P5":
+        w, h, grows = pgm_decode(bytes(content))
+        n = max(w * h, 1)
+        mg = sum(px for row in grows for px in row) / n
+        return [float(w), float(h), float(w * h), mg, mg, mg, mg, w / max(h, 1)]
     if not fake and content is not None and bytes(content[:4]) == b"RIFF":
         rate, n_ch, samples = wav_decode(bytes(content))
         n = len(samples)
@@ -205,9 +258,9 @@ def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float
         ]
     if not fake:
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP and 16-bit PCM WAV decode "
-            "natively; other media codecs are not available in this "
-            "environment — pass fake=True for deterministic "
+            "only uncompressed 24-bit BMP, binary P5 PGM and 16-bit PCM "
+            "WAV decode natively; other media codecs are not available "
+            "in this environment — pass fake=True for deterministic "
             "pseudo-features"
         )
     if content is None:

@@ -192,3 +192,33 @@ def test_real_bmp_through_spark_kernels(spark):
     w, h, _ = bmp_decode(bytes(out[0].content))
     assert (w, h) == (4, 4)
     assert out[0].n_bytes == len(out[0].content)
+
+
+def test_pgm_roundtrip_and_features(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        decode_stub,
+        extract_features,
+        pgm_decode,
+        pgm_encode,
+    )
+
+    rows = [[0, 128, 255], [10, 20, 30]]
+    payload = pgm_encode(rows)
+    w, h, back = pgm_decode(payload)
+    assert (w, h) == (3, 2) and back == rows
+    # comment + extra whitespace in header still parses
+    commented = b"P5\n# a comment\n3 2\n255\n" + bytes(
+        px for r in rows for px in r
+    )
+    assert pgm_decode(commented)[2] == rows
+
+    feats = decode_stub(payload, "image")
+    mean = sum(px for r in rows for px in r) / 6
+    assert feats[:3] == [3.0, 2.0, 6.0] and abs(feats[3] - mean) < 1e-12
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "media_id long, modality string, content binary",
+    )
+    out = extract_features(media, fake=False).collect()
+    assert abs(out[0].features[3] - mean) < 1e-12
