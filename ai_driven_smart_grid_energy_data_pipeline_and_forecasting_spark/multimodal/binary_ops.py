@@ -329,11 +329,12 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 def resize_stub(
     content: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """Resize codec boundary. Uncompressed 24-bit BMP resizes for REAL
-    (nearest-neighbor resample through ``bmp_decode``/``bmp_encode`` —
-    pure stdlib); other formats would need PIL/libvips, absent here, so
-    they raise. The fake path emits a deterministic byte payload sized
-    proportionally to the target area so size accounting is testable."""
+    """Resize codec boundary. Uncompressed 24-bit BMP and binary P5 PGM
+    resize for REAL (nearest-neighbor resample through their pure-stdlib
+    decode/encode pairs); other formats would need PIL/libvips, absent
+    here, so they raise. The fake path emits a deterministic byte
+    payload sized proportionally to the target area so size accounting
+    is testable."""
     if not fake and content is not None and bytes(content[:2]) == b"BM":
         sw, sh, rows = bmp_decode(bytes(content))
         out = [
@@ -341,11 +342,18 @@ def resize_stub(
             for y in range(height)
         ]
         return bmp_encode(out)
+    if not fake and content is not None and bytes(content[:2]) == b"P5":
+        sw, sh, grows = pgm_decode(bytes(content))
+        gout = [
+            [grows[y * sh // height][x * sw // width] for x in range(width)]
+            for y in range(height)
+        ]
+        return pgm_encode(gout)
     if not fake:
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP resizes natively; other image "
-            "codecs are not available in this environment — "
-            "pass fake=True for deterministic pseudo-resize"
+            "only uncompressed 24-bit BMP and binary P5 PGM resize "
+            "natively; other image codecs are not available in this "
+            "environment — pass fake=True for deterministic pseudo-resize"
         )
     if content is None:
         return b""

@@ -222,3 +222,22 @@ def test_pgm_roundtrip_and_features(spark):
     )
     out = extract_features(media, fake=False).collect()
     assert abs(out[0].features[3] - mean) < 1e-12
+
+
+def test_pgm_resize_real_pixels(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        pgm_decode,
+        pgm_encode,
+        resize_images,
+    )
+
+    rows = [[10 * (x + 4 * y) for x in range(4)] for y in range(4)]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(pgm_encode(rows)))],
+        "media_id long, modality string, content binary",
+    )
+    out = resize_images(media, width=2, height=2, fake=False).collect()[0]
+    w, h, got = pgm_decode(bytes(out.content))
+    # nearest-neighbor: (0,0)->(0,0), (1,0)->x=2, (0,1)->y=2, (1,1)->(2,2)
+    assert (w, h) == (2, 2)
+    assert got == [[rows[0][0], rows[0][2]], [rows[2][0], rows[2][2]]]
