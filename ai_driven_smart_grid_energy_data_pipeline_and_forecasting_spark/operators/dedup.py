@@ -915,18 +915,34 @@ def novel_against_index_near(
     ``minhash_lsh_pairs``); a missed near-dup is a false "novel", the
     standard LSH trade.
     """
+    ib = _lsh_bands(index_docs, text_col, n)
+    sets_idx = doc_shingle_sets(index_docs, text_col, n)
+    return _novel_vs_index_frames(
+        new_docs, ib, sets_idx, threshold, n, text_col
+    )
+
+
+def _novel_vs_index_frames(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    threshold: float,
+    n: int,
+    text_col: str,
+) -> DataFrame:
+    """Shared probe flow for ``novel_against_index_near`` (index frames
+    computed inline) and ``probe_lsh_index`` (index frames read from
+    persisted bucketed tables)."""
     nb = _lsh_bands(new_docs, text_col, n).withColumnRenamed("doc_id", "new_id")
-    ib = _lsh_bands(index_docs, text_col, n).withColumnRenamed("doc_id", "idx_id")
+    ib = index_bands.withColumnRenamed("doc_id", "idx_id")
     cands = nb.join(ib, ["band", "bh"]).select("new_id", "idx_id").distinct()
     sets_new = (
         doc_shingle_sets(new_docs, text_col, n)
         .withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("shs", "shs_a")
     )
-    sets_idx = (
-        doc_shingle_sets(index_docs, text_col, n)
-        .withColumnRenamed("doc_id", "idx_id")
-        .withColumnRenamed("shs", "shs_b")
+    sets_idx = index_sets.withColumnRenamed("doc_id", "idx_id").withColumnRenamed(
+        "shs", "shs_b"
     )
     jacc = F.size(F.array_intersect("shs_a", "shs_b")) / F.size(
         F.array_union("shs_a", "shs_b")
@@ -939,3 +955,59 @@ def novel_against_index_near(
         .distinct()
     )
     return new_docs.join(matched, "doc_id", "left_anti")
+
+
+def persist_lsh_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Materialize a corpus's LSH index as two bucketed catalog tables —
+    ``<prefix>_bands`` (doc_id, band, bh; bucketed+sorted by bh) and
+    ``<prefix>_sets`` (doc_id, shs; bucketed by doc_id) — the OFFLINE
+    half of incremental near-dup dedup. This pays the corpus's
+    signature/shingle kernels and the bucket shuffles exactly once; at
+    100 TB a daily ``probe_lsh_index`` then touches the corpus text
+    nowhere and re-executes none of its kernels (plan-asserted in
+    ``tests/test_sampling.py``)."""
+    from ..plans.layout import write_bucketed
+
+    write_bucketed(
+        _lsh_bands(docs, text_col, n),
+        f"{table_prefix}_bands",
+        ["bh"],
+        n_buckets,
+        sort_cols=["bh"],
+    )
+    write_bucketed(
+        doc_shingle_sets(docs, text_col, n),
+        f"{table_prefix}_sets",
+        ["doc_id"],
+        n_buckets,
+    )
+
+
+def probe_lsh_index(
+    new_docs: DataFrame,
+    table_prefix: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """ONLINE half of incremental near-dup dedup: novel rows of
+    ``new_docs`` against an index written by ``persist_lsh_index``.
+    Only the batch's own signatures/shingles are computed; the index is
+    read from its bucketed tables (pre-hashed files — the band join
+    needs no index-side Exchange). Result is identical to
+    ``novel_against_index_near`` over the original corpus."""
+    spark = new_docs.sparkSession
+    return _novel_vs_index_frames(
+        new_docs,
+        spark.table(f"{table_prefix}_bands"),
+        spark.table(f"{table_prefix}_sets"),
+        threshold,
+        n,
+        text_col,
+    )

@@ -150,3 +150,39 @@ def test_novel_against_index_near(spark):
         r.doc_id for r in novel_against_index_near(new, idx, threshold=0.5).collect()
     )
     assert got == [12]
+
+
+def test_persisted_lsh_index_probe_matches_inline(spark):
+    # offline persist + online probe ≡ the inline near-dedup, and the
+    # probe re-executes NO index-side kernels (the whole point)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        novel_against_index_near,
+        persist_lsh_index,
+        probe_lsh_index,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    persist_lsh_index(idx, "t_lsh_idx")
+    try:
+        probed = sorted(
+            r.doc_id for r in probe_lsh_index(new, "t_lsh_idx").collect()
+        )
+        inline = sorted(
+            r.doc_id for r in novel_against_index_near(new, idx).collect()
+        )
+        assert probed == inline
+        plan = (
+            probe_lsh_index(new, "t_lsh_idx")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # only the NEW side runs kernels: its bands + its shingle sets
+        assert plan.count("MapInPandas") == 2, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_lsh_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS t_lsh_idx_sets")
