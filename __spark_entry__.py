@@ -807,6 +807,42 @@ def q_sketch_accuracy_audit(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_forecast_hw_audit(spark, sf_dir):
+    # Additive Holt-Winters (third forecast model beside seasonal-naive
+    # and the SARIMAX slot): fixed smoothing constants keep the state
+    # recursion deterministic, so the same invariant audit as
+    # forecast_sarimax_audit oracles it — row counts and horizon
+    # coverage from base-table series lengths (fit needs >= 2 seasons =
+    # 48 hourly rows), interval ordering, forecast timestamps, model tag.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        forecast as FC,
+    )
+
+    feats = _pseudo_features_hourly(spark, sf_dir)
+    fc = FC.holt_winters_forecast(feats, horizons=[1, 24])
+    origins = feats.groupBy("site").agg(F.max("ts_utc").alias("origin"))
+    bad_interval = (
+        (F.col("yhat_lower") > F.col("yhat"))
+        | (F.col("yhat") > F.col("yhat_upper"))
+        | (F.col("yhat_lower") < 0)
+    )
+    bad_ts = F.col("ts_utc") != F.expr("timestampadd(HOUR, horizon_h, origin)")
+    return (
+        fc.join(F.broadcast(origins), "site")
+        .groupBy("site", "var")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("horizon_h").alias("n_horizons"),
+            F.sum(bad_interval.cast("long")).alias("interval_violations"),
+            F.sum(bad_ts.cast("long")).alias("ts_violations"),
+            F.sum((F.col("model") != "holt_winters").cast("long")).alias(
+                "model_violations"
+            ),
+        )
+        .orderBy("site", "var")
+    )
+
+
 def q_ann_ivf_recall(spark, sf_dir):
     # Deterministic invariants of the trained-KMeans IVF (VERDICT r4
     # ask #7): neighbor identities depend on the learned centroids
@@ -1743,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_novel_docs": q_incremental_novel_docs,
         "incremental_novel_near": q_incremental_novel_near,
         "curated_corpus": q_curated_corpus,
+        "forecast_hw_audit": q_forecast_hw_audit,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -3032,6 +3069,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS model_violations
             FROM series, (SELECT 'pv' AS var UNION ALL SELECT 'wind') v
             WHERE n > 25  -- fit requires series length > season+1 = 25
+            ORDER BY site, var
+        """,
+        "forecast_hw_audit": """
+            WITH feats AS (
+              SELECT event_type AS site, date_trunc('hour', ts) AS h
+              FROM events GROUP BY 1, 2
+            ),
+            series AS (SELECT site, count(*) AS n FROM feats GROUP BY site)
+            SELECT site, var,
+                   CAST(2 AS BIGINT) AS n_rows,
+                   CAST(2 AS BIGINT) AS n_horizons,
+                   CAST(0 AS BIGINT) AS interval_violations,
+                   CAST(0 AS BIGINT) AS ts_violations,
+                   CAST(0 AS BIGINT) AS model_violations
+            FROM series, (SELECT 'pv' AS var UNION ALL SELECT 'wind') v
+            WHERE n >= 48  -- HW needs two full 24h seasons to initialize
             ORDER BY site, var
         """,
         "ann_ivf_recall": """

@@ -215,3 +215,82 @@ def mllib_forecast(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def holt_winters_forecast(
+    features: DataFrame,
+    horizons: list[int] | None = None,
+    alpha: float = 0.3,
+    beta: float = 0.05,
+    gamma: float = 0.2,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) per
+    (site, var) series — the classic seasonal smoother between the
+    seasonal-naive baseline (``gold.seasonal_naive_forecast``) and the
+    AR fits here: level + trend + 24-hour seasonal state updated one
+    observation at a time, forecast = level + h·trend + season[(n+h) %
+    24]. Fixed smoothing constants (no optimizer) keep it deterministic
+    and dependency-free: the SAME numbers on every engine and every
+    partitioning, which is what lets the driver audit it with a SQL
+    invariant oracle like the SARIMAX slot.
+
+    Plan shape is identical to ``sarimax_forecast`` — one
+    ``applyInPandas`` grouped fit, O(n) state recursion per series,
+    memory bounded by the series — so every scale note there applies
+    verbatim. Series shorter than two seasons return no rows (the
+    seasonal state cannot initialize).
+    """
+    horizons = horizons or [1, 6, 24, 48]
+    hset = sorted(set(horizons))
+    season = SEASON
+    a_, b_, g_ = float(alpha), float(beta), float(gamma)
+
+    def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("ts_utc")
+        y = pdf["y"].astype(float).to_numpy()
+        n = len(y)
+        if n < 2 * season:
+            return pd.DataFrame(columns=[f.name for f in FORECAST_SCHEMA.fields])
+        # standard init: first-season mean level, cross-season trend,
+        # first-season deviations as the seasonal state
+        level = float(np.mean(y[:season]))
+        trend = float(
+            (np.mean(y[season : 2 * season]) - np.mean(y[:season])) / season
+        )
+        seas = [float(v - level) for v in y[:season]]
+        resid = []
+        for i in range(season, n):
+            s = seas[i % season]
+            pred = level + trend + s
+            resid.append(y[i] - pred)
+            new_level = a_ * (y[i] - s) + (1 - a_) * (level + trend)
+            trend = b_ * (new_level - level) + (1 - b_) * trend
+            seas[i % season] = g_ * (y[i] - new_level) + (1 - g_) * s
+            level = new_level
+        sigma = float(np.std(np.asarray(resid))) if len(resid) > 1 else 0.0
+        site = pdf["site"].iloc[0]
+        var = pdf["var"].iloc[0]
+        origin = pdf["ts_utc"].iloc[-1]
+        rows = []
+        for h in hset:
+            yhat = max(level + h * trend + seas[(n - 1 + h) % season], 0.0)
+            rows.append(
+                {
+                    "site": site,
+                    "ts_utc": origin + pd.Timedelta(hours=h),
+                    "model": "holt_winters",
+                    "var": var,
+                    "horizon_h": h,
+                    "yhat": yhat,
+                    "yhat_lower": max(yhat - 1.96 * sigma, 0.0),
+                    "yhat_upper": yhat + 1.96 * sigma,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    long = features.select(
+        "site", "ts_utc", F.col("pv_est_mwh").alias("pv"), F.col("wind_est_mwh").alias("wind")
+    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    return long.groupBy("site", "var").applyInPandas(fit_group, FORECAST_SCHEMA)

@@ -112,6 +112,7 @@ HEADLINE = [
     "incremental_novel_docs",
     "incremental_novel_near",
     "curated_corpus",
+    "forecast_hw_audit",
 ]
 
 

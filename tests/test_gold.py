@@ -207,3 +207,50 @@ def test_gap_fill_bounded_forward_fill(spark):
     assert out[11] == (15.0, True)  # 6 hours after 5 — still in bound
     assert out[12][0] is None  # beyond the fill bound -> stays NULL
     assert out[15] == (25.0, False)
+
+
+def test_holt_winters_periodic_series(spark):
+    # a perfectly 24h-periodic series: level converges to the mean,
+    # trend to ~0, and the h-step forecast tracks the periodic value
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.forecast import (
+        holt_winters_forecast,
+    )
+    import math
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(24 * 6):
+        v = 10.0 + 5.0 * math.sin(2 * math.pi * (i % 24) / 24)
+        rows.append(("s1", t0 + dt.timedelta(hours=i), v, 0.0))
+    feats = spark.createDataFrame(
+        rows, "site string, ts_utc timestamp, pv_est_mwh double, wind_est_mwh double"
+    )
+    fc = {
+        (r.var, r.horizon_h): r
+        for r in holt_winters_forecast(feats, horizons=[1, 24]).collect()
+    }
+    for h in (1, 24):
+        r = fc[("pv", h)]
+        want = 10.0 + 5.0 * math.sin(2 * math.pi * (((24 * 6 - 1 + h) % 24)) / 24)
+        assert abs(r.yhat - want) < 0.75, (h, r.yhat, want)
+        assert r.yhat_upper >= r.yhat >= r.yhat_lower >= 0
+        assert r.model == "holt_winters"
+    # deterministic under repartitioning
+    again = {
+        (r.var, r.horizon_h): r.yhat
+        for r in holt_winters_forecast(feats.repartition(7), horizons=[1, 24]).collect()
+    }
+    assert all(again[k] == fc[k].yhat for k in again)
+
+
+def test_holt_winters_short_series_empty(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.forecast import (
+        holt_winters_forecast,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    feats = spark.createDataFrame(
+        [("s1", t0 + dt.timedelta(hours=i), 1.0, 1.0) for i in range(47)],
+        "site string, ts_utc timestamp, pv_est_mwh double, wind_est_mwh double",
+    )
+    assert holt_winters_forecast(feats).count() == 0
