@@ -294,3 +294,54 @@ def snapshot_diff(
         .select(*keys, "change", "old_val", "new_val")
         .orderBy(*keys)
     )
+
+
+def vacuum_versions(root: str, keep_last: int = 2) -> dict[str, int]:
+    """Reclaim storage: keep the newest ``keep_last`` snapshots, drop
+    older manifests, and delete every ``data/v<N>/<part>`` directory no
+    surviving manifest references — Delta/Iceberg ``VACUUM`` at this
+    module's partition granularity. Also sweeps unreferenced dirs from
+    crashed commits (data written, manifest never published).
+
+    Time travel to a vacuumed version then fails loudly at manifest
+    resolution (``FileNotFoundError``) — the retention contract, not a
+    silent wrong answer; surviving versions read byte-identically
+    because copy-on-write partitions they reference are never touched.
+
+    Driver-side FS walk, bounded by partition-dir count — the same
+    class (and the same single-writer contract) as ``compact_partitions``.
+    Returns {"versions_dropped", "dirs_deleted"}.
+    """
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    vs = versions(root)
+    keep = vs[-keep_last:]
+    drop = vs[: -keep_last] if len(vs) > keep_last else []
+    referenced: set[tuple[str, str]] = set()
+    for ver in keep:
+        for part_dir, vtag in _read_manifest(root, ver).items():
+            referenced.add((vtag, part_dir))
+
+    dirs_deleted = 0
+    data_root = os.path.join(root, "data")
+    part_re = re.compile(r"^[^=]+=")
+    if os.path.isdir(data_root):
+        for vtag in sorted(os.listdir(data_root)):
+            vdir = os.path.join(data_root, vtag)
+            if not os.path.isdir(vdir):
+                continue
+            for name in sorted(os.listdir(vdir)):
+                if not part_re.match(name):
+                    continue
+                val = name.split("=", 1)[1]
+                if (vtag, val) not in referenced:
+                    shutil.rmtree(os.path.join(vdir, name))
+                    dirs_deleted += 1
+            if not any(part_re.match(n) for n in os.listdir(vdir)):
+                shutil.rmtree(vdir)
+
+    for ver in drop:
+        os.remove(os.path.join(_manifest_dir(root), f"v{ver}.json"))
+    return {"versions_dropped": len(drop), "dirs_deleted": dirs_deleted}

@@ -201,3 +201,52 @@ def test_crash_before_manifest_leaves_previous_version_readable(spark, root, mon
     ver = merge_version(spark, root, upd, **kw)
     assert versions(root)[-1] == ver
     assert _snap(spark, root)[("alpha", 1)] == 99.0
+
+
+def test_vacuum_keeps_surviving_reads_identical(spark, tmp_path):
+    import os
+
+    import pytest as _pt
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        merge_version,
+        read_version,
+        vacuum_versions,
+        versions,
+    )
+
+    root = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 11.0), ("b", 1, 20.0)],
+        "site string, k int, v double",
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        write_version,
+    )
+
+    write_version(spark, root, base)  # v1
+    merge_version(
+        spark, root,
+        spark.createDataFrame([("a", 2, 12.0)], "site string, k int, v double"),
+        keys=["site", "k"], order_col="v",
+    )  # v2 rewrites a; b inherited from v1
+    merge_version(
+        spark, root,
+        spark.createDataFrame([("b", 9, 21.0)], "site string, k int, v double"),
+        keys=["site", "k"], order_col="v",
+    )  # v3 rewrites b
+    # crashed-commit garbage: data written, manifest never published
+    os.makedirs(os.path.join(root, "data", "v99", "site=zz"))
+
+    before = sorted(map(tuple, read_version(spark, root).collect()))
+    v2_before = sorted(map(tuple, read_version(spark, root, 2).collect()))
+    stats = vacuum_versions(root, keep_last=2)
+    assert versions(root) == [2, 3]
+    assert stats["versions_dropped"] == 1 and stats["dirs_deleted"] >= 1
+    # v2 rewrote 'a' but still references v1's copy of 'b', so v1's data
+    # dir partially survives — every surviving read must be byte-identical
+    assert sorted(map(tuple, read_version(spark, root).collect())) == before
+    assert sorted(map(tuple, read_version(spark, root, 2).collect())) == v2_before
+    assert not os.path.isdir(os.path.join(root, "data", "v99"))
+    with _pt.raises(FileNotFoundError):
+        read_version(spark, root, 1)
