@@ -36,17 +36,27 @@ def merge_frames(
     updates: DataFrame,
     keys: Sequence[str],
     order_col: str,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """The MERGE resolution core, path-free: union target and updates,
     keep the newest row per key (``order_col`` recency; ties resolved
     update-over-existing — the reference's ON CONFLICT DO UPDATE).
     ``merge_upsert`` wraps this with partition-pruned IO; use this form
-    directly for in-pipeline (non-sink) merge semantics."""
+    directly for in-pipeline (non-sink) merge semantics.
+
+    ``allow_schema_evolution=True`` is Delta's ``mergeSchema`` analog:
+    columns present on only one side union as NULL on the other, so an
+    ingest batch may ADD columns (old rows read NULL there). Because
+    resolution is whole-row newest-wins, an update row *missing* an
+    existing column replaces it with NULL — additive evolution is the
+    intended use. Off by default: a silently widened schema is usually
+    an upstream bug, and the loud AnalysisException is the guardrail."""
     t = target.withColumn("_src", F.lit(0))
     u = updates.withColumn("_src", F.lit(1))
     return (
         latest_per_group(
-            t.unionByName(u), keys=list(keys), order_col=order_col, tiebreak=["_src"]
+            t.unionByName(u, allowMissingColumns=allow_schema_evolution),
+            keys=list(keys), order_col=order_col, tiebreak=["_src"]
         )
         .drop("_src")
     )
@@ -191,6 +201,7 @@ def merge_upsert(
     keys: Sequence[str],
     order_col: str,
     partition_by: Sequence[str] = ("site",),
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Upsert ``updates`` into the Parquet table at ``target_path`` keyed
     by ``keys``; conflicts resolved by highest ``order_col`` (ingest
@@ -200,14 +211,28 @@ def merge_upsert(
     (partition pruning on the read; the write stages the rewritten
     partitions and publishes them by rename — crash-safe, see
     ``_staged_overwrite``).
+
+    ``allow_schema_evolution=True`` (Delta ``mergeSchema`` analog) lets
+    a batch ADD columns: the touched-partition read uses parquet
+    ``mergeSchema`` and the union fills the missing side with NULL (see
+    ``merge_frames``). UNTOUCHED partitions keep their old files — the
+    table becomes mixed-schema on disk, exactly like Delta before
+    ``OPTIMIZE``; read an evolved table with
+    ``spark.read.option("mergeSchema", "true")`` until every partition
+    has been rewritten.
     """
     updates = updates.withColumn("_src", F.lit(1))
     if os.path.exists(target_path):
-        existing = spark.read.parquet(target_path).withColumn("_src", F.lit(0))
+        reader = spark.read
+        if allow_schema_evolution:
+            reader = reader.option("mergeSchema", "true")
+        existing = reader.parquet(target_path).withColumn("_src", F.lit(0))
         # prune to touched partitions: tiny distinct list, broadcast semi join
         touched = updates.select(*partition_by).distinct()
         existing = existing.join(F.broadcast(touched), list(partition_by), "left_semi")
-        merged = existing.unionByName(updates)
+        merged = existing.unionByName(
+            updates, allowMissingColumns=allow_schema_evolution
+        )
     else:
         merged = updates
     out = latest_per_group(

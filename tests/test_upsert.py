@@ -297,3 +297,48 @@ def test_merge_and_compact_with_nested_partitions(spark, tmp_path):
     assert report == {"a/1": 1, "a/2": 1, "b/1": 1}
     after = {(r.site, r.day): r.v for r in spark.read.parquet(path).collect()}
     assert after == out
+
+
+def test_merge_upsert_schema_evolution_adds_column(spark, tmp_path):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+        merge_upsert,
+    )
+    import pytest as _pt
+
+    path = str(tmp_path / "evo")
+    base = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("b", 1, 3.0)],
+        "site string, ts int, v double",
+    )
+    merge_upsert(spark, path, base, keys=["site", "ts"], order_col="ts")
+
+    widened = spark.createDataFrame(
+        [("a", 2, 2.5, 0.9), ("a", 3, 4.0, 0.8)],
+        "site string, ts int, v double, quality double",
+    )
+    # default: loud failure, no silent widening
+    with _pt.raises(Exception):
+        merge_upsert(spark, path, widened, keys=["site", "ts"], order_col="ts")
+
+    merge_upsert(
+        spark, path, widened, keys=["site", "ts"], order_col="ts",
+        allow_schema_evolution=True,
+    )
+    got = {
+        (r.site, r.ts): (r.v, r.quality)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got[("a", 1)] == (1.0, None)     # surviving old row: NULL quality
+    assert got[("a", 2)] == (2.5, 0.9)      # updated row carries the new col
+    assert got[("a", 3)] == (4.0, 0.8)      # inserted row
+    assert got[("b", 1)] == (3.0, None)     # untouched partition, old schema
+    # idempotent re-run with the evolved batch
+    merge_upsert(
+        spark, path, widened, keys=["site", "ts"], order_col="ts",
+        allow_schema_evolution=True,
+    )
+    again = {
+        (r.site, r.ts): (r.v, r.quality)
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert again == got
