@@ -1634,6 +1634,35 @@ def q_incremental_novel_near(spark, sf_dir):
     )
 
 
+def q_funnel_latency(spark, sf_dir):
+    # Conversion-latency analytic over the earliest-path funnel: how
+    # long users take view -> click and view -> purchase. Integer-second
+    # aggregates only (counts, min/max/sum) — exact under any
+    # partitioning, so the min-chain oracle matches bit-for-bit.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.funnel import (
+        funnel_reach,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        _epoch_seconds,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    reach = funnel_reach(ev, ["view", "click", "purchase"])
+    s12 = _epoch_seconds(F.col("t2")) - _epoch_seconds(F.col("t1"))
+    s13 = _epoch_seconds(F.col("t3")) - _epoch_seconds(F.col("t1"))
+    return reach.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.min(s12).alias("min_s12"),
+        F.max(s12).alias("max_s12"),
+        F.sum(s12).alias("sum_s12"),
+        F.min(s13).alias("min_s13"),
+        F.max(s13).alias("max_s13"),
+        F.sum(s13).alias("sum_s13"),
+    )
+
+
 def q_curated_corpus(spark, sf_dir):
     # The END-TO-END curation pipeline a training run actually executes,
     # as one DAG: quality cascade (keep only 'kept') -> exact
@@ -1780,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_novel_near": q_incremental_novel_near,
         "curated_corpus": q_curated_corpus,
         "forecast_hw_audit": q_forecast_hw_audit,
+        "funnel_latency": q_funnel_latency,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -3070,6 +3100,42 @@ def oracle_sql() -> dict[str, str]:
             FROM series, (SELECT 'pv' AS var UNION ALL SELECT 'wind') v
             WHERE n > 25  -- fit requires series length > season+1 = 25
             ORDER BY site, var
+        """,
+        "funnel_latency": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+                                   AND e.ts > s1.t1
+              WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+                                   AND e.ts > s2.t2
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            ), j AS (
+              SELECT s1.user_id, t1, t2, t3
+              FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                      LEFT JOIN s3 ON s1.user_id = s3.user_id
+            )
+            SELECT count(*) AS n1,
+                   count(t2) AS n2,
+                   count(t3) AS n3,
+                   CAST(min(floor(epoch(t2)) - floor(epoch(t1))) AS BIGINT)
+                     AS min_s12,
+                   CAST(max(floor(epoch(t2)) - floor(epoch(t1))) AS BIGINT)
+                     AS max_s12,
+                   CAST(sum(floor(epoch(t2)) - floor(epoch(t1))) AS BIGINT)
+                     AS sum_s12,
+                   CAST(min(floor(epoch(t3)) - floor(epoch(t1))) AS BIGINT)
+                     AS min_s13,
+                   CAST(max(floor(epoch(t3)) - floor(epoch(t1))) AS BIGINT)
+                     AS max_s13,
+                   CAST(sum(floor(epoch(t3)) - floor(epoch(t1))) AS BIGINT)
+                     AS sum_s13
+            FROM j
         """,
         "forecast_hw_audit": """
             WITH feats AS (

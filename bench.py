@@ -113,6 +113,7 @@ HEADLINE = [
     "incremental_novel_near",
     "curated_corpus",
     "forecast_hw_audit",
+    "funnel_latency",
 ]
 
 
