@@ -1663,6 +1663,36 @@ def q_funnel_latency(spark, sf_dir):
     )
 
 
+def q_bpe_audit(spark, sf_dir):
+    # Distributed BPE vocabulary induction (arXiv:1508.07909) audited by
+    # invariants: the learned merge count, corpus word totals the SQL
+    # side computes exactly, and the token-count bounds every valid BPE
+    # segmentation satisfies (n_words <= n_tokens <= n_chars_no_space).
+    # The merge table itself is model-like (iterative argmax) — the
+    # same audit treatment as the forecast fits.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=10)
+    tok = apply_bpe(docs, merges)
+    chars = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("n_ch"),
+    )
+    bad = (F.col("n_tokens") > F.col("n_ch")) | (
+        F.col("n_tokens") < F.col("n_words")
+    )
+    return tok.join(chars, "doc_id").agg(
+        F.lit(len(merges)).cast("long").alias("n_merges_learned"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum(bad.cast("long")).alias("bound_violations"),
+    )
+
+
 def q_curated_corpus(spark, sf_dir):
     # The END-TO-END curation pipeline a training run actually executes,
     # as one DAG: quality cascade (keep only 'kept') -> exact
@@ -1810,6 +1840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": q_curated_corpus,
         "forecast_hw_audit": q_forecast_hw_audit,
         "funnel_latency": q_funnel_latency,
+        "bpe_audit": q_bpe_audit,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -3100,6 +3131,14 @@ def oracle_sql() -> dict[str, str]:
             FROM series, (SELECT 'pv' AS var UNION ALL SELECT 'wind') v
             WHERE n > 25  -- fit requires series length > season+1 = 25
             ORDER BY site, var
+        """,
+        "bpe_audit": """
+            SELECT CAST(10 AS BIGINT) AS n_merges_learned,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+                     AS total_words,
+                   CAST(0 AS BIGINT) AS bound_violations
+            FROM documents
         """,
         "funnel_latency": """
             WITH s1 AS (

@@ -1,0 +1,191 @@
+"""Distributed BPE merge training — the vocabulary-induction step of a
+training-data pipeline (byte-pair encoding as published by Sennrich et
+al. 2016, arXiv:1508.07909; the same algorithm behind GPT-2/SentencePiece
+vocabularies).
+
+Classic formulation: training operates on the WORD-FREQUENCY table, not
+the raw corpus — one corpus-scale aggregate builds (word, count), and
+every merge iteration then runs over that (much smaller, but still
+potentially huge at 100 TB byte-level) frame:
+
+    1. explode each word's symbol sequence into adjacent pairs,
+       weighted by the word's count;
+    2. pick the globally most frequent pair (deterministic tie-break:
+       count desc, then lexicographic) — a tiny 1-row aggregate;
+    3. rewrite every word's symbols with that pair merged.
+
+Spark shapes: step 1-2 are a generate-only explode + partial-agg
+groupBy (one shuffle of (pair, partial count)); step 3 is an Arrow
+kernel pass over the vocab frame (the merge rewrite is a sequential
+scan per word — not expressible as a Catalyst array op because merges
+can cascade through overlapping pairs, e.g. ``a a a`` with merge
+``(a, a)``). The vocab frame is ``localCheckpoint``-ed each round so
+iteration N+1 does not replay rounds 1..N (the same lineage-growth
+trap ``connected_components`` hit, fixed the same way).
+
+Scale notes: the per-iteration cost is one shuffle over the vocab
+frame — the published algorithm's cost, parallelized; production
+trainers also pre-truncate the word table to the top-K words (the tail
+contributes negligible pair mass), which is one ``quota``-style rank
+cut a caller composes in front. Merge count is the driver loop bound —
+n_merges sequential Spark jobs, inherently sequential in the algorithm
+itself (each merge depends on the last).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over whitespace tokens — the one corpus-scale pass."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _merge_pair_kernel(left: str, right: str):
+    """Arrow kernel: rewrite each symbol sequence with (left, right) →
+    left+right, scanning left-to-right (cascades handled: after a merge
+    the scan continues AFTER the merged token, the standard BPE rule)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                merged = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                out.append(merged)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "n": pdf["n"], "syms": out}
+            )
+
+    return run
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table [(left, right, pair_count), ...] in learned order. Stops
+    early (shorter list) when no pair occurs twice — the vocabulary is
+    exhausted. Deterministic: ties break lexicographically, no RNG.
+
+    The returned table is the driver-side artifact a tokenizer ships;
+    it is ``n_merges`` rows — never corpus-sized. Each iteration
+    collects exactly ONE row (the argmax pair).
+    """
+    vocab = word_freq_table(docs, text_col).withColumn(
+        # chars; split matches at end-of-string too, so drop the
+        # trailing "" (an empty symbol would merge-match everywhere)
+        "syms", F.array_remove(F.split(F.col("word"), "(?!^)"), "")
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("syms") - 2),
+                        lambda i: F.struct(
+                            F.col("syms")[i].alias("l"),
+                            F.col("syms")[i + 1].alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < 2:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((left, right, cnt))
+        vocab = vocab.mapInPandas(
+            _merge_pair_kernel(left, right),
+            "word string, n bigint, syms array<string>",
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: per doc,
+    (doc_id, n_words, n_tokens) where n_tokens is the symbol count
+    after replaying every merge in order. One Arrow kernel pass over
+    the corpus — the merge table broadcasts via closure capture
+    (n_merges rows)."""
+    order = [(left, right) for left, right, _ in merges]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_words, n_tokens = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                words = ("" if text is None else text).strip(" ").split(" ")
+                words = [w for w in words if w]
+                total = 0
+                for w in words:
+                    syms = list(w)
+                    for left, right in order:
+                        merged = []
+                        i = 0
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == left
+                                and syms[i + 1] == right
+                            ):
+                                merged.append(left + right)
+                                i += 2
+                            else:
+                                merged.append(syms[i])
+                                i += 1
+                        syms = merged
+                    total += len(syms)
+                ids.append(doc_id)
+                n_words.append(len(words))
+                n_tokens.append(total)
+            yield pd.DataFrame(
+                {id_col: ids, "n_words": n_words, "n_tokens": n_tokens}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_words long, n_tokens long"
+    )

@@ -114,6 +114,7 @@ HEADLINE = [
     "curated_corpus",
     "forecast_hw_audit",
     "funnel_latency",
+    "bpe_audit",
 ]
 
 

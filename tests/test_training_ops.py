@@ -681,3 +681,50 @@ def test_quota_cap_spray_identical_to_plain(spark):
             .collect()
         }
         assert sprayed == plain, spray
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def test_bpe_learns_classic_merges(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, n_merges=6)
+    # 'es' appears in newest(6)+widest(3)=9 words -> first merge; then
+    # 'es'+'t' at the same count (lexicographic after-cascade order)
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    toks = {r.doc_id: r for r in apply_bpe(docs, merges).collect()}
+    none = {r.doc_id: r for r in apply_bpe(docs, []).collect()}
+    assert none[1].n_tokens == sum(
+        len(w) for w in docs.collect()[0].text.split()
+    )
+    assert toks[1].n_words == 16
+    assert toks[1].n_words <= toks[1].n_tokens < none[1].n_tokens
+
+
+def test_bpe_deterministic_and_monotone(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    m1 = train_bpe_merges(docs, n_merges=5)
+    m2 = train_bpe_merges(docs.repartition(7), n_merges=5)
+    assert m1 == m2 and len(m1) == 5
+    t0 = apply_bpe(docs, []).agg({"n_tokens": "sum"}).first()[0]
+    t3 = apply_bpe(docs, m1[:3]).agg({"n_tokens": "sum"}).first()[0]
+    t5 = apply_bpe(docs, m1).agg({"n_tokens": "sum"}).first()[0]
+    assert t0 > t3 > t5  # each merge strictly reduces corpus tokens
