@@ -25,6 +25,9 @@ NEW_R5 = [
     "curated_corpus",
     "salted_join_segments",
     "doc_duplicated_spans",
+    "forecast_hw_audit",
+    "funnel_latency",
+    "bpe_audit",
 ]
 
 
