@@ -63,6 +63,10 @@ PROBE_QUERIES = [
     "doc_scrubbed_spans",
     "session_attribution",
     "value_tier_report",
+    "incremental_novel_near",
+    "curated_corpus",
+    "bpe_audit",
+    "funnel_latency",
 ]
 
 
