@@ -920,8 +920,14 @@ def q_session_attribution(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     browse = ev.where(F.col("event_type") != "purchase")
-    sess = session_stats(browse, ordered=False).select(
-        "user_id", "session_id", "session_start", "session_end"
+    # materialized once: range_join's validation pass and the join both
+    # consume the interval side, and re-running the sessionization
+    # subplan per consumer would double the window work (the frame is
+    # session-count-sized — far smaller than the events it summarizes)
+    sess = (
+        session_stats(browse, ordered=False)
+        .select("user_id", "session_id", "session_start", "session_end")
+        .localCheckpoint(eager=True)
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").cast("decimal(20,6)").alias("value_dec")

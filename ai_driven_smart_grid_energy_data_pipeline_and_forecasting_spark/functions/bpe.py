@@ -186,6 +186,7 @@ def apply_bpe(
                 {id_col: ids, "n_words": n_words, "n_tokens": n_tokens}
             )
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        run, f"{id_col} long, n_words long, n_tokens long"
+        run, f"{id_col} {id_type}, n_words long, n_tokens long"
     )

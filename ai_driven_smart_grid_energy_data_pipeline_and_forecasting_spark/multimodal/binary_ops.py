@@ -189,7 +189,13 @@ def pgm_decode(content: bytes) -> tuple[int, int, list[list[int]]]:
             i = j
         else:
             raise ValueError("malformed PGM header")
-    i += 1  # exactly one whitespace after maxval, then raster
+    # exactly ONE whitespace byte after maxval, then raster (the P5
+    # spec). Validate it so garbage headers fail loudly; note a CRLF
+    # writer ("255\r\n") is indistinguishable from a raster whose first
+    # pixel is 0x0A — this engine's own encoder always emits "\n".
+    if i >= len(content) or not content[i : i + 1].isspace():
+        raise ValueError("malformed PGM header (no whitespace after maxval)")
+    i += 1
     w, h, maxval = toks
     if maxval > 255:
         raise ValueError("only 8-bit PGM is supported")

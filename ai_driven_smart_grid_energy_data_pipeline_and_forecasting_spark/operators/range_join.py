@@ -63,6 +63,7 @@ def range_join(
     equi_keys: tuple[str, ...] = (),
     closed_hi: bool = False,
     max_bins_per_interval: int = 4096,
+    validate_intervals: bool = True,
 ) -> DataFrame:
     """Join each point row to every interval row containing it.
 
@@ -91,24 +92,39 @@ def range_join(
     _check_cols(points, [point_col, *equi_keys], "point")
     _check_cols(intervals, [lo_col, hi_col, *equi_keys], "interval")
 
-    span = F.col(hi_col) - F.col(lo_col)
-    stats = intervals.select(
-        F.max(span).alias("max_span"),
-        F.percentile_approx(span, 0.5).alias("med_span"),
-    ).first()
-    if bin_width is None:
-        med = stats["med_span"]
-        bin_width = float(med) if med is not None and med > 0 else 1.0
-    if stats["max_span"] is not None:
-        worst = int(stats["max_span"] / bin_width) + 2
-        if worst > max_bins_per_interval:
+    # The stats pass EXECUTES the interval-side plan once at build time.
+    # When that side is an expensive subplan (sessionization of a fact
+    # table) and the caller can bound the replication arithmetically,
+    # pass an explicit bin_width + validate_intervals=False to skip it —
+    # the guard and the inverted-interval refusal are then the caller's
+    # responsibility (an inverted interval would make F.sequence emit a
+    # huge DESCENDING bin list, the exact blowup the guard refuses).
+    if validate_intervals or bin_width is None:
+        span = F.col(hi_col) - F.col(lo_col)
+        stats = intervals.select(
+            F.max(span).alias("max_span"),
+            F.min(span).alias("min_span"),
+            F.percentile_approx(span, 0.5).alias("med_span"),
+        ).first()
+        if stats["min_span"] is not None and stats["min_span"] < 0:
             raise RuntimeError(
-                f"range_join: an interval spans ~{worst} bins of width "
-                f"{bin_width} (> max_bins_per_interval="
-                f"{max_bins_per_interval}). Raise bin_width toward the "
-                "typical interval span, or raise the cap explicitly if "
-                "the replication is intended."
+                f"range_join: interval side contains inverted bounds "
+                f"({hi_col} < {lo_col}, worst span {stats['min_span']}) — "
+                "corrupt rows; filter or fix them before joining"
             )
+        if bin_width is None:
+            med = stats["med_span"]
+            bin_width = float(med) if med is not None and med > 0 else 1.0
+        if stats["max_span"] is not None:
+            worst = int(stats["max_span"] / bin_width) + 2
+            if worst > max_bins_per_interval:
+                raise RuntimeError(
+                    f"range_join: an interval spans ~{worst} bins of width "
+                    f"{bin_width} (> max_bins_per_interval="
+                    f"{max_bins_per_interval}). Raise bin_width toward the "
+                    "typical interval span, or raise the cap explicitly if "
+                    "the replication is intended."
+                )
 
     lo_bin = F.floor(F.col(lo_col) / F.lit(bin_width))
     hi_bin = F.floor(F.col(hi_col) / F.lit(bin_width))
@@ -148,11 +164,12 @@ def range_join(
 
 
 def epoch_seconds(col: Column) -> Column:
-    """NTZ-safe epoch seconds (same contract as ``sessions._epoch_seconds``:
-    ``CAST(ts AS BIGINT)`` is a type error for TIMESTAMP_NTZ in Spark 4;
-    routing through ``timestamp_ltz`` is a no-op for LTZ and reads NTZ in
-    the session zone, pinned UTC by ``tables.load_table``)."""
-    return col.cast("timestamp_ltz").cast("long")
+    """NTZ-safe epoch seconds — re-exported from ``sessions`` so the
+    cast-through-``timestamp_ltz`` contract (``CAST(ts AS BIGINT)`` is a
+    type error for TIMESTAMP_NTZ in Spark 4) lives in exactly one place."""
+    from .sessions import _epoch_seconds
+
+    return _epoch_seconds(col)
 
 
 def range_join_ts(
@@ -164,6 +181,7 @@ def range_join_ts(
     bin_width_seconds: int,
     equi_keys: tuple[str, ...] = (),
     closed_hi: bool = True,
+    validate_intervals: bool = True,
 ) -> DataFrame:
     """Timestamp-typed convenience wrapper: casts the point and interval
     bound columns to epoch seconds, range-joins on the numeric domain,
@@ -183,5 +201,6 @@ def range_join_ts(
         bin_width=float(bin_width_seconds),
         equi_keys=equi_keys,
         closed_hi=closed_hi,
+        validate_intervals=validate_intervals,
     )
     return out.drop("__rj_pt", "__rj_lo", "__rj_hi")

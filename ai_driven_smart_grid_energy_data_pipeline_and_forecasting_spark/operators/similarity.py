@@ -411,6 +411,12 @@ def ann_ivf_topk(
         .select(id_col, vec_col)
         .toPandas()
     )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"no centroid rows: filter {id_col} < {n_centroids} matched "
+            "nothing (ids not starting at 0?) — supply a corpus whose id "
+            "head exists, or use the trained-KMeans variant"
+        )
     c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
     c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
     c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
@@ -573,6 +579,12 @@ def cluster_assign_stats(
     cpdf = (
         emb.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
     )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"no centroid rows: filter {id_col} < {n_centroids} matched "
+            "nothing (ids not starting at 0?) — supply a corpus whose id "
+            "head exists, or use the trained-KMeans variant"
+        )
     c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
     c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
     c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
@@ -856,6 +868,12 @@ def semantic_cell_pairs(
     cpdf = (
         emb.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
     )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"no centroid rows: filter {id_col} < {n_centroids} matched "
+            "nothing (ids not starting at 0?) — supply a corpus whose id "
+            "head exists, or use the trained-KMeans variant"
+        )
     c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
     c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
     c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]

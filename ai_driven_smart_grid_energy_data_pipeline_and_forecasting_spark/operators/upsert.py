@@ -223,10 +223,18 @@ def merge_upsert(
     """
     updates = updates.withColumn("_src", F.lit(1))
     if os.path.exists(target_path):
-        reader = spark.read
-        if allow_schema_evolution:
-            reader = reader.option("mergeSchema", "true")
-        existing = reader.parquet(target_path).withColumn("_src", F.lit(0))
+        # ALWAYS mergeSchema on the existing read: once a table has been
+        # evolved it is mixed-schema on disk, and a plain read would
+        # infer from one arbitrary footer — a later default merge could
+        # then silently rewrite partitions WITHOUT the evolved column
+        # (nondeterministic data loss). With the union of footers, a
+        # default merge against an evolved table instead fails loudly at
+        # unionByName, which is the guardrail this flag is about.
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(target_path)
+            .withColumn("_src", F.lit(0))
+        )
         # prune to touched partitions: tiny distinct list, broadcast semi join
         touched = updates.select(*partition_by).distinct()
         existing = existing.join(F.broadcast(touched), list(partition_by), "left_semi")

@@ -317,6 +317,12 @@ def vacuum_versions(root: str, keep_last: int = 2) -> dict[str, int]:
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     vs = versions(root)
+    if not vs:
+        # zero manifests means the "everything unreferenced" sweep would
+        # delete every data dir — refuse loudly (same contract as
+        # read_version): vacuum of a table that has no committed version
+        # is always a mistake or a mispointed root.
+        raise FileNotFoundError(f"no versions at {root}; refusing to vacuum")
     keep = vs[-keep_last:]
     drop = vs[: -keep_last] if len(vs) > keep_last else []
     referenced: set[tuple[str, str]] = set()

@@ -140,3 +140,23 @@ def test_auto_bin_width_empty_intervals(spark):
     points = _points(spark)
     empty = _intervals(spark).filter("lo > 1e18")
     assert range_join(points, empty, "v", "lo", "hi").count() == 0
+
+
+def test_inverted_interval_refused(spark):
+    points = spark.range(1).select(F.lit(1.0).alias("v"))
+    bad = spark.createDataFrame(
+        [(86400000.0, 0.0, "swapped")], "lo double, hi double, tag string"
+    )
+    with pytest.raises(RuntimeError, match="inverted"):
+        range_join(points, bad, "v", "lo", "hi", bin_width=60.0)
+
+
+def test_validate_intervals_false_skips_prescan(spark):
+    # explicit width + opt-out: no eager action on the interval side
+    points, intervals = _points(spark), _intervals(spark)
+    got = range_join(
+        points, intervals, "v", "lo", "hi",
+        bin_width=5.0, equi_keys=("k",), validate_intervals=False,
+    )
+    rows = sorted((r.k, r.v, r.lo, r.hi, r.tag) for r in got.collect())
+    assert rows == _naive(points, intervals, ["k"], False)

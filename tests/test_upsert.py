@@ -342,3 +342,38 @@ def test_merge_upsert_schema_evolution_adds_column(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert again == got
+
+
+def test_default_merge_on_evolved_table_fails_loudly(spark, tmp_path):
+    # after evolution the table is mixed-schema; a later default merge
+    # must raise at unionByName, never silently drop the evolved column
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+        merge_upsert,
+    )
+    import pytest as _pt
+
+    path = str(tmp_path / "evo2")
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([("a", 1, 1.0)], "site string, ts int, v double"),
+        keys=["site", "ts"], order_col="ts",
+    )
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame(
+            [("a", 2, 2.0, 0.5)], "site string, ts int, v double, quality double"
+        ),
+        keys=["site", "ts"], order_col="ts", allow_schema_evolution=True,
+    )
+    with _pt.raises(Exception):
+        merge_upsert(
+            spark, path,
+            spark.createDataFrame([("a", 3, 3.0)], "site string, ts int, v double"),
+            keys=["site", "ts"], order_col="ts",
+        )
+    # and the evolved data is still intact
+    got = {
+        (r.site, r.ts): r.quality
+        for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
+    }
+    assert got[("a", 2)] == 0.5

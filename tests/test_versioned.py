@@ -250,3 +250,19 @@ def test_vacuum_keeps_surviving_reads_identical(spark, tmp_path):
     assert not os.path.isdir(os.path.join(root, "data", "v99"))
     with _pt.raises(FileNotFoundError):
         read_version(spark, root, 1)
+
+
+def test_vacuum_refuses_rootless_table(spark, tmp_path):
+    import os
+
+    import pytest as _pt
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        vacuum_versions,
+    )
+
+    root = str(tmp_path / "novers")
+    os.makedirs(os.path.join(root, "data", "v1", "site=a"))
+    with _pt.raises(FileNotFoundError):
+        vacuum_versions(root)
+    assert os.path.isdir(os.path.join(root, "data", "v1", "site=a"))
