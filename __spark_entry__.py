@@ -748,7 +748,17 @@ def q_forecast_sarimax_audit(spark, sf_dir):
 
     feats = _pseudo_features_hourly(spark, sf_dir)
     fc = FC.sarimax_forecast(feats, horizons=[1, 24])
-    origins = feats.groupBy("site").agg(F.max("ts_utc").alias("origin"))
+    # the audit scope is series length > 25 — the numpy surrogate's fit
+    # floor. statsmodels (when installed) fits shorter series too, so
+    # the gate must live HERE, not implicitly in the model: otherwise
+    # the oracle's n > 25 filter and the query disagree the moment the
+    # environment gains statsmodels (review r5)
+    origins = (
+        feats.groupBy("site")
+        .agg(F.max("ts_utc").alias("origin"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 25)
+        .drop("_n")
+    )
     bad_interval = (
         (F.col("yhat_lower") > F.col("yhat"))
         | (F.col("yhat") > F.col("yhat_upper"))

@@ -152,6 +152,10 @@ def wav_decode(content: bytes) -> tuple[int, int, list[int]]:
             return w.getframerate(), w.getnchannels(), samples
     except wave.Error as exc:
         raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+    except struct.error as exc:
+        # data chunk shorter than the header's frame claim — keep the
+        # documented ValueError contract at the codec boundary
+        raise ValueError(f"truncated WAV raster: {exc}") from exc
 
 
 def pgm_encode(rows: list[list[int]]) -> bytes:

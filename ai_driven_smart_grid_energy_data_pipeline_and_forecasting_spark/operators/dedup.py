@@ -646,8 +646,11 @@ def _cc_driver(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     out = pd.DataFrame(
         {"doc_id": verts, "component": verts[roots]}
     )
+    # preserve the input id dtype (an IntegerType graph must not come
+    # back silently widened to long — review r5)
+    id_type = pairs.schema[src].dataType.simpleString()
     return pairs.sparkSession.createDataFrame(
-        out, schema="doc_id long, component long"
+        out, schema=f"doc_id {id_type}, component {id_type}"
     )
 
 
@@ -664,7 +667,7 @@ def connected_components(
     that turns pairwise similarity output into dedup *groups* (pick one
     canonical doc per component, drop the rest).
 
-    ``algorithm="propagate"`` (default) is iterative min-label
+    ``algorithm="propagate"`` is iterative min-label
     propagation: each round every vertex takes the minimum of its label
     and its neighbors' labels; converges in O(component diameter)
     rounds (near-dup clusters are shallow — dup chains, not paths).
@@ -704,9 +707,15 @@ def connected_components(
     # the whole near-dup pipeline as lineage (kernel, banding, verify),
     # and every algorithm below consumes it more than once — the size
     # probe, the symmetrize/canonicalize union, and each iteration.
-    base = pairs.select(
-        F.col(src).alias("_s"), F.col(dst).alias("_d")
-    ).localCheckpoint(eager=True)
+    # NULL endpoints are dropped up front: an edge to NULL carries no
+    # dedup information, and the algorithms would otherwise diverge
+    # (joins/greatest silently drop them, the driver union-find crashed
+    # on the NaN — review r5)
+    base = (
+        pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     if algorithm in ("auto", "driver"):
         numeric_ids = all(
             isinstance(base.schema[c].dataType, _INTEGRAL_TYPES)

@@ -148,16 +148,21 @@ def salted_join(
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     keys = list(keys)
+    salt = "__sj_salt"
+    if salt in large.columns or salt in small.columns:
+        # the working column would silently shadow (and then drop) a
+        # real data column, breaking the result-identical contract
+        raise ValueError(f"column name {salt!r} is reserved by salted_join")
 
     def _salted(l: DataFrame, s: DataFrame) -> DataFrame:
         lp = l.withColumn(
-            "_salt",
+            salt,
             F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int"),
         )
         sp = s.withColumn(
-            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+            salt, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
         )
-        return lp.join(sp, [*keys, "_salt"], how).drop("_salt")
+        return lp.join(sp, [*keys, salt], how).drop(salt)
 
     if hot_keys is None:
         return _salted(large, small)

@@ -100,29 +100,45 @@ def _has_parquet_files(fs, jvm, root: str) -> bool:
 def _clear_work_dirs(spark: SparkSession, path: str) -> None:
     """Clear ``_staging``/``_trash`` left by a crashed writer — but
     RECOVER first (ADVICE r4): a crash inside ``_publish_staged``'s
-    rename loop can leave a partition whose only copies live in the
-    work dirs (live→trash done, staged→live not yet). For each leaf
-    under ``_trash`` whose live dir is missing, roll the publish
-    forward (staged→live) when the staged fileset is complete
-    (``_SUCCESS`` present), else roll it back (trash→live). Only then
-    are the work dirs deleted — staged/trash bytes are never the only
-    copy at the moment of deletion. A crash strictly before publish
-    leaves no ``_trash``, so the pre-publish path is a plain delete as
-    before."""
+    rename loop can leave the batch half-applied, and staged/trash
+    bytes may be the ONLY copy of data.
+
+    If the staged fileset is COMPLETE (``_SUCCESS`` present), the
+    interrupted publish is resumed in full: every staged partition
+    leaf still unpublished — whether its live dir was already moved to
+    ``_trash``, still holds the old data, or never existed (brand-new
+    partition) — is renamed into place, so recovery finishes the
+    commit instead of applying it partially (a crash after site=a's
+    rename but before site=b's must not yield a table with new-a /
+    old-b and site=b's durable staged update deleted). If staging is
+    INCOMPLETE, trash-stranded leaves roll back (trash→live). Only
+    then are the work dirs deleted — staged/trash bytes are never the
+    only copy at the moment of deletion. A crash strictly before the
+    staged write finished leaves no ``_SUCCESS`` and no ``_trash``, so
+    that path is a plain delete as before."""
     fs, jvm = _hadoop_fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
     trash_root = f"{path}/_trash"
     staged_root = f"{path}/_staging/data"
     staged_complete = fs.exists(HPath(f"{staged_root}/_SUCCESS"))
-    for rel in sorted(_leaf_dirs(fs, jvm, trash_root)):
-        live = HPath(f"{path}/{rel}")
-        if fs.exists(live):
-            continue  # this leaf's publish completed; trash copy is stale
-        staged = HPath(f"{staged_root}/{rel}")
-        if staged_complete and fs.exists(staged):
+    if staged_complete:
+        # roll the whole publish forward: any staged leaf still present
+        # was not yet renamed into place
+        for rel in sorted(_leaf_dirs(fs, jvm, staged_root)):
+            if "=" not in rel:
+                continue  # the _SUCCESS marker at the staged root
+            live = HPath(f"{path}/{rel}")
+            if fs.exists(live):
+                trash = HPath(f"{trash_root}/{rel}")
+                fs.mkdirs(trash.getParent())
+                fs.rename(live, trash)
             fs.mkdirs(live.getParent())
-            fs.rename(staged, live)  # roll forward: finish the publish
-        else:
+            fs.rename(HPath(f"{staged_root}/{rel}"), live)
+    else:
+        for rel in sorted(_leaf_dirs(fs, jvm, trash_root)):
+            live = HPath(f"{path}/{rel}")
+            if fs.exists(live):
+                continue  # this leaf's publish completed; trash is stale
             fs.mkdirs(live.getParent())
             fs.rename(HPath(f"{trash_root}/{rel}"), live)  # roll back
     for d in (f"{path}/_staging", trash_root):
@@ -221,6 +237,11 @@ def merge_upsert(
     ``spark.read.option("mergeSchema", "true")`` until every partition
     has been rewritten.
     """
+    # recover any crashed writer's work dirs BEFORE planning the read:
+    # roll-forward recovery renames live partition dirs, and a read plan
+    # captured earlier would hold stale file references (observed as
+    # FileNotFoundException at execution time)
+    _clear_work_dirs(spark, target_path)
     updates = updates.withColumn("_src", F.lit(1))
     if os.path.exists(target_path):
         # ALWAYS mergeSchema on the existing read: once a table has been
@@ -318,6 +339,8 @@ def compact_partitions(
     same."""
     from functools import reduce
 
+    # recover first, for the same plan-staleness reason as merge_upsert
+    _clear_work_dirs(spark, path)
     sizes = _file_sizes(spark, path)
     if not sizes:
         return {}

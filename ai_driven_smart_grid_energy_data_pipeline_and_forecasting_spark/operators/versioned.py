@@ -54,7 +54,7 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 #: the listed specials. '+' and space are NOT escaped.
 _HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?\\{[]^') | frozenset(
     chr(i) for i in range(0x20)
-)
+) | frozenset({chr(0x7F)})  # DEL is in Hive's charToEscape too
 
 
 def _escape_part_val(val: object) -> str:

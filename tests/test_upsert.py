@@ -377,3 +377,41 @@ def test_default_merge_on_evolved_table_fails_loudly(spark, tmp_path):
         for r in spark.read.option("mergeSchema", "true").parquet(path).collect()
     }
     assert got[("a", 2)] == 0.5
+
+
+def test_crash_mid_publish_resumes_whole_batch(spark, tmp_path):
+    # review r5: a crash AFTER publishing site=a but BEFORE site=b must
+    # not leave the batch half-applied with site=b's staged data deleted
+    # — recovery resumes the complete staged publish in full
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import upsert
+
+    target = str(tmp_path / "bronze")
+    base = spark.createDataFrame(
+        [("a", ts(0), 1.0, ing(0)), ("b", ts(0), 2.0, ing(0))], SCHEMA
+    )
+    upsert.merge_upsert(spark, target, base, keys=["site", "ts_utc"], order_col="ingested_at")
+
+    # stage a complete two-partition update, then simulate a crash after
+    # only site=a's rename pair completed
+    upd = spark.createDataFrame(
+        [("a", ts(0), 9.0, ing(1)), ("b", ts(0), 8.0, ing(1))], SCHEMA
+    )
+    upd.write.partitionBy("site").parquet(os.path.join(target, "_staging", "data"))
+    os.renames(os.path.join(target, "site=a"), os.path.join(target, "_trash", "site=a"))
+    os.renames(
+        os.path.join(target, "_staging", "data", "site=a"),
+        os.path.join(target, "site=a"),
+    )  # site=a published; site=b untouched, its update only in staging
+
+    # any next writer triggers recovery; an unrelated merge must see the
+    # WHOLE prior batch committed, not half of it
+    noop = spark.createDataFrame([("c", ts(0), 5.0, ing(2))], SCHEMA)
+    upsert.merge_upsert(spark, target, noop, keys=["site", "ts_utc"], order_col="ingested_at")
+    got = read_all(spark, target)
+    assert got[("a", 0)][0] == 9.0
+    assert got[("b", 0)][0] == 8.0   # resumed, not deleted
+    assert got[("c", 0)][0] == 5.0
+    assert not os.path.exists(os.path.join(target, "_staging"))
+    assert not os.path.exists(os.path.join(target, "_trash"))
