@@ -156,14 +156,11 @@ def _publish_staged(spark: SparkSession, path: str, n_partition_cols: int) -> li
     fs, jvm = _hadoop_fs(spark, path)
     HPath = jvm.org.apache.hadoop.fs.Path
     staged_root = f"{path}/_staging/data"
-    root_uri_path = fs.makeQualified(HPath(staged_root)).toUri().getPath()
-    leaves: set[str] = set()
-    it = fs.listFiles(HPath(staged_root), True)
-    while it.hasNext():
-        fp = it.next().getPath().getParent().toUri().getPath()
-        rel = fp[len(root_uri_path):].strip("/")
-        if rel.count("=") >= n_partition_cols:
-            leaves.add(rel)
+    leaves = {
+        rel
+        for rel in _leaf_dirs(fs, jvm, staged_root)
+        if rel.count("=") >= n_partition_cols
+    }
     for rel in sorted(leaves):
         live = HPath(f"{path}/{rel}")
         if fs.exists(live):
