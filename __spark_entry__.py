@@ -393,6 +393,16 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    # RAG-style overlapping token-window chunking (window 32, overlap
+    # 8): the pass a retrieval pipeline runs before embedding. Pure
+    # generate-only plan — byte-exact text oracle.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, window=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def q_doc_scrubbed_spans(spark, sf_dir):
     # Span scrub composition: duplicated_spans flags cross-document
     # n-gram runs, scrub_spans cuts those tokens out of the surviving
@@ -1857,6 +1867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_hw_audit": q_forecast_hw_audit,
         "funnel_latency": q_funnel_latency,
         "bpe_audit": q_bpe_audit,
+        "doc_chunks": q_doc_chunks,
         "salted_join_segments": q_salted_join_segments,
         "forecast_sarimax_audit": q_forecast_sarimax_audit,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -3147,6 +3158,28 @@ def oracle_sql() -> dict[str, str]:
             FROM series, (SELECT 'pv' AS var UNION ALL SELECT 'wind') v
             WHERE n > 25  -- fit requires series length > season+1 = 25
             ORDER BY site, var
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS tk
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, tk,
+                     unnest(generate_series(
+                       0,
+                       CAST(ceil(greatest(len(tk) - 32, 0) / 24.0)
+                            AS BIGINT))) AS k
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS chunk_idx,
+                   CAST(len(tk[k * 24 + 1 : k * 24 + 32]) AS BIGINT)
+                     AS n_chunk_tokens,
+                   array_to_string(tk[k * 24 + 1 : k * 24 + 32], ' ')
+                     AS chunk_text
+            FROM c
+            ORDER BY doc_id, chunk_idx
         """,
         "bpe_audit": """
             SELECT CAST(10 AS BIGINT) AS n_merges_learned,

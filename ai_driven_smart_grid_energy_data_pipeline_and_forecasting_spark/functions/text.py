@@ -380,3 +380,47 @@ def doc_keywords(
         .select("doc_id", "rank", "token", "tf", "df")
         .orderBy("doc_id", "rank")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    chunking pass every retrieval/embedding pipeline runs before
+    vectorizing (fixed window so chunk embeddings are comparable;
+    overlap so no span is split across a boundary unseen).
+
+    Chunk k covers tokens [k·stride, k·stride + window) with
+    stride = window − overlap; the chunk count ceil(max(n − window,
+    0)/stride) + 1 covers every token, and a short document yields one
+    whole-document chunk. Pure Catalyst: one generate-only posexplode
+    over the per-doc chunk-index sequence and an array slice per chunk
+    — no shuffle, no Python, fully deterministic, so the DuckDB oracle
+    matches the text byte-for-byte.
+    """
+    if not 0 <= overlap < window:
+        raise ValueError(
+            f"need 0 <= overlap < window, got window={window} overlap={overlap}"
+        )
+    stride = window - overlap
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(float(stride))) + 1
+    ).cast("int")
+    out = docs.select(
+        F.col(id_col),
+        toks.alias("_tk"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_idx"),
+    )
+    sliced = F.slice(F.col("_tk"), F.col("chunk_idx") * stride + 1, window)
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(sliced).cast("long").alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )

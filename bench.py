@@ -115,6 +115,7 @@ HEADLINE = [
     "forecast_hw_audit",
     "funnel_latency",
     "bpe_audit",
+    "doc_chunks",
 ]
 
 

@@ -728,3 +728,34 @@ def test_bpe_deterministic_and_monotone(spark):
     t3 = apply_bpe(docs, m1[:3]).agg({"n_tokens": "sum"}).first()[0]
     t5 = apply_bpe(docs, m1).agg({"n_tokens": "sum"}).first()[0]
     assert t0 > t3 > t5  # each merge strictly reduces corpus tokens
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        chunk_documents,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.chunk_idx): r
+        for r in chunk_documents(docs, window=4, overlap=1).collect()
+    }
+    # doc 1: stride 3 -> chunks at 0,3,6 cover t0..t9 = ceil(6/3)+1 = 3
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"   # 1-token overlap
+    assert rows[(1, 2)].chunk_text == "t6 t7 t8 t9"
+    # every token appears in at least one chunk
+    covered = set()
+    for (d, _), r in rows.items():
+        if d == 1:
+            covered.update(r.chunk_text.split())
+    assert covered == set(toks)
+    # short doc: one whole-document chunk
+    assert rows[(2, 0)].chunk_text == "a b" and rows[(2, 0)].n_chunk_tokens == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(docs, window=4, overlap=4)
