@@ -415,7 +415,7 @@ def chunk_documents(
     out = docs.select(
         F.col(id_col),
         toks.alias("_tk"),
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_p", "chunk_idx"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
     sliced = F.slice(F.col("_tk"), F.col("chunk_idx") * stride + 1, window)
     return out.select(

@@ -647,8 +647,14 @@ def _cc_driver(pairs: DataFrame, src: str, dst: str) -> DataFrame:
         {"doc_id": verts, "component": verts[roots]}
     )
     # preserve the input id dtype (an IntegerType graph must not come
-    # back silently widened to long — review r5)
-    id_type = pairs.schema[src].dataType.simpleString()
+    # back silently widened to long — review r5) — but output values mix
+    # BOTH endpoint columns, so use the wider of the two (an int src
+    # with long dst holding ids > 2^31 crashed the int schema — review r5 #2)
+    widths = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+    types = [
+        pairs.schema[c].dataType.simpleString() for c in (src, dst)
+    ]
+    id_type = max(types, key=lambda t: widths.get(t, 3))
     return pairs.sparkSession.createDataFrame(
         out, schema=f"doc_id {id_type}, component {id_type}"
     )

@@ -86,6 +86,10 @@ def salted_agg(
                 (F.sum(f"_as_{name}") / F.sum(f"_ac_{name}")).alias(name)
             )
 
+    if "_salt" in df.columns:
+        # same silent-shadowing hazard the salted_join guard closes
+        # (review r5): the working column would clobber real data
+        raise ValueError("column name '_salt' is reserved by salted_agg")
     phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)
 

@@ -97,6 +97,18 @@ def _has_parquet_files(fs, jvm, root: str) -> bool:
     return False
 
 
+def _rename_or_die(fs, src, dst) -> None:
+    """Hadoop FileSystem.rename reports failure by returning FALSE, not
+    raising; an unchecked false followed by the work-dir delete would
+    destroy the only copy of staged data (review r5). Raise instead —
+    recovery must stop BEFORE anything is deleted."""
+    if not fs.rename(src, dst):
+        raise RuntimeError(
+            f"recovery rename failed: {src} -> {dst}; refusing to clear "
+            "work dirs (staged/trash bytes may be the only copy)"
+        )
+
+
 def _clear_work_dirs(spark: SparkSession, path: str) -> None:
     """Clear ``_staging``/``_trash`` left by a crashed writer — but
     RECOVER first (ADVICE r4): a crash inside ``_publish_staged``'s
@@ -131,16 +143,16 @@ def _clear_work_dirs(spark: SparkSession, path: str) -> None:
             if fs.exists(live):
                 trash = HPath(f"{trash_root}/{rel}")
                 fs.mkdirs(trash.getParent())
-                fs.rename(live, trash)
+                _rename_or_die(fs, live, trash)
             fs.mkdirs(live.getParent())
-            fs.rename(HPath(f"{staged_root}/{rel}"), live)
+            _rename_or_die(fs, HPath(f"{staged_root}/{rel}"), live)
     else:
         for rel in sorted(_leaf_dirs(fs, jvm, trash_root)):
             live = HPath(f"{path}/{rel}")
             if fs.exists(live):
                 continue  # this leaf's publish completed; trash is stale
             fs.mkdirs(live.getParent())
-            fs.rename(HPath(f"{trash_root}/{rel}"), live)  # roll back
+            _rename_or_die(fs, HPath(f"{trash_root}/{rel}"), live)  # roll back
     for d in (f"{path}/_staging", trash_root):
         p = HPath(d)
         if fs.exists(p):
@@ -166,15 +178,19 @@ def _publish_staged(spark: SparkSession, path: str, n_partition_cols: int) -> li
         if fs.exists(live):
             trash = HPath(f"{path}/_trash/{rel}")
             fs.mkdirs(trash.getParent())
-            fs.rename(live, trash)
+            _rename_or_die(fs, live, trash)
         fs.mkdirs(live.getParent())
-        fs.rename(HPath(f"{staged_root}/{rel}"), live)
+        _rename_or_die(fs, HPath(f"{staged_root}/{rel}"), live)
     _clear_work_dirs(spark, path)
     return sorted(leaves)
 
 
 def _staged_overwrite(
-    spark: SparkSession, path: str, df: DataFrame, partition_by: Sequence[str]
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: Sequence[str],
+    recovered: bool = False,
 ) -> int:
     """Crash-safe partition overwrite (VERDICT r2 #3 / r3 #6): write the
     new fileset under ``<path>/_staging`` — underscore-prefixed, so
@@ -191,7 +207,11 @@ def _staged_overwrite(
     read-own-input hazard, so callers no longer need the eager
     ``localCheckpoint`` materialization this module used to carry — one
     full pass over the merge output saved per call."""
-    _clear_work_dirs(spark, path)
+    # callers that already ran recovery at entry (merge_upsert,
+    # compact_partitions — they must, for read-plan freshness) skip the
+    # duplicate multi-request FS probe (review r5)
+    if not recovered:
+        _clear_work_dirs(spark, path)
     staged = f"{path}/_staging/data"
     df.write.mode("overwrite").partitionBy(*partition_by).parquet(staged)
     # A zero-row df stages only _SUCCESS (ADVICE r4): reading that back
@@ -264,7 +284,7 @@ def merge_upsert(
     out = latest_per_group(
         merged, keys=list(keys), order_col=order_col, tiebreak=["_src"]
     ).drop("_src")
-    return _staged_overwrite(spark, target_path, out, partition_by)
+    return _staged_overwrite(spark, target_path, out, partition_by, recovered=True)
 
 
 def _file_sizes(spark: SparkSession, path: str) -> dict[str, int]:
@@ -399,7 +419,7 @@ def compact_partitions(
             .repartition(total, *partition_by, "_b")
             .drop("_b", "_nf", "_path")
         )
-        _staged_overwrite(spark, path, out, partition_by)
+        _staged_overwrite(spark, path, out, partition_by, recovered=True)
     finally:
         spark.conf.set(infer_key, infer_prev)
     null_label = "__HIVE_DEFAULT_PARTITION__"

@@ -759,3 +759,20 @@ def test_chunk_documents_coverage_and_overlap(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(docs, window=4, overlap=4)
+
+
+def test_cc_driver_mixed_integral_widths(spark):
+    # review r5: int doc_a + long doc_b with a value > 2^31 must not
+    # crash the driver union-find's output schema (wider type wins)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 3_000_000_000), (2, 3_000_000_000)], "doc_a int, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, algorithm="driver").collect()
+    }
+    assert got == {1: 1, 2: 1, 3_000_000_000: 1}
