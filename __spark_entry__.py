@@ -356,6 +356,55 @@ def q_near_dup_clusters(spark, sf_dir):
     return D.connected_components(pairs).orderBy("doc_id")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    # Leakage-safe train/val/test split: the split key is the near-dup
+    # COMPONENT, not the doc — near-duplicates can never straddle the
+    # train/eval boundary (the contamination mode doc_contamination
+    # audits for). cross_split_pairs recomputes the violation count
+    # from the pair list itself and must be 0 by construction.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        group_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # the pair list feeds both the CC inside group_split and the
+    # violation audit — materialize the (tiny) projection once instead
+    # of re-running the LSH pipeline per consumer
+    pairs = (
+        D.minhash_lsh_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    d = group_split(docs, pairs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    sp = d.select("doc_id", "split")
+    viol = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("cross_split_pairs"))
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_key").alias("n_groups"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(viol)
+        .orderBy("split")
+    )
+
+
 def q_dedup_corpus(spark, sf_dir):
     # End-to-end near-dedup: LSH pairs -> components -> keep one
     # canonical doc per cluster plus all singletons (the operation a
@@ -1854,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # count/time-bounded external sweep certifies first.
     return {
         # --- new r5 entries: never driver-certified, go first ---------------
+        "leakage_safe_split": q_leakage_safe_split,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -2852,6 +2902,40 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = c.doc_id AND c.doc_id != c.component
             WHERE c.doc_id IS NULL
             ORDER BY d.doc_id
+        """,
+        "leakage_safe_split": _cc_sql_prefix()
+        + """,
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a),
+            keyed AS (
+              SELECT d.doc_id, d.n_chars,
+                     coalesce(c.component, d.doc_id) AS group_key
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+            sp AS (
+              SELECT doc_id, n_chars, group_key,
+                     CASE WHEN bkt < 9000 THEN 'train'
+                          WHEN bkt < 9500 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT keyed.*,
+                      CAST(('0x' || substr(md5('split' ||
+                        CAST(group_key AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 10000 AS bkt
+                    FROM keyed)),
+            viol AS (
+              SELECT CAST(count(*) AS BIGINT) AS cross_split_pairs
+              FROM (SELECT DISTINCT doc_a, doc_b FROM verified
+                    WHERE jacc >= 0.5) p
+              JOIN sp pa ON p.doc_a = pa.doc_id
+              JOIN sp pb ON p.doc_b = pb.doc_id
+              WHERE pa.split != pb.split)
+            SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT s.group_key) AS BIGINT) AS n_groups,
+                   CAST(sum(s.n_chars) AS BIGINT) AS total_chars,
+                   v.cross_split_pairs
+            FROM sp s CROSS JOIN viol v
+            GROUP BY s.split, v.cross_split_pairs
+            ORDER BY s.split
         """,
         "pipeline_lineage": _PSEUDO_FEATURES_CTE
         + """,

@@ -116,6 +116,50 @@ def weighted_mixture_sample(
     )
 
 
+def group_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe dataset split: near-duplicate documents must never
+    straddle the train/eval boundary (a train doc's near-dup in the
+    test set is contamination — the reason pipelines dedup *before*
+    splitting, per the contamination literature the audit op cites).
+    ``with_split`` hashes each doc independently, so two near-dups can
+    land on opposite sides; here the split key is the *component* of
+    the near-dup pair graph instead: every doc in a connected group
+    shares one canonical key (the component's min id), so the whole
+    group moves as a unit. Singletons (docs in no pair) key on their
+    own id — for them this degrades to exactly ``with_split``.
+
+    Output adds ``group_key`` (the shared split key) and ``split``.
+    Determinism: the component labels and the md5 bucket are both
+    content-derived — re-runs, engines, and partitionings agree.
+
+    Scale: one CC pass over the (post-LSH, tiny relative to the
+    corpus) pair list + one join of the component map onto the corpus;
+    the split predicate itself stays a pure per-row expression. The
+    component map is |docs-in-pairs| rows — the duplicate fraction,
+    not the corpus — so the join is deliberately NOT broadcast-hinted:
+    at typical dup rates AQE converts it to broadcast on its own, and
+    a pathological 30%-dup corpus still gets a sound shuffle join
+    instead of a forced-broadcast OOM.
+    """
+    from .dedup import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst).select(
+        F.col("doc_id").alias(id_col), F.col("component").alias("group_key")
+    )
+    keyed = df.join(comp, id_col, "left").withColumn(
+        "group_key", F.coalesce(F.col("group_key"), F.col(id_col))
+    )
+    return with_split(keyed, "group_key", weights, salt)
+
+
 def quota_cap(
     df: DataFrame,
     stratum_col: str,

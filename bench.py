@@ -116,6 +116,7 @@ HEADLINE = [
     "funnel_latency",
     "bpe_audit",
     "doc_chunks",
+    "leakage_safe_split",
 ]
 
 

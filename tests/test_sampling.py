@@ -49,6 +49,32 @@ def test_split_boundary_move_is_monotone(spark):
     assert small_train <= big_train
 
 
+def test_group_split_no_cross_split_pairs(spark):
+    # the property group_split exists for: a pair's endpoints always
+    # land in the same split, including transitively (a-b, b-c => a,
+    # b, c together even if a-c was never emitted as a pair)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        group_split,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (200, 300)], "doc_a long, doc_b long"
+    )
+    out = group_split(docs, pairs, W)
+    sp = {r.doc_id: (r.split, r.group_key) for r in out.collect()}
+    assert len(sp) == docs.count()  # left join keeps every doc
+    for chain in [(0, 1, 2), (10, 11), (200, 300)]:
+        assert len({sp[i][0] for i in chain}) == 1
+        assert {sp[i][1] for i in chain} == {min(chain)}
+    # singletons degrade to exactly with_split (same key, same salt)
+    base = {r.doc_id: r.split for r in with_split(docs, "doc_id", W).collect()}
+    paired = {0, 1, 2, 10, 11, 200, 300}
+    for i, (s, g) in sp.items():
+        if i not in paired:
+            assert g == i and s == base[i]
+
+
 def test_stratified_sample_nested_and_scoped(spark):
     docs = load_table(spark, "documents", SF)
     lo = stratified_hash_sample(docs, "doc_id", "source", {"src0": 0.2})
