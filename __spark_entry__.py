@@ -356,6 +356,23 @@ def q_near_dup_clusters(spark, sf_dir):
     return D.connected_components(pairs).orderBy("doc_id")
 
 
+def q_event_type_drift(spark, sf_dir):
+    # Distribution-drift audit (PSI/chi-square family) between the
+    # first 15 days and the rest of the stream: the data-quality
+    # monitor that catches a category mix shifting between snapshots.
+    # Checked columns are counts + IEEE basic-op arithmetic only (the
+    # ln-based PSI column is deliberately outside the oracle contract
+    # — see operators/drift.py docstring).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        window_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return window_drift(ev, "ts", "event_type", split_days=15).orderBy(
+        "event_type"
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir):
     # Leakage-safe train/val/test split: the split key is the near-dup
     # COMPONENT, not the doc — near-duplicates can never straddle the
@@ -1904,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new r5 entries: never driver-certified, go first ---------------
         "leakage_safe_split": q_leakage_safe_split,
+        "event_type_drift": q_event_type_drift,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -2902,6 +2920,35 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = c.doc_id AND c.doc_id != c.component
             WHERE c.doc_id IS NULL
             ORDER BY d.doc_id
+        """,
+        "event_type_drift": """
+            WITH b AS (
+              SELECT date_trunc('day', min(ts)) + INTERVAL 15 DAY AS boundary
+              FROM events),
+            rc AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS ref_n
+              FROM events, b WHERE ts < boundary GROUP BY event_type),
+            cc AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS cur_n
+              FROM events, b WHERE ts >= boundary GROUP BY event_type),
+            j AS (
+              SELECT coalesce(rc.event_type, cc.event_type) AS event_type,
+                     coalesce(ref_n, 0) AS ref_n,
+                     coalesce(cur_n, 0) AS cur_n
+              FROM rc FULL OUTER JOIN cc ON rc.event_type = cc.event_type),
+            t AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+                         CAST(sum(cur_n) AS DOUBLE) AS ct FROM j),
+            rated AS (
+              SELECT event_type, ref_n, cur_n,
+                     CAST(ref_n AS DOUBLE) / rt AS ref_rate,
+                     CAST(cur_n AS DOUBLE) / ct AS cur_rate
+              FROM j CROSS JOIN t)
+            SELECT event_type, ref_n, cur_n, ref_rate, cur_rate,
+                   abs(cur_rate - ref_rate) AS rate_diff,
+                   ((cur_rate - ref_rate) * (cur_rate - ref_rate))
+                     / nullif(ref_rate, 0.0) AS chi2_term,
+                   abs(cur_rate - ref_rate) > 0.01 AS drifted
+            FROM rated ORDER BY event_type
         """,
         "leakage_safe_split": _cc_sql_prefix()
         + """,

@@ -1,0 +1,111 @@
+"""Distribution-drift audit between two snapshots of a keyed stream.
+
+Production pipelines (and the reference's silver-layer quality checks —
+``silver_clean.py``'s validation counters generalized across *time*)
+need to know when the incoming data's shape changes: a sensor fleet
+starts emitting a new event type, a scraper's source mix shifts, a
+bug silently drops a category. The standard monitors are PSI
+(population stability index) and the chi-square statistic over the
+per-category rate tables of a reference window vs a current window.
+
+Cross-engine determinism note: PSI needs ``ln``, which is a libm
+function — NOT bit-identical across engines (only IEEE 754 basic ops
++ - * / sqrt are correctly rounded everywhere). The *checked* output
+therefore carries the rational-arithmetic monitors — absolute rate
+difference (total-variation contribution) and the chi-square term
+``(cur-ref)²/ref`` — which reproduce bit-exactly in any engine;
+``include_psi=True`` adds the conventional PSI column for production
+dashboards, excluded from oracle-checked queries by design.
+
+Scale profile: one partial-aggregated shuffle per side on the category
+key (result rows = |categories|, tiny), a category-keyed full outer
+join of the two count tables, and a broadcast of the 1-row totals.
+Nothing is collected; the windows are pushdown-friendly predicates on
+the partition/sort column, so each side scans only its time range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    threshold: float = 0.01,
+    include_psi: bool = False,
+) -> DataFrame:
+    """Per-category drift table between ``ref`` and ``cur``.
+
+    Output: (cat_col, ref_n, cur_n, ref_rate, cur_rate, rate_diff,
+    chi2_term, drifted[, psi_term]) — one row per category seen in
+    either window (missing side counts as 0). ``drifted`` flags
+    ``rate_diff > threshold``; ``chi2_term`` is NULL for categories
+    absent from the reference (a *new* category has infinite chi² —
+    the NULL plus ``ref_n = 0`` is the unambiguous signal).
+
+    Every checked column is integer counts or IEEE basic-op arithmetic
+    on them — identical in Spark and any SQL oracle (module docstring).
+    """
+    rc = ref.groupBy(cat_col).agg(F.count(F.lit(1)).alias("ref_n"))
+    cc = cur.groupBy(cat_col).agg(F.count(F.lit(1)).alias("cur_n"))
+    joined = (
+        rc.join(cc, cat_col, "full")
+        .na.fill(0, ["ref_n", "cur_n"])
+    )
+    totals = joined.agg(
+        F.sum("ref_n").alias("_ref_total"), F.sum("cur_n").alias("_cur_total")
+    )
+    ref_rate = F.col("ref_n").cast("double") / F.col("_ref_total").cast("double")
+    cur_rate = F.col("cur_n").cast("double") / F.col("_cur_total").cast("double")
+    out = (
+        joined.crossJoin(F.broadcast(totals))
+        .withColumn("ref_rate", ref_rate)
+        .withColumn("cur_rate", cur_rate)
+        .withColumn("rate_diff", F.abs(F.col("cur_rate") - F.col("ref_rate")))
+        .withColumn(
+            "chi2_term",
+            (
+                (F.col("cur_rate") - F.col("ref_rate"))
+                * (F.col("cur_rate") - F.col("ref_rate"))
+            )
+            / F.nullif(F.col("ref_rate"), F.lit(0.0)),
+        )
+        .withColumn("drifted", F.col("rate_diff") > F.lit(threshold))
+    )
+    if include_psi:
+        # ln-based; fine within one engine, excluded from oracle checks
+        out = out.withColumn(
+            "psi_term",
+            (F.col("cur_rate") - F.col("ref_rate"))
+            * F.log(
+                F.nullif(F.col("cur_rate"), F.lit(0.0))
+                / F.nullif(F.col("ref_rate"), F.lit(0.0))
+            ),
+        )
+    return out.drop("_ref_total", "_cur_total")
+
+
+def window_drift(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    split_days: int,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """``categorical_drift`` with the two windows derived from the data
+    itself: reference = the first ``split_days`` days (from the
+    day-truncated minimum timestamp), current = everything after. The
+    boundary is computed declaratively (1-row aggregate cross-joined,
+    never collected), so the whole audit is one lazy plan."""
+    bounds = df.agg(
+        F.expr(
+            f"timestampadd(DAY, {int(split_days)}, date_trunc('DAY', min({ts_col})))"
+        ).alias("_boundary")
+    )
+    with_b = df.crossJoin(F.broadcast(bounds))
+    ref = with_b.filter(F.col(ts_col) < F.col("_boundary"))
+    cur = with_b.filter(F.col(ts_col) >= F.col("_boundary"))
+    return categorical_drift(ref, cur, cat_col, threshold=threshold)

@@ -117,6 +117,7 @@ HEADLINE = [
     "bpe_audit",
     "doc_chunks",
     "leakage_safe_split",
+    "event_type_drift",
 ]
 
 

@@ -1,0 +1,67 @@
+"""Distribution-drift audit: flags, new/vanished categories, and the
+declarative window boundary."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+    categorical_drift,
+    window_drift,
+)
+
+
+def test_categorical_drift_flags_and_edges(spark):
+    ref = spark.createDataFrame(
+        [("a",)] * 80 + [("b",)] * 20, "cat string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 30, "cat string"
+    )
+    rows = {r.cat: r for r in categorical_drift(ref, cur, "cat").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    a = rows["a"]
+    assert a.ref_n == 80 and a.cur_n == 50
+    assert math.isclose(a.ref_rate, 0.8) and math.isclose(a.cur_rate, 0.5)
+    assert a.drifted and math.isclose(a.rate_diff, 0.3)
+    assert math.isclose(a.chi2_term, 0.09 / 0.8)
+    # new category: ref side zero, chi2 undefined (NULL), flagged
+    c = rows["c"]
+    assert c.ref_n == 0 and c.cur_n == 30
+    assert c.chi2_term is None and c.drifted
+    # stable category: not flagged
+    assert not rows["b"].drifted
+
+
+def test_categorical_drift_vanished_category(spark):
+    ref = spark.createDataFrame([("a",)] * 50 + [("gone",)] * 50, "cat string")
+    cur = spark.createDataFrame([("a",)] * 100, "cat string")
+    rows = {r.cat: r for r in categorical_drift(ref, cur, "cat").collect()}
+    g = rows["gone"]
+    assert g.cur_n == 0 and g.cur_rate == 0.0 and g.drifted
+    assert math.isclose(g.chi2_term, 0.25 / 0.5)
+
+
+def test_categorical_drift_psi_sign(spark):
+    # optional PSI column: positive for a grown category, NULL when a
+    # side is zero (ln undefined) — the reason it's outside the oracle
+    ref = spark.createDataFrame([("a",)] * 60 + [("b",)] * 40, "cat string")
+    cur = spark.createDataFrame([("a",)] * 40 + [("b",)] * 60, "cat string")
+    rows = {
+        r.cat: r
+        for r in categorical_drift(ref, cur, "cat", include_psi=True).collect()
+    }
+    assert rows["b"].psi_term > 0 and rows["a"].psi_term > 0  # PSI terms are always >= 0
+
+
+def test_window_drift_boundary_is_half_open(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "x"), ("2024-01-02 00:00:00", "y")],
+        "ts string, cat string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r.cat: r for r in window_drift(df, "ts", "cat", split_days=1).collect()}
+    # day-2 midnight row is >= boundary -> current side
+    assert rows["x"].ref_n == 1 and rows["x"].cur_n == 0
+    assert rows["y"].ref_n == 0 and rows["y"].cur_n == 1
