@@ -118,6 +118,7 @@ HEADLINE = [
     "doc_chunks",
     "leakage_safe_split",
     "event_type_drift",
+    "pq_recall_audit",
 ]
 
 

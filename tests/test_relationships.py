@@ -219,3 +219,48 @@ def test_lsh_plans_bound_kernel_executions(docs):
     # shuffle is AQE-reusable at runtime); the pair branch is the other
     assert n_kernels(D.ngram_jaccard_pairs(docs, max_df=50)) <= 2
     assert n_kernels(D.minhash_lsh_pairs(docs)) <= 2  # signatures + verify sets
+
+
+def test_pq_encode_shape_and_self_codes(emb):
+    # head vectors ARE the codewords: vector i < n_codes must encode to
+    # code i in every subspace (its own slice is at distance 0)
+    books = S.pq_codebooks(emb, m=8, n_codes=16)
+    assert books.shape == (8, 16, 8)
+    codes = {r.vec_id: r.codes for r in S.pq_encode(emb, books).collect()}
+    n = emb.count()
+    assert len(codes) == n
+    for cs in codes.values():
+        assert len(cs) == 8 and all(0 <= c < 16 for c in cs)
+    for i in range(16):
+        assert codes[i] == [i] * 8, f"head vector {i} not self-coded"
+
+
+def test_pq_encode_partition_invariant(emb):
+    books = S.pq_codebooks(emb, m=8, n_codes=16)
+    a = {r.vec_id: r.codes for r in S.pq_encode(emb, books).collect()}
+    b = {
+        r.vec_id: r.codes
+        for r in S.pq_encode(emb.repartition(13), books).collect()
+    }
+    assert a == b
+
+
+def test_pq_topk_full_k_and_rank_dense(emb):
+    books = S.pq_codebooks(emb, m=8, n_codes=16)
+    out = S.pq_topk(emb, F.col("vec_id") < 4, books, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rows in by_q.items():
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != q for r in rows)
+        sims = [r.approx_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_pq_trained_codebooks_shape(emb):
+    books = S.pq_codebooks(emb, m=4, n_codes=8, train=True, max_iter=2)
+    assert books.shape == (4, 8, 16)
+    out = S.pq_topk(emb, F.col("vec_id") < 2, books, k=3)
+    assert out.count() == 6
