@@ -356,6 +356,25 @@ def q_near_dup_clusters(spark, sf_dir):
     return D.connected_components(pairs).orderBy("doc_id")
 
 
+def q_doc_feature_hashes(spark, sf_dir):
+    # Hashing-trick vectorization (no global vocabulary — the
+    # dictionary-free featurizer a 100 TB corpus needs), summarized as
+    # the corpus-level bucket histogram: hottest 50 feature buckets by
+    # total term frequency.
+    fh = TX.feature_hash_counts(
+        _t(spark, sf_dir, "documents"), n_features=1024
+    )
+    return (
+        fh.groupBy("feature_idx")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_tokens"), "feature_idx")
+        .limit(50)
+    )
+
+
 def q_event_type_drift(spark, sf_dir):
     # Distribution-drift audit (PSI/chi-square family) between the
     # first 15 days and the rest of the stream: the data-quality
@@ -1961,6 +1980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "event_type_drift": q_event_type_drift,
         "pq_recall_audit": q_pq_recall_audit,
+        "doc_feature_hashes": q_doc_feature_hashes,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -2959,6 +2979,21 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = c.doc_id AND c.doc_id != c.component
             WHERE c.doc_id IS NULL
             ORDER BY d.doc_id
+        """,
+        "doc_feature_hashes": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+            fh AS (
+              SELECT doc_id,
+                     {_h32_sql("'feat' || t")} % 1024 AS feature_idx
+              FROM tok),
+            tf AS (
+              SELECT doc_id, feature_idx, CAST(count(*) AS BIGINT) AS tf
+              FROM fh GROUP BY doc_id, feature_idx)
+            SELECT feature_idx, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM tf GROUP BY feature_idx
+            ORDER BY n_tokens DESC, feature_idx LIMIT 50
         """,
         "event_type_drift": """
             WITH b AS (

@@ -424,3 +424,41 @@ def chunk_documents(
         F.size(sliced).cast("long").alias("n_chunk_tokens"),
         F.array_join(sliced, " ").alias("chunk_text"),
     )
+
+
+def feature_hash_counts(
+    docs: DataFrame,
+    n_features: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "feat",
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning"): vectorize text WITHOUT a
+    vocabulary — ``feature_idx = h32(salt ‖ token) mod n_features`` —
+    so a 100 TB corpus needs no global token dictionary (building one
+    is a corpus-wide distinct + broadcast that the trick exists to
+    avoid; collisions are the accepted trade). Output is the sparse
+    term-frequency triple (id, feature_idx, tf).
+
+    ``salt`` decouples independent feature spaces on the same corpus
+    (same convention as ``sampling.hash_bucket``); md5-backed ``h32``
+    keeps the bucketing bit-identical in any engine. Plan: explode →
+    one partial-aggregated shuffle on (id, feature_idx) — map-side
+    combine absorbs each document's repeated tokens, so the shuffle
+    carries ≤ distinct-features-per-doc rows, not token count.
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .select(
+            id_col,
+            (h32(F.concat(F.lit(salt), F.col("_tok"))) % n_features).alias(
+                "feature_idx"
+            ),
+        )
+        .groupBy(id_col, "feature_idx")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

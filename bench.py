@@ -119,6 +119,7 @@ HEADLINE = [
     "leakage_safe_split",
     "event_type_drift",
     "pq_recall_audit",
+    "doc_feature_hashes",
 ]
 
 

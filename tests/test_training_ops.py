@@ -776,3 +776,44 @@ def test_cc_driver_mixed_integral_widths(spark):
         for r in connected_components(pairs, algorithm="driver").collect()
     }
     assert got == {1: 1, 2: 1, 3_000_000_000: 1}
+
+
+# ------------------------------------------------------- feature hashing
+
+
+def test_feature_hash_counts_sparse_triples(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        feature_hash_counts,
+        h32,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "")], "doc_id long, text string"
+    )
+    out = {(r.doc_id, r.feature_idx): r.tf
+           for r in feature_hash_counts(df, n_features=64).collect()}
+    ha, hb, hc = [
+        df.sparkSession.range(1)
+        .select(h32(F.concat(F.lit("feat"), F.lit(t))).alias("h"))
+        .collect()[0].h % 64
+        for t in "abc"
+    ]
+    assert out[(1, ha)] == 2  # repeated token folds into tf
+    assert out[(2, ha)] == 1 and out[(2, hc)] == 1
+    # empty text -> split gives [''] -> one bucket with tf 1 (the
+    # corpus single-space convention never produces empty strings;
+    # documented degenerate input, deterministic either way)
+    assert sum(tf for (d, _), tf in out.items() if d == 3) == 1
+    # all indices in range
+    assert all(0 <= i < 64 for (_, i) in out)
+
+
+def test_feature_hash_counts_salt_decouples(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        feature_hash_counts,
+    )
+
+    df = spark.createDataFrame([(1, "x y z w q r s t")], "doc_id long, text string")
+    a = {r.feature_idx for r in feature_hash_counts(df, 4096, salt="feat").collect()}
+    b = {r.feature_idx for r in feature_hash_counts(df, 4096, salt="other").collect()}
+    assert a != b  # independent bucket streams
