@@ -1021,6 +1021,42 @@ def q_pq_recall_audit(spark, sf_dir):
     )
 
 
+def q_ivfadc_recall(spark, sf_dir):
+    # IVFADC (FAISS "IVF16,PQ8" shape): sub-linear probe + compressed
+    # residual scan composed — the index architecture a 100 TB corpus
+    # deploys. Same invariant audit as pq_recall_audit; measured
+    # recall 0.25-0.3 here (random embeddings, PQ's worst case),
+    # floor 0.1.
+    emb = _t(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 8
+    exact = S.ann_bruteforce_topk(emb, qf, k=5)
+    adc = S.ivfadc_topk(emb, qf, k=5, n_centroids=16, n_probe=4)
+    hits = exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
+    per_q = adc.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        adc.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_adc_rows"),
+        )
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_rows")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hits")))
+        .crossJoin(
+            per_q.filter(F.col("_n") == 5).agg(
+                F.count(F.lit(1)).alias("full_k_queries")
+            )
+        )
+        .select(
+            "n_queries",
+            "n_exact_rows",
+            "n_adc_rows",
+            "full_k_queries",
+            (F.col("_n_hits") / F.col("n_exact_rows") >= 0.1).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def q_salted_join_segments(spark, sf_dir):
     # Skew-hardened shuffle JOIN (VERDICT r4 ask #2): events fact ⋈
     # customer dim through salted_join — probe side salted uniformly,
@@ -1981,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_type_drift": q_event_type_drift,
         "pq_recall_audit": q_pq_recall_audit,
         "doc_feature_hashes": q_doc_feature_hashes,
+        "ivfadc_recall": q_ivfadc_recall,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3445,6 +3482,14 @@ def oracle_sql() -> dict[str, str]:
             FROM series, (SELECT 'pv' AS var UNION ALL SELECT 'wind') v
             WHERE n >= 48  -- HW needs two full 24h seasons to initialize
             ORDER BY site, var
+        """,
+        "ivfadc_recall": """
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(count(*) * 5 AS BIGINT) AS n_exact_rows,
+                   CAST(count(*) * 5 AS BIGINT) AS n_adc_rows,
+                   CAST(count(*) AS BIGINT) AS full_k_queries,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 8
         """,
         "pq_recall_audit": """
             SELECT CAST(count(*) AS BIGINT) AS n_queries,

@@ -1050,6 +1050,182 @@ def pq_topk(
     )
 
 
+def ivfadc_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §V, the FAISS ``IVFx,PQy`` index):
+    the two approximations composed the way a 100 TB vector corpus
+    actually deploys them — IVF cells make the scan *sub-linear*
+    (probe ``n_probe/n_centroids`` of the corpus), PQ codes make the
+    probed fraction *compressed* (``m`` bytes/vector through the
+    scan). Codes are learned on RESIDUALS ``x − c(x)`` — residuals
+    concentrate near 0 so a small codebook covers them far better
+    than raw vectors (the reason IVFADC beats flat PQ at equal bits).
+
+    ``approx_sim(q, x) = q·c(x) + Σ_j q_j · cb[j, codes_j]`` — the
+    per-(query, cell) base term plus the shared residual lookup
+    tables. Determinism: head-sample centroids (ids < n_centroids),
+    residual codebooks from the next ``n_codes`` head rows (the first
+    head would give all-zero residuals), first-argmin/argmax tie
+    convention throughout — same invariant-audit-oracle contract as
+    ``ann_ivf_topk`` and ``pq_topk``.
+
+    Scale profile: one streamed assign+encode pass over the corpus
+    (no shuffle), a broadcast probe join, and a per-task ≤ Q·k
+    candidate cut — the corpus moves at m bytes/vector and only
+    probed cells are touched at all.
+    """
+    if dims % m != 0:
+        raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
+    dsub = dims // m
+    spark = emb.sparkSession
+
+    # centroids + residual-codebook sample: one bounded head collect
+    head_pdf = (
+        emb.filter(F.col(id_col) < n_centroids + n_codes)
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    if len(head_pdf) < n_centroids + n_codes:
+        raise ValueError(
+            f"need {n_centroids + n_codes} head rows with {id_col} < "
+            f"{n_centroids + n_codes}, got {len(head_pdf)} — ids not "
+            "starting at 0?"
+        )
+    order = np.argsort(head_pdf[id_col].to_numpy(dtype=np.int64))
+    head = _as_matrix(head_pdf[vec_col], dims)[order]
+    hn = _ordered_norms(head)
+    head = head / np.where(hn == 0.0, 1.0, hn)[:, None]
+    c_mat = head[:n_centroids]  # unit-norm → cosine = dot
+    sample = head[n_centroids:]
+    # residuals of the sample after coarse assignment (first-argmax)
+    cells = np.argmax(_ordered_gemm(sample, c_mat), axis=1)
+    resid = sample - c_mat[cells]
+    books = np.stack(
+        [resid[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+    bc = spark.sparkContext.broadcast((c_mat, books))
+
+    def assign_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cm, bks = bc.value
+        c_sq = np.stack([_ordered_rowdot(bks[j], bks[j]) for j in range(m)])
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            nx = _ordered_norms(mx)
+            mx = mx / np.where(nx == 0.0, 1.0, nx)[:, None]
+            cell = np.argmax(_ordered_gemm(mx, cm), axis=1)
+            r = mx - cm[cell]
+            codes = np.empty((len(mx), m), dtype=np.int32)
+            for j in range(m):
+                rj = r[:, j * dsub : (j + 1) * dsub]
+                d = c_sq[j][None, :] - 2.0 * _ordered_gemm(rj, bks[j])
+                codes[:, j] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cell.astype(np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign_encode, "neighbor_id long, cell long, codes array<int>"
+    )
+
+    qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = _as_matrix(qpdf[vec_col], dims)
+    qn = _ordered_norms(q_mat) if len(q_ids) else np.empty(0)
+    q_mat = q_mat / np.where(qn == 0.0, 1.0, qn)[:, None] if len(q_ids) else q_mat
+    probe_rows = []
+    base_sim = {}  # (query_id, cell) -> q·c
+    if len(q_ids):
+        qc = _ordered_gemm(q_mat, c_mat)
+        for i in range(len(q_ids)):
+            top = np.lexsort((np.arange(n_centroids), -qc[i]))[:n_probe]
+            for c in top:
+                probe_rows.append((int(q_ids[i]), int(c)))
+                base_sim[(int(q_ids[i]), int(c))] = float(qc[i, c])
+    probes = spark.createDataFrame(
+        probe_rows or [(-1, -1)], "query_id long, cell long"
+    )
+    if not probe_rows:
+        probes = probes.filter(F.lit(False))
+    tables = (
+        np.stack(
+            [
+                _ordered_gemm(q_mat[:, j * dsub : (j + 1) * dsub], books[j])
+                for j in range(m)
+            ],
+            axis=1,
+        )
+        if len(q_ids)
+        else np.empty((0, m, n_codes))
+    )
+    bc_q = spark.sparkContext.broadcast((q_ids, tables, base_sim))
+
+    cand = F.broadcast(probes).join(assigned, "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, tabs, base = bc_q.value
+        qpos = {int(q): i for i, q in enumerate(ids_q)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cm_ = np.stack(pdf["codes"].to_numpy())
+            qi = np.asarray([qpos[int(q)] for q in pdf["query_id"]])
+            sim = np.asarray(
+                [
+                    base[(int(q), int(c))]
+                    for q, c in zip(pdf["query_id"], pdf["cell"])
+                ],
+                dtype=np.float64,
+            )
+            for j in range(m):
+                sim += tabs[qi, j, cm_[:, j]]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "approx_sim": sim,
+                }
+            )
+            # per-batch ≤ Q·k cut, ties sim desc / id asc
+            parts = []
+            for q, grp in out.groupby("query_id", sort=True):
+                idx = np.lexsort(
+                    (grp["neighbor_id"].to_numpy(), -grp["approx_sim"].to_numpy())
+                )[: min(k, len(grp))]
+                parts.append(grp.iloc[idx])
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, approx_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ------------------------------------------- cluster-scoped (SemDeDup)
 
 

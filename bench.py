@@ -120,6 +120,7 @@ HEADLINE = [
     "event_type_drift",
     "pq_recall_audit",
     "doc_feature_hashes",
+    "ivfadc_recall",
 ]
 
 

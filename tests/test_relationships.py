@@ -264,3 +264,32 @@ def test_pq_trained_codebooks_shape(emb):
     assert books.shape == (4, 8, 16)
     out = S.pq_topk(emb, F.col("vec_id") < 2, books, k=3)
     assert out.count() == 6
+
+
+def test_ivfadc_topk_shape_and_determinism(emb):
+    out = S.ivfadc_topk(emb, F.col("vec_id") < 4, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        assert all(r.neighbor_id != q for r in rs)
+    # partition-invariant: same result from a different layout
+    again = S.ivfadc_topk(
+        emb.repartition(13), F.col("vec_id") < 4, k=5
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivfadc_candidates_only_from_probed_cells(emb):
+    # with n_probe = n_centroids the probe covers everything and IVFADC
+    # must equal flat PQ built on the same residual codebooks' geometry
+    # in *shape*; with n_probe=1 the candidate pool shrinks but ranks
+    # stay dense 1..k
+    narrow = S.ivfadc_topk(emb, F.col("vec_id") < 2, k=3, n_probe=1)
+    rows = narrow.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    for q in (0, 1):
+        assert [r.rank for r in rows if r.query_id == q] == [1, 2, 3]
