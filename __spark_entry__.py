@@ -356,6 +356,59 @@ def q_near_dup_clusters(spark, sf_dir):
     return D.connected_components(pairs).orderBy("doc_id")
 
 
+def q_hourly_agg_incremental(spark, sf_dir):
+    # Incremental materialized-view maintenance: per-(type, hour)
+    # rollup computed as state(first 20 days) ⊕ state(rest) — the
+    # algebraic-merge refresh that never rescans history. The oracle
+    # IS the full recompute over the whole table, so a green row
+    # proves merge ≡ recompute bit-exactly (decimal sums; the HLL
+    # distinct-user estimate is audited against the exact count).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        aggregate_state,
+        finalize_state,
+        merge_aggregate_states,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts"))
+    )
+    bounds = ev.agg(
+        F.expr("timestampadd(DAY, 20, date_trunc('DAY', min(ts)))").alias("_b")
+    )
+    with_b = ev.crossJoin(F.broadcast(bounds))
+    keys = ["event_type", "hour"]
+    merged = merge_aggregate_states(
+        [
+            aggregate_state(
+                with_b.filter(F.col("ts") < F.col("_b")), keys, "value", "user_id"
+            ),
+            aggregate_state(
+                with_b.filter(F.col("ts") >= F.col("_b")), keys, "value", "user_id"
+            ),
+        ],
+        keys,
+    )
+    fin = finalize_state(merged, keys)
+    exact = ev.groupBy(*keys).agg(F.countDistinct("user_id").alias("_exact"))
+    return (
+        fin.join(exact, keys)
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "sum_value",
+            "avg_value",
+            "min_value",
+            "max_value",
+            (
+                F.abs(F.col("approx_distinct") - F.col("_exact"))
+                <= F.greatest(F.col("_exact") * 0.1, F.lit(2))
+            ).alias("users_ok"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 def q_doc_feature_hashes(spark, sf_dir):
     # Hashing-trick vectorization (no global vocabulary — the
     # dictionary-free featurizer a 100 TB corpus needs), summarized as
@@ -2018,6 +2071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_audit": q_pq_recall_audit,
         "doc_feature_hashes": q_doc_feature_hashes,
         "ivfadc_recall": q_ivfadc_recall,
+        "hourly_agg_incremental": q_hourly_agg_incremental,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3016,6 +3070,21 @@ def oracle_sql() -> dict[str, str]:
               ON d.doc_id = c.doc_id AND c.doc_id != c.component
             WHERE c.doc_id IS NULL
             ORDER BY d.doc_id
+        """,
+        "hourly_agg_incremental": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                     value, user_id
+              FROM events)
+            SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     / count(*) AS avg_value,
+                   min(value) AS min_value, max(value) AS max_value,
+                   TRUE AS users_ok
+            FROM b GROUP BY event_type, hour ORDER BY event_type, hour
         """,
         "doc_feature_hashes": f"""
             WITH tok AS (

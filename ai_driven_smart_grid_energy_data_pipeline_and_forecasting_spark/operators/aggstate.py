@@ -1,0 +1,102 @@
+"""Mergeable aggregate state — incremental materialized-view
+maintenance without rescanning history.
+
+The 100 TB pattern: a daily batch must refresh corpus-wide per-key
+rollups (events per type-hour, distinct users, value ranges) without
+touching the 99.9% of data that didn't change. The classic answer is
+*algebraic* aggregates (Gray et al. 1997, "Data Cube"): keep each
+group's PARTIAL STATE — (count, sum, min, max, HLL sketch) — which
+merges associatively, so ``state(old) ⊕ state(delta) =
+state(old ∪ delta)`` exactly. COUNT/SUM/MIN/MAX merge losslessly;
+DISTINCT is the one that normally forces a rescan, and the
+re-aggregatable Datasketches HLL (Spark's ``hll_sketch_agg`` /
+``hll_union_agg``) is the standard fix — union of sketches = sketch
+of union, at the sketch's usual error.
+
+Sums are carried as DECIMAL(20,6): decimal addition is exact and
+associative, so the merged sum is bit-identical to a full recompute
+under ANY partitioning or batch split — the same partition-invariance
+contract the rest of the engine's money/mean arithmetic uses (float
+sums would make "incremental ≡ full" only approximately true).
+
+Scale profile: building a state is one partial-aggregated shuffle of
+the *batch*; merging states shuffles only state rows (|keys|, tiny);
+the history tables are never re-read. ``finalize`` is a pure
+projection. This is also exactly the shape a streaming sink persists
+per micro-batch (`foreachBatch` upserting state rows), so batch and
+streaming maintenance share one contract.
+
+Reference anchor: generalizes the incremental silver maintenance in
+``plans/silver.py`` (touched-group recompute) to the algebraic-merge
+form that needs no access to history at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: exact-decimal carrier for mergeable sums (see module docstring)
+_SUM_TYPE = "decimal(20,6)"
+
+
+def aggregate_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Partial aggregate state of ``df`` per ``keys``: (n, sum_v,
+    min_v, max_v[, hll]) — every column mergeable by
+    ``merge_aggregate_states``."""
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast(_SUM_TYPE))
+        .cast(_SUM_TYPE)
+        .alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("hll"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregate_states(
+    states: list[DataFrame], keys: list[str]
+) -> DataFrame:
+    """⊕ of any number of state tables: one union + one shuffle of
+    state rows only. Exact for n/sum/min/max (decimal sums), sketch-
+    union for the HLL column when present."""
+    if not states:
+        raise ValueError("merge_aggregate_states needs at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    has_hll = "hll" in u.columns
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("sum_v").cast(_SUM_TYPE).alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    ]
+    if has_hll:
+        aggs.append(F.hll_union_agg("hll").alias("hll"))
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Pure projection from state to the served rollup: count, exact
+    sum (as double), mean (exact-decimal sum / count), min/max, and
+    the HLL distinct estimate when tracked."""
+    cols = [
+        *keys,
+        F.col("n"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+        (F.col("sum_v").cast("double") / F.col("n")).alias("avg_value"),
+        F.col("min_v").alias("min_value"),
+        F.col("max_v").alias("max_value"),
+    ]
+    if "hll" in state.columns:
+        cols.append(F.hll_sketch_estimate("hll").alias("approx_distinct"))
+    return state.select(*cols)

@@ -121,6 +121,7 @@ HEADLINE = [
     "pq_recall_audit",
     "doc_feature_hashes",
     "ivfadc_recall",
+    "hourly_agg_incremental",
 ]
 
 
