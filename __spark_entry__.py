@@ -494,6 +494,39 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    # The dedup-rate profile a corpus curator reports: how many
+    # near-dup clusters of each size, and how many docs they absorb
+    # (singletons = docs in no pair, derived declaratively — no
+    # driver counts).
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    comp = D.connected_components(pairs)
+    multi = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+    singles = (
+        docs.agg(F.count(F.lit(1)).alias("_t"))
+        .crossJoin(comp.agg(F.count(F.lit(1)).alias("_k")))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("_t") - F.col("_k")).alias("n_clusters"),
+        )
+    )
+    return (
+        multi.unionByName(singles)
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def q_dedup_corpus(spark, sf_dir):
     # End-to-end near-dedup: LSH pairs -> components -> keep one
     # canonical doc per cluster plus all singletons (the operation a
@@ -2072,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_feature_hashes": q_doc_feature_hashes,
         "ivfadc_recall": q_ivfadc_recall,
         "hourly_agg_incremental": q_hourly_agg_incremental,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3163,6 +3197,27 @@ def oracle_sql() -> dict[str, str]:
             FROM sp s CROSS JOIN viol v
             GROUP BY s.split, v.cross_split_pairs
             ORDER BY s.split
+        """,
+        "dedup_cluster_sizes": _cc_sql_prefix()
+        + """,
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a),
+            csizes AS (
+              SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component),
+            multi AS (
+              SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+              FROM csizes GROUP BY cluster_size),
+            singles AS (
+              SELECT CAST(1 AS BIGINT) AS cluster_size,
+                     CAST((SELECT count(*) FROM documents)
+                          - (SELECT count(*) FROM comp) AS BIGINT)
+                       AS n_clusters),
+            hist AS (SELECT * FROM multi UNION ALL SELECT * FROM singles)
+            SELECT cluster_size, n_clusters,
+                   CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+            FROM hist ORDER BY cluster_size
         """,
         "pipeline_lineage": _PSEUDO_FEATURES_CTE
         + """,

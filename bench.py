@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_feature_hashes",
     "ivfadc_recall",
     "hourly_agg_incremental",
+    "dedup_cluster_sizes",
 ]
 
 
