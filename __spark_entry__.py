@@ -428,6 +428,22 @@ def q_doc_feature_hashes(spark, sf_dir):
     )
 
 
+def q_token_heavy_hitters(spark, sf_dir):
+    # Exact corpus heavy hitters (tokens with frequency > n/k) via the
+    # two-pass Misra-Gries plan — O(k)-state candidate pass with NO
+    # shuffle, then an exact recount of candidates only. Final set +
+    # counts are provably identical to the full GROUP BY the oracle
+    # runs (operators/heavy.py docstring has the bound).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        heavy_hitters,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=100)
+
+
 def q_event_type_drift(spark, sf_dir):
     # Distribution-drift audit (PSI/chi-square family) between the
     # first 15 days and the rest of the stream: the data-quality
@@ -2106,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_recall": q_ivfadc_recall,
         "hourly_agg_incremental": q_hourly_agg_incremental,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "token_heavy_hitters": q_token_heavy_hitters,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3134,6 +3151,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM tf GROUP BY feature_idx
             ORDER BY n_tokens DESC, feature_idx LIMIT 50
+        """,
+        "token_heavy_hitters": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKS}) AS item FROM documents),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM tok, tot GROUP BY item, n HAVING count(*) > n / 100
+            ORDER BY n_occurrences DESC, item
         """,
         "event_type_drift": """
             WITH b AS (

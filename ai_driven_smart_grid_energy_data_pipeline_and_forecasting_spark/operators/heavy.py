@@ -1,0 +1,77 @@
+"""Exact distributed heavy hitters — the two-pass Misra-Gries shape.
+
+``GROUP BY token ORDER BY count DESC`` over a 100 TB corpus shuffles
+every distinct token; but the items that matter — frequency above
+``n/k`` — admit a plan that shuffles almost nothing:
+
+1. **Candidate pass**: each partition runs a Misra-Gries summary
+   (Misra & Gries 1982, "Finding repeated elements") with ``k``
+   counters — O(k) memory, one sequential scan, NO shuffle. The union
+   of per-partition summaries (≤ P·k tiny rows) over-approximates:
+   every item with global frequency > n/k is GUARANTEED to survive in
+   at least one partition's summary (the MG deficit bound sums across
+   partitions: a global heavy hitter loses at most n_p/k per
+   partition, total < n/k < its count).
+2. **Recount pass**: exact counts for the candidate set only — a
+   broadcast semi-join + partial-agg count, shuffling |candidates|
+   rows instead of |distinct items|.
+
+Filtering the recount at ``count > n/k`` trims the over-approximation
+to EXACTLY the true heavy-hitter set with exact counts. The MG
+candidate set itself depends on row order within partitions; the
+final output does not (superset in, exact-filter out) — which is what
+keeps this operator deterministic under any partitioning, and
+therefore SQL-oracle-able against the naive full GROUP BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Items of ``df[col]`` with frequency strictly greater than
+    ``n/k``, with their exact counts → (item, n_occurrences), ordered
+    count desc / item asc. See module docstring for the plan."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one Misra-Gries summary per TASK (Arrow batches of one
+        # partition share the counter dict — the whole point is that
+        # state stays O(k) no matter how much data streams through)
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k - 1:
+                    counters[item] = 1
+                else:
+                    dead = [i for i, c in counters.items() if c == 1]
+                    for i in dead:
+                        del counters[i]
+                    for i in counters:
+                        counters[i] -= 1
+        if counters:
+            yield pd.DataFrame({"item": list(counters.keys())})
+
+    cands = src.mapInPandas(mg, "item string").distinct()
+    total = src.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        src.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("_n") / k)
+        .select("item", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "item")
+    )

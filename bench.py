@@ -123,6 +123,7 @@ HEADLINE = [
     "ivfadc_recall",
     "hourly_agg_incremental",
     "dedup_cluster_sizes",
+    "token_heavy_hitters",
 ]
 
 
