@@ -428,6 +428,22 @@ def q_doc_feature_hashes(spark, sf_dir):
     )
 
 
+def q_doc_sparse_cosine(spark, sf_dir):
+    # Embedding-free document similarity: cosine over hashed TRIGRAM
+    # TF vectors via an inverted-index join — all-integer dot products
+    # and norms, so the whole pipeline is bit-exact cross-engine
+    # (operators/similarity.sparse_cosine_pairs). Trigram features are
+    # the sub-quadratic choice on this small-vocabulary corpus:
+    # unigram df approaches |corpus| (measured median 3862/5000 docs —
+    # every posting bucket hot, 130 s at sf0.1), trigram df is single
+    # digits (median 9, 3 s). max_df=1000 is the documented safety
+    # valve for boilerplate-heavy real corpora; a no-op here (max 40).
+    fh = TX.feature_hash_counts(
+        _t(spark, sf_dir, "documents"), n_features=1 << 20, ngram=3
+    )
+    return S.sparse_cosine_pairs(fh, threshold=0.5, max_df=1000)
+
+
 def q_token_heavy_hitters(spark, sf_dir):
     # Exact corpus heavy hitters (tokens with frequency > n/k) via the
     # two-pass Misra-Gries plan — O(k)-state candidate pass with NO
@@ -2123,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_agg_incremental": q_hourly_agg_incremental,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "token_heavy_hitters": q_token_heavy_hitters,
+        "doc_sparse_cosine": q_doc_sparse_cosine,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3151,6 +3168,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM tf GROUP BY feature_idx
             ORDER BY n_tokens DESC, feature_idx LIMIT 50
+        """,
+        "doc_sparse_cosine": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 2, 0)),
+                       i -> array_to_string(tk[i:i+2], ' '))) AS t
+              FROM toks),
+            fh AS (
+              SELECT doc_id,
+                     {_h32_sql("'feat' || t")} % 1048576 AS f,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM tok GROUP BY doc_id, f),
+            df_ok AS (
+              SELECT f FROM fh GROUP BY f HAVING count(*) <= 1000),
+            posting AS (
+              SELECT fh.* FROM fh JOIN df_ok USING (f)),
+            norms AS (
+              SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS sq
+              FROM fh GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+              FROM posting a JOIN posting b
+                ON a.f = b.f AND a.doc_id < b.doc_id
+              GROUP BY doc_a, doc_b)
+            SELECT doc_a, doc_b,
+                   dot / (sqrt(na.sq) * sqrt(nb.sq)) AS cos
+            FROM dots
+            JOIN norms na ON doc_a = na.doc_id
+            JOIN norms nb ON doc_b = nb.doc_id
+            WHERE dot / (sqrt(na.sq) * sqrt(nb.sq)) >= 0.5
+            ORDER BY doc_a, doc_b
         """,
         "token_heavy_hitters": f"""
             WITH tok AS (

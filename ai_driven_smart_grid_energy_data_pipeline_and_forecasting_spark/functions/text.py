@@ -432,6 +432,7 @@ def feature_hash_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     salt: str = "feat",
+    ngram: int = 1,
 ) -> DataFrame:
     """The hashing trick (Weinberger et al. 2009, "Feature Hashing for
     Large Scale Multitask Learning"): vectorize text WITHOUT a
@@ -447,12 +448,30 @@ def feature_hash_counts(
     one partial-aggregated shuffle on (id, feature_idx) — map-side
     combine absorbs each document's repeated tokens, so the shuffle
     carries ≤ distinct-features-per-doc rows, not token count.
+
+    ``ngram > 1`` hashes overlapping token n-grams instead of single
+    tokens (a generate-only transform, no extra shuffle). This is the
+    knob that keeps downstream similarity joins sub-quadratic on
+    small-vocabulary corpora: unigram document frequency approaches
+    |corpus| for common words (every posting bucket hot), while n-gram
+    df collapses to near-dup pairs — the same reason the Jaccard
+    family shingles before indexing.
     """
-    return (
-        docs.select(
-            F.col(id_col),
-            F.explode(tokens(F.col(text_col))).alias("_tok"),
+    tk = tokens(F.col(text_col))
+    if ngram > 1:
+        grams = F.expr(
+            f"transform(sequence(1, greatest(size(_tk) - {ngram - 1}, 0)),"
+            f" i -> array_join(slice(_tk, i, {ngram}), ' '))"
         )
+        exploded = docs.select(
+            F.col(id_col), tk.alias("_tk")
+        ).select(F.col(id_col), F.explode(grams).alias("_tok"))
+    else:
+        exploded = docs.select(
+            F.col(id_col), F.explode(tk).alias("_tok")
+        )
+    return (
+        exploded
         .select(
             id_col,
             (h32(F.concat(F.lit(salt), F.col("_tok"))) % n_features).alias(

@@ -124,6 +124,7 @@ HEADLINE = [
     "hourly_agg_incremental",
     "dedup_cluster_sizes",
     "token_heavy_hitters",
+    "doc_sparse_cosine",
 ]
 
 

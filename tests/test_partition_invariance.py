@@ -28,6 +28,16 @@ NEW_R5 = [
     "forecast_hw_audit",
     "funnel_latency",
     "bpe_audit",
+    # late round-5 batch
+    "leakage_safe_split",
+    "event_type_drift",
+    "pq_recall_audit",
+    "doc_feature_hashes",
+    "ivfadc_recall",
+    "hourly_agg_incremental",
+    "dedup_cluster_sizes",
+    "token_heavy_hitters",
+    "doc_sparse_cosine",
 ]
 
 

@@ -293,3 +293,54 @@ def test_ivfadc_candidates_only_from_probed_cells(emb):
     assert {r.query_id for r in rows} == {0, 1}
     for q in (0, 1):
         assert [r.rank for r in rows if r.query_id == q] == [1, 2, 3]
+
+
+def test_sparse_cosine_exact_on_tiny_fixture(spark):
+    # hand-checkable vectors: doc1 = doc2 scaled (cos 1.0), doc3
+    # orthogonal to both (no shared features -> no pair at all)
+    triples = spark.createDataFrame(
+        [(1, 10, 2), (1, 20, 1), (2, 10, 4), (2, 20, 2), (3, 30, 7)],
+        "doc_id long, feature_idx long, tf long",
+    )
+    rows = S.sparse_cosine_pairs(triples, threshold=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2) and r.cos == pytest.approx(1.0)
+
+
+def test_sparse_cosine_max_df_biases_low_never_high(spark):
+    # dropping a hot bucket from pair generation may only LOWER scores
+    # (norms keep every feature) — no pair may gain
+    triples = spark.createDataFrame(
+        [(i, 99, 5) for i in range(6)]  # bucket 99 is hot (df=6)
+        + [(0, 1, 3), (1, 1, 3), (2, 2, 1)],
+        "doc_id long, feature_idx long, tf long",
+    )
+    full = {
+        (r.doc_a, r.doc_b): r.cos
+        for r in S.sparse_cosine_pairs(triples, threshold=0.0).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.cos
+        for r in S.sparse_cosine_pairs(
+            triples, threshold=0.0, max_df=5
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, c in capped.items():
+        assert c <= full[k] + 1e-12
+
+
+def test_sparse_cosine_partition_invariant(docs):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        feature_hash_counts,
+    )
+
+    fh = feature_hash_counts(docs, n_features=4096)
+    a = [(r.doc_a, r.doc_b, r.cos)
+         for r in S.sparse_cosine_pairs(fh, threshold=0.85).collect()]
+    b = [(r.doc_a, r.doc_b, r.cos)
+         for r in S.sparse_cosine_pairs(
+             fh.repartition(17), threshold=0.85
+         ).collect()]
+    assert a == b  # bit-identical, including the ordering contract
