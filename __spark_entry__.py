@@ -428,6 +428,18 @@ def q_doc_feature_hashes(spark, sf_dir):
     )
 
 
+def q_hourly_count_decomposition(spark, sf_dir):
+    # Classical additive decomposition of the hourly load-count series
+    # (trend = centered 24-row MA, seasonal = hour-of-day mean minus
+    # grand mean, resid = remainder) — integer folds keep every
+    # component bit-exact cross-engine (plans/forecast.py).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        forecast as FC,
+    )
+
+    return FC.count_decomposition(_t(spark, sf_dir, "events"))
+
+
 def q_doc_sparse_cosine(spark, sf_dir):
     # Embedding-free document similarity: cosine over hashed TRIGRAM
     # TF vectors via an inverted-index join — all-integer dot products
@@ -2140,6 +2152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "token_heavy_hitters": q_token_heavy_hitters,
         "doc_sparse_cosine": q_doc_sparse_cosine,
+        "hourly_count_decomposition": q_hourly_count_decomposition,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3168,6 +3181,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM tf GROUP BY feature_idx
             ORDER BY n_tokens DESC, feature_idx LIMIT 50
+        """,
+        "hourly_count_decomposition": """
+            WITH hourly AS (
+              SELECT event_type AS key,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY key, hour),
+            d AS (
+              SELECT key, hour, n,
+                     CAST(sum(n) OVER w_ma AS DOUBLE)
+                       / count(n) OVER w_ma AS trend,
+                     CAST(sum(n) OVER w_slot AS DOUBLE)
+                       / count(n) OVER w_slot
+                     - CAST(sum(n) OVER w_all AS DOUBLE)
+                       / count(n) OVER w_all AS seasonal
+              FROM hourly
+              WINDOW
+                w_ma AS (PARTITION BY key ORDER BY hour
+                         ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING),
+                w_slot AS (PARTITION BY key, EXTRACT(hour FROM hour)),
+                w_all AS (PARTITION BY key))
+            SELECT key, hour, n, trend, seasonal,
+                   n - trend - seasonal AS resid
+            FROM d ORDER BY key, hour
         """,
         "doc_sparse_cosine": f"""
             WITH toks AS (

@@ -294,3 +294,55 @@ def holt_winters_forecast(
         "site", "ts_utc", F.col("pv_est_mwh").alias("pv"), F.col("wind_est_mwh").alias("wind")
     ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
     return long.groupBy("site", "var").applyInPandas(fit_group, FORECAST_SCHEMA)
+
+
+def count_decomposition(
+    ev,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    season: int = 24,
+):
+    """Additive seasonal decomposition of the hourly COUNT series —
+    ``n = trend + seasonal + resid`` with a centered ``season``-row
+    moving-average trend and a mean-by-season-slot seasonal component
+    (classical decomposition, the diagnostic step ahead of the model
+    fits in this module; the reference's forecasting domain makes the
+    load-seasonality profile a first-class analytic).
+
+    Everything folds over INTEGER counts (long sums are exact and
+    associative), so trend/seasonal/resid are deterministic doubles
+    under any partitioning and bit-identical in any engine — this is
+    the decomposition that stays oracle-checkable, where decomposing
+    a float series would hit cross-engine fold-order drift.
+
+    Plan: one partial-agg shuffle to the hourly grid (rows =
+    |keys|·|hours|, tiny), then three window passes over that grid —
+    the rows-based centered frame for trend, the (key, slot) partition
+    for the seasonal mean, the key partition for the grand mean.
+    Rows-based framing assumes a dense hourly grid (true of this
+    stream; run a gap-fill first otherwise — `silver_gap_fill` is the
+    operator for it).
+    """
+    from pyspark.sql import Window
+
+    hourly = ev.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    half = season // 2
+    w_ma = (
+        Window.partitionBy("key")
+        .orderBy("hour")
+        .rowsBetween(-(half - 1), half)
+    )
+    w_slot = Window.partitionBy("key", F.hour("hour"))
+    w_all = Window.partitionBy("key")
+    trend = F.sum("n").over(w_ma) / F.count("n").over(w_ma)
+    slot_mean = F.sum("n").over(w_slot) / F.count("n").over(w_slot)
+    grand_mean = F.sum("n").over(w_all) / F.count("n").over(w_all)
+    return (
+        hourly.withColumn("trend", trend)
+        .withColumn("seasonal", slot_mean - grand_mean)
+        .withColumn("resid", F.col("n") - F.col("trend") - F.col("seasonal"))
+        .orderBy("key", "hour")
+    )

@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "token_heavy_hitters",
     "doc_sparse_cosine",
+    "hourly_count_decomposition",
 ]
 
 

@@ -254,3 +254,52 @@ def test_holt_winters_short_series_empty(spark):
         "site string, ts_utc timestamp, pv_est_mwh double, wind_est_mwh double",
     )
     assert holt_winters_forecast(feats).count() == 0
+
+
+def test_count_decomposition_identity_and_flat_series(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.forecast import (
+        count_decomposition,
+    )
+    import datetime as dt
+
+    # flat series: 3 events every hour for 4 days -> trend = 3,
+    # seasonal = 0, resid = 0 everywhere
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h, minutes=m), "t")
+        for h in range(96)
+        for m in (0, 20, 40)
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = count_decomposition(ev).collect()
+    assert len(out) == 96
+    for r in out:
+        assert r.n == 3
+        assert r.trend == pytest.approx(3.0)
+        assert r.seasonal == pytest.approx(0.0)
+        assert r.resid == pytest.approx(0.0)
+        # the additive identity holds EXACTLY by construction
+        assert r.n - r.trend - r.seasonal == r.resid
+
+
+def test_count_decomposition_seasonal_shape(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.forecast import (
+        count_decomposition,
+    )
+    import datetime as dt
+
+    # diurnal pattern: 5 events at hour 12, 1 otherwise, 10 days ->
+    # seasonal peaks at slot 12 and dips elsewhere; trend ~ daily mean
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(10):
+        for h in range(24):
+            k = 5 if h == 12 else 1
+            for i in range(k):
+                rows.append((base + dt.timedelta(days=d, hours=h, minutes=i), "t"))
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    by_slot = {}
+    for r in count_decomposition(ev).collect():
+        by_slot.setdefault(r.hour.hour, []).append(r.seasonal)
+    assert by_slot[12][0] == pytest.approx(5 - 28 / 24)
+    assert by_slot[3][0] == pytest.approx(1 - 28 / 24)

@@ -38,6 +38,7 @@ NEW_R5 = [
     "dedup_cluster_sizes",
     "token_heavy_hitters",
     "doc_sparse_cosine",
+    "hourly_count_decomposition",
 ]
 
 
