@@ -1,0 +1,96 @@
+"""Streaming maintenance of mergeable aggregate state.
+
+The streaming twin of ``operators/aggstate.py``: each micro-batch
+folds into the persisted rollup as ``state ⊕ state(batch)`` — history
+is never re-read, which is the whole point of algebraic states (the
+batch form proves ⊕ ≡ full recompute; this module only has to deliver
+each batch's ⊕ exactly once).
+
+Exactly-once effect under replay: Structured Streaming delivers each
+micro-batch AT LEAST once into ``foreachBatch``, so the sink must be
+idempotent per ``batch_id``. States are additive (⊕ twice ≠ ⊕ once),
+so keyed-merge idempotency (the bronze sink's trick) doesn't apply;
+instead every applied batch commits a full state snapshot under
+``v<batch_id>/`` and flips a one-line ``_LATEST`` pointer — the same
+manifest-pointer commit the versioned tables use. A replayed batch
+sees its version directory already present and skips; a crash between
+snapshot write and pointer flip leaves the old pointer valid (readers
+never see a partial state) and the replay completes the flip.
+Single-writer contract per SCALE.md.
+
+Scale: the per-batch merge reads |keys| state rows + the batch, never
+history; snapshot cost is the state table size (keys, not events).
+Compaction of old ``v*/`` dirs is the retention job's concern
+(``versioned.vacuum_versions`` is the model).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.aggstate import aggregate_state, merge_aggregate_states
+
+_POINTER = "_LATEST"
+
+
+def _latest_version(state_path: str) -> int | None:
+    p = os.path.join(state_path, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current committed state snapshot, or None before the first
+    commit. Readers resolve one pointer — never a partial write."""
+    v = _latest_version(state_path)
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(state_path, f"v{v}"))
+
+
+def stream_aggregate_state(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str | None = None,
+):
+    """Maintain the rollup state from a streaming DataFrame; returns
+    the started query (``availableNow`` trigger — drain-and-stop, the
+    batch-friendly mode the other sinks use)."""
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        vdir = os.path.join(state_path, f"v{batch_id}")
+        # a complete snapshot carries _SUCCESS; a dir without it is a
+        # crashed partial write — recompute (mode=overwrite replaces it)
+        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+            new = aggregate_state(batch, keys, value_col, distinct_col)
+            prev = read_state(spark, state_path)
+            merged = (
+                new
+                if prev is None
+                else merge_aggregate_states([prev, new], keys)
+            )
+            merged.write.mode("overwrite").parquet(vdir)
+        # monotone pointer flip — also completes a crash that died
+        # between snapshot write and flip (replay rolls it forward)
+        cur = _latest_version(state_path)
+        if cur is None or cur < batch_id:
+            tmp = os.path.join(state_path, f"{_POINTER}.tmp{batch_id}")
+            with open(tmp, "w") as fh:
+                fh.write(str(batch_id))
+            os.replace(tmp, os.path.join(state_path, _POINTER))  # the commit
+
+    os.makedirs(state_path, exist_ok=True)
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -108,3 +108,98 @@ def test_hll_state_merges_to_union_estimate(ev):
 def test_merge_requires_states(spark):
     with pytest.raises(ValueError):
         merge_aggregate_states([], ["k"])
+
+
+# ------------------------------------------------- streaming maintenance
+
+
+def _drop_events(dirpath, name, rows):
+    import json
+    import os
+
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    os.replace(tmp, os.path.join(dirpath, name))
+
+
+def _read_stream(spark, path):
+    return (
+        spark.readStream.schema("k string, value double, uid long")
+        .json(path)
+    )
+
+
+def test_stream_state_matches_batch_recompute(spark, tmp_path):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        read_state,
+        stream_aggregate_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    _drop_events(drop, "c1.json", [
+        {"k": "a", "value": 1.5, "uid": 1},
+        {"k": "a", "value": 2.5, "uid": 2},
+        {"k": "b", "value": 10.0, "uid": 1},
+    ])
+    q = stream_aggregate_state(
+        _read_stream(spark, drop), state, ckpt, ["k"], "value", "uid"
+    )
+    q.awaitTermination(60)
+    _drop_events(drop, "c2.json", [
+        {"k": "a", "value": 6.0, "uid": 1},  # uid 1 repeats across batches
+        {"k": "c", "value": -1.0, "uid": 9},
+    ])
+    q2 = stream_aggregate_state(
+        _read_stream(spark, drop), state, ckpt, ["k"], "value", "uid"
+    )
+    q2.awaitTermination(60)
+
+    st = read_state(spark, state)
+    rows = {r.k: r for r in finalize_state(st, ["k"]).collect()}
+    assert rows["a"].n == 3 and rows["a"].sum_value == 10.0
+    assert rows["a"].approx_distinct == 2  # sketch union, not sum (2+1)
+    assert rows["b"].n == 1 and rows["c"].min_value == -1.0
+
+    # replay from scratch (new checkpoint, same state dir): batch ids
+    # recur, version snapshots already exist -> state unchanged
+    q3 = stream_aggregate_state(
+        _read_stream(spark, drop), state, str(tmp_path / "ckpt2"), ["k"], "value", "uid"
+    )
+    q3.awaitTermination(60)
+    again = {r.k: r for r in finalize_state(read_state(spark, state), ["k"]).collect()}
+    assert again["a"].n == 3 and again["a"].sum_value == 10.0
+
+
+def test_stream_state_crash_between_write_and_flip_rolls_forward(spark, tmp_path):
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        read_state,
+        stream_aggregate_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    _drop_events(drop, "c1.json", [{"k": "a", "value": 1.0, "uid": 1}])
+    q = stream_aggregate_state(
+        _read_stream(spark, drop), state, str(tmp_path / "ckpt"), ["k"], "value"
+    )
+    q.awaitTermination(60)
+    # simulate the crash: pointer lost after the snapshot was written
+    os.remove(os.path.join(state, "_LATEST"))
+    assert read_state(spark, state) is None
+    # replay with a fresh checkpoint completes the flip without
+    # recomputing (snapshot dir already has _SUCCESS)
+    q2 = stream_aggregate_state(
+        _read_stream(spark, drop), state, str(tmp_path / "ckpt2"), ["k"], "value"
+    )
+    q2.awaitTermination(60)
+    st = read_state(spark, state)
+    assert st is not None
+    rows = finalize_state(st, ["k"]).collect()
+    assert rows[0].n == 1 and rows[0].sum_value == 1.0
