@@ -302,3 +302,54 @@ def test_epoch_upsample_shuffle_free(spark):
     )
     assert "Exchange" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_heavy_hitters_candidate_semi_join_broadcasts(spark):
+    # the recount pass must probe the (tiny) candidate set as a
+    # broadcast LEFT SEMI — a shuffled semi or a BNLJ would move the
+    # full token stream to the candidates instead of the reverse
+    plan = _plan(spark, "token_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert plan.count("MapInPandas") == 1, plan  # one MG candidate pass
+
+
+def test_sparse_cosine_equi_join_no_bnlj(spark):
+    # posting self-join must be a hash/SMJ equi-join on the feature
+    # key; the norm joins stay equi too — no interpreted joins anywhere
+    plan = _plan(spark, "doc_sparse_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_drift_two_aggregates_one_broadcast_total(spark):
+    # two partial-agg shuffles (ref/cur count tables) + the category
+    # outer join; totals arrive via broadcast, never a driver collect
+    plan = _plan(spark, "event_type_drift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CollectLimit" not in plan, plan
+
+
+def test_pq_encode_shuffle_free(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    books = pq_codebooks(emb, m=8, n_codes=16)
+    plan = (
+        pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_hourly_agg_incremental_no_expand_no_bnlj_fact_side(spark):
+    # the merge is union -> ONE re-aggregate; no Expand (the multi-
+    # count(DISTINCT) trap) — the HLL sketch is what keeps DISTINCT
+    # out of the plan shape
+    plan = _plan(spark, "hourly_agg_incremental")
+    assert "Expand" not in plan, plan
