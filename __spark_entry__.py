@@ -428,6 +428,40 @@ def q_doc_feature_hashes(spark, sf_dir):
     )
 
 
+def q_referential_audit(spark, sf_dir):
+    # Cross-table referential integrity over the warehouse star schema
+    # (the dbt `relationships` test, engine-side) — every FK arm is a
+    # broadcast anti-join against the parent's distinct keys.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.validation import (
+        referential_audit,
+    )
+
+    t = lambda n: _t(spark, sf_dir, n)  # noqa: E731
+    return referential_audit(
+        [
+            ("customer.c_nationkey->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+            ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+            ("nation.n_regionkey->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+            ("orders.o_custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+            ("supplier.s_nationkey->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+        ]
+    )
+
+
+def q_doc_sample_fixed(spark, sf_dir):
+    # Deterministic exactly-N sample (content-hash top-N, no RNG, no
+    # full sort — TakeOrderedAndProject): the eval-set extraction that
+    # reproduces row-for-row on any engine or partitioning.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        deterministic_top_n,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return deterministic_top_n(docs, "doc_id", 100).orderBy("doc_id")
+
+
 def q_hourly_count_decomposition(spark, sf_dir):
     # Classical additive decomposition of the hourly load-count series
     # (trend = centered 24-row MA, seasonal = hour-of-day mean minus
@@ -2153,6 +2187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_heavy_hitters": q_token_heavy_hitters,
         "doc_sparse_cosine": q_doc_sparse_cosine,
         "hourly_count_decomposition": q_hourly_count_decomposition,
+        "referential_audit": q_referential_audit,
+        "doc_sample_fixed": q_doc_sample_fixed,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3181,6 +3217,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM tf GROUP BY feature_idx
             ORDER BY n_tokens DESC, feature_idx LIMIT 50
+        """,
+        "referential_audit": """
+            WITH r AS (
+              SELECT 'customer.c_nationkey->nation' AS relation,
+                     (SELECT count(*) FROM customer
+                      WHERE c_nationkey IS NOT NULL) AS n_children,
+                     (SELECT count(*) FROM customer c
+                      WHERE c_nationkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM nation n
+                        WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+              UNION ALL
+              SELECT 'lineitem.l_orderkey->orders',
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NOT NULL),
+                     (SELECT count(*) FROM lineitem l
+                      WHERE l_orderkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey))
+              UNION ALL
+              SELECT 'nation.n_regionkey->region',
+                     (SELECT count(*) FROM nation
+                      WHERE n_regionkey IS NOT NULL),
+                     (SELECT count(*) FROM nation n
+                      WHERE n_regionkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM region r
+                        WHERE r.r_regionkey = n.n_regionkey))
+              UNION ALL
+              SELECT 'orders.o_custkey->customer',
+                     (SELECT count(*) FROM orders
+                      WHERE o_custkey IS NOT NULL),
+                     (SELECT count(*) FROM orders o
+                      WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'supplier.s_nationkey->nation',
+                     (SELECT count(*) FROM supplier
+                      WHERE s_nationkey IS NOT NULL),
+                     (SELECT count(*) FROM supplier s
+                      WHERE s_nationkey IS NOT NULL AND NOT EXISTS (
+                        SELECT 1 FROM nation n
+                        WHERE n.n_nationkey = s.s_nationkey)))
+            SELECT relation, CAST(n_children AS BIGINT) AS n_children,
+                   CAST(n_orphans AS BIGINT) AS n_orphans,
+                   n_orphans = 0 AS ok
+            FROM r ORDER BY relation
+        """,
+        "doc_sample_fixed": """
+            SELECT doc_id, source, lang, n_chars FROM (
+              SELECT doc_id, source, lang, n_chars,
+                     CAST(('0x' || substr(md5('sample' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+              FROM documents ORDER BY h, doc_id LIMIT 100)
+            ORDER BY doc_id
         """,
         "hourly_count_decomposition": """
             WITH hourly AS (

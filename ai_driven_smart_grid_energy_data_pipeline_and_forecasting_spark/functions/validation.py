@@ -102,3 +102,42 @@ def split_quarantine(
     clean = tagged.filter(F.size("violations") == 0).drop("violations")
     quarantined = tagged.filter(F.size("violations") > 0)
     return clean, quarantined
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Cross-table referential-integrity audit (the dbt-style
+    `relationships` test, engine-side): for each ``(name, child,
+    fk_col, parent, pk_col)`` count children whose FK resolves to no
+    parent row → (relation, n_children, n_orphans, ok). NULL FKs are
+    not violations (SQL FK semantics) and are excluded from
+    ``n_children`` too, so ``ok`` means every *present* reference
+    resolves.
+
+    Plan per relation: one anti-join of the child against the
+    parent's distinct key projection — parents are dimension-sized in
+    a star schema, so every arm broadcasts; the output is one row per
+    relation. This is the O9/O11 validation family lifted from
+    row-level rules to cross-TABLE invariants.
+    """
+    parts = []
+    for name, child, fk, parent, pk in relations:
+        nn = child.select(F.col(fk)).where(F.col(fk).isNotNull())
+        orphans = nn.join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+        )
+        parts.append(
+            nn.agg(F.count(F.lit(1)).alias("n_children"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relation"),
+                "n_children",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relation")

@@ -116,6 +116,33 @@ def weighted_mixture_sample(
     )
 
 
+def deterministic_top_n(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY ``n`` rows, chosen deterministically: the ``n`` smallest
+    content-hash values (ties impossible up to md5 collisions; ``key``
+    breaks them anyway). Rate-based sampling (`with_split`,
+    `stratified_hash_sample`) gives *expected* sizes; eval sets and
+    demo extracts need exact ones, and RNG reservoirs move rows
+    between runs. Growing ``n`` only appends (the hash order is a
+    fixed global permutation) — the same nested property as the
+    rate-based samplers.
+
+    Plan: global top-N = per-partition heap + single merge
+    (TakeOrderedAndProject) — no full sort, no shuffle of the corpus.
+    """
+    h = h32(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", key_col)
+        .limit(n)
+        .drop("_h")
+    )
+
+
 def group_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -22,6 +22,12 @@ Scale: the per-batch merge reads |keys| state rows + the batch, never
 history; snapshot cost is the state table size (keys, not events).
 Compaction of old ``v*/`` dirs is the retention job's concern
 (``versioned.vacuum_versions`` is the model).
+
+The pointer commit uses ``os.replace`` — atomic on POSIX filesystems,
+which is what this engine's pure-Parquet sinks target throughout
+(SCALE.md "Write concurrency"). An object-store deployment swaps the
+pointer file for the versioned-table manifest CAS noted in
+``operators/versioned.py``; the state/merge contract is unchanged.
 """
 
 from __future__ import annotations

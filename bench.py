@@ -126,6 +126,8 @@ HEADLINE = [
     "token_heavy_hitters",
     "doc_sparse_cosine",
     "hourly_count_decomposition",
+    "referential_audit",
+    "doc_sample_fixed",
 ]
 
 

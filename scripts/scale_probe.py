@@ -67,6 +67,17 @@ PROBE_QUERIES = [
     "curated_corpus",
     "bpe_audit",
     "funnel_latency",
+    # late-r5 additions: the new heavy operators
+    "leakage_safe_split",
+    "dedup_cluster_sizes",
+    "doc_sparse_cosine",
+    "token_heavy_hitters",
+    "ivfadc_recall",
+    "pq_recall_audit",
+    "hourly_agg_incremental",
+    "hourly_count_decomposition",
+    "event_type_drift",
+    "doc_feature_hashes",
 ]
 
 

@@ -39,6 +39,8 @@ NEW_R5 = [
     "token_heavy_hitters",
     "doc_sparse_cosine",
     "hourly_count_decomposition",
+    "referential_audit",
+    "doc_sample_fixed",
 ]
 
 

@@ -212,3 +212,26 @@ def test_persisted_lsh_index_probe_matches_inline(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx_bands")
         spark.sql("DROP TABLE IF EXISTS t_lsh_idx_sets")
+
+
+def test_deterministic_top_n_exact_nested_invariant(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        deterministic_top_n,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    s50 = [r.doc_id for r in deterministic_top_n(docs, "doc_id", 50).collect()]
+    s100 = [r.doc_id for r in deterministic_top_n(docs, "doc_id", 100).collect()]
+    assert len(s50) == 50 and len(s100) == 100
+    assert set(s50) <= set(s100)  # growing n only appends
+    again = [
+        r.doc_id
+        for r in deterministic_top_n(docs.repartition(13), "doc_id", 50).collect()
+    ]
+    assert sorted(s50) == sorted(again)
+    # a different salt picks a different set
+    other = {
+        r.doc_id
+        for r in deterministic_top_n(docs, "doc_id", 50, salt="other").collect()
+    }
+    assert other != set(s50)

@@ -178,3 +178,20 @@ def test_half_open_window_boundary_rows(spark):
         for r in half_open_window(df, "ts_utc", lo, hi).collect()
     )
     assert got == [2, 3]
+
+
+def test_referential_audit_counts_planted_orphans(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.validation import (
+        referential_audit,
+    )
+    from pyspark.sql import functions as F
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    rows = referential_audit([("child->parent", child, "fk", parent, "pk")]).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # NULL FK excluded from both counts; fk=99 is the one orphan
+    assert r.n_children == 3 and r.n_orphans == 1 and r.ok is False
