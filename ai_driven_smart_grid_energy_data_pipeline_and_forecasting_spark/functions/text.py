@@ -459,9 +459,15 @@ def feature_hash_counts(
     """
     tk = tokens(F.col(text_col))
     if ngram > 1:
+        # the short-doc guard matters: sequence(1, 0) in Spark is the
+        # DESCENDING [1, 0] (not empty like SQL generate_series), and
+        # slice(_, 0, _) then throws — a <ngram-token doc must yield
+        # no grams, same as the oracle's empty generate_series
         grams = F.expr(
-            f"transform(sequence(1, greatest(size(_tk) - {ngram - 1}, 0)),"
+            f"CASE WHEN size(_tk) >= {ngram} THEN"
+            f" transform(sequence(1, size(_tk) - {ngram - 1}),"
             f" i -> array_join(slice(_tk, i, {ngram}), ' '))"
+            f" ELSE array() END"
         )
         exploded = docs.select(
             F.col(id_col), tk.alias("_tk")

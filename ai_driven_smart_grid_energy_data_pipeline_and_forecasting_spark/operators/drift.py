@@ -51,8 +51,20 @@ def categorical_drift(
     """
     rc = ref.groupBy(cat_col).agg(F.count(F.lit(1)).alias("ref_n"))
     cc = cur.groupBy(cat_col).agg(F.count(F.lit(1)).alias("cur_n"))
+    # null-safe join key: a NULL category must be ONE row with both
+    # sides' counts, not one orphan row per side (plain full-outer
+    # equality never matches NULL to NULL)
     joined = (
-        rc.join(cc, cat_col, "full")
+        rc.join(
+            cc.withColumnRenamed(cat_col, "_cur_cat"),
+            rc[cat_col].eqNullSafe(F.col("_cur_cat")),
+            "full",
+        )
+        .select(
+            F.coalesce(rc[cat_col], F.col("_cur_cat")).alias(cat_col),
+            "ref_n",
+            "cur_n",
+        )
         .na.fill(0, ["ref_n", "cur_n"])
     )
     totals = joined.agg(

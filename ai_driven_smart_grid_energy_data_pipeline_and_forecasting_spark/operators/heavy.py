@@ -14,7 +14,9 @@ every distinct token; but the items that matter — frequency above
    partition, total < n/k < its count).
 2. **Recount pass**: exact counts for the candidate set only — a
    broadcast semi-join + partial-agg count, shuffling |candidates|
-   rows instead of |distinct items|.
+   rows instead of |distinct items|. The global row count rides along
+   the candidate pass as per-task sentinel rows, so the whole operator
+   is exactly two scans of the data.
 
 Filtering the recount at ``count > n/k`` trims the over-approximation
 to EXACTLY the true heavy-hitter set with exact counts. The MG
@@ -49,7 +51,9 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
         # partition share the counter dict — the whole point is that
         # state stays O(k) no matter how much data streams through)
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for item in pdf["item"]:
                 if item in counters:
                     counters[item] += 1
@@ -61,11 +65,22 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
                         del counters[i]
                     for i in counters:
                         counters[i] -= 1
-        if counters:
-            yield pd.DataFrame({"item": list(counters.keys())})
+        # the task's row count rides along as a NULL-item sentinel, so
+        # the global n needs no third scan of the corpus
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "task_rows": [0] * len(counters) + [seen],
+            }
+        )
 
-    cands = src.mapInPandas(mg, "item string").distinct()
-    total = src.agg(F.count(F.lit(1)).alias("_n"))
+    # materialized once (≤ P·k + P rows): two consumers below would
+    # otherwise re-execute the corpus-wide candidate pass each
+    summary = src.mapInPandas(
+        mg, "item string, task_rows long"
+    ).localCheckpoint()
+    cands = summary.where(F.col("item").isNotNull()).select("item").distinct()
+    total = summary.agg(F.sum("task_rows").alias("_n"))
     return (
         src.join(F.broadcast(cands), "item", "left_semi")
         .groupBy("item")

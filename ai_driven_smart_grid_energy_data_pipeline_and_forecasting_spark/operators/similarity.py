@@ -1241,6 +1241,10 @@ def sparse_cosine_pairs(
     output of ``text.feature_hash_counts``) — document similarity with
     no embedding model, the classic TF-vector near-dup/search primitive.
 
+    ``triples`` must be unique per (id, feature) — the contract
+    ``feature_hash_counts`` produces; duplicate triples would inflate
+    both the df cap's counts and the dot products.
+
     Arithmetic is deliberately all-integer until the final division:
     ``dot = Σ tf_a·tf_b`` and ``‖v‖² = Σ tf²`` are exact long sums
     (associative — partition-invariant with no decimal tricks), and

@@ -65,3 +65,15 @@ def test_window_drift_boundary_is_half_open(spark):
     # day-2 midnight row is >= boundary -> current side
     assert rows["x"].ref_n == 1 and rows["x"].cur_n == 0
     assert rows["y"].ref_n == 0 and rows["y"].cur_n == 1
+
+
+def test_categorical_drift_null_category_single_row(spark):
+    # regression: a NULL category present on both sides must be ONE
+    # row carrying both counts (plain full-outer equality never
+    # matches NULL to NULL and yielded one orphan row per side)
+    ref = spark.createDataFrame([("a",)] * 3 + [(None,)] * 2, "cat string")
+    cur = spark.createDataFrame([("a",)] * 4 + [(None,)] * 1, "cat string")
+    rows = categorical_drift(ref, cur, "cat").collect()
+    nulls = [r for r in rows if r.cat is None]
+    assert len(nulls) == 1
+    assert nulls[0].ref_n == 2 and nulls[0].cur_n == 1

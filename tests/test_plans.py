@@ -310,7 +310,9 @@ def test_heavy_hitters_candidate_semi_join_broadcasts(spark):
     # full token stream to the candidates instead of the reverse
     plan = _plan(spark, "token_heavy_hitters")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    assert plan.count("MapInPandas") == 1, plan  # one MG candidate pass
+    # the MG candidate pass ran once at localCheckpoint time; the final
+    # plan reads its materialized summary (no Python kernel re-run)
+    assert "MapInPandas" not in plan, plan
 
 
 def test_sparse_cosine_equi_join_no_bnlj(spark):

@@ -817,3 +817,19 @@ def test_feature_hash_counts_salt_decouples(spark):
     a = {r.feature_idx for r in feature_hash_counts(df, 4096, salt="feat").collect()}
     b = {r.feature_idx for r in feature_hash_counts(df, 4096, salt="other").collect()}
     assert a != b  # independent bucket streams
+
+
+def test_feature_hash_ngram_short_docs_yield_no_grams(spark):
+    # regression: Spark's sequence(1, 0) is DESCENDING [1, 0] — a doc
+    # shorter than the gram width used to crash slice(); it must
+    # simply contribute nothing, like the oracle's generate_series
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        feature_hash_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "x y z w")], "doc_id long, text string"
+    )
+    rows = feature_hash_counts(df, 256, ngram=3).collect()
+    assert {r.doc_id for r in rows} == {3}
+    assert sum(r.tf for r in rows) == 2  # "x y z", "y z w"
