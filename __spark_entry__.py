@@ -368,23 +368,19 @@ def q_hourly_agg_incremental(spark, sf_dir):
         finalize_state,
         merge_aggregate_states,
     )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        split_at_day_boundary,
+    )
 
     ev = _t(spark, sf_dir, "events").withColumn(
         "hour", F.date_trunc("hour", F.col("ts"))
     )
-    bounds = ev.agg(
-        F.expr("timestampadd(DAY, 20, date_trunc('DAY', min(ts)))").alias("_b")
-    )
-    with_b = ev.crossJoin(F.broadcast(bounds))
+    base, delta = split_at_day_boundary(ev, "ts", 20)
     keys = ["event_type", "hour"]
     merged = merge_aggregate_states(
         [
-            aggregate_state(
-                with_b.filter(F.col("ts") < F.col("_b")), keys, "value", "user_id"
-            ),
-            aggregate_state(
-                with_b.filter(F.col("ts") >= F.col("_b")), keys, "value", "user_id"
-            ),
+            aggregate_state(base, keys, "value", "user_id"),
+            aggregate_state(delta, keys, "value", "user_id"),
         ],
         keys,
     )

@@ -121,6 +121,8 @@ def referential_audit(
     relation. This is the O9/O11 validation family lifted from
     row-level rules to cross-TABLE invariants.
     """
+    if not relations:
+        raise ValueError("referential_audit needs at least one relation")
     parts = []
     for name, child, fk, parent, pk in relations:
         nn = child.select(F.col(fk)).where(F.col(fk).isNotNull())

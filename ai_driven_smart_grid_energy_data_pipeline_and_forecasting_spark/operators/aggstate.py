@@ -36,8 +36,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: exact-decimal carrier for mergeable sums (see module docstring)
+#: exact-decimal input cast for mergeable sums (see module docstring)
 _SUM_TYPE = "decimal(20,6)"
+
+#: carrier the STATE stores: sum(decimal(20,6)) widens here naturally.
+#: Narrowing the merged sum back to (20,6) would silently NULL (or,
+#: under ANSI, throw) past 10^14 — the wide carrier keeps ~10^24 of
+#: headroom so the exactness contract survives 100 TB-scale key sums.
+_CARRY_TYPE = "decimal(30,6)"
 
 
 def aggregate_state(
@@ -51,9 +57,7 @@ def aggregate_state(
     ``merge_aggregate_states``."""
     aggs = [
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(value_col).cast(_SUM_TYPE))
-        .cast(_SUM_TYPE)
-        .alias("sum_v"),
+        F.sum(F.col(value_col).cast(_SUM_TYPE)).cast(_CARRY_TYPE).alias("sum_v"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
     ]
@@ -76,7 +80,7 @@ def merge_aggregate_states(
     has_hll = "hll" in u.columns
     aggs = [
         F.sum("n").alias("n"),
-        F.sum("sum_v").cast(_SUM_TYPE).alias("sum_v"),
+        F.sum("sum_v").cast(_CARRY_TYPE).alias("sum_v"),
         F.min("min_v").alias("min_v"),
         F.max("max_v").alias("max_v"),
     ]

@@ -70,8 +70,18 @@ def categorical_drift(
     totals = joined.agg(
         F.sum("ref_n").alias("_ref_total"), F.sum("cur_n").alias("_cur_total")
     )
-    ref_rate = F.col("ref_n").cast("double") / F.col("_ref_total").cast("double")
-    cur_rate = F.col("cur_n").cast("double") / F.col("_cur_total").cast("double")
+    # an empty window means rate 0 for every category, NOT NULL/inf:
+    # a vanished current window must flag every reference category as
+    # drifted — the loudest signal, not a silent all-NULL verdict
+    # (review finding; also keeps the x/0 edge engine-independent)
+    ref_rate = F.when(
+        F.col("_ref_total") > 0,
+        F.col("ref_n").cast("double") / F.col("_ref_total").cast("double"),
+    ).otherwise(F.lit(0.0))
+    cur_rate = F.when(
+        F.col("_cur_total") > 0,
+        F.col("cur_n").cast("double") / F.col("_cur_total").cast("double"),
+    ).otherwise(F.lit(0.0))
     out = (
         joined.crossJoin(F.broadcast(totals))
         .withColumn("ref_rate", ref_rate)
@@ -100,6 +110,26 @@ def categorical_drift(
     return out.drop("_ref_total", "_cur_total")
 
 
+def split_at_day_boundary(
+    df: DataFrame, ts_col: str, split_days: int
+) -> tuple[DataFrame, DataFrame]:
+    """(before, after) halves of ``df`` split ``split_days`` days past
+    the day-truncated minimum timestamp. The boundary is computed
+    declaratively (1-row aggregate cross-joined, never collected), so
+    both halves stay lazy plans — shared by the drift audit and the
+    incremental-rollup queries (one definition of "the boundary")."""
+    bounds = df.agg(
+        F.expr(
+            f"timestampadd(DAY, {int(split_days)}, date_trunc('DAY', min({ts_col})))"
+        ).alias("_boundary")
+    )
+    with_b = df.crossJoin(F.broadcast(bounds))
+    return (
+        with_b.filter(F.col(ts_col) < F.col("_boundary")).drop("_boundary"),
+        with_b.filter(F.col(ts_col) >= F.col("_boundary")).drop("_boundary"),
+    )
+
+
 def window_drift(
     df: DataFrame,
     ts_col: str,
@@ -108,16 +138,7 @@ def window_drift(
     threshold: float = 0.01,
 ) -> DataFrame:
     """``categorical_drift`` with the two windows derived from the data
-    itself: reference = the first ``split_days`` days (from the
-    day-truncated minimum timestamp), current = everything after. The
-    boundary is computed declaratively (1-row aggregate cross-joined,
-    never collected), so the whole audit is one lazy plan."""
-    bounds = df.agg(
-        F.expr(
-            f"timestampadd(DAY, {int(split_days)}, date_trunc('DAY', min({ts_col})))"
-        ).alias("_boundary")
-    )
-    with_b = df.crossJoin(F.broadcast(bounds))
-    ref = with_b.filter(F.col(ts_col) < F.col("_boundary"))
-    cur = with_b.filter(F.col(ts_col) >= F.col("_boundary"))
+    itself: reference = the first ``split_days`` days, current =
+    everything after (``split_at_day_boundary``)."""
+    ref, cur = split_at_day_boundary(df, ts_col, split_days)
     return categorical_drift(ref, cur, cat_col, threshold=threshold)

@@ -97,6 +97,14 @@ def _ordered_norms(m: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Rows scaled to unit L2, zero rows passing through unchanged —
+    the one normalization convention of the PQ/IVFADC family (a single
+    definition so encode and query sides can never disagree)."""
+    n = _ordered_norms(m)
+    return m / np.where(n == 0.0, 1.0, n)[:, None]
+
+
 def _ordered_gemm(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """X·Yᵀ with the sum over dimensions accumulated in index order —
     NOT np.matmul (BLAS reassociates into pairwise/SIMD sums). Each
@@ -869,10 +877,7 @@ def pq_codebooks(
             "a filter that exists, or renumber"
         )
     order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
-    head = _as_matrix(cpdf[vec_col], dims)[order]
-    head = head / np.where(
-        (n := _ordered_norms(head)) == 0.0, 1.0, n
-    )[:, None]
+    head = _unit_rows(_as_matrix(cpdf[vec_col], dims)[order])
     books = np.stack(
         [head[:, j * dsub : (j + 1) * dsub] for j in range(m)]
     )
@@ -910,9 +915,7 @@ def _l2_normalized(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mx = _as_matrix(pdf[vec_col], dims)
-            nx = _ordered_norms(mx)
-            mx = mx / np.where(nx == 0.0, 1.0, nx)[:, None]
+            mx = _unit_rows(_as_matrix(pdf[vec_col], dims))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(dtype=np.int64),
@@ -951,9 +954,7 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mx = _as_matrix(pdf[vec_col], dims)
-            nx = _ordered_norms(mx)
-            mx = mx / np.where(nx == 0.0, 1.0, nx)[:, None]
+            mx = _unit_rows(_as_matrix(pdf[vec_col], dims))
             codes = np.empty((len(mx), m), dtype=np.int32)
             for j in range(m):
                 xj = mx[:, j * dsub : (j + 1) * dsub]
@@ -998,9 +999,7 @@ def pq_topk(
     spark = emb.sparkSession
     qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
-    q_mat = _as_matrix(qpdf[vec_col], dims)
-    q_norm = _ordered_norms(q_mat)
-    q_mat = q_mat / np.where(q_norm == 0.0, 1.0, q_norm)[:, None]
+    q_mat = _unit_rows(_as_matrix(qpdf[vec_col], dims))
     # T[q, j, c] = q_j · c[j, c] — the ADC lookup tables, Q×m×n_codes
     tables = np.stack(
         [_ordered_gemm(q_mat[:, j * dsub : (j + 1) * dsub], codebooks[j]) for j in range(m)],
@@ -1102,9 +1101,7 @@ def ivfadc_topk(
             "starting at 0?"
         )
     order = np.argsort(head_pdf[id_col].to_numpy(dtype=np.int64))
-    head = _as_matrix(head_pdf[vec_col], dims)[order]
-    hn = _ordered_norms(head)
-    head = head / np.where(hn == 0.0, 1.0, hn)[:, None]
+    head = _unit_rows(_as_matrix(head_pdf[vec_col], dims)[order])
     c_mat = head[:n_centroids]  # unit-norm → cosine = dot
     sample = head[n_centroids:]
     # residuals of the sample after coarse assignment (first-argmax)
@@ -1121,9 +1118,7 @@ def ivfadc_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mx = _as_matrix(pdf[vec_col], dims)
-            nx = _ordered_norms(mx)
-            mx = mx / np.where(nx == 0.0, 1.0, nx)[:, None]
+            mx = _unit_rows(_as_matrix(pdf[vec_col], dims))
             cell = np.argmax(_ordered_gemm(mx, cm), axis=1)
             r = mx - cm[cell]
             codes = np.empty((len(mx), m), dtype=np.int32)
@@ -1146,8 +1141,7 @@ def ivfadc_topk(
     qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = _as_matrix(qpdf[vec_col], dims)
-    qn = _ordered_norms(q_mat) if len(q_ids) else np.empty(0)
-    q_mat = q_mat / np.where(qn == 0.0, 1.0, qn)[:, None] if len(q_ids) else q_mat
+    q_mat = _unit_rows(q_mat) if len(q_ids) else q_mat
     probe_rows = []
     base_sim = {}  # (query_id, cell) -> q·c
     if len(q_ids):

@@ -16,6 +16,9 @@ manifest-pointer commit the versioned tables use. A replayed batch
 sees its version directory already present and skips; a crash between
 snapshot write and pointer flip leaves the old pointer valid (readers
 never see a partial state) and the replay completes the flip.
+Batch-id identity only holds within one checkpoint lineage, so the
+state directory is bound to its checkpoint (``_CHECKPOINT`` marker,
+loud refusal on mismatch — see ``stream_aggregate_state``).
 Single-writer contract per SCALE.md.
 
 Scale: the per-batch merge reads |keys| state rows + the batch, never
@@ -58,6 +61,38 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(state_path, f"v{v}"))
 
 
+def _apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str | None = None,
+) -> None:
+    """Fold one delivered micro-batch into the state — idempotent per
+    ``batch_id`` (skip-if-committed + monotone pointer roll-forward).
+    Factored out of the sink so crash/replay paths are unit-testable."""
+    spark = batch.sparkSession
+    vdir = os.path.join(state_path, f"v{batch_id}")
+    # a complete snapshot carries _SUCCESS; a dir without it is a
+    # crashed partial write — recompute (mode=overwrite replaces it)
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        new = aggregate_state(batch, keys, value_col, distinct_col)
+        prev = read_state(spark, state_path)
+        merged = (
+            new if prev is None else merge_aggregate_states([prev, new], keys)
+        )
+        merged.write.mode("overwrite").parquet(vdir)
+    # monotone pointer flip — also completes a crash that died
+    # between snapshot write and flip (replay rolls it forward)
+    cur = _latest_version(state_path)
+    if cur is None or cur < batch_id:
+        tmp = os.path.join(state_path, f"{_POINTER}.tmp{batch_id}")
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, os.path.join(state_path, _POINTER))  # the commit
+
+
 def stream_aggregate_state(
     stream: DataFrame,
     state_path: str,
@@ -68,32 +103,39 @@ def stream_aggregate_state(
 ):
     """Maintain the rollup state from a streaming DataFrame; returns
     the started query (``availableNow`` trigger — drain-and-stop, the
-    batch-friendly mode the other sinks use)."""
+    batch-friendly mode the other sinks use).
+
+    A state directory is BOUND to its checkpoint: batch ids only
+    identify batch *contents* within one checkpoint lineage, so
+    replaying into existing state from a different checkpoint would
+    alias old snapshots to new batch compositions and silently drop
+    whatever the renumbered batches now contain. The first run records
+    the checkpoint path in ``_CHECKPOINT``; a later run with a
+    different one refuses loudly — after checkpoint loss, rebuild the
+    state from scratch (the same contract Structured Streaming itself
+    imposes on its sinks)."""
+    os.makedirs(state_path, exist_ok=True)
+    marker = os.path.join(state_path, "_CHECKPOINT")
+    bound = os.path.abspath(checkpoint)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            prior = fh.read().strip()
+        if prior != bound:
+            raise RuntimeError(
+                f"state at {state_path} is bound to checkpoint {prior}; "
+                f"running it with {bound} would alias batch ids across "
+                "checkpoint lineages and silently drop data — rebuild the "
+                "state into a fresh directory instead"
+            )
+    else:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(bound)
+        os.replace(tmp, marker)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        vdir = os.path.join(state_path, f"v{batch_id}")
-        # a complete snapshot carries _SUCCESS; a dir without it is a
-        # crashed partial write — recompute (mode=overwrite replaces it)
-        if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
-            new = aggregate_state(batch, keys, value_col, distinct_col)
-            prev = read_state(spark, state_path)
-            merged = (
-                new
-                if prev is None
-                else merge_aggregate_states([prev, new], keys)
-            )
-            merged.write.mode("overwrite").parquet(vdir)
-        # monotone pointer flip — also completes a crash that died
-        # between snapshot write and flip (replay rolls it forward)
-        cur = _latest_version(state_path)
-        if cur is None or cur < batch_id:
-            tmp = os.path.join(state_path, f"{_POINTER}.tmp{batch_id}")
-            with open(tmp, "w") as fh:
-                fh.write(str(batch_id))
-            os.replace(tmp, os.path.join(state_path, _POINTER))  # the commit
+        _apply_batch(batch, batch_id, state_path, keys, value_col, distinct_col)
 
-    os.makedirs(state_path, exist_ok=True)
     return (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
