@@ -568,6 +568,19 @@ def q_leakage_safe_split(spark, sf_dir):
     )
 
 
+def q_dedup_corpus_best(spark, sf_dir):
+    # Quality-aware survivor policy: keep the LONGEST member of each
+    # near-dup cluster (ties -> smallest id) — the RefinedWeb/Gopher
+    # convention, vs dedup_corpus's min-id (crawl-order) policy.
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    return (
+        D.dedup_corpus_best(docs, pairs, quality_col="n_chars")
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     # The dedup-rate profile a corpus curator reports: how many
     # near-dup clusters of each size, and how many docs they absorb
@@ -2185,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_count_decomposition": q_hourly_count_decomposition,
         "referential_audit": q_referential_audit,
         "doc_sample_fixed": q_doc_sample_fixed,
+        "dedup_corpus_best": q_dedup_corpus_best,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3397,6 +3411,22 @@ def oracle_sql() -> dict[str, str]:
             FROM sp s CROSS JOIN viol v
             GROUP BY s.split, v.cross_split_pairs
             ORDER BY s.split
+        """,
+        "dedup_corpus_best": _cc_sql_prefix()
+        + """,
+            comp AS (
+              SELECT a AS doc_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a),
+            ranked AS (
+              SELECT c.doc_id, c.component,
+                     row_number() OVER (PARTITION BY c.component
+                                        ORDER BY d.n_chars DESC, c.doc_id)
+                       AS rn
+              FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+            losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+            WHERE l.doc_id IS NULL ORDER BY d.doc_id
         """,
         "dedup_cluster_sizes": _cc_sql_prefix()
         + """,

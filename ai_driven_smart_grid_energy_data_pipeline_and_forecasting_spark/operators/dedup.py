@@ -854,6 +854,48 @@ def dedup_corpus(
     return docs.join(losers, id_col, "left_anti")
 
 
+def dedup_corpus_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """``dedup_corpus`` with a QUALITY survivor policy: keep the
+    highest-``quality_col`` member of each near-dup cluster (ties →
+    smallest id) instead of the smallest id. This is what production
+    curation actually does — near-dup clusters usually contain one
+    full document and several truncated/boilerplate copies, and
+    min-id keeps whichever was crawled first; ranking by length or a
+    quality score keeps the best (the RefinedWeb/Gopher convention).
+
+    Plan: the component map joins ONLY the duplicate fraction of the
+    corpus (one row per doc-in-a-pair), the survivor per component is
+    one ``max_by`` partial-aggregatable arg-max (no window sort), and
+    the final keep-set is one anti join of the loser list — the same
+    scale contract as ``dedup_corpus``, plus one tiny aggregate.
+    """
+    comp = connected_components(pairs, src=src, dst=dst).select(
+        F.col("doc_id").alias(id_col), "component"
+    )
+    members = comp.join(
+        docs.select(id_col, quality_col), id_col
+    )
+    # arg-max by (quality desc, id asc): max_by over a sortable struct
+    # — ties resolve to the SMALLEST id, so negate the id inside the
+    # struct to make "greater" mean "smaller id"
+    winners = members.groupBy("component").agg(
+        F.expr(
+            f"max_by({id_col}, struct({quality_col}, -{id_col}))"
+        ).alias("_winner")
+    )
+    losers = comp.join(winners, "component").filter(
+        F.col(id_col) != F.col("_winner")
+    ).select(id_col)
+    return docs.join(losers, id_col, "left_anti")
+
+
 def novel_against_index(
     new_docs: DataFrame,
     index_docs: DataFrame,

@@ -142,3 +142,31 @@ def stream_aggregate_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
+    """Retention sweep for committed snapshots: delete ``v*`` dirs
+    older than the newest ``keep_last`` versions (the pointer target
+    is always kept; versions at or above the pointer are never touched
+    — an in-flight writer may be staging the next one). Returns the
+    removed directories. The streaming-state analog of
+    ``versioned.vacuum_versions``; single-writer contract applies."""
+    import re
+    import shutil
+
+    cur = _latest_version(state_path)
+    if cur is None:
+        return []
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(state_path)
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+    keep = set(versions[-keep_last:]) | {cur}
+    removed = []
+    for v in versions:
+        if v not in keep and v < cur:
+            path = os.path.join(state_path, f"v{v}")
+            shutil.rmtree(path)
+            removed.append(path)
+    return removed

@@ -128,6 +128,7 @@ HEADLINE = [
     "hourly_count_decomposition",
     "referential_audit",
     "doc_sample_fixed",
+    "dedup_corpus_best",
 ]
 
 

@@ -236,3 +236,33 @@ def test_stream_state_crash_between_write_and_flip_rolls_forward(spark, tmp_path
     assert st is not None
     rows = finalize_state(st, ["k"]).collect()
     assert rows[0].n == 1 and rows[0].sum_value == 1.0
+
+
+def test_vacuum_state_keeps_pointer_and_recent(spark, tmp_path):
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        read_state,
+        stream_aggregate_state,
+        vacuum_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(4):
+        _drop_events(drop, f"c{i}.json", [{"k": "a", "value": float(i), "uid": i}])
+        q = stream_aggregate_state(
+            _read_stream(spark, drop), state, ckpt, ["k"], "value"
+        )
+        q.awaitTermination(60)
+    assert sorted(d for d in os.listdir(state) if d.startswith("v")) == [
+        "v0", "v1", "v2", "v3",
+    ]
+    removed = vacuum_state(state, keep_last=2)
+    assert [os.path.basename(p) for p in removed] == ["v0", "v1"]
+    # current state still reads fine and carries all four batches
+    rows = finalize_state(read_state(spark, state), ["k"]).collect()
+    assert rows[0].n == 4 and rows[0].sum_value == 6.0
+    # idempotent
+    assert vacuum_state(state, keep_last=2) == []

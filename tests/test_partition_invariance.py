@@ -41,6 +41,7 @@ NEW_R5 = [
     "hourly_count_decomposition",
     "referential_audit",
     "doc_sample_fixed",
+    "dedup_corpus_best",
 ]
 
 

@@ -344,3 +344,30 @@ def test_sparse_cosine_partition_invariant(docs):
              fh.repartition(17), threshold=0.85
          ).collect()]
     assert a == b  # bit-identical, including the ordering contract
+
+
+def test_dedup_corpus_best_keeps_longest(spark):
+    # cluster {1,2,3}: doc 2 is longest -> survives; min-id policy
+    # would keep 1. Singleton 9 untouched.
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 20), (9, 5)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in D.dedup_corpus_best(docs, pairs, "n_chars").collect()
+    )
+    assert kept == [2, 9]
+    # quality tie -> smallest id wins
+    tied = spark.createDataFrame(
+        [(1, 10), (2, 10), (9, 5)], "doc_id long, n_chars long"
+    )
+    kept2 = sorted(
+        r.doc_id
+        for r in D.dedup_corpus_best(
+            tied, spark.createDataFrame([(1, 2)], "doc_a long, doc_b long"), "n_chars"
+        ).collect()
+    )
+    assert kept2 == [1, 9]
