@@ -444,6 +444,22 @@ def q_referential_audit(spark, sf_dir):
     )
 
 
+def q_doc_curriculum(spark, sf_dir):
+    # Curriculum ordering: exact global rank of every document by
+    # (n_chars desc, doc_id) WITHOUT a single-partition window — the
+    # total-order-partitioner pattern (relational.global_rank), with
+    # the bucket-monotonicity promise verified at runtime.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return R.global_rank(
+        docs,
+        bucket=-F.floor(F.col("n_chars") / 64),
+        key=F.struct(
+            (-F.col("n_chars")).alias("neg_chars"),
+            F.col("doc_id").alias("id"),
+        ),
+    ).orderBy("rank")
+
+
 def q_doc_sample_fixed(spark, sf_dir):
     # Deterministic exactly-N sample (content-hash top-N, no RNG, no
     # full sort — TakeOrderedAndProject): the eval-set extraction that
@@ -2199,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_audit": q_referential_audit,
         "doc_sample_fixed": q_doc_sample_fixed,
         "dedup_corpus_best": q_dedup_corpus_best,
+        "doc_curriculum": q_doc_curriculum,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3273,6 +3290,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_orphans AS BIGINT) AS n_orphans,
                    n_orphans = 0 AS ok
             FROM r ORDER BY relation
+        """,
+        "doc_curriculum": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS "rank"
+            FROM documents ORDER BY "rank"
         """,
         "doc_sample_fixed": """
             SELECT doc_id, source, lang, n_chars FROM (

@@ -170,3 +170,85 @@ def melt(df: DataFrame, id_cols: Sequence[str], value_cols: Sequence[str]) -> Da
         "variable",
         "value",
     )
+
+
+def global_rank(
+    df: DataFrame,
+    bucket: Column,
+    key: Column,
+    rank_col: str = "rank",
+    max_buckets: int = 100_000,
+) -> DataFrame:
+    """Exact global 1-based rank under the total order of ``key``
+    (ascending; make it a struct with negated/tie-break fields for
+    descending or composite orders) WITHOUT a single-partition window
+    — the total-order-partitioner pattern (TeraSort's range
+    partitioning, expressed declaratively):
+
+    1. ``bucket`` coarsely ranges the sort key (caller supplies an
+       expression MONOTONE in ``key`` — e.g. ``floor(score/64)`` for a
+       score-ascending order);
+    2. per-bucket counts (tiny) get cumulative offsets;
+    3. rank = bucket offset + local row_number within the bucket.
+
+    The monotonicity promise is VERIFIED, not trusted: per-bucket
+    (min, max) key envelopes are checked for overlap on the driver
+    (bounded by the bucket count, capped at ``max_buckets``), and a
+    violation raises — a silently wrong global order is the one
+    failure mode this operator must not have. Window sorts are
+    per-bucket, so the skew ceiling is the hottest bucket, which the
+    bucket expression's granularity controls.
+
+    Use case: curriculum ordering (rank a corpus by quality before
+    packing), leaderboards, exact percentile assignment.
+    """
+    with_b = df.withColumn("_gb", bucket).withColumn("_gk", key)
+    per_bucket = (
+        with_b.groupBy("_gb")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("_gk").alias("_lo"),
+            F.max("_gk").alias("_hi"),
+        )
+        .orderBy("_gb")
+    )
+    rows = per_bucket.limit(max_buckets + 1).collect()
+    if len(rows) > max_buckets:
+        raise ValueError(
+            f"global_rank bucket expression produced more than "
+            f"{max_buckets} buckets — coarsen it (the bucket table is "
+            "a driver-checked object and must stay tiny)"
+        )
+    for prev, cur in zip(rows, rows[1:]):
+        if not (prev["_hi"] <= cur["_lo"]):
+            raise ValueError(
+                "global_rank bucket expression is not monotone in the "
+                f"requested order: bucket {prev['_gb']} envelope "
+                f"{prev['_hi']} overlaps bucket {cur['_gb']} envelope "
+                f"{cur['_lo']} — ranks would interleave across buckets"
+            )
+    offsets = []
+    acc = 0
+    for r in rows:
+        offsets.append((r["_gb"], acc))
+        acc += r["_n"]
+    from pyspark.sql import types as T
+
+    off_df = df.sparkSession.createDataFrame(
+        offsets,
+        T.StructType(
+            [
+                T.StructField("_gb", per_bucket.schema["_gb"].dataType),
+                T.StructField("_off", T.LongType()),
+            ]
+        ),
+    )
+    w = Window.partitionBy("_gb").orderBy("_gk")
+    return (
+        with_b.join(F.broadcast(off_df), "_gb")
+        .withColumn(
+            rank_col,
+            (F.col("_off") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_gb", "_gk", "_off")
+    )

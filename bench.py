@@ -129,6 +129,7 @@ HEADLINE = [
     "referential_audit",
     "doc_sample_fixed",
     "dedup_corpus_best",
+    "doc_curriculum",
 ]
 
 

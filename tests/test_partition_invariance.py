@@ -42,6 +42,7 @@ NEW_R5 = [
     "referential_audit",
     "doc_sample_fixed",
     "dedup_corpus_best",
+    "doc_curriculum",
 ]
 
 

@@ -371,3 +371,56 @@ def test_dedup_corpus_best_keeps_longest(spark):
         ).collect()
     )
     assert kept2 == [1, 9]
+
+
+def test_global_rank_matches_single_window(spark, docs):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        global_rank,
+    )
+    from pyspark.sql import Window
+
+    key = F.struct((-F.col("n_chars")).alias("nc"), F.col("doc_id").alias("id"))
+    got = {
+        r.doc_id: r.rank
+        for r in global_rank(
+            docs.select("doc_id", "n_chars"),
+            bucket=-F.floor(F.col("n_chars") / 64),
+            key=key,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    want = {
+        r.doc_id: r.rank
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).alias("rank")
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got.values()) == list(range(1, len(got) + 1))  # dense
+
+
+def test_global_rank_rejects_non_monotone_bucket(spark, docs):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        global_rank,
+    )
+
+    with pytest.raises(ValueError, match="not monotone"):
+        global_rank(
+            docs.select("doc_id", "n_chars"),
+            bucket=F.col("doc_id") % 7,  # uncorrelated with the order
+            key=F.struct((-F.col("n_chars")).alias("nc"), F.col("doc_id").alias("id")),
+        )
+
+
+def test_global_rank_bucket_cap(spark, docs):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        global_rank,
+    )
+
+    with pytest.raises(ValueError, match="more than"):
+        global_rank(
+            docs.select("doc_id", "n_chars"),
+            bucket=F.col("doc_id"),  # one bucket per row
+            key=F.col("doc_id"),
+            max_buckets=10,
+        )
