@@ -219,3 +219,116 @@ def test_range_join_property_vs_allpairs(spark):
         assert got == want, (pts, ivs, width)
 
     run()
+
+
+# ------------------------------------------- late-r5 operator properties
+
+
+@settings(**SETTINGS)
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=0,
+        max_size=120,
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_heavy_hitters_property_vs_exact(spark, items, k):
+    # for ANY multiset and ANY k: output == the naive GROUP BY filtered
+    # strictly above n/k, despite order-dependent MG candidate sets
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        heavy_hitters,
+    )
+    from collections import Counter
+
+    df = spark.createDataFrame([(w,) for w in items] or [(None,)], "w string")
+    got = {
+        (r.item, r.n_occurrences)
+        for r in heavy_hitters(df, "w", k=k).collect()
+    }
+    n = len(items)
+    want = {
+        (w, c) for w, c in Counter(items).items() if c > n / k
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # doc id
+            st.integers(min_value=0, max_value=500),  # quality
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        max_size=15,
+    ),
+)
+def test_dedup_corpus_best_property(spark, rows, edges):
+    # survivors = per-component argmax(quality, -id) + all singletons,
+    # verified against a pure-Python union-find oracle
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        dedup_corpus_best,
+    )
+
+    ids = {r[0] for r in rows}
+    edges = [(a, b) for a, b in edges if a in ids and b in ids and a != b]
+    docs = spark.createDataFrame(rows, "doc_id long, q long")
+    pairs = spark.createDataFrame(
+        edges or [(-1, -2)], "doc_a long, doc_b long"
+    )
+    got = sorted(r.doc_id for r in dedup_corpus_best(docs, pairs, "q").collect())
+    # oracle: union-find
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    q = dict(rows)
+    want = sorted(
+        max(members, key=lambda i: (q[i], -i)) for members in comps.values()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=60
+    )
+)
+def test_global_rank_property_dense_and_ordered(spark, vals):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    out = global_rank(
+        df,
+        bucket=F.floor(F.col("v") / 100),
+        key=F.struct(F.col("v").alias("v"), F.col("id").alias("id")),
+    ).collect()
+    got = sorted((r.rank, r.v, r.id) for r in out)
+    assert [r[0] for r in got] == list(range(1, len(vals) + 1))
+    want = sorted((v, i) for i, v in enumerate(vals))
+    assert [(r[1], r[2]) for r in got] == want
