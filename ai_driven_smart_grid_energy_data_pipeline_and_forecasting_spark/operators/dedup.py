@@ -882,12 +882,18 @@ def dedup_corpus_best(
     members = comp.join(
         docs.select(id_col, quality_col), id_col
     )
-    # arg-max by (quality desc, id asc): max_by over a sortable struct
-    # — ties resolve to the SMALLEST id, so negate the id inside the
-    # struct to make "greater" mean "smaller id"
+    # arg-min by (quality DESC, id ASC), expressed as min_by over
+    # (-quality, id): negating the (numeric) quality makes "smaller"
+    # mean "higher quality", and the untouched id column breaks ties
+    # toward the SMALLEST id while keeping id types generic (string
+    # ids work — only quality must be numeric, which a score is)
     winners = members.groupBy("component").agg(
-        F.expr(
-            f"max_by({id_col}, struct({quality_col}, -{id_col}))"
+        F.min_by(
+            F.col(id_col),
+            F.struct(
+                (-F.col(quality_col)).alias("_nq"),
+                F.col(id_col).alias("_id"),
+            ),
         ).alias("_winner")
     )
     losers = comp.join(winners, "component").filter(

@@ -207,6 +207,7 @@ def global_rank(
         with_b.groupBy("_gb")
         .agg(
             F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_gk").isNull().cast("long")).alias("_null_keys"),
             F.min("_gk").alias("_lo"),
             F.max("_gk").alias("_hi"),
         )
@@ -219,13 +220,31 @@ def global_rank(
             f"{max_buckets} buckets — coarsen it (the bucket table is "
             "a driver-checked object and must stay tiny)"
         )
+    # NULL buckets would silently vanish in the equi-join below and
+    # NULL keys have no place in a total order — refuse both loudly
+    # (the operator's one forbidden failure mode is silent wrongness)
+    for r in rows:
+        if r["_gb"] is None:
+            raise ValueError(
+                f"global_rank bucket expression is NULL for {r['_n']} "
+                "row(s) — a NULL bucket has no rank position; filter or "
+                "coalesce those rows first"
+            )
+        if r["_null_keys"]:
+            raise ValueError(
+                f"global_rank key is NULL for {r['_null_keys']} row(s) "
+                f"in bucket {r['_gb']} — NULLs have no place in a total "
+                "order; filter or coalesce them first"
+            )
     for prev, cur in zip(rows, rows[1:]):
         if not (prev["_hi"] <= cur["_lo"]):
             raise ValueError(
                 "global_rank bucket expression is not monotone in the "
                 f"requested order: bucket {prev['_gb']} envelope "
                 f"{prev['_hi']} overlaps bucket {cur['_gb']} envelope "
-                f"{cur['_lo']} — ranks would interleave across buckets"
+                f"{cur['_lo']} — ranks would interleave across buckets "
+                "(NaN key values also trip this check: NaN admits no "
+                "total order either — clean them first)"
             )
     offsets = []
     acc = 0

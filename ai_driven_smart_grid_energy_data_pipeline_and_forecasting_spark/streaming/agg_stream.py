@@ -154,6 +154,8 @@ def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
     import re
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     cur = _latest_version(state_path)
     if cur is None:
         return []
@@ -162,7 +164,11 @@ def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
         for d in os.listdir(state_path)
         if (m := re.fullmatch(r"v(\d+)", d))
     )
-    keep = set(versions[-keep_last:]) | {cur}
+    # retention counts COMMITTED versions only: a staged dir above the
+    # pointer (crash between snapshot write and flip) must not displace
+    # a committed rollback snapshot from the keep window
+    committed = [v for v in versions if v <= cur]
+    keep = set(committed[-keep_last:]) | {cur}
     removed = []
     for v in versions:
         if v not in keep and v < cur:
