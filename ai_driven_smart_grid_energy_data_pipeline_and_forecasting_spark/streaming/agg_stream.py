@@ -44,6 +44,35 @@ from ..operators.aggstate import aggregate_state, merge_aggregate_states
 _POINTER = "_LATEST"
 
 
+def bind_checkpoint(out_path: str, checkpoint: str) -> None:
+    """Bind a batch-id-keyed output directory to its checkpoint
+    lineage: batch ids only identify batch *contents* within one
+    checkpoint, so replaying a different checkpoint into the same
+    output would alias batch ids (silently dropping or staling data).
+    First caller records the checkpoint path in ``_CHECKPOINT``; a
+    mismatch later raises. Shared by the state sink and the drift
+    monitor — after checkpoint loss, rebuild into a fresh directory
+    (Structured Streaming's own sink contract)."""
+    os.makedirs(out_path, exist_ok=True)
+    marker = os.path.join(out_path, "_CHECKPOINT")
+    bound = os.path.abspath(checkpoint)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            prior = fh.read().strip()
+        if prior != bound:
+            raise RuntimeError(
+                f"output at {out_path} is bound to checkpoint {prior}; "
+                f"running it with {bound} would alias batch ids across "
+                "checkpoint lineages — rebuild into a fresh directory "
+                "instead"
+            )
+    else:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(bound)
+        os.replace(tmp, marker)
+
+
 def _latest_version(state_path: str) -> int | None:
     p = os.path.join(state_path, _POINTER)
     if not os.path.exists(p):
@@ -114,24 +143,7 @@ def stream_aggregate_state(
     different one refuses loudly — after checkpoint loss, rebuild the
     state from scratch (the same contract Structured Streaming itself
     imposes on its sinks)."""
-    os.makedirs(state_path, exist_ok=True)
-    marker = os.path.join(state_path, "_CHECKPOINT")
-    bound = os.path.abspath(checkpoint)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            prior = fh.read().strip()
-        if prior != bound:
-            raise RuntimeError(
-                f"state at {state_path} is bound to checkpoint {prior}; "
-                f"running it with {bound} would alias batch ids across "
-                "checkpoint lineages and silently drop data — rebuild the "
-                "state into a fresh directory instead"
-            )
-    else:
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(bound)
-        os.replace(tmp, marker)
+    bind_checkpoint(state_path, checkpoint)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         _apply_batch(batch, batch_id, state_path, keys, value_col, distinct_col)

@@ -77,3 +77,56 @@ def test_categorical_drift_null_category_single_row(spark):
     nulls = [r for r in rows if r.cat is None]
     assert len(nulls) == 1
     assert nulls[0].ref_n == 2 and nulls[0].cur_n == 1
+
+
+def test_stream_drift_monitor_reports_per_batch(spark, tmp_path):
+    import json
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.drift_stream import (
+        read_drift_reports,
+        stream_drift_monitor,
+    )
+
+    def drop(name, cats):
+        os.makedirs(tmp_path / "drop", exist_ok=True)
+        tmp = tmp_path / "drop" / f".{name}.tmp"
+        with open(tmp, "w") as fh:
+            for c in cats:
+                fh.write(json.dumps({"cat": c}) + "\n")
+        os.replace(tmp, tmp_path / "drop" / name)
+
+    reference = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "cat string"
+    )
+    stream = lambda: spark.readStream.schema("cat string").json(  # noqa: E731
+        str(tmp_path / "drop")
+    )
+    # batch 0 matches the reference mix; batch 1 brings a new category
+    drop("c0.json", ["a"] * 5 + ["b"] * 5)
+    q = stream_drift_monitor(
+        stream(), reference, "cat",
+        str(tmp_path / "rep"), str(tmp_path / "ckpt"), threshold=0.05,
+    )
+    q.awaitTermination(60)
+    drop("c1.json", ["a"] * 2 + ["zz"] * 8)
+    q2 = stream_drift_monitor(
+        stream(), reference, "cat",
+        str(tmp_path / "rep"), str(tmp_path / "ckpt"), threshold=0.05,
+    )
+    q2.awaitTermination(60)
+
+    reports = read_drift_reports(spark, str(tmp_path / "rep")).collect()
+    b0 = {r.cat: r for r in reports if r.batch_id == 0}
+    b1 = {r.cat: r for r in reports if r.batch_id == 1}
+    assert not b0["a"].drifted and not b0["b"].drifted
+    assert b1["zz"].drifted and b1["zz"].ref_n == 0  # new category flagged
+    assert b1["b"].drifted and b1["b"].cur_n == 0  # vanished category flagged
+    # lineage binding: a fresh checkpoint into the same report dir refuses
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="bound to checkpoint"):
+        stream_drift_monitor(
+            stream(), reference, "cat",
+            str(tmp_path / "rep"), str(tmp_path / "ckpt_other"),
+        )
