@@ -1313,6 +1313,122 @@ def sparse_cosine_pairs(
     )
 
 
+def persist_feature_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 8,
+    n_features: int = 1 << 20,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize a corpus's hashed-feature index as two bucketed
+    catalog tables — ``<prefix>_postings`` (id, feature_idx, tf;
+    bucketed+sorted by feature_idx) and ``<prefix>_norms`` (id, sq) —
+    the OFFLINE half of incremental text-similarity search. The
+    corpus's tokenize/hash kernels and the posting shuffle run exactly
+    once; a daily ``probe_feature_index`` then reads pre-bucketed
+    postings with no index-side Exchange and never touches corpus
+    text (the ``persist_lsh_index`` pattern, for TF-cosine search
+    instead of Jaccard dedup)."""
+    from ..functions.text import feature_hash_counts
+    from ..plans.layout import write_bucketed
+
+    fh = feature_hash_counts(
+        docs, n_features=n_features, id_col=id_col,
+        text_col=text_col, ngram=ngram,
+    )
+    write_bucketed(
+        fh,
+        f"{table_prefix}_postings",
+        ["feature_idx"],
+        n_buckets,
+        sort_cols=["feature_idx"],
+    )
+    norms = fh.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sq")
+    )
+    write_bucketed(norms, f"{table_prefix}_norms", [id_col], n_buckets)
+
+
+def probe_feature_index(
+    new_docs: DataFrame,
+    table_prefix: str,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    n_features: int = 1 << 20,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONLINE half: cosine pairs between a (small) new batch and the
+    indexed corpus → (new_id, index_id, cos), cos ≥ threshold. Only
+    the batch's own features are computed; the index side streams from
+    its bucketed posting files. ``max_df`` drops corpus-hot feature
+    buckets from candidate generation (index-side df), same
+    bias-low-never-high contract as ``sparse_cosine_pairs`` — scores
+    use FULL norms from the index's norm table. Within-batch pairs are
+    deliberately not emitted (that is ``sparse_cosine_pairs``'s job on
+    the batch alone, exactly like the LSH probe's split of concerns)."""
+    from ..functions.text import feature_hash_counts
+
+    spark = new_docs.sparkSession
+    postings = spark.table(f"{table_prefix}_postings")
+    norms_idx = spark.table(f"{table_prefix}_norms")
+    if max_df is not None:
+        df_ok = (
+            postings.groupBy("feature_idx")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("feature_idx")
+        )
+        postings = postings.join(df_ok, "feature_idx", "left_semi")
+    batch = feature_hash_counts(
+        new_docs, n_features=n_features, id_col=id_col,
+        text_col=text_col, ngram=ngram,
+    ).localCheckpoint()
+    batch_norms = batch.groupBy(id_col).agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("_sqb")
+    )
+    dots = (
+        batch.select(
+            F.col(id_col).alias("new_id"), "feature_idx",
+            F.col("tf").alias("_tfb"),
+        )
+        .join(
+            postings.select(
+                F.col(id_col).alias("index_id"), "feature_idx",
+                F.col("tf").alias("_tfi"),
+            ),
+            "feature_idx",
+        )
+        .groupBy("new_id", "index_id")
+        .agg(F.sum(F.col("_tfb") * F.col("_tfi")).alias("_dot"))
+    )
+    return (
+        dots.join(
+            batch_norms.select(F.col(id_col).alias("new_id"), "_sqb"),
+            "new_id",
+        )
+        .join(
+            norms_idx.select(
+                F.col(id_col).alias("index_id"), F.col("sq").alias("_sqi")
+            ),
+            "index_id",
+        )
+        .select(
+            "new_id",
+            "index_id",
+            (
+                F.col("_dot")
+                / (F.sqrt(F.col("_sqb")) * F.sqrt(F.col("_sqi")))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy("new_id", "index_id")
+    )
+
+
 # ------------------------------------------- cluster-scoped (SemDeDup)
 
 

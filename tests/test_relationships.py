@@ -424,3 +424,35 @@ def test_global_rank_bucket_cap(spark, docs):
             key=F.col("doc_id"),
             max_buckets=10,
         )
+
+
+def test_persisted_feature_index_probe_matches_inline(docs, spark):
+    # offline persist + online probe ≡ inline sparse cosine restricted
+    # to cross (index, batch) pairs — the incremental-search split
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        feature_hash_counts,
+    )
+
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    S.persist_feature_index(idx, "t_feat_idx", n_features=1 << 20, ngram=3)
+    try:
+        probed = {
+            (r.new_id, r.index_id): r.cos
+            for r in S.probe_feature_index(
+                new, "t_feat_idx", threshold=0.5, max_df=None
+            ).collect()
+        }
+        fh_all = feature_hash_counts(docs, n_features=1 << 20, ngram=3)
+        inline = {}
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        for r in S.sparse_cosine_pairs(fh_all, threshold=0.5).collect():
+            a_new, b_new = r.doc_a in new_ids, r.doc_b in new_ids
+            if a_new != b_new:  # cross pairs only
+                k = (r.doc_a, r.doc_b) if a_new else (r.doc_b, r.doc_a)
+                inline[k] = r.cos
+        assert probed == inline  # bit-identical scores, same pair set
+        assert len(probed) > 0  # non-vacuous at this SF
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_feat_idx_postings")
+        spark.sql("DROP TABLE IF EXISTS t_feat_idx_norms")
