@@ -1334,6 +1334,7 @@ def persist_feature_index(
     from ..functions.text import feature_hash_counts
     from ..plans.layout import write_bucketed
 
+    spark = docs.sparkSession
     fh = feature_hash_counts(
         docs, n_features=n_features, id_col=id_col,
         text_col=text_col, ngram=ngram,
@@ -1345,10 +1346,32 @@ def persist_feature_index(
         n_buckets,
         sort_cols=["feature_idx"],
     )
-    norms = fh.groupBy(id_col).agg(
+    # norms and the per-feature df derive from the postings TABLE just
+    # written, not from `fh` — a second action on the unmaterialized
+    # frame would re-execute the corpus tokenize/hash lineage (the
+    # subplan-execution lesson; review r5), where reading the bucketed
+    # files back costs one scan of the (much smaller) posting triples
+    written = spark.table(f"{table_prefix}_postings")
+    norms = written.groupBy(id_col).agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
     )
     write_bucketed(norms, f"{table_prefix}_norms", [id_col], n_buckets)
+    # df is a property of the static index — pay it once offline so
+    # probes never re-aggregate the corpus-sized posting table
+    df_tbl = written.groupBy("feature_idx").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    df_tbl.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_prefix}_df"
+    )
+    # hashing parameters are part of the index's identity: a probe
+    # with different ones hashes into a different feature space and
+    # would silently miss everything — store them for loud validation
+    spark.createDataFrame(
+        [(int(n_features), int(ngram))], "n_features long, ngram long"
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_prefix}_meta"
+    )
 
 
 def probe_feature_index(
@@ -1373,13 +1396,23 @@ def probe_feature_index(
     from ..functions.text import feature_hash_counts
 
     spark = new_docs.sparkSession
+    meta = spark.table(f"{table_prefix}_meta").first()
+    if (meta["n_features"], meta["ngram"]) != (n_features, ngram):
+        raise ValueError(
+            f"index {table_prefix} was built with n_features="
+            f"{meta['n_features']}, ngram={meta['ngram']} but the probe "
+            f"asked for n_features={n_features}, ngram={ngram} — "
+            "mismatched hashing parameters land in a different feature "
+            "space and would silently match nothing"
+        )
     postings = spark.table(f"{table_prefix}_postings")
     norms_idx = spark.table(f"{table_prefix}_norms")
     if max_df is not None:
+        # the per-feature df was persisted at index-build time — the
+        # probe's index-side work stays a pure bucketed read
         df_ok = (
-            postings.groupBy("feature_idx")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") <= max_df)
+            spark.table(f"{table_prefix}_df")
+            .filter(F.col("df") <= max_df)
             .select("feature_idx")
         )
         postings = postings.join(df_ok, "feature_idx", "left_semi")
@@ -1402,6 +1435,10 @@ def probe_feature_index(
             ),
             "feature_idx",
         )
+        # a re-probed doc whose id is already indexed must not report
+        # itself as its own near-duplicate (mirrors the doc_a < doc_b
+        # self-pair guard of the inline operator)
+        .filter(F.col("new_id") != F.col("index_id"))
         .groupBy("new_id", "index_id")
         .agg(F.sum(F.col("_tfb") * F.col("_tfi")).alias("_dot"))
     )

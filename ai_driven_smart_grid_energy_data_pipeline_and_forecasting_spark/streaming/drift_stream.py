@@ -11,10 +11,12 @@ two-halves-of-history comparison.
 Exactly-once effect: the report for batch N is a deterministic
 function of (reference, batch N contents), so a replayed batch
 rewrites its own ``batch_id=N`` partition byte-identically —
-per-partition overwrite IS the idempotency here, no pointer needed
-(contrast ``agg_stream``, whose state is cumulative). Reference rates
-are recomputed per batch from the (usually small, pre-aggregated)
-reference frame; cache it for long streams.
+per-partition replacement IS the idempotency here, no pointer needed
+(contrast ``agg_stream``, whose state is cumulative). The replacement
+is a staged-rename publish so a polling reader never sees a partition
+half-written. Reference rates are recomputed per batch from the
+(usually small, pre-aggregated) reference frame; cache it for long
+streams.
 
 Scale: per batch, two partial-agg shuffles on the category key and a
 tiny write — the monitor adds no corpus-sized state and composes with
@@ -46,10 +48,26 @@ def stream_drift_monitor(
     bind_checkpoint(report_path, checkpoint)
 
     def sink(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        # staged-rename publish: a reader polling the report dir must
+        # never see batch N's partition half-written (a missing/partial
+        # drift row is a silently muted alarm). Underscore-prefixed
+        # work dirs are invisible to parquet readers; the residual is
+        # the brief between-renames window, same as the upsert sinks
+        # (SCALE.md "Write concurrency").
         rep = categorical_drift(reference, batch, cat_col, threshold=threshold)
-        rep.write.mode("overwrite").parquet(
-            f"{report_path}/batch_id={batch_id}"
-        )
+        staged = os.path.join(report_path, "_staging", str(batch_id))
+        live = os.path.join(report_path, f"batch_id={batch_id}")
+        trash = os.path.join(report_path, "_trash", str(batch_id))
+        rep.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(trash, ignore_errors=True)
+        if os.path.exists(live):
+            os.makedirs(os.path.dirname(trash), exist_ok=True)
+            os.rename(live, trash)
+        os.rename(staged, live)
+        shutil.rmtree(trash, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -456,3 +456,29 @@ def test_persisted_feature_index_probe_matches_inline(docs, spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_feat_idx_postings")
         spark.sql("DROP TABLE IF EXISTS t_feat_idx_norms")
+
+
+def test_probe_feature_index_reprobe_and_meta_guard(spark):
+    # re-probing a doc already in the index must not report it as its
+    # own near-duplicate; mismatched hashing params must refuse loudly
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    S.persist_feature_index(docs, "t_reprobe_idx", n_features=1 << 16, ngram=3)
+    try:
+        hits = S.probe_feature_index(
+            docs, "t_reprobe_idx", threshold=0.0,
+            max_df=None, n_features=1 << 16, ngram=3,
+        ).collect()
+        assert all(r.new_id != r.index_id for r in hits)
+        with pytest.raises(ValueError, match="n_features"):
+            S.probe_feature_index(
+                docs, "t_reprobe_idx", n_features=1 << 18, ngram=3
+            )
+    finally:
+        for suffix in ("postings", "norms", "df", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS t_reprobe_idx_{suffix}")
