@@ -454,8 +454,10 @@ def test_persisted_feature_index_probe_matches_inline(docs, spark):
         assert probed == inline  # bit-identical scores, same pair set
         assert len(probed) > 0  # non-vacuous at this SF
     finally:
-        spark.sql("DROP TABLE IF EXISTS t_feat_idx_postings")
-        spark.sql("DROP TABLE IF EXISTS t_feat_idx_norms")
+        # the index is FOUR tables — dropping a subset leaves orphan
+        # warehouse locations that fail the next session's saveAsTable
+        for suffix in ("postings", "norms", "df", "meta"):
+            spark.sql(f"DROP TABLE IF EXISTS t_feat_idx_{suffix}")
 
 
 def test_probe_feature_index_reprobe_and_meta_guard(spark):
