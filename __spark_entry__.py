@@ -535,6 +535,22 @@ def q_event_type_drift(spark, sf_dir):
     )
 
 
+def q_value_drift(spark, sf_dir):
+    # Numeric-distribution drift (histogram-PSI construction): the
+    # continuous value column binned at fixed width 25, bin-frequency
+    # tables of the first 15 days vs the rest compared — floor on IEEE
+    # division keeps every checked column engine-exact
+    # (operators/drift.numeric_drift).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        numeric_drift,
+        split_at_day_boundary,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ref, cur = split_at_day_boundary(ev, "ts", 15)
+    return numeric_drift(ref, cur, "value", bin_width=25.0).orderBy("bin")
+
+
 def q_leakage_safe_split(spark, sf_dir):
     # Leakage-safe train/val/test split: the split key is the near-dup
     # COMPONENT, not the doc — near-duplicates can never straddle the
@@ -581,6 +597,16 @@ def q_leakage_safe_split(spark, sf_dir):
         )
         .crossJoin(viol)
         .orderBy("split")
+    )
+
+
+def q_doc_containment_pairs(spark, sf_dir):
+    # Directed near-containment (Broder's asymmetric resemblance):
+    # quote/excerpt detection symmetric Jaccard is blind to — a short
+    # doc living inside a long one scores containment ~1 with tiny
+    # Jaccard (operators/dedup.containment_pairs).
+    return D.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9
     )
 
 
@@ -2216,6 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_fixed": q_doc_sample_fixed,
         "dedup_corpus_best": q_dedup_corpus_best,
         "doc_curriculum": q_doc_curriculum,
+        "value_drift": q_value_drift,
+        "doc_containment_pairs": q_doc_containment_pairs,
         "session_attribution": q_session_attribution,
         "value_tier_report": q_value_tier_report,
         "semantic_dedup": q_semantic_dedup,
@@ -3401,6 +3429,39 @@ def oracle_sql() -> dict[str, str]:
                    abs(cur_rate - ref_rate) > 0.01 AS drifted
             FROM rated ORDER BY event_type
         """,
+        "value_drift": """
+            WITH b AS (
+              SELECT date_trunc('day', min(ts)) + INTERVAL 15 DAY AS boundary
+              FROM events),
+            rsel AS (
+              SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin
+              FROM events, b WHERE ts < boundary),
+            csel AS (
+              SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin
+              FROM events, b WHERE ts >= boundary),
+            rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n
+                   FROM rsel GROUP BY bin),
+            cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_n
+                   FROM csel GROUP BY bin),
+            j AS (
+              SELECT coalesce(rc.bin, cc.bin) AS bin,
+                     coalesce(ref_n, 0) AS ref_n,
+                     coalesce(cur_n, 0) AS cur_n
+              FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+            t AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+                         CAST(sum(cur_n) AS DOUBLE) AS ct FROM j),
+            rated AS (
+              SELECT bin, ref_n, cur_n,
+                     CAST(ref_n AS DOUBLE) / rt AS ref_rate,
+                     CAST(cur_n AS DOUBLE) / ct AS cur_rate
+              FROM j CROSS JOIN t)
+            SELECT bin, ref_n, cur_n, ref_rate, cur_rate,
+                   abs(cur_rate - ref_rate) AS rate_diff,
+                   ((cur_rate - ref_rate) * (cur_rate - ref_rate))
+                     / nullif(ref_rate, 0.0) AS chi2_term,
+                   abs(cur_rate - ref_rate) > 0.01 AS drifted
+            FROM rated ORDER BY bin
+        """,
         "leakage_safe_split": _cc_sql_prefix()
         + """,
             comp AS (
@@ -3434,6 +3495,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sp s CROSS JOIN viol v
             GROUP BY s.split, v.cross_split_pairs
             ORDER BY s.split
+        """,
+        "doc_containment_pairs": _SHINGLE_CTE
+        + """,
+            cand AS (
+              SELECT a.doc_id AS da, b.doc_id AS db,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM inv a JOIN inv b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY da, db),
+            dir AS (
+              SELECT da AS inner_doc, db AS outer_doc,
+                     (inter * 1.0) / sa.n AS containment
+              FROM cand JOIN sizes sa ON da = sa.doc_id
+              UNION ALL
+              SELECT db, da, (inter * 1.0) / sb.n
+              FROM cand JOIN sizes sb ON db = sb.doc_id)
+            SELECT inner_doc, outer_doc, containment
+            FROM dir WHERE containment >= 0.9
+            ORDER BY inner_doc, outer_doc
         """,
         "dedup_corpus_best": _cc_sql_prefix()
         + """,

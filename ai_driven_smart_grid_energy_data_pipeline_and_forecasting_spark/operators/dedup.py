@@ -854,6 +854,70 @@ def dedup_corpus(
     return docs.join(losers, id_col, "left_anti")
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed near-CONTAINMENT pairs: ``containment(A→B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|`` ≥ threshold —
+    the asymmetric cousin of Jaccard that symmetric dedup is blind to
+    (a short quote inside a long article has tiny Jaccard but
+    containment ≈ 1). This is the quote/excerpt/boilerplate-inclusion
+    detector (Broder 1997 introduces both resemblance and containment
+    on the same sketch machinery).
+
+    Output: (inner_doc, outer_doc, containment) — inner's shingles
+    mostly appear in outer; both directions of a pair are evaluated
+    independently. Plan: the same posting-list shape as
+    ``ngram_jaccard_pairs`` — shingle kernel once, one shuffle on the
+    shingle, one on the pair; ``max_df`` is the identical hot-shingle
+    escape, biasing containment low only.
+    """
+    sets = doc_shingle_sets(docs, text_col, n).localCheckpoint()
+    sizes = sets.select("doc_id", F.size("shs").alias("sz"))
+    inv = sets.select("doc_id", F.explode("shs").alias("s"))
+    if max_df is not None:
+        ok = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("s")
+        )
+        inv = inv.join(ok, "s", "left_semi")
+    inter = (
+        inv.select(F.col("doc_id").alias("da"), "s")
+        .join(inv.select(F.col("doc_id").alias("db"), "s"), "s")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    with_sizes = inter.join(
+        sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")),
+        "da",
+    ).join(
+        sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")),
+        "db",
+    )
+    ab = with_sizes.select(
+        F.col("da").alias("inner_doc"),
+        F.col("db").alias("outer_doc"),
+        ((F.col("inter") * F.lit(1.0)) / F.col("sza")).alias("containment"),
+    )
+    ba = with_sizes.select(
+        F.col("db").alias("inner_doc"),
+        F.col("da").alias("outer_doc"),
+        ((F.col("inter") * F.lit(1.0)) / F.col("szb")).alias("containment"),
+    )
+    return (
+        ab.unionByName(ba)
+        .filter(F.col("containment") >= threshold)
+        .orderBy("inner_doc", "outer_doc")
+    )
+
+
 def dedup_corpus_best(
     docs: DataFrame,
     pairs: DataFrame,

@@ -142,3 +142,61 @@ def window_drift(
     everything after (``split_at_day_boundary``)."""
     ref, cur = split_at_day_boundary(df, ts_col, split_days)
     return categorical_drift(ref, cur, cat_col, threshold=threshold)
+
+
+def numeric_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: float,
+    threshold: float = 0.01,
+) -> DataFrame:
+    """Distribution drift for a CONTINUOUS column: fixed-width binning
+    (``bin = floor(value / bin_width)``) reduces the numeric
+    distribution to a categorical one, then ``categorical_drift``
+    compares the bin-frequency tables — the histogram-PSI construction
+    every monitoring stack uses, kept engine-exact because floor on
+    IEEE division is deterministic (quantile-based binning would pull
+    approximate percentiles into the checked columns).
+
+    Output column ``bin`` is the bin INDEX; multiply by ``bin_width``
+    for the left edge. NULL values form their own bin row (NULL index)
+    via the null-safe category join.
+    """
+    b = lambda df: df.select(  # noqa: E731
+        F.floor(F.col(value_col) / F.lit(float(bin_width))).alias("bin")
+    )
+    return categorical_drift(b(ref), b(cur), "bin", threshold=threshold)
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema-level drift between two frames: added / removed /
+    type-changed columns → list of ``{column, status, old_type,
+    new_type}`` dicts (metadata-only — no job runs; returned as plain
+    Python because the answer is about the frames, not the data). The
+    structural complement of the value-level audits above; the
+    upsert/versioned sinks use additive evolution, so "removed" or
+    "type_changed" here is exactly what should block a blind write.
+    """
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out = []
+    for c in sorted(o.keys() | n.keys()):
+        if c not in n:
+            out.append(
+                {"column": c, "status": "removed", "old_type": o[c], "new_type": None}
+            )
+        elif c not in o:
+            out.append(
+                {"column": c, "status": "added", "old_type": None, "new_type": n[c]}
+            )
+        elif o[c] != n[c]:
+            out.append(
+                {
+                    "column": c,
+                    "status": "type_changed",
+                    "old_type": o[c],
+                    "new_type": n[c],
+                }
+            )
+    return out

@@ -130,6 +130,8 @@ HEADLINE = [
     "doc_sample_fixed",
     "dedup_corpus_best",
     "doc_curriculum",
+    "value_drift",
+    "doc_containment_pairs",
 ]
 
 

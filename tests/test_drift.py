@@ -130,3 +130,37 @@ def test_stream_drift_monitor_reports_per_batch(spark, tmp_path):
             stream(), reference, "cat",
             str(tmp_path / "rep"), str(tmp_path / "ckpt_other"),
         )
+
+
+def test_numeric_drift_bins_and_null_bin(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        numeric_drift,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 12, 13, 14]] + [(None,)],
+        "value double",
+    )
+    cur = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 22, 23, 24, 25]], "value double"
+    )
+    rows = {r.bin: r for r in numeric_drift(ref, cur, "value", 10.0).collect()}
+    assert rows[0].ref_n == 3 and rows[0].cur_n == 2
+    assert rows[1].ref_n == 3 and rows[1].cur_n == 0 and rows[1].drifted
+    assert rows[2].ref_n == 0 and rows[2].cur_n == 4 and rows[2].drifted
+    assert rows[None].ref_n == 1 and rows[None].cur_n == 0  # NULL bin kept
+
+
+def test_schema_drift_statuses(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        schema_drift,
+    )
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "a long, b string, c double")
+    new = spark.createDataFrame([(1, 2, True)], "a long, b long, d boolean")
+    got = {r["column"]: r for r in schema_drift(old, new)}
+    assert got["b"]["status"] == "type_changed" and got["b"]["new_type"] == "bigint"
+    assert got["c"]["status"] == "removed"
+    assert got["d"]["status"] == "added"
+    assert "a" not in got  # unchanged columns are not drift
+    assert schema_drift(old, old) == []

@@ -43,6 +43,8 @@ NEW_R5 = [
     "doc_sample_fixed",
     "dedup_corpus_best",
     "doc_curriculum",
+    "value_drift",
+    "doc_containment_pairs",
 ]
 
 

@@ -484,3 +484,35 @@ def test_probe_feature_index_reprobe_and_meta_guard(spark):
     finally:
         for suffix in ("postings", "norms", "df", "meta"):
             spark.sql(f"DROP TABLE IF EXISTS t_reprobe_idx_{suffix}")
+
+
+def test_containment_asymmetric_quote_detection(spark):
+    # doc 2 is a verbatim excerpt of doc 1: containment(2->1) = 1.0
+    # while Jaccard is far below any dedup threshold — the case the
+    # symmetric family is blind to
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lam mu nu xi omicron pi rho sigma tau upsilon"
+    quote = "epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [(1, long), (2, quote), (3, "unrelated words entirely different here")],
+        "doc_id long, text string",
+    )
+    rows = {(r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(docs, threshold=0.9).collect()}
+    assert rows == {(2, 1): 1.0}
+    jacc = D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jacc == []  # symmetric dedup misses the inclusion
+
+
+def test_containment_max_df_biases_low(spark):
+    docs = spark.createDataFrame(
+        [(i, "x y z common run " + f"unique{i} a{i} b{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    full = {(r.inner_doc, r.outer_doc): r.containment
+            for r in D.containment_pairs(docs, threshold=0.0).collect()}
+    capped = {(r.inner_doc, r.outer_doc): r.containment
+              for r in D.containment_pairs(docs, threshold=0.0, max_df=3).collect()}
+    assert set(capped) <= set(full)
+    for k, c in capped.items():
+        assert c <= full[k] + 1e-12
