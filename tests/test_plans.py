@@ -355,3 +355,17 @@ def test_hourly_agg_incremental_no_expand_no_bnlj_fact_side(spark):
     # out of the plan shape
     plan = _plan(spark, "hourly_agg_incremental")
     assert "Expand" not in plan, plan
+
+
+def test_containment_pairs_equi_join_no_bnlj(spark):
+    plan = _plan(spark, "doc_containment_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_curriculum_single_bucket_exchange(spark):
+    # the total-order-partitioner promise: ONE hash exchange on the
+    # bucket key + broadcast offsets, never a 1-partition global sort
+    plan = _plan(spark, "doc_curriculum")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
