@@ -197,7 +197,15 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — recheck must never cost the row
             pass
     total = round(sum(timings.values()), 4)
-    out = {
+    # Full per-query detail goes to a tracked file; the stdout line must
+    # stay compact. The driver captures only the last ~2000 chars of
+    # stdout, and at 103 queries the full map is ~2.6 KB — round 5's
+    # official record came back `parsed: null` because the JSON line was
+    # truncated mid-object. The final line therefore carries the
+    # aggregate metrics plus only the 10 slowest queries (the ones a
+    # perf reviewer acts on); everything else lives in BENCH_DETAIL.json
+    # next to this script.
+    detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
@@ -206,8 +214,33 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    worst = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "cold_total_sec": round(cold_total, 4),
+        # "queries" deliberately holds only the 10 slowest (full map in
+        # the detail file) so this line always fits the tail capture
+        "queries": worst,
+        "queries_truncated_to": 10,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(out)
+    if len(line) > 1500:  # hard guarantee: never outgrow the tail capture
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 
