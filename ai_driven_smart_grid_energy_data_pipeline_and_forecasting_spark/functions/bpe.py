@@ -85,10 +85,57 @@ def _merge_pair_kernel(left: str, right: str):
     return run
 
 
+def _train_bpe_local(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over a collected (word, n) table — the
+    classic Sennrich formulation. Bit-identical to the distributed
+    loop (same argmax, same count-desc/lexicographic tie-break, same
+    scan-after-merge rewrite rule); property-tested equal in
+    ``tests/test_training_ops.py``."""
+    vocab = [(list(w), n) for w, n in words]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        # max by (count desc, pair lexicographic asc) — the exact
+        # ordering the distributed orderBy(desc(cnt), l, r) applies
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < 2:
+            break
+        merges.append((left, right, cnt))
+        for idx, (syms, n) in enumerate(vocab):
+            if len(syms) < 2:
+                continue
+            merged = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[idx] = (merged, n)
+    return merges
+
+
 def train_bpe_merges(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    driver_threshold: int = 200_000,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges over the corpus; returns the merge
     table [(left, right, pair_count), ...] in learned order. Stops
@@ -96,8 +143,17 @@ def train_bpe_merges(
     exhausted. Deterministic: ties break lexicographically, no RNG.
 
     The returned table is the driver-side artifact a tokenizer ships;
-    it is ``n_merges`` rows — never corpus-sized. Each iteration
-    collects exactly ONE row (the argmax pair).
+    it is ``n_merges`` rows — never corpus-sized.
+
+    Two execution modes, auto-selected like ``connected_components``'
+    union-find cutover: the corpus-scale pass (word_freq_table) always
+    runs in Spark, but the ITERATIVE loop only operates on the
+    word-frequency table, whose size is bounded by the distinct-word
+    count (and in production trainers is top-K-capped in front). When
+    that table fits the driver (≤ ``driver_threshold`` rows) the loop
+    runs locally — 10 sequential Spark jobs collapse to one collect —
+    and both paths produce the identical merge table. Set
+    ``driver_threshold=0`` to force the distributed loop.
     """
     vocab = word_freq_table(docs, text_col).withColumn(
         # chars; split matches at end-of-string too, so drop the
@@ -105,6 +161,10 @@ def train_bpe_merges(
         "syms", F.array_remove(F.split(F.col("word"), "(?!^)"), "")
     )
     vocab = vocab.localCheckpoint(eager=True)
+
+    if driver_threshold > 0 and vocab.count() <= driver_threshold:
+        rows = vocab.select("word", "n").collect()
+        return _train_bpe_local([(r["word"], r["n"]) for r in rows], n_merges)
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -155,33 +215,53 @@ def apply_bpe(
     order = [(left, right) for left, right, _ in merges]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Corpora repeat words heavily (Zipf), so the merge replay is
+        # memoized per DISTINCT word for the task's lifetime — the
+        # dominant cost drops from per-occurrence to per-type. The
+        # cache is str→int and capped so task memory stays bounded on
+        # adversarial corpora (past the cap, rare words just replay).
+        cache: dict[str, int] = {}
+        cache_cap = 1_000_000
+
+        def count_tokens(w: str) -> int:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for left, right in order:
+                if len(syms) < 2:
+                    break
+                # symbols are always contiguous substrings of w, so a
+                # merge can only ever apply if left+right occurs in w
+                if left + right not in w:
+                    continue
+                merged = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                syms = merged
+            n = len(syms)
+            if len(cache) < cache_cap:
+                cache[w] = n
+            return n
+
         for pdf in batches:
             ids, n_words, n_tokens = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 words = ("" if text is None else text).strip(" ").split(" ")
                 words = [w for w in words if w]
-                total = 0
-                for w in words:
-                    syms = list(w)
-                    for left, right in order:
-                        merged = []
-                        i = 0
-                        while i < len(syms):
-                            if (
-                                i + 1 < len(syms)
-                                and syms[i] == left
-                                and syms[i + 1] == right
-                            ):
-                                merged.append(left + right)
-                                i += 2
-                            else:
-                                merged.append(syms[i])
-                                i += 1
-                        syms = merged
-                    total += len(syms)
                 ids.append(doc_id)
                 n_words.append(len(words))
-                n_tokens.append(total)
+                n_tokens.append(sum(count_tokens(w) for w in words))
             yield pd.DataFrame(
                 {id_col: ids, "n_words": n_words, "n_tokens": n_tokens}
             )

@@ -730,6 +730,23 @@ def test_bpe_deterministic_and_monotone(spark):
     assert t0 > t3 > t5  # each merge strictly reduces corpus tokens
 
 
+def test_bpe_local_and_distributed_paths_identical(spark):
+    # the driver-threshold cutover (like connected_components' auto
+    # union-find) must be invisible: both loops learn the exact same
+    # merge table, tie-breaks included
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.bpe import (
+        train_bpe_merges,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    local = train_bpe_merges(docs, n_merges=6)  # default: driver path
+    dist = train_bpe_merges(docs, n_merges=6, driver_threshold=0)
+    assert local == dist and len(local) == 6
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
         chunk_documents,
