@@ -202,18 +202,40 @@ def global_rank(
     Use case: curriculum ordering (rank a corpus by quality before
     packing), leaderboards, exact percentile assignment.
     """
+    from pyspark.sql import types as T
+
+    def _key_invalid(c: Column, dtype: T.DataType) -> Column:
+        # NULL/NaN anywhere in the key — including INSIDE struct
+        # fields: a non-null struct with a NULL field would pass a
+        # bare isNull() and then poison the ordering comparisons
+        out = c.isNull()
+        if isinstance(dtype, T.StructType):
+            for fld in dtype.fields:
+                out = out | _key_invalid(c[fld.name], fld.dataType)
+        elif isinstance(dtype, (T.DoubleType, T.FloatType)):
+            out = out | F.isnan(c)
+        return out
+
     with_b = df.withColumn("_gb", bucket).withColumn("_gk", key)
-    per_bucket = (
-        with_b.groupBy("_gb")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(F.col("_gk").isNull().cast("long")).alias("_null_keys"),
-            F.min("_gk").alias("_lo"),
-            F.max("_gk").alias("_hi"),
-        )
-        .orderBy("_gb")
+    ktype = with_b.schema["_gk"].dataType
+    per_bucket = with_b.groupBy("_gb").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            _key_invalid(F.col("_gk"), ktype).cast("long")
+        ).alias("_bad_keys"),
+        F.min("_gk").alias("_lo"),
+        F.max("_gk").alias("_hi"),
     )
-    rows = per_bucket.limit(max_buckets + 1).collect()
+    # The envelope-overlap audit runs IN Spark (lead() over the tiny
+    # bucket table) so the comparison uses Spark's own ordering
+    # semantics — a driver-side Python `<=` on collected Rows disagrees
+    # with Spark for struct keys (Row tuples) and raises bare
+    # TypeErrors on mixed-null fields. Single-partition window is fine:
+    # the frame is capped at max_buckets rows.
+    env = per_bucket.withColumn(
+        "_next_lo", F.lead("_lo").over(Window.orderBy("_gb"))
+    ).withColumn("_overlap", F.col("_hi") > F.col("_next_lo"))
+    rows = env.orderBy("_gb").limit(max_buckets + 1).collect()
     if len(rows) > max_buckets:
         raise ValueError(
             f"global_rank bucket expression produced more than "
@@ -221,7 +243,7 @@ def global_rank(
             "a driver-checked object and must stay tiny)"
         )
     # NULL buckets would silently vanish in the equi-join below and
-    # NULL keys have no place in a total order — refuse both loudly
+    # NULL/NaN keys have no place in a total order — refuse both loudly
     # (the operator's one forbidden failure mode is silent wrongness)
     for r in rows:
         if r["_gb"] is None:
@@ -230,28 +252,27 @@ def global_rank(
                 "row(s) — a NULL bucket has no rank position; filter or "
                 "coalesce those rows first"
             )
-        if r["_null_keys"]:
+        if r["_bad_keys"]:
             raise ValueError(
-                f"global_rank key is NULL for {r['_null_keys']} row(s) "
-                f"in bucket {r['_gb']} — NULLs have no place in a total "
-                "order; filter or coalesce them first"
+                f"global_rank key is NULL or NaN for {r['_bad_keys']} "
+                f"row(s) in bucket {r['_gb']} (struct keys: any field) "
+                "— neither admits a total order; filter or coalesce "
+                "them first"
             )
-    for prev, cur in zip(rows, rows[1:]):
-        if not (prev["_hi"] <= cur["_lo"]):
+    for r in rows:
+        if r["_overlap"]:
             raise ValueError(
                 "global_rank bucket expression is not monotone in the "
-                f"requested order: bucket {prev['_gb']} envelope "
-                f"{prev['_hi']} overlaps bucket {cur['_gb']} envelope "
-                f"{cur['_lo']} — ranks would interleave across buckets "
-                "(NaN key values also trip this check: NaN admits no "
-                "total order either — clean them first)"
+                f"requested order: bucket {r['_gb']} envelope max "
+                f"{r['_hi']} exceeds the next bucket's min "
+                f"{r['_next_lo']} — ranks would interleave across "
+                "buckets"
             )
     offsets = []
     acc = 0
     for r in rows:
         offsets.append((r["_gb"], acc))
         acc += r["_n"]
-    from pyspark.sql import types as T
 
     off_df = df.sparkSession.createDataFrame(
         offsets,

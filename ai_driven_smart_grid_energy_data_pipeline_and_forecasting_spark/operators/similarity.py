@@ -898,9 +898,18 @@ def pq_codebooks(
         model = KMeans(
             k=n_codes, maxIter=max_iter, seed=seed + j, featuresCol="features"
         ).fit(sub)
-        books[j] = np.stack(
+        centers = np.stack(
             [np.asarray(c) for c in model.clusterCenters()]
         ).astype(np.float64)
+        if centers.shape[0] < n_codes:
+            # KMeans can converge to fewer than k distinct centers on
+            # small or duplicate-heavy corpora; pad the missing slots
+            # with the deterministic head codewords so the codebook
+            # keeps its (n_codes, dsub) contract — a padded codeword at
+            # worst goes unused by the nearest-code assignment
+            pad = books[j][centers.shape[0] - n_codes :]
+            centers = np.concatenate([centers, pad], axis=0)
+        books[j] = centers
     return books
 
 

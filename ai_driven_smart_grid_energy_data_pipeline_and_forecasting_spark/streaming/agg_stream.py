@@ -103,6 +103,15 @@ def _apply_batch(
     Factored out of the sink so crash/replay paths are unit-testable."""
     spark = batch.sparkSession
     vdir = os.path.join(state_path, f"v{batch_id}")
+    # a committed pointer at or past this batch id proves the batch is
+    # already folded into the state — the authoritative replay check.
+    # (Relying on _SUCCESS alone is not enough: with a committer that
+    # skips the marker, or a cleanup tool that deleted it, a replay
+    # after the pointer flip would recompute with prev = the
+    # already-merged v<batch_id> snapshot and double-count the batch.)
+    cur = _latest_version(state_path)
+    if cur is not None and cur >= batch_id:
+        return
     # a complete snapshot carries _SUCCESS; a dir without it is a
     # crashed partial write — recompute (mode=overwrite replaces it)
     if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
@@ -113,7 +122,9 @@ def _apply_batch(
         )
         merged.write.mode("overwrite").parquet(vdir)
     # monotone pointer flip — also completes a crash that died
-    # between snapshot write and flip (replay rolls it forward)
+    # between snapshot write and flip (replay rolls it forward).
+    # Re-read the pointer: the merge above may have taken time and the
+    # skip-if-committed contract keys off the committed value.
     cur = _latest_version(state_path)
     if cur is None or cur < batch_id:
         tmp = os.path.join(state_path, f"{_POINTER}.tmp{batch_id}")

@@ -238,6 +238,36 @@ def test_stream_state_crash_between_write_and_flip_rolls_forward(spark, tmp_path
     assert rows[0].n == 1 and rows[0].sum_value == 1.0
 
 
+def test_stream_state_replay_after_commit_without_success_marker(
+    spark, tmp_path
+):
+    # replay AFTER the pointer flip, with the _SUCCESS marker gone
+    # (committer configured with marksuccessfuljobs=false, or a cleanup
+    # tool removed it): the committed pointer alone must prove the
+    # batch is folded in — recomputing here would merge prev (already
+    # containing the batch) with the batch again and double-count
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        _apply_batch,
+        read_state,
+        stream_aggregate_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    _drop_events(drop, "c1.json", [{"k": "a", "value": 1.0, "uid": 1}])
+    q = stream_aggregate_state(
+        _read_stream(spark, drop), state, str(tmp_path / "ckpt"), ["k"], "value"
+    )
+    q.awaitTermination(60)
+    os.remove(os.path.join(state, "v0", "_SUCCESS"))
+    batch = spark.read.schema("k string, value double, uid long").json(drop)
+    _apply_batch(batch, 0, state, ["k"], "value")
+    rows = finalize_state(read_state(spark, state), ["k"]).collect()
+    assert rows[0].n == 1 and rows[0].sum_value == 1.0
+
+
 def test_vacuum_state_keeps_pointer_and_recent(spark, tmp_path):
     import os
 

@@ -266,6 +266,26 @@ def test_pq_trained_codebooks_shape(emb):
     assert out.count() == 6
 
 
+def test_pq_trained_codebooks_pad_collapsed_centers(spark):
+    # a duplicate-heavy corpus collapses KMeans to < n_codes distinct
+    # centers; the codebook must keep its (m, n_codes, dsub) contract
+    # by padding with the deterministic head codewords
+    vecs = [
+        (i, [1.0 if j == (i % 2) else 0.0 for j in range(64)])
+        for i in range(32)
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    import numpy as np
+
+    books = S.pq_codebooks(
+        emb, m=8, n_codes=16, train=True, max_iter=2
+    )
+    assert books.shape == (8, 16, 8)
+    assert np.isfinite(books).all()
+
+
 def test_ivfadc_topk_shape_and_determinism(emb):
     out = S.ivfadc_topk(emb, F.col("vec_id") < 4, k=5)
     rows = out.collect()
