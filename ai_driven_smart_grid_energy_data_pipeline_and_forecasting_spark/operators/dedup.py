@@ -1116,6 +1116,31 @@ def persist_lsh_index(
     )
 
 
+def append_lsh_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Fold new documents into a persisted LSH index: appends their
+    bands/shingle-sets to the two bucketed tables ``persist_lsh_index``
+    wrote (same bucket spec, so appended files land pre-hashed and the
+    probe's no-Exchange property is preserved). The incremental-growth
+    half of streaming near-dup dedup: probe-then-append per micro-batch
+    keeps the index covering the full ingested corpus with per-batch
+    (not corpus-wide) kernel cost. Caller owns replay idempotency
+    (``stream_clean_documents`` keys appends by batch id)."""
+    bands = _lsh_bands(docs, text_col, n)
+    bands.write.format("parquet").mode("append").bucketBy(
+        n_buckets, "bh"
+    ).sortBy("bh").saveAsTable(f"{table_prefix}_bands")
+    sets = doc_shingle_sets(docs, text_col, n)
+    sets.write.format("parquet").mode("append").bucketBy(
+        n_buckets, "doc_id"
+    ).saveAsTable(f"{table_prefix}_sets")
+
+
 def probe_lsh_index(
     new_docs: DataFrame,
     table_prefix: str,

@@ -1264,6 +1264,19 @@ def sparse_cosine_pairs(
     collision bucket, exactly what you want out of candidates at
     100 TB). The threshold filter needs dot > 0 pairs only, which the
     join produces by construction.
+
+    Two candidate-reduction variants were benched at sf0.1 (r6) and
+    REJECTED — keep the lean plan unless the corpus shape changes:
+    (1) the Bayardo-style length/max-weight filter
+    (dot ≤ min(‖a‖₁·maxtf(b), ‖b‖₁·maxtf(a)) attached to posting rows)
+    pruned only 4.4% of pair-rows on this homogeneous-length corpus
+    while the stats-attach join and wider _f shuffle cost 3.8 s →
+    5.1 s; (2) a single-shuffle ``groupBy(_f).collect_list`` +
+    nested-``transform`` pair generation halves the shuffle bytes but
+    the higher-order-function lambdas execute interpreted (no codegen)
+    and measured 3.8 s → 4.6 s. The quadratic-in-df candidate volume
+    itself is inherent to exact all-pairs cosine; ``max_df`` is the
+    documented escape.
     """
     # Materialize the triple projection ONCE: `triples` usually carries
     # a tokenize/explode/aggregate lineage, and four consumers read it

@@ -16,10 +16,13 @@ bronze weather path (``ingest_stream.py``):
   resolves inside the one partition the merge rewrites (a key that
   crossed partitions would leave stale rows in the untouched ones);
   replaying a shard is an observable no-op (exactly-once effect);
-  cross-shard near-dup dedup stays an offline compaction job (the
-  batch dedup family) — streaming state for corpus-wide MinHash would
-  grow unboundedly, the standard reason production pipelines split
-  online-scrub from offline-dedup.
+- cross-shard NEAR-dup dedup: corpus-wide MinHash state in the stream
+  itself would grow unboundedly (the standard reason production
+  pipelines split online-scrub from offline-dedup) — instead, pass
+  ``lsh_index_prefix`` and each batch probes the PERSISTED bucketed
+  LSH index (``operators.dedup.persist_lsh_index``) and appends its
+  survivors back, so batch N+1 drops near-dups of everything ingested
+  through batch N while stream-side state stays O(batch).
 """
 
 from __future__ import annotations
@@ -71,18 +74,42 @@ def stream_clean_documents(
     stream: DataFrame,
     out_path: str,
     checkpoint_dir: str,
+    lsh_index_prefix: str | None = None,
+    near_threshold: float = 0.5,
 ) -> StreamingQuery:
     """document stream → scrub → per-batch fingerprint dedup →
+    (optional) near-dup probe against a persisted LSH index →
     idempotent keyed upsert. Partitioned by source (the natural
     domain-shard at scale); the merge key is (source, doc_id) so the
     key prefix IS the partition key — merge_upsert prunes to touched
     partitions, and a key that didn't determine its partition could
-    silently duplicate across them."""
+    silently duplicate across them.
+
+    ``lsh_index_prefix`` closes the cross-batch near-dup gap WITHOUT
+    unbounded stream state: each micro-batch is probed against the
+    bucketed index tables ``persist_lsh_index`` wrote (index-side:
+    pre-hashed file reads, zero kernels, zero Exchange), survivors are
+    upserted, and their bands/shingles are appended back to the index
+    (``append_lsh_index``) so the NEXT batch sees them. Corpus-wide
+    state lives in the index tables on disk — per-batch memory stays
+    O(batch). Replayed batches skip the append via a batch-id marker
+    under the checkpoint dir (and their docs, already indexed, probe as
+    near-dups of themselves — the keyed upsert makes that a no-op, so
+    the replay is output-idempotent end to end)."""
+    import os
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         cleaned = clean_documents(batch).dropDuplicates(["fingerprint"])
+        if lsh_index_prefix is not None:
+            from ..operators.dedup import probe_lsh_index
+
+            # two consumers (upsert + index append) — pin the probe
+            # result so the band join doesn't re-execute per consumer
+            cleaned = probe_lsh_index(
+                cleaned, lsh_index_prefix, threshold=near_threshold
+            ).localCheckpoint()
         merge_upsert(
             batch.sparkSession,
             out_path,
@@ -91,6 +118,24 @@ def stream_clean_documents(
             order_col="batch_seq",
             partition_by=("source",),
         )
+        if lsh_index_prefix is not None:
+            from ..operators.dedup import append_lsh_index
+
+            # index append runs AFTER the upsert: a crash between the
+            # two replays as probe(drops pre-indexed docs) → keyed
+            # upsert no-op → append of the (now empty) survivor set —
+            # appending BEFORE the upsert would instead drop the whole
+            # batch on replay with its rows never landed. The marker
+            # only guards the append against full-batch re-delivery.
+            marker_dir = os.path.join(checkpoint_dir, "_lsh_applied")
+            marker = os.path.join(marker_dir, str(batch_id))
+            if not os.path.exists(marker):
+                append_lsh_index(
+                    cleaned.select("doc_id", "text"), lsh_index_prefix
+                )
+                os.makedirs(marker_dir, exist_ok=True)
+                with open(marker, "w") as fh:
+                    fh.write("")
 
     return (
         stream.writeStream.foreachBatch(sink)
