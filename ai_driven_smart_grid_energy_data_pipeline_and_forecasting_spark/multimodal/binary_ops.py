@@ -210,17 +210,193 @@ def pgm_decode(content: bytes) -> tuple[int, int, list[list[int]]]:
     ]
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def png_encode(
+    rows: list[list[tuple[int, int, int]]], filter_type: int = 0
+) -> bytes:
+    """RGB rows (top-down) → non-interlaced 8-bit truecolor PNG bytes
+    (pure stdlib: ``zlib`` for the IDAT deflate stream, ``struct`` for
+    chunk framing). ``filter_type`` applies one of the five scanline
+    filters (0=None 1=Sub 2=Up 3=Average 4=Paeth) to every line —
+    pixel-identical output either way; exposed so tests can roundtrip
+    every de-filter path in ``png_decode``."""
+    import struct
+    import zlib
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    raw = bytearray()
+    prev = bytearray(w * 3)
+    for row in rows:
+        line = bytearray(c for px in row for c in px)
+        raw.append(filter_type)
+        for x in range(len(line)):
+            a = line[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if filter_type == 0:
+                v = line[x]
+            elif filter_type == 1:
+                v = line[x] - a
+            elif filter_type == 2:
+                v = line[x] - b
+            elif filter_type == 3:
+                v = line[x] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pr
+            raw.append(v & 255)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(
+    content: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Non-interlaced 8-bit grayscale/RGB/RGBA PNG bytes → (width,
+    height, RGB rows top-down). All five scanline filters (None, Sub,
+    Up, Average, Paeth) are de-filtered per the spec; grayscale
+    replicates into the three channels and RGBA's alpha is dropped
+    (features and resize operate on color planes). Anything outside
+    this profile — 16-bit, palette, interlaced — raises ``ValueError``
+    so callers fall back to the stub boundary."""
+    import struct
+    import zlib
+
+    b = bytes(content)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, i)
+        i += 8
+        data = b[i : i + ln]
+        i += ln + 4  # skip CRC (payload integrity is the transport's job)
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("missing PNG IHDR")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or ctype not in (0, 2, 6) or comp or filt or inter:
+        raise ValueError(
+            "unsupported PNG profile (need non-interlaced 8-bit "
+            "grayscale/RGB/RGBA)"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    prev = bytearray(stride)
+    rows: list[list[tuple[int, int, int]]] = []
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += stride + 1
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 255
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 255
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                c = prev[x - ch] if x >= ch else 0
+                up = prev[x]
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                line[x] = (line[x] + pr) & 255
+        elif f != 0:
+            raise ValueError(f"bad PNG scanline filter {f}")
+        prev = line
+        if ctype == 0:
+            rows.append([(v, v, v) for v in line])
+        elif ctype == 2:
+            rows.append(
+                [tuple(line[3 * x : 3 * x + 3]) for x in range(w)]
+            )
+        else:
+            rows.append(
+                [tuple(line[4 * x : 4 * x + 3]) for x in range(w)]
+            )
+    return w, h, rows
+
+
+def _rgb_features(
+    w: int, h: int, rows: list[list[tuple[int, int, int]]]
+) -> list[float]:
+    """Shared image-feature shape for the real RGB decoders (BMP, PNG):
+    [width, height, n_pixels, mean_r, mean_g, mean_b, mean_luma,
+    aspect]."""
+    n = max(w * h, 1)
+    sr = sum(p[0] for row in rows for p in row)
+    sg = sum(p[1] for row in rows for p in row)
+    sb = sum(p[2] for row in rows for p in row)
+    mr, mg, mb = sr / n, sg / n, sb / n
+    return [
+        float(w),
+        float(h),
+        float(w * h),
+        mr,
+        mg,
+        mb,
+        0.299 * mr + 0.587 * mg + 0.114 * mb,
+        w / max(h, 1),
+    ]
+
+
 def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float]:
-    """Codec boundary. Three formats decode for REAL with pure stdlib:
+    """Codec boundary. Four formats decode for REAL with pure stdlib:
     uncompressed 24-bit BMP (``bmp_decode``; features [width, height,
-    n_pixels, mean_r, mean_g, mean_b, mean_luma, aspect]), binary PGM
-    P5 (``pgm_decode``; same shape with the gray mean in all three
-    channel slots) and 16-bit PCM WAV (``wav_decode``; features
-    [n_samples, framerate, duration_s, mean_abs, rms, peak,
+    n_pixels, mean_r, mean_g, mean_b, mean_luma, aspect]),
+    non-interlaced 8-bit PNG (``png_decode`` — a COMPRESSED format on
+    the real byte path, deflate via stdlib ``zlib``; same feature
+    shape), binary PGM P5 (``pgm_decode``; same shape with the gray
+    mean in all three channel slots) and 16-bit PCM WAV (``wav_decode``;
+    features [n_samples, framerate, duration_s, mean_abs, rms, peak,
     zero_crossing_rate, n_channels]). Other formats need PIL/libav,
     absent in this container, so they raise — and ``fake=True``
     produces deterministic byte-derived pseudo-features with the same
     shape the real decoder would emit."""
+    if not fake and content is not None and bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
+        return _rgb_features(*png_decode(bytes(content)))
     if not fake and content is not None and bytes(content[:2]) == b"P5":
         w, h, grows = pgm_decode(bytes(content))
         n = max(w * h, 1)
@@ -250,28 +426,13 @@ def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float
             float(n_ch),
         ]
     if not fake and content is not None and bytes(content[:2]) == b"BM":
-        w, h, rows = bmp_decode(bytes(content))
-        n = max(w * h, 1)
-        sr = sum(p[0] for row in rows for p in row)
-        sg = sum(p[1] for row in rows for p in row)
-        sb = sum(p[2] for row in rows for p in row)
-        mr, mg, mb = sr / n, sg / n, sb / n
-        return [
-            float(w),
-            float(h),
-            float(w * h),
-            mr,
-            mg,
-            mb,
-            0.299 * mr + 0.587 * mg + 0.114 * mb,
-            w / max(h, 1),
-        ]
+        return _rgb_features(*bmp_decode(bytes(content)))
     if not fake:
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP, binary P5 PGM and 16-bit PCM "
-            "WAV decode natively; other media codecs are not available "
-            "in this environment — pass fake=True for deterministic "
-            "pseudo-features"
+            "only uncompressed 24-bit BMP, non-interlaced 8-bit PNG, "
+            "binary P5 PGM and 16-bit PCM WAV decode natively; other "
+            "media codecs are not available in this environment — pass "
+            "fake=True for deterministic pseudo-features"
         )
     if content is None:
         return [0.0] * FEATURE_DIM
@@ -339,12 +500,20 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 def resize_stub(
     content: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """Resize codec boundary. Uncompressed 24-bit BMP and binary P5 PGM
-    resize for REAL (nearest-neighbor resample through their pure-stdlib
-    decode/encode pairs); other formats would need PIL/libvips, absent
-    here, so they raise. The fake path emits a deterministic byte
-    payload sized proportionally to the target area so size accounting
-    is testable."""
+    """Resize codec boundary. Uncompressed 24-bit BMP, non-interlaced
+    8-bit PNG and binary P5 PGM resize for REAL (nearest-neighbor
+    resample through their pure-stdlib decode/encode pairs; PNG
+    re-encodes as truecolor RGB — RGBA alpha is dropped, grayscale is
+    replicated); other formats would need PIL/libvips, absent here, so
+    they raise. The fake path emits a deterministic byte payload sized
+    proportionally to the target area so size accounting is testable."""
+    if not fake and content is not None and bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
+        sw, sh, rows = png_decode(bytes(content))
+        out = [
+            [rows[y * sh // height][x * sw // width] for x in range(width)]
+            for y in range(height)
+        ]
+        return png_encode(out)
     if not fake and content is not None and bytes(content[:2]) == b"BM":
         sw, sh, rows = bmp_decode(bytes(content))
         out = [
@@ -361,9 +530,10 @@ def resize_stub(
         return pgm_encode(gout)
     if not fake:
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP and binary P5 PGM resize "
-            "natively; other image codecs are not available in this "
-            "environment — pass fake=True for deterministic pseudo-resize"
+            "only uncompressed 24-bit BMP, non-interlaced 8-bit PNG and "
+            "binary P5 PGM resize natively; other image codecs are not "
+            "available in this environment — pass fake=True for "
+            "deterministic pseudo-resize"
         )
     if content is None:
         return b""

@@ -41,8 +41,14 @@ from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import (  #
 import __spark_entry__ as entry_mod  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-OUT = "/tmp/scale_probe/sf0.5"
+# --copies N sets the replication factor (default 5); --queries a,b,c
+# restricts the measured set (r6: the 25x follow-up on the five
+# worst-slope queries — two doublings expose super-linear terms a
+# single 5x step hides)
 COPIES = 5
+if "--copies" in sys.argv:
+    COPIES = int(sys.argv[sys.argv.index("--copies") + 1])
+OUT = f"/tmp/scale_probe/sf{0.1 * COPIES:g}"
 
 PROBE_QUERIES = [
     "pricing_summary",
@@ -185,6 +191,10 @@ def generate(spark) -> None:
 
 def measure(spark) -> None:
     queries = entry_mod.queries()
+    probe = PROBE_QUERIES
+    if "--queries" in sys.argv:
+        want = sys.argv[sys.argv.index("--queries") + 1].split(",")
+        probe = [q for q in probe if q in want] or want
     # warmups (same rationale as bench.py)
     queries["summary_events"](spark, BASE).collect()
     spark.range(2048).mapInPandas(lambda it: it, "id long").count()
@@ -194,8 +204,8 @@ def measure(spark) -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    print(f"{'query':28s} {'t_sf0.1':>8s} {'t_sf0.5':>8s} {'slope':>6s}  (ideal <= 5.0)")
-    for name in PROBE_QUERIES:
+    print(f"{'query':28s} {'t_1x':>8s} {'t_{COPIES}x':>8s} {'slope':>6s}  (ideal <= {COPIES}.0)")
+    for name in probe:
         t1 = min(run_once(name, BASE), run_once(name, BASE))
         t5 = min(run_once(name, OUT), run_once(name, OUT))
         print(f"{name:28s} {t1:8.2f} {t5:8.2f} {t5 / t1:6.2f}")

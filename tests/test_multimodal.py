@@ -241,3 +241,100 @@ def test_pgm_resize_real_pixels(spark):
     # nearest-neighbor: (0,0)->(0,0), (1,0)->x=2, (0,1)->y=2, (1,1)->(2,2)
     assert (w, h) == (2, 2)
     assert got == [[rows[0][0], rows[0][2]], [rows[2][0], rows[2][2]]]
+
+
+def test_png_roundtrip_all_filters_pixel_exact():
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        png_decode,
+        png_encode,
+    )
+
+    rows = [
+        [(10 * x + y, 255 - 10 * x, (37 * x * y) % 256) for x in range(5)]
+        for y in range(4)
+    ]
+    for f in range(5):  # None, Sub, Up, Average, Paeth
+        w, h, back = png_decode(png_encode(rows, filter_type=f))
+        assert (w, h) == (5, 4) and back == rows, f"filter {f}"
+
+
+def test_png_grayscale_and_rgba_profiles_decode():
+    # hand-rolled IHDR/IDAT streams for the two non-truecolor profiles
+    import struct
+    import zlib
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        _png_chunk,
+        png_decode,
+    )
+
+    def build(w, h, ctype, raster):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raster))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    gray = build(3, 2, 0, b"\x00" + bytes([0, 128, 255]) + b"\x00" + bytes([1, 2, 3]))
+    w, h, rows = png_decode(gray)
+    assert (w, h) == (3, 2)
+    assert rows[0] == [(0, 0, 0), (128, 128, 128), (255, 255, 255)]
+
+    rgba = build(
+        2, 1, 6, b"\x00" + bytes([9, 8, 7, 255, 1, 2, 3, 0])
+    )
+    assert png_decode(rgba)[2] == [[(9, 8, 7), (1, 2, 3)]]
+
+
+def test_png_rejects_unsupported_profiles():
+    import struct
+    import zlib
+
+    import pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        _png_chunk,
+        png_decode,
+    )
+
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all....")
+    # 16-bit depth refused
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        png_decode(bad)
+
+
+def test_png_through_spark_kernels(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        extract_features,
+        png_decode,
+        png_encode,
+        resize_images,
+    )
+
+    rows = [
+        [((x * 40) % 256, (y * 60) % 256, 77) for x in range(4)]
+        for y in range(4)
+    ]
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png_encode(rows, filter_type=4)))],
+        "media_id long, modality string, content binary",
+    )
+    feats = extract_features(media, fake=False).collect()[0].features
+    n = 16
+    mr = sum(p[0] for r in rows for p in r) / n
+    assert feats[:3] == [4.0, 4.0, 16.0] and abs(feats[3] - mr) < 1e-12
+
+    out = resize_images(media, width=2, height=2, fake=False).collect()[0]
+    w, h, got = png_decode(bytes(out.content))
+    assert (w, h) == (2, 2)
+    assert got == [[rows[0][0], rows[0][2]], [rows[2][0], rows[2][2]]]
