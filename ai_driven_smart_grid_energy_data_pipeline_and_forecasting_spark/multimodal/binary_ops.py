@@ -582,3 +582,64 @@ def resize_images(
     return media.filter(F.col("modality") == "image").select(
         "media_id", "modality", "content"
     ).mapInPandas(run, out_schema)
+
+
+def codec_roundtrip_audit(
+    docs: DataFrame, n_docs: int = 32, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Oracle-checkable proof of the REAL PNG byte path: for each doc id
+    a deterministic md5-derived grayscale raster is PNG-encoded
+    (Paeth-filtered, zlib-deflated), decoded back through
+    ``decode_stub``'s real branch, and the DECODED pixel mean is
+    emitted — (doc_id, width, height, mean_px).
+
+    Because pixel i of doc d is ``h32("px_<d>_<i>") mod 256`` (the
+    repo's engine-portable md5 hash), a SQL oracle can compute the
+    exact expected means WITHOUT any codec: a hash match therefore
+    certifies encode → deflate → inflate → de-filter → feature
+    extraction end to end, pixel-exactly, inside the standard
+    correctness gate — the codec analog of ``sketch_accuracy_audit``.
+    Per-row independent work, no shuffle; one Arrow batch of rasters
+    in memory per task."""
+    import hashlib
+
+    n_px = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = [
+                    int(
+                        hashlib.md5(f"px_{d}_{i}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % 256
+                    for i in range(n_px)
+                ]
+                rows = [
+                    [(v, v, v) for v in px[y * width : (y + 1) * width]]
+                    for y in range(height)
+                ]
+                feats = decode_stub(
+                    png_encode(rows, filter_type=4), "image"
+                )
+                assert feats[0] == width and feats[1] == height
+                ids.append(d)
+                means.append(feats[3])
+            yield pd.DataFrame({"doc_id": ids, "mean_px": means})
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .distinct()
+        .mapInPandas(run, "doc_id long, mean_px double")
+        .select(
+            "doc_id",
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            "mean_px",
+        )
+        .orderBy("doc_id")
+    )

@@ -292,3 +292,99 @@ def global_rank(
         )
         .drop("_gb", "_gk", "_off")
     )
+
+
+def winsorized_stats(
+    df: DataFrame, key_col: str, value_col: str, p: float = 0.01
+) -> DataFrame:
+    """Per-key winsorization audit: clamp ``value_col`` to its per-key
+    [p, 1-p] order statistics and report the bounds plus the clamped
+    mean — the outlier-taming pass a feature pipeline runs before
+    normalization.
+
+    The bounds are DISCRETE order statistics (the rank-⌈p·n⌉ smallest
+    value), not interpolated percentiles: interpolation formulas
+    differ across engines in the last ulp ((1-g)·lo + g·hi vs
+    lo + g·(hi-lo)), while "the value at rank r" is engine-independent
+    — which keeps this operator hash-exact against the SQL oracle.
+
+    Plan: one per-key window sort ranks the values (skew ceiling =
+    hottest key, the ``value_percentiles`` trade), a tiny per-key
+    bounds table comes back via broadcast, and the clamped aggregate is
+    a partial-agg groupBy. Ties sort by value only — equal values make
+    rank order among them arbitrary but the VALUE at any rank is still
+    deterministic, which is all the bounds read.
+    """
+    vals = df.select(key_col, value_col).where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(value_col)
+    ranked = vals.withColumn("_rn", F.row_number().over(w))
+    counts = vals.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    lo_rank = F.greatest(F.ceil(F.lit(p) * F.col("_n")), F.lit(1))
+    hi_rank = F.greatest(F.ceil(F.lit(1.0 - p) * F.col("_n")), F.lit(1))
+    bounds = (
+        ranked.join(F.broadcast(counts), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.min(F.when(F.col("_rn") == lo_rank, F.col(value_col))).alias("lo"),
+            F.min(F.when(F.col("_rn") == hi_rank, F.col(value_col))).alias("hi"),
+            F.first("_n").alias("n"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi"))
+    return (
+        vals.join(F.broadcast(bounds), key_col)
+        .groupBy(key_col)
+        .agg(
+            F.first("n").alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+            (
+                F.sum(clamped.cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-pass column profiling — (column_name, n_rows, n_nulls,
+    n_distinct, min_str, max_str) per requested column, the dataset
+    summary a pipeline publishes next to every snapshot.
+
+    Single aggregate over one scan; the multi-column exact
+    countDistinct costs one Expand per column (rows × |cols| into the
+    partial agg), the price of exactness in one pass — swap in
+    ``approx_count_distinct`` at 100 TB if ±2% is acceptable. min/max
+    are cast to string so heterogeneous column types share one output
+    schema; cast numeric columns to DECIMAL upstream when their string
+    forms must be engine-portable (float formatting differs across
+    engines; decimal and integer forms do not).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(c).cast("string").alias(f"_min_{c}"),
+            F.max(c).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n_rows").alias("n_rows"),
+                (F.col("_n_rows") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_str"),
+                F.col(f"_max_{c}").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.explode(per_col).alias("p"))
+        .select("p.*")
+        .orderBy("column_name")
+    )

@@ -113,3 +113,32 @@ def props_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def ohlc_downsample(events: DataFrame) -> DataFrame:
+    """Hourly OHLC downsampling per event type — the classic timeseries
+    rollup (open/high/low/close + bar mean and count), the shape a
+    metrics store or hypertable continuous aggregate maintains.
+
+    Open/close are arg-min/arg-max over the (ts, event_id) total order
+    via ``min_by``/``max_by`` — a single partial-aggregated groupBy
+    (the shuffle carries one candidate per (type, hour) per partition),
+    never a per-row window. NULL values are excluded up front so every
+    aggregate sees the same row set (and ``min_by`` never elects a NULL
+    bar edge). Mean uses the exact-decimal quotient (``det_mean``) so
+    the bar is bit-stable under any partitioning.
+    """
+    order_key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        with_hour(events.filter(F.col("value").isNotNull()))
+        .groupBy("event_type", "ts_hour")
+        .agg(
+            F.min_by("value", order_key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order_key).alias("close"),
+            det_mean("value").alias("mean_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "ts_hour")
+    )

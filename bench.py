@@ -132,6 +132,12 @@ HEADLINE = [
     "doc_curriculum",
     "value_drift",
     "doc_containment_pairs",
+    # r6 additions
+    "events_ohlc",
+    "value_winsorized",
+    "orders_profile",
+    "bloom_membership_audit",
+    "media_codec_audit",
 ]
 
 
