@@ -2280,6 +2280,40 @@ def q_media_codec_audit(spark, sf_dir):
     return codec_roundtrip_audit(_t(spark, sf_dir, "documents"))
 
 
+
+def q_events_zscore(spark, sf_dir):
+    # Per-type z-score standardization with ORDER-INDEPENDENT moments
+    # (exact decimal sums -> fixed IEEE op sequence), so z values are
+    # bit-stable under any partitioning. Broadcast moment table, no
+    # window. operators/relational.zscore_normalize.
+    return R.zscore_normalize(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def q_domain_affinity(spark, sf_dir):
+    # DSIR-family data selection (arXiv:2302.03169) as an exact
+    # rational score: rank docs by the fraction of their corpus-token
+    # mass lying in the target slice (source='src0') — two exact
+    # BIGINT sums, one division, no log. functions/text.
+    return TX.domain_affinity_topk(
+        _t(spark, sf_dir, "documents"), F.col("source") == "src0", k=50
+    )
+
+
+def q_token_cms_audit(spark, sf_dir):
+    # Count-Min sketch (Cormode-Muthukrishnan 2005) audited against
+    # exact counts on the corpus's top tokens: verifies the one-sided
+    # estimate >= truth guarantee from the data; md5 cells keep the
+    # whole sketch value-exact for the oracle. operators/heavy.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_topk_audit,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return cms_topk_audit(toks, "token", depth=4, width=1024, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver sweep certifies the first ~50 entries
     # per round.  Round 6 front-loads the 41 remaining STALE rows (VERDICT r5
@@ -2343,6 +2377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile": q_orders_profile,
         "bloom_membership_audit": q_bloom_membership_audit,
         "media_codec_audit": q_media_codec_audit,
+        "events_zscore": q_events_zscore,
+        "domain_affinity": q_domain_affinity,
+        "token_cms_audit": q_token_cms_audit,
         # --- driver-certified r4 at current testdata -----------------------
         "doc_pii_stats": q_doc_pii_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -2778,6 +2815,70 @@ ORDER BY site, var, horizon_h, ts_utc
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_zscore": """
+            WITH v AS (
+              SELECT event_type, value FROM events WHERE value IS NOT NULL),
+            m AS (
+              SELECT event_type, count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(value * value AS DECIMAL(38,6)))
+                          AS DOUBLE) AS s2
+              FROM v GROUP BY event_type),
+            st AS (
+              SELECT event_type, s1 / n AS mean,
+                     CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                          THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
+              FROM m)
+            SELECT v.event_type, value, (value - mean) / sd AS z
+            FROM v JOIN st USING (event_type)
+            ORDER BY event_type, value
+        """,
+        "domain_affinity": """
+            WITH tk AS (
+              SELECT doc_id,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+                     unnest(string_split(trim(text), ' ')) AS t
+              FROM documents),
+            tk2 AS (SELECT * FROM tk WHERE t <> ''),
+            vocab AS (
+              SELECT t, count(*) AS cnt_all, sum(is_t) AS cnt_target
+              FROM tk2 GROUP BY t),
+            per AS (
+              SELECT doc_id,
+                     CAST(sum(cnt_target) AS BIGINT) AS target_mass,
+                     CAST(sum(cnt_all) AS BIGINT) AS corpus_mass
+              FROM tk2 JOIN vocab USING (t) GROUP BY doc_id)
+            SELECT doc_id, target_mass, corpus_mass,
+                   CAST(target_mass AS DOUBLE) / corpus_mass AS affinity
+            FROM per ORDER BY affinity DESC, doc_id LIMIT 50
+        """,
+        "token_cms_audit": """
+            WITH items AS (
+              SELECT unnest(string_split(trim(text), ' ')) AS item
+              FROM documents),
+            it AS (SELECT item FROM items WHERE item IS NOT NULL),
+            cells AS (
+              SELECT j,
+                     CAST(('0x' || substr(md5('cms' || j || '_' || item),
+                                          1, 8)) AS BIGINT) % 1024 AS cell,
+                     count(*) AS cnt
+              FROM it, (SELECT unnest([0, 1, 2, 3]) AS j)
+              GROUP BY 1, 2),
+            top AS (
+              SELECT item, count(*) AS true_count FROM it
+              GROUP BY item ORDER BY true_count DESC, item LIMIT 10),
+            probes AS (
+              SELECT item, true_count, j,
+                     CAST(('0x' || substr(md5('cms' || j || '_' || item),
+                                          1, 8)) AS BIGINT) % 1024 AS cell
+              FROM top, (SELECT unnest([0, 1, 2, 3]) AS j))
+            SELECT p.item, p.true_count,
+                   CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+                   CAST(min(c.cnt) - p.true_count AS BIGINT) AS overestimate
+            FROM probes p JOIN cells c ON p.j = c.j AND p.cell = c.cell
+            GROUP BY p.item, p.true_count
+            ORDER BY p.true_count DESC, p.item
+        """,
         "events_ohlc": """
             WITH v AS (
               SELECT event_type, date_trunc('hour', ts) AS ts_hour, ts,

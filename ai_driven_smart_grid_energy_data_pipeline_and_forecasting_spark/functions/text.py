@@ -487,3 +487,63 @@ def feature_hash_counts(
         .groupBy(id_col, "feature_idx")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def domain_affinity_topk(
+    docs: DataFrame,
+    target_pred: Column,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-selection scoring in the DSIR family (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): rank the corpus by affinity to a TARGET slice
+    (here: the rows satisfying ``target_pred``) measured on n-gram/
+    unigram statistics, then keep the top-k. DSIR proper scores with a
+    log-likelihood ratio; this implementation uses the exact rational
+    form — for each document,
+
+        affinity = Σ_t cnt_target[t]  /  Σ_t cnt_corpus[t]
+
+    summed over the document's tokens with multiplicity: the fraction
+    of the document's corpus-token mass that lives in the target slice.
+    Monotone in the same signal, but both sums are exact BIGINTs and
+    the single final division is one IEEE op — no ``log`` (libm-ulp-
+    specific, banned by the determinism policy) and no float fold-order
+    anywhere, so the ranking is engine-portable and oracle-checkable.
+
+    Plan: one corpus token-frequency aggregate (token-keyed shuffle,
+    carrying (cnt_all, cnt_target) per token in one pass via a
+    conditional sum), a token-keyed join back to the exploded corpus
+    (co-partitioned on the same key — at 100 TB both sides shuffle on
+    token once), one per-doc partial agg, and a global top-k
+    (TakeOrderedAndProject — per-partition heaps, no full sort).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("_is_target"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).where(F.col("_t") != "")
+    vocab = toks.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_cnt_all"),
+        F.sum("_is_target").alias("_cnt_target"),
+    )
+    return (
+        toks.join(vocab, "_t")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt_target").alias("target_mass"),
+            F.sum("_cnt_all").alias("corpus_mass"),
+        )
+        .select(
+            id_col,
+            "target_mass",
+            "corpus_mass",
+            (
+                F.col("target_mass").cast("double") / F.col("corpus_mass")
+            ).alias("affinity"),
+        )
+        .orderBy(F.desc("affinity"), id_col)
+        .limit(k)
+    )

@@ -103,3 +103,74 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
         .select("item", "n_occurrences")
         .orderBy(F.desc("n_occurrences"), "item")
     )
+
+
+def cms_topk_audit(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    k: int = 10,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved
+    data stream summary: the count-min sketch and its applications")
+    audited against exact counts — the third leg of the sketch family
+    beside HLL distinct (``sketch_accuracy_audit``) and Misra-Gries
+    heavy hitters: mergeable approximate FREQUENCIES in
+    depth × width ≪ |domain| space.
+
+    Build: one partial-aggregated shuffle of (row, cell) — each item
+    increments cell ``h32("cms<j>_" ‖ item) mod width`` in each of
+    ``depth`` rows, so the sketch is ≤ depth·width rows however large
+    the corpus, and two sketches merge by cell-wise addition (the same
+    mergeability contract as ``aggstate``). Estimate of an item =
+    min over rows of its cells — never an undercount (every collision
+    only adds), overcount bounded by n/width per row w.h.p.
+
+    The audit takes the exact top-k items (count desc, item asc),
+    probes the sketch, and emits (item, true_count, cms_estimate,
+    overestimate): ``overestimate >= 0`` VERIFIES the one-sided
+    guarantee from the data, and every number is md5-deterministic, so
+    the SQL oracle checks the whole row value-exact."""
+    from ..functions.text import h32
+
+    items = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (h32(F.concat(F.lit(f"cms{j}_"), F.col("item"))) % width).alias(
+                    "cell"
+                ),
+            )
+            for j in range(depth)
+        ]
+    )
+    cells = (
+        items.select(F.explode(rows).alias("rc"))
+        .groupBy("rc.j", "rc.cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "item")
+        .limit(k)
+    )
+    probes = top.select(
+        "item", "true_count", F.explode(rows).alias("rc")
+    ).select("item", "true_count", "rc.j", "rc.cell")
+    return (
+        probes.join(F.broadcast(cells), ["j", "cell"])
+        .groupBy("item", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "item",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "item")
+    )

@@ -388,3 +388,54 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .select("p.*")
         .orderBy("column_name")
     )
+
+
+def zscore_normalize(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key z-score standardization — the feature-normalization pass
+    an ML pipeline runs before training — with ORDER-INDEPENDENT
+    moments: ``stddev_samp`` partial-aggregates float sums in shuffle
+    order, so its last ulp (and any z built on it) varies run to run;
+    here Σv and Σv² are exact DECIMAL sums (the ``det_mean``
+    convention, value² formed in double first — one exact IEEE
+    multiply — then cast), and the variance
+
+        var = (Σv² − (Σv)²/n) / (n − 1)
+
+    is a fixed sequence of IEEE double ops on deterministic inputs —
+    bit-stable under any partitioning and bit-identical to the SQL
+    oracle. Keys with one row or zero variance emit NULL z (nothing to
+    standardize); the textbook cancellation caveat of this one-pass
+    formula is bounded by the decimal sums being exact (error enters
+    only in the final three float ops).
+
+    Plan: one partial-agg groupBy builds the tiny per-key moment table,
+    which broadcasts back onto the rows — no window, no second shuffle
+    of the data.
+    """
+    vals = df.select(key_col, value_col).where(F.col(value_col).isNotNull())
+    v = F.col(value_col)
+    moments = vals.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v.cast("decimal(30,6)")).cast("double").alias("_s1"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    stats = moments.select(
+        key_col,
+        mean.alias("_mean"),
+        F.when((F.col("_n") > 1) & (var > 0), F.sqrt(var)).alias("_sd"),
+    )
+    return (
+        vals.join(F.broadcast(stats), key_col)
+        .select(
+            key_col,
+            v.alias(value_col),
+            ((v - F.col("_mean")) / F.col("_sd")).alias("z"),
+        )
+        .orderBy(key_col, value_col)
+    )

@@ -138,6 +138,9 @@ HEADLINE = [
     "orders_profile",
     "bloom_membership_audit",
     "media_codec_audit",
+    "events_zscore",
+    "domain_affinity",
+    "token_cms_audit",
 ]
 
 
