@@ -60,3 +60,49 @@ def test_heavy_hitters_null_and_order(spark):
     rows = heavy_hitters(df, "w", k=3).collect()
     # NULLs dropped (not a heavy hitter), ties broken item asc
     assert [(r.item, r.n_occurrences) for r in rows] == [("a", 50), ("b", 50)]
+
+
+def test_weighted_mg_update_matches_exact_on_random_streams(spark):
+    # property guard for the r6 weighted-MG rewrite: for arbitrary
+    # value streams and small k, the two-pass operator must still emit
+    # EXACTLY the items above n/k with exact counts (the MG summary is
+    # only a candidate superset — this exercises the weighted drain
+    # path where batch value_counts folds whole (item, weight) pairs)
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        heavy_hitters,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        stream=st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]),
+            min_size=1,
+            max_size=300,
+        ),
+        k=st.integers(min_value=2, max_value=6),
+    )
+    def run(stream, k):
+        df = spark.createDataFrame(
+            [(s,) for s in stream], "item string"
+        ).repartition(5)
+        got = {
+            (r.item, r.n_occurrences)
+            for r in heavy_hitters(df, "item", k=k).collect()
+        }
+        counts = Counter(stream)
+        want = {
+            (item, c)
+            for item, c in counts.items()
+            if c > len(stream) / k
+        }
+        assert got == want, (stream, k, got, want)
+
+    run()
