@@ -2314,6 +2314,45 @@ def q_token_cms_audit(spark, sf_dir):
     return cms_topk_audit(toks, "token", depth=4, width=1024, k=10)
 
 
+
+def q_orders_cdc(spark, sf_dir):
+    # Change-data-capture between two customer-rollup snapshots (the
+    # path-free twin of versioned.snapshot_diff, like merge_frames for
+    # the upsert): old = per-customer order stats before 1996, new =
+    # the same through 1996 minus every 50th customer — yielding all
+    # three change kinds. One full-outer join on the uniform key.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        diff_frames,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def rollup(pred):
+        return (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(20,6)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+        )
+
+    old = rollup(F.col("o_orderdate") < "1996-01-01")
+    new = rollup(F.col("o_orderdate") < "1997-01-01").filter(
+        F.col("o_custkey") % 50 != 0
+    )
+    return diff_frames(old, new, ["o_custkey"]).select(
+        "o_custkey",
+        "change",
+        F.col("old_val.n_orders").alias("old_n_orders"),
+        F.col("old_val.total_price").alias("old_total_price"),
+        F.col("new_val.n_orders").alias("new_n_orders"),
+        F.col("new_val.total_price").alias("new_total_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver sweep certifies the first ~50 entries
     # per round.  Round 6 front-loads the 41 remaining STALE rows (VERDICT r5
@@ -2380,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": q_events_zscore,
         "domain_affinity": q_domain_affinity,
         "token_cms_audit": q_token_cms_audit,
+        "orders_cdc": q_orders_cdc,
         # --- driver-certified r4 at current testdata -----------------------
         "doc_pii_stats": q_doc_pii_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -2815,6 +2855,34 @@ ORDER BY site, var, horizon_h, ts_utc
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "orders_cdc": """
+            WITH old AS (
+              SELECT o_custkey, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                          AS DOUBLE) AS total_price
+              FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+              GROUP BY o_custkey),
+            new AS (
+              SELECT o_custkey, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(20,6)))
+                          AS DOUBLE) AS total_price
+              FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+              GROUP BY o_custkey
+              HAVING o_custkey % 50 != 0),
+            j AS (
+              SELECT coalesce(o.o_custkey, n.o_custkey) AS o_custkey,
+                     CASE WHEN o.o_custkey IS NULL THEN 'insert'
+                          WHEN n.o_custkey IS NULL THEN 'delete'
+                          WHEN o.n_orders != n.n_orders
+                            OR o.total_price != n.total_price THEN 'update'
+                     END AS change,
+                     o.n_orders AS old_n_orders,
+                     o.total_price AS old_total_price,
+                     n.n_orders AS new_n_orders,
+                     n.total_price AS new_total_price
+              FROM old o FULL OUTER JOIN new n ON o.o_custkey = n.o_custkey)
+            SELECT * FROM j WHERE change IS NOT NULL ORDER BY o_custkey
+        """,
         "events_zscore": """
             WITH v AS (
               SELECT event_type, value FROM events WHERE value IS NOT NULL),

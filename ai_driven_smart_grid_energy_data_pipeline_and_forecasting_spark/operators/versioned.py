@@ -275,6 +275,20 @@ def snapshot_diff(
     join shuffles on the uniform natural key."""
     old = read_version(spark, root, from_version, partition_by)
     new = read_version(spark, root, to_version, partition_by)
+    return diff_frames(old, new, keys)
+
+
+def diff_frames(
+    old: DataFrame, new: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Path-free CDC core of ``snapshot_diff`` (the ``merge_frames``
+    pattern: relational semantics factored out of the storage op so
+    the driver's oracle gate can certify them without filesystem
+    side effects). One full-outer join on the keys; ``update`` rows
+    compare the value STRUCTS, which for non-null fields is the OR of
+    per-field inequalities — a NULL field on exactly one side makes
+    the comparison NULL and the row classifies as no-change, so null
+    out sentinel values upstream if they must register as updates."""
     val_cols = [c for c in new.columns if c not in keys]
     o = old.select(
         *keys, F.struct(*val_cols).alias("old_val"), F.lit(1).alias("_o")

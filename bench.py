@@ -141,6 +141,7 @@ HEADLINE = [
     "events_zscore",
     "domain_affinity",
     "token_cms_audit",
+    "orders_cdc",
 ]
 
 
