@@ -2360,7 +2360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # testdata regenerations — everything not in CORRECTNESS_r04/r05).  New
     # r6 entries fill sweep slots 42-50; rows already driver-certified at
     # current-generation testdata (r4 then r5) sit at the back.  After the
-    # r6 sweep, all 141 entries are driver-green at current testdata.
+    # r6 sweep, all 150 entries are driver-green at current testdata
+    # (141 pre-r6 + 9 new r6 rows, the last 9 sweep slots).
     # Every entry is oracle-checked locally by tests/test_entry_oracle.py
     # regardless of order; this ordering only affects which rows a
     # count/time-bounded external sweep certifies first.

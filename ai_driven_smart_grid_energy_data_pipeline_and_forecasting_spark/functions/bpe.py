@@ -54,30 +54,35 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _merge_adjacent(syms: list[str], left: str, right: str) -> list[str]:
+    """The ONE scan-and-merge rule every BPE site shares (trainer
+    kernel, driver trainer, tokenizer): rewrite ``syms`` with
+    (left, right) → left+right, scanning left-to-right; after a merge
+    the scan continues AFTER the merged token (the standard BPE
+    cascade rule). Keeping this a single function is a correctness
+    contract — train and apply must rewrite identically."""
+    merged = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            merged.append(left + right)
+            i += 2
+        else:
+            merged.append(syms[i])
+            i += 1
+    return merged
+
+
 def _merge_pair_kernel(left: str, right: str):
-    """Arrow kernel: rewrite each symbol sequence with (left, right) →
-    left+right, scanning left-to-right (cascades handled: after a merge
-    the scan continues AFTER the merged token, the standard BPE rule)."""
+    """Arrow kernel: apply ``_merge_adjacent`` to every vocab row."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for syms in pdf["syms"]:
-                syms = list(syms)
-                merged = []
-                i = 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        merged.append(left + right)
-                        i += 2
-                    else:
-                        merged.append(syms[i])
-                        i += 1
-                out.append(merged)
+            out = [
+                _merge_adjacent(list(syms), left, right)
+                for syms in pdf["syms"]
+            ]
             yield pd.DataFrame(
                 {"word": pdf["word"], "n": pdf["n"], "syms": out}
             )
@@ -86,14 +91,17 @@ def _merge_pair_kernel(left: str, right: str):
 
 
 def _train_bpe_local(
-    words: list[tuple[str, int]], n_merges: int
+    vocab_rows: list[tuple[list[str], int]], n_merges: int
 ) -> list[tuple[str, str, int]]:
-    """Driver-side merge loop over a collected (word, n) table — the
-    classic Sennrich formulation. Bit-identical to the distributed
-    loop (same argmax, same count-desc/lexicographic tie-break, same
-    scan-after-merge rewrite rule); property-tested equal in
-    ``tests/test_training_ops.py``."""
-    vocab = [(list(w), n) for w, n in words]
+    """Driver-side merge loop over the collected (syms, n) vocab — the
+    classic Sennrich formulation. The symbol sequences are the SAME
+    code-point split the distributed loop computed (collected, not
+    re-derived), and Python's str ordering equals Spark's UTF8String
+    byte ordering on code points, so the argmax tie-break matches the
+    distributed ``orderBy(desc(cnt), l, r)`` bit-for-bit.
+    Property-tested equal in ``tests/test_training_ops.py`` (ASCII and
+    astral-plane corpora)."""
+    vocab = [(list(syms), n) for syms, n in vocab_rows]
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -111,23 +119,10 @@ def _train_bpe_local(
         if cnt < 2:
             break
         merges.append((left, right, cnt))
-        for idx, (syms, n) in enumerate(vocab):
-            if len(syms) < 2:
-                continue
-            merged = []
-            i = 0
-            while i < len(syms):
-                if (
-                    i + 1 < len(syms)
-                    and syms[i] == left
-                    and syms[i + 1] == right
-                ):
-                    merged.append(left + right)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            vocab[idx] = (merged, n)
+        vocab = [
+            ((_merge_adjacent(syms, left, right) if len(syms) >= 2 else syms), n)
+            for syms, n in vocab
+        ]
     return merges
 
 
@@ -156,15 +151,24 @@ def train_bpe_merges(
     ``driver_threshold=0`` to force the distributed loop.
     """
     vocab = word_freq_table(docs, text_col).withColumn(
-        # chars; split matches at end-of-string too, so drop the
-        # trailing "" (an empty symbol would merge-match everywhere)
-        "syms", F.array_remove(F.split(F.col("word"), "(?!^)"), "")
+        # CODE-POINT symbols: Java regex `.` consumes one code point,
+        # so astral-plane characters stay single symbols (a position-
+        # based split would shear them into lone surrogates, which
+        # neither Python nor the py4j string transport round-trips).
+        # Code points also make the orderings agree everywhere: Spark
+        # compares strings as UTF-8 bytes (= code-point order), which
+        # is exactly Python's str ordering — so the driver loop's
+        # tie-break matches the distributed orderBy bit-for-bit.
+        "syms", F.expr("regexp_extract_all(word, '(?s).', 0)")
     )
     vocab = vocab.localCheckpoint(eager=True)
 
     if driver_threshold > 0 and vocab.count() <= driver_threshold:
-        rows = vocab.select("word", "n").collect()
-        return _train_bpe_local([(r["word"], r["n"]) for r in rows], n_merges)
+        # collect the JVM-split syms, not the words: re-splitting in
+        # Python would use code points where the JVM used UTF-16 units
+        # (see _train_bpe_local docstring)
+        rows = vocab.select("syms", "n").collect()
+        return _train_bpe_local([(r["syms"], r["n"]) for r in rows], n_merges)
 
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -227,6 +231,8 @@ def apply_bpe(
             hit = cache.get(w)
             if hit is not None:
                 return hit
+            # list(w) = code points — the trainer's symbol alphabet
+            # (the JVM side splits with regexp `.`, one code point)
             syms = list(w)
             for left, right in order:
                 if len(syms) < 2:
@@ -235,20 +241,7 @@ def apply_bpe(
                 # merge can only ever apply if left+right occurs in w
                 if left + right not in w:
                     continue
-                merged = []
-                i = 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        merged.append(left + right)
-                        i += 2
-                    else:
-                        merged.append(syms[i])
-                        i += 1
-                syms = merged
+                syms = _merge_adjacent(syms, left, right)
             n = len(syms)
             if len(cache) < cache_cap:
                 cache[w] = n

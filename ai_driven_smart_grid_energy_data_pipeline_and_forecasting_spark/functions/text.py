@@ -522,7 +522,10 @@ def domain_affinity_topk(
     """
     toks = docs.select(
         F.col(id_col),
-        target_pred.cast("int").alias("_is_target"),
+        # coalesce: a NULL predicate (e.g. NULL source) must count as
+        # non-target 0, exactly like SQL's CASE WHEN ... ELSE 0 — a
+        # bare cast would leave NULL and poison the SUM
+        F.coalesce(target_pred.cast("int"), F.lit(0)).alias("_is_target"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
     ).where(F.col("_t") != "")
     vocab = toks.groupBy("_t").agg(

@@ -1122,6 +1122,8 @@ def append_lsh_index(
     n_buckets: int = 8,
     text_col: str = "text",
     n: int = 3,
+    marker_dir: str | None = None,
+    marker_key: str | None = None,
 ) -> None:
     """Fold new documents into a persisted LSH index: appends their
     bands/shingle-sets to the two bucketed tables ``persist_lsh_index``
@@ -1129,16 +1131,42 @@ def append_lsh_index(
     probe's no-Exchange property is preserved). The incremental-growth
     half of streaming near-dup dedup: probe-then-append per micro-batch
     keeps the index covering the full ingested corpus with per-batch
-    (not corpus-wide) kernel cost. Caller owns replay idempotency
-    (``stream_clean_documents`` keys appends by batch id)."""
-    bands = _lsh_bands(docs, text_col, n)
-    bands.write.format("parquet").mode("append").bucketBy(
-        n_buckets, "bh"
-    ).sortBy("bh").saveAsTable(f"{table_prefix}_bands")
-    sets = doc_shingle_sets(docs, text_col, n)
-    sets.write.format("parquet").mode("append").bucketBy(
-        n_buckets, "doc_id"
-    ).saveAsTable(f"{table_prefix}_sets")
+    (not corpus-wide) kernel cost.
+
+    Replay idempotency is PER TABLE when ``marker_dir``/``marker_key``
+    are given: each table's append commits its own marker file, so a
+    crash between the two appends (bands committed, sets not) replays
+    only the missing table — a single all-or-nothing marker would
+    re-append the bands and permanently duplicate them (review r6).
+    The residual window is append-commit → marker-touch; duplicates
+    from that window are correctness-harmless (the probe's candidate
+    set is DISTINCT and the verify join keys on doc_id) and cost only
+    storage — a transactional table format shrinks the window to its
+    commit, the same note as the upsert family's staged publish."""
+    import os
+
+    def _marker(table: str) -> str | None:
+        if marker_dir is None or marker_key is None:
+            return None
+        return os.path.join(marker_dir, f"{marker_key}.{table}")
+
+    def _append(frame: DataFrame, table: str, bucket_col: str, sort: bool):
+        mk = _marker(table)
+        if mk is not None and os.path.exists(mk):
+            return
+        writer = frame.write.format("parquet").mode("append").bucketBy(
+            n_buckets, bucket_col
+        )
+        if sort:
+            writer = writer.sortBy(bucket_col)
+        writer.saveAsTable(f"{table_prefix}_{table}")
+        if mk is not None:
+            os.makedirs(marker_dir, exist_ok=True)
+            with open(mk, "w") as fh:
+                fh.write("")
+
+    _append(_lsh_bands(docs, text_col, n), "bands", "bh", sort=True)
+    _append(doc_shingle_sets(docs, text_col, n), "sets", "doc_id", sort=False)
 
 
 def probe_lsh_index(

@@ -125,17 +125,17 @@ def stream_clean_documents(
             # two replays as probe(drops pre-indexed docs) → keyed
             # upsert no-op → append of the (now empty) survivor set —
             # appending BEFORE the upsert would instead drop the whole
-            # batch on replay with its rows never landed. The marker
-            # only guards the append against full-batch re-delivery.
-            marker_dir = os.path.join(checkpoint_dir, "_lsh_applied")
-            marker = os.path.join(marker_dir, str(batch_id))
-            if not os.path.exists(marker):
-                append_lsh_index(
-                    cleaned.select("doc_id", "text"), lsh_index_prefix
-                )
-                os.makedirs(marker_dir, exist_ok=True)
-                with open(marker, "w") as fh:
-                    fh.write("")
+            # batch on replay with its rows never landed. PER-TABLE
+            # batch-id markers (inside append_lsh_index) guard each
+            # table's append separately, so a crash between the bands
+            # and sets appends replays only the missing table instead
+            # of duplicating the committed one.
+            append_lsh_index(
+                cleaned.select("doc_id", "text"),
+                lsh_index_prefix,
+                marker_dir=os.path.join(checkpoint_dir, "_lsh_applied"),
+                marker_key=str(batch_id),
+            )
 
     return (
         stream.writeStream.foreachBatch(sink)

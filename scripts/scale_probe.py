@@ -204,7 +204,10 @@ def measure(spark) -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    print(f"{'query':28s} {'t_1x':>8s} {'t_{COPIES}x':>8s} {'slope':>6s}  (ideal <= {COPIES}.0)")
+    print(
+        f"{'query':28s} {'t_1x':>8s} {'t_' + str(COPIES) + 'x':>8s} "
+        f"{'slope':>6s}  (ideal <= {COPIES}.0)"
+    )
     for name in probe:
         t1 = min(run_once(name, BASE), run_once(name, BASE))
         t5 = min(run_once(name, OUT), run_once(name, OUT))

@@ -188,6 +188,50 @@ def test_stream_near_dup_across_batches_via_lsh_index(spark, tmp_path):
     } == {1, 11}
 
 
+def test_append_lsh_index_per_table_markers_are_replay_safe(spark, tmp_path):
+    # review r6: a crash BETWEEN the bands and sets appends must replay
+    # only the missing table — an all-or-nothing marker would re-append
+    # the committed bands and duplicate them permanently
+    import os
+    import uuid
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        append_lsh_index,
+        persist_lsh_index,
+    )
+
+    prefix = f"lsh_marker_{uuid.uuid4().hex[:10]}"
+    persist_lsh_index(
+        spark.createDataFrame([], "doc_id long, text string"), prefix
+    )
+    docs = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    mdir = str(tmp_path / "markers")
+
+    def counts():
+        return (
+            spark.table(f"{prefix}_bands").count(),
+            spark.table(f"{prefix}_sets").count(),
+        )
+
+    append_lsh_index(docs, prefix, marker_dir=mdir, marker_key="0")
+    b1, s1 = counts()
+    assert b1 > 0 and s1 == 1
+    # full-batch replay: both markers present, nothing duplicated
+    append_lsh_index(docs, prefix, marker_dir=mdir, marker_key="0")
+    assert counts() == (b1, s1)
+    # partial-crash replay: bands committed (marker present), sets not
+    os.makedirs(mdir, exist_ok=True)
+    with open(os.path.join(mdir, "1.bands"), "w") as fh:
+        fh.write("")
+    docs2 = spark.createDataFrame(
+        [(2, GOOD + " second distinct doc")], "doc_id long, text string"
+    )
+    append_lsh_index(docs2, prefix, marker_dir=mdir, marker_key="1")
+    b2, s2 = counts()
+    assert b2 == b1  # bands NOT re-appended
+    assert s2 == s1 + 1  # the missing sets append completed
+
+
 def test_stream_property_rotating_sources_exactly_one_row_per_key(spark, tmp_path):
     # VERDICT r2 #6 property test: re-ingesting the SAME doc_id under a
     # rotating source sequence (hypothesis-generated) must always end

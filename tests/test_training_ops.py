@@ -730,6 +730,32 @@ def test_bpe_deterministic_and_monotone(spark):
     assert t0 > t3 > t5  # each merge strictly reduces corpus tokens
 
 
+def test_bpe_paths_identical_on_astral_plane_text(spark):
+    # review r6: the JVM splits text into UTF-16 code units (astral
+    # chars become surrogate pairs) while Python's list(w) keeps code
+    # points — the driver loop must consume the COLLECTED JVM syms so
+    # both paths learn the same inventory, and apply_bpe must start
+    # from the same alphabet
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe_merges,
+    )
+
+    text = " ".join(["\U0001F600ab"] * 5 + ["\U0001F600cd"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    local = train_bpe_merges(docs, n_merges=4)
+    dist = train_bpe_merges(docs, n_merges=4, driver_threshold=0)
+    assert local == dist and len(local) == 4
+    # code-point alphabet: each word is 3 symbols; top pairs tie at 5
+    # and ('a','b') < ('\U0001F600','a') in code-point order
+    assert local[0] == ("a", "b", 5)
+    none = apply_bpe(docs, []).collect()[0]
+    assert none.n_tokens == 24  # 8 words x 3 code points
+    tok = apply_bpe(docs, local).collect()[0]
+    # 4 merges collapse every word to one token
+    assert tok.n_words == 8 and tok.n_tokens == 8
+
+
 def test_bpe_local_and_distributed_paths_identical(spark):
     # the driver-threshold cutover (like connected_components' auto
     # union-find) must be invisible: both loops learn the exact same
