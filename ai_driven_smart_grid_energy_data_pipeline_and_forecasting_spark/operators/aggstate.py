@@ -104,3 +104,125 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
     if "hll" in state.columns:
         cols.append(F.hll_sketch_estimate("hll").alias("approx_distinct"))
     return state.select(*cols)
+
+
+# ------------------------------------------------- histogram state
+#
+# Mergeable APPROXIMATE-PERCENTILE state. t-digest / KLL (the usual
+# mergeable quantile sketches) are order-sensitive in their compaction
+# — two build orders give two sketches — which breaks this engine's
+# partition-invariance contract. A FIXED-BIN histogram is the
+# deterministic alternative: bins are declared up front, counts merge
+# by pure addition (associative, commutative, exact), and the
+# percentile estimate is a fixed sequence of IEEE ops over the merged
+# counts — so ``estimate(merge(a, b)) ≡ estimate(build(a ∪ b))``
+# bit-for-bit, under any split of the data. Accuracy is bounded by bin
+# width (choose bins like shuffle partitions: from the domain you
+# expect, not the data you saw — data-dependent bounds would not
+# merge). Out-of-range mass lands in below/above counters so nothing
+# is silently dropped.
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-key fixed-bin histogram state: (bins array<long>, below,
+    above, n). One partial-aggregated shuffle of the batch; NULL
+    values are excluded. ``lo``/``hi``/``n_bins`` must match across
+    every state that will merge."""
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError(f"bad histogram spec: [{lo}, {hi}) x {n_bins}")
+    v = F.col(value_col)
+    width = (hi - lo) / n_bins
+    idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    src = df.where(v.isNotNull())
+    aggs = [
+        F.array(
+            *[
+                F.sum((idx == b).cast("long")).alias(f"b{b}")
+                for b in range(n_bins)
+            ]
+        ).alias("bins"),
+        F.sum((v < lo).cast("long")).alias("below"),
+        F.sum((v >= hi).cast("long")).alias("above"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    return src.groupBy(*keys).agg(*aggs)
+
+
+def merge_histogram_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """⊕ of histogram states: unioned rows re-aggregate by elementwise
+    bin addition — exact, associative, shuffles only state rows."""
+    if not states:
+        raise ValueError("merge_histogram_states needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys).agg(
+        F.aggregate(
+            F.collect_list("bins"),
+            F.expr("cast(array() as array<bigint>)"),
+            lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                F.zip_with(acc, x, lambda a, b: a + b)
+            ),
+        ).alias("bins"),
+        F.sum("below").alias("below"),
+        F.sum("above").alias("above"),
+        F.sum("n").alias("n"),
+    )
+
+
+def histogram_percentile(
+    state: DataFrame,
+    keys: list[str],
+    p: float,
+    lo: float,
+    hi: float,
+    alias: str = "pct",
+) -> DataFrame:
+    """Percentile estimate from a histogram state: the first bin whose
+    cumulative count reaches ``p · n_in`` (in-range mass only — the
+    below/above counters report coverage beside the estimate), with
+    linear interpolation inside that bin. A fixed expression tree of
+    exact longs and IEEE double ops — identical on merged and
+    single-pass states, and mirrorable in SQL."""
+    n_in = (F.col("n") - F.col("below") - F.col("above")).cast("double")
+    cums = F.expr(
+        "transform(bins, (x, i) -> "
+        "aggregate(slice(bins, 1, i + 1), 0L, (a, b) -> a + b))"
+    )
+    s2 = state.withColumn("_cums", cums).withColumn(
+        "_target", F.lit(p) * n_in
+    )
+    # smallest 0-based bin index whose cumulative count >= target
+    # (always found: target <= n_in = last cumulative entry)
+    hit = F.element_at(
+        F.filter(
+            F.expr("transform(_cums, (c, i) -> struct(c as c, i as i))"),
+            lambda e: e["c"].cast("double") >= F.col("_target"),
+        ),
+        1,
+    )
+    idx = hit["i"]
+    prev_cum = F.when(idx == 0, F.lit(0).cast("long")).otherwise(
+        F.element_at(F.col("_cums"), idx)  # 1-based: element idx = bin idx-1
+    )
+    in_bin = F.element_at(F.col("bins"), idx + 1)
+    bin_w = F.lit(hi - lo) / F.size("bins")
+    frac = F.when(
+        in_bin > 0,
+        (F.col("_target") - prev_cum.cast("double")) / in_bin.cast("double"),
+    ).otherwise(F.lit(0.0))
+    est = F.lit(lo) + (idx.cast("double") + frac) * bin_w
+    return s2.select(
+        *keys,
+        F.col("n"),
+        F.col("below"),
+        F.col("above"),
+        est.alias(alias),
+    )

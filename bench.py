@@ -142,6 +142,7 @@ HEADLINE = [
     "domain_affinity",
     "token_cms_audit",
     "orders_cdc",
+    "value_percentile_state",
 ]
 
 

@@ -296,3 +296,74 @@ def test_vacuum_state_keeps_pointer_and_recent(spark, tmp_path):
     assert rows[0].n == 4 and rows[0].sum_value == 6.0
     # idempotent
     assert vacuum_state(state, keep_last=2) == []
+
+
+def test_histogram_state_merge_equals_single_pass(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_percentile,
+        histogram_state,
+        merge_histogram_states,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    LO, HI, NB = 0.0, 512.0, 32
+    parts = [
+        histogram_state(
+            ev.filter(F.col("event_id") % 3 == r),
+            ["event_type"], "value", LO, HI, NB,
+        )
+        for r in range(3)
+    ]
+    single = histogram_state(ev, ["event_type"], "value", LO, HI, NB)
+    for order in ([0, 1, 2], [2, 0, 1]):  # merge order must not matter
+        merged = merge_histogram_states([parts[i] for i in order], ["event_type"])
+        got = sorted(
+            tuple(r)
+            for r in histogram_percentile(
+                merged, ["event_type"], 0.75, LO, HI
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in histogram_percentile(
+                single, ["event_type"], 0.75, LO, HI
+            ).collect()
+        )
+        assert got == want  # bit-exact, not approximately
+
+
+def test_histogram_state_out_of_range_mass_is_counted(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_percentile,
+        histogram_state,
+    )
+
+    df = spark.createDataFrame(
+        [("k", -5.0), ("k", 1.0), ("k", 2.0), ("k", 3.0), ("k", 99.0)],
+        "k string, v double",
+    )
+    st = histogram_state(df, ["k"], "v", lo=0.0, hi=4.0, n_bins=4)
+    r = st.collect()[0]
+    assert (r.below, r.above, r.n) == (1, 1, 5)
+    assert sum(r.bins) == 3  # only in-range mass in the bins
+    # p=1.0 of the in-range mass interpolates inside [3,4)
+    est = histogram_percentile(st, ["k"], 1.0, 0.0, 4.0).collect()[0]
+    assert 3.0 <= est.pct <= 4.0
+
+
+def test_histogram_state_rejects_bad_spec(spark):
+    import pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_state,
+    )
+
+    df = spark.createDataFrame([("k", 1.0)], "k string, v double")
+    with pytest.raises(ValueError):
+        histogram_state(df, ["k"], "v", lo=4.0, hi=4.0, n_bins=4)
+    with pytest.raises(ValueError):
+        histogram_state(df, ["k"], "v", lo=0.0, hi=4.0, n_bins=0)
