@@ -2890,7 +2890,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "value_percentile_state": """
             WITH v AS (
-              SELECT event_type, value FROM events WHERE value IS NOT NULL),
+              SELECT event_type, value FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
             tot AS (
               SELECT event_type, count(*) AS n,
                      sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS below,
@@ -2898,7 +2899,8 @@ def oracle_sql() -> dict[str, str]:
               FROM v GROUP BY event_type),
             binc AS (
               SELECT event_type,
-                     CAST(floor((value - 0.0) / 8.0) AS INT) AS b,
+                     least(CAST(floor((value - 0.0) / 8.0) AS BIGINT),
+                           63) AS b,
                      count(*) AS c
               FROM v WHERE value >= 0.0 AND value < 512.0 GROUP BY 1, 2),
             grid AS (

@@ -164,9 +164,11 @@ def train_bpe_merges(
     vocab = vocab.localCheckpoint(eager=True)
 
     if driver_threshold > 0 and vocab.count() <= driver_threshold:
-        # collect the JVM-split syms, not the words: re-splitting in
-        # Python would use code points where the JVM used UTF-16 units
-        # (see _train_bpe_local docstring)
+        # collect the JVM-split syms rather than re-deriving them in
+        # Python: both splits are code-point based TODAY, but the
+        # symbol inventory is part of the trained artifact's identity —
+        # consuming the one authoritative split keeps the two paths
+        # identical by construction instead of by parallel convention
         rows = vocab.select("syms", "n").collect()
         return _train_bpe_local([(r["syms"], r["n"]) for r in rows], n_merges)
 

@@ -132,15 +132,34 @@ def histogram_state(
     n_bins: int = 64,
 ) -> DataFrame:
     """Per-key fixed-bin histogram state: (bins array<long>, below,
-    above, n). One partial-aggregated shuffle of the batch; NULL
-    values are excluded. ``lo``/``hi``/``n_bins`` must match across
-    every state that will merge."""
+    above, n). One partial-aggregated shuffle of the batch; NULL and
+    NaN values are excluded (NaN has no place on the binned line — it
+    would otherwise land in bin 0 via floor() AND in ``above`` via
+    Spark's NaN-greatest ordering, double-counting). ``lo``/``hi``/
+    ``n_bins`` must match across every state that will merge."""
     if not (hi > lo) or n_bins < 1:
         raise ValueError(f"bad histogram spec: [{lo}, {hi}) x {n_bins}")
     v = F.col(value_col)
     width = (hi - lo) / n_bins
-    idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
-    src = df.where(v.isNotNull())
+    # bin index only for IN-RANGE rows (out-of-range floor() could
+    # overflow an int cast at |v| ≥ lo + width·2³¹ — review r6), kept
+    # as long, and clamped to the last bin: FP division can round a
+    # value just below hi up to exactly n_bins, which would strand the
+    # row in n with no bin and break the percentile's cum-reaches-
+    # target invariant.
+    in_range = (v >= lo) & (v < hi)
+    idx = F.when(
+        in_range,
+        F.least(
+            F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(n_bins - 1)
+        ),
+    )
+    from pyspark.sql import types as T
+
+    keep = v.isNotNull()
+    if isinstance(df.schema[value_col].dataType, (T.DoubleType, T.FloatType)):
+        keep = keep & ~F.isnan(v)
+    src = df.where(keep)
     aggs = [
         F.array(
             *[
@@ -157,12 +176,29 @@ def histogram_state(
 
 def merge_histogram_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
     """⊕ of histogram states: unioned rows re-aggregate by elementwise
-    bin addition — exact, associative, shuffles only state rows."""
+    bin addition — exact, associative, shuffles only state rows.
+
+    Bin-count consistency is CHECKED, not assumed: ``zip_with`` pads a
+    shorter array with NULL (a + NULL = NULL), so merging states built
+    with different ``n_bins`` would silently NULL the merged bins and
+    fail far downstream — instead the mismatched specs fail fast here
+    (one tiny aggregate over state rows, the frames this operator
+    shuffles anyway)."""
     if not states:
         raise ValueError("merge_histogram_states needs at least one state")
     out = states[0]
     for s in states[1:]:
         out = out.unionByName(s)
+    sizes = [
+        r["s"]
+        for r in out.select(F.size("bins").alias("s")).distinct().collect()
+    ]
+    if len(sizes) > 1:
+        raise ValueError(
+            f"cannot merge histogram states with different bin counts "
+            f"{sorted(sizes)} — every state must use one (lo, hi, n_bins) "
+            "spec"
+        )
     return out.groupBy(*keys).agg(
         F.aggregate(
             F.collect_list("bins"),
@@ -191,6 +227,8 @@ def histogram_percentile(
     linear interpolation inside that bin. A fixed expression tree of
     exact longs and IEEE double ops — identical on merged and
     single-pass states, and mirrorable in SQL."""
+    if not (0.0 <= p <= 1.0):
+        raise ValueError(f"percentile p must be in [0, 1], got {p}")
     n_in = (F.col("n") - F.col("below") - F.col("above")).cast("double")
     cums = F.expr(
         "transform(bins, (x, i) -> "

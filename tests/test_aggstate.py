@@ -367,3 +367,53 @@ def test_histogram_state_rejects_bad_spec(spark):
         histogram_state(df, ["k"], "v", lo=4.0, hi=4.0, n_bins=4)
     with pytest.raises(ValueError):
         histogram_state(df, ["k"], "v", lo=0.0, hi=4.0, n_bins=0)
+
+
+def test_histogram_state_fp_edge_nan_and_huge_values(spark):
+    # review r6 second pass: (1) a value at the FP edge just below hi
+    # must land in the LAST bin, not vanish; (2) NaN is excluded, not
+    # double-counted into bin 0 + above; (3) huge values go to above
+    # without an int-cast overflow
+    import math
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_percentile,
+        histogram_state,
+    )
+
+    hi = 760.9501280644452
+    edge = math.nextafter(hi, 0)
+    df = spark.createDataFrame(
+        [
+            ("k", edge),
+            ("k", float("nan")),
+            ("k", 8.0 * 2**32),
+            ("k", 1.0),
+        ],
+        "k string, v double",
+    )
+    st = histogram_state(df, ["k"], "v", lo=0.0, hi=hi, n_bins=75)
+    r = st.collect()[0]
+    assert r.n == 3  # NaN excluded entirely
+    assert r.above == 1 and r.below == 0
+    assert sum(r.bins) == 2 and r.bins[-1] == 1  # edge value in last bin
+    est = histogram_percentile(st, ["k"], 1.0, 0.0, hi).collect()[0]
+    assert est.pct <= hi  # p=1.0 no longer crashes on the edge state
+
+
+def test_histogram_merge_rejects_mismatched_bins_and_bad_p(spark):
+    import pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_percentile,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    df = spark.createDataFrame([("k", 1.0)], "k string, v double")
+    a = histogram_state(df, ["k"], "v", 0.0, 4.0, n_bins=4)
+    b = histogram_state(df, ["k"], "v", 0.0, 4.0, n_bins=8)
+    with pytest.raises(ValueError, match="different bin counts"):
+        merge_histogram_states([a, b], ["k"])
+    with pytest.raises(ValueError, match="percentile p"):
+        histogram_percentile(a, ["k"], 1.05, 0.0, 4.0)
