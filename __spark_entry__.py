@@ -2384,6 +2384,15 @@ def q_value_percentile_state(spark, sf_dir):
     return p50.join(p90, "event_type").orderBy("event_type")
 
 
+
+def q_doc_lexical_diversity(spark, sf_dir):
+    # Simpson repeat-probability + type-token ratio per doc: the
+    # log-free lexical-diversity quality signal (exact integer sums,
+    # one division — entropy's log is libm-ulp-specific and banned by
+    # the determinism policy). functions/text.lexical_diversity.
+    return TX.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver sweep certifies the first ~50 entries
     # per round.  Round 6 front-loads the 41 remaining STALE rows (VERDICT r5
@@ -2453,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms_audit": q_token_cms_audit,
         "orders_cdc": q_orders_cdc,
         "value_percentile_state": q_value_percentile_state,
+        "doc_lexical_diversity": q_doc_lexical_diversity,
         # --- driver-certified r4 at current testdata -----------------------
         "doc_pii_stats": q_doc_pii_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
@@ -2888,6 +2898,26 @@ ORDER BY site, var, horizon_h, ts_utc
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_lexical_diversity": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+              FROM documents),
+            per AS (
+              SELECT doc_id, t, count(*) AS c FROM tk WHERE t <> ''
+              GROUP BY doc_id, t),
+            agg AS (
+              SELECT doc_id,
+                     CAST(sum(c) AS BIGINT) AS n_tokens,
+                     count(*) AS n_types,
+                     CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+              FROM per GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_types,
+                   CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+                   CASE WHEN n_tokens >= 2 THEN
+                     CAST(rep AS DOUBLE) / (n_tokens * (n_tokens - 1))
+                   END AS repeat_probability
+            FROM agg ORDER BY doc_id
+        """,
         "value_percentile_state": """
             WITH v AS (
               SELECT event_type, value FROM events

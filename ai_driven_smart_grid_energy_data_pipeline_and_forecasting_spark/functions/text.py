@@ -550,3 +550,48 @@ def domain_affinity_topk(
         .orderBy(F.desc("affinity"), id_col)
         .limit(k)
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document lexical diversity as the Simpson repeat probability
+    — the probability two tokens drawn without replacement are the
+    same type, ``Σ c_t(c_t−1) / (n(n−1))`` — plus the type-token
+    ratio. The log-free quality signal (entropy needs ``log``, whose
+    last ulp is libm-specific and banned by the determinism policy):
+    boilerplate built from few repeated types scores a high repeat
+    probability, diverse prose scores near 0. Exact integer sums with
+    one final division — bit-identical cross-engine.
+
+    Plan: explode → one partial-aggregated shuffle on (doc, token) →
+    per-doc partial agg. Docs with < 2 tokens emit NULL (no pair to
+    draw)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).where(F.col("_t") != "")
+    per_type = toks.groupBy(id_col, "_t").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_type.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_rep"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_types",
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.col("_rep").cast("double")
+                / (F.col("n_tokens") * (F.col("n_tokens") - 1)),
+            ).alias("repeat_probability"),
+        )
+        .orderBy(id_col)
+    )

@@ -143,6 +143,7 @@ HEADLINE = [
     "token_cms_audit",
     "orders_cdc",
     "value_percentile_state",
+    "doc_lexical_diversity",
 ]
 
 
