@@ -693,6 +693,21 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_auto(spark, sf_dir):
+    # SemDeDup with the SCALE-SAFE default: n_centroids derived from the
+    # corpus count (constant ~target_cell_rows cells, k ∝ n — the
+    # published rule the 25× probe verified restores linear scaling;
+    # VERDICT r6 "weak" item). target_cell_rows=50 here so the derived k
+    # (10 at the 500-row cert scale) genuinely differs from the pinned-8
+    # twin; the library default is 1024 (the ~1e3-row SemDeDup cell).
+    # The oracle reproduces the derivation with integer arithmetic:
+    # k = greatest(8, (count(*) + 49) // 50).
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, threshold=0.4, target_cell_rows=50
+    ).select("vec_id")
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2395,75 +2410,27 @@ def q_doc_lexical_diversity(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver sweep certifies the first ~50 entries
-    # per round.  Round 6 front-loads the 41 remaining STALE rows (VERDICT r5
-    # "Missing #1": entries whose last driver green was r1-r3, before the
-    # testdata regenerations — everything not in CORRECTNESS_r04/r05).  New
-    # r6 entries fill sweep slots 42-50; rows already driver-certified at
-    # current-generation testdata (r4 then r5) sit at the back.  After the
-    # r6 sweep, all 150 entries are driver-green at current testdata
-    # (141 pre-r6 + 9 new r6 rows, the last 9 sweep slots).
-    # Every entry is oracle-checked locally by tests/test_entry_oracle.py
-    # regardless of order; this ordering only affects which rows a
-    # count/time-bounded external sweep certifies first.
+    # per round.  Round 7 front (VERDICT r6 "Next" #1/#2/#8/#3, in that
+    # order): the 2 entries never yet in a driver sweep, the new scale-safe
+    # semantic_dedup_auto, the 2 audit twins whose rows-only parents need
+    # fresh certification, then the 50 rows whose last driver green was the
+    # r4 sweep (oldest first-in).  55 candidates for ~50 slots: the final 5
+    # r4 rows ride into the r8 front if the window is strictly 50.  Rows
+    # certified in r6 (freshest) and r5 sit behind.  Every entry is
+    # oracle-checked locally by tests/test_entry_oracle.py regardless of
+    # order; this ordering only affects which rows a count/time-bounded
+    # external sweep certifies first.
     return {
-        # --- stale tail: last driver-green r1-r3 (pre-regen testdata) --------
-        # (VERDICT r5 Missing #1 / ask #2: these 41 rows front-load the r6
-        # sweep; after r6 every entry is driver-green at current testdata)
-        "doc_fingerprints": q_doc_fingerprints,
-        "exact_dedup": q_exact_dedup,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_signatures": q_simhash_signatures,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ann_topk": q_ann_topk,
-        "embedding_near_pairs": q_embedding_near_pairs,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
-        "gold_features": q_gold_features,
-        "gold_kpis": q_gold_kpis,
-        "forecast_baseline": q_forecast_baseline,
-        "asof_purchase_view": q_asof_purchase_view,
-        "dropped_events": q_dropped_events,
-        "type_status_rollup": q_type_status_rollup,
-        "silver_clean": q_silver_clean,
-        "customers_with_orders": q_customers_with_orders,
-        "customers_without_orders": q_customers_without_orders,
-        "events_iso_payload": q_events_iso_payload,
-        "upsert_merge": q_upsert_merge,
-        "revenue_q6": q_revenue_q6,
-        "doc_token_counts": q_doc_token_counts,
-        "forecast_sarimax": q_forecast_sarimax,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_trained": q_ann_ivf_trained,
-        "embedding_quantization": q_embedding_quantization,
-        "forecast_eval": q_forecast_eval,
-        "order_priority_sql": q_order_priority_sql,
-        "media_stats": q_media_stats,
-        "media_frame_sample": q_media_frame_sample,
-        "hourly_window_agg": q_hourly_window_agg,
-        "type_value_stats_salted": q_type_value_stats_salted,
-        "promo_revenue": q_promo_revenue,
-        "sole_failing_supplier": q_sole_failing_supplier,
-        "doc_split_counts": q_doc_split_counts,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_filter_cascade": q_doc_filter_cascade,
-        "doc_pack_stats": q_doc_pack_stats,
-        "doc_mixture_counts": q_doc_mixture_counts,
-        "doc_contamination": q_doc_contamination,
-        # --- new r6 entries: never driver-certified ------------------------
-        # (slots 42-50 of the sweep window)
-        "events_ohlc": q_events_ohlc,
-        "value_winsorized": q_value_winsorized,
-        "orders_profile": q_orders_profile,
-        "bloom_membership_audit": q_bloom_membership_audit,
-        "media_codec_audit": q_media_codec_audit,
-        "events_zscore": q_events_zscore,
-        "domain_affinity": q_domain_affinity,
-        "token_cms_audit": q_token_cms_audit,
-        "orders_cdc": q_orders_cdc,
-        "value_percentile_state": q_value_percentile_state,
+        # --- never driver-certified (r6 Next #1) -----------------------------
         "doc_lexical_diversity": q_doc_lexical_diversity,
-        # --- driver-certified r4 at current testdata -----------------------
+        "value_percentile_state": q_value_percentile_state,
+        # --- new r7: scale-safe SemDeDup default (r6 Next #2) ----------------
+        "semantic_dedup_auto": q_semantic_dedup_auto,
+        # --- audit twins, last driver-green r5 (r6 Next #8) ------------------
+        "forecast_sarimax_audit": q_forecast_sarimax_audit,
+        "ann_ivf_recall": q_ann_ivf_recall,
+        # --- last driver-green r4: oldest certification, rotate now (Next #3)
+        # (slots 51-55 ride into the r8 front if the window is strictly 50)
         "doc_pii_stats": q_doc_pii_stats,
         "doc_repetition_stats": q_doc_repetition_stats,
         "doc_commonness": q_doc_commonness,
@@ -2514,7 +2481,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_nation": q_top_customers_per_nation,
         "important_part_share": q_important_part_share,
         "excess_share_suppliers": q_excess_share_suppliers,
-        # --- driver-certified r5 at current testdata (freshest, go last) ---
+        # --- driver-certified r6 (current testdata) --------------------------
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_signatures": q_simhash_signatures,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "gold_features": q_gold_features,
+        "gold_kpis": q_gold_kpis,
+        "forecast_baseline": q_forecast_baseline,
+        "asof_purchase_view": q_asof_purchase_view,
+        "dropped_events": q_dropped_events,
+        "type_status_rollup": q_type_status_rollup,
+        "silver_clean": q_silver_clean,
+        "customers_with_orders": q_customers_with_orders,
+        "customers_without_orders": q_customers_without_orders,
+        "events_iso_payload": q_events_iso_payload,
+        "upsert_merge": q_upsert_merge,
+        "revenue_q6": q_revenue_q6,
+        "doc_token_counts": q_doc_token_counts,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_quantization": q_embedding_quantization,
+        "forecast_eval": q_forecast_eval,
+        "order_priority_sql": q_order_priority_sql,
+        "media_stats": q_media_stats,
+        "media_frame_sample": q_media_frame_sample,
+        "hourly_window_agg": q_hourly_window_agg,
+        "type_value_stats_salted": q_type_value_stats_salted,
+        "promo_revenue": q_promo_revenue,
+        "sole_failing_supplier": q_sole_failing_supplier,
+        "doc_split_counts": q_doc_split_counts,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_filter_cascade": q_doc_filter_cascade,
+        "doc_pack_stats": q_doc_pack_stats,
+        "doc_mixture_counts": q_doc_mixture_counts,
+        "doc_contamination": q_doc_contamination,
+        "events_ohlc": q_events_ohlc,
+        "value_winsorized": q_value_winsorized,
+        "orders_profile": q_orders_profile,
+        "bloom_membership_audit": q_bloom_membership_audit,
+        "media_codec_audit": q_media_codec_audit,
+        "events_zscore": q_events_zscore,
+        "domain_affinity": q_domain_affinity,
+        "token_cms_audit": q_token_cms_audit,
+        "orders_cdc": q_orders_cdc,
+        # --- driver-certified r5 (current testdata) --------------------------
+        "forecast_sarimax": q_forecast_sarimax,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "leakage_safe_split": q_leakage_safe_split,
         "event_type_drift": q_event_type_drift,
         "pq_recall_audit": q_pq_recall_audit,
@@ -2546,8 +2564,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_audit": q_bpe_audit,
         "doc_chunks": q_doc_chunks,
         "salted_join_segments": q_salted_join_segments,
-        "forecast_sarimax_audit": q_forecast_sarimax_audit,
-        "ann_ivf_recall": q_ann_ivf_recall,
         "doc_duplicated_spans": q_doc_duplicated_spans,
         "summary_events": q_summary_events,
         "distinct_event_types": q_distinct_event_types,
@@ -3492,6 +3508,44 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            scored AS (
+              SELECT e.vec_id, e.v, c.cid,
+                     {_COS_SQL.format(a='e.v', b='c.cv')} AS sim
+              FROM e CROSS JOIN c),
+            assigned AS (
+              SELECT vec_id, v, cid FROM (
+                SELECT vec_id, v, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid) AS rn
+                FROM scored) WHERE rn = 1),
+            p AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM assigned a JOIN assigned b
+                ON a.cid = b.cid AND a.vec_id < b.vec_id
+              WHERE {_COS_SQL.format(a='a.v', b='b.v')} >= 0.4),
+            und AS (
+              SELECT vec_a AS a, vec_b AS b FROM p
+              UNION SELECT vec_b AS a, vec_a AS b FROM p),
+            reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+            comp AS (
+              SELECT a AS vec_id, least(a, min(b)) AS component
+              FROM reach GROUP BY a)
+            SELECT emb.vec_id
+            FROM embeddings emb
+            LEFT JOIN comp c2
+              ON emb.vec_id = c2.vec_id AND c2.vec_id != c2.component
+            WHERE c2.vec_id IS NULL
+            ORDER BY emb.vec_id
+        """,
+        "semantic_dedup_auto": f"""
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            k AS (SELECT greatest(8, (count(*) + 49) // 50) AS k FROM e),
+            c AS (SELECT vec_id AS cid, v AS cv
+                  FROM e WHERE vec_id < (SELECT k FROM k)),
             scored AS (
               SELECT e.vec_id, e.v, c.cid,
                      {_COS_SQL.format(a='e.v', b='c.cv')} AS sim

@@ -310,12 +310,26 @@ def png_decode(
             "grayscale/RGB/RGBA)"
         )
     ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    # Bound the inflate output at the exact raster size the IHDR
+    # declares (ADVICE r6: decode_stub auto-sniffs the PNG magic on
+    # arbitrary content bytes, so an unbounded zlib.decompress of a
+    # crafted deflate bomb could balloon executor memory before the
+    # truncation check ran). decompressobj(...).decompress(data,
+    # max_length) stops inflating at the cap; any pending tail means
+    # the stream exceeds the declared raster -> refuse loudly.
+    need = h * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), need)
+        if dec.unconsumed_tail or dec.decompress(b"", 1):
+            raise ValueError(
+                f"PNG deflate stream exceeds the declared {w}x{h}x{ch} "
+                f"raster ({need} bytes) — refusing oversized payload"
+            )
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
-    stride = w * ch
-    if len(raw) < h * (stride + 1):
+    if len(raw) < need:
         raise ValueError("truncated PNG raster")
     prev = bytearray(stride)
     rows: list[list[tuple[int, int, int]]] = []

@@ -1142,7 +1142,17 @@ def append_lsh_index(
     from that window are correctness-harmless (the probe's candidate
     set is DISTINCT and the verify join keys on doc_id) and cost only
     storage — a transactional table format shrinks the window to its
-    commit, the same note as the upsert family's staged publish."""
+    commit, the same note as the upsert family's staged publish.
+
+    ``marker_dir`` must be a DRIVER-LOCAL filesystem path: markers are
+    read/written with ``os.path``/``open`` while the table appends go
+    through the Spark warehouse — the same single-machine convention as
+    ``agg_stream``'s committed-pointer files (ADVICE r6). On a
+    deployment whose checkpoint location is HDFS/S3, a URI here would
+    silently never match an existing marker and every replay would
+    re-append; route the marker IO through the Hadoop FileSystem API
+    (``spark._jvm.org.apache.hadoop.fs.FileSystem``) when porting the
+    sink off a single node."""
     import os
 
     def _marker(table: str) -> str | None:

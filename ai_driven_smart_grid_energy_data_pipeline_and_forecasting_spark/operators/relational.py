@@ -422,6 +422,16 @@ def zscore_normalize(
     Plan: one partial-agg groupBy builds the tiny per-key moment table,
     which broadcasts back onto the rows — no window, no second shuffle
     of the data.
+
+    Value-domain bound (loud guard): v² is cast to decimal(38,6), which
+    holds 32 integer digits — under non-ANSI Spark a |v| ≳ 1e16 row
+    overflows that cast to NULL and would be SILENTLY dropped from Σv²,
+    skewing the variance (the operator family's forbidden failure mode;
+    the DuckDB oracle errors instead). The moment aggregate therefore
+    also computes max(|v|) and the plan raises per offending key when it
+    reaches 1e15 (one decimal digit of headroom for the sum
+    accumulation) — rescale the column first if the domain is genuinely
+    that large.
     """
     vals = df.select(key_col, value_col).where(F.col(value_col).isNotNull())
     v = F.col(value_col)
@@ -429,15 +439,35 @@ def zscore_normalize(
         F.count(F.lit(1)).alias("_n"),
         F.sum(v.cast("decimal(30,6)")).cast("double").alias("_s1"),
         F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("_s2"),
+        F.max(F.abs(v)).alias("_vmax"),
     )
     mean = F.col("_s1") / F.col("_n")
     var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_n")) / (
         F.col("_n") - 1
     )
+    # guard rides the _sd expression so Catalyst cannot prune it; the
+    # raise_error branch only evaluates for an offending key
+    sd = F.when(
+        F.col("_vmax") >= F.lit(1e15),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "zscore_normalize: max(|value|) = "
+                ),
+                F.col("_vmax").cast("string"),
+                F.lit(
+                    " exceeds the decimal(38,6)-safe bound 1e15; larger"
+                    " values overflow the exact Σv² cast to NULL and"
+                    " silently skew the variance — rescale the column"
+                    " first"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(F.when((F.col("_n") > 1) & (var > 0), F.sqrt(var)))
     stats = moments.select(
         key_col,
         mean.alias("_mean"),
-        F.when((F.col("_n") > 1) & (var > 0), F.sqrt(var)).alias("_sd"),
+        sd.alias("_sd"),
     )
     return (
         vals.join(F.broadcast(stats), key_col)

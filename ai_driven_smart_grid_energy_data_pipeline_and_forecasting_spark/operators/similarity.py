@@ -1491,14 +1491,39 @@ def probe_feature_index(
 # ------------------------------------------- cluster-scoped (SemDeDup)
 
 
+def auto_centroids(
+    n_rows: int, target_cell_rows: int = 1024, lo: int = 8
+) -> int:
+    """Scale-safe centroid count for SemDeDup-style cell-scoped dedup:
+    hold the EXPECTED cell size constant (~``target_cell_rows``) by
+    growing k with the corpus, ``k = max(lo, ceil(n / target))``. This
+    is the published constant-cell-size rule (Abbas et al. 2023 cluster
+    into k ∝ n cells); with it the within-cell exact pairwise term is
+    O(n·target) — linear in n — instead of O(n²/k) at fixed k, which
+    the 25× scale probe measured super-linear (slope 37.3 at k=8; 2.26 s
+    vs 40.4 s restored linear at the derived k; SCALE.md round-6 probe).
+
+    Integer arithmetic only (``(n + t - 1) // t``) so a SQL oracle can
+    reproduce the derivation exactly with ``greatest(lo, (count(*) +
+    t - 1) // t)``."""
+    if n_rows < 0:
+        raise ValueError(f"auto_centroids: negative corpus size {n_rows}")
+    if target_cell_rows < 1:
+        raise ValueError(
+            f"auto_centroids: target_cell_rows={target_cell_rows} < 1"
+        )
+    return max(lo, (n_rows + target_cell_rows - 1) // target_cell_rows)
+
+
 def semantic_cell_pairs(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     threshold: float = 0.4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cell_rows: int = 32768,
+    target_cell_rows: int = 1024,
 ) -> DataFrame:
     """Near-dup embedding pairs, SemDeDup-style (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1523,8 +1548,17 @@ def semantic_cell_pairs(
     Centroids are the deterministic id-ordered corpus head, matching
     ``ann_ivf_topk``/``cluster_assign_stats`` (ties → smallest centroid
     id); swap in MLlib KMeans centers for balanced cells offline.
+
+    ``n_centroids=None`` (the default) derives k from the corpus size
+    via ``auto_centroids`` — constant ~``target_cell_rows``-row cells,
+    k ∝ n — at the cost of one count job over the id column. Pinning
+    ``n_centroids`` keeps the fixed-k behaviour (the oracle-twin
+    configuration) and is NOT scale-safe: at fixed k the within-cell
+    quadratic grows as n²/k (measured slope 37.3 at 25×, SCALE.md).
     """
     spark = emb.sparkSession
+    if n_centroids is None:
+        n_centroids = auto_centroids(emb.count(), target_cell_rows)
     cpdf = (
         emb.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).toPandas()
     )
@@ -1611,22 +1645,30 @@ def semantic_cell_pairs(
 
 def semantic_dedup(
     emb: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     threshold: float = 0.4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_rows: int = 1024,
 ) -> DataFrame:
     """End-to-end SemDeDup: cell-scoped near-dup pairs → connected
     components → one canonical survivor per component (minimum id) plus
     all untouched singletons. Composes ``semantic_cell_pairs`` with
     ``dedup.dedup_corpus`` — identical survivor semantics to
     ``embedding_dedup`` but with the cell-bounded candidate generation
-    that scales past the block-matrix form."""
+    that scales past the block-matrix form.
+
+    Scale-safe BY DEFAULT: ``n_centroids=None`` derives k from the
+    corpus count (constant ~``target_cell_rows``-row cells, k ∝ n —
+    see ``auto_centroids``). Pin ``n_centroids`` only when a fixed
+    quantizer is required (e.g. the fixed-k oracle twin); fixed k is
+    O(n²/k) and was measured super-linear at 25× (SCALE.md)."""
     from .dedup import dedup_corpus
 
     pairs = semantic_cell_pairs(
-        emb, n_centroids, threshold, dims, id_col, vec_col
+        emb, n_centroids, threshold, dims, id_col, vec_col,
+        target_cell_rows=target_cell_rows,
     )
     return dedup_corpus(
         emb.select(id_col), pairs, id_col=id_col, src="vec_a", dst="vec_b"

@@ -144,7 +144,57 @@ HEADLINE = [
     "orders_cdc",
     "value_percentile_state",
     "doc_lexical_diversity",
+    # r7 additions (VERDICT r6 ask #4: close the implicit exclusion
+    # list — every formerly-absent registry entry that does real scan/
+    # shuffle/kernel work at sf0.1 is now benched; the few remaining
+    # exclusions are in EXCLUDED below with a reason each)
+    "semantic_dedup_auto",
+    "doc_fingerprints",
+    "fingerprint_dedup",
+    "simhash_signatures",
+    "doc_repetition_stats",
+    "doc_commonness",
+    "corpus_ngram_topk",
+    "doc_lang_id",
+    "doc_stratified_sample",
+    "gold_features",
+    "gold_kpis",
+    "forecast_baseline",
+    "forecast_eval",
+    "silver_clean_vs_actual",
+    "type_status_rollup",
+    "order_priority_sql",
+    "value_percentiles",
+    "value_histogram",
+    "pipeline_lineage",
+    "quarantine_summary",
+    "small_quantity_revenue",
+    "top_revenue_supplier",
+    "users_purchase_and_error",
+    "important_part_share",
+    "excess_share_suppliers",
+    "media_stats",
+    "media_frame_sample",
+    "hourly_long",
 ]
+
+# Every registry entry NOT in HEADLINE, with the reason it is excluded
+# from the perf artifact ("no silent caps" — the bench asserts
+# HEADLINE | EXCLUDED == queries().keys() and writes this map into
+# BENCH_DETAIL.json so absences are visible, not implicit).
+EXCLUDED = {
+    "summary_events": "the bench warmup query itself (timed cost would double-count JVM boot)",
+    "distinct_event_types": "tiny serving lookup (sub-50ms; noise dominates signal)",
+    "events_window_filter": "tiny serving lookup (pruned single-partition scan)",
+    "keep_metrics": "two-scalar combine over an already-benched cascade (silver_reason_counts)",
+    "dropped_events": "anti-join twin of benched silver_clean (same scan + shuffle)",
+    "customers_with_orders": "tiny broadcast semi-join serving lookup",
+    "customers_without_orders": "tiny broadcast anti-join serving lookup",
+    "events_iso_payload": "projection-only formatting over a pruned scan (no shuffle)",
+    "forecast_sarimax_audit": "invariant-audit twin of benched forecast_sarimax (same fit re-run)",
+    "ann_ivf_recall": "recall-audit twin of benched ann_ivf_topk + ann_topk (re-runs both)",
+    "ann_ivf_trained": "MLlib KMeans fit dominated by iteration count, not data-plane cost; covered by forecast_mllib for the fit path and ann_ivf_topk for the probe path",
+}
 
 
 def main() -> None:
@@ -152,6 +202,18 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark("bench")
     queries = entry_mod.queries()
+
+    # no silent caps: every registry entry is either benched or in
+    # EXCLUDED with a written reason — a new entry that is neither
+    # fails the bench loudly instead of silently vanishing from the
+    # perf artifact
+    unaccounted = set(queries) - set(HEADLINE) - set(EXCLUDED)
+    stale = (set(HEADLINE) | set(EXCLUDED)) - set(queries)
+    if unaccounted or stale:
+        raise SystemExit(
+            f"bench coverage drift: unaccounted registry entries "
+            f"{sorted(unaccounted)}; stale bench names {sorted(stale)}"
+        )
 
     # warmup: boot JVM + parquet footer reads + spawn the Python UDF
     # workers (otherwise their one-time fork cost lands on whichever
@@ -224,6 +286,9 @@ def main() -> None:
         "queries": timings,
         "cold_total_sec": round(cold_total, 4),
         "sf": sf,
+        # registry entries deliberately not benched, with reasons
+        # (VERDICT r6 ask #4: the exclusion list must be explicit)
+        "excluded": EXCLUDED,
     }
     if errors:
         detail["errors"] = errors

@@ -48,7 +48,24 @@ BASE = "/root/testdata/sf0.1"
 COPIES = 5
 if "--copies" in sys.argv:
     COPIES = int(sys.argv[sys.argv.index("--copies") + 1])
-OUT = f"/tmp/scale_probe/sf{0.1 * COPIES:g}"
+# --prefix-vocab: grow the token VOCABULARY with the corpus (copy i>0
+# maps every token t -> "c{i}~t", an injective per-copy rename). The
+# default generator keeps one shared vocabulary across copies, which
+# preserves each copy's internal structure but multiplies every
+# token/trigram document frequency by COPIES — Sigma(df^2), the exact
+# cost driver of posting-list self-joins like doc_sparse_cosine, then
+# grows x COPIES^2 BY CONSTRUCTION (r6 diagnosis: x560 at 25x). A real
+# 25x-bigger web corpus grows its vocabulary with Heaps' law and keeps
+# per-term df roughly stable; the rename models that limit (per-copy df
+# distribution == base distribution exactly), separating algorithm
+# scaling from generator artifact. Within-copy pair structure is
+# untouched (injective rename); cross-copy overlap drops to ~0, which
+# the id-disjoint copies already guarantee for pair OUTPUTS.
+PREFIX_VOCAB = "--prefix-vocab" in sys.argv
+OUT = (
+    f"/tmp/scale_probe/sf{0.1 * COPIES:g}"
+    + ("_pv" if PREFIX_VOCAB else "")
+)
 
 PROBE_QUERIES = [
     "pricing_summary",
@@ -65,6 +82,10 @@ PROBE_QUERIES = [
     "returned_item_report",
     # r5 additions: the new heavy operators
     "semantic_dedup",
+    # r7: the scale-safe default (n_centroids derived from corpus size,
+    # constant ~50-row cells at the registered target) — the VERDICT r6
+    # ask is a probe row showing <= linear slope with NO manual knob
+    "semantic_dedup_auto",
     "doc_duplicated_spans",
     "doc_scrubbed_spans",
     "session_attribution",
@@ -140,6 +161,15 @@ def generate(spark) -> None:
         out = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * dkey_span))
         if i == 0:
             return out
+        if PREFIX_VOCAB:
+            # injective per-copy token rename: vocabulary grows x COPIES,
+            # every per-copy df distribution equals the base corpus's
+            toks = F.split(F.trim(F.col("text")), " ")
+            renamed = F.array_join(
+                F.transform(toks, lambda t: F.concat(F.lit(f"c{i}~"), t)),
+                " ",
+            )
+            return out.withColumn("text", renamed)
         # deterministic per-copy token reorder keyed on (token,
         # POSITION, i): near-dup docs share tokens at mostly the same
         # positions, so they reorder the same way and stay near-dups

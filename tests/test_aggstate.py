@@ -355,6 +355,82 @@ def test_histogram_state_out_of_range_mass_is_counted(spark):
     assert 3.0 <= est.pct <= 4.0
 
 
+def test_histogram_state_wide_bins_no_codegen_blowup(spark):
+    # VERDICT r6 Next #6: above _INLINE_BINS the state switches to the
+    # bin-as-data form (constant expression tree, one extra shuffle of
+    # bin-count rows only). n_bins=1024 must (a) run — the inline form
+    # at 1024 sum columns risks Janino codegen blowup — and (b) agree
+    # EXACTLY with the inline form's semantics: each wide bin of 4
+    # inline bins' worth of mass sums to the rebinned inline counts,
+    # and below/above/n are identical.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        _INLINE_BINS,
+        histogram_percentile,
+        histogram_state,
+        merge_histogram_states,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    LO, HI = 0.0, 512.0
+    assert 1024 > _INLINE_BINS
+    wide = histogram_state(ev, ["event_type"], "value", LO, HI, 1024)
+    inline = histogram_state(ev, ["event_type"], "value", LO, HI, 64)
+    w = {r.event_type: r for r in wide.collect()}
+    i = {r.event_type: r for r in inline.collect()}
+    assert set(w) == set(i)
+    for k in w:
+        assert (w[k].below, w[k].above, w[k].n) == (
+            i[k].below, i[k].above, i[k].n,
+        )
+        assert len(w[k].bins) == 1024
+        # 16 consecutive wide bins == 1 inline bin (same [lo, hi) line)
+        rebin = [sum(w[k].bins[16 * b : 16 * b + 16]) for b in range(64)]
+        assert rebin == list(i[k].bins)
+    # a pure-Python exact histogram agrees bin-for-bin
+    vals = [
+        r.value
+        for r in ev.select("event_type", "value").collect()
+        if r.event_type == next(iter(w)) and r.value is not None
+        and r.value == r.value
+    ]
+    import math
+
+    want = [0] * 1024
+    below = above = 0
+    for v in vals:
+        if v < LO:
+            below += 1
+        elif v >= HI:
+            above += 1
+        else:
+            want[min(int(math.floor((v - LO) / ((HI - LO) / 1024))), 1023)] += 1
+    kk = next(iter(w))
+    assert list(w[kk].bins) == want
+    assert (w[kk].below, w[kk].above) == (below, above)
+    # wide states still merge and estimate identically to one pass
+    parts = [
+        histogram_state(
+            ev.filter(F.col("event_id") % 2 == r),
+            ["event_type"], "value", LO, HI, 1024,
+        )
+        for r in range(2)
+    ]
+    merged = merge_histogram_states(parts, ["event_type"])
+    got = sorted(
+        tuple(r)
+        for r in histogram_percentile(merged, ["event_type"], 0.9, LO, HI).collect()
+    )
+    want_p = sorted(
+        tuple(r)
+        for r in histogram_percentile(wide, ["event_type"], 0.9, LO, HI).collect()
+    )
+    assert got == want_p
+
+
 def test_histogram_state_rejects_bad_spec(spark):
     import pytest
 

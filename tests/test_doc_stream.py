@@ -182,7 +182,7 @@ def test_stream_near_dup_across_batches_via_lsh_index(spark, tmp_path):
     run()
     # doc 20 is a near-dup of the BATCH-2 survivor: the index grew
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 11}
-    # the index holds exactly the three survivors' shingle sets
+    # the index holds exactly the two survivors' (1, 11) shingle sets
     assert {
         r.doc_id for r in spark.table(f"{prefix}_sets").collect()
     } == {1, 11}

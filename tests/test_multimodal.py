@@ -313,6 +313,43 @@ def test_png_rejects_unsupported_profiles():
         png_decode(bad)
 
 
+def test_png_deflate_bomb_is_bounded():
+    # ADVICE r6: decode_stub auto-sniffs the PNG magic on arbitrary
+    # content bytes, so a crafted IDAT that inflates far beyond the
+    # declared raster must be refused at the decompress cap (h*(w*ch+1)
+    # bytes), not after ballooning executor memory.
+    import struct
+    import zlib
+
+    import pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        _png_chunk,
+        png_decode,
+    )
+
+    # IHDR declares 2x2 RGB (raster = 2*(2*3+1) = 14 B) but the deflate
+    # stream inflates to 10 MB of zeros (~10 KB compressed)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds the declared"):
+        png_decode(bomb)
+    # an exact-size stream still decodes
+    good = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(14)))
+        + _png_chunk(b"IEND", b"")
+    )
+    w, h, rows = png_decode(good)
+    assert (w, h) == (2, 2) and rows[0][0] == (0, 0, 0)
+
+
 def test_png_through_spark_kernels(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
         extract_features,

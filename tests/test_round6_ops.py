@@ -122,6 +122,35 @@ def test_zscore_constant_group_yields_null(spark):
     assert abs(zs[0] + 2 ** -0.5) < 1e-12 and abs(zs[1] - 2 ** -0.5) < 1e-12
 
 
+def test_zscore_refuses_decimal_unsafe_values(spark):
+    # ADVICE r6: |v| >= 1e16 overflows the exact decimal(38,6) Σv² cast —
+    # under non-ANSI Spark to a silently-dropped NULL, skewing s2. The
+    # guard must fail LOUDLY in both modes (ANSI: the cast errors first;
+    # non-ANSI: the max(|v|) raise_error branch fires).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        zscore_normalize,
+    )
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [("a", 1e16), ("a", 2e16)], "k string, v double"
+    )
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with _pt.raises(Exception) as ei:
+            zscore_normalize(bad, "k", "v").collect()
+        assert "zscore_normalize" in str(ei.value)
+        # values inside the bound are untouched by the guard
+        ok = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0)], "k string, v double"
+        )
+        zs = sorted(r.z for r in zscore_normalize(ok, "k", "v").collect())
+        assert abs(zs[0] + 2 ** -0.5) < 1e-12
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+
+
 def test_cms_never_undercounts_on_skew(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
         cms_topk_audit,

@@ -554,6 +554,56 @@ def test_semantic_dedup_survivors_superset_of_global(spark):
     assert glob <= sem
 
 
+def test_auto_centroids_rule():
+    # constant-cell-size derivation: k = max(lo, ceil(n / target)); pure
+    # integer arithmetic so the SQL oracle mirrors it exactly
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        auto_centroids,
+    )
+    import pytest as _pt
+
+    assert auto_centroids(0) == 8
+    assert auto_centroids(500, 1024) == 8          # floor wins
+    assert auto_centroids(500, 50) == 10           # ceil(500/50)
+    assert auto_centroids(501, 50) == 11           # ceil rounds up
+    assert auto_centroids(1_000_000, 1024) == 977  # k grows ∝ n
+    assert auto_centroids(25_000_000, 1024) == 24_415
+    # k ∝ n keeps expected cell size bounded at every doubling
+    for n in (10_000, 20_000, 40_000, 80_000):
+        k = auto_centroids(n, 1024)
+        assert n / k <= 1024
+    with _pt.raises(ValueError):
+        auto_centroids(-1)
+    with _pt.raises(ValueError):
+        auto_centroids(10, 0)
+
+
+def test_semantic_dedup_auto_matches_derived_pinned_k(spark):
+    # the scale-safe default (n_centroids=None) must be EXACTLY the
+    # pinned run at the derived k — auto-sizing changes no semantics
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        auto_centroids,
+        semantic_dedup,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    n = emb.count()
+    k = auto_centroids(n, target_cell_rows=50)
+    assert k == 10  # 500-row corpus: the derived k differs from the pinned 8
+    auto = {
+        r.vec_id
+        for r in semantic_dedup(emb, threshold=0.4, target_cell_rows=50).collect()
+    }
+    pinned = {
+        r.vec_id
+        for r in semantic_dedup(emb, n_centroids=k, threshold=0.4).collect()
+    }
+    assert auto == pinned
+
+
 def test_semantic_cell_guard_raises(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
         semantic_cell_pairs,
