@@ -180,10 +180,19 @@ def histogram_state(
         keep = keep & ~F.isnan(v)
     src = df.where(keep)
     if n_bins <= _INLINE_BINS:
+        # idx is NULL for out-of-range rows, so (idx == b) is NULL too —
+        # a key whose batch holds ONLY below/above mass must still emit
+        # zero bins, not sum(all-NULL) = NULL bins (which would poison
+        # every later merge via zip_with's NULL propagation and crash
+        # the percentile on an all-NULL cum array; caught by the
+        # streaming-histogram twin's batch-2 "b" key, r7)
         aggs = [
             F.array(
                 *[
-                    F.sum((idx == b).cast("long")).alias(f"b{b}")
+                    F.sum(
+                        F.when(idx == b, F.lit(1)).otherwise(F.lit(0))
+                        .cast("long")
+                    ).alias(f"b{b}")
                     for b in range(n_bins)
                 ]
             ).alias("bins"),

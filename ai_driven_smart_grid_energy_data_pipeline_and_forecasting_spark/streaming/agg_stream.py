@@ -39,7 +39,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.aggstate import aggregate_state, merge_aggregate_states
+from ..operators.aggstate import (
+    aggregate_state,
+    histogram_state,
+    merge_aggregate_states,
+    merge_histogram_states,
+)
 
 _POINTER = "_LATEST"
 
@@ -90,17 +95,21 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(state_path, f"v{v}"))
 
 
-def _apply_batch(
+def _apply_state_batch(
     batch: DataFrame,
     batch_id: int,
     state_path: str,
-    keys: list[str],
-    value_col: str,
-    distinct_col: str | None = None,
+    build,
+    merge,
 ) -> None:
-    """Fold one delivered micro-batch into the state — idempotent per
-    ``batch_id`` (skip-if-committed + monotone pointer roll-forward).
-    Factored out of the sink so crash/replay paths are unit-testable."""
+    """Fold one delivered micro-batch into a pointer-committed state
+    snapshot — idempotent per ``batch_id`` (skip-if-committed +
+    monotone pointer roll-forward). Generic over the state algebra:
+    ``build(batch) -> state`` and ``merge(prev, new) -> state`` supply
+    the ⊕; the commit protocol (version dir + _SUCCESS + _LATEST
+    pointer) is shared by every mergeable state this engine persists
+    (decimal/HLL rollups, fixed-bin histograms). Factored out of the
+    sinks so crash/replay paths are unit-testable."""
     spark = batch.sparkSession
     vdir = os.path.join(state_path, f"v{batch_id}")
     # a committed pointer at or past this batch id proves the batch is
@@ -115,11 +124,9 @@ def _apply_batch(
     # a complete snapshot carries _SUCCESS; a dir without it is a
     # crashed partial write — recompute (mode=overwrite replaces it)
     if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
-        new = aggregate_state(batch, keys, value_col, distinct_col)
+        new = build(batch)
         prev = read_state(spark, state_path)
-        merged = (
-            new if prev is None else merge_aggregate_states([prev, new], keys)
-        )
+        merged = new if prev is None else merge(prev, new)
         merged.write.mode("overwrite").parquet(vdir)
     # monotone pointer flip — also completes a crash that died
     # between snapshot write and flip (replay rolls it forward).
@@ -131,6 +138,45 @@ def _apply_batch(
         with open(tmp, "w") as fh:
             fh.write(str(batch_id))
         os.replace(tmp, os.path.join(state_path, _POINTER))  # the commit
+
+
+def _apply_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str | None = None,
+) -> None:
+    """Decimal/HLL rollup fold (the original sink body) — kept as the
+    named unit-test surface; delegates to the generic core."""
+    _apply_state_batch(
+        batch,
+        batch_id,
+        state_path,
+        lambda b: aggregate_state(b, keys, value_col, distinct_col),
+        lambda prev, new: merge_aggregate_states([prev, new], keys),
+    )
+
+
+def _apply_histogram_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> None:
+    """Histogram fold: same commit protocol, histogram ⊕."""
+    _apply_state_batch(
+        batch,
+        batch_id,
+        state_path,
+        lambda b: histogram_state(b, keys, value_col, lo, hi, n_bins),
+        lambda prev, new: merge_histogram_states([prev, new], keys),
+    )
 
 
 def stream_aggregate_state(
@@ -158,6 +204,44 @@ def stream_aggregate_state(
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         _apply_batch(batch, batch_id, state_path, keys, value_col, distinct_col)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_histogram_state(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+):
+    """Streaming percentile monitor state (VERDICT r6 Next #7): each
+    micro-batch folds its fixed-bin histogram into the persisted state
+    — ``state ⊕ histogram_state(batch)`` — under the same
+    committed-pointer replay guard as ``stream_aggregate_state``
+    (version snapshot + _SUCCESS + monotone _LATEST flip; checkpoint
+    binding; at-least-once delivery made effect-idempotent per
+    batch_id). ``histogram_percentile`` over ``read_state`` then gives
+    a continuously maintained p50/p90/p99 whose estimate is PROVABLY
+    identical to a single pass over the union of all batches (the
+    batch-side oracle: estimate(merge(a,b)) == estimate(build(a∪b))).
+    The (lo, hi, n_bins) spec must stay constant across the state's
+    lifetime — ``merge_histogram_states`` refuses a mismatched bin
+    count loudly."""
+    bind_checkpoint(state_path, checkpoint)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _apply_histogram_batch(
+            batch, batch_id, state_path, keys, value_col, lo, hi, n_bins
+        )
 
     return (
         stream.writeStream.foreachBatch(sink)

@@ -268,6 +268,92 @@ def test_stream_state_replay_after_commit_without_success_marker(
     assert rows[0].n == 1 and rows[0].sum_value == 1.0
 
 
+def test_stream_histogram_state_merge_of_batches_equals_batch_of_union(
+    spark, tmp_path
+):
+    # VERDICT r6 Next #7: the streaming percentile monitor. Three
+    # micro-batches fold into the persisted histogram state; the
+    # percentile over the streamed state must equal (bit-exactly) the
+    # one-pass histogram over the union of all rows — and the fold must
+    # survive both crash windows of the commit protocol.
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_percentile,
+        histogram_state,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        _apply_histogram_batch,
+        read_state,
+        stream_histogram_state,
+    )
+
+    LO, HI, NB = 0.0, 100.0, 20
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [{"k": "a", "value": 5.0, "uid": 1},
+         {"k": "a", "value": 42.0, "uid": 2},
+         {"k": "b", "value": 99.9, "uid": 3}],
+        [{"k": "a", "value": 55.0, "uid": 4},
+         {"k": "b", "value": -3.0, "uid": 5},   # below-range mass
+         {"k": "b", "value": 250.0, "uid": 6}],  # above-range mass
+        [{"k": "a", "value": 77.5, "uid": 7},
+         {"k": "c", "value": 0.0, "uid": 8}],
+    ]
+    for i, rows in enumerate(batches):
+        _drop_events(drop, f"c{i}.json", rows)
+        q = stream_histogram_state(
+            _read_stream(spark, drop), state, ckpt, ["k"], "value",
+            LO, HI, NB,
+        )
+        q.awaitTermination(60)
+
+    st = read_state(spark, state)
+    union = spark.createDataFrame(
+        [(r["k"], r["value"]) for b in batches for r in b],
+        "k string, value double",
+    )
+    one_pass = histogram_state(union, ["k"], "value", LO, HI, NB)
+    for p in (0.5, 0.9):
+        got = sorted(
+            tuple(r)
+            for r in histogram_percentile(st, ["k"], p, LO, HI).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in histogram_percentile(one_pass, ["k"], p, LO, HI).collect()
+        )
+        assert got == want  # estimate(merge-of-batches) == estimate(union)
+
+    # crash window 1: pointer lost after snapshot write — redelivery
+    # rolls the flip forward without recomputing
+    last = max(
+        int(d[1:]) for d in os.listdir(state) if d.startswith("v")
+    )
+    os.remove(os.path.join(state, "_LATEST"))
+    batch = spark.createDataFrame(
+        [(r["k"], r["value"]) for r in batches[-1]], "k string, value double"
+    )
+    _apply_histogram_batch(batch, last, state, ["k"], "value", LO, HI, NB)
+    # crash window 2: _SUCCESS gone after the pointer flip — the
+    # committed pointer alone must prove the batch is folded in
+    os.remove(os.path.join(state, f"v{last}", "_SUCCESS"))
+    _apply_histogram_batch(batch, last, state, ["k"], "value", LO, HI, NB)
+    replayed = sorted(
+        tuple(r)
+        for r in histogram_percentile(
+            read_state(spark, state), ["k"], 0.9, LO, HI
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in histogram_percentile(one_pass, ["k"], 0.9, LO, HI).collect()
+    )
+    assert replayed == want  # no double-count through either window
+
+
 def test_vacuum_state_keeps_pointer_and_recent(spark, tmp_path):
     import os
 
@@ -429,6 +515,38 @@ def test_histogram_state_wide_bins_no_codegen_blowup(spark):
         for r in histogram_percentile(wide, ["event_type"], 0.9, LO, HI).collect()
     )
     assert got == want_p
+
+
+def test_histogram_state_all_out_of_range_key_has_zero_bins(spark):
+    # r7 regression: a key whose batch is ENTIRELY below/above range
+    # used to emit sum(all-NULL) = NULL bins from the inline form,
+    # which poisoned every later merge (zip_with NULL propagation) and
+    # crashed the percentile on an empty cum array
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_percentile,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    only_out = spark.createDataFrame(
+        [("b", -3.0), ("b", 250.0)], "k string, value double"
+    )
+    st = histogram_state(only_out, ["k"], "value", 0.0, 100.0, 5)
+    r = st.collect()[0]
+    assert list(r.bins) == [0, 0, 0, 0, 0]
+    assert (r.below, r.above, r.n) == (1, 1, 2)
+    # merging with an in-range state must preserve its mass exactly
+    in_range = spark.createDataFrame(
+        [("b", 99.9)], "k string, value double"
+    )
+    s1 = histogram_state(in_range, ["k"], "value", 0.0, 100.0, 5)
+    m = merge_histogram_states([s1, st], ["k"]).collect()[0]
+    assert list(m.bins) == [0, 0, 0, 0, 1]
+    assert (m.below, m.above, m.n) == (1, 1, 3)
+    est = histogram_percentile(
+        merge_histogram_states([s1, st], ["k"]), ["k"], 0.5, 0.0, 100.0
+    ).collect()[0]
+    assert 80.0 <= est.pct <= 100.0  # the single in-range row's bin
 
 
 def test_histogram_state_rejects_bad_spec(spark):
