@@ -397,18 +397,19 @@ def _rgb_features(
 
 
 def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float]:
-    """Codec boundary. Four formats decode for REAL with pure stdlib:
-    uncompressed 24-bit BMP (``bmp_decode``; features [width, height,
-    n_pixels, mean_r, mean_g, mean_b, mean_luma, aspect]),
-    non-interlaced 8-bit PNG (``png_decode`` — a COMPRESSED format on
-    the real byte path, deflate via stdlib ``zlib``; same feature
-    shape), binary PGM P5 (``pgm_decode``; same shape with the gray
-    mean in all three channel slots) and 16-bit PCM WAV (``wav_decode``;
-    features [n_samples, framerate, duration_s, mean_abs, rms, peak,
-    zero_crossing_rate, n_channels]). Other formats need PIL/libav,
-    absent in this container, so they raise — and ``fake=True``
-    produces deterministic byte-derived pseudo-features with the same
-    shape the real decoder would emit."""
+    """Codec boundary. Five formats decode for REAL without codec
+    libraries: uncompressed 24-bit BMP (``bmp_decode``; features
+    [width, height, n_pixels, mean_r, mean_g, mean_b, mean_luma,
+    aspect]), non-interlaced 8-bit PNG (``png_decode`` — deflate via
+    stdlib ``zlib``; same feature shape), baseline JPEG
+    (``jpeg.jpeg_decode`` — full entropy/DCT path, 4:4:4 + grayscale
+    profiles; same shape), binary PGM P5 (``pgm_decode``; same shape
+    with the gray mean in all three channel slots) and 16-bit PCM WAV
+    (``wav_decode``; features [n_samples, framerate, duration_s,
+    mean_abs, rms, peak, zero_crossing_rate, n_channels]). Other
+    formats need PIL/libav, absent in this container, so they raise —
+    and ``fake=True`` produces deterministic byte-derived
+    pseudo-features with the same shape the real decoder would emit."""
     if not fake and content is not None and bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
         return _rgb_features(*png_decode(bytes(content)))
     if not fake and content is not None and bytes(content[:2]) == b"P5":
@@ -441,12 +442,17 @@ def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float
         ]
     if not fake and content is not None and bytes(content[:2]) == b"BM":
         return _rgb_features(*bmp_decode(bytes(content)))
+    if not fake and content is not None and bytes(content[:2]) == b"\xFF\xD8":
+        from .jpeg import jpeg_decode
+
+        return _rgb_features(*jpeg_decode(bytes(content)))
     if not fake:
         raise NotImplementedError(
             "only uncompressed 24-bit BMP, non-interlaced 8-bit PNG, "
-            "binary P5 PGM and 16-bit PCM WAV decode natively; other "
-            "media codecs are not available in this environment — pass "
-            "fake=True for deterministic pseudo-features"
+            "baseline JPEG, binary P5 PGM and 16-bit PCM WAV decode "
+            "natively; other media codecs are not available in this "
+            "environment — pass fake=True for deterministic "
+            "pseudo-features"
         )
     if content is None:
         return [0.0] * FEATURE_DIM
@@ -515,10 +521,12 @@ def resize_stub(
     content: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
     """Resize codec boundary. Uncompressed 24-bit BMP, non-interlaced
-    8-bit PNG and binary P5 PGM resize for REAL (nearest-neighbor
-    resample through their pure-stdlib decode/encode pairs; PNG
+    8-bit PNG, baseline JPEG and binary P5 PGM resize for REAL
+    (nearest-neighbor resample through their decode/encode pairs; PNG
     re-encodes as truecolor RGB — RGBA alpha is dropped, grayscale is
-    replicated); other formats would need PIL/libvips, absent here, so
+    replicated; JPEG re-encodes 4:4:4 at the default quality — one
+    more lossy generation, the thumbnailing trade every real pipeline
+    makes); other formats would need PIL/libvips, absent here, so
     they raise. The fake path emits a deterministic byte payload sized
     proportionally to the target area so size accounting is testable."""
     if not fake and content is not None and bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
@@ -542,12 +550,21 @@ def resize_stub(
             for y in range(height)
         ]
         return pgm_encode(gout)
+    if not fake and content is not None and bytes(content[:2]) == b"\xFF\xD8":
+        from .jpeg import jpeg_decode, jpeg_encode
+
+        sw, sh, rows = jpeg_decode(bytes(content))
+        out = [
+            [rows[y * sh // height][x * sw // width] for x in range(width)]
+            for y in range(height)
+        ]
+        return jpeg_encode(out)
     if not fake:
         raise NotImplementedError(
-            "only uncompressed 24-bit BMP, non-interlaced 8-bit PNG and "
-            "binary P5 PGM resize natively; other image codecs are not "
-            "available in this environment — pass fake=True for "
-            "deterministic pseudo-resize"
+            "only uncompressed 24-bit BMP, non-interlaced 8-bit PNG, "
+            "baseline JPEG and binary P5 PGM resize natively; other "
+            "image codecs are not available in this environment — pass "
+            "fake=True for deterministic pseudo-resize"
         )
     if content is None:
         return b""

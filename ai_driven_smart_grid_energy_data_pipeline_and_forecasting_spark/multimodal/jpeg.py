@@ -1,0 +1,556 @@
+"""Baseline JPEG codec, stdlib + numpy — the last common image format
+behind the multimodal boundary (VERDICT r6 Next #9).
+
+Implements the baseline sequential DCT process of the public JPEG
+specification (ITU-T T.81 / ISO 10918-1): 8×8 block DCT, Annex K
+quantization tables scaled by the public IJG quality formula, the
+spec's standard (Annex K) Huffman tables, JFIF YCbCr color. Encoder
+emits 4:4:4 (no chroma subsampling) three-component or single-component
+grayscale streams; the decoder accepts any sampling-factor-1 layout
+(4:4:4 or grayscale) plus restart intervals, and REFUSES everything
+else loudly (progressive SOF2, subsampled 4:2:0, arithmetic coding,
+12-bit) — the same narrow-profile-or-raise convention as the BMP/PGM/
+PNG/WAV codecs in ``binary_ops``: a wrong answer is worse than no
+answer at a codec boundary.
+
+Like the PNG decoder's deflate-bomb cap, all decoder allocation is
+bounded by the declared SOF dimensions (an entropy stream cannot make
+the decoder allocate more than w·h·3 samples), and a dimension above
+``MAX_PIXELS`` is refused before any scan work.
+
+Reference parity note: the reference pipeline
+(`fastapi/app` in the reference repo) has no media path at all; this
+module exists for the large-scale training-data mandate (image columns
+as opaque binary + typed metadata), not for reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------- constants
+
+MAX_PIXELS = 1 << 24  # 16M pixels: refuse pathological SOF dims early
+
+# Annex K quantization tables (natural order), public spec values
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# k-th zigzag element's natural (row-major) index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Standard Huffman tables, Annex K: (bits[1..16], huffval)
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# 8-point DCT-II basis: C[k, n] = s(k)·cos((2n+1)kπ/16); block DCT is
+# C · B · Cᵀ and the inverse is Cᵀ · B · C (orthonormal)
+_C = np.zeros((8, 8))
+for _k in range(8):
+    _s = np.sqrt(0.125) if _k == 0 else 0.5
+    for _n in range(8):
+        _C[_k, _n] = _s * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """Public IJG quality scaling: 5000/q below 50, 200−2q above."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) via JPEG canonical code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self._nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            self.put(0x7F, 8 - self._nbits)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+# -------------------------------------------------------------- encoder
+
+
+def jpeg_encode(
+    rows: list,
+    quality: int = 90,
+    grayscale: bool = False,
+) -> bytes:
+    """RGB rows (top-down, pixel = (r, g, b)) → baseline JFIF bytes,
+    4:4:4 interleaved. With ``grayscale=True`` the rows hold plain
+    0–255 ints and a single-component stream is emitted."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    if h == 0 or w == 0:
+        raise ValueError("jpeg_encode needs a non-empty raster")
+    if grayscale:
+        y = np.asarray(rows, dtype=np.float64)
+        planes = [y - 128.0]
+    else:
+        rgb = np.asarray(rows, dtype=np.float64)  # h × w × 3
+        # JFIF RGB→YCbCr
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    nc = len(planes)
+    qts = [_scaled_qt(QT_LUMA, quality), _scaled_qt(QT_CHROMA, quality)]
+    if grayscale:
+        qts = qts[:1]
+    enc_dc = [
+        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    enc_ac = [
+        _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+        _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+
+    bw = _BitWriter()
+    pred = [0] * nc
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(nc):
+                plane = planes[ci]
+                tbl = 0 if ci == 0 else 1
+                block = np.zeros((8, 8))
+                y0, x0 = by * 8, bx * 8
+                ys, xs = min(8, h - y0), min(8, w - x0)
+                block[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
+                # edge replication for partial blocks (spec-recommended)
+                if ys < 8:
+                    block[ys:, :] = block[ys - 1, :]
+                if xs < 8:
+                    block[:, xs:] = block[:, xs - 1 : xs]
+                coef = _C @ block @ _C.T
+                q = np.round(
+                    coef / qts[tbl].reshape(8, 8)
+                ).astype(np.int64).reshape(64)
+                zz = q[ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s, bits_v = _magnitude(diff)
+                code, ln = enc_dc[tbl][s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(bits_v, s)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = enc_ac[tbl][0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    s, bits_v = _magnitude(v)
+                    code, ln = enc_ac[tbl][(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(bits_v, s)
+                    run = 0
+                if run:
+                    code, ln = enc_ac[tbl][0x00]  # EOB
+                    bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    for tid, qt in enumerate(qts):
+        zz_qt = bytes(int(qt[i]) for i in ZIGZAG)
+        out += seg(0xFFDB, bytes([tid]) + zz_qt)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += seg(0xFFC0, sof)
+    dht_specs = [
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if nc == 3:
+        dht_specs += [
+            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for cls, tid, bits, vals in dht_specs:
+        out += seg(
+            0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+    sos = bytes([nc])
+    for cid in range(1, nc + 1):
+        t = 0 if cid == 1 else 1
+        sos += bytes([cid, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+# -------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; RSTn markers
+    are surfaced to the caller via ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def _next_byte(self) -> int:
+        d = self.data
+        while True:
+            if self.pos >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = d[self.pos]
+            self.pos += 1
+            if byte != 0xFF:
+                return byte
+            if self.pos >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = d[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+                return 0xFF
+            # a real marker: step back so the caller sees it
+            self.pos -= 1
+            raise _MarkerReached()
+
+    def bit(self) -> int:
+        if self._nbits == 0:
+            self._acc = self._next_byte()
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume an RSTn marker and byte-align (restart intervals)."""
+        self._nbits = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected JPEG restart marker")
+
+
+class _MarkerReached(Exception):
+    pass
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_decode(
+    content: bytes,
+) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Baseline JPEG bytes → (width, height, RGB rows top-down).
+    Accepts sampling-factor-1 (4:4:4) color and grayscale; refuses
+    progressive/subsampled/12-bit streams with ``ValueError`` so
+    callers fall back to the stub boundary."""
+    b = bytes(content)
+    if b[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack_from(">H", b, i + 2)[0]
+        if i + 2 + ln > len(b):
+            raise ValueError("truncated JPEG header segment")
+        payload = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                zz = payload[p + 1 : p + 65]
+                nat = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    nat[ZIGZAG[k]] = zz[k]
+                qts[tq] = nat
+                p += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "unsupported JPEG process (need baseline sequential SOF0)"
+            )
+        elif marker == 0xC0:  # SOF0
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("unsupported JPEG precision (need 8-bit)")
+            if nc not in (1, 3):
+                raise ValueError("unsupported JPEG component count")
+            if fw * fh > MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dimensions {fw}x{fh} exceed the {MAX_PIXELS}"
+                    "-pixel decode bound"
+                )
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "unsupported JPEG chroma subsampling (need 4:4:4)"
+                    )
+                comps.append((cid, tq))
+            sof = (fw, fh, comps)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 15
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = payload[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cs, tt >> 4, tt & 15))
+            scan = (scan_comps, i + 2 + ln)
+            break
+        i += 2 + ln
+    if sof is None or scan is None:
+        raise ValueError("missing JPEG SOF/SOS")
+    fw, fh, comps = sof
+    scan_comps, data_pos = scan
+    if len(scan_comps) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+
+    br = _BitReader(b, data_pos)
+    bh, bwid = (fh + 7) // 8, (fw + 7) // 8
+    nc = len(comps)
+    planes = [np.zeros((bh * 8, bwid * 8)) for _ in range(nc)]
+    pred = [0] * nc
+    mcu_count = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_restart()
+                pred = [0] * nc
+            mcu_count += 1
+            for ci in range(nc):
+                _, dc_t, ac_t = scan_comps[ci]
+                qt = qts.get(comps[ci][1])
+                if qt is None:
+                    raise ValueError("missing JPEG quant table")
+                try:
+                    s = _huff_decode(br, huff[(0, dc_t)])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, huff[(1, ac_t)])
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _extend(br.bits(size), size)
+                        k += 1
+                except _MarkerReached as exc:
+                    raise ValueError(
+                        "truncated JPEG entropy stream"
+                    ) from exc
+                nat = np.zeros(64, dtype=np.float64)
+                nat[ZIGZAG] = zz
+                coef = (nat * qt).reshape(8, 8)
+                block = _C.T @ coef @ _C
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    if nc == 1:
+        y = np.clip(planes[0][:fh, :fw] + 128.0, 0, 255)
+        r = g = bl = y
+    else:
+        y = planes[0][:fh, :fw] + 128.0
+        cb = planes[1][:fh, :fw]
+        cr = planes[2][:fh, :fw]
+        r = np.clip(y + 1.402 * cr, 0, 255)
+        g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0, 255)
+        bl = np.clip(y + 1.772 * cb, 0, 255)
+    ri = np.rint(r).astype(np.int64)
+    gi = np.rint(g).astype(np.int64)
+    bi = np.rint(bl).astype(np.int64)
+    rows = [
+        [(int(ri[yy, xx]), int(gi[yy, xx]), int(bi[yy, xx])) for xx in range(fw)]
+        for yy in range(fh)
+    ]
+    return fw, fh, rows

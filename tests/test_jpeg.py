@@ -1,0 +1,141 @@
+"""Baseline JPEG codec (multimodal/jpeg.py): round-trip error bounds,
+profile refusals, decode bounds, and the Spark kernel path."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+    MAX_PIXELS,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def _gradient(w, h):
+    return [
+        [((x * 8) % 256, (y * 8) % 256, ((x + y) * 4) % 256) for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def _err(a, b):
+    return float(np.abs(np.asarray(a, float) - np.asarray(b, float)).max())
+
+
+def test_flat_image_roundtrips_exactly():
+    flat = [[(100, 150, 200)] * 16 for _ in range(16)]
+    w, h, back = jpeg_decode(jpeg_encode(flat, quality=90))
+    assert (w, h) == (16, 16)
+    assert _err(flat, back) == 0.0
+
+
+def test_smooth_gradient_high_quality_tight_bound():
+    rows = _gradient(32, 24)
+    w, h, back = jpeg_decode(jpeg_encode(rows, quality=95))
+    assert (w, h) == (32, 24)
+    assert _err(rows, back) <= 4.0  # quantization noise only
+
+
+def test_partial_edge_blocks_odd_dimensions():
+    # 13x11 exercises right/bottom partial MCUs + edge replication
+    odd = [
+        [((x * 37) % 256, (y * 53) % 256, 128) for x in range(13)]
+        for y in range(11)
+    ]
+    w, h, back = jpeg_decode(jpeg_encode(odd, quality=90))
+    assert (w, h) == (13, 11)
+    assert _err(odd, back) <= 20.0
+
+
+def test_lower_quality_degrades_but_decodes():
+    noise = [
+        [
+            (
+                (x * 73 + y * 151 + x * y) % 256,
+                (x * 31 + y * 97) % 256,
+                (x * x + y) % 256,
+            )
+            for x in range(17)
+        ]
+        for y in range(9)
+    ]
+    w, h, back = jpeg_decode(jpeg_encode(noise, quality=50))
+    assert (w, h) == (17, 9)
+    mean = float(
+        np.abs(np.asarray(noise, float) - np.asarray(back, float)).mean()
+    )
+    assert mean < 64.0  # lossy, but in the image's neighborhood
+
+
+def test_grayscale_single_component_stream():
+    g = [[(x * 9 + y * 5) % 256 for x in range(20)] for y in range(14)]
+    data = jpeg_encode(g, quality=95, grayscale=True)
+    w, h, back = jpeg_decode(data)
+    assert (w, h) == (20, 14)
+    assert all(p[0] == p[1] == p[2] for row in back for p in row)
+    gm = [[p[0] for p in row] for row in back]
+    assert _err(g, gm) <= 3.0
+
+
+def test_refuses_non_baseline_profiles():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_decode(b"nope")
+    # progressive: rewrite our SOF0 marker to SOF2
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    i = data.find(b"\xFF\xC0")
+    assert i > 0
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(data))
+    # 4:2:0 subsampling: patch the luma sampling factor to 2x2
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    i = data.find(b"\xFF\xC0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then cid,samp,tq
+    data[i + 2 + 2 + 6 + 1] = 0x22
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_decode(bytes(data))
+
+
+def test_dimension_bound_refused_before_scan():
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    i = data.find(b"\xFF\xC0")
+    # claim a raster far past MAX_PIXELS without supplying scan data
+    struct.pack_into(">HH", data, i + 2 + 3, 65000, 65000)
+    assert 65000 * 65000 > MAX_PIXELS
+    with pytest.raises(ValueError, match="decode bound"):
+        jpeg_decode(bytes(data))
+
+
+def test_truncated_entropy_stream_raises():
+    data = jpeg_encode(_gradient(32, 32), quality=95)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        jpeg_decode(data[: len(data) // 2])
+
+
+def test_jpeg_through_spark_kernels(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        extract_features,
+        resize_images,
+    )
+
+    rows = _gradient(16, 16)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(jpeg_encode(rows, quality=95)))],
+        "media_id long, modality string, content binary",
+    )
+    feats = extract_features(media, fake=False).collect()[0].features
+    assert feats[:3] == [16.0, 16.0, 256.0]
+    want_mr = sum(p[0] for r in rows for p in r) / 256.0
+    assert abs(feats[3] - want_mr) <= 4.0  # lossy tolerance
+
+    out = resize_images(media, width=4, height=4, fake=False).collect()[0]
+    w, h, got = jpeg_decode(bytes(out.content))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor of the decoded source, within one more lossy hop
+    src = jpeg_decode(bytes(media.collect()[0].content))[2]
+    want = [[src[y * 4][x * 4] for x in range(4)] for y in range(4)]
+    assert _err(want, got) <= 24.0
