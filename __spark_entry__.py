@@ -708,6 +708,79 @@ def q_semantic_dedup_auto(spark, sf_dir):
     ).select("vec_id")
 
 
+def q_embedding_rp_audit(spark, sf_dir):
+    # Johnson-Lindenstrauss random projection 64→16 (Achlioptas ±1 sign
+    # matrix, deterministic) with an in-result distortion audit: for
+    # every consecutive-id pair, squared distance before vs after and
+    # their ratio (JL says E[ratio]=1 with bounded spread). All dots are
+    # sequential left-to-right folds — the kernel's _ordered_gemm, the
+    # Catalyst zip_with+aggregate fold, and DuckDB's list_dot_product
+    # are op-for-op identical, so every double hash-matches. d² is the
+    # dot identity |a|²−2a·b+|b|² on BOTH sides (same op sequence).
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def d2(a, b):
+        return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+    v = F.col("embedding").cast("array<double>")
+    e = emb.select("vec_id", v.alias("v"))
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + 1,
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            d2(F.col("a.v"), F.col("b.v")).alias("d2_orig"),
+        )
+    )
+    rp = S.random_projection(emb, out_dims=16)
+    r = rp.select("vec_id", F.col("rvec").alias("rv"))
+    rpairs = (
+        r.alias("a")
+        .join(
+            r.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + 1,
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            d2(F.col("a.rv"), F.col("b.rv")).alias("d2_reduced"),
+        )
+    )
+    return (
+        pairs.join(rpairs, "vec_a")
+        .where(F.col("d2_orig") > 0)
+        .select(
+            "vec_a",
+            "vec_b",
+            "d2_orig",
+            "d2_reduced",
+            (F.col("d2_reduced") / F.col("d2_orig")).alias("distortion"),
+        )
+        .orderBy("vec_a")
+    )
+
+
+def q_kcenter_selection(spark, sf_dir):
+    # Greedy k-center (Gonzalez farthest-point) coreset selection over
+    # the embedding corpus — diversity-maximizing data selection, the
+    # geometric complement of the metadata-driven quota/stratified
+    # samplers. k-1 distributed aggregates, driver state = k vectors.
+    # Oracle = the same iteration as chained SQL CTEs (same dot-identity
+    # distances, same DESC/id tie-break), so ids AND gains hash-match.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kcenter_select(emb, k=8).orderBy("rank")
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2368,6 +2441,36 @@ def q_orders_cdc(spark, sf_dir):
     )
 
 
+def q_orders_scd2(spark, sf_dir):
+    # Kimball SCD Type-2 dimension build (new r7): three deterministic
+    # order-status snapshots -> one validity interval per contiguous
+    # value run, deletions closing intervals like changes (key%11 rows
+    # vanish at v3). One window shuffle + a run groupBy + a broadcast
+    # version dimension — history depth multiplies rows, not shuffles
+    # (operators/versioned.scd2_intervals).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        scd2_intervals,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    s1 = orders.select(k.alias("o_orderkey"), "o_orderstatus")
+    s2 = orders.select(
+        k.alias("o_orderkey"),
+        F.when(k % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    s3 = orders.filter(k % 11 != 0).select(
+        k.alias("o_orderkey"),
+        F.when(k % 5 == 0, F.lit("Y"))
+        .when(k % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return scd2_intervals([(1, s1), (2, s2), (3, s3)], ["o_orderkey"])
+
+
 
 def q_value_percentile_state(spark, sf_dir):
     # Mergeable approximate-percentile state: fixed-bin histograms
@@ -2481,6 +2584,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_nation": q_top_customers_per_nation,
         "important_part_share": q_important_part_share,
         "excess_share_suppliers": q_excess_share_suppliers,
+        # --- new r7 operators (local-green; driver cert rides the r8 front,
+        #     behind the 50-row r4 re-certification this round prioritizes) --
+        "orders_scd2": q_orders_scd2,
+        "embedding_rp_audit": q_embedding_rp_audit,
+        "kcenter_selection": q_kcenter_selection,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -2708,6 +2816,90 @@ _LANG_HITS = {
     lang: f"len(list_filter({_TOKS}, t -> list_contains({words!r}, t)))"
     for lang, words in TX.LANG_PROFILES.items()
 }
+
+
+def _rp_audit_sql() -> str:
+    """JL random-projection distortion oracle: the same ±1 sign matrix
+    as ``similarity.rp_matrix`` inlined as literals, the same
+    list_dot_product sequential fold, the same |a|²−2a·b+|b|² distance
+    identity — every double bit-matches the kernel."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        rp_matrix,
+    )
+
+    rv_terms = ",\n             ".join(
+        "list_dot_product(v, ["
+        + ", ".join(f"{s}.0" for s in row)
+        + "]) / sqrt(16.0)"
+        for row in rp_matrix(16, 64)
+    )
+    d2 = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        r AS (
+          SELECT vec_id,
+             [{rv_terms}] AS rv
+          FROM e),
+        p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {d2.format(a='a.v', b='b.v')} AS d2_orig
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1),
+        q AS (
+          SELECT a.vec_id AS vec_a,
+                 {d2.format(a='a.rv', b='b.rv')} AS d2_reduced
+          FROM r a JOIN r b ON b.vec_id = a.vec_id + 1)
+        SELECT p.vec_a, p.vec_b, p.d2_orig, q.d2_reduced,
+               q.d2_reduced / p.d2_orig AS distortion
+        FROM p JOIN q ON p.vec_a = q.vec_a
+        WHERE p.d2_orig > 0
+        ORDER BY p.vec_a
+    """
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Greedy k-center oracle: the Spark loop's k−1 rounds unrolled as
+    chained CTEs — same |a|²−2a·b+|b|² distances, same (mind DESC, id)
+    tie-break, least() chaining equal to the full min (min is
+    associative over doubles)."""
+    d2 = (
+        "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b}))"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"m0 AS (SELECT e.vec_id, e.v, {d2.format(a='e.v', b='c.v')} AS mind"
+        " FROM e, c0 c)",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, mind FROM m{i - 1}"
+            " ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"m{i} AS (SELECT m.vec_id, m.v, least(m.mind, "
+                + d2.format(a="m.v", b="c.v")
+                + f") AS mind FROM m{i - 1} m, c{i} c)"
+            )
+    selects = [
+        "SELECT 0 AS rank, vec_id, CAST(NULL AS DOUBLE) AS gain FROM c0"
+    ] + [
+        f"SELECT {i} AS rank, vec_id, mind AS gain FROM c{i}"
+        for i in range(1, k)
+    ]
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + "\n        "
+        + "\n        UNION ALL ".join(selects)
+        + "\n        ORDER BY rank"
+    )
 
 
 def _lang_case_sql() -> str:
@@ -2982,6 +3174,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN est e50 ON e50.event_type = t.event_type AND e50.p = 0.5
             JOIN est e90 ON e90.event_type = t.event_type AND e90.p = 0.9
             ORDER BY t.event_type
+        """,
+        "orders_scd2": """
+            WITH s1 AS (
+              SELECT o_orderkey, o_orderstatus, 1 AS v FROM orders),
+            s2 AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     2 AS v
+              FROM orders),
+            s3 AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN 'Y'
+                          WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     3 AS v
+              FROM orders WHERE o_orderkey % 11 != 0),
+            u AS (
+              SELECT * FROM s1 UNION ALL
+              SELECT * FROM s2 UNION ALL
+              SELECT * FROM s3),
+            lagged AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS pstat,
+                     lag(v) OVER w AS pv
+              FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY v)),
+            brk AS (
+              SELECT *,
+                     CASE WHEN pv IS NULL OR v != pv + 1
+                            OR o_orderstatus IS DISTINCT FROM pstat
+                          THEN 1 ELSE 0 END AS b
+              FROM lagged),
+            runs AS (
+              SELECT *,
+                     sum(b) OVER (PARTITION BY o_orderkey ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS run
+              FROM brk),
+            g AS (
+              SELECT o_orderkey, run,
+                     min(o_orderstatus) AS o_orderstatus,
+                     CAST(min(v) AS INT) AS valid_from,
+                     max(v) AS last_v
+              FROM runs GROUP BY o_orderkey, run)
+            SELECT o_orderkey, o_orderstatus, valid_from,
+                   CAST(CASE WHEN last_v < 3 THEN last_v + 1 END AS INT)
+                     AS valid_to,
+                   (last_v = 3) AS is_current
+            FROM g
+            ORDER BY o_orderkey, valid_from
         """,
         "orders_cdc": """
             WITH old AS (
@@ -3540,6 +3781,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE c2.vec_id IS NULL
             ORDER BY emb.vec_id
         """,
+        "embedding_rp_audit": _rp_audit_sql(),
+        "kcenter_selection": _kcenter_sql(8),
         "semantic_dedup_auto": f"""
             WITH RECURSIVE e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

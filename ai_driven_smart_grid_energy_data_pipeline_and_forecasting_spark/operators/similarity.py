@@ -648,6 +648,169 @@ def hyperplanes(dims: int) -> list[list[float]]:
     return [[hyperplane_weight(b, d) for d in range(dims)] for b in range(SRP_BITS)]
 
 
+def rp_sign(j: int, d: int) -> int:
+    """Deterministic ±1 entry of the Achlioptas sign projection matrix
+    (Achlioptas 2003, "Database-friendly random projections" — the
+    public JL-transform construction with {±1} entries): md5-derived,
+    so reduced vectors are reproducible across runs, engines, and the
+    SQL oracle. No RNG state to ship."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[:8], 16)
+    return 1 if h & 1 else -1
+
+
+def rp_matrix(out_dims: int, dims: int) -> list[list[int]]:
+    return [[rp_sign(j, d) for d in range(dims)] for j in range(out_dims)]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dims: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: 64-dim float
+    embeddings → ``out_dims`` doubles via the deterministic ±1 sign
+    matrix scaled by 1/√out_dims. The JL lemma bounds pairwise-distance
+    distortion with high probability — this is the cheap front half of
+    every large-scale similarity pipeline (4× fewer bytes per vector at
+    out_dims=16 before PQ/int8 take over; composes with ``pq_encode``
+    and the ANN family, which are all dims-parameterized).
+
+    Plan: one Arrow kernel pass, matrix is a compile-time constant (no
+    broadcast); projections accumulate dimension-by-dimension
+    (``_ordered_gemm``) — the identical left-to-right fold as the SQL
+    oracle's ``list_dot_product``, so every output double matches the
+    oracle BIT-EXACTLY (the ``srp_signatures`` convention, but here the
+    float VALUES are the result, not just their signs). Division by
+    √out_dims is a single IEEE op mirrored verbatim in SQL."""
+    r_mat = np.asarray(rp_matrix(out_dims, dims), dtype=np.float64)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            proj = _ordered_gemm(mx, r_mat) / np.sqrt(float(out_dims))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "rvec": list(proj),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        project, f"{id_col} long, rvec array<double>"
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    driver_max: int = 65536,
+) -> DataFrame:
+    """Greedy k-center (farthest-point / Gonzalez 1985) coreset
+    selection: start from the smallest id, then k−1 times pick the
+    point FARTHEST from the chosen set (max over points of min squared
+    distance to any center, ties → smallest id). The classic
+    2-approximation for diversity-maximizing data selection — the
+    "pick maximally spread examples" step of active-learning and
+    coreset pipelines, where quota/stratified sampling picks by
+    metadata and this picks by geometry.
+
+    Plan: k−1 rounds, each ONE distributed aggregate over the corpus —
+    min-distance to the (broadcast-as-literals) chosen set via the
+    |a|²−2a·b+|b|² identity in pure Catalyst folds (zip_with +
+    aggregate, sequential — bit-identical to the SQL oracle's
+    list_dot_product), then a TakeOrderedAndProject of row 1. Driver
+    state is the k chosen vectors — bounded by construction (the
+    BPE-driver-loop convention); no lineage growth because every round
+    recomputes distances closed-form from the literal center list.
+    O(k·n) total work, the distributed-greedy standard; k is small by
+    the algorithm's nature (a coreset is ≪ corpus).
+
+    Small corpora take a bounded DRIVER fast path (the union-find /
+    BPE-driver-loop convention): at or below ``driver_max`` rows the
+    vectors collect once and the k rounds run in numpy with the same
+    dimension-ordered arithmetic — row-identical to the distributed
+    loop (property-tested), one job instead of k plans. Above the
+    bound, the distributed per-round aggregate runs; nothing ever
+    collects more than ``driver_max`` vectors.
+
+    Returns (rank, id, gain): gain = the selected point's distance² to
+    the previously chosen set (monotone non-increasing — the coverage
+    radius trace; rank 0 has no prior set, gain NULL)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = emb.sparkSession
+
+    v = F.col(vec_col).cast("array<double>")
+    pts = emb.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    n = pts.count()
+    if n == 0:
+        raise ValueError("kcenter_select needs a non-empty corpus")
+    k = min(k, n)  # with k >= n every point is a center, once
+    chosen: list[tuple[int, list[float], float | None]]
+    if n <= driver_max:
+        rows = pts.orderBy("_id").collect()
+        ids = np.array([r["_id"] for r in rows], dtype=np.int64)
+        m = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+        vv = _ordered_rowdot(m, m)
+        chosen = [(int(ids[0]), list(m[0]), None)]
+        mind = np.full(len(ids), np.inf)
+        last = m[0]
+        for _ in range(min(k, len(ids)) - 1):
+            cc = _ordered_rowdot(last[None, :], last[None, :])[0]
+            vc = _ordered_gemm(m, last[None, :])[:, 0]
+            # same op order as the distributed expression:
+            # (v·v − 2.0·v·c) + c·c, then least over the chosen set
+            mind = np.minimum(mind, (vv - 2.0 * vc) + cc)
+            order = np.lexsort((ids, -mind))
+            best = order[0]
+            chosen.append((int(ids[best]), list(m[best]), float(mind[best])))
+            last = m[best]
+    else:
+
+        def dot(a, b):
+            return F.aggregate(
+                F.zip_with(a, b, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        first = pts.orderBy("_id").limit(1).collect()
+        chosen = [(int(first[0]["_id"]), list(first[0]["_v"]), None)]
+        while len(chosen) < k:
+            c_exprs = []
+            for _, cvec, _ in chosen:
+                lit = F.array(*[F.lit(float(x)) for x in cvec])
+                c_exprs.append(
+                    dot(F.col("_v"), F.col("_v"))
+                    - F.lit(2.0) * dot(F.col("_v"), lit)
+                    + dot(lit, lit)
+                )
+            mind_e = c_exprs[0] if len(c_exprs) == 1 else F.least(*c_exprs)
+            top = (
+                pts.withColumn("_mind", mind_e)
+                .orderBy(F.desc("_mind"), "_id")
+                .limit(1)
+                .collect()
+            )
+            row = top[0]
+            chosen.append(
+                (int(row["_id"]), list(row["_v"]), float(row["_mind"]))
+            )
+    return spark.createDataFrame(
+        [(i, cid, gain) for i, (cid, _, gain) in enumerate(chosen)],
+        f"rank int, {id_col} long, gain double",
+    )
+
+
 def srp_signatures(
     emb: DataFrame, dims: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

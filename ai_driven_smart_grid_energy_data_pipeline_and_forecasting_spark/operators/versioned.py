@@ -310,6 +310,100 @@ def diff_frames(
     )
 
 
+def scd2_intervals(
+    snapshots: Sequence[tuple[int, DataFrame]], keys: Sequence[str]
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from a series of keyed
+    snapshots: one row per (key, contiguous value run) with
+    ``valid_from`` (the snapshot version where the value first
+    appeared), ``valid_to`` (the first version where it no longer held
+    — exclusive; NULL while current) and ``is_current``. The classic
+    warehouse dimension builder (Kimball SCD2), here derived from full
+    snapshots rather than a CDC feed so it composes with
+    ``read_version`` time travel and ``diff_frames``.
+
+    Deletions are intervals too: a key absent from a later snapshot
+    closes its run at that snapshot's version (the run-break test is
+    "value changed OR version not contiguous", against the GLOBAL
+    version order). Value comparison is null-safe (a NULL field equals
+    NULL — unlike ``diff_frames``'s struct inequality, an SCD row must
+    not reopen because one side is NULL).
+
+    Plan: one union of the snapshots (each tagged with its version),
+    ONE shuffle for the per-key window (lag over the dense version
+    index), a partial-agg groupBy per run, and a broadcast join against
+    the tiny version dimension (built driver-side from the version
+    list the caller already holds — no job). Scales as the union of
+    snapshots; history depth multiplies rows, not shuffle count."""
+    if not snapshots:
+        raise ValueError("scd2_intervals needs at least one snapshot")
+    vs = [v for v, _ in snapshots]
+    if len(set(vs)) != len(vs):
+        raise ValueError(f"duplicate snapshot versions: {sorted(vs)}")
+    order = sorted(vs)
+    vidx = {v: i for i, v in enumerate(order)}
+    vnext = {order[i]: order[i + 1] for i in range(len(order) - 1)}
+
+    frames = []
+    val_cols = None
+    for v, df in snapshots:
+        cols = [c for c in df.columns if c not in keys]
+        if val_cols is None:
+            val_cols = cols
+        elif cols != val_cols:
+            raise ValueError(
+                f"snapshot v{v} columns {cols} != first snapshot's "
+                f"{val_cols} — SCD2 needs one schema across versions"
+            )
+        frames.append(
+            df.select(
+                *keys,
+                F.struct(*val_cols).alias("_val"),
+                F.lit(v).alias("_v"),
+                F.lit(vidx[v]).alias("_vidx"),
+            )
+        )
+    tagged = frames[0]
+    for fdf in frames[1:]:
+        tagged = tagged.unionByName(fdf)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("_vidx")
+    prev_val = F.lag("_val").over(w)
+    prev_idx = F.lag("_vidx").over(w)
+    brk = (
+        prev_idx.isNull()
+        | (F.col("_vidx") != prev_idx + 1)
+        | ~F.col("_val").eqNullSafe(prev_val)
+    )
+    runs = tagged.withColumn(
+        "_run",
+        F.sum(brk.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    grouped = runs.groupBy(*keys, "_run").agg(
+        F.min("_v").alias("valid_from"),
+        F.max("_vidx").alias("_last_vidx"),
+        F.min_by("_val", "_vidx").alias("_val"),
+    )
+    spark = grouped.sparkSession
+    vdim = spark.createDataFrame(
+        [(vidx[v], vnext.get(v)) for v in order],
+        "_last_vidx int, valid_to int",
+    )
+    out = grouped.join(F.broadcast(vdim), "_last_vidx", "left")
+    assert val_cols is not None
+    return out.select(
+        *keys,
+        *[F.col("_val")[c].alias(c) for c in val_cols],
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    ).orderBy(*keys, "valid_from")
+
+
 def vacuum_versions(root: str, keep_last: int = 2) -> dict[str, int]:
     """Reclaim storage: keep the newest ``keep_last`` snapshots, drop
     older manifests, and delete every ``data/v<N>/<part>`` directory no

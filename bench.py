@@ -176,6 +176,10 @@ HEADLINE = [
     "media_stats",
     "media_frame_sample",
     "hourly_long",
+    # new r7 operators
+    "orders_scd2",
+    "embedding_rp_audit",
+    "kcenter_selection",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -1,0 +1,168 @@
+"""Round-7 operators: SCD Type-2 intervals, JL random projection,
+greedy k-center selection. Edge cases beyond the oracle differential
+(which pins the registered configurations bit-exactly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+    kcenter_select,
+    random_projection,
+    rp_matrix,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+    scd2_intervals,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+    load_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ SCD2
+
+
+def test_scd2_change_delete_rebirth(spark):
+    s1 = spark.createDataFrame([(1, "O"), (2, "O"), (3, "F")], "k long, s string")
+    s2 = spark.createDataFrame([(1, "F"), (2, "O"), (3, "F")], "k long, s string")
+    s3 = spark.createDataFrame([(1, "F"), (3, "P")], "k long, s string")
+    s4 = spark.createDataFrame([(1, "F"), (2, "X"), (3, "P")], "k long, s string")
+    out = {
+        (r.k, r.s): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_intervals(
+            [(10, s1), (20, s2), (30, s3), (40, s4)], ["k"]
+        ).collect()
+    }
+    assert out[(1, "O")] == (10, 20, False)   # value change closes at 20
+    assert out[(1, "F")] == (20, None, True)
+    assert out[(2, "O")] == (10, 30, False)   # deletion closes at 30
+    assert out[(2, "X")] == (40, None, True)  # rebirth opens a NEW run
+    assert out[(3, "P")] == (30, None, True)
+    assert len(out) == 6
+
+
+def test_scd2_single_snapshot_all_current(spark):
+    s1 = spark.createDataFrame([(1, "A"), (2, "B")], "k long, s string")
+    rows = scd2_intervals([(7, s1)], ["k"]).collect()
+    assert all(r.valid_from == 7 and r.valid_to is None and r.is_current for r in rows)
+
+
+def test_scd2_null_values_do_not_reopen(spark):
+    # eqNullSafe: a NULL value equal on both sides is ONE run
+    s1 = spark.createDataFrame([(1, None)], "k long, s string")
+    s2 = spark.createDataFrame([(1, None)], "k long, s string")
+    rows = scd2_intervals([(1, s1), (2, s2)], ["k"]).collect()
+    assert len(rows) == 1 and rows[0].valid_from == 1 and rows[0].is_current
+
+
+def test_scd2_refuses_bad_inputs(spark):
+    s1 = spark.createDataFrame([(1, "A")], "k long, s string")
+    with pytest.raises(ValueError, match="at least one"):
+        scd2_intervals([], ["k"])
+    with pytest.raises(ValueError, match="duplicate"):
+        scd2_intervals([(1, s1), (1, s1)], ["k"])
+    s_other = spark.createDataFrame([(1, "A")], "k long, t string")
+    with pytest.raises(ValueError, match="one schema"):
+        scd2_intervals([(1, s1), (2, s_other)], ["k"])
+
+
+# ------------------------------------------------- JL random projection
+
+
+def test_rp_matrix_is_deterministic_signs():
+    m = rp_matrix(16, 64)
+    assert m == rp_matrix(16, 64)
+    assert all(v in (-1, 1) for row in m for v in row)
+    # not degenerate: both signs occur in every row
+    assert all(len(set(row)) == 2 for row in m)
+
+
+def test_random_projection_preserves_distances_statistically(spark):
+    emb = load_table(spark, "embeddings", SF)
+    rp = {r.vec_id: np.array(r.rvec) for r in random_projection(emb).collect()}
+    src = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    assert all(len(v) == 16 for v in rp.values())
+    ids = sorted(src)[:200]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d0 = float(((src[a] - src[b]) ** 2).sum())
+        d1 = float(((rp[a] - rp[b]) ** 2).sum())
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    # JL at k=16: mean distortion ~1, spread bounded (loose 3-sigma-ish)
+    assert 0.8 <= float(np.mean(ratios)) <= 1.2
+    assert all(0.05 <= r <= 5.0 for r in ratios)
+
+
+# ------------------------------------------------------ greedy k-center
+
+
+def test_kcenter_gains_monotone_and_deterministic(spark):
+    emb = load_table(spark, "embeddings", SF)
+    out = kcenter_select(emb, k=6).orderBy("rank").collect()
+    assert [r.rank for r in out] == list(range(6))
+    assert out[0].gain is None
+    gains = [r.gain for r in out[1:]]
+    # farthest-point gains never increase (coverage radius shrinks)
+    assert all(gains[i] >= gains[i + 1] for i in range(len(gains) - 1))
+    assert len({r.vec_id for r in out}) == 6
+    again = kcenter_select(emb, k=6).orderBy("rank").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_kcenter_matches_numpy_reference(spark):
+    emb = load_table(spark, "embeddings", SF).limit(64)
+    got = [
+        (r.rank, r.vec_id)
+        for r in kcenter_select(emb, k=5).orderBy("rank").collect()
+    ]
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array(sorted(r.vec_id for r in rows))
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows
+    }
+    chosen = [int(ids[0])]
+    for _ in range(4):
+        best, best_d = None, -1.0
+        for i in sorted(vecs):
+            d = min(float(((vecs[i] - vecs[c]) ** 2).sum()) for c in chosen)
+            if d > best_d + 1e-9 or (abs(d - best_d) <= 1e-9 and best is not None and i < best):
+                # strict improvement, or tie broken by smaller id
+                if d > best_d + 1e-9 or abs(d - best_d) <= 1e-9:
+                    best, best_d = i, max(d, best_d)
+        chosen.append(best)
+    assert [v for _, v in got] == chosen
+
+
+def test_kcenter_driver_path_equals_distributed(spark):
+    # the bounded-driver fast path must be ROW-IDENTICAL to the
+    # distributed per-round aggregate (same ordered arithmetic, same
+    # tie-break) — forced via driver_max
+    emb = load_table(spark, "embeddings", SF)
+    drv = kcenter_select(emb, k=5).orderBy("rank").collect()
+    dist = kcenter_select(emb, k=5, driver_max=0).orderBy("rank").collect()
+    assert [tuple(r) for r in drv] == [tuple(r) for r in dist]
+
+
+def test_kcenter_k_capped_at_corpus_size(spark):
+    emb = load_table(spark, "embeddings", SF).limit(3)
+    out = kcenter_select(emb, k=10).collect()
+    assert len(out) == 3
+    assert len({r.vec_id for r in out}) == 3  # no duplicate centers
+
+
+def test_kcenter_edges(spark):
+    emb = load_table(spark, "embeddings", SF)
+    one = kcenter_select(emb, k=1).collect()
+    assert len(one) == 1 and one[0].rank == 0 and one[0].gain is None
+    with pytest.raises(ValueError, match="k must be"):
+        kcenter_select(emb, k=0)
+    empty = emb.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="non-empty"):
+        kcenter_select(empty, k=2)
