@@ -781,6 +781,42 @@ def q_kcenter_selection(spark, sf_dir):
     return S.kcenter_select(emb, k=8).orderBy("rank")
 
 
+def q_doc_weighted_sample(spark, sf_dir):
+    # Deterministic weight-proportional sampling (Duffield-Lund-Thorup
+    # priority sampling): priority = weight / hash-uniform, top-100 win.
+    # Heavier (longer) documents are proportionally likelier, yet the
+    # selection is a pure function of (doc_id, salt, weight) — rerun-
+    # stable, nested in n, RNG-free. TakeOrderedAndProject plan: per-
+    # partition heap + single merge, no corpus shuffle.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.size(F.split(F.trim(F.col("text")), " "))
+    sel = weighted_priority_sample(docs, "doc_id", w, n=100)
+    return sel.select(
+        "doc_id", w.cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+def q_site_trend_slopes(spark, sf_dir):
+    # Per-series OLS trend (closed form): slope/intercept of value vs
+    # epoch-hour for every event_type in ONE partial-agg shuffle — the
+    # thousands-of-series shape MLlib's driver-iterated single model
+    # can't take. Exact BIGINT x-sums + decimal y-sums make the floats
+    # partition-invariant and oracle-exact (relational.trend_slopes).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        trend_slopes,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    x = F.expr("cast(cast(ts as timestamp_ltz) as long) div 3600")
+    return trend_slopes(
+        ev.withColumn("_x", x), "event_type", F.col("_x"), F.col("value")
+    ).orderBy("event_type")
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2589,6 +2625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_scd2": q_orders_scd2,
         "embedding_rp_audit": q_embedding_rp_audit,
         "kcenter_selection": q_kcenter_selection,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "site_trend_slopes": q_site_trend_slopes,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3783,6 +3821,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_rp_audit": _rp_audit_sql(),
         "kcenter_selection": _kcenter_sql(8),
+        "doc_weighted_sample": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(trim(text), ' ')) AS n_tokens
+              FROM documents),
+            q AS (
+              SELECT doc_id, n_tokens,
+                     CAST(n_tokens AS DOUBLE)
+                       / (({_h32_sql("'priority' || CAST(doc_id AS VARCHAR)")} + 1)
+                          / 4294967296.0) AS pr
+              FROM t WHERE n_tokens > 0),
+            top AS (
+              SELECT doc_id, n_tokens FROM q
+              ORDER BY pr DESC, doc_id LIMIT 100)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM top ORDER BY doc_id
+        """,
+        "site_trend_slopes": """
+            WITH t AS (
+              SELECT event_type,
+                     CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                       // 3600 AS x,
+                     value AS y
+              FROM events WHERE value IS NOT NULL),
+            a AS (
+              SELECT event_type, count(*) AS n,
+                     sum(x) AS sx, sum(x * x) AS sxx,
+                     CAST(sum(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,6)))
+                          AS DOUBLE) AS sxy
+              FROM t GROUP BY event_type),
+            s AS (
+              SELECT event_type, n, sx, sy,
+                     CASE WHEN n > 1
+                            AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                != 0
+                          THEN (CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     END AS slope
+              FROM a)
+            SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+                   (sy - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                     AS intercept
+            FROM s ORDER BY event_type
+        """,
         "semantic_dedup_auto": f"""
             WITH RECURSIVE e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -399,6 +399,54 @@ def table_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def trend_slopes(
+    df: DataFrame, group_col: str, x_col: Column, y_col: Column
+) -> DataFrame:
+    """Per-group closed-form simple linear regression (OLS trend):
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    The per-series "is this metric trending up?" primitive — MLlib's
+    solver fits one global model with driver-side iteration; this fits
+    every group in ONE partial-aggregated shuffle with no model object,
+    the right shape for thousands of series.
+
+    Determinism contract (the ``det_mean`` convention): x must be an
+    INTEGER column (Σx, Σx² fold as exact BIGINTs — caller buckets
+    timestamps to epoch hours/days first, which also keeps x² within
+    BIGINT for corpus-scale sums); Σy and Σxy accumulate as exact
+    decimals (x·y formed in double — one exact IEEE multiply — then
+    cast). The final slope/intercept are a fixed sequence of IEEE ops
+    on deterministic sums — partition-invariant and bit-identical to
+    the SQL oracle. Groups with n < 2 or zero x-variance emit NULLs."""
+    x = x_col.cast("long")
+    y = y_col.cast("double")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y.cast("decimal(30,6)")).cast("double").alias("_sy"),
+        F.sum((x.cast("double") * y).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(
+        (F.col("n") > 1) & (den != 0),
+        (n * F.col("_sxy") - sx * F.col("_sy")) / den,
+    )
+    return agg.select(
+        group_col,
+        F.col("n"),
+        slope.alias("slope"),
+        ((F.col("_sy") - slope * sx) / n).alias("intercept"),
+    )
+
+
 def zscore_normalize(
     df: DataFrame, key_col: str, value_col: str
 ) -> DataFrame:

@@ -143,6 +143,45 @@ def deterministic_top_n(
     )
 
 
+def weighted_priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight: Column,
+    n: int,
+    salt: str = "priority",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of exactly ``n`` rows —
+    priority sampling (Duffield, Lund & Thorup 2007, public): each row
+    gets priority q = w / u with u a hash-derived uniform in (0, 1],
+    and the n largest priorities win. Heavier rows win more often
+    (inclusion probability ≈ min(1, n·w/Σw)), yet the choice is a pure
+    function of (key, salt, weight) — rerunning selects the same rows,
+    growing ``n`` only appends (the priority order is a fixed global
+    permutation), and no RNG state ships anywhere. The weighted
+    counterpart of ``deterministic_top_n``, for curation steps like
+    "sample documents ∝ quality score".
+
+    Rows with weight ≤ 0 or NULL are excluded (zero weight means zero
+    inclusion mass; a negative weight has no sampling meaning).
+
+    Plan: global top-N = per-partition heap + single merge
+    (TakeOrderedAndProject) — no shuffle of the corpus. u = (h32+1) /
+    2³² and q = w/u are two IEEE ops mirrored verbatim in the SQL
+    oracle, so selections are engine-portable."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = h32(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    return (
+        df.withColumn("_w", weight.cast("double"))
+        .where(F.col("_w") > 0)
+        .withColumn("_q", F.col("_w") / u)
+        .orderBy(F.desc("_q"), key_col)
+        .limit(n)
+        .drop("_w", "_q")
+    )
+
+
 def group_split(
     df: DataFrame,
     pairs: DataFrame,

@@ -180,6 +180,8 @@ HEADLINE = [
     "orders_scd2",
     "embedding_rp_audit",
     "kcenter_selection",
+    "doc_weighted_sample",
+    "site_trend_slopes",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -45,6 +45,13 @@ NEW_R5 = [
     "doc_curriculum",
     "value_drift",
     "doc_containment_pairs",
+    # round-7 additions
+    "semantic_dedup_auto",
+    "orders_scd2",
+    "embedding_rp_audit",
+    "kcenter_selection",
+    "doc_weighted_sample",
+    "site_trend_slopes",
 ]
 
 

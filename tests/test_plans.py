@@ -422,3 +422,25 @@ def test_media_codec_audit_shuffle_free_kernel(spark):
     plan = _plan(spark, "media_codec_audit")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # priority sampling must be a global top-N (per-partition heap +
+    # single merge), never a full sort of the corpus
+    plan = _plan(spark, "doc_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_trend_slopes_single_hash_aggregate(spark):
+    # one partial-aggregated shuffle fits thousands of series; a
+    # SortAggregate fallback or a window would be a regression
+    plan = _plan(spark, "site_trend_slopes")
+    assert "HashAggregate" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_scd2_no_nested_loop_and_broadcast_version_dim(spark):
+    plan = _plan(spark, "orders_scd2")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # tiny version dimension

@@ -100,6 +100,60 @@ def test_random_projection_preserves_distances_statistically(spark):
     assert all(0.05 <= r <= 5.0 for r in ratios)
 
 
+# ------------------------------------------- weighted priority sampling
+
+
+def test_weighted_priority_sample_properties(spark):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    w = F.size(F.split(F.trim(F.col("text")), " "))
+    s50 = {r.doc_id for r in weighted_priority_sample(docs, "doc_id", w, 50).collect()}
+    s100 = {r.doc_id for r in weighted_priority_sample(docs, "doc_id", w, 100).collect()}
+    assert len(s50) == 50 and len(s100) == 100
+    assert s50 <= s100  # nested: growing n only appends
+    again = {r.doc_id for r in weighted_priority_sample(docs, "doc_id", w, 50).collect()}
+    assert again == s50  # rerun-stable
+    # weight-proportional: the sampled docs skew longer than the corpus
+    all_len = {r.doc_id: r.n for r in docs.select("doc_id", w.alias("n")).collect()}
+    mean_all = sum(all_len.values()) / len(all_len)
+    mean_sel = sum(all_len[d] for d in s100) / 100
+    assert mean_sel > mean_all
+    # zero/negative weights never selected
+    wz = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(F.lit(1))
+    sz = {r.doc_id for r in weighted_priority_sample(docs, "doc_id", wz, 50).collect()}
+    assert all(d % 2 == 1 for d in sz)
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_priority_sample(docs, "doc_id", w, 0)
+
+
+# ------------------------------------------------------ OLS trend slopes
+
+
+def test_trend_slopes_exact_on_synthetic_line(spark):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        trend_slopes,
+    )
+
+    rows = [("a", x, 3.0 * x + 7.0) for x in range(10)]
+    rows += [("flat", x, 5.0) for x in range(4)]
+    rows += [("one", 1, 9.0)]
+    rows += [("novar", 2, 1.0), ("novar", 2, 3.0)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    out = {r.g: r for r in trend_slopes(df, "g", F.col("x"), F.col("y")).collect()}
+    assert abs(out["a"].slope - 3.0) < 1e-12
+    assert abs(out["a"].intercept - 7.0) < 1e-12
+    assert abs(out["flat"].slope) < 1e-12 and abs(out["flat"].intercept - 5.0) < 1e-12
+    assert out["one"].slope is None and out["one"].intercept is None
+    assert out["novar"].slope is None  # zero x-variance
+
+
 # ------------------------------------------------------ greedy k-center
 
 
