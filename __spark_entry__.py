@@ -817,6 +817,25 @@ def q_site_trend_slopes(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q_corpus_collocations(spark, sf_dir):
+    # Collocation extraction (Church-Hanks PMI, log-free lift form —
+    # monotone-equivalent ranking on exact integer counts, min_count
+    # suppressing the rare-pair pathology). Two explode+partial-agg
+    # passes, token-keyed unigram joins, broadcast scalar totals,
+    # global top-k heap.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.corpus_collocations(docs, k=50, min_count=5)
+
+
+def q_hourly_anomalies(spark, sf_dir):
+    # Event-rate anomaly alerts: per-type hourly counts z-scored
+    # against the type's own hourly distribution, |z| > 2 pages. Exact
+    # BIGINT count moments -> fixed IEEE math; two partial-agg
+    # shuffles, broadcast moment table, no windows.
+    ev = _t(spark, sf_dir, "events")
+    return A.hourly_count_anomalies(ev, z_threshold=2.0)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2627,6 +2646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_selection": q_kcenter_selection,
         "doc_weighted_sample": q_doc_weighted_sample,
         "site_trend_slopes": q_site_trend_slopes,
+        "corpus_collocations": q_corpus_collocations,
+        "hourly_anomalies": q_hourly_anomalies,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3837,6 +3858,65 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY pr DESC, doc_id LIMIT 100)
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
             FROM top ORDER BY doc_id
+        """,
+        "hourly_anomalies": """
+            WITH cnt AS (
+              SELECT event_type,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            mom AS (
+              SELECT event_type, count(*) AS h,
+                     sum(n) AS s1, sum(n * n) AS s2
+              FROM cnt GROUP BY event_type),
+            st AS (
+              SELECT event_type,
+                     CAST(s1 AS DOUBLE) / CAST(h AS DOUBLE) AS mean,
+                     CASE WHEN h > 1
+                            AND (CAST(s2 AS DOUBLE)
+                                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                   / CAST(h AS DOUBLE))
+                                / (CAST(h AS DOUBLE) - 1) > 0
+                          THEN sqrt((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                       / CAST(h AS DOUBLE))
+                                    / (CAST(h AS DOUBLE) - 1))
+                     END AS sd
+              FROM mom)
+            SELECT c.event_type, c.ts_hour, CAST(c.n AS BIGINT) AS n,
+                   (CAST(c.n AS DOUBLE) - st.mean) / st.sd AS z
+            FROM cnt c JOIN st ON c.event_type = st.event_type
+            WHERE abs((CAST(c.n AS DOUBLE) - st.mean) / st.sd) > 2.0
+            ORDER BY c.event_type, c.ts_hour
+        """,
+        "corpus_collocations": """
+            WITH toks AS (
+              SELECT string_split(trim(text), ' ') AS tk FROM documents),
+            uni AS (SELECT unnest(tk) AS t FROM toks),
+            ucnt AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+            n AS (SELECT count(*) AS n FROM uni),
+            bg AS (
+              SELECT unnest(list_transform(
+                       generate_series(1, greatest(len(tk) - 1, 0)),
+                       i -> tk[i] || ' ' || tk[i + 1])) AS pair
+              FROM toks),
+            pcnt AS (SELECT pair, count(*) AS n_pair FROM bg GROUP BY pair),
+            b AS (SELECT sum(n_pair) AS b FROM pcnt),
+            scored AS (
+              SELECT string_split(p.pair, ' ')[1] AS a,
+                     string_split(p.pair, ' ')[2] AS b,
+                     CAST(p.n_pair AS BIGINT) AS n_pair,
+                     (CAST(p.n_pair AS DOUBLE) * CAST(n.n AS DOUBLE)
+                      * CAST(n.n AS DOUBLE))
+                     / (CAST(b.b AS DOUBLE) * CAST(ca.c AS DOUBLE)
+                        * CAST(cb.c AS DOUBLE)) AS lift
+              FROM pcnt p
+              JOIN ucnt ca ON ca.t = string_split(p.pair, ' ')[1]
+              JOIN ucnt cb ON cb.t = string_split(p.pair, ' ')[2]
+              CROSS JOIN n CROSS JOIN b
+              WHERE p.n_pair >= 5)
+            SELECT a, b, n_pair, lift FROM scored
+            ORDER BY lift DESC, a, b LIMIT 50
         """,
         "site_trend_slopes": """
             WITH t AS (

@@ -595,3 +595,76 @@ def lexical_diversity(
         )
         .orderBy(id_col)
     )
+
+
+def corpus_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation extraction: adjacent token bigrams
+    ranked by pointwise-mutual-information LIFT — the log-free form
+
+        lift(a,b) = (c(ab)·N·N) / (B·c(a)·c(b))
+
+    (PMI = log lift; log is monotone, so the ranking is identical and
+    the score stays a fixed sequence of IEEE ops on exact integer
+    counts — the ``doc_keywords`` log-free-TF-IDF convention, keeping
+    the result engine-portable where a transcendental would drift).
+    ``min_count`` suppresses the classic PMI pathology of rare pairs
+    dominating (Church & Hanks 1990's standard remedy).
+
+    Plan: one explode for unigram counts, one for positional bigrams
+    (both partial-aggregated), a token-keyed join of pair counts
+    against the two unigram sides, 1-row scalar totals broadcast
+    cross-joined, then a global top-k (TakeOrderedAndProject). No
+    Python, no windows; counts are BIGINTs and every count is < 2⁵³
+    at any realistic corpus size, so the double products round
+    identically everywhere."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = docs.select(toks.alias("_tk"))
+    uni = (
+        base.select(F.explode("_tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi_all = (
+        base.where(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_tk"), 1, F.size("_tk") - 1),
+                    F.slice(F.col("_tk"), 2, F.size("_tk") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # B is the total bigram mass BEFORE the min_count cut (p(ab) =
+    # c(ab)/B over the whole corpus; the cut only prunes the output)
+    bi = bi_all.where(F.col("n_pair") >= min_count)
+    totals = uni.agg(
+        F.sum("c").alias("_n")
+    ).crossJoin(
+        F.broadcast(
+            bi_all.agg(F.sum("n_pair").alias("_b"))
+        )
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("_ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("_cb"))
+    nd = F.col("_n").cast("double")
+    bd = F.col("_b").cast("double")
+    lift = (
+        F.col("n_pair").cast("double") * nd * nd
+    ) / (bd * F.col("_ca").cast("double") * F.col("_cb").cast("double"))
+    return (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(totals))
+        .select("a", "b", "n_pair", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(k)
+    )

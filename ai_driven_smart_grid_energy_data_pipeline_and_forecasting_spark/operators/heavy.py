@@ -105,6 +105,83 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     )
 
 
+def _cms_rows(col_name: str, depth: int, width: int):
+    """The per-item (row, cell) array expression shared by build and
+    probe — one definition so they can never disagree."""
+    from ..functions.text import h32
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    h32(F.concat(F.lit(f"cms{j}_"), F.col(col_name))) % width
+                ).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_state(
+    df: DataFrame, col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch as a mergeable STATE frame (j, cell, cnt):
+    ≤ depth·width rows however large the corpus, built in one
+    partial-aggregated shuffle. Two sketches with the same (depth,
+    width) merge by cell-wise addition (``merge_cms_states``) — the
+    same ⊕ contract as the decimal/HLL rollup and histogram states,
+    which is what makes the streaming twin
+    (``agg_stream.stream_cms_state``) exact rather than approximate-
+    on-top-of-approximate: estimate(merge of batches) ≡
+    estimate(build of union), cell for cell."""
+    items = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    return (
+        items.select(F.explode(_cms_rows("item", depth, width)).alias("rc"))
+        .groupBy(F.col("rc.j").alias("j"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def merge_cms_states(states: list[DataFrame]) -> DataFrame:
+    """⊕ of CMS states: cell-wise addition. The (depth, width) spec
+    must match across states — cells are only meaningful under one
+    hash layout, and a mismatched-width merge would silently alias
+    cells, so the caller owns the spec (the histogram family's
+    contract; width is not recoverable from the state rows, which are
+    sparse)."""
+    if not states:
+        raise ValueError("merge_cms_states needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "cell").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_probe(
+    state: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate lookup: min over rows of the item's cells (an
+    absent cell means count 0). Broadcast the ≤ depth·width state."""
+    probes = items.select(
+        F.col(col).cast("string").alias("item"),
+        F.explode(_cms_rows(col, depth, width)).alias("rc"),
+    ).select("item", F.col("rc.j").alias("j"), F.col("rc.cell").alias("cell"))
+    return (
+        probes.join(F.broadcast(state), ["j", "cell"], "left")
+        .groupBy("item")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate")
+        )
+    )
+
+
 def cms_topk_audit(
     df: DataFrame,
     col: str,
@@ -132,27 +209,11 @@ def cms_topk_audit(
     overestimate): ``overestimate >= 0`` VERIFIES the one-sided
     guarantee from the data, and every number is md5-deterministic, so
     the SQL oracle checks the whole row value-exact."""
-    from ..functions.text import h32
-
     items = df.select(F.col(col).cast("string").alias("item")).where(
         F.col("item").isNotNull()
     )
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("j"),
-                (h32(F.concat(F.lit(f"cms{j}_"), F.col("item"))) % width).alias(
-                    "cell"
-                ),
-            )
-            for j in range(depth)
-        ]
-    )
-    cells = (
-        items.select(F.explode(rows).alias("rc"))
-        .groupBy("rc.j", "rc.cell")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    rows = _cms_rows("item", depth, width)
+    cells = cms_state(df, col, depth, width)
     top = (
         items.groupBy("item")
         .agg(F.count(F.lit(1)).alias("true_count"))

@@ -142,3 +142,45 @@ def ohlc_downsample(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "ts_hour")
     )
+
+
+def hourly_count_anomalies(
+    events: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """Hourly event-rate anomaly detection: per (type, hour) counts
+    z-scored against the type's own hourly distribution; rows with
+    |z| > threshold are the alert set a rate monitor pages on. Counts
+    are INTEGERS, so Σc and Σc² fold as exact BIGINTs — no decimal
+    carrier needed, and mean/variance are a fixed IEEE op sequence on
+    exact sums (partition-invariant, oracle-exact; the
+    ``zscore_normalize`` math over a count table). Two partial-agg
+    shuffles (hour counts, then the tiny per-type moment table which
+    broadcasts back); no windows. Zero-variance or single-hour types
+    emit no rows (nothing to standardize)."""
+    cnt = (
+        with_hour(events)
+        .groupBy("event_type", "ts_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mom = cnt.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_h"),
+        F.sum("n").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+    )
+    h = F.col("_h").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (s2 - s1 * s1 / h) / (h - 1)
+    stats = mom.select(
+        "event_type",
+        (s1 / h).alias("_mean"),
+        F.when((F.col("_h") > 1) & (var > 0), F.sqrt(var)).alias("_sd"),
+    )
+    z = (F.col("n").cast("double") - F.col("_mean")) / F.col("_sd")
+    return (
+        cnt.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > z_threshold)
+        .select("event_type", "ts_hour", "n", "z")
+        .orderBy("event_type", "ts_hour")
+    )

@@ -251,6 +251,46 @@ def stream_histogram_state(
     )
 
 
+def stream_cms_state(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Streaming frequency-sketch maintenance — the third mergeable
+    state behind the shared commit protocol (decimal/HLL rollup,
+    histogram, now Count-Min): each micro-batch's sketch folds in by
+    cell-wise addition, so the persisted ≤ depth·width rows always
+    equal the sketch of EVERYTHING ingested (merge-of-batches ≡
+    build-of-union exactly — CMS cells are plain counts) while the
+    stream itself holds no item-level state. Probe the committed
+    snapshot with ``heavy.cms_probe``. The (depth, width) spec must
+    stay constant across the state's lifetime (the caller owns it; a
+    mismatched width would silently alias cells — same contract as
+    ``merge_cms_states``)."""
+    from ..operators.heavy import cms_state, merge_cms_states
+
+    bind_checkpoint(state_path, checkpoint)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _apply_state_batch(
+            batch,
+            batch_id,
+            state_path,
+            lambda b: cms_state(b, col, depth, width),
+            lambda prev, new: merge_cms_states([prev, new]),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
     """Retention sweep for committed snapshots: delete ``v*`` dirs
     older than the newest ``keep_last`` versions (the pointer target

@@ -182,6 +182,8 @@ HEADLINE = [
     "kcenter_selection",
     "doc_weighted_sample",
     "site_trend_slopes",
+    "corpus_collocations",
+    "hourly_anomalies",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -354,6 +354,81 @@ def test_stream_histogram_state_merge_of_batches_equals_batch_of_union(
     assert replayed == want  # no double-count through either window
 
 
+def test_stream_cms_state_equals_union_build(spark, tmp_path):
+    # third mergeable state behind the shared commit protocol: the
+    # streamed CMS must equal the one-pass sketch of the union CELL
+    # FOR CELL (counts add exactly), and probes through it match
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_probe,
+        cms_state,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        read_state,
+        stream_cms_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [{"k": "alpha", "value": 1.0, "uid": 1},
+         {"k": "alpha", "value": 1.0, "uid": 2},
+         {"k": "beta", "value": 1.0, "uid": 3}],
+        [{"k": "alpha", "value": 1.0, "uid": 4},
+         {"k": "gamma", "value": 1.0, "uid": 5}],
+    ]
+    for i, rows in enumerate(batches):
+        _drop_events(drop, f"c{i}.json", rows)
+        q = stream_cms_state(
+            _read_stream(spark, drop), state, ckpt, "k",
+            depth=3, width=64,
+        )
+        q.awaitTermination(60)
+
+    st = read_state(spark, state)
+    union = spark.createDataFrame(
+        [(r["k"],) for b in batches for r in b], "k string"
+    )
+    want = {
+        (r.j, r.cell): r.cnt
+        for r in cms_state(union, "k", depth=3, width=64).collect()
+    }
+    got = {(r.j, r.cell): r.cnt for r in st.collect()}
+    assert got == want  # cell-for-cell, not just estimates
+    items = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("never",)], "k string"
+    )
+    est = {
+        r.item: r.cms_estimate
+        for r in cms_probe(st, items, "k", depth=3, width=64).collect()
+    }
+    # one-sided guarantee: estimate >= truth; tiny domain -> exact here
+    assert est["alpha"] >= 3 and est["beta"] >= 1 and est["gamma"] >= 1
+    # replay after pointer loss must not double-count
+    os.remove(os.path.join(state, "_LATEST"))
+    batch = spark.createDataFrame(
+        [(r["k"],) for r in batches[-1]], "k string"
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        _apply_state_batch,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        merge_cms_states,
+    )
+
+    _apply_state_batch(
+        batch, 1, state,
+        lambda b: cms_state(b, "k", 3, 64),
+        lambda p, n: merge_cms_states([p, n]),
+    )
+    again = {
+        (r.j, r.cell): r.cnt for r in read_state(spark, state).collect()
+    }
+    assert again == want
+
+
 def test_vacuum_state_keeps_pointer_and_recent(spark, tmp_path):
     import os
 

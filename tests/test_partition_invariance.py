@@ -52,6 +52,8 @@ NEW_R5 = [
     "kcenter_selection",
     "doc_weighted_sample",
     "site_trend_slopes",
+    "corpus_collocations",
+    "hourly_anomalies",
 ]
 
 

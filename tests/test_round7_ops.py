@@ -131,6 +131,59 @@ def test_weighted_priority_sample_properties(spark):
         weighted_priority_sample(docs, "doc_id", w, 0)
 
 
+# --------------------------------------------------------- collocations
+
+
+def test_corpus_collocations_lift_and_edges(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        corpus_collocations,
+    )
+
+    # "new york" always adjacent; "the" everywhere -> low lift for
+    # "the x"; single-token and empty-ish docs must not crash
+    docs = spark.createDataFrame(
+        [(i, "new york is the city the people the crowd") for i in range(5)]
+        + [(99, "solo"), (100, "the the")],
+        "doc_id long, text string",
+    )
+    out = corpus_collocations(docs, k=10, min_count=5)
+    rows = {(r.a, r.b): (r.n_pair, r.lift) for r in out.collect()}
+    assert ("new", "york") in rows
+    assert rows[("new", "york")][0] == 5
+    # the perfectly-associated pair outranks any "the"-anchored pair
+    the_lifts = [v[1] for (a, b), v in rows.items() if a == "the" or b == "the"]
+    assert all(rows[("new", "york")][1] > tl for tl in the_lifts)
+    # min_count prunes pairs seen fewer than 5 times
+    assert all(v[0] >= 5 for v in rows.values())
+
+
+# ----------------------------------------------------- hourly anomalies
+
+
+def test_hourly_anomalies_flags_the_spike(spark):
+    from datetime import datetime
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_count_anomalies,
+    )
+
+    rows = []
+    # 23 steady hours of 10 events + one 100-event spike hour
+    for h in range(24):
+        per = 100 if h == 12 else 10
+        for i in range(per):
+            rows.append(("click", datetime(2024, 1, 1, h, i % 60), i))
+    # a constant-rate type emits nothing (zero variance)
+    for h in range(10):
+        rows.append(("flat", datetime(2024, 1, 1, h, 0), h))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, v long")
+    out = hourly_count_anomalies(df, z_threshold=2.0).collect()
+    assert [(r.event_type, r.ts_hour.hour, r.n) for r in out] == [
+        ("click", 12, 100)
+    ]
+    assert out[0].z > 4.0
+
+
 # ------------------------------------------------------ OLS trend slopes
 
 
