@@ -2936,8 +2936,15 @@ def _kcenter_sql(k: int = 8) -> str:
         " FROM e, c0 c)",
     ]
     for i in range(1, k):
+        # already-chosen centers are excluded from the argmax (the
+        # Spark loop does the same): duplicate vectors tie at mind=0
+        # and the id tie-break would otherwise re-pick a center
+        prior = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(i)
+        )
         parts.append(
             f"c{i} AS (SELECT vec_id, v, mind FROM m{i - 1}"
+            f" WHERE vec_id NOT IN ({prior})"
             " ORDER BY mind DESC, vec_id LIMIT 1)"
         )
         if i < k - 1:

@@ -310,6 +310,17 @@ def png_decode(
             "grayscale/RGB/RGBA)"
         )
     ch = {0: 1, 2: 3, 6: 4}[ctype]
+    # bound by DECLARED dimensions before any allocation (review r7:
+    # the inflate cap alone is attacker-controlled via IHDR — a
+    # 65535x65535 header legitimizes a ~17 GB raster; same limit as
+    # jpeg.MAX_PIXELS)
+    from .jpeg import MAX_PIXELS
+
+    if w * h > MAX_PIXELS:
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the {MAX_PIXELS}-pixel "
+            "decode bound"
+        )
     stride = w * ch
     # Bound the inflate output at the exact raster size the IHDR
     # declares (ADVICE r6: decode_stub auto-sniffs the PNG magic on

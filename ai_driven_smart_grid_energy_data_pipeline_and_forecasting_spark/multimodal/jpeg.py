@@ -434,6 +434,8 @@ def jpeg_decode(
                 if pq != 0:
                     raise ValueError("16-bit JPEG quant tables unsupported")
                 zz = payload[p + 1 : p + 65]
+                if len(zz) < 64:
+                    raise ValueError("truncated JPEG DQT segment")
                 nat = np.zeros(64, dtype=np.int32)
                 for k in range(64):
                     nat[ZIGZAG[k]] = zz[k]
@@ -444,7 +446,11 @@ def jpeg_decode(
                 "unsupported JPEG process (need baseline sequential SOF0)"
             )
         elif marker == 0xC0:  # SOF0
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if len(payload) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF segment")
             if prec != 8:
                 raise ValueError("unsupported JPEG precision (need 8-bit)")
             if nc not in (1, 3):
@@ -468,13 +474,21 @@ def jpeg_decode(
             while p < len(payload):
                 cls, tid = payload[p] >> 4, payload[p] & 15
                 bits = list(payload[p + 1 : p + 17])
+                if len(bits) < 16:
+                    raise ValueError("truncated JPEG DHT segment")
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("truncated JPEG DHT segment")
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 p += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:  # SOS
+            if len(payload) < 1 or len(payload) < 1 + 2 * payload[0]:
+                raise ValueError("truncated JPEG SOS segment")
             ns = payload[0]
             scan_comps = []
             for c in range(ns):
@@ -489,6 +503,24 @@ def jpeg_decode(
     scan_comps, data_pos = scan
     if len(scan_comps) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
+    # components pair POSITIONALLY below, so the ids must agree —
+    # a reordered scan would otherwise cross-wire quant/Huffman
+    # tables and decode garbled pixels with no error (review r7:
+    # "a wrong answer is worse than no answer")
+    for ci in range(len(comps)):
+        if scan_comps[ci][0] != comps[ci][0]:
+            raise ValueError(
+                "JPEG scan component order differs from the frame's — "
+                "refusing rather than cross-wiring tables"
+            )
+        if (0, scan_comps[ci][1]) not in huff or (
+            1,
+            scan_comps[ci][2],
+        ) not in huff:
+            raise ValueError(
+                f"missing JPEG huffman table for component "
+                f"{scan_comps[ci][0]}"
+            )
 
     br = _BitReader(b, data_pos)
     bh, bwid = (fh + 7) // 8, (fw + 7) // 8

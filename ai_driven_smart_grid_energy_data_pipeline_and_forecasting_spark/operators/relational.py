@@ -413,19 +413,32 @@ def trend_slopes(
     the right shape for thousands of series.
 
     Determinism contract (the ``det_mean`` convention): x must be an
-    INTEGER column (Σx, Σx² fold as exact BIGINTs — caller buckets
-    timestamps to epoch hours/days first, which also keeps x² within
-    BIGINT for corpus-scale sums); Σy and Σxy accumulate as exact
+    INTEGER column (caller buckets timestamps to epoch hours/days
+    first); Σx and Σx² fold as exact DECIMALS — a plain BIGINT sum of
+    x² wraps SILENTLY under non-ANSI Spark once n·x² passes 9.2e18,
+    which epoch-hour x reaches at ~4e7 rows per group (review r7) —
+    the decimal(19,0) carrier multiplies to decimal(38,0), whose 1e38
+    cap is beyond any physical corpus. Σy and Σxy accumulate as exact
     decimals (x·y formed in double — one exact IEEE multiply — then
     cast). The final slope/intercept are a fixed sequence of IEEE ops
     on deterministic sums — partition-invariant and bit-identical to
-    the SQL oracle. Groups with n < 2 or zero x-variance emit NULLs."""
+    the SQL oracle (DuckDB's HUGEINT sums are exact over the same
+    range, and both engines round the exact integer to the same
+    double). Groups with n < 2 or zero x-variance emit NULLs.
+
+    Conditioning note: the sums are exact, but the one-pass identity
+    n·Σx² − (Σx)² cancels catastrophically when |x| ≫ x's spread
+    (epoch hours: offset ~5e5, spread ~1e4 → relative slope error
+    ~1e-6; offset 2e9 → ~5e-4). The result is still deterministic and
+    oracle-identical; when more precision matters, center x per group
+    first (x − min(x)) — a second cheap aggregate, caller's choice."""
     x = x_col.cast("long")
+    xd = x.cast("decimal(19,0)")
     y = y_col.cast("double")
     agg = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("_sx"),
-        F.sum(x * x).alias("_sxx"),
+        F.sum(xd).alias("_sx"),
+        F.sum(xd * xd).alias("_sxx"),
         F.sum(y.cast("decimal(30,6)")).cast("double").alias("_sy"),
         F.sum((x.cast("double") * y).cast("decimal(38,6)"))
         .cast("double")
@@ -475,11 +488,12 @@ def zscore_normalize(
     holds 32 integer digits — under non-ANSI Spark a |v| ≳ 1e16 row
     overflows that cast to NULL and would be SILENTLY dropped from Σv²,
     skewing the variance (the operator family's forbidden failure mode;
-    the DuckDB oracle errors instead). The moment aggregate therefore
-    also computes max(|v|) and the plan raises per offending key when it
-    reaches 1e15 (one decimal digit of headroom for the sum
-    accumulation) — rescale the column first if the domain is genuinely
-    that large.
+    the DuckDB oracle errors instead), and an in-bound SUM can overflow
+    the same way for large groups. The moment aggregate therefore also
+    computes max(|v|) and the plan raises per offending key unless
+    |v| < 1e15 AND n·max|v|² < 1e31 AND n·max|v| < 1e23 (a decimal
+    digit of headroom under the 1e32 / 1e24 carrier caps) — rescale
+    the column first if the domain is genuinely that large.
     """
     vals = df.select(key_col, value_col).where(F.col(value_col).isNotNull())
     v = F.col(value_col)
@@ -494,20 +508,33 @@ def zscore_normalize(
         F.col("_n") - 1
     )
     # guard rides the _sd expression so Catalyst cannot prune it; the
-    # raise_error branch only evaluates for an offending key
+    # raise_error branch only evaluates for an offending key. Two
+    # bounds (review r7: the per-row cast bound alone is not enough —
+    # in-bound values can still overflow the SUM to NULL silently):
+    # the per-row v² cast (|v| < 1e15) AND the accumulated sums,
+    # conservatively n·vmax² < 1e31 for Σv² (decimal(38,6) holds 1e32)
+    # and n·vmax < 1e23 for Σv (decimal(30,6) holds 1e24).
+    unsafe = (
+        (F.col("_vmax") >= F.lit(1e15))
+        | (F.col("_vmax") * F.col("_vmax") * F.col("_n") >= F.lit(1e31))
+        | (F.col("_vmax") * F.col("_n") >= F.lit(1e23))
+    )
     sd = F.when(
-        F.col("_vmax") >= F.lit(1e15),
+        unsafe,
         F.raise_error(
             F.concat(
                 F.lit(
-                    "zscore_normalize: max(|value|) = "
+                    "zscore_normalize: value domain too large for the"
+                    " exact decimal moment sums (max|v| = "
                 ),
                 F.col("_vmax").cast("string"),
+                F.lit(", n = "),
+                F.col("_n").cast("string"),
                 F.lit(
-                    " exceeds the decimal(38,6)-safe bound 1e15; larger"
-                    " values overflow the exact Σv² cast to NULL and"
-                    " silently skew the variance — rescale the column"
-                    " first"
+                    "); need |v| < 1e15 AND n*max|v|^2 < 1e31 AND"
+                    " n*max|v| < 1e23 — otherwise the decimal cast or"
+                    " sum would overflow to NULL and silently skew the"
+                    " variance. Rescale the column first."
                 ),
             )
         ).cast("double"),

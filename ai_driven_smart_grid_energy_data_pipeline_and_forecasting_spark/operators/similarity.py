@@ -763,6 +763,13 @@ def kcenter_select(
         vv = _ordered_rowdot(m, m)
         chosen = [(int(ids[0]), list(m[0]), None)]
         mind = np.full(len(ids), np.inf)
+        # already-chosen points are excluded from the argmax — with
+        # duplicate vectors every copy of a chosen center has mind=0
+        # and the (mind DESC, id ASC) tie-break would otherwise re-pick
+        # the chosen point itself, emitting duplicate ids and skipping
+        # a never-selected point (review r7)
+        taken = np.zeros(len(ids), dtype=bool)
+        taken[0] = True
         last = m[0]
         for _ in range(min(k, len(ids)) - 1):
             cc = _ordered_rowdot(last[None, :], last[None, :])[0]
@@ -770,8 +777,10 @@ def kcenter_select(
             # same op order as the distributed expression:
             # (v·v − 2.0·v·c) + c·c, then least over the chosen set
             mind = np.minimum(mind, (vv - 2.0 * vc) + cc)
-            order = np.lexsort((ids, -mind))
+            cand = np.where(taken, -np.inf, mind)
+            order = np.lexsort((ids, -cand))
             best = order[0]
+            taken[best] = True
             chosen.append((int(ids[best]), list(m[best]), float(mind[best])))
             last = m[best]
     else:
@@ -795,8 +804,13 @@ def kcenter_select(
                     + dot(lit, lit)
                 )
             mind_e = c_exprs[0] if len(c_exprs) == 1 else F.least(*c_exprs)
+            # exclude already-chosen ids: duplicate vectors tie at
+            # mind=0 and the id tie-break would re-pick a center
             top = (
-                pts.withColumn("_mind", mind_e)
+                pts.where(
+                    ~F.col("_id").isin([cid for cid, _, _ in chosen])
+                )
+                .withColumn("_mind", mind_e)
                 .orderBy(F.desc("_mind"), "_id")
                 .limit(1)
                 .collect()

@@ -110,6 +110,52 @@ def test_dimension_bound_refused_before_scan():
         jpeg_decode(bytes(data))
 
 
+def test_reordered_scan_components_refused():
+    # review r7: SOS/SOF components pair positionally, so a reordered
+    # scan must be refused, not decoded with cross-wired tables
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    i = data.find(b"\xFF\xDA")
+    # SOS payload: len(2) ns(1) then (cid, tables) pairs — swap the
+    # cids of components 1 and 2
+    base = i + 2 + 2 + 1
+    data[base], data[base + 2] = data[base + 2], data[base]
+    with pytest.raises(ValueError, match="scan component order"):
+        jpeg_decode(bytes(data))
+
+
+def test_missing_huffman_table_is_valueerror():
+    # a scan referencing an undefined DHT id must refuse uniformly
+    # (ValueError), not leak KeyError from executor tasks
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    i = data.find(b"\xFF\xDA")
+    base = i + 2 + 2 + 1
+    data[base + 1] = 0x33  # tables id 3/3: never defined
+    with pytest.raises(ValueError, match="huffman table"):
+        jpeg_decode(bytes(data))
+
+
+def test_truncated_header_segments_are_valueerror():
+    import struct
+
+    full = jpeg_encode(_gradient(8, 8))
+    # cut inside every header segment and require a uniform ValueError
+    for marker in (b"\xFF\xDB", b"\xFF\xC0", b"\xFF\xC4", b"\xFF\xDA"):
+        i = full.find(marker)
+        assert i > 0
+        cut = full[: i + 6]
+        with pytest.raises(ValueError):
+            jpeg_decode(cut)
+    # a DQT whose declared length is intact but whose table bytes are
+    # short must not IndexError
+    data = bytearray(full)
+    i = data.find(b"\xFF\xDB")
+    ln = struct.unpack_from(">H", data, i + 2)[0]
+    short = data[: i + 4 + 10] + data[i + 2 + ln :]
+    struct.pack_into(">H", short, i + 2, 12)
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(short))
+
+
 def test_truncated_entropy_stream_raises():
     data = jpeg_encode(_gradient(32, 32), quality=95)
     with pytest.raises(ValueError, match="truncated|missing"):

@@ -350,6 +350,31 @@ def test_png_deflate_bomb_is_bounded():
     assert (w, h) == (2, 2) and rows[0][0] == (0, 0, 0)
 
 
+def test_png_refuses_oversized_declared_dimensions():
+    # review r7: the inflate cap is derived from the attacker-
+    # controlled IHDR, so a 65535x65535 header would legitimize a
+    # ~17 GB raster — the declared-dimension bound must fire first
+    import struct
+    import zlib
+
+    import pytest
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        _png_chunk,
+        png_decode,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 65535, 65535, 8, 6, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode bound"):
+        png_decode(bomb)
+
+
 def test_png_through_spark_kernels(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
         extract_features,

@@ -151,6 +151,28 @@ def test_zscore_refuses_decimal_unsafe_values(spark):
         spark.conf.set("spark.sql.ansi.enabled", ansi_before)
 
 
+def test_zscore_refuses_sum_overflow_of_inbound_values(spark):
+    # review r7: each |v| ~ 9e14 passes the per-row bound but 200 of
+    # them push Σv² past decimal(38,6)'s cap — the guard must bound the
+    # SUM too, not silently NULL the variance
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        zscore_normalize,
+    )
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [("a", 9e14 + i) for i in range(200)], "k string, v double"
+    )
+    ansi_before = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with _pt.raises(Exception) as ei:
+            zscore_normalize(bad, "k", "v").collect()
+        assert "zscore_normalize" in str(ei.value)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi_before)
+
+
 def test_cms_never_undercounts_on_skew(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
         cms_topk_audit,

@@ -264,6 +264,48 @@ def test_kcenter_k_capped_at_corpus_size(spark):
     assert len({r.vec_id for r in out}) == 3  # no duplicate centers
 
 
+def test_kcenter_duplicate_vectors_never_repeat_a_center(spark):
+    # review r7: with duplicate vectors, every copy of a chosen center
+    # ties at mind=0 and the id tie-break used to re-pick the CENTER
+    # itself — k distinct points must come back, duplicates selectable
+    # only once, never-chosen points not skipped
+    zero = [0.0] * 63
+    rows = [
+        (0, [0.0] + zero),
+        (1, [0.0] + zero),       # exact duplicate of vec 0
+        (2, [3.0] + zero),
+        (3, [3.0] + zero),       # exact duplicate of vec 2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for dm in (65536, 0):  # driver and distributed paths
+        out = kcenter_select(emb, k=4, driver_max=dm).orderBy("rank").collect()
+        ids = [r.vec_id for r in out]
+        assert len(set(ids)) == 4, ids
+        assert ids[0] == 0 and ids[1] == 2  # farthest first, then dups
+        assert out[2].gain == 0.0 and out[3].gain == 0.0
+
+
+def test_trend_slopes_exact_at_bigint_unsafe_magnitudes(spark):
+    # review r7: sum(x*x) as plain BIGINT wraps silently once n*x^2
+    # passes 9.2e18 — the decimal carrier must stay exact. 3000 rows
+    # at x ~ 2e9 gives n*x^2 ~ 1.2e22, far past the long cap.
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        trend_slopes,
+    )
+
+    X0 = 2_000_000_000
+    rows = [("g", X0 + i, 2.0 * i + 1.0) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    r = trend_slopes(df, "g", F.col("x"), F.col("y")).collect()[0]
+    # a wrapped BIGINT sum yields wildly wrong values here; the exact
+    # decimal carrier keeps the answer right up to the documented
+    # large-offset float cancellation (~n·ulp / den, here ~5e-4)
+    assert abs(r.slope - 2.0) < 1e-2
+    assert r.n == 3000
+
+
 def test_kcenter_edges(spark):
     emb = load_table(spark, "embeddings", SF)
     one = kcenter_select(emb, k=1).collect()
