@@ -836,6 +836,15 @@ def q_hourly_anomalies(spark, sf_dir):
     return A.hourly_count_anomalies(ev, z_threshold=2.0)
 
 
+def q_doc_search_tfidf(spark, sf_dir):
+    # Query-driven retrieval: fixed-point TF-IDF (score = Σ tf · ((1e6·N)
+    # div df), exact BIGINTs end to end — no float sums, so the ranking
+    # is partition-order-free and the oracle value-exact). The corpus
+    # shuffles only (doc, query-term) hits; top-k is a heap.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_search(docs, "vector stream merge window", k=20)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2648,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_trend_slopes": q_site_trend_slopes,
         "corpus_collocations": q_corpus_collocations,
         "hourly_anomalies": q_hourly_anomalies,
+        "doc_search_tfidf": q_doc_search_tfidf,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3865,6 +3875,28 @@ def oracle_sql() -> dict[str, str]:
               ORDER BY pr DESC, doc_id LIMIT 100)
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
             FROM top ORDER BY doc_id
+        """,
+        "doc_search_tfidf": """
+            WITH q AS (
+              SELECT unnest(['merge', 'stream', 'vector', 'window']) AS t),
+            n AS (SELECT count(*) AS n FROM documents),
+            hits AS (
+              SELECT doc_id, tok.t
+              FROM (SELECT doc_id,
+                           unnest(string_split(trim(text), ' ')) AS t
+                    FROM documents) tok
+              JOIN q ON q.t = tok.t),
+            dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+                    FROM hits GROUP BY t),
+            tfs AS (SELECT doc_id, t, count(*) AS tf
+                    FROM hits GROUP BY doc_id, t),
+            scored AS (
+              SELECT tfs.doc_id,
+                     sum(tfs.tf * ((1000000 * n.n) // dfs.df)) AS score
+              FROM tfs JOIN dfs ON tfs.t = dfs.t CROSS JOIN n
+              GROUP BY tfs.doc_id)
+            SELECT doc_id, CAST(score AS BIGINT) AS score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
         """,
         "hourly_anomalies": """
             WITH cnt AS (

@@ -668,3 +668,63 @@ def corpus_collocations(
         .orderBy(F.desc("lift"), "a", "b")
         .limit(k)
     )
+
+
+TFIDF_SCALE = 1_000_000
+
+
+def tfidf_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-driven text retrieval: rank documents by fixed-point
+    TF-IDF against a query string —
+
+        score(d) = Σ_t tf(t, d) · ((SCALE·N) // df(t))
+
+    over the DISTINCT query terms, with N = corpus size and df = the
+    term's document frequency. The idf factor is integer-floored at
+    ``TFIDF_SCALE`` precision, so every per-term score and the final
+    sum are EXACT BIGINTs — no float addition anywhere, hence no
+    partition-order sensitivity and a value-exact SQL oracle (the
+    ``doc_keywords`` log-free convention extended to retrieval; the
+    floor costs < 1e-6 relative idf precision, far below any ranking
+    consequence). Ties break by ascending id.
+
+    Plan: the query's terms are a literal array (driver-side constant,
+    a handful of strings); one explode of the corpus filtered TO THOSE
+    TERMS feeds two partial-agg aggregations (per-term df, per-doc
+    per-term tf) and a broadcast of the tiny df/N tables; top-k is a
+    TakeOrderedAndProject. The corpus shuffles only (doc, query-term)
+    hit rows — for a q-term query that is ≤ q·N_docs rows, not the
+    token stream."""
+    terms = sorted(set(query.strip().split()))
+    if not terms:
+        raise ValueError("tfidf_search needs a non-empty query")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    hits = (
+        docs.select(F.col(id_col), F.explode(toks).alias("t"))
+        .where(F.col("t").isin(terms))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    df_tbl = hits.groupBy("t").agg(
+        F.count_distinct(id_col).alias("_df")
+    )
+    tf_tbl = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("_tf"))
+    # integer floor division: (SCALE·N) div df — exact BIGINTs end to end
+    idf_scaled = F.expr(f"cast({TFIDF_SCALE} as bigint) * _n div _df")
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(id_col, (F.col("_tf") * idf_scaled).alias("_term_score"))
+        .groupBy(id_col)
+        .agg(F.sum("_term_score").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), id_col)
+        .limit(k)
+        .select(id_col, "score")
+    )

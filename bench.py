@@ -184,6 +184,7 @@ HEADLINE = [
     "site_trend_slopes",
     "corpus_collocations",
     "hourly_anomalies",
+    "doc_search_tfidf",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -105,6 +105,15 @@ PROBE_QUERIES = [
     "hourly_count_decomposition",
     "event_type_drift",
     "doc_feature_hashes",
+    # r7 additions
+    "orders_scd2",
+    "embedding_rp_audit",
+    "kcenter_selection",
+    "doc_weighted_sample",
+    "site_trend_slopes",
+    "corpus_collocations",
+    "hourly_anomalies",
+    "doc_search_tfidf",
 ]
 
 

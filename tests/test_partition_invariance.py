@@ -54,6 +54,7 @@ NEW_R5 = [
     "site_trend_slopes",
     "corpus_collocations",
     "hourly_anomalies",
+    "doc_search_tfidf",
 ]
 
 

@@ -157,6 +157,41 @@ def test_corpus_collocations_lift_and_edges(spark):
     assert all(v[0] >= 5 for v in rows.values())
 
 
+# ------------------------------------------------------- tfidf retrieval
+
+
+def test_tfidf_search_ranks_rare_terms_higher(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        TFIDF_SCALE,
+        tfidf_search,
+    )
+
+    # "rare" appears in one doc, "common" in all four: the rare-term
+    # doc must outrank a doc with twice the common-term tf
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare alpha"),
+            (2, "common common common beta"),
+            (3, "common gamma"),
+            (4, "common delta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_search(docs, "rare common", k=4).collect()
+    assert out[0].doc_id == 1
+    # exact fixed-point arithmetic: doc1 = 1·(4e6//1) + 1·(4e6//4)
+    assert out[0].score == 4 * TFIDF_SCALE + TFIDF_SCALE
+    # doc2: 3 hits of the everywhere-term only
+    assert {r.doc_id: r.score for r in out}[2] == 3 * TFIDF_SCALE
+    # duplicate query terms collapse; unknown terms contribute nothing
+    same = tfidf_search(docs, "rare rare common zzz_unknown", k=4).collect()
+    assert [tuple(r) for r in same] == [tuple(r) for r in out]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        tfidf_search(docs, "   ")
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
