@@ -845,6 +845,16 @@ def q_doc_search_tfidf(spark, sf_dir):
     return TX.tfidf_search(docs, "vector stream merge window", k=20)
 
 
+def q_doc_search_bm25(spark, sf_dir):
+    # Okapi BM25 retrieval (tf saturation + length normalization) in
+    # fixed point: the one transcendental (idf's ln) is floored at 1e6
+    # precision before any product, wide products ride decimal(38,0)/
+    # HUGEINT carriers, so scores are exact integers and the ranking is
+    # partition-order-free. Same hit-rows-only shuffle as tfidf.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_search(docs, "vector stream merge window", k=20)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2658,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_collocations": q_corpus_collocations,
         "hourly_anomalies": q_hourly_anomalies,
         "doc_search_tfidf": q_doc_search_tfidf,
+        "doc_search_bm25": q_doc_search_bm25,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3894,6 +3905,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT tfs.doc_id,
                      sum(tfs.tf * ((1000000 * n.n) // dfs.df)) AS score
               FROM tfs JOIN dfs ON tfs.t = dfs.t CROSS JOIN n
+              GROUP BY tfs.doc_id)
+            SELECT doc_id, CAST(score AS BIGINT) AS score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "doc_search_bm25": """
+            WITH q AS (
+              SELECT unnest(['merge', 'stream', 'vector', 'window']) AS t),
+            stats AS (
+              SELECT count(*) AS n,
+                     sum(len(string_split(trim(text), ' '))) AS l
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     len(string_split(trim(text), ' ')) AS dl,
+                     unnest(string_split(trim(text), ' ')) AS t
+              FROM documents),
+            hits AS (SELECT tok.doc_id, tok.dl, tok.t
+                     FROM tok JOIN q ON q.t = tok.t),
+            dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+                    FROM hits GROUP BY t),
+            idf AS (
+              SELECT t,
+                     CAST(floor(1000000 * ln(1 +
+                       CAST(2*n - 2*df + 1 AS DOUBLE)
+                       / CAST(2*df + 1 AS DOUBLE))) AS BIGINT) AS idf_s
+              FROM dfs CROSS JOIN stats),
+            tfs AS (SELECT doc_id, dl, t, count(*) AS tf
+                    FROM hits GROUP BY doc_id, dl, t),
+            scored AS (
+              SELECT tfs.doc_id,
+                     sum(idf.idf_s * (
+                       (CAST(tfs.tf AS HUGEINT) * 2200000 * 1000000)
+                       // (CAST(tfs.tf AS HUGEINT) * 1000000
+                           + (CAST(1200000 AS HUGEINT) *
+                              (1000000 - 750000
+                               + CAST(750000 AS HUGEINT)
+                                 * tfs.dl * stats.n // stats.l))
+                             // 1000000))) AS score
+              FROM tfs JOIN idf ON tfs.t = idf.t CROSS JOIN stats
               GROUP BY tfs.doc_id)
             SELECT doc_id, CAST(score AS BIGINT) AS score
             FROM scored ORDER BY score DESC, doc_id LIMIT 20

@@ -710,16 +710,134 @@ def tfidf_search(
         .where(F.col("t").isin(terms))
     )
     n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
-    df_tbl = hits.groupBy("t").agg(
-        F.count_distinct(id_col).alias("_df")
-    )
     tf_tbl = hits.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("_tf"))
+    # df from the tf table (one row per (doc, term) pair) rather than a
+    # second explode of the corpus: counting over _tf (not lit(1))
+    # keeps the tf aggregate un-pruned in this branch, so its exchange
+    # subplan canonicalizes identically to the scoring branch's and
+    # ReuseExchange scans + explodes the corpus ONCE for both
+    df_tbl = tf_tbl.groupBy("t").agg(
+        F.count(F.when(F.col("_tf") >= 1, 1)).alias("_df")
+    )
     # integer floor division: (SCALE·N) div df — exact BIGINTs end to end
     idf_scaled = F.expr(f"cast({TFIDF_SCALE} as bigint) * _n div _df")
     scored = (
         tf_tbl.join(F.broadcast(df_tbl), "t")
         .crossJoin(F.broadcast(n_docs))
         .select(id_col, (F.col("_tf") * idf_scaled).alias("_term_score"))
+        .groupBy(id_col)
+        .agg(F.sum("_term_score").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), id_col)
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1_scaled: int = 1_200_000,
+    b_scaled: int = 750_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-driven Okapi BM25 retrieval (Robertson et al., TREC-3;
+    Lucene's non-negative idf variant) in fixed point at scale
+    S = ``TFIDF_SCALE``:
+
+        idf_S(t)  = floor(S · ln(1 + (2N − 2df + 1) / (2df + 1)))
+        norm_S(d) = S − bS + (bS · dl(d) · N) div L
+        part_S    = (tf · (k1S + S) · S) div (tf·S + (k1S · norm_S) div S)
+        score(d)  = Σ_t idf_S(t) · part_S(t, d)
+
+    with N = corpus size, L = Σ dl (so dl/avgdl = dl·N/L needs no
+    float division), k1 = k1S/S = 1.2 and b = bS/S = 0.75 (the
+    standard defaults). This adds the two things ``tfidf_search``
+    lacks — tf SATURATION (part_S plateaus at (k1+1)·S as tf grows)
+    and LENGTH NORMALIZATION (long documents pay b·dl/avgdl).
+
+    Exactness: the ONE transcendental (ln) is floored to an integer at
+    S-precision before it touches any product or sum, so all checked
+    arithmetic downstream is exact — partition-order-free, and the SQL
+    oracle mirrors every div. Cross-engine risk is confined to the
+    floor boundary of ln on bit-identical double inputs (engines agree
+    to ≤2 ulp ≈ 1e-8 absolute after the S shift; a mismatch needs
+    frac(S·ln) within that of 0 — negligible, and only on the ≤|query|
+    distinct df values). Ties break by ascending id.
+
+    Overflow hardening: the three wide products (bS·dl·N, tf·(k1+1)·S²,
+    k1S·norm_S) ride a decimal(38,0) carrier on the Spark side and
+    HUGEINT on the DuckDB side — 38 digits hold dl·N ≤ 1.3e32 and
+    tf ≤ 4.5e25, i.e. any physically realizable corpus, where bare
+    BIGINT would wrap at N·dl ≈ 1.2e13 (one day of a large crawl).
+    Every ``div`` QUOTIENT is bounded by construction — part_S ≤
+    (k1+1)·S = 2.2e6 (the saturation ceiling), the norm ratio by
+    bS·(dl_max/avgdl) — so Spark's decimal ``div`` (which returns
+    BIGINT and would wrap silently on a > 9.2e18 quotient) is safe.
+
+    Plan: like ``tfidf_search`` — the corpus shuffles only the
+    (doc, query-term) hit rows, with dl carried through the explode —
+    plus ONE extra full-corpus aggregate for the (N, L) scalar pair
+    (broadcast, 1 row). df/idf tables are ≤|query| rows, broadcast;
+    top-k is a TakeOrderedAndProject. No windows, no Python."""
+    S = TFIDF_SCALE
+    terms = sorted(set(query.strip().split()))
+    if not terms:
+        raise ValueError("bm25_search needs a non-empty query")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    stats = docs.select(toks.alias("_tk")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.size("_tk")).alias("_l"),
+    )
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("_dl"),
+            F.explode(toks).alias("t"),
+        )
+        .where(F.col("t").isin(terms))
+    )
+    # _dl is functionally dependent on the id; grouping by both keeps
+    # it available without a join back to the corpus
+    tf_tbl = hits.groupBy(id_col, "_dl", "t").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    # df from the tf table (one row per (doc, term) pair) — counting
+    # over _tf keeps the subplan un-pruned so ReuseExchange scans the
+    # corpus once for both branches (see tfidf_search)
+    df_tbl = tf_tbl.groupBy("t").agg(
+        F.count(F.when(F.col("_tf") >= 1, 1)).alias("_df")
+    )
+    idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.expr(
+            f"floor({S}L * ln(1 + cast(2*_n - 2*_df + 1 as double)"
+            " / cast(2*_df + 1 as double)))"
+        ).alias("_idf_s"),
+    )
+    # decimal(38,0) carriers for the wide products; div quotients are
+    # bounded by construction (see docstring) so the BIGINT result of
+    # Spark's decimal div cannot wrap
+    norm_s = (
+        f"({S}L - {b_scaled}L"
+        f" + cast({b_scaled} as decimal(38,0)) * _dl * _n div _l)"
+    )
+    scored = (
+        tf_tbl.join(F.broadcast(idf_tbl), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.expr(
+                f"_idf_s * ((cast(_tf as decimal(38,0))"
+                f" * {k1_scaled + S}L * {S}L)"
+                f" div (cast(_tf as decimal(38,0)) * {S}L"
+                f" + (cast({k1_scaled} as decimal(38,0)) * {norm_s})"
+                f" div {S}L))"
+            ).alias("_term_score"),
+        )
         .groupBy(id_col)
         .agg(F.sum("_term_score").alias("score"))
     )

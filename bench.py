@@ -185,6 +185,7 @@ HEADLINE = [
     "corpus_collocations",
     "hourly_anomalies",
     "doc_search_tfidf",
+    "doc_search_bm25",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -114,6 +114,7 @@ PROBE_QUERIES = [
     "corpus_collocations",
     "hourly_anomalies",
     "doc_search_tfidf",
+    "doc_search_bm25",
 ]
 
 

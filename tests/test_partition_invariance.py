@@ -55,6 +55,7 @@ NEW_R5 = [
     "corpus_collocations",
     "hourly_anomalies",
     "doc_search_tfidf",
+    "doc_search_bm25",
 ]
 
 

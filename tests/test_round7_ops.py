@@ -192,6 +192,72 @@ def test_tfidf_search_ranks_rare_terms_higher(spark):
         tfidf_search(docs, "   ")
 
 
+def test_bm25_search_exact_fixed_point_and_semantics(spark):
+    import math
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        TFIDF_SCALE,
+        bm25_search,
+    )
+
+    corpus = [
+        (1, "grid rare grid"),
+        (2, "grid grid grid grid grid grid"),
+        (3, "solar wind"),
+        (4, "grid solar"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    # pure-python mirror of the fixed-point formula (exact int ops)
+    S, K1S, BS = TFIDF_SCALE, 1_200_000, 750_000
+    toks = {i: t.split() for i, t in corpus}
+    N, L = len(toks), sum(len(v) for v in toks.values())
+    df = {"grid": 3, "rare": 1}
+    idf = {
+        t: math.floor(S * math.log(1 + (2 * N - 2 * d + 1) / (2 * d + 1)))
+        for t, d in df.items()
+    }
+    def score(i):
+        dl = len(toks[i])
+        norm = S - BS + BS * dl * N // L
+        tot = 0
+        for t in idf:
+            tf = toks[i].count(t)
+            if tf:
+                tot += idf[t] * (
+                    tf * (K1S + S) * S // (tf * S + K1S * norm // S)
+                )
+        return tot
+
+    got = {r.doc_id: r.score for r in bm25_search(docs, "rare grid", k=4).collect()}
+    assert got == {i: score(i) for i in toks if score(i)}
+
+    # the rare-term doc outranks the tf-stuffed doc (idf dominates)
+    order = [r.doc_id for r in bm25_search(docs, "rare grid", k=4).collect()]
+    assert order[0] == 1
+    # tf saturation: 6 occurrences score far less than 6x one occurrence
+    one = bm25_search(
+        spark.createDataFrame([(1, "grid x"), (2, "grid " * 6 + "x")],
+                              "doc_id long, text string"),
+        "grid", k=2,
+    ).collect()
+    s = {r.doc_id: r.score for r in one}
+    assert s[2] < 6 * s[1]
+    # length normalization: same tf, longer doc scores strictly lower
+    ln = bm25_search(
+        spark.createDataFrame(
+            [(1, "grid pad"), (2, "grid " + "pad " * 40 + "pad")],
+            "doc_id long, text string",
+        ),
+        "grid", k=2,
+    ).collect()
+    s = {r.doc_id: r.score for r in ln}
+    assert s[2] < s[1]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_search(docs, " ")
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
