@@ -855,6 +855,19 @@ def q_doc_search_bm25(spark, sf_dir):
     return TX.bm25_search(docs, "vector stream merge window", k=20)
 
 
+def q_part_fuzzy_pairs(spark, sf_dir):
+    # Ed-Join-style string-similarity self-join on the part-name
+    # dictionary: q-gram prefix filtering (rarest-grams-first global
+    # order) + small-gram-set broadcast block + banded levenshtein
+    # verify — no quadratic cross join; the brute-force SQL oracle
+    # certifies zero false negatives on this corpus.
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("id")
+    ).select("id", F.col("p_name").alias("s"))
+    return D.edit_distance_pairs(names, max_dist=2, q=2)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2669,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomalies": q_hourly_anomalies,
         "doc_search_tfidf": q_doc_search_tfidf,
         "doc_search_bm25": q_doc_search_bm25,
+        "part_fuzzy_pairs": q_part_fuzzy_pairs,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3947,6 +3961,17 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tfs.doc_id)
             SELECT doc_id, CAST(score AS BIGINT) AS score
             FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "part_fuzzy_pairs": """
+            WITH p AS (
+              SELECT min(p_partkey) AS id, p_name AS s
+              FROM part GROUP BY p_name)
+            SELECT a.id AS id1, b.id AS id2,
+                   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+            FROM p a JOIN p b
+              ON a.id < b.id AND abs(len(a.s) - len(b.s)) <= 2
+            WHERE levenshtein(a.s, b.s) <= 2
+            ORDER BY id1, id2
         """,
         "hourly_anomalies": """
             WITH cnt AS (

@@ -1201,3 +1201,120 @@ def probe_lsh_index(
         n,
         text_col,
     )
+
+
+def edit_distance_pairs(
+    strings: DataFrame,
+    max_dist: int,
+    q: int = 2,
+    id_col: str = "id",
+    text_col: str = "s",
+) -> DataFrame:
+    """String-similarity join: all pairs within Levenshtein distance
+    ``max_dist``, found WITHOUT the quadratic cross join — POSITIONAL
+    q-gram prefix filtering (Gravano et al., VLDB 2001's count/length/
+    position bounds; Xiao, Wang & Lin's Ed-Join, VLDB 2008): one edit
+    operation destroys at most ``q`` positional q-gram occurrences and
+    shifts survivors by at most k positions, so for two strings within
+    distance k there exist occurrences of the SAME gram, at positions
+    within k of each other, in both strings' (q·k+1)-PREFIXES — the
+    first q·k+1 occurrences under the global (corpus frequency, gram,
+    position) order. (Completeness of the position filter on BAG
+    prefixes: take a surviving prefix occurrence o₁ of s₁; if its
+    image is outside s₂'s prefix, some prefix occurrence o₂ of s₂ has
+    an out-of-prefix preimage, which forces value(o₂) = value(o₁) and
+    pos(o₁) − k < pos(o₂) < pos(o₁) + k — the matched pair the join
+    sees.) Rarest-first ordering makes the candidate join meet on RARE
+    grams, which shrinks candidates and bounds posting-list skew; the
+    position filter prunes a further ~(2k+1)/len of value matches.
+
+    Strings with at most q·k gram occurrences (length ≤ q·(k+1) − 1)
+    can be within k of each other sharing NO gram — e.g. "aaa" vs
+    "aba" at q=2, k=1 — so they additionally pair among THEMSELVES in
+    a broadcast block (bounded-length strings, a vanishing fraction of
+    any real corpus; small-vs-large pairs are covered by the prefix
+    join because the large side's prefix has a survivor and the small
+    side's bag is entirely its own prefix).
+
+    Plan: one posexplode for the gram-frequency table, one window
+    shuffle (by string id) to rank each string's occurrences and keep
+    the (q·k+1)-prefix, a self-equi-join of the prefixes on the gram
+    with the position and |len₁−len₂| ≤ k filters, the small×small
+    broadcast block, then an id-join back to the strings and the exact
+    banded ``levenshtein(s₁, s₂, k)`` verification (O(k·len) per
+    candidate, JVM-side).
+
+    Output: (id1, id2, dist) with id1 < id2, ordered — deterministic,
+    and value-exact against a brute-force SQL oracle since every
+    number is an integer. Scale envelope: candidate volume is
+    Σ_g df_prefix(g)²·(2k+1)/len̄ — linear while rare-gram posting
+    lists stay bounded; a small-alphabet corpus of short strings
+    degrades toward n²/|Σ|^q (grow q, or block on longer signatures,
+    when the gram space is the bottleneck). All-near-identical corpora
+    degrade to the output's own quadratic size, which no filter can
+    beat."""
+    if max_dist < 0 or q < 1:
+        raise ValueError("edit_distance_pairs needs max_dist >= 0, q >= 1")
+    k, pref = max_dist, q * max_dist + 1
+    base = strings.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_s"),
+        F.length(text_col).alias("_len"),
+    )
+    grams = base.where(F.col("_len") >= q).select(
+        "_id",
+        "_len",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, _len - {q} + 1),"
+                f" i -> substring(_s, i, {q}))"
+            )
+        ).alias("_pos", "_g"),
+    )
+    gram_df = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_g", "_pos")
+    prefix = (
+        grams.join(gram_df, "_g")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= pref)
+        .select("_id", "_len", "_g", "_pos")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (F.abs(F.col("a._len") - F.col("b._len")) <= k)
+            & (F.abs(F.col("a._pos") - F.col("b._pos")) <= k),
+        )
+        .select(F.col("a._id").alias("_id1"), F.col("b._id").alias("_id2"))
+        .distinct()
+    )
+    small = base.where(F.col("_len") <= q * (k + 1) - 1).select("_id", "_len")
+    sa = small.select(F.col("_id").alias("_ida"), F.col("_len").alias("_la"))
+    sb = small.select(F.col("_id").alias("_idb"), F.col("_len").alias("_lb"))
+    small_cand = (
+        sa.join(
+            F.broadcast(sb),
+            (F.col("_ida") < F.col("_idb"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k),
+        )
+        .select(F.col("_ida").alias("_id1"), F.col("_idb").alias("_id2"))
+    )
+    cand = cand.unionByName(small_cand).distinct()
+    s1 = base.select(F.col("_id").alias("_id1"), F.col("_s").alias("_s1"))
+    s2 = base.select(F.col("_id").alias("_id2"), F.col("_s").alias("_s2"))
+    dist = F.levenshtein("_s1", "_s2", k)
+    return (
+        cand.join(s1, "_id1")
+        .join(s2, "_id2")
+        .select("_id1", "_id2", dist.alias("dist"))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= k))
+        .select(
+            F.col("_id1").alias("id1"),
+            F.col("_id2").alias("id2"),
+            "dist",
+        )
+        .orderBy("id1", "id2")
+    )

@@ -186,6 +186,7 @@ HEADLINE = [
     "hourly_anomalies",
     "doc_search_tfidf",
     "doc_search_bm25",
+    "part_fuzzy_pairs",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

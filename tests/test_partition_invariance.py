@@ -56,6 +56,7 @@ NEW_R5 = [
     "hourly_anomalies",
     "doc_search_tfidf",
     "doc_search_bm25",
+    "part_fuzzy_pairs",
 ]
 
 

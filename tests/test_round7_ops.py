@@ -258,6 +258,90 @@ def test_bm25_search_exact_fixed_point_and_semantics(spark):
         bm25_search(docs, " ")
 
 
+# ------------------------------------------- edit-distance fuzzy join
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_vs_bruteforce(spark):
+    import random
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(7)
+    # tight alphabet + short lengths force plenty of near pairs,
+    # including empty and sub-q strings (the broadcast short block)
+    strs = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 8)))
+        for _ in range(60)
+    ] + ["", "a", "b", "ab", "ba"]
+    rows = [(i, s) for i, s in enumerate(strs)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (0, 1, 2):
+        want = sorted(
+            (i, j, _lev(si, sj))
+            for i, si in rows
+            for j, sj in rows
+            if i < j and abs(len(si) - len(sj)) <= k and _lev(si, sj) <= k
+        )
+        got = [tuple(r) for r in edit_distance_pairs(df, k, q=2).collect()]
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+    # adversarial bag-semantics corpus: long repetitive strings where
+    # every gram value occurs many times (the positional-prefix lemma's
+    # hard case) plus mutated copies at controlled distances
+    rep = []
+    for i in range(30):
+        s = ("ab" * 10)[: rng.randint(12, 20)]
+        p = rng.randrange(len(s))
+        rep.append(s[:p] + rng.choice("abc") + s[p + 1 :])
+    rep_rows = [(i, s) for i, s in enumerate(rep)]
+    rdf = spark.createDataFrame(rep_rows, "id long, s string")
+    for k, qq in ((1, 2), (2, 2), (2, 3)):
+        want = sorted(
+            (i, j, _lev(si, sj))
+            for i, si in rep_rows
+            for j, sj in rep_rows
+            if i < j and abs(len(si) - len(sj)) <= k and _lev(si, sj) <= k
+        )
+        got = [tuple(r) for r in edit_distance_pairs(rdf, k, q=qq).collect()]
+        assert got == want, f"rep k={k} q={qq}: {len(got)} vs {len(want)}"
+
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, -1)
+
+
+def test_edit_distance_pairs_realistic_words(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cold ring"),
+            (2, "old ring"),
+            (3, "cold rings"),
+            (4, "hot gear"),
+            (5, "cold ring"),
+        ],
+        "id long, s string",
+    )
+    got = {(r.id1, r.id2): r.dist for r in edit_distance_pairs(df, 2).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 5)] == 0
+    assert got[(2, 3)] == 2 and got[(3, 5)] == 1 and got[(2, 5)] == 1
+    assert not any(4 in p for p in got)
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
