@@ -846,3 +846,140 @@ def bm25_search(
         .limit(k)
         .select(id_col, "score")
     )
+
+
+def persist_search_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize a corpus's INVERTED TEXT INDEX as catalog tables —
+    the offline half of query-driven retrieval, so that serving a
+    query never rescans (or even re-tokenizes) the corpus:
+
+    - ``<prefix>_postings``: (t, doc_id, tf, dl), bucketed + sorted by
+      term — a probe for a handful of query terms reads only the
+      matching buckets (bucket pruning on the IN filter), shuffle-free;
+    - ``<prefix>_df``: per-term document frequency, paid once offline;
+    - ``<prefix>_stats``: the 1-row (N, Σdl) scalar pair BM25 needs.
+
+    The ``persist_feature_index`` pattern (similarity.py) applied to
+    lexical search: tokenize/explode runs exactly once at build time;
+    df/stats derive from the WRITTEN postings table, not the
+    unmaterialized lineage, so the corpus is scanned once for the
+    postings and the (much smaller) posting triples once for the
+    aggregates. ``search_index_topk`` reproduces ``tfidf_search`` /
+    ``bm25_search`` BIT-EXACTLY from these tables (tested)."""
+    from ..plans.layout import write_bucketed
+
+    spark = docs.sparkSession
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("t"),
+        )
+        .groupBy("t", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    write_bucketed(
+        postings, f"{table_prefix}_postings", ["t"], n_buckets,
+        sort_cols=["t"],
+    )
+    written = spark.table(f"{table_prefix}_postings")
+    df_tbl = written.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    df_tbl.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_prefix}_df"
+    )
+    # N and Σdl must count EVERY document, including any with no
+    # postings — derive them from the corpus frame (one extra scan of
+    # two pruned columns), not from the posting table, so the scalars
+    # match the inline searches exactly
+    stats = docs.select(toks.alias("_tk")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("_tk")).alias("l"),
+    )
+    stats.write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_prefix}_stats"
+    )
+
+
+def search_index_topk(
+    spark,
+    table_prefix: str,
+    query: str,
+    k: int = 10,
+    mode: str = "bm25",
+    k1_scaled: int = 1_200_000,
+    b_scaled: int = 750_000,
+) -> DataFrame:
+    """ONLINE half of persisted retrieval: top-k documents for a query
+    from the tables ``persist_search_index`` wrote, touching only the
+    query terms' postings (bucket-pruned read, no Exchange on the
+    index side) plus the tiny df/stats tables. The arithmetic is the
+    SAME fixed-point pipeline as ``tfidf_search`` / ``bm25_search``
+    (integer idf floor, decimal(38,0) carriers, bounded div quotients),
+    so the result is bit-identical to running the inline search over
+    the original corpus — the offline/online split changes WHERE the
+    postings come from, never a single score."""
+    S = TFIDF_SCALE
+    terms = sorted(set(query.strip().split()))
+    if not terms:
+        raise ValueError("search_index_topk needs a non-empty query")
+    if mode not in ("bm25", "tfidf"):
+        raise ValueError(f"unknown mode {mode!r}: use 'bm25' or 'tfidf'")
+    postings = spark.table(f"{table_prefix}_postings").where(
+        F.col("t").isin(terms)
+    )
+    df_tbl = spark.table(f"{table_prefix}_df").where(F.col("t").isin(terms))
+    stats = spark.table(f"{table_prefix}_stats")
+    id_col = "doc_id"
+    if mode == "tfidf":
+        scored = (
+            postings.join(F.broadcast(df_tbl), "t")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                id_col,
+                F.expr(
+                    f"tf * (cast({S} as bigint) * n div df)"
+                ).alias("_term_score"),
+            )
+            .groupBy(id_col)
+            .agg(F.sum("_term_score").alias("score"))
+        )
+    else:
+        idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
+            "t",
+            F.expr(
+                f"floor({S}L * ln(1 + cast(2*n - 2*df + 1 as double)"
+                " / cast(2*df + 1 as double)))"
+            ).alias("_idf_s"),
+        )
+        norm_s = (
+            f"({S}L - {b_scaled}L"
+            f" + cast({b_scaled} as decimal(38,0)) * dl * n div l)"
+        )
+        scored = (
+            postings.join(F.broadcast(idf_tbl), "t")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                id_col,
+                F.expr(
+                    f"_idf_s * ((cast(tf as decimal(38,0))"
+                    f" * {k1_scaled + S}L * {S}L)"
+                    f" div (cast(tf as decimal(38,0)) * {S}L"
+                    f" + (cast({k1_scaled} as decimal(38,0)) * {norm_s})"
+                    f" div {S}L))"
+                ).alias("_term_score"),
+            )
+            .groupBy(id_col)
+            .agg(F.sum("_term_score").alias("score"))
+        )
+    return (
+        scored.orderBy(F.desc("score"), id_col)
+        .limit(k)
+        .select(id_col, "score")
+    )

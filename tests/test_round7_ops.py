@@ -342,6 +342,43 @@ def test_edit_distance_pairs_realistic_words(spark):
     assert not any(4 in p for p in got)
 
 
+# ------------------------------------------------ persisted search index
+
+
+def test_search_index_probe_matches_inline_bit_exactly(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        bm25_search,
+        persist_search_index,
+        search_index_topk,
+        tfidf_search,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    query = "vector stream merge window data"
+    persist_search_index(docs, "t_search_idx")
+    try:
+        for mode, inline_fn in (("bm25", bm25_search), ("tfidf", tfidf_search)):
+            probed = [
+                tuple(r)
+                for r in search_index_topk(
+                    spark, "t_search_idx", query, k=15, mode=mode
+                ).collect()
+            ]
+            inline = [tuple(r) for r in inline_fn(docs, query, k=15).collect()]
+            assert probed == inline, mode
+            assert len(probed) == 15
+        # absent terms score nothing in both halves
+        empty = search_index_topk(spark, "t_search_idx", "zzz_nonexistent")
+        assert empty.collect() == []
+        with pytest.raises(ValueError, match="non-empty"):
+            search_index_topk(spark, "t_search_idx", "  ")
+        with pytest.raises(ValueError, match="mode"):
+            search_index_topk(spark, "t_search_idx", "vector", mode="cosine")
+    finally:
+        for suffix in ("postings", "df", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS t_search_idx_{suffix}")
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
