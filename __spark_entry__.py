@@ -868,6 +868,15 @@ def q_part_fuzzy_pairs(spark, sf_dir):
     return D.edit_distance_pairs(names, max_dist=2, q=2)
 
 
+def q_doc_lm_perplexity(spark, sf_dir):
+    # CCNet-style LM quality scoring: corpus-trained add-one bigram
+    # model, per-doc negative log-likelihood in fixed point (the one ln
+    # floored per bigram TYPE before any sum) — top-50 worst documents,
+    # the set a perplexity filter would drop.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.doc_lm_nll(docs, k=50)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2683,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_tfidf": q_doc_search_tfidf,
         "doc_search_bm25": q_doc_search_bm25,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
+        "doc_lm_perplexity": q_doc_lm_perplexity,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3961,6 +3971,42 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tfs.doc_id)
             SELECT doc_id, CAST(score AS BIGINT) AS score
             FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "doc_lm_perplexity": """
+            WITH tok AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS tk
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+              FROM tok, unnest(range(1, len(tk))) AS r(i)
+              WHERE len(tk) >= 2),
+            big AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+            ctx AS (SELECT a, sum(cab) AS ca FROM big GROUP BY a),
+            voc AS (
+              SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest(string_split(trim(text), ' ')) AS t
+                    FROM documents)),
+            model AS (
+              SELECT big.a, big.b,
+                     CAST(floor(1000000 * ln(
+                       CAST(ctx.ca + voc.v AS DOUBLE)
+                       / CAST(big.cab + 1 AS DOUBLE))) AS BIGINT) AS nll_s
+              FROM big JOIN ctx ON big.a = ctx.a CROSS JOIN voc),
+            per_doc AS (
+              SELECT doc_id, a, b, count(*) AS tf
+              FROM pairs GROUP BY doc_id, a, b),
+            scored AS (
+              SELECT p.doc_id,
+                     sum(p.tf) AS n_bigrams,
+                     sum(p.tf * m.nll_s) AS nll_sum
+              FROM per_doc p JOIN model m ON p.a = m.a AND p.b = m.b
+              GROUP BY p.doc_id)
+            SELECT doc_id,
+                   CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST(nll_sum AS BIGINT) AS nll_sum,
+                   CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
+            FROM scored
+            ORDER BY avg_nll_s DESC, doc_id LIMIT 50
         """,
         "part_fuzzy_pairs": """
             WITH p AS (

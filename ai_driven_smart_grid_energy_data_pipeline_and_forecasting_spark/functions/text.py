@@ -983,3 +983,92 @@ def search_index_topk(
         .limit(k)
         .select(id_col, "score")
     )
+
+
+def doc_lm_nll(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model quality scoring (the CCNet recipe, Wenzek et al.
+    2020, with the corpus as its own training set): score every
+    document by its negative log-likelihood under an add-one-smoothed
+    BIGRAM model of the corpus,
+
+        nll_S(a b)  = floor(S · ln((c(a·) + V) / (c(ab) + 1)))
+        nll_sum(d)  = Σ_positions nll_S(bigram at position)
+        avg_nll_s   = nll_sum div n_bigrams
+
+    with c(ab) = corpus bigram count, c(a·) = count of bigrams whose
+    context is a, V = vocabulary size (add-one mass). High average NLL
+    = improbable-under-the-corpus text — the junk a perplexity filter
+    drops; the registered query surfaces the top-k worst documents.
+
+    Fixed point at S = ``TFIDF_SCALE``: like ``bm25_search``, the ONE
+    transcendental is floored to an integer per DISTINCT bigram TYPE
+    before it meets any sum, so per-document totals are exact BIGINTs
+    (partition-order-free, value-exact oracle); the floor costs
+    < 1e-6 nats per position. ln's argument is a ratio of exact
+    integers, bit-identical in both engines.
+
+    Plan: one explode produces the corpus's positional bigrams; from
+    it three partial aggregates (bigram counts, context counts, V) —
+    the per-doc bigram table reuses the same explode shape. The model
+    table (distinct bigrams + nll_S) joins the per-doc counts on
+    (a, b) — a shuffle of bigram TYPE rows per doc, not the token
+    stream; self-trained scoring means every scored bigram hits the
+    model (inner join is total). Documents with < 2 tokens have no
+    bigrams and are not scored — a perplexity of nothing is undefined
+    (the SQL oracle agrees by construction)."""
+    S = TFIDF_SCALE
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    big = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("_cab"))
+    ctx = big.groupBy("a").agg(F.sum("_cab").alias("_ca"))
+    vocab = docs.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").alias("_v")
+    )
+    model = (
+        big.join(ctx, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a",
+            "b",
+            F.expr(
+                f"floor({S}L * ln(cast(_ca + _v as double)"
+                " / cast(_cab + 1 as double)))"
+            ).alias("_nll_s"),
+        )
+    )
+    per_doc = pairs.groupBy(id_col, "a", "b").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    return (
+        per_doc.join(model, ["a", "b"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("_tf").alias("n_bigrams"),
+            F.sum(F.col("_tf") * F.col("_nll_s")).alias("nll_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "nll_sum",
+            F.expr("nll_sum div n_bigrams").alias("avg_nll_s"),
+        )
+        .orderBy(F.desc("avg_nll_s"), id_col)
+        .limit(k)
+    )

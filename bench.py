@@ -187,6 +187,7 @@ HEADLINE = [
     "doc_search_tfidf",
     "doc_search_bm25",
     "part_fuzzy_pairs",
+    "doc_lm_perplexity",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -115,6 +115,7 @@ PROBE_QUERIES = [
     "hourly_anomalies",
     "doc_search_tfidf",
     "doc_search_bm25",
+    "doc_lm_perplexity",
 ]
 
 

@@ -379,6 +379,50 @@ def test_search_index_probe_matches_inline_bit_exactly(spark):
             spark.sql(f"DROP TABLE IF EXISTS t_search_idx_{suffix}")
 
 
+def test_doc_lm_nll_exact_fixed_point(spark):
+    import math
+    from collections import Counter
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        TFIDF_SCALE,
+        doc_lm_nll,
+    )
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "zq xv qqq zz pf"),          # improbable junk
+        (4, "the cat"),
+        (5, "solo"),                      # < 2 tokens: not scored
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    toks = {i: t.split() for i, t in corpus}
+    bigs = {i: list(zip(v, v[1:])) for i, v in toks.items()}
+    cab = Counter(b for v in bigs.values() for b in v)
+    ca = Counter(b[0] for v in bigs.values() for b in v)
+    V = len({t for v in toks.values() for t in v})
+    S = TFIDF_SCALE
+    nll = {
+        b: math.floor(S * math.log((ca[b[0]] + V) / (c + 1)))
+        for b, c in cab.items()
+    }
+    want = {}
+    for i, v in bigs.items():
+        if v:
+            want[i] = (len(v), sum(nll[b] for b in v))
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_sum, r.avg_nll_s)
+        for r in doc_lm_nll(docs, k=10).collect()
+    }
+    assert set(got) == set(want)
+    for i, (n, s) in want.items():
+        assert got[i] == (n, s, s // n), i
+    # the junk doc has the worst (highest) average NLL
+    worst = doc_lm_nll(docs, k=1).collect()[0]
+    assert worst.doc_id == 3
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
