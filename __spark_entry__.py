@@ -877,6 +877,15 @@ def q_doc_lm_perplexity(spark, sf_dir):
     return TX.doc_lm_nll(docs, k=50)
 
 
+def q_corpus_textrank(spark, sf_dir):
+    # TextRank keywords: 5 fixed-point weighted-PageRank iterations
+    # over the adjacent-token co-occurrence graph (min_count=5 pruning)
+    # — integer floor-division arithmetic end to end, so the iterative
+    # op is value-exact against a 5-CTE unrolled SQL oracle.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.corpus_textrank(docs, k=50, n_iter=5, min_count=5)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2693,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_bm25": q_doc_search_bm25,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_lm_perplexity": q_doc_lm_perplexity,
+        "corpus_textrank": q_corpus_textrank,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3215,8 +3225,50 @@ ORDER BY site, var, horizon_h, ts_utc
     )
 
 
+def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
+    # the fixed-point PageRank iteration unrolled as chained CTEs (a
+    # recursive CTE cannot aggregate in its recursive member) — each
+    # block is the same integer formula the Spark loop applies
+    it_blocks = []
+    for i in range(1, n_iter + 1):
+        it_blocks.append(f"""
+            r{i} AS (
+              SELECT n.t,
+                     150000 + CAST(850000 AS HUGEINT)
+                              * coalesce(s.c, 0) // 1000000 AS r
+              FROM n LEFT JOIN (
+                SELECT e.v, sum(CAST(e.w AS HUGEINT) * r{i-1}.r // e.wu) AS c
+                FROM e JOIN r{i-1} ON e.u = r{i-1}.t GROUP BY e.v) s
+              ON n.t = s.v)""")
+    return f"""
+            WITH tok AS (
+              SELECT string_split(trim(text), ' ') AS tk FROM documents),
+            pairs AS (
+              SELECT tk[i] AS a, tk[i+1] AS b
+              FROM tok, unnest(range(1, len(tk))) AS r(i)
+              WHERE len(tk) >= 2),
+            bi AS (
+              SELECT a, b, count(*) AS w FROM pairs GROUP BY a, b
+              HAVING count(*) >= {min_count}),
+            edges0 AS (
+              SELECT u, v, sum(w) AS w FROM (
+                SELECT a AS u, b AS v, w FROM bi
+                UNION ALL SELECT b AS u, a AS v, w FROM bi)
+              GROUP BY u, v),
+            wd AS (SELECT u, sum(w) AS wu FROM edges0 GROUP BY u),
+            e AS (SELECT edges0.u, edges0.v, edges0.w, wd.wu
+                  FROM edges0 JOIN wd ON edges0.u = wd.u),
+            n AS (SELECT DISTINCT u AS t FROM edges0),
+            r0 AS (SELECT t, CAST(1000000 AS HUGEINT) AS r FROM n),
+            {",".join(it_blocks)}
+            SELECT t, CAST(r AS BIGINT) AS rank_s FROM r{n_iter}
+            ORDER BY rank_s DESC, t LIMIT {k}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "corpus_textrank": _textrank_oracle(),
         "doc_lexical_diversity": """
             WITH tk AS (
               SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t

@@ -1072,3 +1072,106 @@ def doc_lm_nll(
         .orderBy(F.desc("avg_nll_s"), id_col)
         .limit(k)
     )
+
+
+def corpus_textrank(
+    docs: DataFrame,
+    k: int = 50,
+    n_iter: int = 5,
+    min_count: int = 5,
+    damping_scaled: int = 850_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    weighted PageRank over the corpus's token co-occurrence graph
+    (adjacent-token bigrams as undirected edges, edge weight = corpus
+    count, ``min_count`` pruning as in ``corpus_collocations``), run
+    for a FIXED ``n_iter`` iterations in integer fixed point:
+
+        r₀(v)    = R                       (R = TFIDF_SCALE)
+        rᵢ₊₁(v) = ((R·(S−d) ) div S)
+                   + (d · Σ_u (w(u,v)·rᵢ(u)) div W(u)) div S
+
+    with W(u) = Σ_v w(u,v) the weighted degree and d = 0.85 scaled by
+    S = 1e6. Every per-edge contribution is an integer floor-division
+    — no floats anywhere, so the iteration is partition-order-free and
+    the SQL oracle mirrors it as n_iter chained (non-recursive) CTEs;
+    the truncation loses < 1 fixed-point unit of rank mass per edge
+    per iteration, orders below any ranking consequence. A fixed
+    iteration count (not a convergence test) keeps the plan static and
+    the oracle finite; 5 iterations is far past practical keyword-rank
+    stability on co-occurrence graphs.
+
+    Plan: edges build exactly like ``corpus_collocations`` (explode →
+    partial-agg), symmetrized; each iteration is one join of the rank
+    table to the edge list on the source + one partial-agg groupBy on
+    the target — the classic distributed PageRank shape (edge list
+    cached across iterations, rank table re-derived). The w·r product
+    rides a decimal(38,0) carrier; quotients are bounded by the total
+    rank mass N·R. Ties break by token ascending."""
+    S = TFIDF_SCALE
+    if not 0 < damping_scaled < S:
+        raise ValueError("damping_scaled must be in (0, S)")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    base = docs.select(toks.alias("_tk"))
+    bi = (
+        base.where(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_tk"), 1, F.size("_tk") - 1),
+                    F.slice(F.col("_tk"), 2, F.size("_tk") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_count)
+    )
+    # symmetrize: undirected co-occurrence — each direction carries the
+    # full pair weight (self-loops a=b contribute once per direction,
+    # consistently with the oracle)
+    edges = (
+        bi.select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
+        .unionByName(
+            bi.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    wdeg = edges.groupBy("u").agg(F.sum("w").alias("_wu"))
+    edges = edges.join(wdeg, "u").localCheckpoint()
+    nodes = edges.select(F.col("u").alias("t")).distinct()
+    rank = nodes.select("t", F.lit(S).cast("long").alias("r"))
+    teleport = (S * (S - damping_scaled)) // S  # R·(1−d), exact driver int
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(rank, edges["u"] == rank["t"])
+            .select(
+                "v",
+                F.expr(
+                    "cast(w as decimal(38,0)) * r div _wu"
+                ).alias("_c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("_c").alias("_sum_c"))
+        )
+        rank = (
+            nodes.join(contrib, nodes["t"] == contrib["v"], "left")
+            .select(
+                "t",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"cast({damping_scaled} as decimal(38,0))"
+                        f" * coalesce(_sum_c, 0L) div {S}L"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+    return (
+        rank.select("t", F.col("r").alias("rank_s"))
+        .orderBy(F.desc("rank_s"), "t")
+        .limit(k)
+    )

@@ -188,6 +188,7 @@ HEADLINE = [
     "doc_search_bm25",
     "part_fuzzy_pairs",
     "doc_lm_perplexity",
+    "corpus_textrank",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -116,6 +116,7 @@ PROBE_QUERIES = [
     "doc_search_tfidf",
     "doc_search_bm25",
     "doc_lm_perplexity",
+    "corpus_textrank",
 ]
 
 

@@ -58,6 +58,7 @@ NEW_R5 = [
     "doc_search_bm25",
     "part_fuzzy_pairs",
     "doc_lm_perplexity",
+    "corpus_textrank",
 ]
 
 

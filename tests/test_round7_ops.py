@@ -423,6 +423,56 @@ def test_doc_lm_nll_exact_fixed_point(spark):
     assert worst.doc_id == 3
 
 
+def test_corpus_textrank_exact_fixed_point(spark):
+    from collections import Counter, defaultdict
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        TFIDF_SCALE,
+        corpus_textrank,
+    )
+
+    corpus = [
+        (1, "a b a b c"),
+        (2, "a b c d"),
+        (3, "b c d e"),
+        (4, "a b x y"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    S, D, MIN, IT = TFIDF_SCALE, 850_000, 2, 5
+
+    # python mirror in exact ints
+    cab = Counter()
+    for _, t in corpus:
+        v = t.split()
+        for x, y in zip(v, v[1:]):
+            cab[(x, y)] += 1
+    cab = {p: c for p, c in cab.items() if c >= MIN}
+    edges = defaultdict(int)
+    for (x, y), c in cab.items():
+        edges[(x, y)] += c
+        edges[(y, x)] += c
+    W = defaultdict(int)
+    for (u, v), w in edges.items():
+        W[u] += w
+    nodes = sorted(W)
+    r = {t: S for t in nodes}
+    for _ in range(IT):
+        sums = defaultdict(int)
+        for (u, v), w in edges.items():
+            sums[v] += (w * r[u]) // W[u]
+        r = {t: (S * (S - D)) // S + (D * sums[t]) // S for t in nodes}
+
+    got = [(row.t, row.rank_s) for row in corpus_textrank(
+        docs, k=10, n_iter=IT, min_count=MIN).collect()]
+    want = sorted(((t, r[t]) for t in nodes), key=lambda x: (-x[1], x[0]))
+    assert got == want
+    # the hub token "b" (in every doc, heaviest edges) ranks first
+    assert got[0][0] == "b"
+
+    with pytest.raises(ValueError, match="damping"):
+        corpus_textrank(docs, damping_scaled=0)
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
