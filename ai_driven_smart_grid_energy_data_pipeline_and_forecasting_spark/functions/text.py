@@ -848,35 +848,9 @@ def bm25_search(
     )
 
 
-def persist_search_index(
-    docs: DataFrame,
-    table_prefix: str,
-    n_buckets: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> None:
-    """Materialize a corpus's INVERTED TEXT INDEX as catalog tables —
-    the offline half of query-driven retrieval, so that serving a
-    query never rescans (or even re-tokenizes) the corpus:
-
-    - ``<prefix>_postings``: (t, doc_id, tf, dl), bucketed + sorted by
-      term — a probe for a handful of query terms reads only the
-      matching buckets (bucket pruning on the IN filter), shuffle-free;
-    - ``<prefix>_df``: per-term document frequency, paid once offline;
-    - ``<prefix>_stats``: the 1-row (N, Σdl) scalar pair BM25 needs.
-
-    The ``persist_feature_index`` pattern (similarity.py) applied to
-    lexical search: tokenize/explode runs exactly once at build time;
-    df/stats derive from the WRITTEN postings table, not the
-    unmaterialized lineage, so the corpus is scanned once for the
-    postings and the (much smaller) posting triples once for the
-    aggregates. ``search_index_topk`` reproduces ``tfidf_search`` /
-    ``bm25_search`` BIT-EXACTLY from these tables (tested)."""
-    from ..plans.layout import write_bucketed
-
-    spark = docs.sparkSession
+def _search_postings(docs, text_col, id_col, batch_id):
     toks = F.split(F.trim(F.col(text_col)), " ")
-    postings = (
+    return (
         docs.select(
             F.col(id_col),
             F.size(toks).alias("dl"),
@@ -884,27 +858,96 @@ def persist_search_index(
         )
         .groupBy("t", id_col, "dl")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("batch_id", F.lit(batch_id))
     )
-    write_bucketed(
-        postings, f"{table_prefix}_postings", ["t"], n_buckets,
-        sort_cols=["t"],
-    )
-    written = spark.table(f"{table_prefix}_postings")
-    df_tbl = written.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    df_tbl.write.format("parquet").mode("overwrite").saveAsTable(
-        f"{table_prefix}_df"
-    )
-    # N and Σdl must count EVERY document, including any with no
-    # postings — derive them from the corpus frame (one extra scan of
-    # two pruned columns), not from the posting table, so the scalars
-    # match the inline searches exactly
-    stats = docs.select(toks.alias("_tk")).agg(
+
+
+def _search_stats(docs, text_col, batch_id):
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    return docs.select(toks.alias("_tk")).agg(
+        F.lit(batch_id).alias("batch_id"),
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size("_tk")).alias("l"),
     )
-    stats.write.format("parquet").mode("overwrite").saveAsTable(
-        f"{table_prefix}_stats"
+
+
+def persist_search_index(
+    docs: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: str = "base",
+) -> None:
+    """Materialize a corpus's INVERTED TEXT INDEX as catalog tables —
+    the offline half of query-driven retrieval, so that serving a
+    query never rescans (or even re-tokenizes) the corpus:
+
+    - ``<prefix>_postings``: (t, doc_id, dl, tf, batch_id), bucketed +
+      sorted by term — a probe for a handful of query terms reads only
+      the matching buckets (bucket pruning on the IN filter),
+      shuffle-free on the index side;
+    - ``<prefix>_stats``: one (batch_id, N, Σdl) row per ingested
+      batch — the scalars BM25 needs, summed at probe time.
+
+    Per-term document frequency is NOT a stored table: the probe
+    derives df from the posting rows it reads anyway (count of
+    (t, doc) rows per term, over pruned buckets only) — one less
+    aggregate to keep consistent under incremental growth.
+
+    Every row carries its ``batch_id`` and the probe deduplicates by
+    full row content, which makes ``append_search_index`` replays
+    EXACTLY-once by construction — no side-channel marker files. The
+    LSH index's marker protocol tolerates its residual
+    append-commit→marker-touch window because duplicate bands are
+    correctness-harmless there; here df/N/Σdl are SUMS, a replayed
+    append would silently shift every score, so idempotency must come
+    from content, not bookkeeping. ``search_index_topk`` reproduces
+    ``tfidf_search`` / ``bm25_search`` BIT-EXACTLY from these tables
+    (tested, including across appends and replays)."""
+    from ..plans.layout import write_bucketed
+
+    write_bucketed(
+        _search_postings(docs, text_col, id_col, batch_id),
+        f"{table_prefix}_postings", ["t"], n_buckets, sort_cols=["t"],
     )
+    _search_stats(docs, text_col, batch_id).write.format(
+        "parquet"
+    ).mode("overwrite").saveAsTable(f"{table_prefix}_stats")
+
+
+def append_search_index(
+    docs: DataFrame,
+    table_prefix: str,
+    batch_id: str,
+    n_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold a new batch of documents into a persisted search index:
+    appends their postings (same bucket spec — files land pre-hashed,
+    preserving the probe's pruned no-Exchange read) and one stats row,
+    both tagged ``batch_id``. Contract: batches carry DISJOINT doc ids
+    (re-ingesting a changed document is upsert territory — delete and
+    rebuild its batch, or route through a transactional table format).
+
+    Crash-replay safe WITHOUT markers: a replayed append writes rows
+    byte-identical to the committed ones, and the probe deduplicates by
+    full row content — so any prefix of {postings committed, stats
+    committed} followed by a full replay converges to exactly-once
+    scores (tested with both crash windows). Contrast
+    ``append_lsh_index``'s per-table markers, whose residual window is
+    harmless there but would silently corrupt sums here."""
+    spark = docs.sparkSession
+    writer = (
+        _search_postings(docs, text_col, id_col, batch_id)
+        .write.format("parquet").mode("append")
+        .bucketBy(n_buckets, "t").sortBy("t")
+    )
+    writer.saveAsTable(f"{table_prefix}_postings")
+    _search_stats(docs, text_col, batch_id).write.format(
+        "parquet"
+    ).mode("append").saveAsTable(f"{table_prefix}_stats")
 
 
 def search_index_topk(
@@ -919,23 +962,37 @@ def search_index_topk(
     """ONLINE half of persisted retrieval: top-k documents for a query
     from the tables ``persist_search_index`` wrote, touching only the
     query terms' postings (bucket-pruned read, no Exchange on the
-    index side) plus the tiny df/stats tables. The arithmetic is the
-    SAME fixed-point pipeline as ``tfidf_search`` / ``bm25_search``
+    index side) plus the tiny per-batch stats rows. The arithmetic is
+    the SAME fixed-point pipeline as ``tfidf_search`` / ``bm25_search``
     (integer idf floor, decimal(38,0) carriers, bounded div quotients),
     so the result is bit-identical to running the inline search over
-    the original corpus — the offline/online split changes WHERE the
-    postings come from, never a single score."""
+    the full ingested corpus — the offline/online split changes WHERE
+    the postings come from, never a single score.
+
+    Incremental-growth semantics: pruned postings and stats rows are
+    DEDUPLICATED BY CONTENT before use (a crash-replayed append writes
+    byte-identical rows, so the dedup makes replays exactly-once —
+    sums would be silently wrong otherwise); per-term df is then the
+    count of (t, doc) posting rows per term, derived from the rows the
+    probe reads anyway, and (N, L) is the sum of the per-batch stats
+    rows."""
     S = TFIDF_SCALE
     terms = sorted(set(query.strip().split()))
     if not terms:
         raise ValueError("search_index_topk needs a non-empty query")
     if mode not in ("bm25", "tfidf"):
         raise ValueError(f"unknown mode {mode!r}: use 'bm25' or 'tfidf'")
-    postings = spark.table(f"{table_prefix}_postings").where(
-        F.col("t").isin(terms)
+    postings = (
+        spark.table(f"{table_prefix}_postings")
+        .where(F.col("t").isin(terms))
+        .distinct()
     )
-    df_tbl = spark.table(f"{table_prefix}_df").where(F.col("t").isin(terms))
-    stats = spark.table(f"{table_prefix}_stats")
+    df_tbl = postings.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        spark.table(f"{table_prefix}_stats")
+        .distinct()
+        .agg(F.sum("n").alias("n"), F.sum("l").alias("l"))
+    )
     id_col = "doc_id"
     if mode == "tfidf":
         scored = (

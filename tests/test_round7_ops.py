@@ -375,8 +375,63 @@ def test_search_index_probe_matches_inline_bit_exactly(spark):
         with pytest.raises(ValueError, match="mode"):
             search_index_topk(spark, "t_search_idx", "vector", mode="cosine")
     finally:
-        for suffix in ("postings", "df", "stats"):
+        for suffix in ("postings", "stats"):
             spark.sql(f"DROP TABLE IF EXISTS t_search_idx_{suffix}")
+
+
+def test_search_index_append_and_replay_exactly_once(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        append_search_index,
+        bm25_search,
+        persist_search_index,
+        search_index_topk,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", SF)
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    query = "vector stream merge window"
+    persist_search_index(a, "t_appendix", batch_id="b0")
+    try:
+        append_search_index(b, "t_appendix", batch_id="b1")
+        inline = [tuple(r) for r in bm25_search(docs, query, k=15).collect()]
+        probed = [
+            tuple(r)
+            for r in search_index_topk(
+                spark, "t_appendix", query, k=15
+            ).collect()
+        ]
+        assert probed == inline  # grown index ≡ inline over the union
+        # crash replay, window 1: both tables committed, append fully
+        # re-run (rows byte-identical) — content dedup keeps scores
+        append_search_index(b, "t_appendix", batch_id="b1")
+        again = [
+            tuple(r)
+            for r in search_index_topk(
+                spark, "t_appendix", query, k=15
+            ).collect()
+        ]
+        assert again == inline
+        # crash replay, window 2: stats committed but postings not
+        # (simulated by appending ONLY the stats row again)
+        from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+            _search_stats,
+        )
+
+        _search_stats(b, "text", "b1").write.format("parquet").mode(
+            "append"
+        ).saveAsTable("t_appendix_stats")
+        after = [
+            tuple(r)
+            for r in search_index_topk(
+                spark, "t_appendix", query, k=15
+            ).collect()
+        ]
+        assert after == inline
+    finally:
+        for suffix in ("postings", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS t_appendix_{suffix}")
 
 
 def test_doc_lm_nll_exact_fixed_point(spark):
