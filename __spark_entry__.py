@@ -3979,7 +3979,9 @@ def oracle_sql() -> dict[str, str]:
                     FROM hits GROUP BY doc_id, t),
             scored AS (
               SELECT tfs.doc_id,
-                     sum(tfs.tf * ((1000000 * n.n) // dfs.df)) AS score
+                     sum(CAST(tfs.tf AS HUGEINT)
+                         * ((CAST(1000000 AS HUGEINT) * n.n) // dfs.df))
+                       AS score
               FROM tfs JOIN dfs ON tfs.t = dfs.t CROSS JOIN n
               GROUP BY tfs.doc_id)
             SELECT doc_id, CAST(score AS BIGINT) AS score

@@ -688,11 +688,15 @@ def tfidf_search(
     over the DISTINCT query terms, with N = corpus size and df = the
     term's document frequency. The idf factor is integer-floored at
     ``TFIDF_SCALE`` precision, so every per-term score and the final
-    sum are EXACT BIGINTs — no float addition anywhere, hence no
+    sum are EXACT integers — no float addition anywhere, hence no
     partition-order sensitivity and a value-exact SQL oracle (the
     ``doc_keywords`` log-free convention extended to retrieval; the
     floor costs < 1e-6 relative idf precision, far below any ranking
-    consequence). Ties break by ascending id.
+    consequence). The S·N and tf·idf products ride decimal(38,0) /
+    HUGEINT carriers (bare BIGINT wraps silently at N ≈ 9e12 resp.
+    tf·N ≈ 9e12 — the bm25_search overflow discipline); the idf div
+    quotient is ≤ S·N, BIGINT-safe to N ≈ 9e12, documented bound.
+    Ties break by ascending id.
 
     Plan: the query's terms are a literal array (driver-side constant,
     a handful of strings); one explode of the corpus filtered TO THOSE
@@ -719,14 +723,23 @@ def tfidf_search(
     df_tbl = tf_tbl.groupBy("t").agg(
         F.count(F.when(F.col("_tf") >= 1, 1)).alias("_df")
     )
-    # integer floor division: (SCALE·N) div df — exact BIGINTs end to end
-    idf_scaled = F.expr(f"cast({TFIDF_SCALE} as bigint) * _n div _df")
+    # integer floor division: (SCALE·N) div df — exact end to end; the
+    # products ride decimal(38,0) so large-N/large-tf domains refuse to
+    # wrap (the sum stays exact decimal, cast back once at the end)
+    idf_scaled = F.expr(
+        f"cast({TFIDF_SCALE} as decimal(38,0)) * _n div _df"
+    )
     scored = (
         tf_tbl.join(F.broadcast(df_tbl), "t")
         .crossJoin(F.broadcast(n_docs))
-        .select(id_col, (F.col("_tf") * idf_scaled).alias("_term_score"))
+        .select(
+            id_col,
+            (F.col("_tf").cast("decimal(38,0)") * idf_scaled).alias(
+                "_term_score"
+            ),
+        )
         .groupBy(id_col)
-        .agg(F.sum("_term_score").alias("score"))
+        .agg(F.sum("_term_score").cast("long").alias("score"))
     )
     return (
         scored.orderBy(F.desc("score"), id_col)
@@ -929,7 +942,11 @@ def append_search_index(
     preserving the probe's pruned no-Exchange read) and one stats row,
     both tagged ``batch_id``. Contract: batches carry DISJOINT doc ids
     (re-ingesting a changed document is upsert territory — delete and
-    rebuild its batch, or route through a transactional table format).
+    rebuild its batch, or route through a transactional table format),
+    and each DISTINCT batch gets a UNIQUE batch_id — reusing an id for
+    different content defeats the content-dedup replay guard (two
+    stats rows with the same id but different counts both survive the
+    distinct and double-count).
 
     Crash-replay safe WITHOUT markers: a replayed append writes rows
     byte-identical to the committed ones, and the probe deduplicates by
@@ -1001,11 +1018,12 @@ def search_index_topk(
             .select(
                 id_col,
                 F.expr(
-                    f"tf * (cast({S} as bigint) * n div df)"
+                    f"cast(tf as decimal(38,0))"
+                    f" * (cast({S} as decimal(38,0)) * n div df)"
                 ).alias("_term_score"),
             )
             .groupBy(id_col)
-            .agg(F.sum("_term_score").alias("score"))
+            .agg(F.sum("_term_score").cast("long").alias("score"))
         )
     else:
         idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
