@@ -76,6 +76,7 @@ def stream_clean_documents(
     checkpoint_dir: str,
     lsh_index_prefix: str | None = None,
     near_threshold: float = 0.5,
+    search_index_prefix: str | None = None,
 ) -> StreamingQuery:
     """document stream → scrub → per-batch fingerprint dedup →
     (optional) near-dup probe against a persisted LSH index →
@@ -135,6 +136,20 @@ def stream_clean_documents(
                 lsh_index_prefix,
                 marker_dir=os.path.join(checkpoint_dir, "_lsh_applied"),
                 marker_key=str(batch_id),
+            )
+        if search_index_prefix is not None:
+            from ..functions.text import append_search_index
+
+            # the stream also maintains the RETRIEVAL index: survivors'
+            # postings + a per-batch stats row. No marker needed — the
+            # search index's content dedup makes replays exactly-once
+            # on its own (a replayed batch appends either byte-identical
+            # rows, deduped, or — when the LSH probe emptied it — a
+            # harmless (batch_id, 0, 0) stats row)
+            append_search_index(
+                cleaned.select("doc_id", "text"),
+                search_index_prefix,
+                batch_id=f"b{batch_id}",
             )
 
     return (

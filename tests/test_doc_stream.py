@@ -277,3 +277,64 @@ def test_stream_property_rotating_sources_exactly_one_row_per_key(spark, tmp_pat
             assert f"revision {last_rev[r.source]}" in r.text
 
     run()
+
+
+def test_stream_maintains_search_index(spark, tmp_path):
+    # the scrub stream also grows the retrieval index: after two
+    # batches, probing the index equals running the inline BM25 over
+    # exactly the upserted corpus — and a full replay changes nothing
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        bm25_search,
+        search_index_topk,
+    )
+
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "clean")
+    _drop(drop, "shard1.json", [_row(10, GOOD), _row(11, GOOD + " solar grid")])
+    try:
+        q = stream_clean_documents(
+            read_document_stream(spark, str(drop)),
+            out,
+            str(tmp_path / "ckpt1"),
+            search_index_prefix="t_stream_sidx",
+        )
+        q.awaitTermination(60)
+        _drop(drop, "shard2.json", [_row(12, GOOD + " wind farm output")])
+        q = stream_clean_documents(
+            read_document_stream(spark, str(drop)),
+            out,
+            str(tmp_path / "ckpt1"),
+            search_index_prefix="t_stream_sidx",
+        )
+        q.awaitTermination(60)
+
+        corpus = spark.read.parquet(out).select("doc_id", "text")
+        query = "researchers validation solar wind"
+        inline = [tuple(r) for r in bm25_search(corpus, query, k=5).collect()]
+        probed = [
+            tuple(r)
+            for r in search_index_topk(
+                spark, "t_stream_sidx", query, k=5
+            ).collect()
+        ]
+        assert probed == inline and len(probed) == 3
+
+        # full replay from a fresh checkpoint: same shards, same batch
+        # ids — the content dedup keeps the index scores identical
+        q = stream_clean_documents(
+            read_document_stream(spark, str(drop)),
+            out,
+            str(tmp_path / "ckpt2"),
+            search_index_prefix="t_stream_sidx",
+        )
+        q.awaitTermination(60)
+        after = [
+            tuple(r)
+            for r in search_index_topk(
+                spark, "t_stream_sidx", query, k=5
+            ).collect()
+        ]
+        assert after == inline
+    finally:
+        for suffix in ("postings", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS t_stream_sidx_{suffix}")
