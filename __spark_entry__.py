@@ -886,6 +886,44 @@ def q_corpus_textrank(spark, sf_dir):
     return TX.corpus_textrank(docs, k=50, n_iter=5, min_count=5)
 
 
+def q_incremental_join_revenue(spark, sf_dir):
+    # Incrementally-maintained JOIN view (Blakeley/Griffin-Libkin
+    # insert-delta rule): orders x lineitem, both sides split at
+    # 1999-01-01 into stored + delta halves; the maintained view
+    # (old-join UNION ALL three delta joins) is aggregated per order
+    # priority. The oracle is the PLAIN join over everything — a green
+    # row proves delta maintenance ≡ full recompute in bag semantics.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.ivm import (
+        incremental_join_view,
+    )
+
+    cut = "1999-01-01"
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    )
+    a_old = orders.where(F.col("o_orderdate") < cut)
+    a_new = orders.where(F.col("o_orderdate") >= cut)
+    b_old = li.where(F.col("l_shipdate") < cut)
+    b_new = li.where(F.col("l_shipdate") >= cut)
+    m = incremental_join_view(a_old, b_old, a_new, b_new, ["okey"])
+    return (
+        m.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2703,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
+        "incremental_join_revenue": q_incremental_join_revenue,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3269,6 +3308,15 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_textrank": _textrank_oracle(),
+        "incremental_join_revenue": """
+            SELECT o.o_orderpriority,
+                   count(*) AS n_items,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS revenue
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
+        """,
         "doc_lexical_diversity": """
             WITH tk AS (
               SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t

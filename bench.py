@@ -189,6 +189,7 @@ HEADLINE = [
     "part_fuzzy_pairs",
     "doc_lm_perplexity",
     "corpus_textrank",
+    "incremental_join_revenue",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

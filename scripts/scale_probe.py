@@ -117,6 +117,7 @@ PROBE_QUERIES = [
     "doc_search_bm25",
     "doc_lm_perplexity",
     "corpus_textrank",
+    "incremental_join_revenue",
 ]
 
 

@@ -59,6 +59,7 @@ NEW_R5 = [
     "part_fuzzy_pairs",
     "doc_lm_perplexity",
     "corpus_textrank",
+    "incremental_join_revenue",
 ]
 
 

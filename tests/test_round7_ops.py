@@ -528,6 +528,52 @@ def test_corpus_textrank_exact_fixed_point(spark):
         corpus_textrank(docs, damping_scaled=0)
 
 
+# ------------------------------------------------- incremental join view
+
+
+def test_incremental_join_view_bag_equal_to_recompute(spark):
+    from collections import Counter
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.ivm import (
+        incremental_join_view,
+    )
+
+    # duplicates on purpose: the identity must hold in BAG semantics
+    a_old = spark.createDataFrame(
+        [(1, "a1"), (1, "a1"), (2, "a2"), (9, "a9")], "k long, av string"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "b1"), (2, "b2"), (2, "b2x")], "k long, bv string"
+    )
+    a_new = spark.createDataFrame([(2, "a2d"), (3, "a3d")], "k long, av string")
+    b_new = spark.createDataFrame(
+        [(1, "b1d"), (3, "b3d"), (3, "b3d")], "k long, bv string"
+    )
+
+    maintained = Counter(
+        tuple(r)
+        for r in incremental_join_view(a_old, b_old, a_new, b_new, ["k"]).collect()
+    )
+    full = Counter(
+        tuple(r)
+        for r in a_old.unionByName(a_new)
+        .join(b_old.unionByName(b_new), ["k"])
+        .collect()
+    )
+    assert maintained == full and sum(full.values()) > 0
+
+    # empty deltas: the refresh is exactly the old view
+    empty_a = a_new.limit(0)
+    empty_b = b_new.limit(0)
+    same = Counter(
+        tuple(r)
+        for r in incremental_join_view(
+            a_old, b_old, empty_a, empty_b, ["k"]
+        ).collect()
+    )
+    assert same == Counter(tuple(r) for r in a_old.join(b_old, ["k"]).collect())
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
