@@ -924,6 +924,32 @@ def q_incremental_join_revenue(spark, sf_dir):
     )
 
 
+def q_hybrid_search_rrf(spark, sf_dir):
+    # Hybrid retrieval: lexical BM25 top-50 fused with embedding-ANN
+    # top-50 (query = the text query's terms on one side, vec_id 5's
+    # embedding on the other; the harness corpus pairs doc_id and
+    # vec_id 1:1) by fixed-point Reciprocal Rank Fusion — RRF consumes
+    # only the two lists' RANKS, so the fused scores are exact
+    # integers and value-exact against the oracle.
+    from pyspark.sql import Window as _W
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    # the unpartitioned rank window runs on the ALREADY-LIMITED 50-row
+    # bm25 list (Spark's single-partition warning is about that tiny
+    # frame, not the corpus)
+    lex = TX.bm25_search(docs, "vector stream merge window", k=50).select(
+        "doc_id",
+        F.row_number()
+        .over(_W.orderBy(F.desc("score"), "doc_id"))
+        .alias("rank"),
+    )
+    sem = S.ann_bruteforce_topk(emb, F.col("vec_id") == 5, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return S.rrf_fuse([lex, sem], k0=60, k=20)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2742,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3308,6 +3335,67 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_textrank": _textrank_oracle(),
+        "hybrid_search_rrf": f"""
+            WITH q AS (
+              SELECT unnest(['merge', 'stream', 'vector', 'window']) AS t),
+            stats AS (
+              SELECT count(*) AS n,
+                     sum(len(string_split(trim(text), ' '))) AS l
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     len(string_split(trim(text), ' ')) AS dl,
+                     unnest(string_split(trim(text), ' ')) AS t
+              FROM documents),
+            hits AS (SELECT tok.doc_id, tok.dl, tok.t
+                     FROM tok JOIN q ON q.t = tok.t),
+            dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+                    FROM hits GROUP BY t),
+            idf AS (
+              SELECT t,
+                     CAST(floor(1000000 * ln(1 +
+                       CAST(2*n - 2*df + 1 AS DOUBLE)
+                       / CAST(2*df + 1 AS DOUBLE))) AS BIGINT) AS idf_s
+              FROM dfs CROSS JOIN stats),
+            tfs AS (SELECT doc_id, dl, t, count(*) AS tf
+                    FROM hits GROUP BY doc_id, dl, t),
+            lexscored AS (
+              SELECT tfs.doc_id,
+                     sum(idf.idf_s * (
+                       (CAST(tfs.tf AS HUGEINT) * 2200000 * 1000000)
+                       // (CAST(tfs.tf AS HUGEINT) * 1000000
+                           + (CAST(1200000 AS HUGEINT) *
+                              (1000000 - 750000
+                               + CAST(750000 AS HUGEINT)
+                                 * tfs.dl * stats.n // stats.l))
+                             // 1000000))) AS score
+              FROM tfs JOIN idf ON tfs.t = idf.t CROSS JOIN stats
+              GROUP BY tfs.doc_id),
+            lex AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+              FROM lexscored QUALIFY rnk <= 50),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            semscored AS (
+              SELECT c.vec_id AS doc_id,
+                     {_COS_SQL.format(a='qe.v', b='c.v')} AS sim
+              FROM e qe JOIN e c
+                ON qe.vec_id = 5 AND qe.vec_id != c.vec_id),
+            sem AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       ORDER BY sim DESC, doc_id) AS BIGINT) AS rnk
+              FROM semscored QUALIFY rnk <= 50),
+            fused AS (
+              SELECT doc_id, 1000000 // (60 + rnk) AS c FROM lex
+              UNION ALL
+              SELECT doc_id, 1000000 // (60 + rnk) AS c FROM sem)
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_s
+            FROM fused GROUP BY doc_id
+            ORDER BY rrf_s DESC, doc_id LIMIT 20
+        """,
         "incremental_join_revenue": """
             SELECT o.o_orderpriority,
                    count(*) AS n_items,

@@ -1850,3 +1850,50 @@ def semantic_dedup(
     return dedup_corpus(
         emb.select(id_col), pairs, id_col=id_col, src="vec_a", dst="vec_b"
     ).orderBy(id_col)
+
+
+RRF_SCALE = 1_000_000
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    k0: int = 60,
+    k: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    — the standard way to combine heterogeneous retrieval lists (e.g.
+    lexical BM25 and embedding ANN) without comparable scores:
+
+        rrf(d) = Σ_lists  S div (k0 + rank_list(d))
+
+    in fixed point at S = ``RRF_SCALE`` (integer floor division — RRF
+    only consumes RANKS, so fusing integer contributions is exact,
+    partition-order-free, and value-exact against the SQL oracle; the
+    published k0 = 60 default damps any single list's top rank).
+    Documents missing from a list simply contribute nothing for it —
+    the union-of-lists semantics of the paper.
+
+    Plan: each input is a top-k list (tens of rows); the fuse is a
+    union of tiny projections, one partial-agg groupBy, and a top-k
+    heap. The heavy lifting stays in the upstream searches — fusion
+    adds no corpus-sized work."""
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.expr(f"{RRF_SCALE}L div ({k0}L + {rank_col})").alias("_c"),
+        )
+        for df in ranked_lists
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.groupBy(id_col)
+        .agg(F.sum("_c").alias("rrf_s"))
+        .orderBy(F.desc("rrf_s"), id_col)
+        .limit(k)
+    )

@@ -190,6 +190,7 @@ HEADLINE = [
     "doc_lm_perplexity",
     "corpus_textrank",
     "incremental_join_revenue",
+    "hybrid_search_rrf",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -118,6 +118,7 @@ PROBE_QUERIES = [
     "doc_lm_perplexity",
     "corpus_textrank",
     "incremental_join_revenue",
+    "hybrid_search_rrf",
 ]
 
 

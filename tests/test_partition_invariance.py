@@ -60,6 +60,7 @@ NEW_R5 = [
     "doc_lm_perplexity",
     "corpus_textrank",
     "incremental_join_revenue",
+    "hybrid_search_rrf",
 ]
 
 

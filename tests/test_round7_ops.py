@@ -574,6 +574,36 @@ def test_incremental_join_view_bag_equal_to_recompute(spark):
     assert same == Counter(tuple(r) for r in a_old.join(b_old, ["k"]).collect())
 
 
+# --------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_union_semantics_and_exact_scores(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        RRF_SCALE,
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(12, 1), (13, 2)], "doc_id long, rank long"
+    )
+    got = {r.doc_id: r.rrf_s for r in rrf_fuse([lex, sem], k0=60).collect()}
+    s = RRF_SCALE
+    assert got == {
+        10: s // 61,
+        11: s // 62,
+        12: s // 63 + s // 61,   # in both lists: contributions add
+        13: s // 62,
+    }
+    # doc 12 (rank 3 + rank 1) outranks doc 10 (single rank 1)
+    order = [r.doc_id for r in rrf_fuse([lex, sem], k0=60).collect()]
+    assert order[0] == 12
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
