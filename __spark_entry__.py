@@ -950,6 +950,15 @@ def q_hybrid_search_rrf(spark, sf_dir):
     return S.rrf_fuse([lex, sem], k0=60, k=20)
 
 
+def q_hourly_cusum(spark, sf_dir):
+    # Sustained rate-shift alarms: Page's one-sided CUSUM per event
+    # type over hourly counts, exact BIGINT fixed point — the clamped
+    # recursion rewritten as prefix-sum minus running-min (two window
+    # frames, no recursion), so the oracle mirrors it with SQL windows.
+    ev = _t(spark, sf_dir, "events")
+    return A.hourly_cusum_changepoints(ev, h_num=3, h_den=2)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2769,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
         "hybrid_search_rrf": q_hybrid_search_rrf,
+        "hourly_cusum": q_hourly_cusum,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3335,6 +3345,38 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_textrank": _textrank_oracle(),
+        "hourly_cusum": """
+            WITH cnt AS (
+              SELECT event_type,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            params AS (
+              SELECT event_type,
+                     (1000000 * sum(n)) // count(*) AS mu_s
+              FROM cnt GROUP BY event_type),
+            p2 AS (
+              SELECT event_type, mu_s,
+                     (1 * mu_s) // 4 AS k_s,
+                     (3 * mu_s) // 2 AS h_s
+              FROM params),
+            pre AS (
+              SELECT cnt.event_type, cnt.ts_hour, cnt.n, p2.h_s,
+                     sum(cnt.n * 1000000 - p2.mu_s - p2.k_s) OVER (
+                       PARTITION BY cnt.event_type ORDER BY cnt.ts_hour
+                       ROWS UNBOUNDED PRECEDING) AS p
+              FROM cnt JOIN p2 ON cnt.event_type = p2.event_type),
+            cus AS (
+              SELECT event_type, ts_hour, n, h_s,
+                     p - least(0, min(p) OVER (
+                       PARTITION BY event_type ORDER BY ts_hour
+                       ROWS UNBOUNDED PRECEDING)) AS cusum_s
+              FROM pre)
+            SELECT event_type, ts_hour, CAST(n AS BIGINT) AS n,
+                   CAST(cusum_s AS BIGINT) AS cusum_s
+            FROM cus WHERE cusum_s > h_s
+            ORDER BY event_type, ts_hour
+        """,
         "hybrid_search_rrf": f"""
             WITH q AS (
               SELECT unnest(['merge', 'stream', 'vector', 'window']) AS t),

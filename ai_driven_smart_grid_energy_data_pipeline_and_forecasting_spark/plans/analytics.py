@@ -10,7 +10,7 @@ aggregate, with the filter/projection pushed into the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.validation import RangeRule, drop_reason_cascade
@@ -182,5 +182,75 @@ def hourly_count_anomalies(
         .withColumn("z", z)
         .where(F.abs(F.col("z")) > z_threshold)
         .select("event_type", "ts_hour", "n", "z")
+        .orderBy("event_type", "ts_hour")
+    )
+
+
+def hourly_cusum_changepoints(
+    events: DataFrame,
+    slack_num: int = 1,
+    slack_den: int = 4,
+    h_num: int = 3,
+    h_den: int = 1,
+) -> DataFrame:
+    """Sustained event-rate shift detection: one-sided upward CUSUM
+    (Page, Biometrika 1954) over each type's hourly count series.
+    Where the z-score monitor (``hourly_count_anomalies``) flags
+    single outlier hours, CUSUM accumulates small persistent drifts —
+    the alarm a slow leak trips that no single hour would.
+
+    Exact-integer formulation at S = 1e6, per event type:
+
+        μ_S   = (S·Σn) div H              (the type's mean hourly count)
+        κ_S   = (slack_num·μ_S) div slack_den      (slack, default μ/4)
+        h_S   = (h_num·μ_S) div h_den          (threshold, default 3·μ)
+        y_t   = S·n_t − μ_S − κ_S
+        C_t   = max(0, C_{t−1} + y_t)
+              = P_t − min(0, min_{j≤t} P_j),  P_t = Σ_{j≤t} y_j
+
+    The recursive clamp-at-zero is rewritten as prefix-sum minus
+    running-minimum — two window frames, no recursion — so the whole
+    statistic stays in exact BIGINTs (counts are integers; μ/κ/h are
+    integer fixed point; parametrizing slack and threshold as
+    FRACTIONS of μ avoids the σ/√ of the textbook tuning, keeping the
+    operator oracle-exact). Emitted rows are the alarm set C_t > h_S.
+
+    Plan: one partial-agg shuffle for hour counts, a tiny per-type
+    (μ, κ, h) table broadcast back, then ONE window shuffle
+    (partitionBy type, orderBy hour) carrying both frames. Overflow:
+    S·n·H ≤ 1e6·n·H — BIGINT-safe to Σn·…≈9e12 count-hours per type,
+    far past any hourly series."""
+    S = 1_000_000
+    cnt = (
+        with_hour(events)
+        .groupBy("event_type", "ts_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mu = cnt.groupBy("event_type").agg(
+        F.expr(f"{S}L * sum(n) div count(*)").alias("_mu_s")
+    )
+    params = mu.select(
+        "event_type",
+        "_mu_s",
+        F.expr(f"{int(slack_num)}L * _mu_s div {int(slack_den)}L").alias(
+            "_k_s"
+        ),
+        F.expr(f"{int(h_num)}L * _mu_s div {int(h_den)}L").alias("_h_s"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = F.col("n") * F.lit(S).cast("long") - F.col("_mu_s") - F.col("_k_s")
+    with_p = (
+        cnt.join(F.broadcast(params), "event_type")
+        .withColumn("_p", F.sum(y).over(w))
+    )
+    cusum = F.col("_p") - F.least(F.lit(0).cast("long"), F.min("_p").over(w))
+    return (
+        with_p.withColumn("cusum_s", cusum)
+        .where(F.col("cusum_s") > F.col("_h_s"))
+        .select("event_type", "ts_hour", "n", "cusum_s")
         .orderBy("event_type", "ts_hour")
     )

@@ -191,6 +191,7 @@ HEADLINE = [
     "corpus_textrank",
     "incremental_join_revenue",
     "hybrid_search_rrf",
+    "hourly_cusum",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

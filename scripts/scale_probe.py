@@ -119,6 +119,7 @@ PROBE_QUERIES = [
     "corpus_textrank",
     "incremental_join_revenue",
     "hybrid_search_rrf",
+    "hourly_cusum",
 ]
 
 

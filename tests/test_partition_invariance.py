@@ -61,6 +61,7 @@ NEW_R5 = [
     "corpus_textrank",
     "incremental_join_revenue",
     "hybrid_search_rrf",
+    "hourly_cusum",
 ]
 
 

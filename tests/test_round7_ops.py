@@ -604,6 +604,62 @@ def test_rrf_fuse_union_semantics_and_exact_scores(spark):
         rrf_fuse([])
 
 
+# --------------------------------------------------------- CUSUM alarms
+
+
+def test_hourly_cusum_matches_clamped_recursion(spark):
+    import datetime
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_cusum_changepoints,
+    )
+
+    # type A: flat 5/hour for 48h then a sustained 12/hour regime for
+    # 12h — each shifted hour is mild (z ≈ 2) but the drift accumulates;
+    # type B stays flat
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(60):
+        for t, n in (("A", 5 + (7 if h >= 48 else 0)), ("B", 5)):
+            for _ in range(n):
+                rows.append(
+                    (eid, t, base + datetime.timedelta(hours=h, minutes=30))
+                )
+                eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp")
+
+    S = 1_000_000
+    # python mirror: the TEXTBOOK clamped recursion (not the window
+    # identity) — proves the prefix-sum-minus-running-min rewrite
+    def mirror(counts, s_num, s_den, h_num, h_den):
+        H, tot = len(counts), sum(counts)
+        mu = S * tot // H
+        kappa = s_num * mu // s_den
+        thr = h_num * mu // h_den
+        out, c = [], 0
+        for i, n in enumerate(counts):
+            c = max(0, c + n * S - mu - kappa)
+            if c > thr:
+                out.append((i, n, c))
+        return out
+
+    got = [
+        ((r.ts_hour - base).total_seconds() // 3600, r.n, r.cusum_s)
+        for r in hourly_cusum_changepoints(ev).collect()
+        if r.event_type == "A"
+    ]
+    want = [
+        (h, n, c) for h, n, c in mirror([5] * 48 + [12] * 12, 1, 4, 3, 1)
+    ]
+    assert got == want and len(got) > 0
+    # the flat series never alarms
+    assert not [
+        r for r in hourly_cusum_changepoints(ev).collect()
+        if r.event_type == "B"
+    ]
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
