@@ -959,6 +959,17 @@ def q_hourly_cusum(spark, sf_dir):
     return A.hourly_cusum_changepoints(ev, h_num=3, h_den=2)
 
 
+def q_forecast_conformal(spark, sf_dir):
+    # Split-conformal intervals over the baseline forecast: rank-exact
+    # calibration quantile of |yhat - y| (first half of each group's
+    # points by time), empirical coverage on the second half —
+    # distribution-free >= 1-alpha guarantee replacing the Gaussian
+    # bands, value-exact against the SQL-windowed oracle.
+    feats = _pseudo_features_hourly(spark, sf_dir)
+    fc = G.seasonal_naive_forecast(feats, horizons=[1, 24])
+    return G.conformal_eval(fc, feats)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2779,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_revenue": q_incremental_join_revenue,
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "hourly_cusum": q_hourly_cusum,
+        "forecast_conformal": q_forecast_conformal,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3345,6 +3357,64 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_textrank": _textrank_oracle(),
+        "forecast_conformal": _PSEUDO_FEATURES_CTE
+        + """,
+            fc AS (
+              SELECT site, ts_utc + INTERVAL 1 HOUR AS ts_utc,
+                     'baseline' AS model, var, 1 AS horizon_h,
+                     lag_h1 AS yraw
+              FROM sig
+              UNION ALL
+              SELECT site, ts_utc + INTERVAL 24 HOUR AS ts_utc,
+                     'baseline' AS model, var, 24 AS horizon_h,
+                     lag_h24 AS yraw
+              FROM sig
+            ),
+            f AS (
+              SELECT site, ts_utc, model, var, horizon_h,
+                     greatest(yraw, 0.0) AS yhat
+              FROM fc WHERE yraw IS NOT NULL
+            ),
+            act AS (
+              SELECT site, ts_utc, 'pv' AS var, pv_est_mwh AS y FROM s
+              UNION ALL
+              SELECT site, ts_utc, 'wind' AS var, wind_est_mwh AS y FROM s
+            ),
+            pts AS (
+              SELECT model, var, horizon_h, site, ts_utc,
+                     abs(yhat - y) AS ar
+              FROM f JOIN act USING (site, ts_utc, var)),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY model, var, horizon_h
+                       ORDER BY ts_utc, site) AS rn,
+                     count(*) OVER (
+                       PARTITION BY model, var, horizon_h) AS n
+              FROM pts),
+            calib AS (SELECT * FROM ranked WHERE rn <= n // 2),
+            tst AS (SELECT * FROM ranked WHERE rn > n // 2),
+            qt AS (
+              SELECT model, var, horizon_h, ar AS q, nc AS n_calib
+              FROM (
+                SELECT *,
+                       row_number() OVER (
+                         PARTITION BY model, var, horizon_h
+                         ORDER BY ar, ts_utc, site) AS ra,
+                       count(*) OVER (
+                         PARTITION BY model, var, horizon_h) AS nc
+                FROM calib)
+              WHERE ra = least(((nc + 1) * 9 + 9) // 10, nc))
+            SELECT t.model, t.var, t.horizon_h,
+                   CAST(q.n_calib AS BIGINT) AS n_calib,
+                   count(*) AS n_test,
+                   round(q.q, 4) AS q_width,
+                   round(avg(CASE WHEN t.ar <= q.q THEN 1.0 ELSE 0.0 END),
+                         4) AS coverage
+            FROM tst t JOIN qt q USING (model, var, horizon_h)
+            GROUP BY t.model, t.var, t.horizon_h, q.n_calib, q.q
+            ORDER BY t.model, t.var, t.horizon_h
+        """,
         "hourly_cusum": """
             WITH cnt AS (
               SELECT event_type,

@@ -192,6 +192,7 @@ HEADLINE = [
     "incremental_join_revenue",
     "hybrid_search_rrf",
     "hourly_cusum",
+    "forecast_conformal",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -120,6 +120,7 @@ PROBE_QUERIES = [
     "incremental_join_revenue",
     "hybrid_search_rrf",
     "hourly_cusum",
+    "forecast_conformal",
 ]
 
 

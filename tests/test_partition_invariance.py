@@ -62,6 +62,7 @@ NEW_R5 = [
     "incremental_join_revenue",
     "hybrid_search_rrf",
     "hourly_cusum",
+    "forecast_conformal",
 ]
 
 

@@ -660,6 +660,39 @@ def test_hourly_cusum_matches_clamped_recursion(spark):
     ]
 
 
+# ------------------------------------------------- conformal intervals
+
+
+def test_conformal_eval_rank_exact_q_and_coverage(spark):
+    import datetime
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        conformal_eval,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ts = [t0 + datetime.timedelta(hours=h) for h in range(8)]
+    # |yhat - y| residuals: calib (first 4) = 1,2,3,4; test = .5,2.5,3.5,10
+    resid = [1.0, 2.0, 3.0, 4.0, 0.5, 2.5, 3.5, 10.0]
+    fc = spark.createDataFrame(
+        [("s1", t, "m", "pv", 1, 5.0) for t in ts],
+        "site string, ts_utc timestamp, model string, var string,"
+        " horizon_h int, yhat double",
+    )
+    feats = spark.createDataFrame(
+        [("s1", t, 5.0 + r, 0.0) for t, r in zip(ts, resid)],
+        "site string, ts_utc timestamp, pv_est_mwh double,"
+        " wind_est_mwh double",
+    )
+    rows = conformal_eval(fc, feats).collect()
+    # the forecast frame carries var='pv' only — the eval join keeps it
+    assert [r.var for r in rows] == ["pv"]
+    pv = rows[0]
+    # k = ceil((4+1)*0.9) = 5 clamped to 4 → q = 4th smallest = 4.0
+    assert (pv.n_calib, pv.n_test, pv.q_width) == (4, 4, 4.0)
+    assert pv.coverage == 0.75  # .5, 2.5, 3.5 within ±4; 10 outside
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
