@@ -970,6 +970,18 @@ def q_forecast_conformal(spark, sf_dir):
     return G.conformal_eval(fc, feats)
 
 
+def q_doc_negatives(spark, sf_dir):
+    # Deterministic contrastive negative sampling: each doc's k=4
+    # negatives are its cyclic successors on a per-bucket hash ring
+    # (h32 order) — RNG-free, rerun-stable, partitioned windows only.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return contrastive_negatives(docs, k=4, n_buckets=8)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2791,6 +2803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "hourly_cusum": q_hourly_cusum,
         "forecast_conformal": q_forecast_conformal,
+        "doc_negatives": q_doc_negatives,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3357,6 +3370,27 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_textrank": _textrank_oracle(),
+        "doc_negatives": f"""
+            WITH ring AS (
+              SELECT doc_id AS anchor,
+                     {_h32_sql("CAST(doc_id AS VARCHAR)")} AS r
+              FROM documents),
+            b AS (SELECT anchor, r, r % 8 AS bk FROM ring),
+            pos AS (
+              SELECT anchor, bk,
+                     row_number() OVER (
+                       PARTITION BY bk ORDER BY r, anchor) AS p,
+                     count(*) OVER (PARTITION BY bk) AS n
+              FROM b),
+            want AS (
+              SELECT anchor, bk, p, n, s.slot,
+                     (p - 1 + s.slot) % n + 1 AS tgt
+              FROM pos, (SELECT unnest([1, 2, 3, 4]) AS slot) s)
+            SELECT w.anchor, m.anchor AS negative,
+                   CAST(w.slot AS INTEGER) AS slot
+            FROM want w JOIN pos m ON w.bk = m.bk AND w.tgt = m.p
+            ORDER BY w.anchor, w.slot
+        """,
         "forecast_conformal": _PSEUDO_FEATURES_CTE
         + """,
             fc AS (

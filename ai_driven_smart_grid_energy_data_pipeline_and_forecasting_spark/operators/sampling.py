@@ -313,3 +313,88 @@ def epoch_upsample(
         F.array().cast("array<long>")
     )
     return df.withColumn("copy_idx", F.explode(seq))
+
+
+def contrastive_negatives(
+    docs: DataFrame,
+    k: int = 4,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor gets exactly ``k`` pseudo-random negatives — the next k ids
+    on a HASH RING (documents ordered by (h32(id), id) inside a hash
+    bucket, wrapping cyclically at the bucket end). Hash order is
+    uncorrelated with any data attribute, so ring-neighbors are as
+    good as uniform negatives, while being rerun-stable and RNG-free
+    (the `doc_weighted_sample` determinism discipline; word2vec-style
+    negative sampling without a generator state).
+
+    The ring lives INSIDE a hash bucket so the only window is
+    partitioned — no global sort, no single-partition stage; at scale
+    pick ``n_buckets`` ~ corpus/10⁶ and every bucket windows
+    independently. The bucket boundary costs nothing statistically
+    (bucket assignment is itself hash-uniform). Wrap-around is a
+    broadcast join of each bucket's first ``k`` ring rows back onto
+    its tail, so tail anchors get the ring's head as negatives —
+    every anchor ends with exactly k distinct negatives, verified by a
+    LOUD guard: any bucket with ≤ k rows raises (sample more buckets
+    into fewer, or shrink k) rather than silently emitting self-pairs
+    or duplicates.
+
+    Output: (anchor, negative, slot 1..k), ordered. Value-exact SQL
+    oracle (h32 is the cross-engine md5 hash; windows mirror)."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("contrastive_negatives needs k >= 1")
+    ring = docs.select(
+        F.col(id_col).alias("anchor"),
+        h32(F.col(id_col).cast("string")).alias("_r"),
+    ).withColumn("_b", F.col("_r") % F.lit(n_buckets))
+    w = Window.partitionBy("_b").orderBy("_r", "anchor")
+    pos = ring.withColumn("_pos", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_b"))
+    )
+    # loud guard rides the anchor column: a bucket with <= k members
+    # cannot yield k distinct non-self negatives
+    guarded = pos.withColumn(
+        "anchor",
+        F.when(
+            F.col("_n") <= k,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "contrastive_negatives: hash bucket with only "
+                    ),
+                    F.col("_n").cast("string"),
+                    F.lit(
+                        f" rows cannot supply k={k} distinct negatives"
+                        " — lower n_buckets or k"
+                    ),
+                )
+            ).cast(pos.schema["anchor"].dataType.simpleString()),
+        ).otherwise(F.col("anchor")),
+    )
+    slots = F.explode(
+        F.sequence(F.lit(1), F.lit(k))
+    ).alias("slot")
+    want = guarded.select(
+        "anchor", "_b", "_pos", "_n", slots
+    ).withColumn(
+        # cyclic successor position on the bucket ring
+        "_tgt", (F.col("_pos") - 1 + F.col("slot")) % F.col("_n") + 1
+    )
+    members = guarded.select(
+        F.col("_b").alias("_mb"),
+        F.col("_pos").alias("_mpos"),
+        F.col("anchor").alias("negative"),
+    )
+    return (
+        want.join(
+            members,
+            (F.col("_b") == F.col("_mb")) & (F.col("_tgt") == F.col("_mpos")),
+        )
+        .select("anchor", "negative", F.col("slot").cast("int").alias("slot"))
+        .orderBy("anchor", "slot")
+    )

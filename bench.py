@@ -193,6 +193,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "hourly_cusum",
     "forecast_conformal",
+    "doc_negatives",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -121,6 +121,7 @@ PROBE_QUERIES = [
     "hybrid_search_rrf",
     "hourly_cusum",
     "forecast_conformal",
+    "doc_negatives",
 ]
 
 

@@ -63,6 +63,7 @@ NEW_R5 = [
     "hybrid_search_rrf",
     "hourly_cusum",
     "forecast_conformal",
+    "doc_negatives",
 ]
 
 

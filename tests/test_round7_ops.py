@@ -693,6 +693,36 @@ def test_conformal_eval_rank_exact_q_and_coverage(spark):
     assert pv.coverage == 0.75  # .5, 2.5, 3.5 within ±4; 10 outside
 
 
+# -------------------------------------------------- negative sampling
+
+
+def test_contrastive_negatives_ring_properties(spark):
+    from collections import Counter
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    out = contrastive_negatives(docs, k=3, n_buckets=2).collect()
+    # every anchor: exactly k negatives, all distinct, never itself
+    per = Counter(r.anchor for r in out)
+    assert set(per.values()) == {3} and len(per) == 40
+    for a in per:
+        negs = [r.negative for r in out if r.anchor == a]
+        assert len(set(negs)) == 3 and a not in negs
+    # rerun-stable
+    again = contrastive_negatives(docs, k=3, n_buckets=2).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    # a bucket too small for k raises loudly, never silently self-pairs
+    import pytest as _pt
+    tiny = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with _pt.raises(Exception, match="cannot supply"):
+        contrastive_negatives(tiny, k=3, n_buckets=1).collect()
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
