@@ -42,10 +42,26 @@ def stream_attribution_join(
     watermark: str = "1 hour",
     ts_col: str = "ts",
     user_col: str = "user_id",
+    how: str = "inner",
 ) -> StreamingQuery:
     """purchase rows joined to every click by the same user within
     ``attribution_window`` before them → (user_id, click_id, click_ts,
-    purchase_id, purchase_ts, value) appended to parquet."""
+    purchase_id, purchase_ts, value) appended to parquet.
+
+    ``how="leftOuter"`` additionally emits every UNATTRIBUTED click —
+    with NULL purchase columns — once the watermark passes its
+    eviction bound (click_ts + window + watermark), i.e. once no
+    future purchase could still match it. That is the streaming form
+    of the batch funnel's drop-off rows: the null row appears in a
+    LATER micro-batch than the click (the state store must first prove
+    the negative), so an ``availableNow`` run that ingests no
+    subsequent data leaves pending negatives in state for the next run
+    — the restart-resumes-state contract, tested."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"how={how!r}: stream-stream attribution supports 'inner' "
+            "and 'leftOuter' (null rows for clicks no purchase matched)"
+        )
     c = clicks.withWatermark(ts_col, watermark).select(
         F.col(user_col),
         F.col("event_id").alias("click_id"),
@@ -65,6 +81,7 @@ def stream_attribution_join(
             F.col("purchase_ts")
             <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
         ),
+        how,
     ).select(
         user_col, "click_id", "click_ts", "purchase_id", "purchase_ts", "value"
     )

@@ -115,3 +115,65 @@ def test_attribution_fans_out_to_all_window_clicks(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == [(1, 10), (2, 10)]
+
+
+def test_attribution_left_outer_emits_unattributed_after_watermark(
+    spark, tmp_path
+):
+    import pytest
+
+    clicks, purch = tmp_path / "clicks", tmp_path / "purch"
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drop(
+        clicks,
+        "c1.json",
+        [
+            _ev(1, "2024-01-01 10:00:00", 1, "click"),
+            _ev(2, "2024-01-01 10:00:00", 2, "click"),  # never purchases
+        ],
+    )
+    _drop(
+        purch,
+        "p1.json",
+        [_ev(10, "2024-01-01 10:10:00", 1, "purchase", 5.0)],
+    )
+    q = stream_attribution_join(
+        _stream(spark, clicks), _stream(spark, purch), out, ckpt,
+        how="leftOuter",
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    # the inner match emits in run 1; click 2's negative may still be
+    # pending in state (the store must prove no purchase can arrive)
+    assert (1, 1, 10) in got
+
+    # run 2: much later traffic on BOTH sides pushes both watermarks
+    # past click 2's eviction bound -> its NULL row emits from the
+    # restored state
+    _drop(clicks, "c2.json", [_ev(3, "2024-01-01 20:00:00", 9, "click")])
+    _drop(
+        purch,
+        "p2.json",
+        [_ev(11, "2024-01-01 20:00:00", 9, "purchase", 1.0)],
+    )
+    q = stream_attribution_join(
+        _stream(spark, clicks), _stream(spark, purch), out, ckpt,
+        how="leftOuter",
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    nulls = {
+        r.click_id: r for r in rows if r.purchase_id is None
+    }
+    assert 2 in nulls and nulls[2].user_id == 2 and nulls[2].value is None
+    # the attributed click never gets a spurious null twin
+    assert 1 not in nulls
+
+    with pytest.raises(ValueError, match="leftOuter"):
+        stream_attribution_join(
+            _stream(spark, clicks), _stream(spark, purch), out, ckpt,
+            how="fullOuter",
+        )
