@@ -982,6 +982,14 @@ def q_doc_negatives(spark, sf_dir):
     return contrastive_negatives(docs, k=4, n_buckets=8)
 
 
+def q_source_dataset_cards(spark, sf_dir):
+    # Per-source dataset cards (Gebru et al. datasheets): volumes,
+    # exact-dup rate, dominant language — all exact-integer metrics,
+    # one scan + two partial-agg groupBys.
+    docs = _t(spark, sf_dir, "documents")
+    return A.source_dataset_cards(docs)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2804,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_cusum": q_hourly_cusum,
         "forecast_conformal": q_forecast_conformal,
         "doc_negatives": q_doc_negatives,
+        "source_dataset_cards": q_source_dataset_cards,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3370,6 +3379,36 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_textrank": _textrank_oracle(),
+        "source_dataset_cards": """
+            WITH base AS (
+              SELECT source, lang,
+                     len(string_split(trim(text), ' ')) AS tok,
+                     len(text) AS chr,
+                     md5(array_to_string(list_sort(list_distinct(
+                       string_split(trim(lower(text)), ' '))), ' ')) AS fp
+              FROM documents),
+            totals AS (
+              SELECT source,
+                     count(*) AS n_docs,
+                     CAST(sum(tok) AS BIGINT) AS n_tokens,
+                     CAST(sum(chr) AS BIGINT) AS n_chars,
+                     count(DISTINCT fp) AS n_fp
+              FROM base GROUP BY source),
+            lt AS (
+              SELECT source, lang AS top_lang FROM (
+                SELECT source, lang,
+                       row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY c DESC, lang DESC) AS rn
+                FROM (SELECT source, lang, count(*) AS c
+                      FROM base GROUP BY source, lang))
+              WHERE rn = 1)
+            SELECT t.source, t.n_docs, t.n_tokens, t.n_chars,
+                   CAST(t.n_docs - t.n_fp AS DOUBLE) / t.n_docs AS dup_rate,
+                   lt.top_lang
+            FROM totals t JOIN lt ON t.source = lt.source
+            ORDER BY t.source
+        """,
         "doc_negatives": f"""
             WITH ring AS (
               SELECT doc_id AS anchor,

@@ -254,3 +254,64 @@ def hourly_cusum_changepoints(
         .select("event_type", "ts_hour", "n", "cusum_s")
         .orderBy("event_type", "ts_hour")
     )
+
+
+def source_dataset_cards(docs: DataFrame) -> DataFrame:
+    """Per-source dataset cards — the datasheet table a corpus release
+    publishes (Gebru et al., "Datasheets for Datasets", CACM 2021),
+    over the harness corpus: document/token/char volumes, the exact-
+    duplicate rate, and the dominant language, one row per source.
+
+    Every metric is exact-integer derived so the card is value-exact
+    against the oracle: token/char counts are integer sums; the dup
+    rate is (n_docs − distinct fingerprints) over n_docs — a single
+    deterministic division of exact BIGINTs; top_lang is an arg-max
+    with count-then-name tie-break (``max_by`` on a (count, lang)
+    struct — the ``latest_per_group`` kernel). Floating quality scores
+    stay OUT of the card (their sums are partition-order-sensitive;
+    per-document quality lives in ``text_stats``).
+
+    Plan: one pass computes per-doc (tokens, chars, fingerprint); two
+    partial-agg groupBys (per-source totals + per-(source, lang)
+    counts for the arg-max) — no windows, no joins wider than the
+    per-source card table itself."""
+    from ..functions.text import doc_fingerprint, token_count
+
+    base = docs.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("_tok"),
+        F.length("text").cast("long").alias("_chr"),
+        doc_fingerprint(F.col("text")).alias("_fp"),
+    )
+    totals = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.sum("_chr").alias("n_chars"),
+        F.count_distinct("_fp").alias("_n_fp"),
+    )
+    lang_top = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("source")
+        .agg(
+            F.expr(
+                "max_by(lang, struct(_c, lang))"
+            ).alias("top_lang")
+        )
+    )
+    dup_rate = (
+        (F.col("n_docs") - F.col("_n_fp")).cast("double") / F.col("n_docs")
+    )
+    return (
+        totals.join(lang_top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            dup_rate.alias("dup_rate"),
+            "top_lang",
+        )
+        .orderBy("source")
+    )

@@ -194,6 +194,7 @@ HEADLINE = [
     "hourly_cusum",
     "forecast_conformal",
     "doc_negatives",
+    "source_dataset_cards",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

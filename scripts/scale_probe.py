@@ -122,6 +122,7 @@ PROBE_QUERIES = [
     "hourly_cusum",
     "forecast_conformal",
     "doc_negatives",
+    "source_dataset_cards",
 ]
 
 

@@ -64,6 +64,7 @@ NEW_R5 = [
     "hourly_cusum",
     "forecast_conformal",
     "doc_negatives",
+    "source_dataset_cards",
 ]
 
 
