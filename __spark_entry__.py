@@ -990,6 +990,14 @@ def q_source_dataset_cards(spark, sf_dir):
     return A.source_dataset_cards(docs)
 
 
+def q_corpus_triangles(spark, sf_dir):
+    # Triangle enumeration on the collocation graph: canonical a<b<c
+    # ordering over two self-joins — the join-heavy graph kernel;
+    # integer weights, value-exact oracle.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.collocation_triangles(docs, k=50, min_count=5)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2813,6 +2821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_conformal": q_forecast_conformal,
         "doc_negatives": q_doc_negatives,
         "source_dataset_cards": q_source_dataset_cards,
+        "corpus_triangles": q_corpus_triangles,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3379,6 +3388,24 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_textrank": _textrank_oracle(),
+        "corpus_triangles": """
+            WITH tok AS (
+              SELECT string_split(trim(text), ' ') AS tk FROM documents),
+            pairs AS (
+              SELECT least(tk[i], tk[i+1]) AS a,
+                     greatest(tk[i], tk[i+1]) AS b
+              FROM tok, unnest(range(1, len(tk))) AS r(i)
+              WHERE len(tk) >= 2 AND tk[i] <> tk[i+1]),
+            e AS (
+              SELECT a, b, count(*) AS w FROM pairs GROUP BY a, b
+              HAVING count(*) >= 5)
+            SELECT e1.a, e1.b, e2.b AS c,
+                   CAST(least(e1.w, e2.w, e3.w) AS BIGINT) AS strength
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+            ORDER BY strength DESC, e1.a, e1.b, c LIMIT 50
+        """,
         "source_dataset_cards": """
             WITH base AS (
               SELECT source, lang,

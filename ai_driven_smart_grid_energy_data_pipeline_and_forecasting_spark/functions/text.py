@@ -1250,3 +1250,68 @@ def corpus_textrank(
         .orderBy(F.desc("rank_s"), "t")
         .limit(k)
     )
+
+
+def collocation_triangles(
+    docs: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Triangle enumeration over the token co-occurrence graph: all
+    token triples mutually adjacent as bigrams (each pair ≥
+    ``min_count`` corpus occurrences) — tightly-bound phrase clusters,
+    and the canonical JOIN-HEAVY graph kernel (the Cohen 2009 /
+    Suri-Vassilvitskii WWW 2011 MapReduce triangle pattern).
+
+    Plan: the pruned bigram edge list is canonicalized to a < b (one
+    partial-agg groupBy summing both directions), then two self-joins
+    with the ordering constraint a < b < c enumerate each triangle
+    exactly once — no candidate is generated twice, which is the point
+    of the ordering trick. Edge weights are exact integer counts;
+    ``strength`` = the triangle's weakest edge (the bottleneck bond);
+    top-k by (strength, lexicographic) is a TakeOrderedAndProject.
+    All integers — value-exact SQL oracle."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    bi = (
+        docs.select(toks.alias("_tk"))
+        .where(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_tk"), 1, F.size("_tk") - 1),
+                    F.slice(F.col("_tk"), 2, F.size("_tk") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.least("p.x", "p.y").alias("a"),
+            F.greatest("p.x", "p.y").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_count)
+    )
+    e1 = bi.select(F.col("a"), F.col("b"), F.col("w").alias("w_ab"))
+    e2 = bi.select(
+        F.col("a").alias("b"), F.col("b").alias("c"), F.col("w").alias("w_bc")
+    )
+    e3 = bi.select(
+        F.col("a").alias("a3"), F.col("b").alias("c3"),
+        F.col("w").alias("w_ac"),
+    )
+    return (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select(
+            "a", "b", "c",
+            F.least("w_ab", "w_bc", "w_ac").alias("strength"),
+        )
+        .orderBy(F.desc("strength"), "a", "b", "c")
+        .limit(k)
+    )

@@ -195,6 +195,7 @@ HEADLINE = [
     "forecast_conformal",
     "doc_negatives",
     "source_dataset_cards",
+    "corpus_triangles",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

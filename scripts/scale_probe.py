@@ -123,6 +123,7 @@ PROBE_QUERIES = [
     "forecast_conformal",
     "doc_negatives",
     "source_dataset_cards",
+    "corpus_triangles",
 ]
 
 

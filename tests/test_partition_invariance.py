@@ -65,6 +65,7 @@ NEW_R5 = [
     "forecast_conformal",
     "doc_negatives",
     "source_dataset_cards",
+    "corpus_triangles",
 ]
 
 

@@ -723,6 +723,29 @@ def test_contrastive_negatives_ring_properties(spark):
         contrastive_negatives(tiny, k=3, n_buckets=1).collect()
 
 
+# ------------------------------------------------------- triangles
+
+
+def test_collocation_triangles_enumeration(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_triangles,
+    )
+
+    # "x y z x" closes the x-y-z triangle; "p q" is an edge, no
+    # triangle; weights: the x-z bond appears in only 5 docs while
+    # x-y/y-z get an extra doc -> strength = weakest edge = 5
+    docs = spark.createDataFrame(
+        [(i, "x y z x") for i in range(5)]
+        + [(10, "x y z y")]
+        + [(j, "p q") for j in range(20, 26)],
+        "doc_id long, text string",
+    )
+    rows = collocation_triangles(docs, min_count=5).collect()
+    assert [(r.a, r.b, r.c, r.strength) for r in rows] == [("x", "y", "z", 5)]
+    # each triangle enumerated exactly once despite the two self-joins
+    assert len(rows) == 1
+
+
 # ----------------------------------------------------- hourly anomalies
 
 
