@@ -998,6 +998,17 @@ def q_corpus_triangles(spark, sf_dir):
     return TX.collocation_triangles(docs, k=50, min_count=5)
 
 
+def q_doc_search_prf(spark, sf_dir):
+    # Pseudo-relevance feedback (Rocchio/RM3): BM25 round 1, expand
+    # the query with the feedback docs' strongest new terms (fixed-
+    # point tf-idf selection), BM25 again over the expanded set —
+    # two-round retrieval, value-exact against one chained oracle.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bm25_prf_search(
+        docs, "vector stream merge window", k=20, fb_docs=10, fb_terms=5
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2822,6 +2833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_negatives": q_doc_negatives,
         "source_dataset_cards": q_source_dataset_cards,
         "corpus_triangles": q_corpus_triangles,
+        "doc_search_prf": q_doc_search_prf,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3385,8 +3397,92 @@ def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
         """
 
 
+_PRF_TERMS = ["merge", "stream", "vector", "window"]
+
+
+def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
+    # two-round PRF as one chained CTE pipeline: round-1 bm25 → top
+    # fb_docs → feedback tf × corpus idf term selection → expanded
+    # term set → the identical bm25 body again. The bm25 arithmetic
+    # blocks mirror functions/text.bm25_search expression by
+    # expression (HUGEINT carriers for decimal(38,0), // for div).
+    qlist = ", ".join(f"'{t}'" for t in sorted(set(_PRF_TERMS)))
+
+    def bm25_round(hits: str, out: str) -> str:
+        return f"""
+            dfs{out} AS (SELECT t, count(DISTINCT doc_id) AS df
+                         FROM {hits} GROUP BY t),
+            idf{out} AS (
+              SELECT t,
+                     CAST(floor(1000000 * ln(1 +
+                       CAST(2*n - 2*df + 1 AS DOUBLE)
+                       / CAST(2*df + 1 AS DOUBLE))) AS BIGINT) AS idf_s
+              FROM dfs{out} CROSS JOIN stats),
+            tfs{out} AS (SELECT doc_id, dl, t, count(*) AS tf
+                         FROM {hits} GROUP BY doc_id, dl, t),
+            scored{out} AS (
+              SELECT tfs{out}.doc_id,
+                     sum(idf{out}.idf_s * (
+                       (CAST(tfs{out}.tf AS HUGEINT) * 2200000 * 1000000)
+                       // (CAST(tfs{out}.tf AS HUGEINT) * 1000000
+                           + (CAST(1200000 AS HUGEINT) *
+                              (1000000 - 750000
+                               + CAST(750000 AS HUGEINT)
+                                 * tfs{out}.dl * stats.n // stats.l))
+                             // 1000000))) AS score
+              FROM tfs{out} JOIN idf{out} ON tfs{out}.t = idf{out}.t
+              CROSS JOIN stats
+              GROUP BY tfs{out}.doc_id)"""
+
+    return f"""
+            WITH q AS (SELECT unnest([{qlist}]) AS t),
+            stats AS (
+              SELECT count(*) AS n,
+                     sum(len(string_split(trim(text), ' '))) AS l
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     len(string_split(trim(text), ' ')) AS dl,
+                     unnest(string_split(trim(text), ' ')) AS t
+              FROM documents),
+            hits1 AS (SELECT tok.doc_id, tok.dl, tok.t
+                      FROM tok JOIN q ON q.t = tok.t),
+            {bm25_round("hits1", "1")},
+            top1 AS (
+              SELECT doc_id FROM scored1
+              ORDER BY score DESC, doc_id LIMIT {fb_docs}),
+            fbtf AS (
+              SELECT tok.t, count(*) AS fbtf
+              FROM tok JOIN top1 ON tok.doc_id = top1.doc_id
+              WHERE tok.t NOT IN ({qlist})
+              GROUP BY tok.t),
+            canddf AS (
+              SELECT t, count(DISTINCT doc_id) AS cdf
+              FROM tok JOIN (SELECT t FROM fbtf) c USING (t)
+              GROUP BY t),
+            expansion AS (
+              SELECT fbtf.t
+              FROM fbtf JOIN canddf ON fbtf.t = canddf.t
+              CROSS JOIN stats
+              ORDER BY fbtf.fbtf
+                       * ((CAST(1000000 AS HUGEINT) * stats.n)
+                          // canddf.cdf) DESC,
+                       fbtf.t
+              LIMIT {fb_terms}),
+            terms2 AS (
+              SELECT DISTINCT t FROM (
+                SELECT t FROM expansion UNION ALL SELECT t FROM q)),
+            hits2 AS (SELECT tok.doc_id, tok.dl, tok.t
+                      FROM tok JOIN terms2 ON terms2.t = tok.t),
+            {bm25_round("hits2", "2")}
+            SELECT doc_id, CAST(score AS BIGINT) AS score
+            FROM scored2 ORDER BY score DESC, doc_id LIMIT {k}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_search_prf": _bm25_prf_oracle(),
         "corpus_textrank": _textrank_oracle(),
         "corpus_triangles": """
             WITH tok AS (

@@ -1315,3 +1315,132 @@ def collocation_triangles(
         .orderBy(F.desc("strength"), "a", "b", "c")
         .limit(k)
     )
+
+
+def bm25_prf_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1_scaled: int = 1_200_000,
+    b_scaled: int = 750_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (the Rocchio/RM3 recipe,
+    Abdul-Jaleel et al., TREC 2004): run BM25, take the top
+    ``fb_docs`` documents as presumed-relevant, pick their
+    ``fb_terms`` strongest NEW terms, and re-run BM25 with the
+    expanded term set — the classic fix for vocabulary mismatch
+    ("grid failure" finding documents that say "outage").
+
+    Term selection is fixed-point tf·idf over the feedback set
+    (feedback-set tf × corpus idf — the ``tfidf_search`` integers),
+    excluding the original query terms, ties by term ascending; the
+    final scoring is the exact ``bm25_search`` arithmetic. Everything
+    stays in the established integer discipline, so the TWO-ROUND
+    retrieval is value-exact against a single chained SQL oracle.
+
+    Plan: round 1 is ``bm25_search`` (hit-rows-only). The expansion
+    set is data-dependent, so the final round's token filter is a
+    BROADCAST SEMI-JOIN against the tiny expanded-term table instead
+    of a pushed-down IN literal — same hit-row volume, one broadcast
+    more. The feedback docs' term stats come from a broadcast
+    semi-join of the corpus explode against the ≤fb_docs id set."""
+    S = TFIDF_SCALE
+    terms = sorted(set(query.strip().split()))
+    if not terms:
+        raise ValueError("bm25_prf_search needs a non-empty query")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    top1 = bm25_search(
+        docs, query, k=fb_docs, k1_scaled=k1_scaled,
+        b_scaled=b_scaled, text_col=text_col, id_col=id_col,
+    ).select(id_col)
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    # feedback-set term frequencies (tokens of the presumed-relevant docs)
+    fb_tf = (
+        docs.join(F.broadcast(top1), id_col, "left_semi")
+        .select(F.explode(toks).alias("t"))
+        .where(~F.col("t").isin(terms))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_fbtf"))
+    )
+    # corpus df for exactly those candidate terms (broadcast semi-join
+    # filter on the corpus explode; candidates are a few hundred terms)
+    cand_df = (
+        docs.select(F.col(id_col), F.explode(toks).alias("t"))
+        .join(F.broadcast(fb_tf.select("t")), "t", "left_semi")
+        .groupBy("t", id_col)
+        .agg(F.lit(1))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    expansion = (
+        fb_tf.join(cand_df, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t",
+            F.expr(
+                f"_fbtf * (cast({S} as decimal(38,0)) * _n div _df)"
+            ).alias("_w"),
+        )
+        .orderBy(F.desc("_w"), "t")
+        .limit(fb_terms)
+        .select("t")
+    )
+    term_tbl = expansion.unionByName(
+        docs.sparkSession.createDataFrame([(t,) for t in terms], "t string")
+    ).distinct()
+    # final round: bm25 arithmetic with the data-dependent term set —
+    # identical formula to bm25_search, filter as broadcast semi-join
+    stats = docs.select(toks.alias("_tk")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.size("_tk")).alias("_l"),
+    )
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("_dl"),
+            F.explode(toks).alias("t"),
+        )
+        .join(F.broadcast(term_tbl), "t", "left_semi")
+    )
+    tf_tbl = hits.groupBy(id_col, "_dl", "t").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    df_tbl = tf_tbl.groupBy("t").agg(
+        F.count(F.when(F.col("_tf") >= 1, 1)).alias("_df")
+    )
+    idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.expr(
+            f"floor({S}L * ln(1 + cast(2*_n - 2*_df + 1 as double)"
+            " / cast(2*_df + 1 as double)))"
+        ).alias("_idf_s"),
+    )
+    norm_s = (
+        f"({S}L - {b_scaled}L"
+        f" + cast({b_scaled} as decimal(38,0)) * _dl * _n div _l)"
+    )
+    scored = (
+        tf_tbl.join(F.broadcast(idf_tbl), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            F.expr(
+                f"_idf_s * ((cast(_tf as decimal(38,0))"
+                f" * {k1_scaled + S}L * {S}L)"
+                f" div (cast(_tf as decimal(38,0)) * {S}L"
+                f" + (cast({k1_scaled} as decimal(38,0)) * {norm_s})"
+                f" div {S}L))"
+            ).alias("_term_score"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_term_score").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), id_col)
+        .limit(k)
+        .select(id_col, "score")
+    )

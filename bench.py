@@ -196,6 +196,7 @@ HEADLINE = [
     "doc_negatives",
     "source_dataset_cards",
     "corpus_triangles",
+    "doc_search_prf",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -124,6 +124,7 @@ PROBE_QUERIES = [
     "doc_negatives",
     "source_dataset_cards",
     "corpus_triangles",
+    "doc_search_prf",
 ]
 
 

@@ -66,6 +66,7 @@ NEW_R5 = [
     "doc_negatives",
     "source_dataset_cards",
     "corpus_triangles",
+    "doc_search_prf",
 ]
 
 
