@@ -219,7 +219,14 @@ def hourly_cusum_changepoints(
     (μ, κ, h) table broadcast back, then ONE window shuffle
     (partitionBy type, orderBy hour) carrying both frames. Overflow:
     S·n·H ≤ 1e6·n·H — BIGINT-safe to Σn·…≈9e12 count-hours per type,
-    far past any hourly series."""
+    far past any hourly series.
+
+    Semantics note: hours with ZERO events produce no count row, so
+    they neither alarm (an upward statistic cannot, on zero) nor pull
+    the accumulator down the way an explicit 0 would (y = −μ−κ). A
+    DOWNWARD/outage monitor needs the dense hour spine first —
+    compose with ``gold.gap_fill_hourly`` and negate; the upward
+    registered form is pinned by its oracle as-is."""
     S = 1_000_000
     cnt = (
         with_hour(events)
