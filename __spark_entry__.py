@@ -1009,6 +1009,15 @@ def q_doc_search_prf(spark, sf_dir):
     )
 
 
+def q_doc_frequent_pairs(spark, sf_dir):
+    # Apriori 2-itemsets with docs as baskets: frequent co-occurring
+    # (non-adjacent) token pairs; downward-closure prune bounds the
+    # quadratic per-doc pair fan-out. Exact counts, lift as a single
+    # double quotient.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.doc_frequent_pairs(docs, min_support=20, k=50)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2834,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dataset_cards": q_source_dataset_cards,
         "corpus_triangles": q_corpus_triangles,
         "doc_search_prf": q_doc_search_prf,
+        "doc_frequent_pairs": q_doc_frequent_pairs,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3483,6 +3493,32 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
+        "doc_frequent_pairs": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_distinct(string_split(trim(text), ' ')))
+                       AS t
+              FROM documents),
+            dfs AS (SELECT t, count(*) AS df FROM dt GROUP BY t),
+            freq AS (SELECT t, df FROM dfs WHERE df >= 20),
+            pr AS (SELECT dt.doc_id, dt.t FROM dt
+                   JOIN freq ON dt.t = freq.t),
+            pairs AS (
+              SELECT a.t AS a, b.t AS b, count(*) AS support
+              FROM pr a JOIN pr b
+                ON a.doc_id = b.doc_id AND a.t < b.t
+              GROUP BY a.t, b.t HAVING count(*) >= 20),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT p.a, p.b, CAST(p.support AS BIGINT) AS support,
+                   CAST(p.support AS DOUBLE) * CAST(n.n AS DOUBLE)
+                     / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))
+                     AS lift
+            FROM pairs p
+            JOIN freq fa ON p.a = fa.t
+            JOIN freq fb ON p.b = fb.t
+            CROSS JOIN n
+            ORDER BY support DESC, lift DESC, p.a, p.b LIMIT 50
+        """,
         "corpus_textrank": _textrank_oracle(),
         "corpus_triangles": """
             WITH tok AS (

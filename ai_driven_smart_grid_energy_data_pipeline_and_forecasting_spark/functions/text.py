@@ -1444,3 +1444,62 @@ def bm25_prf_search(
         .limit(k)
         .select(id_col, "score")
     )
+
+
+def doc_frequent_pairs(
+    docs: DataFrame,
+    min_support: int = 20,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequent co-occurring token pairs — Apriori 2-itemsets
+    (Agrawal & Srikant, VLDB 1994) with documents as baskets: pairs of
+    DISTINCT tokens appearing together (anywhere in the document, not
+    adjacent — the complement of ``corpus_collocations``) in at least
+    ``min_support`` documents, ranked by support then lift.
+
+    The Apriori downward-closure property is the scale lever: a pair
+    can only reach ``min_support`` if BOTH tokens individually do, so
+    the quadratic per-document pair generation runs over each doc's
+    FREQUENT distinct tokens only — min_support directly caps the
+    frequent vocabulary (≤ total_token_mass / min_support terms) and
+    with it the join fan-out; without the prune a single 10³-distinct-
+    token document alone contributes 5·10⁵ candidate pairs.
+
+    lift = (support · N) / (df_a · df_b) on exact integer counts (the
+    collocation module's log-free PMI convention — one deterministic
+    double quotient, no float sums). Plan: one explode → per-doc
+    distinct (doc, token) rows; one partial-agg df table; a semi-join
+    prune; one self-equi-join on the doc id (a < b); one partial-agg
+    pair count; TakeOrderedAndProject."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    dt = (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(toks)).alias("t"))
+    )
+    df_tbl = dt.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
+    freq = df_tbl.where(F.col("_df") >= min_support)
+    pruned = dt.join(F.broadcast(freq.select("t")), "t", "left_semi")
+    a = pruned.select(F.col(id_col), F.col("t").alias("a"))
+    b = pruned.select(F.col(id_col), F.col("t").alias("b"))
+    pairs = (
+        a.join(b, id_col)
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    fa = freq.select(F.col("t").alias("a"), F.col("_df").alias("_dfa"))
+    fb = freq.select(F.col("t").alias("b"), F.col("_df").alias("_dfb"))
+    lift = (
+        F.col("support").cast("double") * F.col("_n").cast("double")
+    ) / (F.col("_dfa").cast("double") * F.col("_dfb").cast("double"))
+    return (
+        pairs.join(F.broadcast(fa), "a")
+        .join(F.broadcast(fb), "b")
+        .crossJoin(F.broadcast(n_docs))
+        .select("a", "b", "support", lift.alias("lift"))
+        .orderBy(F.desc("support"), F.desc("lift"), "a", "b")
+        .limit(k)
+    )

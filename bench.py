@@ -197,6 +197,7 @@ HEADLINE = [
     "source_dataset_cards",
     "corpus_triangles",
     "doc_search_prf",
+    "doc_frequent_pairs",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

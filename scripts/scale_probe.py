@@ -125,6 +125,7 @@ PROBE_QUERIES = [
     "source_dataset_cards",
     "corpus_triangles",
     "doc_search_prf",
+    "doc_frequent_pairs",
 ]
 
 

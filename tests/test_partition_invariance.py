@@ -67,6 +67,7 @@ NEW_R5 = [
     "source_dataset_cards",
     "corpus_triangles",
     "doc_search_prf",
+    "doc_frequent_pairs",
 ]
 
 

@@ -723,6 +723,41 @@ def test_contrastive_negatives_ring_properties(spark):
         contrastive_negatives(tiny, k=3, n_buckets=1).collect()
 
 
+# ------------------------------------------------- frequent pairs
+
+
+def test_doc_frequent_pairs_apriori(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        doc_frequent_pairs,
+    )
+
+    # "x"+"y" co-occur in 4 docs (non-adjacent!); "x"+"z" in only 2;
+    # "rare" never reaches support alone (downward closure prunes it)
+    docs = spark.createDataFrame(
+        [
+            (1, "x a y"),
+            (2, "x b y"),
+            (3, "y c x"),
+            (4, "x d y z rare"),
+            (5, "x e z"),
+            (6, "x f q"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = doc_frequent_pairs(docs, min_support=3, k=10).collect()
+    got = {(r.a, r.b): (r.support, r.lift) for r in rows}
+    assert got[("x", "y")][0] == 4
+    # lift = support*N/(df_x*df_y) = 4*6/(6*4) = 1.0
+    assert got[("x", "y")][1] == 1.0
+    assert ("x", "z") not in got and not any("rare" in p for p in got)
+    # duplicate tokens in one doc count once (distinct baskets)
+    dup = spark.createDataFrame(
+        [(i, "x x y y") for i in range(3)], "doc_id long, text string"
+    )
+    r2 = doc_frequent_pairs(dup, min_support=3, k=5).collect()
+    assert [(r.a, r.b, r.support) for r in r2] == [("x", "y", 3)]
+
+
 # ------------------------------------------------------------ PRF
 
 
