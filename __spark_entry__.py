@@ -1018,6 +1018,14 @@ def q_doc_frequent_pairs(spark, sf_dir):
     return TX.doc_frequent_pairs(docs, min_support=20, k=50)
 
 
+def q_embedding_drift(spark, sf_dir):
+    # Embedding-centroid drift between even/odd id halves: exact
+    # decimal per-dim means, ordered-fold cosine — the embedding-space
+    # shard-mix invariant.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_split_drift(emb)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2844,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_triangles": q_corpus_triangles,
         "doc_search_prf": q_doc_search_prf,
         "doc_frequent_pairs": q_doc_frequent_pairs,
+        "embedding_drift": q_embedding_drift,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3493,6 +3502,32 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
+        "embedding_drift": """
+            WITH e AS (
+              SELECT vec_id % 2 AS half,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            d AS (
+              SELECT half, i, v[i] AS val
+              FROM e, unnest(range(1, 65)) AS r(i)),
+            m AS (
+              SELECT half, i,
+                     CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE)
+                       / count(*) AS mn,
+                     count(*) AS n
+              FROM d GROUP BY half, i),
+            arr AS (
+              SELECT half,
+                     list(mn ORDER BY i) AS mv,
+                     min(n) AS cnt
+              FROM m GROUP BY half)
+            SELECT CAST(a.cnt AS BIGINT) AS n_a,
+                   CAST(b.cnt AS BIGINT) AS n_b,
+                   list_dot_product(a.mv, b.mv)
+                     / (sqrt(list_dot_product(a.mv, a.mv))
+                        * sqrt(list_dot_product(b.mv, b.mv))) AS cos_means
+            FROM arr a JOIN arr b ON a.half = 0 AND b.half = 1
+        """,
         "doc_frequent_pairs": """
             WITH dt AS (
               SELECT DISTINCT doc_id,

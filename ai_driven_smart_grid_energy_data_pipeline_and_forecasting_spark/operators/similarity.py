@@ -1897,3 +1897,68 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_s"), id_col)
         .limit(k)
     )
+
+
+def embedding_split_drift(
+    emb: DataFrame,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift audit: cosine between the MEAN
+    vectors of two halves of the corpus (here: even vs odd ids — the
+    stand-in for yesterday's shard vs today's). A new encoder
+    checkpoint, a domain shift, or a bad batch moves the centroid;
+    cos(μ_a, μ_b) ≈ 1 is the cheap invariant a pipeline asserts
+    before mixing shards (the embedding-space analog of
+    ``event_type_drift``'s count-distribution check).
+
+    Determinism: per-dimension means fold as exact decimal(30,12)
+    sums (the ``det_mean`` convention — partition-order-free) divided
+    once; the 64-term dot/norm reductions run as ``F.aggregate``
+    left-to-right folds over the index-sorted mean arrays, the exact
+    IEEE order of the oracle's ``list_dot_product`` (module
+    docstring). Plan: one posexplode → one (half, dim) partial-agg
+    groupBy (2·dims rows) → a 2-row array rollup → a 1-row join; the
+    corpus is read once."""
+    half = (F.col(id_col) % 2).alias("_half")
+    d = emb.select(
+        half, F.posexplode(F.col(vec_col)).alias("_i", "_v")
+    )
+    m = (
+        d.groupBy("_half", "_i")
+        .agg(
+            F.sum(F.col("_v").cast("double").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "_half", "_i", (F.col("_s") / F.col("_n")).alias("_m"), "_n"
+        )
+    )
+    arrs = m.groupBy("_half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_i", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_mv"),
+        F.first("_n").alias("_cnt"),
+    )
+    a = arrs.where(F.col("_half") == 0).select(
+        F.col("_mv").alias("_ma"), F.col("_cnt").alias("n_a")
+    )
+    b = arrs.where(F.col("_half") == 1).select(
+        F.col("_mv").alias("_mb"), F.col("_cnt").alias("n_b")
+    )
+
+    def fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    dot = fold(F.zip_with(F.col("_ma"), F.col("_mb"), lambda x, y: x * y))
+    na = fold(F.transform(F.col("_ma"), lambda x: x * x))
+    nb = fold(F.transform(F.col("_mb"), lambda x: x * x))
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cos_means"),
+    )

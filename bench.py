@@ -198,6 +198,7 @@ HEADLINE = [
     "corpus_triangles",
     "doc_search_prf",
     "doc_frequent_pairs",
+    "embedding_drift",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -126,6 +126,7 @@ PROBE_QUERIES = [
     "corpus_triangles",
     "doc_search_prf",
     "doc_frequent_pairs",
+    "embedding_drift",
 ]
 
 

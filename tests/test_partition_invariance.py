@@ -68,6 +68,7 @@ NEW_R5 = [
     "corpus_triangles",
     "doc_search_prf",
     "doc_frequent_pairs",
+    "embedding_drift",
 ]
 
 

@@ -723,6 +723,34 @@ def test_contrastive_negatives_ring_properties(spark):
         contrastive_negatives(tiny, k=3, n_buckets=1).collect()
 
 
+# ------------------------------------------------ embedding drift
+
+
+def test_embedding_split_drift_detects_centroid_shift(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        embedding_split_drift,
+    )
+
+    dims = 64
+    same = spark.createDataFrame(
+        [(i, [1.0] * dims) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_split_drift(same, dims=dims).collect()[0]
+    assert (r.n_a, r.n_b) == (5, 5) and abs(r.cos_means - 1.0) < 1e-12
+    # odd half points along a different axis: centroids decorrelate
+    shifted = spark.createDataFrame(
+        [
+            (i, ([1.0] * 32 + [0.0] * 32) if i % 2 == 0
+             else ([0.0] * 32 + [1.0] * 32))
+            for i in range(10)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = embedding_split_drift(shifted, dims=dims).collect()[0]
+    assert r2.cos_means < 1e-9
+
+
 # ------------------------------------------------- frequent pairs
 
 
