@@ -2717,6 +2717,29 @@ def q_orders_scd2(spark, sf_dir):
 
 
 
+def q_scd2_point_lookup(spark, sf_dir):
+    # Point-in-time lookup against the SCD2 dimension built by
+    # q_orders_scd2: each order probes the status valid at version
+    # (o_orderkey % 3 + 1); deleted-key probes keep NULL status (left
+    # join). Rolled up per (as_of, status) for a compact result.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        scd2_lookup,
+    )
+
+    dim = q_orders_scd2(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    probes = orders.select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 3) + 1).cast("int").alias("as_of"),
+    )
+    looked = scd2_lookup(dim, probes, ["o_orderkey"], "as_of")
+    return (
+        looked.groupBy("as_of", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("as_of", "o_orderstatus")
+    )
+
+
 def q_value_percentile_state(spark, sf_dir):
     # Mergeable approximate-percentile state: fixed-bin histograms
     # (the deterministic alternative to order-sensitive t-digest/KLL)
@@ -2853,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_prf": q_doc_search_prf,
         "doc_frequent_pairs": q_doc_frequent_pairs,
         "embedding_drift": q_embedding_drift,
+        "scd2_point_lookup": q_scd2_point_lookup,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3502,6 +3526,61 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
+        "scd2_point_lookup": """
+            WITH s1 AS (
+              SELECT o_orderkey, o_orderstatus, 1 AS v FROM orders),
+            s2 AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     2 AS v
+              FROM orders),
+            s3 AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0 THEN 'Y'
+                          WHEN o_orderkey % 7 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     3 AS v
+              FROM orders WHERE o_orderkey % 11 != 0),
+            u AS (
+              SELECT * FROM s1 UNION ALL
+              SELECT * FROM s2 UNION ALL
+              SELECT * FROM s3),
+            lagged AS (
+              SELECT *,
+                     lag(o_orderstatus) OVER w AS pstat,
+                     lag(v) OVER w AS pv
+              FROM u WINDOW w AS (PARTITION BY o_orderkey ORDER BY v)),
+            brk AS (
+              SELECT *,
+                     CASE WHEN pv IS NULL OR v != pv + 1
+                            OR o_orderstatus IS DISTINCT FROM pstat
+                          THEN 1 ELSE 0 END AS b
+              FROM lagged),
+            runs AS (
+              SELECT *,
+                     sum(b) OVER (PARTITION BY o_orderkey ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS run
+              FROM brk),
+            dim AS (
+              SELECT o_orderkey, min(o_orderstatus) AS o_orderstatus,
+                     min(v) AS valid_from, max(v) AS last_v
+              FROM runs GROUP BY o_orderkey, run),
+            probes AS (
+              SELECT o_orderkey,
+                     CAST(o_orderkey % 3 + 1 AS INT) AS as_of
+              FROM orders),
+            looked AS (
+              SELECT p.as_of, d.o_orderstatus
+              FROM probes p LEFT JOIN dim d
+                ON p.o_orderkey = d.o_orderkey
+               AND d.valid_from <= p.as_of
+               AND p.as_of < CASE WHEN d.last_v < 3 THEN d.last_v + 1
+                                  ELSE 2147483647 END)
+            SELECT as_of, o_orderstatus, count(*) AS n
+            FROM looked GROUP BY as_of, o_orderstatus
+            ORDER BY as_of, o_orderstatus
+        """,
         "embedding_drift": """
             WITH e AS (
               SELECT vec_id % 2 AS half,

@@ -459,3 +459,44 @@ def vacuum_versions(root: str, keep_last: int = 2) -> dict[str, int]:
     for ver in drop:
         os.remove(os.path.join(_manifest_dir(root), f"v{ver}.json"))
     return {"versions_dropped": len(drop), "dirs_deleted": dirs_deleted}
+
+
+def scd2_lookup(
+    dim: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str],
+    as_of_col: str = "as_of",
+) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD Type-2 table (the
+    consumption half of ``scd2_intervals``): each probe row joins the
+    dimension version whose validity interval contains its ``as_of``
+    version — ``valid_from ≤ as_of < valid_to`` (NULL valid_to =
+    current = +∞). LEFT join: a key probed outside any interval (e.g.
+    after its deletion closed the last run) keeps the probe row with
+    NULL attributes — silently dropping it would hide deletions.
+
+    Plan: an EQUI join on the natural key carries the shuffle; the
+    interval predicate is a post-join filter, correct because SCD2
+    intervals for one key are disjoint (at most one version matches —
+    guaranteed by construction in ``scd2_intervals``), so no
+    row-multiplication and no range-join machinery is needed. At
+    scale both sides shuffle once on the key; the dimension is the
+    small side and broadcasts when it fits."""
+    keys = list(keys)
+    d = dim.select(
+        *[F.col(c).alias(f"_d_{c}") for c in keys],
+        *[c for c in dim.columns if c not in keys],
+    )
+    cond = None
+    for c in keys:
+        eq = probes[c] == d[f"_d_{c}"]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (d["valid_from"] <= probes[as_of_col])
+        & (
+            probes[as_of_col]
+            < F.coalesce(d["valid_to"], F.lit(2147483647))
+        )
+    )
+    return probes.join(d, cond, "left").drop(*[f"_d_{c}" for c in keys])

@@ -199,6 +199,7 @@ HEADLINE = [
     "doc_search_prf",
     "doc_frequent_pairs",
     "embedding_drift",
+    "scd2_point_lookup",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

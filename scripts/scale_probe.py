@@ -127,6 +127,7 @@ PROBE_QUERIES = [
     "doc_search_prf",
     "doc_frequent_pairs",
     "embedding_drift",
+    "scd2_point_lookup",
 ]
 
 

@@ -69,6 +69,7 @@ NEW_R5 = [
     "doc_search_prf",
     "doc_frequent_pairs",
     "embedding_drift",
+    "scd2_point_lookup",
 ]
 
 
