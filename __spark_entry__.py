@@ -1026,6 +1026,14 @@ def q_embedding_drift(spark, sf_dir):
     return S.embedding_split_drift(emb)
 
 
+def q_source_distinctive_terms(spark, sf_dir):
+    # Per-source distinctive vocabulary: Monroe et al. log-odds kept
+    # rational (one double quotient of exact integer products); top-5
+    # per source, min_count=5.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.source_distinctive_terms(docs, k=5, min_count=5)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2877,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_frequent_pairs": q_doc_frequent_pairs,
         "embedding_drift": q_embedding_drift,
         "scd2_point_lookup": q_scd2_point_lookup,
+        "source_distinctive_terms": q_source_distinctive_terms,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3526,6 +3535,35 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
+        "source_distinctive_terms": """
+            WITH st AS (
+              SELECT source, t, count(*) AS tf FROM (
+                SELECT source,
+                       unnest(string_split(trim(text), ' ')) AS t
+                FROM documents)
+              GROUP BY source, t),
+            tt AS (SELECT t, sum(tf) AS tft FROM st GROUP BY t),
+            stot AS (SELECT source, sum(tf) AS ts FROM st GROUP BY source),
+            gl AS (SELECT sum(tf) AS tot, count(DISTINCT t) AS v FROM st),
+            scored AS (
+              SELECT st.source, st.t, st.tf,
+                     CAST((st.tf + 1) * (gl.tot - stot.ts + gl.v)
+                          AS DOUBLE)
+                       / CAST((stot.ts + gl.v) * (tt.tft - st.tf + 1)
+                              AS DOUBLE) AS ratio
+              FROM st
+              JOIN tt ON st.t = tt.t
+              JOIN stot ON st.source = stot.source
+              CROSS JOIN gl
+              WHERE st.tf >= 5),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY ratio DESC, t) AS rn
+              FROM scored)
+            SELECT source, t AS term, CAST(tf AS BIGINT) AS tf, ratio
+            FROM ranked WHERE rn <= 5
+            ORDER BY source, ratio DESC, term
+        """,
         "scd2_point_lookup": """
             WITH s1 AS (
               SELECT o_orderkey, o_orderstatus, 1 AS v FROM orders),

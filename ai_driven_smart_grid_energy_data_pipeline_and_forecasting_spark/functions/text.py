@@ -9,7 +9,7 @@ computation is exactly reproducible in ANSI SQL for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1502,4 +1502,67 @@ def doc_frequent_pairs(
         .select("a", "b", "support", lift.alias("lift"))
         .orderBy(F.desc("support"), F.desc("lift"), "a", "b")
         .limit(k)
+    )
+
+
+def source_distinctive_terms(
+    docs: DataFrame,
+    k: int = 5,
+    min_count: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source distinctive vocabulary: the terms most
+    over-represented in each source vs the REST of the corpus, ranked
+    by the add-one-smoothed rate ratio
+
+        r(t, s) = ((tf_ts + 1) · (T − T_s + V))
+                  / ((T_s + V) · (tf_t − tf_ts + 1))
+
+    — the odds form of Monroe, Colaresi & Quinn's "Fightin' Words"
+    log-odds with a flat Dirichlet prior; log is monotone, so the
+    ranking is identical and the score stays ONE double quotient of
+    two exact integer products (the collocation module's log-free
+    convention — no transcendental, value-exact oracle). T_s = source
+    token mass, T = corpus mass, V = vocabulary size (the smoothing
+    mass); ``min_count`` suppresses the rare-term pathology exactly as
+    in PMI.
+
+    Plan: one explode → (source, term) partial-agg counts; term and
+    source totals derive from that table (no second corpus pass);
+    totals broadcast back; one window per source for the top-k.
+    Output: (source, term, tf, ratio), k rows per source."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    st = (
+        docs.select(F.col(source_col).alias("source"), F.explode(toks).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    t_tot = st.groupBy("t").agg(F.sum("_tf").alias("_tft"))
+    s_tot = st.groupBy("source").agg(F.sum("_tf").alias("_ts"))
+    gl = st.agg(
+        F.sum("_tf").alias("_tt"), F.count_distinct("t").alias("_v")
+    )
+    num = (F.col("_tf") + 1) * (F.col("_tt") - F.col("_ts") + F.col("_v"))
+    den = (F.col("_ts") + F.col("_v")) * (
+        F.col("_tft") - F.col("_tf") + 1
+    )
+    scored = (
+        st.where(F.col("_tf") >= min_count)
+        .join(t_tot, "t")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(gl))
+        .withColumn(
+            "ratio", num.cast("double") / den.cast("double")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("ratio"), "t")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(
+            "source", F.col("t").alias("term"),
+            F.col("_tf").alias("tf"), "ratio",
+        )
+        .orderBy("source", F.desc("ratio"), "term")
     )

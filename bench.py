@@ -200,6 +200,7 @@ HEADLINE = [
     "doc_frequent_pairs",
     "embedding_drift",
     "scd2_point_lookup",
+    "source_distinctive_terms",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

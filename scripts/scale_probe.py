@@ -128,6 +128,7 @@ PROBE_QUERIES = [
     "doc_frequent_pairs",
     "embedding_drift",
     "scd2_point_lookup",
+    "source_distinctive_terms",
 ]
 
 

@@ -70,6 +70,7 @@ NEW_R5 = [
     "doc_frequent_pairs",
     "embedding_drift",
     "scd2_point_lookup",
+    "source_distinctive_terms",
 ]
 
 
