@@ -1034,6 +1034,13 @@ def q_source_distinctive_terms(spark, sf_dir):
     return TX.source_distinctive_terms(docs, k=5, min_count=5)
 
 
+def q_vocab_growth(spark, sf_dir):
+    # Heaps-law type-token curve over nested deterministic hash
+    # samples (20%..100%): vocabulary vs token mass, RNG-free.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.vocab_growth_curve(docs, fractions=5)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2886,6 +2893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "scd2_point_lookup": q_scd2_point_lookup,
         "source_distinctive_terms": q_source_distinctive_terms,
+        "vocab_growth": q_vocab_growth,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3535,6 +3543,28 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
+        "vocab_growth": f"""
+            WITH tb AS (
+              SELECT {_h32_sql("CAST(doc_id AS VARCHAR)")} % 5 AS b,
+                     unnest(string_split(trim(text), ' ')) AS t
+              FROM documents),
+            cnt AS (SELECT b, t, count(*) AS n FROM tb GROUP BY b, t),
+            tmin AS (SELECT t, min(b) AS bmin FROM cnt GROUP BY t),
+            mass AS (SELECT b, sum(n) AS mass FROM cnt GROUP BY b),
+            vb AS (SELECT bmin AS b, count(*) AS new_terms
+                   FROM tmin GROUP BY bmin),
+            curve AS (
+              SELECT mass.b,
+                     sum(mass.mass) OVER (ORDER BY mass.b
+                       ROWS UNBOUNDED PRECEDING) AS n_tokens,
+                     sum(coalesce(vb.new_terms, 0)) OVER (ORDER BY mass.b
+                       ROWS UNBOUNDED PRECEDING) AS vocab
+              FROM mass LEFT JOIN vb ON mass.b = vb.b)
+            SELECT CAST((b + 1) * 100 / 5 AS INT) AS sample_pct,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(vocab AS BIGINT) AS vocab
+            FROM curve ORDER BY sample_pct
+        """,
         "source_distinctive_terms": """
             WITH st AS (
               SELECT source, t, count(*) AS tf FROM (

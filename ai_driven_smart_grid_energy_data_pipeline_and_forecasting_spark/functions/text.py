@@ -1566,3 +1566,62 @@ def source_distinctive_terms(
         )
         .orderBy("source", F.desc("ratio"), "term")
     )
+
+
+def vocab_growth_curve(
+    docs: DataFrame,
+    fractions: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Type-token (Heaps' law) growth curve: vocabulary size vs corpus
+    size at nested sample fractions — the audit a scaling-law or
+    tokenizer-budget analysis starts from (does vocabulary keep
+    growing ∝ Nᵝ, or is the corpus template-saturated?).
+
+    Samples are the DETERMINISTIC nested hash buckets of the sampling
+    module (doc ∈ sample_i ⟺ h32(id) mod ``fractions`` < i), so each
+    curve point's corpus is a strict superset of the previous one —
+    an actual growth curve, not independent draws — and the whole
+    table is RNG-free and value-exact against the oracle.
+
+    Plan: ONE explode of the corpus; each (token, doc-bucket) pair is
+    aggregated once (distinct shrink first), then every curve point
+    reads the per-bucket table — the fractions axis multiplies rows of
+    the tiny (token, bucket) table, never corpus work. Output:
+    (sample_pct, n_tokens, vocab) ascending."""
+    if fractions < 1:
+        raise ValueError("vocab_growth_curve needs fractions >= 1")
+    b = (h32(F.col(id_col).cast("string")) % fractions).alias("_b")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    tb = (
+        docs.select(b, F.explode(toks).alias("t"))
+        .groupBy("_b", "t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # per curve point i (buckets < i): token mass = sum of counts,
+    # vocab = distinct terms across included buckets; derive each from
+    # the (bucket, term) table via min-bucket per term + cumulative sums
+    term_min = tb.groupBy("t").agg(F.min("_b").alias("_bmin"))
+    mass_b = tb.groupBy("_b").agg(F.sum("_n").alias("_mass"))
+    vocab_b = term_min.groupBy("_bmin").agg(
+        F.count(F.lit(1)).alias("_new_terms")
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        mass_b.join(
+            vocab_b.withColumnRenamed("_bmin", "_b"), "_b", "left"
+        )
+        .withColumn("n_tokens", F.sum("_mass").over(w))
+        .withColumn(
+            "vocab",
+            F.sum(F.coalesce(F.col("_new_terms"), F.lit(0))).over(w),
+        )
+    )
+    return curve.select(
+        (
+            (F.col("_b") + 1) * F.lit(100) / F.lit(fractions)
+        ).cast("int").alias("sample_pct"),
+        "n_tokens",
+        "vocab",
+    ).orderBy("sample_pct")

@@ -201,6 +201,7 @@ HEADLINE = [
     "embedding_drift",
     "scd2_point_lookup",
     "source_distinctive_terms",
+    "vocab_growth",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -129,6 +129,7 @@ PROBE_QUERIES = [
     "embedding_drift",
     "scd2_point_lookup",
     "source_distinctive_terms",
+    "vocab_growth",
 ]
 
 

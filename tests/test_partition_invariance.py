@@ -71,6 +71,7 @@ NEW_R5 = [
     "embedding_drift",
     "scd2_point_lookup",
     "source_distinctive_terms",
+    "vocab_growth",
 ]
 
 

@@ -723,6 +723,32 @@ def test_contrastive_negatives_ring_properties(spark):
         contrastive_negatives(tiny, k=3, n_buckets=1).collect()
 
 
+# ------------------------------------------------ vocabulary growth
+
+
+def test_vocab_growth_curve_nested_and_exact_final(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        vocab_growth_curve,
+    )
+
+    rows = [(i, f"common w{i % 7} unique{i}") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pts = vocab_growth_curve(docs, fractions=5).collect()
+    assert [r.sample_pct for r in pts] == [20, 40, 60, 80, 100]
+    toks = [r.n_tokens for r in pts]
+    voc = [r.vocab for r in pts]
+    # strict growth curve: nested samples, monotone both axes
+    assert toks == sorted(toks) and voc == sorted(voc)
+    # the 100% point is the exact full corpus
+    all_tokens = [t for _, s in rows for t in s.split()]
+    assert toks[-1] == len(all_tokens)
+    assert voc[-1] == len(set(all_tokens))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fractions"):
+        vocab_growth_curve(docs, fractions=0)
+
+
 # ------------------------------------------------ embedding drift
 
 
