@@ -1041,6 +1041,13 @@ def q_vocab_growth(spark, sf_dir):
     return TX.vocab_growth_curve(docs, fractions=5)
 
 
+def q_minhash_accuracy_audit(spark, sf_dir):
+    # MinHash estimator vs exact Jaccard over all pairs >= 0.3: the
+    # missing sketch audit (HLL/CMS/percentile/PQ have theirs).
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_accuracy_audit(docs, threshold=0.3)
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2894,6 +2901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_point_lookup": q_scd2_point_lookup,
         "source_distinctive_terms": q_source_distinctive_terms,
         "vocab_growth": q_vocab_growth,
+        "minhash_accuracy_audit": q_minhash_accuracy_audit,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3543,6 +3551,35 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
+        "minhash_accuracy_audit": _SHINGLE_CTE
+        + f""",
+            {_minhash_sql()[0]},
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            jp AS (
+              SELECT doc_a, doc_b,
+                     c * 1.0 / (sa.n + sb.n - c) AS jaccard
+              FROM inter
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.3),
+            err AS (
+              SELECT abs((
+                {" + ".join(f"CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END" for j in range(16))}
+              ) * 1.0 / 16.0 - jp.jaccard) AS e
+              FROM jp
+              JOIN sig x ON jp.doc_a = x.doc_id
+              JOIN sig y ON jp.doc_b = y.doc_id)
+            SELECT count(*) AS n_pairs,
+                   max(e) AS max_abs_err,
+                   CAST(sum(CASE WHEN e <= 0.125 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_within_eighth,
+                   CAST(sum(CASE WHEN e <= 0.25 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_within_quarter
+            FROM err
+        """,
         "vocab_growth": f"""
             WITH tb AS (
               SELECT {_h32_sql("CAST(doc_id AS VARCHAR)")} % 5 AS b,

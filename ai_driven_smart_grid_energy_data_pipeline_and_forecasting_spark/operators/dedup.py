@@ -1318,3 +1318,66 @@ def edit_distance_pairs(
         )
         .orderBy("id1", "id2")
     )
+
+
+def minhash_accuracy_audit(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Accuracy audit for the MinHash estimator (the missing member of
+    the sketch-audit family beside the HLL/percentile/CMS/PQ-recall
+    audits): over all exact-Jaccard pairs ≥ ``threshold``, compare the
+    K=16 signature agreement rate ĵ = (#matching components)/K —
+    MinHash's unbiased estimate of Jaccard (Broder 1997) — against the
+    exact value, and summarize the error distribution.
+
+    Output (1 row): n_pairs, max_abs_err, and counts within 1/8 and
+    2/8 absolute error. Counts and max are partition-order-free (both
+    operands are exact rationals evaluated identically per pair; max
+    of doubles is order-free, unlike a mean — which is why no avg
+    column appears). With K=16 the estimator's std dev is
+    √(j(1−j)/16) ≤ 0.125, so the 2/8 bucket should hold nearly every
+    pair — the invariant the audit exposes without hard-coding a
+    probabilistic bound as a hard assertion.
+
+    Plan: the exact pairs come from the posting-list jaccard kernel
+    (one shingle shuffle + one pair shuffle); signatures are one
+    partial-agg groupBy; two id-joins attach them to the pairs. All
+    md5-deterministic → value-exact oracle."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n,
+                                text_col=text_col)
+    sig = minhash_signatures(docs, text_col=text_col, n=n)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(N_HASHES)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    per = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.abs(
+                agree.cast("double") / F.lit(float(N_HASHES))
+                - F.col("jaccard")
+            ).alias("_err")
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("_err").alias("max_abs_err"),
+        F.sum(F.when(F.col("_err") <= 0.125, 1).otherwise(0)).alias(
+            "n_within_eighth"
+        ),
+        F.sum(F.when(F.col("_err") <= 0.25, 1).otherwise(0)).alias(
+            "n_within_quarter"
+        ),
+    )

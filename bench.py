@@ -202,6 +202,7 @@ HEADLINE = [
     "scd2_point_lookup",
     "source_distinctive_terms",
     "vocab_growth",
+    "minhash_accuracy_audit",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -130,6 +130,7 @@ PROBE_QUERIES = [
     "scd2_point_lookup",
     "source_distinctive_terms",
     "vocab_growth",
+    "minhash_accuracy_audit",
 ]
 
 

@@ -72,6 +72,7 @@ NEW_R5 = [
     "scd2_point_lookup",
     "source_distinctive_terms",
     "vocab_growth",
+    "minhash_accuracy_audit",
 ]
 
 
