@@ -1,6 +1,11 @@
 """Round-7 operators: SCD Type-2 intervals, JL random projection,
-greedy k-center selection. Edge cases beyond the oracle differential
-(which pins the registered configurations bit-exactly)."""
+greedy k-center selection, TF-IDF/BM25/PRF retrieval + the persisted
+search index, Ed-Join edit-distance joins, LM perplexity, TextRank,
+incremental join views, RRF fusion, CUSUM alarms, conformal
+intervals, contrastive negatives, triangles, frequent pairs,
+embedding drift, and the vocabulary growth curve. Edge cases beyond
+the oracle differential (which pins the registered configurations
+bit-exactly)."""
 
 from __future__ import annotations
 
