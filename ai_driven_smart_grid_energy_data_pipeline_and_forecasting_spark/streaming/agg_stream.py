@@ -323,3 +323,45 @@ def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
             shutil.rmtree(path)
             removed.append(path)
     return removed
+
+
+def stream_bloom_state(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    m: int = 1 << 16,
+    k: int = 4,
+):
+    """Streaming seen-key Bloom filter — the FOURTH mergeable state
+    behind the shared commit protocol (decimal/HLL rollup, histogram,
+    Count-Min, now set membership): each micro-batch's bit set folds
+    in by union-distinct (Bloom OR is exactly set union of positions),
+    so the committed ≤ m rows always equal ``bloom_build`` over
+    EVERYTHING ingested while the stream holds no key-level state —
+    the bounded-memory "have we ever seen this key" structure an
+    ingest pipeline probes before expensive work (no false negatives;
+    false-positive rate set by m/k as in the batch operator). Probe
+    the committed snapshot with ``bloom.bloom_probe``. The (m, k)
+    spec must stay constant across the state's lifetime — a mismatch
+    probes different positions and silently admits/rejects wrongly
+    (the caller owns it, the ``stream_cms_state`` contract)."""
+    from ..operators.bloom import bloom_build
+
+    bind_checkpoint(state_path, checkpoint)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _apply_state_batch(
+            batch,
+            batch_id,
+            state_path,
+            lambda b: bloom_build(b, key_col, m, k),
+            lambda prev, new: prev.unionByName(new).distinct(),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

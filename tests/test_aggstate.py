@@ -686,3 +686,67 @@ def test_histogram_merge_rejects_mismatched_bins_and_bad_p(spark):
         merge_histogram_states([a, b], ["k"])
     with pytest.raises(ValueError, match="percentile p"):
         histogram_percentile(a, ["k"], 1.05, 0.0, 4.0)
+
+
+def test_stream_bloom_state_equals_union_build(spark, tmp_path):
+    # fourth mergeable state: the streamed Bloom bit set must equal
+    # bloom_build over the union BIT FOR BIT (OR is set union), probes
+    # admit every seen key (no false negatives), and a crash replay
+    # after pointer loss must not corrupt the set (union is idempotent
+    # — but the commit protocol is still what prevents a partial
+    # snapshot from serving)
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        _apply_state_batch,
+        read_state,
+        stream_bloom_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [{"k": "alpha", "value": 1.0, "uid": 1},
+         {"k": "beta", "value": 1.0, "uid": 2}],
+        [{"k": "gamma", "value": 1.0, "uid": 3},
+         {"k": "alpha", "value": 1.0, "uid": 4}],
+    ]
+    for i, rows in enumerate(batches):
+        _drop_events(drop, f"c{i}.json", rows)
+        q = stream_bloom_state(
+            _read_stream(spark, drop), state, ckpt, "k", m=512, k=3
+        )
+        q.awaitTermination(60)
+
+    st = read_state(spark, state)
+    union = spark.createDataFrame(
+        [(r["k"],) for b in batches for r in b], "k string"
+    )
+    want = {r.pos for r in bloom_build(union, "k", m=512, k=3).collect()}
+    got = {r.pos for r in st.collect()}
+    assert got == want  # bit for bit
+
+    cands = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",), ("zeta_unseen",)], "k string"
+    )
+    admitted = {
+        r.k for r in bloom_probe(cands, st, "k", m=512, k=3).collect()
+    }
+    assert {"alpha", "beta", "gamma"} <= admitted  # no false negatives
+
+    # replay batch 1 after pointer loss: the set must stay identical
+    os.remove(os.path.join(state, "_LATEST"))
+    batch = spark.createDataFrame(
+        [(r["k"],) for r in batches[-1]], "k string"
+    )
+    _apply_state_batch(
+        batch, 1, state,
+        lambda b: bloom_build(b, "k", 512, 3),
+        lambda p, n: p.unionByName(n).distinct(),
+    )
+    assert {r.pos for r in read_state(spark, state).collect()} == want
