@@ -1048,6 +1048,17 @@ def q_minhash_accuracy_audit(spark, sf_dir):
     return D.minhash_accuracy_audit(docs, threshold=0.3)
 
 
+def q_ann_hard_negatives(spark, sf_dir):
+    # Hard-negative mining for metric learning: each query's ANN
+    # neighbors in the rank band [6, 20] — close enough to be
+    # informative, far enough not to be near-dup positives (the
+    # standard band recipe); exact brute-force ranks, so the band is
+    # deterministic and oracle-exact.
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = S.ann_bruteforce_topk(emb, F.col("vec_id") < 8, k=20)
+    return topk.where(F.col("rank") >= 6).orderBy("query_id", "rank")
+
+
 def q_doc_chunks(spark, sf_dir):
     # RAG-style overlapping token-window chunking (window 32, overlap
     # 8): the pass a retrieval pipeline runs before embedding. Pure
@@ -2902,6 +2913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_distinctive_terms": q_source_distinctive_terms,
         "vocab_growth": q_vocab_growth,
         "minhash_accuracy_audit": q_minhash_accuracy_audit,
+        "ann_hard_negatives": q_ann_hard_negatives,
         # --- driver-certified r6 (current testdata) --------------------------
         "doc_fingerprints": q_doc_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -3551,6 +3563,21 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
+        "ann_hard_negatives": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     {_COS_SQL.format(a='q.v', b='c.v')} AS sim
+              FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+            SELECT query_id, neighbor_id, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" BETWEEN 6 AND 20
+            ORDER BY query_id, "rank"
+        """,
         "minhash_accuracy_audit": _SHINGLE_CTE
         + f""",
             {_minhash_sql()[0]},

@@ -203,6 +203,7 @@ HEADLINE = [
     "source_distinctive_terms",
     "vocab_growth",
     "minhash_accuracy_audit",
+    "ann_hard_negatives",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -131,6 +131,7 @@ PROBE_QUERIES = [
     "source_distinctive_terms",
     "vocab_growth",
     "minhash_accuracy_audit",
+    "ann_hard_negatives",
 ]
 
 

@@ -73,6 +73,7 @@ NEW_R5 = [
     "source_distinctive_terms",
     "vocab_growth",
     "minhash_accuracy_audit",
+    "ann_hard_negatives",
 ]
 
 
