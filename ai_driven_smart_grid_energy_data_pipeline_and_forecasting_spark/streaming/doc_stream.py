@@ -99,18 +99,37 @@ def stream_clean_documents(
     the replay is output-idempotent end to end)."""
     import os
 
+    from pyspark.sql import Window
+
     def sink(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        cleaned = clean_documents(batch).dropDuplicates(["fingerprint"])
+        # per-batch exact dedup must pick a DETERMINISTIC survivor per
+        # fingerprint (dropDuplicates keeps an arbitrary row): the
+        # search-index replay guard relies on a crash-replayed batch
+        # re-deriving the SAME survivor rows so its appended postings
+        # are byte-identical — a replay that picked a different doc_id
+        # for the same text would append distinct rows and shift df.
+        rn = F.row_number().over(
+            Window.partitionBy("fingerprint").orderBy("source", "doc_id")
+        )
+        cleaned = (
+            clean_documents(batch)
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if lsh_index_prefix is not None:
             from ..operators.dedup import probe_lsh_index
 
-            # two consumers (upsert + index append) — pin the probe
-            # result so the band join doesn't re-execute per consumer
             cleaned = probe_lsh_index(
                 cleaned, lsh_index_prefix, threshold=near_threshold
-            ).localCheckpoint()
+            )
+        if lsh_index_prefix is not None or search_index_prefix is not None:
+            # multiple consumers (upsert + index appends + emptiness
+            # check) — pin the survivor set so the scrub/probe plan
+            # doesn't re-execute per consumer
+            cleaned = cleaned.localCheckpoint()
         merge_upsert(
             batch.sparkSession,
             out_path,
@@ -119,37 +138,48 @@ def stream_clean_documents(
             order_col="batch_seq",
             partition_by=("source",),
         )
-        if lsh_index_prefix is not None:
-            from ..operators.dedup import append_lsh_index
-
-            # index append runs AFTER the upsert: a crash between the
-            # two replays as probe(drops pre-indexed docs) → keyed
-            # upsert no-op → append of the (now empty) survivor set —
-            # appending BEFORE the upsert would instead drop the whole
-            # batch on replay with its rows never landed. PER-TABLE
-            # batch-id markers (inside append_lsh_index) guard each
-            # table's append separately, so a crash between the bands
-            # and sets appends replays only the missing table instead
-            # of duplicating the committed one.
-            append_lsh_index(
-                cleaned.select("doc_id", "text"),
-                lsh_index_prefix,
-                marker_dir=os.path.join(checkpoint_dir, "_lsh_applied"),
-                marker_key=str(batch_id),
-            )
-        if search_index_prefix is not None:
+        if search_index_prefix is not None and not cleaned.isEmpty():
             from ..functions.text import append_search_index
 
             # the stream also maintains the RETRIEVAL index: survivors'
             # postings + a per-batch stats row. No marker needed — the
             # search index's content dedup makes replays exactly-once
-            # on its own (a replayed batch appends either byte-identical
-            # rows, deduped, or — when the LSH probe emptied it — a
-            # harmless (batch_id, 0, 0) stats row)
+            # on its own, PROVIDED the replayed survivor set is the
+            # committed one. That is why this append runs BEFORE the
+            # LSH append: only the LSH append changes what a replayed
+            # probe returns, so up to this point a replay re-derives
+            # the identical survivors and re-appends byte-identical
+            # rows (deduped). A replay AFTER the LSH append committed
+            # probes its own docs as near-dups → empty survivors → the
+            # isEmpty guard SKIPS the append entirely (appending an
+            # empty set would reuse the batch_id with different
+            # content — (b{N}, 0, NULL) — violating the content-dedup
+            # contract), so the committed postings stand untouched.
             append_search_index(
                 cleaned.select("doc_id", "text"),
                 search_index_prefix,
                 batch_id=f"b{batch_id}",
+            )
+        if lsh_index_prefix is not None:
+            from ..operators.dedup import append_lsh_index
+
+            # the LSH append runs LAST: after the upsert (a crash
+            # between the two replays as probe(drops pre-indexed docs)
+            # → keyed upsert no-op — appending BEFORE the upsert would
+            # instead drop the whole batch on replay with its rows
+            # never landed) and after the search append (see above —
+            # this append is the event that empties a replay's probe
+            # result, so every consumer needing the committed survivor
+            # set must have run by now). PER-TABLE batch-id markers
+            # (inside append_lsh_index) guard each table's append
+            # separately, so a crash between the bands and sets
+            # appends replays only the missing table instead of
+            # duplicating the committed one.
+            append_lsh_index(
+                cleaned.select("doc_id", "text"),
+                lsh_index_prefix,
+                marker_dir=os.path.join(checkpoint_dir, "_lsh_applied"),
+                marker_key=str(batch_id),
             )
 
     return (

@@ -279,6 +279,146 @@ def test_stream_property_rotating_sources_exactly_one_row_per_key(spark, tmp_pat
     run()
 
 
+def test_search_index_survives_crash_between_search_and_lsh_append(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r7 (medium): with BOTH indexes maintained, the search
+    # append must run BEFORE the LSH append — the LSH append is the
+    # event that makes a replayed probe drop the batch's own docs as
+    # self-near-dups, so any consumer needing the committed survivor
+    # set (the search postings) must have run by then. Crash window
+    # injected: append_lsh_index raises on its first invocation →
+    # the micro-batch fails AFTER upsert + search append → restart
+    # replays it → identical survivors (LSH index unchanged) → search
+    # re-append dedups byte-identically → LSH append completes.
+    import uuid
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        bm25_search,
+        search_index_topk,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import dedup
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming import doc_stream
+
+    lsh_prefix = f"lsh_crash_{uuid.uuid4().hex[:10]}"
+    sidx_prefix = f"sidx_crash_{uuid.uuid4().hex[:10]}"
+    dedup.persist_lsh_index(
+        spark.createDataFrame([], "doc_id long, text string"), lsh_prefix
+    )
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    _drop(drop, "shard1.json", [_row(1, GOOD), _row(2, NOVEL)])
+
+    real_append = dedup.append_lsh_index
+    calls = {"n": 0}
+
+    def crashing_append(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before LSH append")
+        return real_append(*args, **kwargs)
+
+    monkeypatch.setattr(dedup, "append_lsh_index", crashing_append)
+
+    def run():
+        q = doc_stream.stream_clean_documents(
+            doc_stream.read_document_stream(spark, str(drop)),
+            out,
+            ckpt,
+            lsh_index_prefix=lsh_prefix,
+            search_index_prefix=sidx_prefix,
+        )
+        q.awaitTermination(120)
+
+    try:
+        import pytest
+
+        with pytest.raises(Exception):
+            run()
+        run()  # restart: the failed batch replays and completes
+        corpus = spark.read.parquet(out).select("doc_id", "text")
+        assert {r.doc_id for r in corpus.collect()} == {1, 2}
+        query = "researchers validation distributed throughput"
+        inline = [tuple(r) for r in bm25_search(corpus, query, k=5).collect()]
+        probed = [
+            tuple(r)
+            for r in search_index_topk(spark, sidx_prefix, query, k=5).collect()
+        ]
+        # the replayed batch's postings landed exactly once
+        assert probed == inline and len(probed) == 2
+        # and the LSH index completed on the replay
+        assert {
+            r.doc_id for r in spark.table(f"{lsh_prefix}_sets").collect()
+        } == {1, 2}
+    finally:
+        for suffix in ("postings", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {sidx_prefix}_{suffix}")
+        for suffix in ("bands", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {lsh_prefix}_{suffix}")
+
+
+def test_search_index_replay_after_lsh_commit_skips_empty_append(spark, tmp_path):
+    # ADVICE r7 (low): a replay AFTER the LSH append committed probes
+    # its own docs as self-near-dups → empty survivors; the old code
+    # appended a (b{N}, 0, NULL) stats row — SAME batch_id, different
+    # content — violating append_search_index's content-dedup
+    # contract. The isEmpty guard must skip the append entirely, and
+    # the probe must still equal inline BM25 over the upserted corpus.
+    import uuid
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        bm25_search,
+        search_index_topk,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        persist_lsh_index,
+    )
+
+    lsh_prefix = f"lsh_replay_{uuid.uuid4().hex[:10]}"
+    sidx_prefix = f"sidx_replay_{uuid.uuid4().hex[:10]}"
+    persist_lsh_index(
+        spark.createDataFrame([], "doc_id long, text string"), lsh_prefix
+    )
+    drop = tmp_path / "drop"
+    out = str(tmp_path / "clean")
+    _drop(drop, "shard1.json", [_row(1, GOOD), _row(2, NOVEL)])
+
+    def run(ckpt):
+        q = stream_clean_documents(
+            read_document_stream(spark, str(drop)),
+            out,
+            ckpt,
+            lsh_index_prefix=lsh_prefix,
+            search_index_prefix=sidx_prefix,
+        )
+        q.awaitTermination(120)
+
+    try:
+        run(str(tmp_path / "ck1"))
+        # fresh checkpoint = the WHOLE batch replays against an index
+        # that already contains its docs (the post-LSH-commit window)
+        run(str(tmp_path / "ck2"))
+        corpus = spark.read.parquet(out).select("doc_id", "text")
+        query = "researchers validation distributed throughput"
+        inline = [tuple(r) for r in bm25_search(corpus, query, k=5).collect()]
+        probed = [
+            tuple(r)
+            for r in search_index_topk(spark, sidx_prefix, query, k=5).collect()
+        ]
+        assert probed == inline and len(probed) == 2
+        # exactly ONE stats row per batch_id — no (b0, 0, NULL) twin
+        stats = spark.table(f"{sidx_prefix}_stats").collect()
+        ids = [r.batch_id for r in stats]
+        assert len(ids) == len(set(ids)) == 1
+        assert all(r.n > 0 for r in stats)
+    finally:
+        for suffix in ("postings", "stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {sidx_prefix}_{suffix}")
+        for suffix in ("bands", "sets"):
+            spark.sql(f"DROP TABLE IF EXISTS {lsh_prefix}_{suffix}")
+
+
 def test_stream_maintains_search_index(spark, tmp_path):
     # the scrub stream also grows the retrieval index: after two
     # batches, probing the index equals running the inline BM25 over
