@@ -4103,11 +4103,11 @@ def oracle_sql() -> dict[str, str]:
             g AS (
               SELECT o_orderkey, run,
                      min(o_orderstatus) AS o_orderstatus,
-                     CAST(min(v) AS INT) AS valid_from,
+                     CAST(min(v) AS BIGINT) AS valid_from,
                      max(v) AS last_v
               FROM runs GROUP BY o_orderkey, run)
             SELECT o_orderkey, o_orderstatus, valid_from,
-                   CAST(CASE WHEN last_v < 3 THEN last_v + 1 END AS INT)
+                   CAST(CASE WHEN last_v < 3 THEN last_v + 1 END AS BIGINT)
                      AS valid_to,
                    (last_v = 3) AS is_current
             FROM g

@@ -168,11 +168,21 @@ def cms_probe(
     width: int = 1024,
 ) -> DataFrame:
     """Point-estimate lookup: min over rows of the item's cells (an
-    absent cell means count 0). Broadcast the ≤ depth·width state."""
-    probes = items.select(
-        F.col(col).cast("string").alias("item"),
-        F.explode(_cms_rows(col, depth, width)).alias("rc"),
-    ).select("item", F.col("rc.j").alias("j"), F.col("rc.cell").alias("cell"))
+    absent cell means count 0). Broadcast the ≤ depth·width state.
+
+    Probe cells hash the SAME string-cast, NULL-filtered ``item`` the
+    build side hashes (ADVICE r7): hashing the raw column instead would
+    emit NULL probes as an (item=NULL, estimate=0) row the build side
+    never counted, and non-string columns would depend on concat's
+    implicit cast agreeing with ``cast('string')``."""
+    probes = (
+        items.select(F.col(col).cast("string").alias("item"))
+        .where(F.col("item").isNotNull())
+        .select("item", F.explode(_cms_rows("item", depth, width)).alias("rc"))
+        .select(
+            "item", F.col("rc.j").alias("j"), F.col("rc.cell").alias("cell")
+        )
+    )
     return (
         probes.join(F.broadcast(state), ["j", "cell"], "left")
         .groupBy("item")

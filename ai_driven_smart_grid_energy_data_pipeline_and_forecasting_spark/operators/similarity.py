@@ -724,15 +724,16 @@ def kcenter_select(
     metadata and this picks by geometry.
 
     Plan: k−1 rounds, each ONE distributed aggregate over the corpus —
-    min-distance to the (broadcast-as-literals) chosen set via the
-    |a|²−2a·b+|b|² identity in pure Catalyst folds (zip_with +
-    aggregate, sequential — bit-identical to the SQL oracle's
-    list_dot_product), then a TakeOrderedAndProject of row 1. Driver
-    state is the k chosen vectors — bounded by construction (the
-    BPE-driver-loop convention); no lineage growth because every round
-    recomputes distances closed-form from the literal center list.
-    O(k·n) total work, the distributed-greedy standard; k is small by
-    the algorithm's nature (a coreset is ≪ corpus).
+    a carried running-min-distance column folds in only the NEWEST
+    center per round (least(_mind, dist)) via the |a|²−2a·b+|b|²
+    identity in pure Catalyst folds (zip_with + aggregate, sequential —
+    bit-identical to the SQL oracle's list_dot_product), then a
+    TakeOrderedAndProject of row 1. Driver state is the k chosen
+    vectors — bounded by construction (the BPE-driver-loop
+    convention); each round's column is localCheckpoint-ed so lineage
+    and expression-tree size stay constant in k. O(k·n) total
+    dot-products, the distributed-greedy standard; k is small by the
+    algorithm's nature (a coreset is ≪ corpus).
 
     Small corpora take a bounded DRIVER fast path (the union-find /
     BPE-driver-loop convention): at or below ``driver_max`` rows the
@@ -792,25 +793,33 @@ def kcenter_select(
                 lambda acc, x: acc + x,
             )
 
+        def dist_to(cvec):
+            lit = F.array(*[F.lit(float(x)) for x in cvec])
+            return (
+                dot(F.col("_v"), F.col("_v"))
+                - F.lit(2.0) * dot(F.col("_v"), lit)
+                + dot(lit, lit)
+            )
+
         first = pts.orderBy("_id").limit(1).collect()
         chosen = [(int(first[0]["_id"]), list(first[0]["_v"]), None)]
+        # the running min-distance column is CARRIED FORWARD across
+        # rounds (ADVICE r7): each round folds in only the NEWEST
+        # center — least(_mind, dist_to(new)) — so the whole loop does
+        # O(k·n) dot-products as the docstring claims, not O(k²·n)
+        # from re-evaluating every prior center, and the expression
+        # tree stays constant-size. localCheckpoint pins each round's
+        # column (one corpus-width materialization per round) so the
+        # lineage cannot grow with k — the corpus_textrank convention.
+        # least() over doubles is order-insensitive (no NaNs: finite
+        # vectors), so the carried fold is value-identical to the
+        # all-centers least() the SQL oracle still computes.
+        cur = pts.withColumn("_mind", dist_to(chosen[0][1])).localCheckpoint()
         while len(chosen) < k:
-            c_exprs = []
-            for _, cvec, _ in chosen:
-                lit = F.array(*[F.lit(float(x)) for x in cvec])
-                c_exprs.append(
-                    dot(F.col("_v"), F.col("_v"))
-                    - F.lit(2.0) * dot(F.col("_v"), lit)
-                    + dot(lit, lit)
-                )
-            mind_e = c_exprs[0] if len(c_exprs) == 1 else F.least(*c_exprs)
             # exclude already-chosen ids: duplicate vectors tie at
             # mind=0 and the id tie-break would re-pick a center
             top = (
-                pts.where(
-                    ~F.col("_id").isin([cid for cid, _, _ in chosen])
-                )
-                .withColumn("_mind", mind_e)
+                cur.where(~F.col("_id").isin([cid for cid, _, _ in chosen]))
                 .orderBy(F.desc("_mind"), "_id")
                 .limit(1)
                 .collect()
@@ -819,6 +828,10 @@ def kcenter_select(
             chosen.append(
                 (int(row["_id"]), list(row["_v"]), float(row["_mind"]))
             )
+            if len(chosen) < k:
+                cur = cur.withColumn(
+                    "_mind", F.least(F.col("_mind"), dist_to(row["_v"]))
+                ).localCheckpoint()
     return spark.createDataFrame(
         [(i, cid, gain) for i, (cid, _, gain) in enumerate(chosen)],
         f"rank int, {id_col} long, gain double",

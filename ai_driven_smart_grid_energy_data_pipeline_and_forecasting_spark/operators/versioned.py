@@ -359,7 +359,11 @@ def scd2_intervals(
             df.select(
                 *keys,
                 F.struct(*val_cols).alias("_val"),
-                F.lit(v).alias("_v"),
+                # versions carry a LONG domain end to end (ADVICE r7:
+                # epoch-like versions exceed int32; a mixed int/long
+                # union would also break when one snapshot's literal
+                # crosses 2^31)
+                F.lit(v).cast("long").alias("_v"),
                 F.lit(vidx[v]).alias("_vidx"),
             )
         )
@@ -391,7 +395,7 @@ def scd2_intervals(
     spark = grouped.sparkSession
     vdim = spark.createDataFrame(
         [(vidx[v], vnext.get(v)) for v in order],
-        "_last_vidx int, valid_to int",
+        "_last_vidx int, valid_to long",
     )
     out = grouped.join(F.broadcast(vdim), "_last_vidx", "left")
     assert val_cols is not None
@@ -491,12 +495,12 @@ def scd2_lookup(
     for c in keys:
         eq = probes[c] == d[f"_d_{c}"]
         cond = eq if cond is None else cond & eq
+    # NULL valid_to (= current/+∞) is an explicit NULL test, not a
+    # sentinel (ADVICE r7: an int32 max sentinel silently stopped
+    # matching current rows once version/as_of domains reach 2^31)
     cond = (
         cond
         & (d["valid_from"] <= probes[as_of_col])
-        & (
-            probes[as_of_col]
-            < F.coalesce(d["valid_to"], F.lit(2147483647))
-        )
+        & (d["valid_to"].isNull() | (probes[as_of_col] < d["valid_to"]))
     )
     return probes.join(d, cond, "left").drop(*[f"_d_{c}" for c in keys])

@@ -429,6 +429,33 @@ def test_stream_cms_state_equals_union_build(spark, tmp_path):
     assert again == want
 
 
+def test_cms_probe_matches_build_side_item_semantics(spark):
+    # ADVICE r7: the probe must hash the SAME string-cast, NULL-filtered
+    # item the build hashes — NULL probes were emitted as an
+    # (item=NULL, estimate=0) row the build side never counted, and
+    # non-string probe columns relied on concat's implicit cast
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_probe,
+        cms_state,
+    )
+
+    build = spark.createDataFrame(
+        [(5,), (5,), (7,), (None,)], "v int"
+    )
+    st = cms_state(build, "v", depth=3, width=64)
+    probes = spark.createDataFrame(
+        [(5,), (7,), (None,), (9,)], "v int"
+    )
+    got = {
+        r.item: r.cms_estimate
+        for r in cms_probe(st, probes, "v", depth=3, width=64).collect()
+    }
+    assert None not in got  # NULL probes excluded, as on the build side
+    assert set(got) == {"5", "7", "9"}
+    # int probes hash identically to the build's cast('string') items
+    assert got["5"] >= 2 and got["7"] >= 1 and got["9"] >= 0
+
+
 def test_vacuum_state_keeps_pointer_and_recent(spark, tmp_path):
     import os
 

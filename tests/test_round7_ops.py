@@ -63,6 +63,32 @@ def test_scd2_null_values_do_not_reopen(spark):
     assert len(rows) == 1 and rows[0].valid_from == 1 and rows[0].is_current
 
 
+def test_scd2_lookup_current_rows_match_past_int32_max(spark):
+    # ADVICE r7: NULL valid_to (= current) must be an explicit NULL
+    # test, not an int32-max sentinel — with long version/as_of domains
+    # >= 2^31 current rows silently stopped matching
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        scd2_lookup,
+    )
+
+    big = 2**31 + 100  # past the old 2147483647 sentinel
+    s1 = spark.createDataFrame([(1, "A"), (2, "B")], "k long, s string")
+    s2 = spark.createDataFrame([(1, "A2"), (2, "B")], "k long, s string")
+    dim = scd2_intervals([(10, s1), (big, s2)], ["k"])
+    probes = spark.createDataFrame(
+        [(1, big + 5), (2, big + 5), (1, 15), (9, big + 5)],
+        "k long, as_of long",
+    )
+    got = {
+        (r.k, r.as_of): r.s
+        for r in scd2_lookup(dim, probes, ["k"]).collect()
+    }
+    assert got[(1, big + 5)] == "A2"  # current row matches past 2^31
+    assert got[(2, big + 5)] == "B"
+    assert got[(1, 15)] == "A"
+    assert got[(9, big + 5)] is None  # never-seen key survives as NULL
+
+
 def test_scd2_refuses_bad_inputs(spark):
     s1 = spark.createDataFrame([(1, "A")], "k long, s string")
     with pytest.raises(ValueError, match="at least one"):
