@@ -2812,19 +2812,74 @@ def q_doc_lexical_diversity(spark, sf_dir):
     return TX.lexical_diversity(_t(spark, sf_dir, "documents"))
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver sweep certifies the first ~50 entries
-    # per round.  Round 7 front (VERDICT r6 "Next" #1/#2/#8/#3, in that
-    # order): the 2 entries never yet in a driver sweep, the new scale-safe
-    # semantic_dedup_auto, the 2 audit twins whose rows-only parents need
-    # fresh certification, then the 50 rows whose last driver green was the
-    # r4 sweep (oldest first-in).  55 candidates for ~50 slots: the final 5
-    # r4 rows ride into the r8 front if the window is strictly 50.  Rows
-    # certified in r6 (freshest) and r5 sit behind.  Every entry is
-    # oracle-checked locally by tests/test_entry_oracle.py regardless of
-    # order; this ordering only affects which rows a count/time-bounded
-    # external sweep certifies first.
+def _last_green_rounds() -> dict[str, int]:
+    """Last driver-certified round per registry entry, read from the
+    ``CORRECTNESS_r*.json`` artifacts the driver writes next to this
+    file. "Green in round N" means the round-N sweep either fully
+    matched the entry against its oracle (all boolean fields true,
+    ``err`` null) or ran its documented rows-only check
+    (``err == 'no_oracle'`` with a recorded row count — the strongest
+    certification a model-fit entry can receive). Entries the sweep
+    errored on, or whose hash mismatched, do NOT count — they need
+    re-certification, so they must sort to the front."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue  # a malformed artifact must not break the registry
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            flags = [v for v in rec.values() if isinstance(v, bool)]
+            green = (rec.get("err") is None and flags and all(flags)) or (
+                rec.get("err") == "no_oracle"
+                and rec.get("spark_rows") is not None
+            )
+            if green:
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def _sweep_order(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Order the registry by certification staleness: never-driver-green
+    entries first, then ascending last-green round, ties broken by the
+    hand-written dict order. The driver sweep certifies the first ~50
+    entries per round, so this DERIVED ordering is what guarantees the
+    sweep front always targets the stalest rows — it was maintained by
+    hand through r7 and cannot regress now that it is computed
+    (VERDICT r7 Next #2). Every entry is oracle-checked locally by
+    tests/test_entry_oracle.py regardless of order; the ordering only
+    affects which rows a count/time-bounded external sweep certifies
+    first."""
+    last = _last_green_rounds()
+    pos = {k: i for i, k in enumerate(base)}
     return {
+        k: base[k]
+        for k in sorted(base, key=lambda k: (last.get(k, -1), pos[k]))
+    }
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Hand-written order below is only the TIE-BREAK; the returned dict
+    # is re-ordered by _sweep_order (stalest driver certification
+    # first, derived from the CORRECTNESS_r*.json artifacts).
+    return _sweep_order({
         # --- never driver-certified (r6 Next #1) -----------------------------
         "doc_lexical_diversity": q_doc_lexical_diversity,
         "value_percentile_state": q_value_percentile_state,
@@ -3014,7 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
-    }
+    })
 
 
 # ---------------------------------------------------------------- oracles
