@@ -1144,25 +1144,22 @@ def append_lsh_index(
     storage — a transactional table format shrinks the window to its
     commit, the same note as the upsert family's staged publish.
 
-    ``marker_dir`` must be a DRIVER-LOCAL filesystem path: markers are
-    read/written with ``os.path``/``open`` while the table appends go
-    through the Spark warehouse — the same single-machine convention as
-    ``agg_stream``'s committed-pointer files (ADVICE r6). On a
-    deployment whose checkpoint location is HDFS/S3, a URI here would
-    silently never match an existing marker and every replay would
-    re-append; route the marker IO through the Hadoop FileSystem API
-    (``spark._jvm.org.apache.hadoop.fs.FileSystem``) when porting the
-    sink off a single node."""
-    import os
+    Marker IO goes through the Hadoop FileSystem API (``fsutil``,
+    VERDICT r7 Next #3), resolved from ``marker_dir``'s scheme — a
+    bare local path, ``file:///...``, or an ``hdfs://``/``s3a://``
+    checkpoint location all read and write the same markers, so the
+    exactly-once contract no longer assumes a driver-local POSIX
+    checkpoint dir (the ADVICE r6 documented bound, now lifted)."""
+    from .. import fsutil
 
     def _marker(table: str) -> str | None:
         if marker_dir is None or marker_key is None:
             return None
-        return os.path.join(marker_dir, f"{marker_key}.{table}")
+        return fsutil.join(marker_dir, f"{marker_key}.{table}")
 
     def _append(frame: DataFrame, table: str, bucket_col: str, sort: bool):
         mk = _marker(table)
-        if mk is not None and os.path.exists(mk):
+        if mk is not None and fsutil.exists(mk, frame.sparkSession):
             return
         writer = frame.write.format("parquet").mode("append").bucketBy(
             n_buckets, bucket_col
@@ -1171,9 +1168,7 @@ def append_lsh_index(
             writer = writer.sortBy(bucket_col)
         writer.saveAsTable(f"{table_prefix}_{table}")
         if mk is not None:
-            os.makedirs(marker_dir, exist_ok=True)
-            with open(mk, "w") as fh:
-                fh.write("")
+            fsutil.touch(mk, frame.sparkSession)
 
     _append(_lsh_bands(docs, text_col, n), "bands", "bh", sort=True)
     _append(doc_shingle_sets(docs, text_col, n), "sets", "doc_id", sort=False)

@@ -26,11 +26,13 @@ history; snapshot cost is the state table size (keys, not events).
 Compaction of old ``v*/`` dirs is the retention job's concern
 (``versioned.vacuum_versions`` is the model).
 
-The pointer commit uses ``os.replace`` — atomic on POSIX filesystems,
-which is what this engine's pure-Parquet sinks target throughout
-(SCALE.md "Write concurrency"). An object-store deployment swaps the
-pointer file for the versioned-table manifest CAS noted in
-``operators/versioned.py``; the state/merge contract is unchanged.
+Pointer and marker IO goes through the Hadoop FileSystem API
+(``fsutil``, VERDICT r7 Next #3), resolved from the state path's
+scheme — so the same sink code holds when the state/checkpoint
+location is ``file:``, HDFS, or an object store. The pointer flip is
+``FileContext.rename(OVERWRITE)`` — atomic on POSIX and HDFS; object
+stores without atomic rename keep the manifest-CAS caveat noted in
+``operators/versioned.py``. The state/merge contract is unchanged.
 """
 
 from __future__ import annotations
@@ -38,6 +40,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .. import fsutil
 
 from ..operators.aggstate import (
     aggregate_state,
@@ -58,12 +62,12 @@ def bind_checkpoint(out_path: str, checkpoint: str) -> None:
     mismatch later raises. Shared by the state sink and the drift
     monitor — after checkpoint loss, rebuild into a fresh directory
     (Structured Streaming's own sink contract)."""
-    os.makedirs(out_path, exist_ok=True)
-    marker = os.path.join(out_path, "_CHECKPOINT")
-    bound = os.path.abspath(checkpoint)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            prior = fh.read().strip()
+    marker = fsutil.join(out_path, "_CHECKPOINT")
+    # scheme-carrying checkpoints are already absolute identities;
+    # only bare local paths need abspath normalization
+    bound = checkpoint if "://" in checkpoint else os.path.abspath(checkpoint)
+    if fsutil.exists(marker):
+        prior = fsutil.read_text(marker).strip()
         if prior != bound:
             raise RuntimeError(
                 f"output at {out_path} is bound to checkpoint {prior}; "
@@ -72,18 +76,14 @@ def bind_checkpoint(out_path: str, checkpoint: str) -> None:
                 "instead"
             )
     else:
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(bound)
-        os.replace(tmp, marker)
+        fsutil.write_text_atomic(marker, bound)
 
 
 def _latest_version(state_path: str) -> int | None:
-    p = os.path.join(state_path, _POINTER)
-    if not os.path.exists(p):
+    p = fsutil.join(state_path, _POINTER)
+    if not fsutil.exists(p):
         return None
-    with open(p) as fh:
-        return int(fh.read().strip())
+    return int(fsutil.read_text(p).strip())
 
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
@@ -92,7 +92,7 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     v = _latest_version(state_path)
     if v is None:
         return None
-    return spark.read.parquet(os.path.join(state_path, f"v{v}"))
+    return spark.read.parquet(fsutil.join(state_path, f"v{v}"))
 
 
 def _apply_state_batch(
@@ -111,7 +111,7 @@ def _apply_state_batch(
     (decimal/HLL rollups, fixed-bin histograms). Factored out of the
     sinks so crash/replay paths are unit-testable."""
     spark = batch.sparkSession
-    vdir = os.path.join(state_path, f"v{batch_id}")
+    vdir = fsutil.join(state_path, f"v{batch_id}")
     # a committed pointer at or past this batch id proves the batch is
     # already folded into the state — the authoritative replay check.
     # (Relying on _SUCCESS alone is not enough: with a committer that
@@ -123,21 +123,21 @@ def _apply_state_batch(
         return
     # a complete snapshot carries _SUCCESS; a dir without it is a
     # crashed partial write — recompute (mode=overwrite replaces it)
-    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+    if not fsutil.exists(fsutil.join(vdir, "_SUCCESS"), spark):
         new = build(batch)
         prev = read_state(spark, state_path)
         merged = new if prev is None else merge(prev, new)
         merged.write.mode("overwrite").parquet(vdir)
-    # monotone pointer flip — also completes a crash that died
-    # between snapshot write and flip (replay rolls it forward).
-    # Re-read the pointer: the merge above may have taken time and the
-    # skip-if-committed contract keys off the committed value.
+    # monotone pointer flip (FileContext rename-OVERWRITE — the commit)
+    # — also completes a crash that died between snapshot write and
+    # flip (replay rolls it forward). Re-read the pointer: the merge
+    # above may have taken time and the skip-if-committed contract
+    # keys off the committed value.
     cur = _latest_version(state_path)
     if cur is None or cur < batch_id:
-        tmp = os.path.join(state_path, f"{_POINTER}.tmp{batch_id}")
-        with open(tmp, "w") as fh:
-            fh.write(str(batch_id))
-        os.replace(tmp, os.path.join(state_path, _POINTER))  # the commit
+        fsutil.write_text_atomic(
+            fsutil.join(state_path, _POINTER), str(batch_id), spark
+        )
 
 
 def _apply_batch(
@@ -299,7 +299,6 @@ def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
     removed directories. The streaming-state analog of
     ``versioned.vacuum_versions``; single-writer contract applies."""
     import re
-    import shutil
 
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
@@ -308,7 +307,7 @@ def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
         return []
     versions = sorted(
         int(m.group(1))
-        for d in os.listdir(state_path)
+        for d in fsutil.list_names(state_path)
         if (m := re.fullmatch(r"v(\d+)", d))
     )
     # retention counts COMMITTED versions only: a staged dir above the
@@ -319,8 +318,8 @@ def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
     removed = []
     for v in versions:
         if v not in keep and v < cur:
-            path = os.path.join(state_path, f"v{v}")
-            shutil.rmtree(path)
+            path = fsutil.join(state_path, f"v{v}")
+            fsutil.delete(path, recursive=True)
             removed.append(path)
     return removed
 
