@@ -868,6 +868,20 @@ def q_part_fuzzy_pairs(spark, sf_dir):
     return D.edit_distance_pairs(names, max_dist=2, q=2)
 
 
+def q_part_fuzzy_pairs_auto(spark, sf_dir):
+    # the DEFAULT-SAFE form (VERDICT r7 Next #4): q derived from the
+    # observed alphabet and corpus size (auto_gram_size's |Σ|^q ≥ c·n
+    # rule) instead of pinned by the caller — same results for any q
+    # (the levenshtein verify is exact), so the same brute-force
+    # oracle certifies it; what auto-q changes is that the candidate
+    # volume cannot land in the degraded n²/|Σ|^q regime by default.
+    part = _t(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("id")
+    ).select("id", F.col("p_name").alias("s"))
+    return D.edit_distance_pairs(names, max_dist=2)
+
+
 def q_doc_lm_perplexity(spark, sf_dir):
     # CCNet-style LM quality scoring: corpus-trained add-one bigram
     # model, per-doc negative log-likelihood in fixed point (the one ln
@@ -2952,6 +2966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_tfidf": q_doc_search_tfidf,
         "doc_search_bm25": q_doc_search_bm25,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
+        "part_fuzzy_pairs_auto": q_part_fuzzy_pairs_auto,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -3616,6 +3631,15 @@ def _bm25_prf_oracle(fb_docs: int = 10, fb_terms: int = 5, k: int = 20) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # auto-q Ed-Join: q never affects RESULTS (exact levenshtein
+    # verify, filter complete for any q) — the pinned-q brute-force
+    # oracle certifies the auto variant verbatim
+    d["part_fuzzy_pairs_auto"] = d["part_fuzzy_pairs"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "doc_search_prf": _bm25_prf_oracle(),
         "ann_hard_negatives": f"""

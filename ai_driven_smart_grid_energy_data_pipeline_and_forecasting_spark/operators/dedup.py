@@ -1198,10 +1198,57 @@ def probe_lsh_index(
     )
 
 
+def auto_gram_size(
+    strings: DataFrame,
+    text_col: str = "s",
+    target_ratio: int = 8,
+    q_max: int = 5,
+) -> int:
+    """Derive Ed-Join's q-gram size from the corpus itself: the
+    smallest ``q`` with ``|Σ|^q ≥ target_ratio·n`` (capped at
+    ``q_max``), where Σ is the OBSERVED character alphabet and n the
+    corpus row count — ``edit_distance_pairs``'s own documented sizing
+    rule, applied automatically instead of left to the caller (VERDICT
+    r7 Next #4; the same default-safety pattern that closed
+    ``semantic_dedup``'s pinned k in r7).
+
+    Rationale: the prefix join's candidate volume degrades toward
+    n²/|Σ|^q when the gram space is smaller than the corpus (measured
+    in SCALE.md's digit-corpus probe: q=3 slope 16.7 vs q=4 slope 3.1
+    on |Σ|=10), so the gram space must out-size the corpus by a
+    constant factor. Larger q also grows the small-string broadcast
+    block (length ≤ q·(k+1)−1) and the prefix length q·k+1, hence the
+    cap — past ``q_max`` a corpus this size wants signature blocking,
+    not longer grams.
+
+    Cost: one pass over the corpus characters (explode + two exact
+    aggregates) plus a row count — trivially amortized against the
+    join it sizes."""
+    if target_ratio < 1 or q_max < 1:
+        raise ValueError("auto_gram_size needs target_ratio, q_max >= 1")
+    n = strings.count()
+    row = (
+        strings.select(
+            F.explode(F.split(F.col(text_col), "")).alias("_ch")
+        )
+        .where(F.col("_ch") != "")
+        .agg(F.countDistinct("_ch").alias("sigma"))
+        .collect()
+    )
+    sigma = int(row[0]["sigma"]) if row else 0
+    if sigma <= 1 or n == 0:
+        return 1  # degenerate alphabet: no q can out-size the corpus
+    q, space = 1, sigma
+    while q < q_max and space < target_ratio * n:
+        q += 1
+        space *= sigma
+    return q
+
+
 def edit_distance_pairs(
     strings: DataFrame,
     max_dist: int,
-    q: int = 2,
+    q: int | None = None,
     id_col: str = "id",
     text_col: str = "s",
 ) -> DataFrame:
@@ -1247,7 +1294,16 @@ def edit_distance_pairs(
     degrades toward n²/|Σ|^q (grow q, or block on longer signatures,
     when the gram space is the bottleneck). All-near-identical corpora
     degrade to the output's own quadratic size, which no filter can
-    beat."""
+    beat.
+
+    ``q=None`` (the default) derives q from the observed alphabet and
+    corpus size via ``auto_gram_size`` — the |Σ|^q ≥ c·n rule above,
+    applied automatically so the default cannot land in the degraded
+    regime; pass an explicit q only to pin a measured configuration.
+    q does not affect RESULTS (the levenshtein verify is exact and the
+    filter is complete for any q ≥ 1), only the candidate volume."""
+    if q is None:
+        q = auto_gram_size(strings, text_col=text_col)
     if max_dist < 0 or q < 1:
         raise ValueError("edit_distance_pairs needs max_dist >= 0, q >= 1")
     k, pref = max_dist, q * max_dist + 1

@@ -204,6 +204,8 @@ HEADLINE = [
     "vocab_growth",
     "minhash_accuracy_audit",
     "ann_hard_negatives",
+    # r8 additions
+    "part_fuzzy_pairs_auto",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -352,6 +352,47 @@ def test_edit_distance_pairs_vs_bruteforce(spark):
         edit_distance_pairs(df, -1)
 
 
+def test_auto_gram_size_rule_and_equivalence(spark):
+    # VERDICT r7 Next #4: q auto-derived as the smallest q with
+    # |Σ|^q >= ratio·n from the OBSERVED alphabet, capped; and the
+    # auto-q join is result-identical to any pinned q (exact verify)
+    import random
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        auto_gram_size,
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(11)
+    # binary alphabet, 40 rows: 2^q >= 8*40=320 → q=9, capped at 5
+    bin_rows = [
+        (i, "".join(rng.choice("ab") for _ in range(12))) for i in range(40)
+    ]
+    bdf = spark.createDataFrame(bin_rows, "id long, s string")
+    assert auto_gram_size(bdf) == 5
+    # wide alphabet, few rows: |Σ|=16 → 16^2=256 >= 8*16=128 → q=2
+    wide_rows = [(i, "abcdefghijklmnop"[i:] + "abcdefghijklmnop"[:i])
+                 for i in range(16)]
+    wdf = spark.createDataFrame(wide_rows, "id long, s string")
+    assert auto_gram_size(wdf) == 2
+    # degenerate single-char alphabet → 1 (no q can out-size the corpus)
+    one = spark.createDataFrame([(1, "aaaa"), (2, "aaa")], "id long, s string")
+    assert auto_gram_size(one) == 1
+    with pytest.raises(ValueError, match="target_ratio"):
+        auto_gram_size(bdf, target_ratio=0)
+
+    # equivalence: auto-q results == pinned-q results == brute force
+    want = sorted(
+        (i, j, _lev(si, sj))
+        for i, si in bin_rows
+        for j, sj in bin_rows
+        if i < j and _lev(si, sj) <= 2
+    )
+    auto = [tuple(r) for r in edit_distance_pairs(bdf, 2).collect()]
+    pinned = [tuple(r) for r in edit_distance_pairs(bdf, 2, q=2).collect()]
+    assert auto == pinned == want
+
+
 def test_edit_distance_pairs_realistic_words(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
         edit_distance_pairs,
