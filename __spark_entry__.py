@@ -855,6 +855,77 @@ def q_doc_search_bm25(spark, sf_dir):
     return TX.bm25_search(docs, "vector stream merge window", k=20)
 
 
+def q_doc_search_indexed(spark, sf_dir):
+    # End-to-end persisted-retrieval LIFECYCLE (VERDICT r7 Next #8):
+    # persist_search_index over the base shard → append_search_index
+    # for a delta shard → search_index_topk probe. The probe's
+    # fixed-point arithmetic reproduces inline bm25_search over the
+    # FULL corpus bit-exactly (same idf floor, same decimal carriers),
+    # so the one oracle certifies the composed offline/append/online
+    # path, not just its individually-tested pieces. Fixed table
+    # prefix: persist overwrites, so re-invocation is deterministic.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import fsutil
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = "entry_sidx_lifecycle"
+    # a previous SESSION may have left the warehouse directories behind
+    # without catalog entries (in-memory catalog, shared warehouse dir)
+    # — saveAsTable(overwrite) refuses an orphaned location, so clear
+    # both halves before the lifecycle starts
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for suffix in ("postings", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+        fsutil.delete(
+            fsutil.join(wh, f"{prefix}_{suffix}"), recursive=True, spark=spark
+        )
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    TX.persist_search_index(base, prefix, batch_id="base")
+    TX.append_search_index(delta, prefix, batch_id="delta")
+    return TX.search_index_topk(
+        spark, prefix, "vector stream merge window", k=20
+    )
+
+
+def q_click_attribution_outer(spark, sf_dir):
+    # Batch twin of the LEFT-OUTER watermarked stream-stream interval
+    # join (streaming/join_stream.py, how="leftOuter"; VERDICT r7 Next
+    # #6): every click joined to the same user's purchases within the
+    # 30-minute attribution window, unattributed clicks kept as NULL
+    # purchase rows — the funnel's drop-off set. The equi key
+    # (user_id) carries the shuffle; the interval predicate is a
+    # post-join condition on a SortMergeJoin, never a BNLJ.
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("_p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+            "left",
+        )
+        .select(
+            "user_id", "click_id", "click_ts",
+            "purchase_id", "purchase_ts", "value",
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def q_part_fuzzy_pairs(spark, sf_dir):
     # Ed-Join-style string-similarity self-join on the part-name
     # dictionary: q-gram prefix filtering (rarest-grams-first global
@@ -2967,6 +3038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_bm25": q_doc_search_bm25,
         "part_fuzzy_pairs": q_part_fuzzy_pairs,
         "part_fuzzy_pairs_auto": q_part_fuzzy_pairs_auto,
+        "doc_search_indexed": q_doc_search_indexed,
+        "click_attribution_outer": q_click_attribution_outer,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -3636,6 +3709,11 @@ def oracle_sql() -> dict[str, str]:
     # verify, filter complete for any q) — the pinned-q brute-force
     # oracle certifies the auto variant verbatim
     d["part_fuzzy_pairs_auto"] = d["part_fuzzy_pairs"]
+    # indexed-retrieval lifecycle: the probe over the persisted +
+    # appended index is bit-identical to inline BM25 over the full
+    # corpus BY CONTRACT — so the inline oracle certifies the
+    # composed persist→append→probe path verbatim
+    d["doc_search_indexed"] = d["doc_search_bm25"]
     return d
 
 
@@ -4866,6 +4944,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "click_attribution_outer": """
+            WITH c AS (
+              SELECT user_id, event_id AS click_id, ts AS click_ts
+              FROM events WHERE event_type = 'click'),
+            p AS (
+              SELECT user_id AS p_user, event_id AS purchase_id,
+                     ts AS purchase_ts, value
+              FROM events WHERE event_type = 'purchase')
+            SELECT c.user_id, c.click_id, c.click_ts,
+                   p.purchase_id, p.purchase_ts, p.value
+            FROM c LEFT JOIN p
+              ON c.user_id = p.p_user
+             AND p.purchase_ts >= c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+            ORDER BY click_id, purchase_id
         """,
         "part_fuzzy_pairs": """
             WITH p AS (

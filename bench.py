@@ -206,6 +206,8 @@ HEADLINE = [
     "ann_hard_negatives",
     # r8 additions
     "part_fuzzy_pairs_auto",
+    "doc_search_indexed",
+    "click_attribution_outer",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

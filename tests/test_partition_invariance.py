@@ -74,6 +74,10 @@ NEW_R5 = [
     "vocab_growth",
     "minhash_accuracy_audit",
     "ann_hard_negatives",
+    # round-8 additions
+    "part_fuzzy_pairs_auto",
+    "doc_search_indexed",
+    "click_attribution_outer",
 ]
 
 
