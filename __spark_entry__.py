@@ -2731,6 +2731,21 @@ def q_media_codec_audit(spark, sf_dir):
     return codec_roundtrip_audit(_t(spark, sf_dir, "documents"))
 
 
+def q_media_jpeg420_audit(spark, sf_dir):
+    # 4:2:0 JPEG roundtrip certified by the oracle (VERDICT r7 Next
+    # #5): md5-derived solid-tile rasters are encoded subsampled at
+    # quality 97 — a construction that makes the lossy codec
+    # SAMPLE-EXACT (DC-only blocks, DC quant step 1, constant-chroma
+    # box subsampling) — the kernel asserts pixel equality, and the
+    # decoded means hash-match the oracle's direct md5 computation.
+    # multimodal/binary_ops.jpeg420_roundtrip_audit.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        jpeg420_roundtrip_audit,
+    )
+
+    return jpeg420_roundtrip_audit(_t(spark, sf_dir, "documents"))
+
+
 
 def q_events_zscore(spark, sf_dir):
     # Per-type z-score standardization with ORDER-INDEPENDENT moments
@@ -3040,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_fuzzy_pairs_auto": q_part_fuzzy_pairs_auto,
         "doc_search_indexed": q_doc_search_indexed,
         "click_attribution_outer": q_click_attribution_outer,
+        "media_jpeg420_audit": q_media_jpeg420_audit,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -4944,6 +4960,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "media_jpeg420_audit": """
+            WITH d AS (
+              SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),
+            v AS (
+              SELECT d.doc_id, t.t, c.c,
+                     CAST(('0x' || substr(md5(
+                       'jt_' || CAST(d.doc_id AS VARCHAR) || '_' ||
+                       CAST(t.t AS VARCHAR) || '_' ||
+                       CAST(c.c AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+                       AS val
+              FROM d, unnest([0, 1]) AS t(t), unnest([0, 1, 2]) AS c(c))
+            SELECT doc_id, CAST(32 AS INT) AS width,
+                   CAST(16 AS INT) AS height,
+                   CAST(sum(val) * 256 AS DOUBLE) / 1536 AS mean_px
+            FROM v GROUP BY doc_id ORDER BY doc_id
         """,
         "click_attribution_outer": """
             WITH c AS (

@@ -5,13 +5,17 @@ Implements the baseline sequential DCT process of the public JPEG
 specification (ITU-T T.81 / ISO 10918-1): 8×8 block DCT, Annex K
 quantization tables scaled by the public IJG quality formula, the
 spec's standard (Annex K) Huffman tables, JFIF YCbCr color. Encoder
-emits 4:4:4 (no chroma subsampling) three-component or single-component
-grayscale streams; the decoder accepts any sampling-factor-1 layout
-(4:4:4 or grayscale) plus restart intervals, and REFUSES everything
-else loudly (progressive SOF2, subsampled 4:2:0, arithmetic coding,
-12-bit) — the same narrow-profile-or-raise convention as the BMP/PGM/
-PNG/WAV codecs in ``binary_ops``: a wrong answer is worse than no
-answer at a codec boundary.
+emits 4:4:4 (no chroma subsampling) or — with ``subsample=True`` —
+4:2:0 MCU-interleaved streams (2×2 luma blocks + box-averaged chroma
+per MCU, the most common real-world layout), plus single-component
+grayscale. The decoder accepts baseline streams with sampling factors
+in {1, 2} — 4:4:4, 4:2:0, 4:2:2, 4:4:0 and grayscale — with
+replication chroma upsampling and restart intervals (VERDICT r7 Next
+#5 lifted the 4:2:0 refusal), and REFUSES everything else loudly
+(progressive SOF2, arithmetic coding, 12-bit, sampling factors > 2) —
+the same narrow-profile-or-raise convention as the BMP/PGM/PNG/WAV
+codecs in ``binary_ops``: a wrong answer is worse than no answer at a
+codec boundary.
 
 Like the PNG decoder's deflate-bomb cap, all decoder allocation is
 bounded by the declared SOF dimensions (an entropy stream cannot make
@@ -200,18 +204,68 @@ def _magnitude(v: int) -> tuple[int, int]:
 # -------------------------------------------------------------- encoder
 
 
+def _encode_block(bw, plane, y0, x0, qt, dc_codes, ac_codes, pred):
+    """Huffman-encode the 8×8 block of ``plane`` at (y0, x0) — edge
+    replication for partial blocks (spec-recommended) — returning the
+    new DC predictor. One definition shared by the 4:4:4 and 4:2:0
+    block loops so the per-block entropy coding can never diverge."""
+    h, w = plane.shape
+    block = np.zeros((8, 8))
+    ys, xs = min(8, h - y0), min(8, w - x0)
+    block[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
+    if ys < 8:
+        block[ys:, :] = block[ys - 1, :]
+    if xs < 8:
+        block[:, xs:] = block[:, xs - 1 : xs]
+    coef = _C @ block @ _C.T
+    q = np.round(coef / qt.reshape(8, 8)).astype(np.int64).reshape(64)
+    zz = q[ZIGZAG]
+    diff = int(zz[0]) - pred
+    s, bits_v = _magnitude(diff)
+    code, ln = dc_codes[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(bits_v, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s, bits_v = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(bits_v, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return int(zz[0])
+
+
 def jpeg_encode(
     rows: list,
     quality: int = 90,
     grayscale: bool = False,
+    subsample: bool = False,
 ) -> bytes:
-    """RGB rows (top-down, pixel = (r, g, b)) → baseline JFIF bytes,
-    4:4:4 interleaved. With ``grayscale=True`` the rows hold plain
-    0–255 ints and a single-component stream is emitted."""
+    """RGB rows (top-down, pixel = (r, g, b)) → baseline JFIF bytes.
+    Default 4:4:4 interleaved; ``subsample=True`` emits the 4:2:0
+    layout (luma sampling 2×2, chroma box-averaged to half resolution,
+    MCU = 4 luma + 1 Cb + 1 Cr blocks — the layout most real-world
+    encoders default to). With ``grayscale=True`` the rows hold plain
+    0–255 ints and a single-component stream is emitted (``subsample``
+    is meaningless there and refused)."""
     h = len(rows)
     w = len(rows[0]) if h else 0
     if h == 0 or w == 0:
         raise ValueError("jpeg_encode needs a non-empty raster")
+    if subsample and grayscale:
+        raise ValueError("subsample=True needs a color raster")
     if grayscale:
         y = np.asarray(rows, dtype=np.float64)
         planes = [y - 128.0]
@@ -239,51 +293,53 @@ def jpeg_encode(
 
     bw = _BitWriter()
     pred = [0] * nc
-    bh, bwid = (h + 7) // 8, (w + 7) // 8
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(nc):
-                plane = planes[ci]
-                tbl = 0 if ci == 0 else 1
-                block = np.zeros((8, 8))
-                y0, x0 = by * 8, bx * 8
-                ys, xs = min(8, h - y0), min(8, w - x0)
-                block[:ys, :xs] = plane[y0 : y0 + ys, x0 : x0 + xs]
-                # edge replication for partial blocks (spec-recommended)
-                if ys < 8:
-                    block[ys:, :] = block[ys - 1, :]
-                if xs < 8:
-                    block[:, xs:] = block[:, xs - 1 : xs]
-                coef = _C @ block @ _C.T
-                q = np.round(
-                    coef / qts[tbl].reshape(8, 8)
-                ).astype(np.int64).reshape(64)
-                zz = q[ZIGZAG]
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                s, bits_v = _magnitude(diff)
-                code, ln = enc_dc[tbl][s]
-                bw.put(code, ln)
-                if s:
-                    bw.put(bits_v, s)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = enc_ac[tbl][0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    s, bits_v = _magnitude(v)
-                    code, ln = enc_ac[tbl][(run << 4) | s]
-                    bw.put(code, ln)
-                    bw.put(bits_v, s)
-                    run = 0
-                if run:
-                    code, ln = enc_ac[tbl][0x00]  # EOB
-                    bw.put(code, ln)
+    if not subsample:
+        bh, bwid = (h + 7) // 8, (w + 7) // 8
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci in range(nc):
+                    tbl = 0 if ci == 0 else 1
+                    pred[ci] = _encode_block(
+                        bw, planes[ci], by * 8, bx * 8, qts[tbl],
+                        enc_dc[tbl], enc_ac[tbl], pred[ci],
+                    )
+    else:
+        # 4:2:0: pad all planes to a multiple of 16 by edge replication
+        # (so the 2×2 box average never reads outside the raster and
+        # partial MCUs encode the spec-recommended replicated edge),
+        # box-average chroma to half resolution, then MCU-interleave
+        # 4 luma + 1 Cb + 1 Cr blocks with per-component DC prediction.
+        ph, pw = ((h + 15) // 16) * 16, ((w + 15) // 16) * 16
+        padded = []
+        for plane in planes:
+            p = np.empty((ph, pw))
+            p[:h, :w] = plane
+            p[:h, w:] = plane[:, w - 1 : w]
+            p[h:, :] = p[h - 1 : h, :]
+            padded.append(p)
+        luma = padded[0]
+        chroma = [
+            0.25
+            * (
+                p[0::2, 0::2] + p[0::2, 1::2]
+                + p[1::2, 0::2] + p[1::2, 1::2]
+            )
+            for p in padded[1:]
+        ]
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for byy in range(2):
+                    for bxx in range(2):
+                        pred[0] = _encode_block(
+                            bw, luma,
+                            my * 16 + byy * 8, mx * 16 + bxx * 8,
+                            qts[0], enc_dc[0], enc_ac[0], pred[0],
+                        )
+                for ci in (1, 2):
+                    pred[ci] = _encode_block(
+                        bw, chroma[ci - 1], my * 8, mx * 8,
+                        qts[1], enc_dc[1], enc_ac[1], pred[ci],
+                    )
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -298,7 +354,8 @@ def jpeg_encode(
         out += seg(0xFFDB, bytes([tid]) + zz_qt)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for cid in range(1, nc + 1):
-        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+        samp = 0x22 if (subsample and cid == 1) else 0x11
+        sof += bytes([cid, samp, 0 if cid == 1 else 1])
     out += seg(0xFFC0, sof)
     dht_specs = [
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -405,9 +462,11 @@ def jpeg_decode(
     content: bytes,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """Baseline JPEG bytes → (width, height, RGB rows top-down).
-    Accepts sampling-factor-1 (4:4:4) color and grayscale; refuses
-    progressive/subsampled/12-bit streams with ``ValueError`` so
-    callers fall back to the stub boundary."""
+    Accepts baseline color with sampling factors in {1, 2} — 4:4:4,
+    4:2:0 (2×2 luma MCUs, chroma upsampled by replication), 4:2:2,
+    4:4:0 — and grayscale, plus restart intervals; refuses
+    progressive/12-bit/arithmetic streams and sampling factors > 2
+    with ``ValueError`` so callers fall back to the stub boundary."""
     b = bytes(content)
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
@@ -463,11 +522,19 @@ def jpeg_decode(
             comps = []
             for c in range(nc):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hs, vs = samp >> 4, samp & 15
+                if nc == 1:
+                    # a single-component scan is NON-interleaved per
+                    # T.81 A.2: its MCU is one data unit regardless of
+                    # the declared factors — normalize instead of
+                    # refusing streams that declare 0x22 for gray
+                    hs = vs = 1
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError(
-                        "unsupported JPEG chroma subsampling (need 4:4:4)"
+                        "unsupported JPEG sampling factors (each must "
+                        "be 1 or 2: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hs, vs, tq))
             sof = (fw, fh, comps)
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
@@ -523,58 +590,88 @@ def jpeg_decode(
             )
 
     br = _BitReader(b, data_pos)
-    bh, bwid = (fh + 7) // 8, (fw + 7) // 8
     nc = len(comps)
-    planes = [np.zeros((bh * 8, bwid * 8)) for _ in range(nc)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    # allocation stays SOF-bounded: per component ≤ (fh+8·vmax)·
+    # (fw+8·hmax) samples — the MAX_PIXELS refusal above caps fw·fh
+    planes = [
+        np.zeros((mcuy * vc * 8, mcux * hc * 8))
+        for (_, hc, vc, _) in comps
+    ]
     pred = [0] * nc
     mcu_count = 0
-    for by in range(bh):
-        for bx in range(bwid):
+
+    def decode_block(ci, dc_t, ac_t, qt, y0, x0):
+        try:
+            s = _huff_decode(br, huff[(0, dc_t)])
+            diff = _extend(br.bits(s), s) if s else 0
+            pred[ci] += diff
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, huff[(1, ac_t)])
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+        except _MarkerReached as exc:
+            raise ValueError("truncated JPEG entropy stream") from exc
+        nat = np.zeros(64, dtype=np.float64)
+        nat[ZIGZAG] = zz
+        coef = (nat * qt).reshape(8, 8)
+        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = _C.T @ coef @ _C
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 br.align_restart()
                 pred = [0] * nc
             mcu_count += 1
+            # component data units in raster order inside the MCU —
+            # the T.81 A.2.3 interleave (4:4:4 degenerates to one
+            # block per component, the pre-r8 layout)
             for ci in range(nc):
                 _, dc_t, ac_t = scan_comps[ci]
-                qt = qts.get(comps[ci][1])
+                _, hc, vc, tq = comps[ci]
+                qt = qts.get(tq)
                 if qt is None:
                     raise ValueError("missing JPEG quant table")
-                try:
-                    s = _huff_decode(br, huff[(0, dc_t)])
-                    diff = _extend(br.bits(s), s) if s else 0
-                    pred[ci] += diff
-                    zz = np.zeros(64, dtype=np.int64)
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, huff[(1, ac_t)])
-                        run, size = rs >> 4, rs & 15
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        zz[k] = _extend(br.bits(size), size)
-                        k += 1
-                except _MarkerReached as exc:
-                    raise ValueError(
-                        "truncated JPEG entropy stream"
-                    ) from exc
-                nat = np.zeros(64, dtype=np.float64)
-                nat[ZIGZAG] = zz
-                coef = (nat * qt).reshape(8, 8)
-                block = _C.T @ coef @ _C
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        decode_block(
+                            ci, dc_t, ac_t, qt,
+                            (my * vc + byy) * 8,
+                            (mx * hc + bxx) * 8,
+                        )
+    # replication upsampling to full resolution (box-subsampled chroma
+    # comes back as its nearest-neighbor expansion), then crop the MCU
+    # padding to the declared dimensions
+    full = []
+    for ci, (_, hc, vc, _) in enumerate(comps):
+        p = planes[ci]
+        if vc < vmax:
+            p = np.repeat(p, vmax // vc, axis=0)
+        if hc < hmax:
+            p = np.repeat(p, hmax // hc, axis=1)
+        full.append(p[:fh, :fw])
     if nc == 1:
-        y = np.clip(planes[0][:fh, :fw] + 128.0, 0, 255)
+        y = np.clip(full[0] + 128.0, 0, 255)
         r = g = bl = y
     else:
-        y = planes[0][:fh, :fw] + 128.0
-        cb = planes[1][:fh, :fw]
-        cr = planes[2][:fh, :fw]
+        y = full[0] + 128.0
+        cb = full[1]
+        cr = full[2]
         r = np.clip(y + 1.402 * cr, 0, 255)
         g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0, 255)
         bl = np.clip(y + 1.772 * cb, 0, 255)

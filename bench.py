@@ -208,6 +208,7 @@ HEADLINE = [
     "part_fuzzy_pairs_auto",
     "doc_search_indexed",
     "click_attribution_outer",
+    "media_jpeg420_audit",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

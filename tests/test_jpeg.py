@@ -71,6 +71,82 @@ def test_lower_quality_degrades_but_decodes():
     assert mean < 64.0  # lossy, but in the image's neighborhood
 
 
+def _tiled(w, h, tile, colors):
+    """Raster of solid ``tile``×``tile`` squares colored from
+    ``colors`` row-major — constant per chroma block at tile=16."""
+    return [
+        [colors[(y // tile) * (w // tile) + (x // tile)] for x in range(w)]
+        for y in range(h)
+    ]
+
+
+def test_jpeg420_tiled_fixture_decodes_sample_exactly():
+    # VERDICT r7 Next #5: the 4:2:0 path verified SAMPLE-EXACTLY
+    # against an independently computed raster. Construction makes the
+    # lossy codec exact: 16×16 solid tiles ⇒ every luma block and every
+    # subsampled chroma block is constant (box average of a constant is
+    # the constant; replication upsampling of a constant is exact), so
+    # only DC coefficients survive, and at quality 97 the IJG-scaled
+    # quant tables have DC step 1 ⇒ round(8d)/8 reconstructs each plane
+    # to within 1/16, under the 0.5 rint margin of the exact YCbCr
+    # inverse. Exercises the full MCU interleave (4 luma + Cb + Cr), DC
+    # prediction across components and MCUs, and the upsampling path.
+    import hashlib
+
+    colors = [
+        tuple(
+            int(hashlib.md5(f"t{t}_{c}".encode()).hexdigest()[:2], 16)
+            for c in range(3)
+        )
+        for t in range(8)
+    ]
+    rows = _tiled(64, 32, 16, colors)  # 4×2 tiles = 2×4... 8 MCUs
+    data = jpeg_encode(rows, quality=97, subsample=True)
+    w, h, back = jpeg_decode(data)
+    assert (w, h) == (64, 32)
+    assert _err(rows, back) == 0.0  # sample-exact
+    # the stream really is 4:2:0: luma sampling byte is 0x22
+    i = data.find(b"\xFF\xC0")
+    assert data[i + 2 + 2 + 6 + 1] == 0x22
+    # and it is smaller than the 4:4:4 encoding of the same raster
+    assert len(data) < len(jpeg_encode(rows, quality=97))
+
+
+def test_jpeg420_gray_gradient_tight_bound():
+    # gray pixels ⇒ chroma identically zero ⇒ subsampling is exact and
+    # the 4:2:0 roundtrip error is luma quantization noise only — the
+    # same bound as the 4:4:4 gradient test (gradient chosen NOT to
+    # wrap mod 256 inside the raster: a wrap edge rings)
+    rows = [[(v := x * 4 + y * 3, v, v) for x in range(32)]
+            for y in range(24)]
+    w, h, back = jpeg_decode(jpeg_encode(rows, quality=95, subsample=True))
+    assert (w, h) == (32, 24)
+    assert _err(rows, back) <= 4.0
+
+
+def test_jpeg420_odd_dimensions_partial_mcus():
+    # 21×13 ⇒ partial MCUs on both edges (MCU grid 2×1 of 16×16);
+    # smooth non-wrapping ramps so the error budget is quantization +
+    # the chroma half-resolution smoothing, not wrap-edge ringing
+    odd = [
+        [(x * 9, y * 11, 128) for x in range(21)]
+        for y in range(13)
+    ]
+    w, h, back = jpeg_decode(jpeg_encode(odd, quality=90, subsample=True))
+    assert (w, h) == (21, 13)
+    # chroma is smoothed by subsampling: bound is looser than 4:4:4
+    # but the raster must stay in the source's neighborhood
+    assert _err(odd, back) <= 32.0
+    mean = float(np.abs(np.asarray(odd, float) - np.asarray(back, float)).mean())
+    assert mean <= 8.0
+
+
+def test_jpeg420_subsample_refuses_grayscale():
+    g = [[0] * 8 for _ in range(8)]
+    with pytest.raises(ValueError, match="color raster"):
+        jpeg_encode(g, grayscale=True, subsample=True)
+
+
 def test_grayscale_single_component_stream():
     g = [[(x * 9 + y * 5) % 256 for x in range(20)] for y in range(14)]
     data = jpeg_encode(g, quality=95, grayscale=True)
@@ -91,12 +167,13 @@ def test_refuses_non_baseline_profiles():
     data[i + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         jpeg_decode(bytes(data))
-    # 4:2:0 subsampling: patch the luma sampling factor to 2x2
+    # sampling factors above 2 (e.g. 4:1:1's 4x1 luma) stay refused —
+    # r8 lifted the 4:2:0/4:2:2 refusal, not the whole lattice
     data = bytearray(jpeg_encode(_gradient(8, 8)))
     i = data.find(b"\xFF\xC0")
     # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then cid,samp,tq
-    data[i + 2 + 2 + 6 + 1] = 0x22
-    with pytest.raises(ValueError, match="subsampling"):
+    data[i + 2 + 2 + 6 + 1] = 0x41
+    with pytest.raises(ValueError, match="sampling factors"):
         jpeg_decode(bytes(data))
 
 

@@ -78,6 +78,7 @@ NEW_R5 = [
     "part_fuzzy_pairs_auto",
     "doc_search_indexed",
     "click_attribution_outer",
+    "media_jpeg420_audit",
 ]
 
 
