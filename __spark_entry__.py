@@ -926,6 +926,18 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_doc_winnow_pairs(spark, sf_dir):
+    # Winnowing (Schleimer-Wilkerson-Aiken SIGMOD'03, the MOSS
+    # algorithm): POSITION-AWARE local fingerprints — each w-window of
+    # positional k-gram hashes selects its minimum (rightmost ties) —
+    # pairs sharing >= min_shared fingerprint values. Guarantees any
+    # shared >= w+k-1-token run is detected; complements the bag
+    # models (MinHash/SimHash) and the exact 50-token span index.
+    # One window shuffle + the capped posting-list pair join.
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnow_pairs(docs, min_shared=2, k=3, w=4, max_df=50)
+
+
 def q_part_fuzzy_pairs(spark, sf_dir):
     # Ed-Join-style string-similarity self-join on the part-name
     # dictionary: q-gram prefix filtering (rarest-grams-first global
@@ -3056,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_indexed": q_doc_search_indexed,
         "click_attribution_outer": q_click_attribution_outer,
         "media_jpeg420_audit": q_media_jpeg420_audit,
+        "doc_winnow_pairs": q_doc_winnow_pairs,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -4960,6 +4973,39 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "doc_winnow_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS tk FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos, len(tk) - 3 + 1 AS ng,
+                     array_to_string(tk[i:i+2], ' ') AS gram
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(tk) - 2, 0)))
+                     AS r(i)),
+            keyed AS (
+              SELECT doc_id, pos, ng,
+                     {_h32_sql('gram')} * 2097152 + (1048576 - pos)
+                       AS key
+              FROM g),
+            wins AS (
+              SELECT doc_id, pos, ng,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS wkey
+              FROM keyed),
+            sel AS (
+              SELECT DISTINCT doc_id, wkey // 2097152 AS fp
+              FROM wins WHERE pos = 0 OR pos <= ng - 4),
+            capped AS (
+              SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sel a JOIN capped USING (fp) JOIN sel b USING (fp)
+              WHERE a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, count(*) AS n_shared
+            FROM pairs GROUP BY doc_a, doc_b HAVING count(*) >= 2
+            ORDER BY n_shared DESC, doc_a, doc_b
         """,
         "media_jpeg420_audit": """
             WITH d AS (

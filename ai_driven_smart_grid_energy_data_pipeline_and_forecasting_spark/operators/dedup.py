@@ -1371,6 +1371,134 @@ def edit_distance_pairs(
     )
 
 
+_WINNOW_POS_CAP = 1 << 20  # per-doc gram positions must fit the key packing
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every POSITIONAL k-token
+    gram, slide a window of ``w`` consecutive gram hashes, and select
+    each window's minimum (rightmost on ties, the paper's rule that
+    minimizes selected fingerprints). Guarantee: any two documents
+    sharing a run of ≥ w+k−1 tokens share at least one fingerprint —
+    POSITION-AWARE local fingerprinting, the complement of the bag
+    models in this family (MinHash ignores order; SimHash ignores
+    locality; ``duplicated_spans`` needs exact 50-token runs).
+    Expected density is 2/(w+1) of grams.
+
+    Plan: one gram posexplode, ONE window shuffle per doc (min over a
+    ``[current, w−1 following]`` frame of the packed key
+    ``h·2²¹ + (2²⁰ − pos)`` — min h, ties to the LARGEST pos, in one
+    BIGINT so the frame aggregate stays a primitive min), then a
+    distinct. The packing is mirrored verbatim by the SQL oracle;
+    ``assert_true`` refuses docs past 2²⁰ grams rather than silently
+    mis-packing. Docs shorter than ``w`` grams degenerate to one
+    window over all their grams (the guarantee's boundary case).
+
+    Returns (id_col, fp, pos): fingerprint hash + the gram position it
+    was selected at."""
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints needs k >= 1, w >= 1")
+    from ..functions.text import h32, tokens
+
+    toks = tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col),
+        (F.size(toks) - k + 1).alias("_ng"),
+        F.posexplode(
+            # sequence(1, 0) is DESCENDING [1, 0] in Spark (the r5
+            # short-doc trap), so sub-k-token docs need the CASE guard
+            F.expr(
+                f"CASE WHEN size(split(trim({text_col}), ' ')) >= {k}"
+                f" THEN transform(sequence(1,"
+                f" size(split(trim({text_col}), ' ')) - {k} + 1),"
+                f" i -> array_join(slice(split(trim({text_col}), ' '),"
+                f" i, {k}), ' '))"
+                f" ELSE array() END"
+            )
+        ).alias("_pos", "_g"),
+    )
+    key = (
+        h32(F.col("_g")) * F.lit(2 * _WINNOW_POS_CAP)
+        + (F.lit(_WINNOW_POS_CAP) - F.col("_pos"))
+    )
+    guarded = grams.withColumn(
+        "_key",
+        F.when(
+            F.assert_true(
+                F.col("_pos") < _WINNOW_POS_CAP,
+                f"winnow_fingerprints: doc exceeds {_WINNOW_POS_CAP} "
+                "grams — the key packing would alias positions",
+            ).isNull(),
+            key,
+        ),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        guarded.withColumn("_wkey", F.min("_key").over(win))
+        .where((F.col("_pos") == 0) | (F.col("_pos") <= F.col("_ng") - w))
+        .select(id_col, "_wkey")
+        .distinct()
+    )
+    return selected.select(
+        id_col,
+        # integer div — a float division would round at the 2^53 edge
+        F.expr(f"_wkey div {2 * _WINNOW_POS_CAP}").alias("fp"),
+        (
+            F.lit(_WINNOW_POS_CAP)
+            - F.pmod(F.col("_wkey"), F.lit(2 * _WINNOW_POS_CAP))
+        ).cast("int").alias("pos"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprint
+    VALUES (the MOSS report): candidate generation is the fingerprint
+    posting-list join — banded by construction (fingerprints are
+    ~2/(w+1) of grams) with the standard ``max_df`` cap dropping
+    stop-gram fingerprints whose postings would dominate the pair
+    quadratic (the ``ngram_jaccard_capped`` scale lever; at 100 TB the
+    cap is what bounds Σdf²). Output (doc_a, doc_b, n_shared) ordered
+    by strength — every count an exact integer, value-exact oracle."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+        F.col(id_col), "fp"
+    ).distinct()
+    capped = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    a = fps.join(capped, "fp").select("fp", F.col(id_col).alias("doc_a"))
+    b = fps.join(capped, "fp").select("fp", F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+    )
+
+
 def minhash_accuracy_audit(
     docs: DataFrame,
     threshold: float = 0.3,

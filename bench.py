@@ -209,6 +209,7 @@ HEADLINE = [
     "doc_search_indexed",
     "click_attribution_outer",
     "media_jpeg420_audit",
+    "doc_winnow_pairs",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

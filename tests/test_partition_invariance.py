@@ -79,6 +79,7 @@ NEW_R5 = [
     "doc_search_indexed",
     "click_attribution_outer",
     "media_jpeg420_audit",
+    "doc_winnow_pairs",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Round-8 operators: winnowing fingerprints/pairs and the other r8
+additions. Edge cases beyond the oracle differential (which pins the
+registered configurations bit-exactly)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_pairs,
+)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _winnow_ref(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Textbook winnowing (Schleimer et al. §4): min of each window,
+    RIGHTMOST occurrence on ties, dedup selected (hash, pos)."""
+    toks = text.strip(" ").split(" ")
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [_h32(g) for g in grams]
+    if not hs:
+        return set()
+    sel: set[tuple[int, int]] = set()
+    for s in range(max(len(hs) - w + 1, 1)):
+        win = hs[s : s + w]
+        m = min(win)
+        for j in range(len(win) - 1, -1, -1):
+            if win[j] == m:
+                sel.add((m, s + j))
+                break
+    return sel
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    data = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y z a b c d e f g h q r"),
+        (3, "p q"),  # fewer than k tokens: no grams, no fingerprints
+        (4, "m n o"),  # exactly one gram (degenerate window)
+        (5, "solar wind grid load forecast model energy"),
+        (6, ""),  # empty text
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp, r.pos)
+        for r in winnow_fingerprints(docs, k=3, w=4).collect()
+    }
+    want = {
+        (d, m, p) for d, t in data for (m, p) in _winnow_ref(t, 3, 4)
+    }
+    assert got == want
+
+
+def test_winnow_fingerprints_randomized_reference(spark):
+    import random
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → hash ties occur
+    data = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, text string")
+    for k, w in ((2, 3), (3, 4), (1, 5)):
+        got = {
+            (r.doc_id, r.fp, r.pos)
+            for r in winnow_fingerprints(docs, k=k, w=w).collect()
+        }
+        want = {
+            (d, m, p) for d, t in data for (m, p) in _winnow_ref(t, k, w)
+        }
+        assert got == want, f"k={k} w={w}"
+
+
+def test_winnow_guarantee_shared_run_shares_a_fingerprint(spark):
+    # the paper's detection guarantee: two docs sharing a run of
+    # >= w+k-1 tokens share at least one fingerprint VALUE
+    k, w = 3, 4
+    run = "q1 q2 q3 q4 q5 q6"  # w+k-1 = 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + run + " gamma delta"),
+            (2, run + " epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_pairs(docs, min_shared=1, k=k, w=w).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].n_shared >= 1
+
+
+def test_winnow_pairs_df_cap_drops_stop_fingerprints(spark):
+    # a fingerprint shared by MORE than max_df docs is dropped from
+    # candidate generation (the Sigma df^2 scale lever)
+    common = "c1 c2 c3 c4 c5 c6"
+    docs = spark.createDataFrame(
+        [(i, common + f" unique{i} filler{i} tail{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    full = winnow_pairs(docs, min_shared=1, max_df=50).count()
+    assert full == 15  # all 6 docs pair through the common run
+    # fingerprints selected by every doc (windows fully inside the run)
+    # have df=6 > 3 and are dropped; only the handful selected by a
+    # straddling window in <= 3 docs can still pair
+    capped = winnow_pairs(docs, min_shared=1, max_df=3).count()
+    assert 0 < capped < full
+    # and with the cap below ANY possible sharing, nothing pairs
+    assert winnow_pairs(docs, min_shared=1, max_df=1).count() == 0
+
+
+def test_winnow_refuses_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k >= 1"):
+        winnow_fingerprints(docs, k=0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        winnow_fingerprints(docs, w=0)
