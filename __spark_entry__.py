@@ -926,6 +926,15 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_corpus_zipf_fit(spark, sf_dir):
+    # Zipf rank-frequency fit: fixed-point log-log OLS over the top-500
+    # token frequencies (slope ≈ −1 for natural language) — the
+    # frequency-spectrum half of the dataset-card diagnostics beside
+    # the Heaps-law vocab curve. Exact decimal moments, two divisions.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.corpus_zipf_fit(docs, top_n=500)
+
+
 def q_doc_winnow_pairs(spark, sf_dir):
     # Winnowing (Schleimer-Wilkerson-Aiken SIGMOD'03, the MOSS
     # algorithm): POSITION-AWARE local fingerprints — each w-window of
@@ -3069,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution_outer": q_click_attribution_outer,
         "media_jpeg420_audit": q_media_jpeg420_audit,
         "doc_winnow_pairs": q_doc_winnow_pairs,
+        "corpus_zipf_fit": q_corpus_zipf_fit,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -4973,6 +4983,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "corpus_zipf_fit": f"""
+            WITH tok AS (
+              SELECT unnest({_TOKS}) AS t FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            top AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 500),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+              FROM top),
+            xy AS (
+              SELECT CAST(floor(1000000 * ln(CAST(r AS DOUBLE)))
+                       AS HUGEINT) AS x,
+                     CAST(floor(1000000 * ln(CAST(c AS DOUBLE)))
+                       AS HUGEINT) AS y
+              FROM ranked),
+            m AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(x * y) AS sxy
+              FROM xy)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                   CAST(sy * (n * sxx - sx * sx)
+                        - (n * sxy - sx * sy) * sx AS DOUBLE)
+                     / CAST(n * (n * sxx - sx * sx) AS DOUBLE)
+                     / 1000000 AS intercept
+            FROM m
         """,
         "doc_winnow_pairs": f"""
             WITH toks AS (

@@ -1625,3 +1625,76 @@ def vocab_growth_curve(
         "n_tokens",
         "vocab",
     ).orderBy("sample_pct")
+
+
+def corpus_zipf_fit(
+    docs: DataFrame, top_n: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope/intercept of ln(frequency)
+    on ln(rank) over the corpus's ``top_n`` most frequent tokens — the
+    classic power-law diagnostic (Zipf's law: slope ≈ −1 for natural
+    language; a synthetic or templated corpus bends it). The release
+    sibling of the Heaps-law curve (``vocab_growth_curve`` measures
+    vocabulary vs corpus size; this measures the frequency spectrum) —
+    together the two plots a dataset card shows for "does this corpus
+    look like language".
+
+    Determinism discipline: the two transcendentals are floored at
+    ``TFIDF_SCALE`` fixed-point precision (x = ⌊1e6·ln rank⌋,
+    y = ⌊1e6·ln count⌋ — the BM25 idf convention), all OLS moments are
+    EXACT decimal(38,0) sums (bounded ≲ 1e30, HUGEINT-safe in the
+    oracle), and slope/intercept are each ONE cast-to-double division
+    of exact integers — partition-order-free, value-exact oracle.
+
+    Plan: one explode + partial-agg token count, TakeOrderedAndProject
+    for the top-N, then a single-partition rank window BOUNDED by
+    ``top_n`` by construction (the spectrum is a driver-scale table;
+    the corpus never sees a global window) and one scalar aggregate.
+
+    Returns 1 row: (n_terms, slope, intercept)."""
+    if top_n < 2:
+        raise ValueError(f"corpus_zipf_fit needs top_n >= 2, got {top_n}")
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    top = counts.orderBy(F.desc("_cnt"), "_t").limit(top_n)
+    from pyspark.sql import Window
+
+    ranked = top.withColumn(
+        "_rank",
+        F.row_number().over(Window.orderBy(F.desc("_cnt"), "_t")),
+    )
+    S = TFIDF_SCALE
+    dec = "decimal(38,0)"
+    xy = ranked.select(
+        F.expr(
+            f"cast(floor({S} * ln(cast(_rank as double))) as {dec})"
+        ).alias("_x"),
+        F.expr(
+            f"cast(floor({S} * ln(cast(_cnt as double))) as {dec})"
+        ).alias("_y"),
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.expr("_x * _x")).alias("_sxx"),
+        F.sum(F.expr("_x * _y")).alias("_sxy"),
+    )
+    return mom.select(
+        F.col("_n").cast("long").alias("n_terms"),
+        F.expr(
+            "cast(_n * _sxy - _sx * _sy as double)"
+            " / cast(_n * _sxx - _sx * _sx as double)"
+        ).alias("slope"),
+        # intercept = (Σy·den − num·Σx) / (n·den), kept exact until the
+        # final double division (units: ln-scale, the 1e6 cancels)
+        F.expr(
+            "cast(_sy * (_n * _sxx - _sx * _sx)"
+            " - (_n * _sxy - _sx * _sy) * _sx as double)"
+            " / cast(_n * (_n * _sxx - _sx * _sx) as double)"
+            f" / {S}"
+        ).alias("intercept"),
+    )

@@ -210,6 +210,7 @@ HEADLINE = [
     "click_attribution_outer",
     "media_jpeg420_audit",
     "doc_winnow_pairs",
+    "corpus_zipf_fit",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -80,6 +80,7 @@ NEW_R5 = [
     "click_attribution_outer",
     "media_jpeg420_audit",
     "doc_winnow_pairs",
+    "corpus_zipf_fit",
 ]
 
 

@@ -114,6 +114,58 @@ def test_winnow_pairs_df_cap_drops_stop_fingerprints(spark):
     assert winnow_pairs(docs, min_shared=1, max_df=1).count() == 0
 
 
+def test_zipf_fit_recovers_planted_power_law(spark):
+    # a corpus built with freq(rank r) = round(1000 / r) must fit
+    # slope ≈ -1 (exact -1 is unattainable: rounding + the fixed-point
+    # ln floor), and intercept ≈ ln(1000)
+    import math
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        corpus_zipf_fit,
+    )
+
+    words = []
+    for r in range(1, 101):
+        words += [f"tok{r:03d}"] * round(1000 / r)
+    # spread over several docs so the token count is a real aggregate
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[i::7])) for i in range(7)],
+        "doc_id long, text string",
+    )
+    row = corpus_zipf_fit(docs, top_n=100).collect()[0]
+    assert row.n_terms == 100
+    assert -1.05 <= row.slope <= -0.95
+    assert abs(row.intercept - math.log(1000)) < 0.1
+
+
+def test_zipf_fit_uniform_corpus_slope_zero(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        corpus_zipf_fit,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(50)) + " " +
+             " ".join(f"w{i}" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    row = corpus_zipf_fit(docs, top_n=50).collect()[0]
+    # every token occurs exactly twice: y constant => slope == 0
+    assert row.n_terms == 50 and row.slope == 0.0
+    import math
+
+    assert abs(row.intercept - math.log(2)) < 1e-5
+
+
+def test_zipf_fit_refuses_degenerate_top_n(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        corpus_zipf_fit,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="top_n"):
+        corpus_zipf_fit(docs, top_n=1)
+
+
 def test_winnow_refuses_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 1"):
