@@ -926,6 +926,28 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_order_size_price_spearman(spark, sf_dir):
+    # Spearman rank correlation between an order's lineitem count and
+    # its total price — monotone association without distribution
+    # assumptions (the Pearson family is covered by profile/trends).
+    # Ranks via the verified total-order partitioner (no
+    # single-partition window), tie-averaged as exact integers,
+    # decimal moments, two sqrt + one division at the end.
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    joined = orders.join(
+        per, orders.o_orderkey == per.l_orderkey
+    ).select("n_items", "o_totalprice")
+    return R.spearman_corr(
+        joined,
+        "n_items",
+        "o_totalprice",
+        x_bucket=F.col("n_items"),
+        y_bucket=F.floor(F.col("o_totalprice") / 10000),
+    )
+
+
 def q_corpus_zipf_fit(spark, sf_dir):
     # Zipf rank-frequency fit: fixed-point log-log OLS over the top-500
     # token frequencies (slope ≈ −1 for natural language) — the
@@ -3079,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg420_audit": q_media_jpeg420_audit,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "corpus_zipf_fit": q_corpus_zipf_fit,
+        "order_size_price_spearman": q_order_size_price_spearman,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -4983,6 +5006,33 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "order_size_price_spearman": """
+            WITH per AS (
+              SELECT l_orderkey, count(*) AS n_items
+              FROM lineitem GROUP BY l_orderkey),
+            j AS (
+              SELECT per.n_items, o.o_totalprice
+              FROM orders o JOIN per ON o.o_orderkey = per.l_orderkey),
+            r AS (
+              SELECT CAST(2 * rank() OVER (ORDER BY n_items)
+                          + count(*) OVER (PARTITION BY n_items) - 1
+                       AS HUGEINT) AS u,
+                     CAST(2 * rank() OVER (ORDER BY o_totalprice)
+                          + count(*) OVER (PARTITION BY o_totalprice) - 1
+                       AS HUGEINT) AS v
+              FROM j),
+            m AS (
+              SELECT CAST(count(*) AS HUGEINT) AS n,
+                     sum(u) AS su, sum(v) AS sv,
+                     sum(u * u) AS suu, sum(v * v) AS svv,
+                     sum(u * v) AS suv
+              FROM r)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n * suv - su * sv AS DOUBLE)
+                     / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+                        * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS rho
+            FROM m
         """,
         "corpus_zipf_fit": f"""
             WITH tok AS (

@@ -553,3 +553,80 @@ def zscore_normalize(
         )
         .orderBy(key_col, value_col)
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_bucket: Column,
+    y_bucket: Column,
+) -> DataFrame:
+    """Spearman rank correlation ρ between two columns — monotone
+    association, the distribution-free complement of Pearson (which
+    the profile/trend family already covers via exact moments): rank
+    both columns with AVERAGE ranks for ties (the textbook treatment;
+    Spearman = Pearson on those ranks), then one exact-moment Pearson.
+
+    Scale discipline: ranks come from ``global_rank`` (the verified
+    total-order partitioner — NO single-partition window over the
+    data; callers supply the same monotone bucket expressions that
+    operator requires), tie-averaging is a per-value groupBy on
+    2·min(rank)+count−1 (an INTEGER — doubling the average rank keeps
+    every moment exact), and the five moments ride decimal(38,0)
+    (bounded by 4n³ — exact past 10¹² rows). The only floats are the
+    two sqrt's and one division at the very end, each a single IEEE op
+    mirrored verbatim in SQL — partition-order-free, value-exact
+    oracle. Rows with a NULL/NaN in either column are excluded up
+    front (global_rank refuses invalid keys loudly rather than
+    ordering them arbitrarily).
+
+    Returns 1 row: (n, rho)."""
+    # bucket expressions are evaluated against the CALLER's columns
+    # here, before the rename — they ride along as materialized cols
+    base = df.select(
+        F.col(x_col).alias("_x"),
+        F.col(y_col).alias("_y"),
+        x_bucket.alias("_bx"),
+        y_bucket.alias("_by"),
+    ).where(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & ~F.isnan(F.col("_x").cast("double"))
+        & ~F.isnan(F.col("_y").cast("double"))
+    )
+
+    def avg2_ranks(frame: DataFrame, col: str, bucket_col: str, out: str):
+        ranked = global_rank(
+            frame, F.col(bucket_col), F.col(col), rank_col="_rk"
+        )
+        ties = ranked.groupBy(col).agg(
+            (2 * F.min("_rk") + F.count(F.lit(1)) - 1).alias(out)
+        )
+        return ranked.drop("_rk").join(ties, col)
+
+    both = avg2_ranks(
+        avg2_ranks(base, "_x", "_bx", "_u"), "_y", "_by", "_v"
+    )
+    dec = "decimal(38,0)"
+    mom = both.select(
+        F.col("_u").cast(dec).alias("_u"), F.col("_v").cast(dec).alias("_v")
+    ).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum("_u").alias("_su"),
+        F.sum("_v").alias("_sv"),
+        F.sum(F.expr("_u * _u")).alias("_suu"),
+        F.sum(F.expr("_v * _v")).alias("_svv"),
+        F.sum(F.expr("_u * _v")).alias("_suv"),
+    )
+    # a constant column has zero rank variance — ρ is undefined there,
+    # returned as an explicit NULL (ANSI-safe try_divide) rather than
+    # an engine-dependent inf/NaN/error
+    return mom.select(
+        F.col("_n").cast("long").alias("n"),
+        F.expr(
+            "try_divide(cast(_n * _suv - _su * _sv as double),"
+            " sqrt(cast(_n * _suu - _su * _su as double))"
+            " * sqrt(cast(_n * _svv - _sv * _sv as double)))"
+        ).alias("rho"),
+    )

@@ -211,6 +211,7 @@ HEADLINE = [
     "media_jpeg420_audit",
     "doc_winnow_pairs",
     "corpus_zipf_fit",
+    "order_size_price_spearman",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -81,6 +81,7 @@ NEW_R5 = [
     "media_jpeg420_audit",
     "doc_winnow_pairs",
     "corpus_zipf_fit",
+    "order_size_price_spearman",
 ]
 
 

@@ -166,6 +166,62 @@ def test_zipf_fit_refuses_degenerate_top_n(spark):
         corpus_zipf_fit(docs, top_n=1)
 
 
+def test_spearman_known_values_with_ties(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        spearman_corr,
+    )
+    from pyspark.sql import functions as F
+
+    def rho_of(pairs):
+        df = spark.createDataFrame(pairs, "x double, y double")
+        row = spearman_corr(
+            df, "x", "y", F.floor(F.col("x")), F.floor(F.col("y"))
+        ).collect()[0]
+        return row.n, row.rho
+
+    # perfect monotone (nonlinear!) relation → rho exactly 1
+    n, rho = rho_of([(float(i), float(i**3)) for i in range(1, 9)])
+    assert n == 8 and abs(rho - 1.0) < 1e-12  # sqrt(a)*sqrt(b) rounds
+    # perfect anti-monotone → -1
+    n, rho = rho_of([(float(i), float(-i)) for i in range(1, 9)])
+    assert abs(rho + 1.0) < 1e-12
+    # textbook tie case checked against scipy's published treatment:
+    # x = 1,2,3,3,5  y = 2,1,4,3,5 — average ranks
+    # ux = 1,2,3.5,3.5,5 ; uy = 2,1,4,3,5 → Pearson on those
+    import math
+
+    ux = [1, 2, 3.5, 3.5, 5]
+    uy = [2, 1, 4, 3, 5]
+    mx, my = sum(ux) / 5, sum(uy) / 5
+    want = sum((a - mx) * (b - my) for a, b in zip(ux, uy)) / math.sqrt(
+        sum((a - mx) ** 2 for a in ux) * sum((b - my) ** 2 for b in uy)
+    )
+    n, rho = rho_of(
+        [(1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (3.0, 3.0), (5.0, 5.0)]
+    )
+    assert n == 5 and abs(rho - want) < 1e-12
+    # a constant column has zero rank variance: rho undefined → NULL
+    n, rho = rho_of([(1.0, float(i)) for i in range(4)])
+    assert rho is None
+
+
+def test_spearman_drops_null_and_nan_rows(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        spearman_corr,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (None, 9.0),
+         (4.0, None), (float("nan"), 5.0)],
+        "x double, y double",
+    )
+    row = spearman_corr(
+        df, "x", "y", F.floor(F.col("x")), F.floor(F.col("y"))
+    ).collect()[0]
+    assert row.n == 3 and abs(row.rho - 1.0) < 1e-12
+
+
 def test_winnow_refuses_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 1"):
