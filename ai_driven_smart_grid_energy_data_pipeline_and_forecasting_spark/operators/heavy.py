@@ -105,6 +105,133 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     )
 
 
+def _mg_compress(frame: DataFrame, k: int) -> DataFrame:
+    """Reduce an MG counter frame to ≤ k−1 rows: subtract the k-th
+    largest counter from every counter and drop the non-positive —
+    the Agarwal et al. (PODS 2012, "Mergeable Summaries") reduction,
+    which preserves the summed deficit bound because removing d from
+    ≥ k counters drains ≥ k·d total mass. The NULL-item sentinel row
+    (total observed count) passes through untouched. All frames here
+    are ≤ O(k) rows — driver-scale by construction."""
+    items = frame.where(F.col("item").isNotNull())
+    sentinel = frame.where(F.col("item").isNull())
+    kth = (
+        items.orderBy(F.desc("cnt"))
+        .limit(k)
+        .agg(
+            F.when(F.count(F.lit(1)) >= k, F.min("cnt"))
+            .otherwise(F.lit(0))
+            .alias("_d")
+        )
+    )
+    return (
+        items.crossJoin(F.broadcast(kth))
+        .select("item", (F.col("cnt") - F.col("_d")).alias("cnt"))
+        .where(F.col("cnt") > 0)
+        .unionByName(sentinel)
+    )
+
+
+def mg_summary(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Misra-Gries summary as a MERGEABLE STATE frame: ≤ k−1
+    (item, cnt) counter rows plus one NULL-item sentinel carrying the
+    total observed row count — the bounded-memory approximate
+    heavy-hitter structure (unlike ``heavy_hitters``' exact two-pass
+    form, this never re-reads the data, which is what a STREAM needs).
+    Guarantee (Misra-Gries 1982 + the mergeability theorem of Agarwal
+    et al. 2012): for every item, ``cnt ≤ true ≤ cnt + n/k`` where n
+    is the sentinel total — so every item with true frequency > n/k is
+    PRESENT in the summary, and ``mg_probe`` exposes both ends of the
+    interval.
+
+    Unlike the CMS/Bloom/histogram states, an MG summary is
+    ORDER-DEPENDENT (which valid summary you get depends on fold
+    order), so the streamed state is not bit-identical to a one-pass
+    batch build — both are valid summaries of the same data; the
+    tests pin the GUARANTEE (interval containment, heavy-hitter
+    presence), not cell equality.
+
+    Plan: one O(k)-memory kernel pass per task (the weighted MG
+    update shared with ``heavy_hitters``), then the compress merge of
+    the ≤ P·(k−1) per-task counters — no corpus shuffle at all."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = df.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        cap = k - 1
+        seen = 0
+        for pdf in batches:
+            seen += len(pdf)
+            for item, w in pdf["item"].value_counts().items():
+                w = int(w)
+                if item in counters:
+                    counters[item] += w
+                    continue
+                while w > 0 and len(counters) >= cap:
+                    d = min(w, min(counters.values()))
+                    w -= d
+                    for i in list(counters):
+                        counters[i] -= d
+                        if counters[i] == 0:
+                            del counters[i]
+                if w > 0:
+                    counters[item] = w
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [seen],
+            }
+        )
+
+    per_task = src.mapInPandas(mg, "item string, cnt long")
+    summed = per_task.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    return _mg_compress(summed, k)
+
+
+def merge_mg_summaries(states: list[DataFrame], k: int = 100) -> DataFrame:
+    """⊕ of MG summaries: pointwise counter addition (sentinels sum
+    into the merged total) followed by the compress reduction back to
+    ≤ k−1 counters. Deficit bounds ADD across inputs (each ≤ nᵢ/k), so
+    the merged summary keeps ``cnt ≤ true ≤ cnt + n/k`` — the
+    mergeability contract shared with the decimal/HLL, histogram, CMS
+    and Bloom states. The k must match across states (a summary's
+    guarantee is parameterized by it; the histogram-family caller-owns
+    -the-spec contract)."""
+    if not states:
+        raise ValueError("merge_mg_summaries needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return _mg_compress(
+        out.groupBy("item").agg(F.sum("cnt").alias("cnt")), k
+    )
+
+
+def mg_probe(state: DataFrame, k: int = 100) -> DataFrame:
+    """Read an MG summary state: (item, est_floor, est_ceil) per
+    counter row — ``est_floor`` the stored counter (never an
+    overcount), ``est_ceil = cnt + ⌈n/k⌉`` the deficit-bound upper end
+    — ordered by floor desc. Items absent from the summary have true
+    count ≤ n/k (the structure's negative guarantee)."""
+    total = state.where(F.col("item").isNull()).agg(
+        F.sum("cnt").alias("_n")
+    )
+    return (
+        state.where(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item",
+            F.col("cnt").alias("est_floor"),
+            (F.col("cnt") + F.ceil(F.col("_n") / k)).alias("est_ceil"),
+        )
+        .orderBy(F.desc("est_floor"), "item")
+    )
+
+
 def _cms_rows(col_name: str, depth: int, width: int):
     """The per-item (row, cell) array expression shared by build and
     probe — one definition so they can never disagree."""

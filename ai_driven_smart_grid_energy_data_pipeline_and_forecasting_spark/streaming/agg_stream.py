@@ -291,6 +291,52 @@ def stream_cms_state(
     )
 
 
+def stream_mg_state(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    col: str,
+    k: int = 100,
+):
+    """Streaming approximate heavy hitters — the FIFTH mergeable state
+    behind the shared commit protocol (decimal/HLL rollup, histogram,
+    Count-Min, Bloom, now Misra-Gries): each micro-batch's ≤ k−1
+    counter rows fold in by pointwise addition + the Agarwal-et-al.
+    compress, so the committed state always satisfies
+    ``cnt ≤ true ≤ cnt + n/k`` over EVERYTHING ingested while holding
+    ≤ k rows — the bounded-memory "what are the heavy keys so far"
+    structure (the CMS state answers point queries; this one
+    enumerates the heavy set without knowing the keys in advance).
+    Probe the committed snapshot with ``heavy.mg_probe``.
+
+    One contract difference from the other four states, documented
+    rather than hidden: MG summaries are ORDER-DEPENDENT, so the
+    streamed state is a VALID summary of the union, not bit-identical
+    to a one-pass batch build — the replay guard still makes effects
+    exactly-once per batch_id (the committed snapshot is what it is;
+    a replay never re-folds it). ``k`` must stay constant across the
+    state's lifetime (caller owns it — the CMS/Bloom spec contract)."""
+    from ..operators.heavy import merge_mg_summaries, mg_summary
+
+    bind_checkpoint(state_path, checkpoint)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _apply_state_batch(
+            batch,
+            batch_id,
+            state_path,
+            lambda b: mg_summary(b, col, k),
+            lambda prev, new: merge_mg_summaries([prev, new], k),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
     """Retention sweep for committed snapshots: delete ``v*`` dirs
     older than the newest ``keep_last`` versions (the pointer target

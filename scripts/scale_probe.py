@@ -132,6 +132,13 @@ PROBE_QUERIES = [
     "vocab_growth",
     "minhash_accuracy_audit",
     "ann_hard_negatives",
+    # r8 additions
+    "part_fuzzy_pairs_auto",
+    "doc_search_indexed",
+    "click_attribution_outer",
+    "doc_winnow_pairs",
+    "corpus_zipf_fit",
+    "order_size_price_spearman",
 ]
 
 

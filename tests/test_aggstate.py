@@ -507,6 +507,133 @@ def test_state_and_lsh_markers_work_through_file_scheme_hadoop_paths(
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
 
 
+def test_mg_summary_interval_and_heavy_presence(spark):
+    # the MG guarantee: cnt <= true <= cnt + n/k for every stored item,
+    # and every item with true count > n/k is PRESENT in the summary
+    import collections
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        mg_probe,
+        mg_summary,
+    )
+
+    rows = (["hot"] * 400 + ["warm"] * 120
+            + [f"cold{i}" for i in range(480)])
+    truth = collections.Counter(rows)
+    n, k = len(rows), 10
+    df = spark.createDataFrame([(r,) for r in rows], "v string")
+    state = mg_summary(df, "v", k=k)
+    stored = state.where("item is not null").collect()
+    assert len(stored) <= k - 1
+    sentinel = state.where("item is null").collect()
+    assert len(sentinel) == 1 and sentinel[0].cnt == n
+    for r in stored:
+        assert r.cnt <= truth[r.item] <= r.cnt + n / k, r
+    items = {r.item for r in stored}
+    for it, c in truth.items():
+        if c > n / k:
+            assert it in items, f"heavy {it} missing"
+    probe = {r.item: (r.est_floor, r.est_ceil)
+             for r in mg_probe(state, k=k).collect()}
+    for it, (lo, hi) in probe.items():
+        assert lo <= truth[it] <= hi
+
+
+def test_mg_merge_preserves_summed_bound(spark):
+    import collections
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        merge_mg_summaries,
+        mg_summary,
+    )
+
+    a_rows = ["x"] * 50 + ["y"] * 30 + [f"a{i}" for i in range(40)]
+    b_rows = ["x"] * 40 + ["z"] * 35 + [f"b{i}" for i in range(45)]
+    truth = collections.Counter(a_rows + b_rows)
+    n, k = len(a_rows) + len(b_rows), 8
+    a = mg_summary(
+        spark.createDataFrame([(r,) for r in a_rows], "v string"), "v", k=k
+    )
+    b = mg_summary(
+        spark.createDataFrame([(r,) for r in b_rows], "v string"), "v", k=k
+    )
+    merged = merge_mg_summaries([a, b], k=k)
+    stored = merged.where("item is not null").collect()
+    assert len(stored) <= k - 1
+    assert merged.where("item is null").collect()[0].cnt == n
+    for r in stored:
+        assert r.cnt <= truth[r.item] <= r.cnt + n / k
+    items = {r.item for r in stored}
+    for it, c in truth.items():
+        if c > n / k:
+            assert it in items
+
+
+def test_stream_mg_state_tracks_heavy_keys(spark, tmp_path):
+    # fifth mergeable state: the committed snapshot satisfies the MG
+    # interval over EVERYTHING ingested, heavy keys are present, and a
+    # pointer-loss replay of the last batch changes nothing
+    import collections
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        merge_mg_summaries,
+        mg_summary,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        _apply_state_batch,
+        read_state,
+        stream_mg_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [{"k": "hot", "value": 1.0, "uid": i} for i in range(30)]
+        + [{"k": f"c{i}", "value": 1.0, "uid": 100 + i} for i in range(20)],
+        [{"k": "hot", "value": 1.0, "uid": 200 + i} for i in range(25)]
+        + [{"k": "warm", "value": 1.0, "uid": 300 + i} for i in range(18)]
+        + [{"k": f"d{i}", "value": 1.0, "uid": 400 + i} for i in range(15)],
+    ]
+    for i, rows in enumerate(batches):
+        _drop_events(drop, f"m{i}.json", rows)
+        q = stream_mg_state(
+            _read_stream(spark, drop), state, ckpt, "k", k=6
+        )
+        q.awaitTermination(60)
+
+    truth = collections.Counter(
+        r["k"] for b in batches for r in b
+    )
+    n = sum(truth.values())
+    st = read_state(spark, state)
+    stored = st.where("item is not null").collect()
+    assert len(stored) <= 5
+    assert st.where("item is null").collect()[0].cnt == n
+    for r in stored:
+        assert r.cnt <= truth[r.item] <= r.cnt + n / 6
+    items = {r.item for r in stored}
+    for it, c in truth.items():
+        if c > n / 6:
+            assert it in items, f"heavy {it} missing from streamed state"
+
+    # pointer-loss replay: the committed v1 snapshot is found via
+    # _SUCCESS, never re-folded — state bit-identical afterwards
+    before = sorted(map(repr, st.collect()))
+    os.remove(os.path.join(state, "_LATEST"))
+    batch = spark.createDataFrame(
+        [(r["k"],) for r in batches[-1]], "k string"
+    )
+    _apply_state_batch(
+        batch, 1, state,
+        lambda b: mg_summary(b, "k", 6),
+        lambda p, nw: merge_mg_summaries([p, nw], 6),
+    )
+    after = sorted(map(repr, read_state(spark, state).collect()))
+    assert after == before
+
+
 def test_cms_probe_matches_build_side_item_semantics(spark):
     # ADVICE r7: the probe must hash the SAME string-cast, NULL-filtered
     # item the build hashes — NULL probes were emitted as an
