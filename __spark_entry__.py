@@ -1014,6 +1014,62 @@ def q_corpus_textrank(spark, sf_dir):
     return TX.corpus_textrank(docs, k=50, n_iter=5, min_count=5)
 
 
+def q_incremental_join_deletes(spark, sf_dir):
+    # Counting IVM with DELETES (Gupta-Mumick-Subrahmanian; r8 closes
+    # the boundary the insert-only rule documented): both sides start
+    # as the <1996 slices, the delta INSERTS the >=1996 rows and
+    # DELETES the <1993 rows (multiplicity -1); joined multiplicities
+    # multiply, apply sums-and-drops-zeros with a loud negative guard.
+    # The oracle is the PLAIN recompute over the post-delta bases
+    # (dates >= 1993) — a green row proves signed-delta maintenance ≡
+    # recompute, deletes included.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.ivm import (
+        apply_counted_delta,
+        counted_join_delta,
+        with_multiplicity,
+    )
+
+    lo, hi = "1993-01-01", "1996-01-01"
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_custkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_shipdate"
+    )
+    a_old = with_multiplicity(orders.where(F.col("o_orderdate") < hi))
+    a_delta = with_multiplicity(
+        orders.where(F.col("o_orderdate") >= hi)
+    ).unionByName(
+        with_multiplicity(orders.where(F.col("o_orderdate") < lo))
+        .withColumn("_mult", -F.col("_mult"))
+    )
+    b_old = with_multiplicity(li.where(F.col("l_shipdate") < hi))
+    b_delta = with_multiplicity(
+        li.where(F.col("l_shipdate") >= hi)
+    ).unionByName(
+        with_multiplicity(li.where(F.col("l_shipdate") < lo))
+        .withColumn("_mult", -F.col("_mult"))
+    )
+    view_old = counted_join_delta(
+        # view creation: A_old ⋈ B_old expressed through the same
+        # product rule with an empty "old" side — one code path
+        a_old, b_old.limit(0), a_old.limit(0), b_old, ["okey"]
+    )
+    delta = counted_join_delta(a_old, b_old, a_delta, b_delta, ["okey"])
+    maintained = apply_counted_delta(view_old, delta)
+    return (
+        maintained.groupBy("o_custkey")
+        .agg(
+            F.sum("_mult").alias("n_rows"),
+            F.sum(
+                F.col("_mult")
+                * F.col("l_extendedprice").cast("decimal(20,6)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def q_incremental_join_revenue(spark, sf_dir):
     # Incrementally-maintained JOIN view (Blakeley/Griffin-Libkin
     # insert-delta rule): orders x lineitem, both sides split at
@@ -3102,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "order_size_price_spearman": q_order_size_price_spearman,
+        "incremental_join_deletes": q_incremental_join_deletes,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5006,6 +5063,15 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "incremental_join_deletes": """
+            SELECT o.o_custkey, count(*) AS n_rows,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,6)))
+                     AS DOUBLE) AS revenue
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1993-01-01'
+              AND l.l_shipdate >= TIMESTAMP '1993-01-01'
+            GROUP BY o.o_custkey ORDER BY o.o_custkey
         """,
         "order_size_price_spearman": """
             WITH per AS (

@@ -212,6 +212,7 @@ HEADLINE = [
     "doc_winnow_pairs",
     "corpus_zipf_fit",
     "order_size_price_spearman",
+    "incremental_join_deletes",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

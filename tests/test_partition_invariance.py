@@ -82,6 +82,7 @@ NEW_R5 = [
     "doc_winnow_pairs",
     "corpus_zipf_fit",
     "order_size_price_spearman",
+    "incremental_join_deletes",
 ]
 
 

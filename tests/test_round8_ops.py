@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import pytest
+from pyspark.sql.functions import col as F_col
 
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
     winnow_fingerprints,
@@ -220,6 +221,70 @@ def test_spearman_drops_null_and_nan_rows(spark):
         df, "x", "y", F.floor(F.col("x")), F.floor(F.col("y"))
     ).collect()[0]
     assert row.n == 3 and abs(row.rho - 1.0) < 1e-12
+
+
+def test_counted_ivm_with_deletes_equals_recompute(spark):
+    # signed-bag identity incl. DUPLICATE rows: maintained view ==
+    # counted recompute of the post-delta bases, bag-exactly
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.ivm import (
+        apply_counted_delta,
+        counted_join_delta,
+        with_multiplicity,
+    )
+
+    # duplicates on purpose: (1,'x') twice in A_old; (1, 10.0) twice in B_old
+    a_old_rows = [(1, "x"), (1, "x"), (2, "y"), (3, "z")]
+    b_old_rows = [(1, 10.0), (1, 10.0), (2, 20.0), (4, 40.0)]
+    a_ins = [(4, "w"), (1, "x")]          # one more copy of the dup row
+    a_del = [(3, "z"), (1, "x")]          # delete one of the copies
+    b_ins = [(3, 30.0)]
+    b_del = [(1, 10.0)]
+
+    def cf(rows, schema):
+        return with_multiplicity(spark.createDataFrame(rows, schema))
+
+    A, B = "k long, av string", "k long, bv double"
+    a_old, b_old = cf(a_old_rows, A), cf(b_old_rows, B)
+    a_delta = cf(a_ins, A).unionByName(
+        cf(a_del, A).withColumn("_mult", -F_col("_mult"))
+    )
+    b_delta = cf(b_ins, B).unionByName(
+        cf(b_del, B).withColumn("_mult", -F_col("_mult"))
+    )
+    view_old = counted_join_delta(
+        a_old, b_old.limit(0), a_old.limit(0), b_old, ["k"]
+    )
+    delta = counted_join_delta(a_old, b_old, a_delta, b_delta, ["k"])
+    got = sorted(
+        map(tuple, apply_counted_delta(view_old, delta).collect())
+    )
+
+    import collections
+
+    a_new = collections.Counter(a_old_rows) + collections.Counter(a_ins)
+    a_new.subtract(collections.Counter(a_del))
+    b_new = collections.Counter(b_old_rows) + collections.Counter(b_ins)
+    b_new.subtract(collections.Counter(b_del))
+    want = collections.Counter()
+    for (ka, av), ma in a_new.items():
+        for (kb, bv), mb in b_new.items():
+            if ka == kb and ma > 0 and mb > 0:
+                want[(ka, av, bv)] += ma * mb
+    assert got == sorted((k, a, b, m) for (k, a, b), m in want.items() if m)
+
+
+def test_counted_ivm_refuses_negative_multiplicity(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.ivm import (
+        apply_counted_delta,
+        with_multiplicity,
+    )
+
+    view = with_multiplicity(
+        spark.createDataFrame([(1, "x")], "k long, v string")
+    )
+    bad_delta = view.withColumn("_mult", F_col("_mult") * -2)  # deletes 2, has 1
+    with pytest.raises(Exception, match="negative multiplicity"):
+        apply_counted_delta(view, bad_delta).collect()
 
 
 def test_winnow_refuses_bad_params(spark):
