@@ -926,6 +926,22 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_join_size_cms_audit(spark, sf_dir):
+    # Join-cardinality estimation from two Count-Min sketches (the
+    # Cormode-Muthukrishnan inner product): |events ⋈ orders| on the
+    # user/customer key estimated WITHOUT joining the data — the
+    # optimizer-style pre-join cardinality probe — audited against the
+    # exact join count; overestimate >= 0 verifies the one-sided
+    # guarantee. md5 cells keep the whole audit value-exact.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_join_size_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    return cms_join_size_audit(ev, "user_id", orders, "o_custkey")
+
+
 def q_order_size_price_spearman(spark, sf_dir):
     # Spearman rank correlation between an order's lineitem count and
     # its total price — monotone association without distribution
@@ -3159,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "order_size_price_spearman": q_order_size_price_spearman,
         "incremental_join_deletes": q_incremental_join_deletes,
+        "join_size_cms_audit": q_join_size_cms_audit,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5063,6 +5080,45 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "join_size_cms_audit": """
+            WITH a AS (
+              SELECT CAST(user_id AS VARCHAR) AS item FROM events
+              WHERE user_id IS NOT NULL),
+            b AS (
+              SELECT CAST(o_custkey AS VARCHAR) AS item FROM orders
+              WHERE o_custkey IS NOT NULL),
+            ca AS (
+              SELECT j,
+                     CAST(('0x' || substr(md5('cms' || j || '_' || item),
+                                          1, 8)) AS BIGINT) % 2048 AS cell,
+                     count(*) AS cnt
+              FROM a, (SELECT unnest([0, 1, 2, 3]) AS j)
+              GROUP BY 1, 2),
+            cb AS (
+              SELECT j,
+                     CAST(('0x' || substr(md5('cms' || j || '_' || item),
+                                          1, 8)) AS BIGINT) % 2048 AS cell,
+                     count(*) AS cnt
+              FROM b, (SELECT unnest([0, 1, 2, 3]) AS j)
+              GROUP BY 1, 2),
+            per_j AS (
+              SELECT jj.j,
+                     coalesce(sum(ca.cnt * cb.cnt), 0) AS ip
+              FROM (SELECT unnest([0, 1, 2, 3]) AS j) jj
+              LEFT JOIN ca ON ca.j = jj.j
+              LEFT JOIN cb ON cb.j = jj.j AND cb.cell = ca.cell
+              GROUP BY jj.j),
+            est AS (SELECT min(ip) AS cms_join_estimate FROM per_j),
+            tru AS (
+              SELECT count(*) AS true_join_size
+              FROM a JOIN b ON a.item = b.item)
+            SELECT tru.true_join_size,
+                   CAST(est.cms_join_estimate AS BIGINT)
+                     AS cms_join_estimate,
+                   CAST(est.cms_join_estimate - tru.true_join_size
+                     AS BIGINT) AS overestimate
+            FROM tru CROSS JOIN est
         """,
         "incremental_join_deletes": """
             SELECT o.o_custkey, count(*) AS n_rows,

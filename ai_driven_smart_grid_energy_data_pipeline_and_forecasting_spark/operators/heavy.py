@@ -319,6 +319,79 @@ def cms_probe(
     )
 
 
+def cms_join_size_estimate(
+    state_a: DataFrame, state_b: DataFrame, depth: int = 4
+) -> DataFrame:
+    """Equi-join SIZE estimate from two Count-Min sketches — the
+    inner-product composition of Cormode & Muthukrishnan §4.2:
+    |A ⋈ B| = Σ_v f_A(v)·f_B(v), estimated as the MIN over sketch rows
+    of the cell-wise inner product Σ_cell cntA·cntB. One-sided like
+    the point estimate (hash collisions only ADD cross terms), so
+    estimate ≥ true always; expected overshoot ≤ |A|·|B|/width per
+    row. The cardinality-estimation primitive a cost-based optimizer
+    wants BEFORE running a join — two ≤ depth·width states stand in
+    for scanning either side. Both states must share (depth, width)
+    (the merge contract). Joins the two tiny states, one groupBy, one
+    min — all exact integers."""
+    a = state_a.select("j", "cell", F.col("cnt").alias("_ca"))
+    b = state_b.select("j", "cell", F.col("cnt").alias("_cb"))
+    per_j = (
+        a.join(b, ["j", "cell"])
+        .groupBy("j")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    # a sketch row with NO overlapping cells proves the join is empty —
+    # it must participate in the min as 0, not vanish from the groupBy
+    spark = state_a.sparkSession
+    all_j = spark.range(depth).select(F.col("id").cast("int").alias("j"))
+    return (
+        all_j.join(per_j, "j", "left")
+        .agg(
+            F.min(F.coalesce(F.col("_ip"), F.lit(0))).alias(
+                "cms_join_estimate"
+            )
+        )
+    )
+
+
+def cms_join_size_audit(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Join-cardinality estimate audited against the exact join count:
+    (true_join_size, cms_estimate, overestimate) — ``overestimate ≥ 0``
+    VERIFIES the one-sided inner-product guarantee from the data, the
+    same shape as ``cms_topk_audit``'s point-estimate audit. The exact
+    side is one equi-join count; the sketch side never joins the data
+    at all (two sketch builds + a depth·width-bounded inner product) —
+    which is the whole point at 100 TB."""
+    sa = cms_state(df_a, col_a, depth, width)
+    sb = cms_state(df_b, col_b, depth, width)
+    est = cms_join_size_estimate(sa, sb, depth)
+    true_sz = (
+        df_a.select(F.col(col_a).cast("string").alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .join(
+            df_b.select(F.col(col_b).cast("string").alias("_k")).where(
+                F.col("_k").isNotNull()
+            ),
+            "_k",
+        )
+        .agg(F.count(F.lit(1)).alias("true_join_size"))
+    )
+    return true_sz.crossJoin(F.broadcast(est)).select(
+        "true_join_size",
+        "cms_join_estimate",
+        (F.col("cms_join_estimate") - F.col("true_join_size")).alias(
+            "overestimate"
+        ),
+    )
+
+
 def cms_topk_audit(
     df: DataFrame,
     col: str,

@@ -213,6 +213,7 @@ HEADLINE = [
     "corpus_zipf_fit",
     "order_size_price_spearman",
     "incremental_join_deletes",
+    "join_size_cms_audit",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

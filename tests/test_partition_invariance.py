@@ -83,6 +83,7 @@ NEW_R5 = [
     "corpus_zipf_fit",
     "order_size_price_spearman",
     "incremental_join_deletes",
+    "join_size_cms_audit",
 ]
 
 

@@ -287,6 +287,34 @@ def test_counted_ivm_refuses_negative_multiplicity(spark):
         apply_counted_delta(view, bad_delta).collect()
 
 
+def test_cms_join_size_estimate_exact_and_one_sided(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_join_size_audit,
+    )
+
+    # single shared value: the inner product is exactly 5*3 (one cell
+    # per row, no collisions possible)
+    a = spark.createDataFrame([("x",)] * 5, "k string")
+    b = spark.createDataFrame([("x",)] * 3, "k string")
+    row = cms_join_size_audit(a, "k", b, "k").collect()[0]
+    assert row.true_join_size == 15
+    assert row.cms_join_estimate == 15 and row.overestimate == 0
+
+    # disjoint domains: true 0; estimate stays one-sided (>= 0 overshoot)
+    c = spark.createDataFrame([(f"a{i}",) for i in range(50)], "k string")
+    d = spark.createDataFrame([(f"b{i}",) for i in range(50)], "k string")
+    row = cms_join_size_audit(c, "k", d, "k").collect()[0]
+    assert row.true_join_size == 0 and row.overestimate >= 0
+
+    # mixed with NULLs: NULL keys never join nor count on either side
+    e = spark.createDataFrame(
+        [("x",), ("x",), (None,), ("y",)], "k string"
+    )
+    f_ = spark.createDataFrame([("x",), (None,), ("z",)], "k string")
+    row = cms_join_size_audit(e, "k", f_, "k").collect()[0]
+    assert row.true_join_size == 2 and row.overestimate >= 0
+
+
 def test_winnow_refuses_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 1"):
