@@ -926,6 +926,23 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_doc_split_ks(spark, sf_dir):
+    # Exact two-sample Kolmogorov-Smirnov between the token-length
+    # distributions of the even/odd doc_id splits — the "are my
+    # train/val splits drawn alike" sup-norm test completing the drift
+    # family (PSI/chi²/histogram are binned; KS is the full CDF).
+    # Integer CDF-gap numerator, one terminal division.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        ks_two_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 2 == 0).alias("side"),
+    )
+    return ks_two_sample(docs, "n_tokens", "side")
+
+
 def q_join_size_cms_audit(spark, sf_dir):
     # Join-cardinality estimation from two Count-Min sketches (the
     # Cormode-Muthukrishnan inner product): |events ⋈ orders| on the
@@ -3176,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_size_price_spearman": q_order_size_price_spearman,
         "incremental_join_deletes": q_incremental_join_deletes,
         "join_size_cms_audit": q_join_size_cms_audit,
+        "doc_split_ks": q_doc_split_ks,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5080,6 +5098,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "doc_split_ks": f"""
+            WITH d AS (
+              SELECT CAST(len({_TOKS}) AS DOUBLE) AS v,
+                     doc_id % 2 = 0 AS s
+              FROM documents),
+            pv AS (
+              SELECT v,
+                     sum(CASE WHEN s THEN 1 ELSE 0 END) AS ca,
+                     sum(CASE WHEN s THEN 0 ELSE 1 END) AS cb
+              FROM d GROUP BY v),
+            cum AS (
+              SELECT sum(ca) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cuma,
+                     sum(cb) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cumb
+              FROM pv),
+            t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv)
+            SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+                   CAST(max(abs(cum.cuma * t.nb - cum.cumb * t.na))
+                     AS BIGINT) AS ks_num,
+                   CAST(t.na * t.nb AS BIGINT) AS ks_den,
+                   CAST(max(abs(cum.cuma * t.nb - cum.cumb * t.na))
+                     AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS ks_stat
+            FROM cum CROSS JOIN t GROUP BY t.na, t.nb
         """,
         "join_size_cms_audit": """
             WITH a AS (

@@ -200,3 +200,107 @@ def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
                 }
             )
     return out
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    n_bins: int | None = None,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the two
+    sides of ``side_col`` (boolean: True = side A): D = max over the
+    value domain of |F_A(v) − F_B(v)| — the distribution-free "are
+    these two splits drawn alike" test that completes the drift family
+    (PSI/chi² compare categorical masses, histogram drift compares
+    fixed bins; KS is the sup-norm over the whole empirical CDF, so it
+    catches location/shape shifts no single bin boundary aligns with).
+
+    Exactness discipline: per-value counts are integers, the CDF gap
+    is kept as the INTEGER numerator |cumA·nB − cumB·nA| (denominator
+    nA·nB), the max is over integers, and the one division to a double
+    happens on the final scalar — partition-order-free, value-exact
+    oracle.
+
+    Scale: the cumulative walk is a window over the DISTINCT value
+    domain. For discrete columns (counts, grades, bucketed features)
+    that domain is small and the single-partition window is bounded by
+    it. For continuous columns pass ``n_bins``/``lo``/``hi`` — values
+    are pre-bucketed to ⌊n_bins·(v−lo)/(hi−lo)⌋ (clamped), making the
+    domain n_bins by construction (the ``histogram_state`` discipline;
+    binned KS is a lower bound on exact KS, the standard large-data
+    treatment). Unbucketed use on a near-unique column is refused
+    loudly above 1<<20 distinct values rather than silently sorting
+    the corpus on one partition.
+
+    Returns 1 row: (n_a, n_b, ks_num, ks_den, ks_stat)."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    side = F.col(side_col)
+    base = df.where(v.isNotNull() & ~F.isnan(v) & side.isNotNull())
+    if n_bins is not None:
+        if lo is None or hi is None or not hi > lo or n_bins < 1:
+            raise ValueError(
+                "binned KS needs n_bins >= 1 and lo < hi"
+            )
+        width = (hi - lo) / n_bins
+        bucket = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width))
+            ),
+        ).cast("long")
+        base = base.select(bucket.alias("_v"), side.alias("_s"))
+    else:
+        base = base.select(v.alias("_v"), side.alias("_s"))
+    per_value = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_s"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_s"), 0).otherwise(1)).alias("_cb"),
+    )
+    if n_bins is None:
+        n_distinct = per_value.count()
+        if n_distinct > (1 << 20):
+            raise ValueError(
+                f"ks_two_sample: {n_distinct} distinct values — pass "
+                "n_bins/lo/hi to bound the cumulative domain instead "
+                "of sorting it on one partition"
+            )
+    w = (
+        Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = per_value.select(
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    )
+    totals = per_value.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max(F.col("_na")).alias("n_a"),
+            F.max(F.col("_nb")).alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("_cuma") * F.col("_nb")
+                    - F.col("_cumb") * F.col("_na")
+                )
+            ).alias("ks_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "ks_num",
+            (F.col("n_a") * F.col("n_b")).alias("ks_den"),
+            # an empty side makes the CDF (and KS) undefined → NULL,
+            # not an ANSI divide-by-zero error
+            F.expr(
+                "try_divide(cast(ks_num as double),"
+                " cast(n_a * n_b as double))"
+            ).alias("ks_stat"),
+        )
+    )

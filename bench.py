@@ -214,6 +214,7 @@ HEADLINE = [
     "order_size_price_spearman",
     "incremental_join_deletes",
     "join_size_cms_audit",
+    "doc_split_ks",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

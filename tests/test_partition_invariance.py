@@ -84,6 +84,7 @@ NEW_R5 = [
     "order_size_price_spearman",
     "incremental_join_deletes",
     "join_size_cms_audit",
+    "doc_split_ks",
 ]
 
 

@@ -315,6 +315,69 @@ def test_cms_join_size_estimate_exact_and_one_sided(spark):
     assert row.true_join_size == 2 and row.overestimate >= 0
 
 
+def test_ks_two_sample_matches_hand_reference(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        ks_two_sample,
+    )
+
+    def ref_ks(a, b):
+        vals = sorted(set(a) | set(b))
+        na, nb = len(a), len(b)
+        best = 0
+        for v in vals:
+            fa = sum(1 for x in a if x <= v) * nb
+            fb = sum(1 for x in b if x <= v) * na
+            best = max(best, abs(fa - fb))
+        return best, na * nb
+
+    a = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0]
+    b = [2.0, 4.0, 4.0, 5.0, 6.0]
+    rows = [(x, True) for x in a] + [(x, False) for x in b]
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    row = ks_two_sample(df, "v", "s").collect()[0]
+    num, den = ref_ks(a, b)
+    assert (row.n_a, row.n_b) == (6, 5)
+    assert (row.ks_num, row.ks_den) == (num, den)
+    assert abs(row.ks_stat - num / den) < 1e-15
+
+    # identical samples → KS exactly 0; disjoint supports → exactly 1
+    same = spark.createDataFrame(
+        [(float(i % 5), i % 2 == 0) for i in range(40)], "v double, s boolean"
+    )
+    assert ks_two_sample(same, "v", "s").collect()[0].ks_stat == 0.0
+    disj = spark.createDataFrame(
+        [(float(i), True) for i in range(5)]
+        + [(float(100 + i), False) for i in range(5)],
+        "v double, s boolean",
+    )
+    assert ks_two_sample(disj, "v", "s").collect()[0].ks_stat == 1.0
+
+
+def test_ks_two_sample_binned_mode_and_refusals(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        ks_two_sample,
+    )
+
+    # binning a shifted distribution still detects the shift, and the
+    # binned statistic is a LOWER bound on the exact one
+    rows = [(float(i) / 10, True) for i in range(100)] + [
+        (float(i) / 10 + 3.0, False) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "v double, s boolean")
+    exact = ks_two_sample(df, "v", "s").collect()[0].ks_stat
+    binned = ks_two_sample(
+        df, "v", "s", n_bins=16, lo=0.0, hi=13.0
+    ).collect()[0].ks_stat
+    assert binned > 0.2 and binned <= exact + 1e-15
+    with pytest.raises(ValueError, match="lo < hi"):
+        ks_two_sample(df, "v", "s", n_bins=8, lo=5.0, hi=5.0)
+    # a NULL-only side yields NULL (undefined), never a div-by-zero
+    one_side = spark.createDataFrame(
+        [(1.0, True), (2.0, True)], "v double, s boolean"
+    )
+    assert ks_two_sample(one_side, "v", "s").collect()[0].ks_stat is None
+
+
 def test_winnow_refuses_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 1"):
