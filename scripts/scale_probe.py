@@ -139,6 +139,9 @@ PROBE_QUERIES = [
     "doc_winnow_pairs",
     "corpus_zipf_fit",
     "order_size_price_spearman",
+    "incremental_join_deletes",
+    "join_size_cms_audit",
+    "doc_split_ks",
 ]
 
 
