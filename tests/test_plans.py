@@ -444,3 +444,52 @@ def test_scd2_no_nested_loop_and_broadcast_version_dim(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # tiny version dimension
+
+
+def test_click_attribution_outer_is_sortmerge_not_bnlj(spark):
+    # equi key (user_id) carries the shuffle; the interval predicate is
+    # a post-join condition — a BNLJ/Cartesian would be the quadratic
+    # failure mode of a range join without its equi key
+    plan = _plan(spark, "click_attribution_outer")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_winnow_pairs_windows_only_per_doc(spark):
+    # the winnowing window partitions by doc_id — a global (empty
+    # partition-spec) window would sort the gram stream on one task
+    plan = _plan(spark, "doc_winnow_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "doc_id" in line, line
+
+
+def test_spearman_windows_bounded_by_buckets(spark):
+    # both rank passes ride global_rank's bucket partitioner: every
+    # window over row-scale data must partition by the bucket column;
+    # the only unpartitioned windows are over the tiny per-bucket
+    # offset table (bounded by max_buckets)
+    plan = _plan(spark, "order_size_price_spearman")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_join_deletes_no_cartesian(spark):
+    plan = _plan(spark, "incremental_join_deletes")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_search_indexed_probe_prunes_buckets(spark):
+    # the lifecycle entry's ONLINE half must keep the bucket-pruned
+    # read: the postings scan shows a SelectedBucketsCount
+    plan = _plan(spark, "doc_search_indexed")
+    assert "SelectedBucketsCount" in plan, plan
+
+
+def test_zipf_fit_topn_is_take_ordered(spark):
+    # the spectrum cut must be a global top-N, never a full sort of
+    # the token-count table
+    plan = _plan(spark, "corpus_zipf_fit")
+    assert "TakeOrderedAndProject" in plan, plan
