@@ -926,6 +926,19 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_media_gif_audit(spark, sf_dir):
+    # GIF87a roundtrip certified by the oracle: md5-derived palettized
+    # rasters through the real LZW encode/decode path; GIF is lossless
+    # over its palette so the kernel asserts pixel equality and the
+    # decoded means hash-match the oracle's direct md5 computation.
+    # multimodal/binary_ops.gif_roundtrip_audit + multimodal/gif.py.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        gif_roundtrip_audit,
+    )
+
+    return gif_roundtrip_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_split_ks(spark, sf_dir):
     # Exact two-sample Kolmogorov-Smirnov between the token-length
     # distributions of the even/odd doc_id splits — the "are my
@@ -3194,6 +3207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_deletes": q_incremental_join_deletes,
         "join_size_cms_audit": q_join_size_cms_audit,
         "doc_split_ks": q_doc_split_ks,
+        "media_gif_audit": q_media_gif_audit,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5098,6 +5112,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "media_gif_audit": """
+            WITH d AS (
+              SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),
+            px AS (
+              SELECT d.doc_id, i.i,
+                     CAST(('0x' || substr(md5(
+                       'gp_' || CAST(d.doc_id AS VARCHAR) || '_' ||
+                       CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+                       AS j
+              FROM d, unnest(generate_series(0, 63)) AS i(i)),
+            v AS (
+              SELECT px.doc_id,
+                     CAST(('0x' || substr(md5(
+                       'gc_' || CAST(px.doc_id AS VARCHAR) || '_' ||
+                       CAST(px.j AS VARCHAR) || '_' ||
+                       CAST(c.c AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+                       AS val
+              FROM px, unnest([0, 1, 2]) AS c(c))
+            SELECT doc_id, CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(sum(val) AS DOUBLE) / 192 AS mean_px
+            FROM v GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_split_ks": f"""
             WITH d AS (

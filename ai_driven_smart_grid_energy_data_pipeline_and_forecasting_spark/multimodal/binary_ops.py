@@ -457,13 +457,17 @@ def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float
         from .jpeg import jpeg_decode
 
         return _rgb_features(*jpeg_decode(bytes(content)))
+    if not fake and content is not None and bytes(content[:4]) == b"GIF8":
+        from .gif import gif_decode
+
+        return _rgb_features(*gif_decode(bytes(content)))
     if not fake:
         raise NotImplementedError(
             "only uncompressed 24-bit BMP, non-interlaced 8-bit PNG, "
-            "baseline JPEG, binary P5 PGM and 16-bit PCM WAV decode "
-            "natively; other media codecs are not available in this "
-            "environment — pass fake=True for deterministic "
-            "pseudo-features"
+            "baseline JPEG, GIF87a/89a first frames, binary P5 PGM and "
+            "16-bit PCM WAV decode natively; other media codecs are "
+            "not available in this environment — pass fake=True for "
+            "deterministic pseudo-features"
         )
     if content is None:
         return [0.0] * FEATURE_DIM
@@ -570,12 +574,23 @@ def resize_stub(
             for y in range(height)
         ]
         return jpeg_encode(out)
+    if not fake and content is not None and bytes(content[:4]) == b"GIF8":
+        # nearest-neighbor keeps original palette colors, so the
+        # re-encode can never exceed the source's 256-color bound
+        from .gif import gif_decode, gif_encode
+
+        sw, sh, rows = gif_decode(bytes(content))
+        out = [
+            [rows[y * sh // height][x * sw // width] for x in range(width)]
+            for y in range(height)
+        ]
+        return gif_encode(out)
     if not fake:
         raise NotImplementedError(
             "only uncompressed 24-bit BMP, non-interlaced 8-bit PNG, "
-            "baseline JPEG and binary P5 PGM resize natively; other "
-            "image codecs are not available in this environment — pass "
-            "fake=True for deterministic pseudo-resize"
+            "baseline JPEG, GIF87a and binary P5 PGM resize natively; "
+            "other image codecs are not available in this environment "
+            "— pass fake=True for deterministic pseudo-resize"
         )
     if content is None:
         return b""
@@ -681,6 +696,62 @@ def codec_roundtrip_audit(
             "doc_id",
             F.lit(width).cast("int").alias("width"),
             F.lit(height).cast("int").alias("height"),
+            "mean_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def gif_roundtrip_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
+    """Oracle-checkable proof of the GIF byte path: per doc id an 8×8
+    raster over a 16-color md5-derived palette — palette color j's
+    channel c is ``h32("gc_<d>_<j>_<c>") mod 256``, pixel i picks
+    palette ``h32("gp_<d>_<i>") mod 16`` — is GIF-encoded (real LZW)
+    and decoded back through ``decode_stub``'s real branch. GIF is
+    LOSSLESS over its palette, so the kernel ASSERTS pixel equality
+    and emits the exact mean, which the SQL oracle recomputes from the
+    md5 derivation with no codec — a hash match certifies
+    encode → LZW → palette-mapping → feature extraction end to end
+    (the PNG audit's discipline on the palettized format)."""
+    import hashlib
+
+    from .gif import gif_decode, gif_encode
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pal = [
+                    tuple(h(f"gc_{d}_{j}_{c}") % 256 for c in range(3))
+                    for j in range(16)
+                ]
+                rows = [
+                    [pal[h(f"gp_{d}_{y * 8 + x}") % 16] for x in range(8)]
+                    for y in range(8)
+                ]
+                data = gif_encode(rows)
+                feats = decode_stub(data, "image")  # dispatch certified
+                assert feats[0] == 8.0 and feats[1] == 8.0
+                w, hh, back = gif_decode(data)
+                assert back == rows, f"GIF decode not pixel-exact (doc {d})"
+                total = sum(ch for row in back for px in row for ch in px)
+                ids.append(d)
+                means.append(total / (8 * 8 * 3))
+            yield pd.DataFrame({"doc_id": ids, "mean_px": means})
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .distinct()
+        .mapInPandas(run, "doc_id long, mean_px double")
+        .select(
+            "doc_id",
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
             "mean_px",
         )
         .orderBy("doc_id")

@@ -215,6 +215,7 @@ HEADLINE = [
     "incremental_join_deletes",
     "join_size_cms_audit",
     "doc_split_ks",
+    "media_gif_audit",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

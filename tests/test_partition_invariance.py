@@ -85,6 +85,7 @@ NEW_R5 = [
     "incremental_join_deletes",
     "join_size_cms_audit",
     "doc_split_ks",
+    "media_gif_audit",
 ]
 
 
