@@ -1,0 +1,89 @@
+"""Generate tests/shuffle_budgets.json: per-registry-entry Exchange
+counts from the PRE-AQE physical plan (sparkPlan — deterministic
+without executing; AQE may later ELIDE exchanges at runtime, never add
+them, so the pre-AQE count is the stable upper-bound contract).
+
+The budget file is the shuffle contract of the whole engine: a code
+change that adds an Exchange to any registered query fails
+tests/test_shuffle_budget.py until the budget is consciously re-raised
+— shuffles are the scarce resource at 100 TB (SCALE.md), so a silent
+extra one is a perf regression the oracle gate cannot see.
+
+Usage: python scripts/gen_shuffle_budgets.py  (rewrites the JSON)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import (  # noqa: E402
+    get_spark,
+)
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "shuffle_budgets.json",
+)
+
+# Entries whose PLAN depends on driver-side loops/collects over the
+# data (iteration counts, auto-derived knobs, bounded driver fast
+# paths) — their Exchange count is data-dependent, so they carry no
+# static budget; the scale probes and plan contracts cover them.
+DYNAMIC = {
+    "kcenter_selection",        # k-1 per-round plans (driver loop)
+    "part_fuzzy_pairs_auto",    # auto_gram_size collects sigma first
+    "semantic_dedup",           # CC rounds data-dependent
+    "semantic_dedup_auto",
+    "near_dup_clusters",
+    "dedup_corpus",
+    "dedup_corpus_best",
+    "embedding_dedup",
+    "dedup_cluster_sizes",
+    "leakage_safe_split",
+    "curated_corpus",
+    "bpe_audit",                # merge-loop iterations
+    "ann_ivf_trained",          # MLlib fit
+    "forecast_mllib",
+    "doc_search_indexed",       # persists tables before the probe plan
+    "incremental_novel_near",
+    "incremental_novel_docs",
+    "doc_curriculum",
+    "upsert_merge",             # writes + reads back
+    "hourly_agg_incremental",
+    "silver_clean_vs_actual",
+    "pipeline_lineage",
+    "media_codec_audit",
+    "media_jpeg420_audit",
+    "media_gif_audit",
+}
+
+
+def main() -> None:
+    spark = get_spark("shuffle-budgets")
+    budgets: dict[str, int] = {}
+    for name, fn in entry_mod.queries().items():
+        if name in DYNAMIC:
+            continue
+        try:
+            df = fn(spark, SF)
+            plan = df._jdf.queryExecution().sparkPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[skip] {name}: {type(exc).__name__}: {exc}"[:200])
+            continue
+        budgets[name] = plan.count("Exchange")
+    with open(OUT, "w") as fh:
+        json.dump(budgets, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"wrote {len(budgets)} budgets to {OUT}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
