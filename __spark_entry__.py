@@ -926,6 +926,18 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_source_lang_entropy(spark, sf_dir):
+    # Shannon entropy of each source's language mix — the diversity
+    # half of the dataset-card pair (dominant-language arg-max there).
+    # Exact-integer numerator (one floored fixed-point ln per
+    # (source, lang) row), one terminal division.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        source_language_entropy,
+    )
+
+    return source_language_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_media_gif_audit(spark, sf_dir):
     # GIF87a roundtrip certified by the oracle: md5-derived palettized
     # rasters through the real LZW encode/decode path; GIF is lossless
@@ -3208,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_size_cms_audit": q_join_size_cms_audit,
         "doc_split_ks": q_doc_split_ks,
         "media_gif_audit": q_media_gif_audit,
+        "source_lang_entropy": q_source_lang_entropy,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5112,6 +5125,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "source_lang_entropy": """
+            WITH per AS (
+              SELECT source, lang, count(*) AS c
+              FROM documents GROUP BY source, lang),
+            tot AS (
+              SELECT source, sum(c) AS n, count(*) AS n_langs
+              FROM per GROUP BY source),
+            num AS (
+              SELECT per.source,
+                     sum(per.c * CAST(floor(1000000 *
+                       ln(CAST(tot.n AS DOUBLE) / CAST(per.c AS DOUBLE)))
+                       AS BIGINT)) AS num
+              FROM per JOIN tot ON per.source = tot.source
+              GROUP BY per.source)
+            SELECT tot.source, CAST(tot.n AS BIGINT) AS n_docs,
+                   CAST(tot.n_langs AS BIGINT) AS n_langs,
+                   CAST(num.num AS DOUBLE)
+                     / CAST(tot.n * 1000000 AS DOUBLE) AS entropy
+            FROM tot JOIN num ON tot.source = num.source
+            ORDER BY tot.source
         """,
         "media_gif_audit": """
             WITH d AS (

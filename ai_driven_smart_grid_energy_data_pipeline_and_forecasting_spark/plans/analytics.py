@@ -263,6 +263,60 @@ def hourly_cusum_changepoints(
     )
 
 
+def source_language_entropy(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of each source's language mix — the DIVERSITY
+    number beside the dataset cards' dominant-language arg-max (a
+    source can share a dominant language with another yet be far more
+    mixed; mixture designers balance on exactly this).
+
+    Exactness discipline: H = Σ_l (c_l/n)·ln(n/c_l) is computed as the
+    INTEGER numerator Σ_l c_l·⌊1e6·ln(n/c_l)⌋ (one ln per (source,
+    lang) row, floored at the BM25 fixed-point precision before the
+    sum — so the aggregate is an exact BIGINT, partition-order-free)
+    over the denominator n·1e6, divided once at the end. A
+    single-language source gets exactly 0.0.
+
+    Plan: two partial-agg groupBys (lang counts, then per-source fold)
+    — no windows, no corpus re-scan."""
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    tot = per.groupBy("source").agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("n_langs")
+    )
+    num = (
+        per.join(tot.select("source", "_n"), "source")
+        .select(
+            "source",
+            (
+                F.col("_c")
+                * F.floor(
+                    F.lit(1_000_000)
+                    * F.log(
+                        F.col("_n").cast("double")
+                        / F.col("_c").cast("double")
+                    )
+                ).cast("long")
+            ).alias("_t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_t").alias("_num"))
+    )
+    return (
+        tot.join(num, "source")
+        .select(
+            "source",
+            F.col("_n").alias("n_docs"),
+            "n_langs",
+            (
+                F.col("_num").cast("double")
+                / (F.col("_n") * F.lit(1_000_000)).cast("double")
+            ).alias("entropy"),
+        )
+        .orderBy("source")
+    )
+
+
 def source_dataset_cards(docs: DataFrame) -> DataFrame:
     """Per-source dataset cards — the datasheet table a corpus release
     publishes (Gebru et al., "Datasheets for Datasets", CACM 2021),

@@ -216,6 +216,7 @@ HEADLINE = [
     "join_size_cms_audit",
     "doc_split_ks",
     "media_gif_audit",
+    "source_lang_entropy",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

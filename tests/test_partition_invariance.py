@@ -86,6 +86,7 @@ NEW_R5 = [
     "join_size_cms_audit",
     "doc_split_ks",
     "media_gif_audit",
+    "source_lang_entropy",
 ]
 
 

@@ -378,6 +378,28 @@ def test_ks_two_sample_binned_mode_and_refusals(spark):
     assert ks_two_sample(one_side, "v", "s").collect()[0].ks_stat is None
 
 
+def test_source_language_entropy_known_values(spark):
+    import math
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        source_language_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "mono") for i in range(8)]
+        + [(100 + i, "t", ["en", "fr"][i % 2], "half") for i in range(8)]
+        + [(200 + i, "t", ["en", "fr", "de", "es"][i % 4], "quarter")
+           for i in range(8)],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.source: r for r in source_language_entropy(docs).collect()}
+    assert rows["mono"].entropy == 0.0 and rows["mono"].n_langs == 1
+    # uniform k-way mix → ln k (within the 1e-6 fixed-point floor)
+    assert abs(rows["half"].entropy - math.log(2)) < 2e-6
+    assert abs(rows["quarter"].entropy - math.log(4)) < 2e-6
+    assert rows["quarter"].n_docs == 8 and rows["quarter"].n_langs == 4
+
+
 def test_winnow_refuses_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 1"):
