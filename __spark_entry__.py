@@ -926,6 +926,18 @@ def q_click_attribution_outer(spark, sf_dir):
     )
 
 
+def q_quantity_weighted_median(spark, sf_dir):
+    # Exact weighted median: per return flag, the smallest extended
+    # price whose cumulative QUANTITY reaches half the flag's total —
+    # the weighted quantile the unweighted percentile family cannot
+    # express. Rational threshold (cum*2 >= tot*1 in exact decimals),
+    # RANGE frame so tied prices enter together.
+    li = _t(spark, sf_dir, "lineitem")
+    return R.weighted_percentile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 1, 2
+    )
+
+
 def q_source_lang_entropy(spark, sf_dir):
     # Shannon entropy of each source's language mix — the diversity
     # half of the dataset-card pair (dominant-language arg-max there).
@@ -3221,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_ks": q_doc_split_ks,
         "media_gif_audit": q_media_gif_audit,
         "source_lang_entropy": q_source_lang_entropy,
+        "quantity_weighted_median": q_quantity_weighted_median,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5125,6 +5138,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "quantity_weighted_median": """
+            WITH base AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                     CAST(l_quantity AS DECIMAL(20,6)) AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL AND l_quantity > 0),
+            cum AS (
+              SELECT l_returnflag, v,
+                     sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c
+              FROM base),
+            tot AS (
+              SELECT l_returnflag, sum(w) AS t
+              FROM base GROUP BY l_returnflag)
+            SELECT cum.l_returnflag, min(cum.v) AS weighted_p1_2
+            FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+            WHERE cum.c * 2 >= tot.t * 1
+            GROUP BY cum.l_returnflag ORDER BY cum.l_returnflag
         """,
         "source_lang_entropy": """
             WITH per AS (

@@ -630,3 +630,58 @@ def spearman_corr(
             " * sqrt(cast(_n * _svv - _sv * _sv as double)))"
         ).alias("rho"),
     )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Exact weighted q-quantile per group: the smallest value v whose
+    cumulative weight reaches q of the group total — the weighted
+    median/percentile the unweighted family (``value_percentiles``,
+    ``histogram_percentile``) cannot express (a revenue-weighted
+    median price weights each row by its quantity, not 1).
+
+    Exactness discipline: ``q`` is the RATIONAL q_num/q_den, weights
+    ride decimal(20,6) sums, and the threshold test is the cross-
+    multiplied integer-exact comparison ``cum·q_den ≥ total·q_num`` —
+    no float threshold, so ties and boundary rows resolve identically
+    on any engine and any partitioning. The cumulative frame is RANGE
+    (not ROWS): all rows tied on the value enter together, which is
+    what makes the answer well-defined under duplicate values.
+
+    Plan: one per-group window shuffle (RANGE frame over the value
+    order) + one partial-agg groupBy for the totals + the min-pick.
+    NULL values/weights and non-positive weights are excluded up
+    front (a zero/negative weight has no place in a CDF)."""
+    if q_den < 1 or not 0 < q_num <= q_den:
+        raise ValueError(
+            f"weighted_percentile needs 0 < q_num/q_den <= 1, got "
+            f"{q_num}/{q_den}"
+        )
+    groups = list(group_cols)
+    v = F.col(value_col)
+    wt = F.col(weight_col).cast("decimal(20,6)")
+    base = df.where(
+        v.isNotNull() & F.col(weight_col).isNotNull() & (wt > 0)
+    ).select(*groups, v.alias("_v"), wt.alias("_w"))
+    win = (
+        Window.partitionBy(*groups)
+        .orderBy("_v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("_cum", F.sum("_w").over(win))
+    tot = base.groupBy(*groups).agg(F.sum("_w").alias("_tot"))
+    return (
+        cum.join(tot, groups)
+        .where(
+            F.col("_cum") * F.lit(q_den) >= F.col("_tot") * F.lit(q_num)
+        )
+        .groupBy(*groups)
+        .agg(F.min("_v").alias(f"weighted_p{q_num}_{q_den}"))
+        .orderBy(*groups)
+    )

@@ -217,6 +217,7 @@ HEADLINE = [
     "doc_split_ks",
     "media_gif_audit",
     "source_lang_entropy",
+    "quantity_weighted_median",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -87,6 +87,7 @@ NEW_R5 = [
     "doc_split_ks",
     "media_gif_audit",
     "source_lang_entropy",
+    "quantity_weighted_median",
 ]
 
 

@@ -400,6 +400,58 @@ def test_source_language_entropy_known_values(spark):
     assert rows["quarter"].n_docs == 8 and rows["quarter"].n_langs == 4
 
 
+def test_weighted_percentile_hand_cases(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        weighted_percentile,
+    )
+
+    rows = [
+        # group g1: values 1(w3), 2(w1), 3(w2): total 6; median at
+        # cum >= 3 → value 1 (cum(1)=3); p75 at cum >= 4.5 → value 3
+        ("g1", 1.0, 3.0), ("g1", 2.0, 1.0), ("g1", 3.0, 2.0),
+        # g2: ties on the value must pool their weights (RANGE frame):
+        # 5(w1), 5(w1), 9(w1): median at cum >= 1.5 → 5
+        ("g2", 5.0, 1.0), ("g2", 5.0, 1.0), ("g2", 9.0, 1.0),
+        # zero/NULL weights excluded
+        ("g3", 1.0, 0.0), ("g3", 2.0, 4.0), ("g3", 9.0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    med = {
+        r.g: r.weighted_p1_2
+        for r in weighted_percentile(df, ["g"], "v", "w", 1, 2).collect()
+    }
+    assert med == {"g1": 1.0, "g2": 5.0, "g3": 2.0}
+    p75 = {
+        r.g: r.weighted_p3_4
+        for r in weighted_percentile(df, ["g"], "v", "w", 3, 4).collect()
+    }
+    assert p75["g1"] == 3.0
+    with pytest.raises(ValueError, match="q_num/q_den"):
+        weighted_percentile(df, ["g"], "v", "w", 0, 2)
+    with pytest.raises(ValueError, match="q_num/q_den"):
+        weighted_percentile(df, ["g"], "v", "w", 3, 2)
+
+
+def test_weighted_percentile_uniform_weights_match_rank_median(spark):
+    # with all weights 1 the weighted median degenerates to the exact
+    # discrete median (smallest v with rank >= ceil(n/2))
+    import random
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        weighted_percentile,
+    )
+
+    rng = random.Random(13)
+    vals = [float(rng.randint(0, 50)) for _ in range(101)]
+    df = spark.createDataFrame(
+        [("g", v, 1.0) for v in vals], "g string, v double, w double"
+    )
+    got = weighted_percentile(df, ["g"], "v", "w", 1, 2).collect()[0]
+    s = sorted(vals)
+    want = s[(len(s) + 1) // 2 - 1]  # smallest v with cum >= n/2
+    assert got.weighted_p1_2 == want
+
+
 def test_winnow_refuses_bad_params(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="k >= 1"):
