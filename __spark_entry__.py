@@ -836,6 +836,18 @@ def q_hourly_anomalies(spark, sf_dir):
     return A.hourly_count_anomalies(ev, z_threshold=2.0)
 
 
+def q_hourly_acf(spark, sf_dir):
+    # Per-type autocorrelation of the hourly event-rate series at lags
+    # 1..6 over the DENSE hour spine (zero hours enter as explicit 0
+    # rows) — the model-order probe beside the z-score and CUSUM
+    # monitors. H^2-scaled numerator/denominator on decimal(38,0)
+    # carriers -> one terminal double division; everything after the
+    # (type,hour) count shuffle runs on the |types|x|hours|-bounded
+    # count table. plans/analytics.hourly_autocorrelation.
+    ev = _t(spark, sf_dir, "events")
+    return A.hourly_autocorrelation(ev, max_lag=6)
+
+
 def q_doc_search_tfidf(spark, sf_dir):
     # Query-driven retrieval: fixed-point TF-IDF (score = Σ tf · ((1e6·N)
     # div df), exact BIGINTs end to end — no float sums, so the ranking
@@ -3234,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_audit": q_media_gif_audit,
         "source_lang_entropy": q_source_lang_entropy,
         "quantity_weighted_median": q_quantity_weighted_median,
+        "hourly_acf": q_hourly_acf,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5138,6 +5151,59 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "hourly_acf": """
+            WITH cnt AS (
+              SELECT event_type,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2),
+            rng AS (
+              SELECT event_type, min(h) AS lo, max(h) AS hi
+              FROM cnt GROUP BY 1),
+            spine AS (
+              SELECT event_type,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM rng),
+            dense AS (
+              SELECT s.event_type, s.h,
+                     CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM spine s LEFT JOIN cnt c
+                ON s.event_type = c.event_type AND s.h = c.h),
+            ks AS (SELECT unnest(generate_series(1, 6)) AS k),
+            pl AS (
+              SELECT a.event_type, ks.k AS lag,
+                     sum(CAST(a.n AS DECIMAL(19,0))
+                       * CAST(b.n AS DECIMAL(19,0))) AS c,
+                     sum(a.n) AS aa, sum(b.n) AS bb, count(*) AS p
+              FROM dense a
+              JOIN ks ON TRUE
+              JOIN dense b ON b.event_type = a.event_type
+                AND b.h = a.h - ks.k * INTERVAL 1 HOUR
+              GROUP BY 1, 2),
+            g AS (
+              SELECT event_type, count(*) AS hh, sum(n) AS t,
+                     sum(CAST(n AS DECIMAL(19,0))
+                       * CAST(n AS DECIMAL(19,0))) AS s2
+              FROM dense GROUP BY 1),
+            fin AS (
+              SELECT pl.event_type, pl.lag,
+                     CAST(g.hh AS BIGINT) AS n_hours,
+                     CAST(g.hh * g.hh AS DECIMAL(19,0))
+                       * CAST(pl.c AS DECIMAL(19,0))
+                     - CAST(g.hh * g.t AS DECIMAL(19,0))
+                       * CAST(pl.aa + pl.bb AS DECIMAL(19,0))
+                     + CAST(pl.p * g.t AS DECIMAL(19,0))
+                       * CAST(g.t AS DECIMAL(19,0)) AS num,
+                     CAST(g.hh * g.hh AS DECIMAL(19,0))
+                       * CAST(g.s2 AS DECIMAL(19,0))
+                     - CAST(g.hh * g.t AS DECIMAL(19,0))
+                       * CAST(g.t AS DECIMAL(19,0)) AS den
+              FROM pl JOIN g ON pl.event_type = g.event_type)
+            SELECT event_type, lag, n_hours,
+                   CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+            FROM fin WHERE den > 0
+            ORDER BY event_type, lag
         """,
         "quantity_weighted_median": """
             WITH base AS (

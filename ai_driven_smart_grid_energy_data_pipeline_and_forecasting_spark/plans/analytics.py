@@ -376,3 +376,148 @@ def source_dataset_cards(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def hourly_autocorrelation(events: DataFrame, max_lag: int = 6) -> DataFrame:
+    """Per-type autocorrelation function of the hourly event-rate
+    series at lags 1..max_lag — the seasonality/persistence probe a
+    forecaster runs before choosing model order (a strong lag-24 says
+    daily cycle; fast decay says the seasonal-naive baseline is all
+    there is). Sits beside ``hourly_count_anomalies`` (single outlier
+    hours) and ``hourly_cusum_changepoints`` (sustained shifts) as the
+    third lens on the same hourly count series.
+
+    ACF over the DENSE hour spine: hours with zero events enter as
+    explicit 0 rows (lagging the sparse count table would silently
+    pair counts across gaps, which is not autocorrelation — same spine
+    discipline as ``gold.gap_fill_hourly``). For the series x_1..x_H
+    with mean m = T/H (T = Σx):
+
+        acf_k = Σ_{t>k} (x_t − m)(x_{t−k} − m) / Σ_t (x_t − m)²
+
+    Multiplying both sides by H² clears the rational mean, so BOTH are
+    exact integers on decimal(38,0) carriers:
+
+        num_k·H² = H²·C_k − H·T·(A_k + B_k) + (H−k)·T²
+        den·H²   = H²·S2 − H·T²
+
+    with C_k = Σ x_t·x_{t−k}, A_k/B_k the lead/trail partial sums over
+    defined pairs, S2 = Σx². One terminal double division — bit-stable
+    under any partitioning and bit-identical to the SQL oracle.
+
+    Plan: after the (type, hour) count shuffle, EVERYTHING runs on the
+    count table — bounded by |types|·|hours|, independent of event
+    volume, so the spine join, the single lag window (all max_lag lags
+    ride one window spec via an array of structs), and the two
+    partial-agg folds cost nothing at 100 TB; the scan-side shuffle is
+    the one partial-aggregated count. Overflow (loud guard): products
+    stay under 1e31 provided H < 1e6 hours AND max hourly count < 1e6
+    — a 114-year series at a million events/hour; beyond, the carrier
+    casts would NULL-overflow and silently zero the ACF, so the plan
+    raises per offending type instead. Types with zero variance or
+    H ≤ k emit no row for that lag (nothing to correlate)."""
+    if max_lag < 1:
+        raise ValueError(f"hourly_autocorrelation: max_lag must be >= 1, got {max_lag}")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731 — (19,0)x(19,0)->(38,0) exact
+    cnt = (
+        with_hour(events)
+        .groupBy("event_type", "ts_hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rng = cnt.groupBy("event_type").agg(
+        F.min("ts_hour").alias("_lo"), F.max("ts_hour").alias("_hi")
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+        ).alias("ts_hour"),
+    )
+    dense = spine.join(cnt, ["event_type", "ts_hour"], "left").select(
+        "event_type",
+        "ts_hour",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_hour")
+    # window exprs and the generator cannot share one projection
+    # (UNSUPPORTED_EXPR_FOR_OPERATOR) — lag first, explode second;
+    # still ONE window shuffle carrying all max_lag frames.
+    lagged = dense.select(
+        "event_type",
+        "n",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"), F.lag("n", k).over(w).alias("m")
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        ).alias("_l"),
+    ).select(
+        "event_type", "n", F.explode("_l").alias("p")
+    ).where(F.col("p.m").isNotNull())
+    per_lag = lagged.groupBy(
+        "event_type", F.col("p.k").cast("long").alias("lag")
+    ).agg(
+        F.sum(dec(F.col("n")) * dec(F.col("p.m"))).alias("_c"),
+        F.sum("n").alias("_a"),
+        F.sum("p.m").alias("_b"),
+        F.count(F.lit(1)).alias("_p"),
+    )
+    glob = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_h"),
+        F.sum("n").alias("_t"),
+        F.sum(dec(F.col("n")) * dec(F.col("n"))).alias("_s2"),
+        F.max("n").alias("_nmax"),
+    )
+    j = per_lag.join(F.broadcast(glob), "event_type")
+    num = (
+        dec(F.col("_h") * F.col("_h")) * dec(F.col("_c"))
+        - dec(F.col("_h") * F.col("_t"))
+        * dec(F.col("_a") + F.col("_b"))
+        + dec(F.col("_p") * F.col("_t")) * dec(F.col("_t"))
+    )
+    den_raw = dec(F.col("_h") * F.col("_h")) * dec(F.col("_s2")) - dec(
+        F.col("_h") * F.col("_t")
+    ) * dec(F.col("_t"))
+    unsafe = (F.col("_h") >= F.lit(1_000_000)) | (
+        F.col("_nmax") >= F.lit(1_000_000)
+    )
+    den = F.when(
+        unsafe,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "hourly_autocorrelation: series domain too large for"
+                    " the exact decimal carriers (H = "
+                ),
+                F.col("_h").cast("string"),
+                F.lit(", max hourly count = "),
+                F.col("_nmax").cast("string"),
+                F.lit(
+                    "); need H < 1e6 AND max count < 1e6 — otherwise the"
+                    " decimal(19,0) casts would NULL-overflow and"
+                    " silently zero the ACF. Bucket coarser first."
+                ),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(den_raw)
+    return (
+        j.select(
+            "event_type",
+            "lag",
+            F.col("_h").alias("n_hours"),
+            num.alias("_num"),
+            den.alias("_den"),
+        )
+        .where(F.col("_den") > 0)
+        .select(
+            "event_type",
+            "lag",
+            "n_hours",
+            (F.col("_num").cast("double") / F.col("_den").cast("double")).alias(
+                "acf"
+            ),
+        )
+        .orderBy("event_type", "lag")
+    )

@@ -218,6 +218,7 @@ HEADLINE = [
     "media_gif_audit",
     "source_lang_entropy",
     "quantity_weighted_median",
+    "hourly_acf",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -1,7 +1,14 @@
-"""Generate tests/shuffle_budgets.json: per-registry-entry Exchange
-counts from the PRE-AQE physical plan (sparkPlan — deterministic
-without executing; AQE may later ELIDE exchanges at runtime, never add
-them, so the pre-AQE count is the stable upper-bound contract).
+"""Generate tests/shuffle_budgets.json: per-registry-entry SHUFFLE
+Exchange counts from the PREPARED physical plan (executedPlan before
+any job runs — i.e. after EnsureRequirements has inserted exchanges
+but before AQE re-optimizes; sparkPlan() is the wrong hook, it
+pre-dates EnsureRequirements so it contains NO Exchange nodes at all
+and every budget degenerates to a vacuous 0). AQE may later ELIDE
+exchanges at runtime (broadcast conversion, coalescing), never add
+them, so the prepared count is the stable upper-bound contract.
+BroadcastExchange nodes are deliberately NOT counted — a broadcast is
+the cheap alternative to a shuffle, and counting it would penalize
+exactly the plans we want.
 
 The budget file is the shuffle contract of the whole engine: a code
 change that adds an Exchange to any registered query fails
@@ -16,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -65,6 +73,18 @@ DYNAMIC = {
 }
 
 
+# \bExchange does not match inside BroadcastExchange (no word boundary
+# between two word characters), so this counts data shuffles only.
+_SHUFFLE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition"
+    r"|RoundRobinPartitioning)"
+)
+
+
+def count_shuffles(plan: str) -> int:
+    return len(_SHUFFLE.findall(plan))
+
+
 def main() -> None:
     spark = get_spark("shuffle-budgets")
     budgets: dict[str, int] = {}
@@ -73,11 +93,11 @@ def main() -> None:
             continue
         try:
             df = fn(spark, SF)
-            plan = df._jdf.queryExecution().sparkPlan().toString()
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             print(f"[skip] {name}: {type(exc).__name__}: {exc}"[:200])
             continue
-        budgets[name] = plan.count("Exchange")
+        budgets[name] = count_shuffles(plan)
     with open(OUT, "w") as fh:
         json.dump(budgets, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -458,3 +458,95 @@ def test_winnow_refuses_bad_params(spark):
         winnow_fingerprints(docs, k=0)
     with pytest.raises(ValueError, match="k >= 1"):
         winnow_fingerprints(docs, w=0)
+
+
+# ---------------------------------------------------------------- hourly ACF
+
+
+def _acf_ref(xs: list[int], k: int) -> float:
+    h = len(xs)
+    m = sum(xs) / h
+    den = sum((x - m) ** 2 for x in xs)
+    num = sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, h))
+    return num / den
+
+
+def _mk_events(spark, counts: list[int], typ: str = "click"):
+    """counts[i] events in hour i (2024-01-01 00:00 + i h)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base + timedelta(hours=i, minutes=j % 60), typ)
+        for i, c in enumerate(counts)
+        for j in range(c)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+
+def test_hourly_acf_matches_textbook_reference(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_autocorrelation,
+    )
+
+    counts = [3, 1, 4, 1, 5, 9, 2, 6]
+    got = {
+        r.lag: r.acf
+        for r in hourly_autocorrelation(
+            _mk_events(spark, counts), max_lag=3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for k in (1, 2, 3):
+        assert got[k] == pytest.approx(_acf_ref(counts, k), abs=1e-12)
+
+
+def test_hourly_acf_gap_hours_enter_as_zero(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_autocorrelation,
+    )
+
+    # hours 0,1,3,4 populated; hour 2 missing -> dense series has a 0
+    counts = [2, 5, 0, 7, 1]
+    got = {
+        r.lag: r.acf
+        for r in hourly_autocorrelation(
+            _mk_events(spark, counts), max_lag=2
+        ).collect()
+    }
+    for k in (1, 2):
+        assert got[k] == pytest.approx(_acf_ref(counts, k), abs=1e-12)
+
+
+def test_hourly_acf_constant_series_emits_nothing(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_autocorrelation,
+    )
+
+    assert (
+        hourly_autocorrelation(_mk_events(spark, [4, 4, 4, 4]), max_lag=2).count()
+        == 0
+    )
+
+
+def test_hourly_acf_lags_past_series_end_absent(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_autocorrelation,
+    )
+
+    got = {
+        r.lag
+        for r in hourly_autocorrelation(
+            _mk_events(spark, [1, 3]), max_lag=5
+        ).collect()
+    }
+    assert got == {1}  # H=2: only lag 1 has a defined pair
+
+
+def test_hourly_acf_refuses_bad_max_lag(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_autocorrelation,
+    )
+
+    with pytest.raises(ValueError, match="max_lag"):
+        hourly_autocorrelation(_mk_events(spark, [1, 2]), max_lag=0)
