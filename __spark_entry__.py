@@ -848,6 +848,64 @@ def q_hourly_acf(spark, sf_dir):
     return A.hourly_autocorrelation(ev, max_lag=6)
 
 
+def q_price_benford(spark, sf_dir):
+    # Forensic quality screen: leading-digit distribution of extended
+    # price vs Benford's law. Digit via integer-part string head (no
+    # runtime log10 — a ulp at a power of ten would flip a digit);
+    # shares as exact integer ppm against the shared floored constant
+    # table. One partial-agg shuffle to a 9-row table; all nine digits
+    # emit a row even at count 0. operators/relational.benford_audit.
+    li = _t(spark, sf_dir, "lineitem")
+    return R.benford_audit(li, "l_extendedprice")
+
+
+def q_hourly_ccf(spark, sf_dir):
+    # Lead-lag screen between clicks and purchases: cross-correlation
+    # of the two hourly rate series at lags -6..6 on the shared dense
+    # spine. H^2-scaled exact decimal carriers; terminal num/sqrt(dx*dy)
+    # in doubles (sqrt is correctly rounded under IEEE 754, unlike ln).
+    # One pruned two-type count shuffle; the lag window runs on the
+    # |hours|-bounded spine. plans/analytics.hourly_crosscorrelation.
+    ev = _t(spark, sf_dir, "events")
+    return A.hourly_crosscorrelation(ev, "click", "purchase", max_lag=6)
+
+
+def q_value_mad_outliers(spark, sf_dir):
+    # Robust outlier screen: |v - median| > 3*MAD per event type — the
+    # breakdown-resistant twin of value_outliers' z-scores (whose sigma
+    # the outliers themselves inflate). Exact lower medians via
+    # rational-threshold cumulative counts (RANGE frames for ties);
+    # rational multiple so the flag is one IEEE multiply per side.
+    # operators/relational.mad_outliers.
+    ev = _t(spark, sf_dir, "events")
+    return R.mad_outliers(ev, "event_type", "value", 3, 1)
+
+
+def q_audio_frame_features(spark, sf_dir):
+    # Audio feature extraction through the REAL WAV byte path: md5-
+    # derived int16 PCM -> wav_encode -> wav_decode (sample-equality
+    # asserted) -> per-frame energy Σs² + zero-crossing count, both
+    # exact integers so the oracle recomputes them codec-free from the
+    # md5 derivation. multimodal/binary_ops.audio_frame_audit.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        audio_frame_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_frame_audit(docs, n_docs=32, n_frames=4, frame_len=64)
+
+
+def q_corpus_kcore(spark, sf_dir):
+    # k-core of the token co-occurrence graph (Seidman): synchronous
+    # peeling, 8 fixed rounds (convergence-asserted in tests with a
+    # 9th), each round one degree aggregate + two semi-joins on the
+    # survivor set, edge list localCheckpointed so lineage stays
+    # constant. Exact integer degrees; chained-CTE oracle (textrank
+    # convention). functions/text.collocation_kcore.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.collocation_kcore(docs, k_core=3, n_rounds=8, min_count=5)
+
+
 def q_doc_search_tfidf(spark, sf_dir):
     # Query-driven retrieval: fixed-point TF-IDF (score = Σ tf · ((1e6·N)
     # div df), exact BIGINTs end to end — no float sums, so the ranking
@@ -3247,6 +3305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lang_entropy": q_source_lang_entropy,
         "quantity_weighted_median": q_quantity_weighted_median,
         "hourly_acf": q_hourly_acf,
+        "price_benford": q_price_benford,
+        "corpus_kcore": q_corpus_kcore,
+        "audio_frame_features": q_audio_frame_features,
+        "value_mad_outliers": q_value_mad_outliers,
+        "hourly_ccf": q_hourly_ccf,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -3786,6 +3849,48 @@ ORDER BY site, var, horizon_h, ts_utc
     )
 
 
+def _kcore_oracle(
+    k_core: int = 3, n_rounds: int = 8, min_count: int = 5
+) -> str:
+    # synchronous peeling unrolled as chained CTEs (textrank
+    # convention: a recursive CTE cannot re-aggregate degrees per
+    # round) — each block recomputes degrees over the previous round's
+    # surviving edge set and keeps vertices with degree >= k_core.
+    # Every e{i} is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous edge set three times (twice via
+    # k{i}, once in the join) — inlined, the tree re-scans the parquet
+    # 3^n_rounds times and exhausts file handles
+    blocks = []
+    for i in range(1, n_rounds + 1):
+        blocks.append(f"""
+            k{i} AS (
+              SELECT v FROM (
+                SELECT a AS v FROM e{i-1}
+                UNION ALL SELECT b AS v FROM e{i-1})
+              GROUP BY v HAVING count(*) >= {k_core}),
+            e{i} AS MATERIALIZED (
+              SELECT e.a, e.b FROM e{i-1} e
+              JOIN k{i} ka ON e.a = ka.v
+              JOIN k{i} kb ON e.b = kb.v)""")
+    return f"""
+            WITH tok AS (
+              SELECT string_split(trim(text), ' ') AS tk FROM documents),
+            pairs AS (
+              SELECT least(tk[i], tk[i+1]) AS a,
+                     greatest(tk[i], tk[i+1]) AS b
+              FROM tok, unnest(range(1, len(tk))) AS r(i)
+              WHERE len(tk) >= 2),
+            e0 AS MATERIALIZED (
+              SELECT a, b FROM pairs WHERE a <> b GROUP BY a, b
+              HAVING count(*) >= {min_count}),
+            {",".join(blocks)}
+            SELECT token, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT a AS token FROM e{n_rounds}
+                  UNION ALL SELECT b AS token FROM e{n_rounds})
+            GROUP BY token ORDER BY degree DESC, token
+        """
+
+
 def _textrank_oracle(n_iter: int = 5, k: int = 50, min_count: int = 5) -> str:
     # the fixed-point PageRank iteration unrolled as chained CTEs (a
     # recursive CTE cannot aggregate in its recursive member) — each
@@ -4130,6 +4235,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY support DESC, lift DESC, p.a, p.b LIMIT 50
         """,
         "corpus_textrank": _textrank_oracle(),
+        "corpus_kcore": _kcore_oracle(),
         "corpus_triangles": """
             WITH tok AS (
               SELECT string_split(trim(text), ' ') AS tk FROM documents),
@@ -5151,6 +5257,156 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "hourly_ccf": """
+            WITH cnt AS (
+              SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+                     sum(CASE WHEN event_type = 'click'
+                         THEN 1 ELSE 0 END) AS x,
+                     sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS y
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY 1),
+            rng AS (SELECT min(h) AS lo, max(h) AS hi FROM cnt),
+            spine AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                AS h FROM rng),
+            dense AS (
+              SELECT s.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x,
+                     CAST(COALESCE(c.y, 0) AS BIGINT) AS y
+              FROM spine s LEFT JOIN cnt c ON s.h = c.h),
+            ks AS (SELECT unnest(generate_series(-6, 6)) AS k),
+            pl AS (
+              -- b supplies x from k hours EARLIER, a the current y:
+              -- peak at k > 0 reads "x leads y by k"
+              SELECT ks.k AS lag,
+                     sum(CAST(b.x AS DECIMAL(19,0))
+                       * CAST(a.y AS DECIMAL(19,0))) AS c,
+                     sum(a.y) AS aa, sum(b.x) AS bb, count(*) AS p
+              FROM dense a JOIN ks ON TRUE
+              JOIN dense b ON b.h = a.h - ks.k * INTERVAL 1 HOUR
+              GROUP BY 1),
+            g AS (
+              SELECT count(*) AS hh, sum(x) AS tx, sum(y) AS ty,
+                     sum(CAST(x AS DECIMAL(19,0))
+                       * CAST(x AS DECIMAL(19,0))) AS sx2,
+                     sum(CAST(y AS DECIMAL(19,0))
+                       * CAST(y AS DECIMAL(19,0))) AS sy2
+              FROM dense),
+            fin AS (
+              SELECT pl.lag, CAST(g.hh AS BIGINT) AS n_hours,
+                     CAST(g.hh * g.hh AS DECIMAL(19,0))
+                       * CAST(pl.c AS DECIMAL(19,0))
+                     - CAST(g.hh * g.tx AS DECIMAL(19,0))
+                       * CAST(pl.aa AS DECIMAL(19,0))
+                     - CAST(g.hh * g.ty AS DECIMAL(19,0))
+                       * CAST(pl.bb AS DECIMAL(19,0))
+                     + CAST(pl.p * g.tx AS DECIMAL(19,0))
+                       * CAST(g.ty AS DECIMAL(19,0)) AS num,
+                     CAST(g.hh * g.hh AS DECIMAL(19,0))
+                       * CAST(g.sx2 AS DECIMAL(19,0))
+                     - CAST(g.hh * g.tx AS DECIMAL(19,0))
+                       * CAST(g.tx AS DECIMAL(19,0)) AS dx,
+                     CAST(g.hh * g.hh AS DECIMAL(19,0))
+                       * CAST(g.sy2 AS DECIMAL(19,0))
+                     - CAST(g.hh * g.ty AS DECIMAL(19,0))
+                       * CAST(g.ty AS DECIMAL(19,0)) AS dy
+              FROM pl CROSS JOIN g)
+            SELECT lag, n_hours,
+                   CAST(num AS DOUBLE)
+                     / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) AS ccf
+            FROM fin WHERE dx > 0 AND dy > 0 ORDER BY lag
+        """,
+        "value_mad_outliers": """
+            WITH base AS (
+              SELECT event_type AS k, value AS v FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)),
+            cum AS (
+              SELECT k, v,
+                     count(*) OVER (PARTITION BY k ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c
+              FROM base),
+            tot AS (SELECT k, count(*) AS n FROM base GROUP BY k),
+            med AS (
+              SELECT cum.k, min(cum.v) AS med
+              FROM cum JOIN tot ON cum.k = tot.k
+              WHERE cum.c * 2 >= tot.n GROUP BY cum.k),
+            dev AS (
+              SELECT base.k, abs(base.v - med.med) AS d, med.med
+              FROM base JOIN med ON base.k = med.k),
+            dcum AS (
+              SELECT k, d,
+                     count(*) OVER (PARTITION BY k ORDER BY d
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS c
+              FROM dev),
+            mad AS (
+              SELECT dcum.k, min(dcum.d) AS mad
+              FROM dcum JOIN tot ON dcum.k = tot.k
+              WHERE dcum.c * 2 >= tot.n GROUP BY dcum.k)
+            SELECT dev.k AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(dev.med) AS median, min(mad.mad) AS mad,
+                   CAST(sum(CASE WHEN dev.d * 1.0 > 3.0 * mad.mad
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev JOIN mad ON dev.k = mad.k
+            GROUP BY dev.k ORDER BY dev.k
+        """,
+        "audio_frame_features": """
+            WITH d AS (
+              SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),
+            s AS (
+              SELECT d.doc_id, i.i,
+                     CAST(('0x' || substr(md5('au_'
+                       || CAST(d.doc_id AS VARCHAR) || '_'
+                       || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 65536 - 32768 AS v
+              FROM d, unnest(generate_series(0, 255)) AS i(i)),
+            f AS (
+              SELECT doc_id, i // 64 AS frame, i % 64 AS j, v FROM s),
+            en AS (
+              SELECT doc_id, frame, sum(v * v) AS energy
+              FROM f GROUP BY 1, 2),
+            zc AS (
+              SELECT a.doc_id, a.frame,
+                     sum(CASE WHEN (a.v < 0) <> (b.v < 0)
+                         THEN 1 ELSE 0 END) AS zcr
+              FROM f a JOIN f b ON b.doc_id = a.doc_id
+                AND b.frame = a.frame AND b.j = a.j + 1
+              GROUP BY 1, 2)
+            SELECT en.doc_id, CAST(en.frame AS BIGINT) AS frame,
+                   CAST(en.energy AS BIGINT) AS energy,
+                   CAST(zc.zcr AS BIGINT) AS zcr
+            FROM en JOIN zc ON en.doc_id = zc.doc_id
+              AND en.frame = zc.frame
+            ORDER BY en.doc_id, en.frame
+        """,
+        "price_benford": """
+            WITH cnt AS (
+              SELECT CAST(substr(CAST(CAST(floor(l_extendedprice)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                     count(*) AS n
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1
+              GROUP BY 1),
+            tot AS (SELECT sum(n) AS t FROM cnt),
+            spine AS (
+              SELECT * FROM (VALUES
+                (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+                (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+                (9, 45757)) AS e(digit, benford_ppm)),
+            j AS (
+              SELECT CAST(s.digit AS BIGINT) AS digit,
+                     CAST(COALESCE(c.n, 0) AS BIGINT) AS n_obs,
+                     CAST((1000000 * COALESCE(c.n, 0)) // tot.t
+                       AS BIGINT) AS obs_ppm,
+                     CAST(s.benford_ppm AS BIGINT) AS benford_ppm
+              FROM spine s LEFT JOIN cnt c ON s.digit = c.digit
+              CROSS JOIN tot)
+            SELECT digit, n_obs, obs_ppm, benford_ppm,
+                   obs_ppm - benford_ppm AS delta_ppm
+            FROM j ORDER BY digit
         """,
         "hourly_acf": """
             WITH cnt AS (

@@ -1317,6 +1317,88 @@ def collocation_triangles(
     )
 
 
+def collocation_kcore(
+    docs: DataFrame,
+    k_core: int = 3,
+    n_rounds: int = 8,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """k-core decomposition of the token co-occurrence graph: the
+    maximal subgraph where every token keeps >= k_core co-occurring
+    neighbors (Seidman 1983) — the dense vocabulary nucleus that
+    survives after peeling peripheral terms, the graph-robustness
+    companion to ``collocation_triangles``'s local clusters.
+
+    Synchronous peeling, ``n_rounds`` fixed rounds: each round drops
+    every vertex whose CURRENT degree (distinct canonical neighbors)
+    is below k_core, then the edges touching it. Peeling is monotone
+    (the survivor set only shrinks) and converges in at most |V|
+    rounds; a fixed round count keeps the plan finite and the SQL
+    oracle expressible as chained CTEs (the ``corpus_textrank``
+    convention — a recursive CTE cannot re-aggregate degrees per
+    round). On corpora where n_rounds suffices the result IS the exact
+    k-core (the registered configuration is convergence-asserted in
+    tests by running one extra round); an unconverged call returns the
+    round-n_rounds superset, never something smaller.
+
+    Plan: one explode+groupBy builds the canonical a<b edge list (same
+    kernel as the triangle query); each round is one degree aggregate
+    plus two broadcast-able LEFT SEMI joins on the survivor set, and
+    the edge list is ``localCheckpoint``ed per round so lineage stays
+    constant across rounds (textrank's discipline). Degrees are exact
+    integer counts — value-exact oracle."""
+    if k_core < 1 or n_rounds < 1:
+        raise ValueError(
+            f"collocation_kcore: k_core and n_rounds must be >= 1, got"
+            f" k_core={k_core}, n_rounds={n_rounds}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    edges = (
+        docs.select(toks.alias("_tk"))
+        .where(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_tk"), 1, F.size("_tk") - 1),
+                    F.slice(F.col("_tk"), 2, F.size("_tk") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.least("p.x", "p.y").alias("a"),
+            F.greatest("p.x", "p.y").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_count)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        deg = (
+            edges.select(F.explode(F.array("a", "b")).alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k_core).select("v")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("v", "a"), "a", "left_semi"
+            )
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        edges.select(F.explode(F.array("a", "b")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy(F.desc("degree"), "token")
+    )
+
+
 def bm25_prf_search(
     docs: DataFrame,
     query: str,

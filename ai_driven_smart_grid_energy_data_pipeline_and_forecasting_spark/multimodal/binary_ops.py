@@ -821,3 +821,80 @@ def jpeg420_roundtrip_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def audio_frame_audit(
+    docs: DataFrame,
+    n_docs: int = 32,
+    n_frames: int = 4,
+    frame_len: int = 64,
+) -> DataFrame:
+    """Audio FEATURE EXTRACTION through the real WAV byte path, oracle-
+    certified: per doc id a deterministic md5-derived int16 PCM signal
+    (sample i = ``h32("au_<d>_<i>") mod 65536 − 32768``) rides
+    ``wav_encode`` → ``wav_decode`` (stdlib RIFF/PCM, lossless — the
+    kernel ASSERTS sample equality), then per-frame features are
+    computed from the DECODED samples: frame energy Σs² and the
+    zero-crossing count (sign flips between consecutive in-frame
+    samples) — the two classic front-end features a speech/audio
+    pipeline derives before any model. Both are EXACT integers (no
+    sqrt/log — RMS is monotone in Σs², so ranking/thresholding
+    semantics survive), so the SQL oracle recomputes them from the md5
+    derivation with no codec, and a hash match certifies
+    encode → RIFF parse → PCM destream → framing → feature math end
+    to end (the ``gif_roundtrip_audit`` discipline on the audio
+    modality).
+
+    Plan: per-row independent kernel work over a pruned id set —
+    ``mapInPandas``, no shuffle; at scale the same kernel maps over
+    binary WAV columns partition-parallel (this audit form exists so
+    the byte path sits inside the standard correctness gate)."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n_samples = n_frames * frame_len
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, energies, zcrs = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = [
+                    h(f"au_{d}_{i}") % 65536 - 32768
+                    for i in range(n_samples)
+                ]
+                rate, n_ch, back = wav_decode(
+                    wav_encode(samples, framerate=16000)
+                )
+                assert n_ch == 1 and back == samples, (
+                    f"WAV roundtrip not sample-exact (doc {d})"
+                )
+                for f in range(n_frames):
+                    seg = back[f * frame_len : (f + 1) * frame_len]
+                    ids.append(d)
+                    frames.append(f)
+                    energies.append(sum(s * s for s in seg))
+                    zcrs.append(
+                        sum(
+                            (a < 0) != (b < 0)
+                            for a, b in zip(seg, seg[1:])
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame": frames,
+                    "energy": energies,
+                    "zcr": zcrs,
+                }
+            )
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .distinct()
+        .mapInPandas(run, "doc_id long, frame long, energy long, zcr long")
+        .orderBy("doc_id", "frame")
+    )

@@ -685,3 +685,187 @@ def weighted_percentile(
         .agg(F.min("_v").alias(f"weighted_p{q_num}_{q_den}"))
         .orderBy(*groups)
     )
+
+
+# Floored ppm of Benford's law P(d) = log10(1 + 1/d) — a shared literal
+# constant table (both the Spark plan and the SQL oracle carry these
+# exact integers, so no runtime transcendental enters the comparison).
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """Leading-digit distribution of a positive amount column against
+    Benford's law — the forensic data-quality screen for fabricated or
+    truncated monetary data (naturally-grown multiplicative amounts
+    follow log10(1+1/d); synthetic/capped/defaulted ones don't, and the
+    per-digit delta says WHERE the distortion sits).
+
+    Exactness discipline: the leading digit is the first character of
+    the BIGINT integer part rendered as a string — integer-to-string is
+    deterministic in both engines, where a log10-based exponent test
+    can straddle a ulp at powers of ten. Shares are integer ppm
+    ((1e6·n) div total) against the floored literal constants above, so
+    every output column is an exact BIGINT. Rows with NULL or value < 1
+    are out of domain and excluded (Benford is about magnitudes ≥ 1;
+    sub-unit amounts need rescaling, which is the caller's semantic
+    call, not this audit's).
+
+    Plan: one partial-agg shuffle to the ≤9-row digit table; the total
+    and the digit spine (all nine digits emit a row even at count 0 —
+    a MISSING digit is the loudest Benford violation there is) are
+    single-row/9-row broadcasts. Output is 9 rows regardless of input
+    size.
+
+    Value-domain bound (loud guard): the digit rides a BIGINT cast,
+    which non-ANSI Spark SATURATES at 2^63−1 for larger doubles — a
+    v ≥ 2^63 row would silently read digit 9 (the DuckDB oracle errors
+    instead). The digit aggregate carries max(v) and the plan raises if
+    any value ≥ 9.2e18 — rescale the column first."""
+    v = F.col(col)
+    cnt = (
+        df.select(v.alias("_v"))
+        .where(v.isNotNull() & (v >= 1))
+        .select(
+            F.substring(
+                F.floor(F.col("_v")).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit"),
+            "_v",
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("_v").alias("_vmax"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d, p) for d, p in BENFORD_PPM.items()],
+        "digit long, benford_ppm long",
+    )
+    tot = cnt.agg(F.sum("n").alias("_t"), F.max("_vmax").alias("_vmax"))
+    guarded_t = F.when(
+        F.col("_vmax") >= F.lit(9.2e18),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "benford_audit: max value "
+                ),
+                F.col("_vmax").cast("string"),
+                F.lit(
+                    " >= 9.2e18 — the BIGINT digit cast saturates there"
+                    " and would silently misread the leading digit as 9."
+                    " Rescale the column first."
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_t"))
+    joined = (
+        spine.join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(tot.select(guarded_t.alias("_t"))))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("(1000000 * coalesce(n, 0)) div _t")
+            .cast("long")
+            .alias("obs_ppm"),
+            "benford_ppm",
+        )
+    )
+    return joined.select(
+        "digit",
+        "n_obs",
+        "obs_ppm",
+        "benford_ppm",
+        (F.col("obs_ppm") - F.col("benford_ppm")).alias("delta_ppm"),
+    ).orderBy("digit")
+
+
+def _lower_median(
+    frame: DataFrame, groups: Sequence[str], col: str, out: str
+) -> DataFrame:
+    """Exact per-group LOWER median: the smallest value whose cumulative
+    count reaches half the group size (2·cum ≥ n, the unit-weight case
+    of ``weighted_percentile``'s rational threshold — integer-exact, no
+    float midpoint averaging, so the answer is always an actual data
+    value and resolves identically on any engine). RANGE frame so tied
+    values enter together. One window shuffle + one partial agg."""
+    win = (
+        Window.partitionBy(*groups)
+        .orderBy(col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = frame.withColumn("_cumn", F.count(F.lit(1)).over(win))
+    tot = frame.groupBy(*groups).agg(F.count(F.lit(1)).alias("_totn"))
+    return (
+        cum.join(tot, list(groups))
+        .where(F.col("_cumn") * 2 >= F.col("_totn"))
+        .groupBy(*groups)
+        .agg(F.min(col).alias(out))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Robust per-key outlier detection via median absolute deviation:
+    rows with |v − median| > (k_num/k_den)·MAD — the screen that keeps
+    working when the outliers themselves poison mean/stddev (a single
+    1e9 spike inflates ``value_outliers``'s σ until nothing is 3σ out;
+    the median and MAD barely move — the breakdown-point argument,
+    Hampel 1974). The threshold multiple stays a RATIONAL so both
+    sides of the comparison are one IEEE multiply each — no float
+    division enters.
+
+    Both medians are the exact LOWER median (rational-threshold
+    cumulative counts, RANGE frames for ties) — actual data values,
+    engine-portable, no interpolation. MAD = 0 (at least half the
+    values equal the median) degenerates to flagging every v ≠ median
+    that is textbook MAD behavior on discrete/saturated domains and
+    exactly what the oracle computes.
+
+    Plan: two window shuffles (value order, then deviation order) +
+    two partial-agg totals + one final fold — all on (key, value)
+    pairs, no driver collection. NULL/NaN values are excluded up front
+    (NaN orders AFTER every double in Spark but its |v − med| is NaN,
+    which would poison the deviation median on one engine and not the
+    other)."""
+    v = F.col(value_col)
+    base = df.select(
+        F.col(key_col).alias("_k"), v.alias("_v")
+    ).where(v.isNotNull() & ~F.isnan(v))
+    med = _lower_median(base, ["_k"], "_v", "_med")
+    dev = base.join(med, "_k").select(
+        "_k", "_v", "_med", F.abs(F.col("_v") - F.col("_med")).alias("_d")
+    )
+    mad = _lower_median(dev, ["_k"], "_d", "_mad")
+    flagged = dev.join(mad, "_k").select(
+        "_k",
+        "_med",
+        "_mad",
+        (F.col("_d") * F.lit(float(k_den)) > F.lit(float(k_num)) * F.col("_mad"))
+        .cast("long")
+        .alias("_out"),
+    )
+    return (
+        flagged.groupBy("_k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("_med").alias("median"),
+            F.first("_mad").alias("mad"),
+            F.sum("_out").alias("n_outliers"),
+        )
+        .select(
+            F.col("_k").alias(key_col),
+            "n_rows",
+            "median",
+            "mad",
+            "n_outliers",
+        )
+        .orderBy(key_col)
+    )

@@ -521,3 +521,161 @@ def hourly_autocorrelation(events: DataFrame, max_lag: int = 6) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+def hourly_crosscorrelation(
+    events: DataFrame,
+    type_x: str,
+    type_y: str,
+    max_lag: int = 6,
+) -> DataFrame:
+    """Cross-correlation function between two event types' hourly rate
+    series at lags −max_lag..+max_lag — the lead-lag screen behind
+    "do clicks predict purchases N hours later?" (a positive peak at
+    lag k>0 means x leads y by k hours). Completes the hourly-series
+    lens family: ACF (self-structure), z-score (outlier hours), CUSUM
+    (sustained shifts), CCF (between-series structure).
+
+    Both series live on the SHARED dense hour spine (global min..max
+    hour across both types, zero-filled — the ``hourly_autocorrelation``
+    spine discipline; correlating only co-present hours would bias
+    toward busy periods). Lag k pairs the CURRENT y with x from k hours
+    EARLIER — (x_{t−k}, y_t) — so a peak at k > 0 reads "x leads y by
+    k hours". For x_1..x_H, y_1..y_H with T_x = Σx, T_y = Σy, the
+    H²-scaled integers
+
+        num_k·H² = H²·C_k − H·T_x·A_k − H·T_y·B_k + P_k·T_x·T_y
+        (C_k = Σ x_{t−k}·y_t over defined pairs, A_k = Σ y_t,
+         B_k = Σ x_{t−k}, P_k = H − |k|)
+        denx·H² = H²·Σx² − H·T_x²   (deny analogous)
+
+    are exact on decimal(19,0)→(38,0) carriers; the final
+    num / sqrt(denx·deny) runs in doubles — sqrt is CORRECTLY ROUNDED
+    under IEEE 754 (unlike ln/exp), so the fixed op sequence is
+    bit-identical to the SQL oracle (the ``zscore_normalize``
+    precedent). Negative lags ride lead() on the same single window.
+
+    Plan: ONE (type, hour) count shuffle over the pruned two-type scan;
+    everything after runs on the |hours|-bounded spine table — the
+    unpartitioned lag window is deliberate and safe (the table is the
+    HOUR COUNT series, whose size is independent of event volume).
+    Same loud overflow guard as ACF: H < 1e6 and max count < 1e6.
+    Emits no rows if either series has zero variance."""
+    if max_lag < 1:
+        raise ValueError(
+            f"hourly_crosscorrelation: max_lag must be >= 1, got {max_lag}"
+        )
+    if type_x == type_y:
+        raise ValueError(
+            "hourly_crosscorrelation: use hourly_autocorrelation for a"
+            " series against itself"
+        )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    cnt = (
+        with_hour(events)
+        .where(F.col("event_type").isin([type_x, type_y]))
+        .groupBy("ts_hour")
+        .agg(
+            F.sum(
+                (F.col("event_type") == type_x).cast("long")
+            ).alias("x"),
+            F.sum(
+                (F.col("event_type") == type_y).cast("long")
+            ).alias("y"),
+        )
+    )
+    rng = cnt.agg(F.min("ts_hour").alias("_lo"), F.max("ts_hour").alias("_hi"))
+    spine = rng.select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("interval 1 hour"))
+        ).alias("ts_hour")
+    )
+    dense = spine.join(cnt, ["ts_hour"], "left").select(
+        "ts_hour",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+    )
+    w = Window.orderBy("ts_hour")
+    pairs = []
+    for k in range(-max_lag, max_lag + 1):
+        shifted = (
+            F.lag("x", k).over(w) if k >= 0 else F.lead("x", -k).over(w)
+        )
+        pairs.append(
+            F.struct(F.lit(k).cast("long").alias("k"), shifted.alias("m"))
+        )
+    lagged = (
+        dense.select("x", "y", F.array(*pairs).alias("_l"))
+        .select("y", F.explode("_l").alias("p"))
+        .where(F.col("p.m").isNotNull())
+    )
+    per_lag = lagged.groupBy(F.col("p.k").alias("lag")).agg(
+        F.sum(dec(F.col("p.m")) * dec(F.col("y"))).alias("_c"),
+        F.sum("y").alias("_a"),
+        F.sum("p.m").alias("_b"),
+        F.count(F.lit(1)).alias("_p"),
+    )
+    glob = dense.agg(
+        F.count(F.lit(1)).alias("_h"),
+        F.sum("x").alias("_tx"),
+        F.sum("y").alias("_ty"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("_sx2"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("_sy2"),
+        F.greatest(F.max("x"), F.max("y")).alias("_nmax"),
+    )
+    j = per_lag.crossJoin(F.broadcast(glob))
+    num = (
+        dec(F.col("_h") * F.col("_h")) * dec(F.col("_c"))
+        - dec(F.col("_h") * F.col("_tx")) * dec(F.col("_a"))
+        - dec(F.col("_h") * F.col("_ty")) * dec(F.col("_b"))
+        + dec(F.col("_p") * F.col("_tx")) * dec(F.col("_ty"))
+    )
+    denx = dec(F.col("_h") * F.col("_h")) * dec(F.col("_sx2")) - dec(
+        F.col("_h") * F.col("_tx")
+    ) * dec(F.col("_tx"))
+    deny = dec(F.col("_h") * F.col("_h")) * dec(F.col("_sy2")) - dec(
+        F.col("_h") * F.col("_ty")
+    ) * dec(F.col("_ty"))
+    unsafe = (F.col("_h") >= F.lit(1_000_000)) | (
+        F.col("_nmax") >= F.lit(1_000_000)
+    )
+    guarded_num = F.when(
+        unsafe,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "hourly_crosscorrelation: series domain too large for"
+                    " the exact decimal carriers (H = "
+                ),
+                F.col("_h").cast("string"),
+                F.lit(", max hourly count = "),
+                F.col("_nmax").cast("string"),
+                F.lit(
+                    "); need H < 1e6 AND max count < 1e6 — otherwise the"
+                    " decimal(19,0) casts would NULL-overflow and"
+                    " silently zero the CCF. Bucket coarser first."
+                ),
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(num)
+    return (
+        j.select(
+            "lag",
+            F.col("_h").alias("n_hours"),
+            guarded_num.alias("_num"),
+            denx.alias("_dx"),
+            deny.alias("_dy"),
+        )
+        .where((F.col("_dx") > 0) & (F.col("_dy") > 0))
+        .select(
+            "lag",
+            "n_hours",
+            (
+                F.col("_num").cast("double")
+                / F.sqrt(
+                    F.col("_dx").cast("double") * F.col("_dy").cast("double")
+                )
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

@@ -219,6 +219,11 @@ HEADLINE = [
     "source_lang_entropy",
     "quantity_weighted_median",
     "hourly_acf",
+    "price_benford",
+    "corpus_kcore",
+    "audio_frame_features",
+    "value_mad_outliers",
+    "hourly_ccf",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -46,6 +46,7 @@ OUT = os.path.join(
 # static budget; the scale probes and plan contracts cover them.
 DYNAMIC = {
     "kcenter_selection",        # k-1 per-round plans (driver loop)
+    "corpus_kcore",             # per-round localCheckpoint peeling (driver loop)
     "part_fuzzy_pairs_auto",    # auto_gram_size collects sigma first
     "semantic_dedup",           # CC rounds data-dependent
     "semantic_dedup_auto",

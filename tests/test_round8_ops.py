@@ -550,3 +550,256 @@ def test_hourly_acf_refuses_bad_max_lag(spark):
 
     with pytest.raises(ValueError, match="max_lag"):
         hourly_autocorrelation(_mk_events(spark, [1, 2]), max_lag=0)
+
+
+# ---------------------------------------------------------------- Benford
+
+
+def test_benford_audit_digits_counts_and_ppm(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        benford_audit,
+    )
+
+    vals = [1.5, 19.99, 123.0, 987.65, 9.1, 0.5, None]  # <1 and NULL excluded
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    rows = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert set(rows) == set(range(1, 10))  # all nine digits always emitted
+    assert rows[1].n_obs == 3  # 1.5, 19.99, 123.0
+    assert rows[9].n_obs == 2  # 987.65, 9.1
+    assert rows[5].n_obs == 0  # 0.5 excluded: below domain
+    assert rows[1].obs_ppm == 1_000_000 * 3 // 5
+    assert rows[1].benford_ppm == 301029
+    assert rows[1].delta_ppm == rows[1].obs_ppm - 301029
+
+
+def test_benford_audit_planted_benford_sample_small_delta(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        benford_audit,
+    )
+
+    # log-equidistributed magnitudes (golden-ratio rotation) follow
+    # Benford; discrepancy of the rotation is O(log n / n) so per-digit
+    # |delta| stays within a few thousand ppm at n=300
+    phi = 0.6180339887498949
+    df = spark.createDataFrame(
+        [(10.0 ** ((i * phi) % 1.0) * 10.0 ** (i % 6),) for i in range(300)],
+        "v double",
+    )
+    rows = benford_audit(df, "v").collect()
+    assert sum(r.n_obs for r in rows) == 300
+    for r in rows:
+        assert abs(r.delta_ppm) < 25_000, (r.digit, r.delta_ppm)
+
+
+def test_benford_audit_refuses_bigint_saturating_domain(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        benford_audit,
+    )
+
+    df = spark.createDataFrame([(1.5,), (1e19,)], "v double")
+    with pytest.raises(Exception, match="saturates"):
+        benford_audit(df, "v").collect()
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def test_kcore_peels_pendant_keeps_triangle(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_kcore,
+    )
+
+    # graph: a-b-c triangle + c-d pendant; 2-core = the triangle
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "a c"), (4, "c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.token, r.degree)
+        for r in collocation_kcore(
+            docs, k_core=2, n_rounds=3, min_count=1
+        ).collect()
+    }
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
+
+
+def test_kcore_chain_has_empty_two_core(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_kcore,
+    )
+
+    # path a-b-c-d: every peel round removes the endpoints until empty;
+    # needs MULTIPLE rounds (each round only strips the current leaves)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d")], "doc_id long, text string"
+    )
+    assert (
+        collocation_kcore(docs, k_core=2, n_rounds=3, min_count=1).count()
+        == 0
+    )
+    # one round is NOT enough: after stripping a and d, b-c survives
+    # with degree 1 — the unconverged superset, never an undershoot
+    one = {
+        r.token
+        for r in collocation_kcore(
+            docs, k_core=2, n_rounds=1, min_count=1
+        ).collect()
+    }
+    assert one == {"b", "c"}
+
+
+def test_kcore_registered_rounds_converge_on_testdata(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_kcore,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    r8 = sorted(
+        (r.token, r.degree)
+        for r in collocation_kcore(docs, k_core=3, n_rounds=8).collect()
+    )
+    r9 = sorted(
+        (r.token, r.degree)
+        for r in collocation_kcore(docs, k_core=3, n_rounds=9).collect()
+    )
+    assert r8 == r9 and len(r8) > 0  # registered config is converged
+
+
+def test_kcore_refuses_bad_params(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_kcore,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k_core"):
+        collocation_kcore(docs, k_core=0)
+    with pytest.raises(ValueError, match="k_core"):
+        collocation_kcore(docs, n_rounds=0)
+
+
+# ---------------------------------------------------------------- MAD
+
+
+def test_mad_outliers_hand_case(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4, 100]], "k string, v double"
+    )
+    r = mad_outliers(df, "k", "v", 3, 1).collect()[0]
+    # lower median of [1,2,3,4,100] = 3; deviations [2,1,0,1,97],
+    # MAD = lower median = 1; only 97 > 3*1 -> one outlier
+    assert (r.n_rows, r.median, r.mad, r.n_outliers) == (5, 3.0, 1.0, 1)
+
+
+def test_mad_outliers_zero_mad_flags_every_off_median_row(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 9.0)],
+        "k string, v double",
+    )
+    r = mad_outliers(df, "k", "v").collect()[0]
+    assert (r.median, r.mad, r.n_outliers) == (5.0, 0.0, 1)
+
+
+def test_mad_outliers_robust_where_zscore_breaks(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        mad_outliers,
+    )
+
+    # one enormous spike inflates sigma so much that 3-sigma misses it
+    # in small samples' z-test family; MAD flags it regardless
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 1e9]
+    df = spark.createDataFrame([("a", v) for v in vals], "k string, v double")
+    r = mad_outliers(df, "k", "v").collect()[0]
+    assert r.n_outliers == 1 and r.median == 11.0
+
+
+def test_mad_outliers_excludes_null_and_nan(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        mad_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+         ("a", float("nan"))],
+        "k string, v double",
+    )
+    r = mad_outliers(df, "k", "v").collect()[0]
+    assert r.n_rows == 3 and r.median == 2.0
+
+
+# ---------------------------------------------------------------- audio
+
+
+def test_audio_frame_audit_matches_python_reference(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        audio_frame_audit,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    got = {
+        (r.doc_id, r.frame): (r.energy, r.zcr)
+        for r in audio_frame_audit(
+            docs, n_docs=4, n_frames=2, frame_len=8
+        ).collect()
+    }
+    for d in range(4):
+        samples = [_h32(f"au_{d}_{i}") % 65536 - 32768 for i in range(16)]
+        for f in range(2):
+            seg = samples[f * 8 : (f + 1) * 8]
+            want = (
+                sum(s * s for s in seg),
+                sum((a < 0) != (b < 0) for a, b in zip(seg, seg[1:])),
+            )
+            assert got[(d, f)] == want
+
+
+# ---------------------------------------------------------------- CCF
+
+
+def test_hourly_ccf_detects_known_lead(spark):
+    from datetime import datetime, timedelta
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_crosscorrelation,
+    )
+
+    # purchases copy the click series shifted 2 hours later -> the CCF
+    # must peak at lag +2 ("clicks lead purchases by 2 hours")
+    base = datetime(2024, 3, 1)
+    clicks = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = []
+    for i, c in enumerate(clicks):
+        rows += [(base + timedelta(hours=i), "click")] * c
+        rows += [(base + timedelta(hours=i + 2), "purchase")] * c
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {r.lag: r.ccf for r in hourly_crosscorrelation(
+        ev, "click", "purchase", max_lag=4
+    ).collect()}
+    peak = max(got, key=lambda k: got[k])
+    # full-series means include the 2 zero-padded spine edge hours each
+    # side, damping the peak below the no-padding 1.0 — location is the
+    # tested semantic, plus clear dominance over every other lag
+    assert peak == 2 and got[2] > 0.6
+    assert all(got[2] > got[k] + 0.2 for k in got if k != 2)
+
+
+def test_hourly_ccf_refuses_bad_params(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.analytics import (
+        hourly_crosscorrelation,
+    )
+
+    ev = spark.createDataFrame([], "ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="max_lag"):
+        hourly_crosscorrelation(ev, "a", "b", max_lag=0)
+    with pytest.raises(ValueError, match="itself"):
+        hourly_crosscorrelation(ev, "a", "a")
