@@ -859,6 +859,24 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_part_sorted_neighbors(spark, sf_dir):
+    # Sorted-neighborhood blocking (Hernandez-Stolfo SNM): part names
+    # globally ranked via the total-order partitioner (no single-
+    # partition sort, envelope-verified monotone first-char buckets),
+    # candidate pairs within a 4-position window, verified by >= 1
+    # shared distinct name token. Linear (w-1)*n candidates — the sort-
+    # adjacency complement of the hash-blocking family (LSH/SimHash).
+    # operators/dedup.sorted_neighbor_pairs.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        sorted_neighbor_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return sorted_neighbor_pairs(
+        part, "p_partkey", "p_name", window=4, min_shared_tokens=1
+    )
+
+
 def q_hourly_ccf(spark, sf_dir):
     # Lead-lag screen between clicks and purchases: cross-correlation
     # of the two hourly rate series at lags -6..6 on the shared dense
@@ -3310,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_frame_features": q_audio_frame_features,
         "value_mad_outliers": q_value_mad_outliers,
         "hourly_ccf": q_hourly_ccf,
+        "part_sorted_neighbors": q_part_sorted_neighbors,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5257,6 +5276,24 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "part_sorted_neighbors": """
+            WITH r AS (
+              SELECT p_partkey AS id, p_name AS k,
+                     row_number() OVER (ORDER BY p_name, p_partkey)
+                       AS rn
+              FROM part WHERE p_name IS NOT NULL),
+            pr AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     a.k AS key_a, b.k AS key_b,
+                     CAST(len(list_intersect(string_split(a.k, ' '),
+                       string_split(b.k, ' '))) AS BIGINT)
+                       AS shared_tokens
+              FROM r a JOIN r b
+                ON b.rn > a.rn AND b.rn <= a.rn + 3)
+            SELECT id_a, id_b, key_a, key_b, shared_tokens
+            FROM pr WHERE shared_tokens >= 1
+            ORDER BY id_a, id_b
         """,
         "hourly_ccf": """
             WITH cnt AS (

@@ -1560,3 +1560,77 @@ def minhash_accuracy_audit(
             "n_within_quarter"
         ),
     )
+
+
+def sorted_neighbor_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    bucket_of_key=None,
+    window: int = 4,
+    min_shared_tokens: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo, SIGMOD 1995): sort records by a blocking key and emit all
+    pairs within ``window`` positions of each other — the classic
+    alternative to hash blocking (LSH bands, SimHash prefixes) that
+    catches near-matches differing in a LOW-ORDER part of the key,
+    which land in different hash buckets but adjacent sort positions.
+    Candidates then pass a cheap verify: at least ``min_shared_tokens``
+    distinct tokens shared between the keys (array_intersect — both
+    engines dedup, so the count is set semantics).
+
+    The global sort position comes from ``global_rank`` (total-order
+    partitioner: range-bucket + per-bucket window — no single-partition
+    sort). ``bucket_of_key`` maps the key Column to a range bucket and
+    MUST be monotone in the key — global_rank VERIFIES that via bucket
+    envelopes; the default (first character) is monotone for any
+    string key under lexicographic order. Ties on the
+    key break by id, so the order — and therefore the candidate set —
+    is fully deterministic. Pair generation is a sequence-explode of
+    the w−1 following ranks joined back on rank: candidates scale
+    LINEARLY (≤ (w−1)·n, the method's selling point vs the df² of
+    posting joins), one shuffle each side of the rank join.
+
+    Emits (id_a, id_b, key_a, key_b, shared_tokens) with id_a's rank
+    strictly below id_b's."""
+    if window < 2:
+        raise ValueError(
+            f"sorted_neighbor_pairs: window must be >= 2, got {window}"
+        )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
+    ).where(F.col(key_col).isNotNull() & F.col(id_col).isNotNull())
+    from .relational import global_rank
+
+    if bucket_of_key is None:
+        bucket_of_key = lambda k: F.substring(k, 1, 1)  # noqa: E731
+    ranked = global_rank(
+        base,
+        bucket_of_key(F.col("_k")),
+        F.struct(F.col("_k"), F.col("_id")),
+        "rank",
+    )
+    right = ranked.select(
+        F.col("rank").alias("_rr"),
+        F.col("_id").alias("id_b"),
+        F.col("_k").alias("key_b"),
+    )
+    probes = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_k").alias("key_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window - 1)
+        ).alias("_rr"),
+    )
+    shared = F.size(
+        F.array_intersect(
+            F.split(F.col("key_a"), " "), F.split(F.col("key_b"), " ")
+        )
+    ).cast("long")
+    return (
+        probes.join(right, "_rr")
+        .select("id_a", "id_b", "key_a", "key_b", shared.alias("shared_tokens"))
+        .where(F.col("shared_tokens") >= min_shared_tokens)
+        .orderBy("id_a", "id_b")
+    )

@@ -224,6 +224,7 @@ HEADLINE = [
     "audio_frame_features",
     "value_mad_outliers",
     "hourly_ccf",
+    "part_sorted_neighbors",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

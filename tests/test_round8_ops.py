@@ -803,3 +803,65 @@ def test_hourly_ccf_refuses_bad_params(spark):
         hourly_crosscorrelation(ev, "a", "b", max_lag=0)
     with pytest.raises(ValueError, match="itself"):
         hourly_crosscorrelation(ev, "a", "a")
+
+
+# ------------------------------------------------------------ sorted-neighbor
+
+
+def test_sorted_neighbor_pairs_window_semantics(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        sorted_neighbor_pairs,
+    )
+
+    # sort order: acme corp(1) < acme corpse(3) < beta inc(2) < zeta acme(4)
+    df = spark.createDataFrame(
+        [(1, "acme corp"), (2, "beta inc"), (3, "acme corpse"),
+         (4, "zeta acme")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.shared_tokens
+        for r in sorted_neighbor_pairs(
+            df, "id", "name", window=2, min_shared_tokens=1
+        ).collect()
+    }
+    # window=2 -> only adjacent-in-order pairs, then the token verify:
+    # (1,3) share 'acme'; (3,2) share nothing; (2,4) share nothing
+    assert got == {(1, 3): 1}
+    # window=3 additionally reaches 2 positions: (1,2) no, (3,4) 'acme'
+    got3 = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighbor_pairs(
+            df, "id", "name", window=3, min_shared_tokens=1
+        ).collect()
+    }
+    assert got3 == {(1, 3), (3, 4)}
+
+
+def test_sorted_neighbor_pairs_catches_low_order_variants(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        sorted_neighbor_pairs,
+    )
+
+    # the SNM selling point: variants differing at the END of the key
+    # are sort-adjacent even when hash blocking would separate them
+    df = spark.createDataFrame(
+        [(10, "solar panel mk1"), (11, "solar panel mk2"),
+         (12, "wind turbine")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.shared_tokens
+        for r in sorted_neighbor_pairs(df, "id", "name", window=2).collect()
+    }
+    assert got[(10, 11)] == 2  # 'solar', 'panel'
+
+
+def test_sorted_neighbor_pairs_refuses_bad_window(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        sorted_neighbor_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighbor_pairs(df, "id", "name", window=1)
