@@ -3211,25 +3211,64 @@ def _last_green_rounds() -> dict[str, int]:
     return last
 
 
+def _added_rounds() -> dict[str, int]:
+    """Round each entry was REGISTERED, from the tracked
+    ``tests/registry_added.json`` (tests/test_registry.py asserts every
+    registry key has a record, so a new entry cannot land without
+    declaring its round). Only consulted for never-certified entries —
+    certified rows rank by their last green round."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "tests", "registry_added.json")) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return {k: int(v) for k, v in data.items()} if isinstance(data, dict) else {}
+
+
 def _sweep_order(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Order the registry by certification staleness: never-driver-green
-    entries first, then ascending last-green round, ties broken by the
-    hand-written dict order. The driver sweep certifies the first ~50
-    entries per round, so this DERIVED ordering is what guarantees the
-    sweep front always targets the stalest rows — it was maintained by
-    hand through r7 and cannot regress now that it is computed
-    (VERDICT r7 Next #2). Every entry is oracle-checked locally by
+    """Order the registry by CERTIFICATION DEBT — how many sweep rounds
+    an entry has been waiting, descending (hand order breaks ties):
+
+        debt = current − last_green_round            (certified rows)
+        debt = current − added_round + 2.5           (never-certified)
+
+    The 2.5-round credit encodes the two priorities the rotation must
+    balance: a never-certified entry carries externally UNVALIDATED
+    claims, so it outranks rows certified up to two rounds before it
+    was registered — but it does NOT outrank rows three or more rounds
+    stale when it is brand-new, so a round that registers ~20 operators
+    (more never-certified rows than a ~50-row sweep window can hold
+    beside the stalest certified rows) cannot starve the
+    re-certification of long-stale rows behind its own zero-wait
+    additions. The half keeps never/certified strictly ordered when the
+    integer parts tie (never-certified first). Plain "never-certified
+    first, then ascending last-green" regressed exactly this way at 200
+    entries — the growth case VERDICT r7 Next #2 demanded the derived
+    ordering survive.
+
+    Every entry is oracle-checked locally by
     tests/test_entry_oracle.py regardless of order; the ordering only
     affects which rows a count/time-bounded external sweep certifies
     first."""
     last = _last_green_rounds()
+    added = _added_rounds()
+    current = max(last.values(), default=0) + 1
     pos = {k: i for i, k in enumerate(base)}
-    return {
-        k: base[k]
-        for k in sorted(base, key=lambda k: (last.get(k, -1), pos[k]))
-    }
+
+    def key(k: str):
+        if k in last:
+            debt = float(current - last[k])
+        else:
+            debt = current - added.get(k, current) + 2.5
+        return (-debt, pos[k])
+
+    return {k: base[k] for k in sorted(base, key=key)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

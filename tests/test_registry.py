@@ -35,25 +35,64 @@ def test_rows_only_queries_are_the_documented_two():
     assert rows_only == ["ann_ivf_trained", "forecast_sarimax"], rows_only
 
 
-def test_registry_order_is_stalest_first():
+def test_registry_order_is_certification_debt_first():
     # VERDICT r7 Next #2: the sweep-front ordering is DERIVED from the
-    # CORRECTNESS_r*.json artifacts, never maintained by hand — the
-    # registry must come back sorted by last-driver-green round
-    # ascending, with never-certified entries leading. A regression
-    # here would silently let fresh rows crowd stale ones out of a
-    # count-bounded external sweep.
+    # CORRECTNESS_r*.json artifacts + the tracked added-round map,
+    # never maintained by hand. Ordering key: certification DEBT
+    # descending — current - last_green for certified rows,
+    # current - added + 2.5 for never-certified ones (they outrank
+    # rows certified up to two rounds before their registration, but
+    # NOT rows >= 3 rounds stale). Plain "never-certified first"
+    # regressed at 200 entries: a round adding ~20 operators pushed
+    # 4-round-stale certified rows out of a 50-row sweep window behind
+    # its own zero-wait additions.
     last = entry_mod._last_green_rounds()
+    added = entry_mod._added_rounds()
+    current = max(last.values(), default=0) + 1
     ks = list(entry_mod.queries())
-    rounds = [last.get(k, -1) for k in ks]
-    assert rounds == sorted(rounds), [
-        (k, r) for k, r in zip(ks, rounds)
-        if rounds.index(r) != sorted(rounds).index(r)
+
+    def debt(k):
+        if k in last:
+            return float(current - last[k])
+        return current - added.get(k, current) + 2.5
+
+    debts = [debt(k) for k in ks]
+    assert debts == sorted(debts, reverse=True), [
+        (k, d) for k, d in zip(ks, debts)
     ][:5]
-    # the first N keys are exactly the stalest N for every prefix
-    # boundary between distinct rounds (the property the sweep relies
-    # on, stated without pinning the artifact contents)
-    never = {k for k in ks if last.get(k, -1) == -1}
-    assert set(ks[: len(never)]) == never
+    # the two concrete guarantees the rotation rides on:
+    # (a) certified rows >= debt+1 stale outrank never-certified
+    #     entries added in the current round...
+    stale = {k for k in ks if k in last and current - last[k] >= 3}
+    newly = {k for k in ks if k not in last and added.get(k, 0) >= current}
+    if stale and newly:
+        assert max(ks.index(k) for k in stale) < min(
+            ks.index(k) for k in newly
+        )
+    # (b) ...while never-certified entries from PREVIOUS rounds outrank
+    #     rows certified in the round they were added or later
+    prior_never = {
+        k for k in ks if k not in last and added.get(k, current) < current
+    }
+    recent = {
+        k
+        for k in ks
+        if k in last and current - last[k] <= 2
+    }
+    if prior_never and recent:
+        assert max(ks.index(k) for k in prior_never) < min(
+            ks.index(k) for k in recent
+        )
+
+
+def test_every_registry_entry_declares_its_added_round():
+    # the added-round map is what lets the debt ordering rank entries
+    # that have never been swept; an unrecorded entry would silently
+    # rank as zero-debt. Registering a query without recording its
+    # round fails here.
+    added = entry_mod._added_rounds()
+    missing = sorted(set(entry_mod.queries()) - set(added))
+    assert not missing, missing
 
 
 def test_last_green_rounds_semantics():
