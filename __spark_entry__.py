@@ -859,6 +859,17 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_source_kl(spark, sf_dir):
+    # Mixture-design drift number: KL(source || corpus) over token
+    # unigrams in nats — finite without smoothing (source vocab is a
+    # corpus subset). One ln per (source, term) row floored at 1e6
+    # before the BIGINT fold (the entropy convention); corpus counts
+    # and all totals derive from the one (source, term) table.
+    # functions/text.source_token_kl.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.source_token_kl(docs)
+
+
 def q_part_sorted_neighbors(spark, sf_dir):
     # Sorted-neighborhood blocking (Hernandez-Stolfo SNM): part names
     # globally ranked via the total-order partitioner (no single-
@@ -3368,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_mad_outliers": q_value_mad_outliers,
         "hourly_ccf": q_hourly_ccf,
         "part_sorted_neighbors": q_part_sorted_neighbors,
+        "source_kl": q_source_kl,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5315,6 +5327,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "source_kl": """
+            WITH st AS (
+              SELECT source, t, count(*) AS c_st
+              FROM (SELECT source,
+                      unnest(string_split(trim(text), ' ')) AS t
+                    FROM documents)
+              GROUP BY source, t),
+            term AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY t),
+            stot AS (SELECT source, sum(c_st) AS n_s
+                     FROM st GROUP BY source),
+            ctot AS (SELECT sum(c_t) AS n FROM term),
+            num AS (
+              SELECT st.source,
+                     sum(st.c_st * CAST(floor(1000000 * ln(
+                       (CAST(st.c_st AS DOUBLE) * CAST(ctot.n AS DOUBLE))
+                       / (CAST(stot.n_s AS DOUBLE)
+                          * CAST(term.c_t AS DOUBLE))))
+                       AS BIGINT)) AS num
+              FROM st JOIN term ON st.t = term.t
+              JOIN stot ON st.source = stot.source
+              CROSS JOIN ctot
+              GROUP BY st.source)
+            SELECT stot.source, CAST(stot.n_s AS BIGINT) AS n_tokens,
+                   CAST(num.num AS DOUBLE)
+                     / CAST(stot.n_s * 1000000 AS DOUBLE) AS kl_nats
+            FROM stot JOIN num ON stot.source = num.source
+            ORDER BY stot.source
         """,
         "part_sorted_neighbors": """
             WITH r AS (

@@ -1780,3 +1780,74 @@ def corpus_zipf_fit(
             f" / {S}"
         ).alias("intercept"),
     )
+
+
+def source_token_kl(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    KL(P_source ‖ P_corpus) in nats, the single-number "how far does
+    this slice's language drift from the blend" that mixture designers
+    weigh sources by (DoReMi-style reweighting, domain filtering both
+    key on exactly this quantity; the per-TERM view is
+    ``source_distinctive_terms``, this is its scalar summary).
+
+    Every source's vocabulary is a subset of the corpus vocabulary by
+    construction, so no term has p_corpus = 0 and the divergence is
+    always finite — no smoothing needed, unlike the two-sample case.
+
+    Exactness discipline (the ``source_language_entropy`` convention):
+
+        KL = (1/n_s) · Σ_t c_st · ln((c_st · N) / (n_s · c_t))
+
+    with ONE ln per (source, term) row, floored at 1e6 BEFORE the sum,
+    so the numerator folds as an exact BIGINT (partition-order-free,
+    value-exact oracle) and the single terminal division is the only
+    float op. The ln argument is a ratio of BIGINT products — exact
+    doubles up to 2^53, guarded by the same realistic-corpus bounds as
+    the retrieval stack's idf.
+
+    Plan: one explode → (source, term) partial-agg counts; corpus term
+    counts and source/corpus totals all DERIVE from that table (no
+    second corpus pass); totals broadcast back; final fold is one
+    partial-agg groupBy. Output: one row per source."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    st = (
+        docs.select(
+            F.col(source_col).alias("source"), F.explode(toks).alias("t")
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    term = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    src_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    corpus_tot = term.agg(F.sum("c_t").alias("_n"))
+    ln_term = F.floor(
+        F.lit(1_000_000)
+        * F.log(
+            (F.col("c_st").cast("double") * F.col("_n").cast("double"))
+            / (F.col("n_s").cast("double") * F.col("c_t").cast("double"))
+        )
+    ).cast("long")
+    num = (
+        st.join(term, "t")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("source", (F.col("c_st") * ln_term).alias("_x"))
+        .groupBy("source")
+        .agg(F.sum("_x").alias("_num"))
+    )
+    return (
+        src_tot.join(num, "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            (
+                F.col("_num").cast("double")
+                / (F.col("n_s") * F.lit(1_000_000)).cast("double")
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

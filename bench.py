@@ -225,6 +225,7 @@ HEADLINE = [
     "value_mad_outliers",
     "hourly_ccf",
     "part_sorted_neighbors",
+    "source_kl",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded
