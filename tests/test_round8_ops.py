@@ -865,3 +865,49 @@ def test_sorted_neighbor_pairs_refuses_bad_window(spark):
     df = spark.createDataFrame([(1, "a")], "id long, name string")
     with pytest.raises(ValueError, match="window"):
         sorted_neighbor_pairs(df, "id", "name", window=1)
+
+
+# ---------------------------------------------------------------- KL
+
+
+def test_source_token_kl_hand_case(spark):
+    import math
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        source_token_kl,
+    )
+
+    # source A: tokens [x x y]; source B: [y z]; corpus: x:2 y:2 z:1, N=5
+    docs = spark.createDataFrame(
+        [(1, "x x y", "A"), (2, "y z", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: (r.n_tokens, r.kl_nats) for r in source_token_kl(docs).collect()}
+
+    def ref(counts, n_s, corpus, big_n):
+        num = sum(
+            c * math.floor(1e6 * math.log((c * big_n) / (n_s * corpus[t])))
+            for t, c in counts.items()
+        )
+        return num / (n_s * 1e6)
+
+    corpus = {"x": 2, "y": 2, "z": 1}
+    assert got["A"] == (3, ref({"x": 2, "y": 1}, 3, corpus, 5))
+    assert got["B"] == (2, ref({"y": 1, "z": 1}, 2, corpus, 5))
+    # KL >= 0 always (floored-log form can dip a hair under exact zero
+    # only via the floor; both here are strictly positive mixes)
+    assert got["A"][1] > 0 and got["B"][1] > 0
+
+
+def test_source_token_kl_identical_mix_is_zero(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        source_token_kl,
+    )
+
+    # both sources have the exact corpus distribution -> ln(1) = 0 rows
+    docs = spark.createDataFrame(
+        [(1, "x y", "A"), (2, "x y", "B")],
+        "doc_id long, text string, source string",
+    )
+    for r in source_token_kl(docs).collect():
+        assert r.kl_nats == 0.0
