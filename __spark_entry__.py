@@ -859,6 +859,17 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_corpus_communities(spark, sf_dir):
+    # Deterministic label propagation (Raghavan et al.) on the token
+    # co-occurrence graph: 4 synchronous rounds, max-weight neighbor
+    # label with min-label tie-break (the published random tie-break
+    # replaced by one an oracle can pin). Two partial-agg groupBys +
+    # one equi-join per round, labels localCheckpointed. Top-50
+    # communities by size. functions/text.collocation_communities.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.collocation_communities(docs, n_rounds=4, min_count=5)
+
+
 def q_source_kl(spark, sf_dir):
     # Mixture-design drift number: KL(source || corpus) over token
     # unigrams in nats — finite without smoothing (source vocab is a
@@ -3380,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_ccf": q_hourly_ccf,
         "part_sorted_neighbors": q_part_sorted_neighbors,
         "source_kl": q_source_kl,
+        "corpus_communities": q_corpus_communities,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -3919,6 +3931,51 @@ ORDER BY site, var, horizon_h, ts_utc
     )
 
 
+def _lpa_oracle(
+    n_rounds: int = 4, min_count: int = 5, min_size: int = 3, k: int = 50
+) -> str:
+    # synchronous LPA unrolled as chained CTEs; every round's score and
+    # label tables are MATERIALIZED (each is referenced twice — inlined
+    # they'd re-expand the whole prefix per reference, the k-core
+    # lesson). Tie-break = min label, mirroring the Spark plan exactly.
+    blocks = []
+    for i in range(1, n_rounds + 1):
+        blocks.append(f"""
+            s{i} AS MATERIALIZED (
+              SELECT e.v, l.lab, sum(e.w) AS sw
+              FROM e JOIN l{i-1} l ON e.u = l.node
+              GROUP BY e.v, l.lab),
+            m{i} AS (
+              SELECT v, max(sw) AS mw FROM s{i} GROUP BY v),
+            l{i} AS MATERIALIZED (
+              SELECT s.v AS node, min(s.lab) AS lab
+              FROM s{i} s JOIN m{i} m ON s.v = m.v AND s.sw = m.mw
+              GROUP BY s.v)""")
+    return f"""
+            WITH tok AS (
+              SELECT string_split(trim(text), ' ') AS tk FROM documents),
+            pairs AS (
+              SELECT least(tk[i], tk[i+1]) AS a,
+                     greatest(tk[i], tk[i+1]) AS b
+              FROM tok, unnest(range(1, len(tk))) AS r(i)
+              WHERE len(tk) >= 2),
+            bi AS (
+              SELECT a, b, count(*) AS w FROM pairs WHERE a <> b
+              GROUP BY a, b HAVING count(*) >= {min_count}),
+            e AS MATERIALIZED (
+              SELECT a AS u, b AS v, w FROM bi
+              UNION ALL SELECT b AS u, a AS v, w FROM bi),
+            l0 AS MATERIALIZED (
+              SELECT DISTINCT u AS node, u AS lab FROM e),
+            {",".join(blocks)}
+            SELECT lab AS community,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM l{n_rounds}
+            GROUP BY lab HAVING count(*) >= {min_size}
+            ORDER BY n_tokens DESC, community LIMIT {k}
+        """
+
+
 def _kcore_oracle(
     k_core: int = 3, n_rounds: int = 8, min_count: int = 5
 ) -> str:
@@ -4306,6 +4363,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "corpus_textrank": _textrank_oracle(),
         "corpus_kcore": _kcore_oracle(),
+        "corpus_communities": _lpa_oracle(),
         "corpus_triangles": """
             WITH tok AS (
               SELECT string_split(trim(text), ' ') AS tk FROM documents),

@@ -1851,3 +1851,100 @@ def source_token_kl(
         )
         .orderBy("source")
     )
+
+
+def collocation_communities(
+    docs: DataFrame,
+    n_rounds: int = 4,
+    min_count: int = 5,
+    min_size: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Community detection on the token co-occurrence graph via
+    synchronous label propagation (Raghavan-Albert-Kumara 2007), made
+    DETERMINISTIC: each round every node adopts the label with the
+    largest total incident edge weight among its neighbors, ties
+    broken by SMALLEST label (the published algorithm breaks ties
+    randomly, which no oracle could pin; min-label keeps the whole
+    fixed-round run value-exact). Labels start as the tokens
+    themselves, so a community's label is a readable exemplar member.
+    Where ``collocation_kcore`` finds the dense nucleus and
+    ``collocation_triangles`` local cliques, LPA partitions the whole
+    graph into topic-ish clusters.
+
+    Fixed ``n_rounds`` keeps the plan finite and the SQL oracle
+    expressible as chained CTEs; synchronous LPA can oscillate on
+    bipartite structures, so the result is pinned as "labels after
+    exactly n rounds" — deterministic by construction, which is what
+    the oracle certifies (the classic convergence caveat of the
+    synchronous variant, documented rather than hidden behind a random
+    async schedule).
+
+    Plan: the canonical a<b edge list (same kernel as the triangle and
+    k-core queries) symmetrized once; each round is TWO partial-agg
+    groupBys ((node, label) weight fold, then per-node max) + an
+    equi-join back, with the label table ``localCheckpoint``ed per
+    round (constant lineage, the k-core discipline). Output: the top-k
+    communities by member count (≥ min_size), exact integers."""
+    if n_rounds < 1:
+        raise ValueError(
+            f"collocation_communities: n_rounds must be >= 1, got {n_rounds}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    bi = (
+        docs.select(toks.alias("_tk"))
+        .where(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_tk"), 1, F.size("_tk") - 1),
+                    F.slice(F.col("_tk"), 2, F.size("_tk") - 1),
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.least("p.x", "p.y").alias("a"),
+            F.greatest("p.x", "p.y").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= min_count)
+    )
+    edges = (
+        bi.select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
+        .unionByName(
+            bi.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(n_rounds):
+        scored = (
+            edges.join(labels, edges["u"] == labels["node"])
+            .groupBy(edges["v"].alias("nv"), "lab")
+            .agg(F.sum("w").alias("sw"))
+        )
+        best = scored.groupBy("nv").agg(F.max("sw").alias("mw"))
+        labels = (
+            scored.join(best, "nv")
+            .where(F.col("sw") == F.col("mw"))
+            .groupBy("nv")
+            .agg(F.min("lab").alias("lab"))
+            .select(F.col("nv").alias("node"), "lab")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .where(F.col("n_tokens") >= min_size)
+        .orderBy(F.desc("n_tokens"), "community")
+        .limit(k)
+    )

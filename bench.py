@@ -226,6 +226,7 @@ HEADLINE = [
     "hourly_ccf",
     "part_sorted_neighbors",
     "source_kl",
+    "corpus_communities",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

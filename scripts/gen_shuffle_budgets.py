@@ -47,6 +47,7 @@ OUT = os.path.join(
 DYNAMIC = {
     "kcenter_selection",        # k-1 per-round plans (driver loop)
     "corpus_kcore",             # per-round localCheckpoint peeling (driver loop)
+    "corpus_communities",       # per-round localCheckpoint LPA (driver loop)
     "part_fuzzy_pairs_auto",    # auto_gram_size collects sigma first
     "semantic_dedup",           # CC rounds data-dependent
     "semantic_dedup_auto",

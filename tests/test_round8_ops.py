@@ -911,3 +911,54 @@ def test_source_token_kl_identical_mix_is_zero(spark):
     )
     for r in source_token_kl(docs).collect():
         assert r.kl_nats == 0.0
+
+
+# ---------------------------------------------------------------- LPA
+
+
+def test_lpa_two_cliques_form_two_communities(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_communities,
+    )
+
+    # two token triangles bridged by ONE weak edge; intra-clique edges
+    # carry weight 2 (duplicated docs) so the bridge (weight 1) loses
+    # every max-weight vote: LPA must keep two size-3 communities
+    # rather than leak one label across the bridge
+    intra = [(1, "a b"), (2, "b c"), (3, "a c"),
+             (4, "x y"), (5, "y z"), (6, "x z")]
+    docs = spark.createDataFrame(
+        intra + [(i + 10, t) for i, t in intra] + [(99, "c x")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.n_tokens
+        for r in collocation_communities(
+            docs, n_rounds=4, min_count=1, min_size=2
+        ).collect()
+    )
+    assert got == [3, 3]
+
+
+def test_lpa_fixed_rounds_deterministic_across_runs(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_communities,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    a = [tuple(r) for r in collocation_communities(docs).collect()]
+    b = [tuple(r) for r in collocation_communities(docs).collect()]
+    assert a == b and len(a) > 0
+
+
+def test_lpa_refuses_bad_rounds(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        collocation_communities,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_rounds"):
+        collocation_communities(docs, n_rounds=0)
