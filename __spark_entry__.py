@@ -859,6 +859,63 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_type_audience_similarity(spark, sf_dir):
+    # MinHash STATE demo + estimator audit in one: per-type signatures
+    # over user-id audiences (the sixth mergeable state — component-
+    # wise-min merge, stream ≡ batch cell-for-cell), pairwise Broder
+    # estimate from the 16-row signatures beside the EXACT audience
+    # Jaccard from distinct (type, user) items. heavy.minhash_state /
+    # minhash_state_jaccard.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        minhash_state,
+        minhash_state_jaccard,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    st = minhash_state(ev, ["event_type"], "user_id", 16)
+    est = minhash_state_jaccard(st, "event_type", 16)
+    items = (
+        ev.select(
+            "event_type", F.col("user_id").cast("string").alias("item")
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    sizes = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        items.alias("a")
+        .join(items.alias("b"), "item")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("key_a"),
+            F.col("b.event_type").alias("key_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    sa = sizes.select(F.col("event_type").alias("key_a"), F.col("n").alias("_na"))
+    sb = sizes.select(F.col("event_type").alias("key_b"), F.col("n").alias("_nb"))
+    jex = (
+        F.coalesce(F.col("_i"), F.lit(0)).cast("double")
+        / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_i"), F.lit(0))).cast(
+            "double"
+        )
+    )
+    return (
+        est.join(inter, ["key_a", "key_b"], "left")
+        .join(F.broadcast(sa), "key_a")
+        .join(F.broadcast(sb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "n_agree",
+            "jhat",
+            jex.alias("jexact"),
+            F.abs(F.col("jhat") - jex).alias("abs_err"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
 def q_corpus_communities(spark, sf_dir):
     # Deterministic label propagation (Raghavan et al.) on the token
     # co-occurrence graph: 4 synchronous rounds, max-weight neighbor
@@ -3392,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_sorted_neighbors": q_part_sorted_neighbors,
         "source_kl": q_source_kl,
         "corpus_communities": q_corpus_communities,
+        "type_audience_similarity": q_type_audience_similarity,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -3931,6 +3989,62 @@ ORDER BY site, var, horizon_h, ts_utc
     )
 
 
+def _audience_minhash_oracle(n_hashes: int = 16) -> str:
+    # mirrors heavy.minhash_state + minhash_state_jaccard on the
+    # events table: same md5 h32, same universal family coefficients;
+    # exact audience Jaccard beside the estimate
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        MH_MOD,
+        minhash_params,
+    )
+
+    h = _h32_sql("item")
+    mins = ",\n                     ".join(
+        f"min(({minhash_params(j)[0]} * {h} + {minhash_params(j)[1]})"
+        f" % {MH_MOD}) AS m{j}"
+        for j in range(n_hashes)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)"
+        for j in range(n_hashes)
+    )
+    return f"""
+            WITH items0 AS (
+              SELECT DISTINCT event_type AS k,
+                     CAST(user_id AS VARCHAR) AS item
+              FROM events WHERE user_id IS NOT NULL),
+            sig AS (
+              SELECT k,
+                     {mins}
+              FROM items0 GROUP BY k),
+            est AS (
+              SELECT a.k AS key_a, b.k AS key_b,
+                     CAST({agree} AS BIGINT) AS n_agree
+              FROM sig a JOIN sig b ON a.k < b.k),
+            sizes AS (SELECT k, count(*) AS n FROM items0 GROUP BY k),
+            inter AS (
+              SELECT a.k AS key_a, b.k AS key_b, count(*) AS i
+              FROM items0 a JOIN items0 b
+                ON a.item = b.item AND a.k < b.k
+              GROUP BY 1, 2)
+            SELECT est.key_a, est.key_b, est.n_agree,
+                   CAST(est.n_agree AS DOUBLE) / {float(n_hashes)} AS jhat,
+                   CAST(COALESCE(inter.i, 0) AS DOUBLE)
+                     / CAST(sa.n + sb.n - COALESCE(inter.i, 0) AS DOUBLE)
+                     AS jexact,
+                   abs(CAST(est.n_agree AS DOUBLE) / {float(n_hashes)}
+                     - CAST(COALESCE(inter.i, 0) AS DOUBLE)
+                       / CAST(sa.n + sb.n - COALESCE(inter.i, 0)
+                         AS DOUBLE)) AS abs_err
+            FROM est
+            LEFT JOIN inter ON est.key_a = inter.key_a
+              AND est.key_b = inter.key_b
+            JOIN sizes sa ON est.key_a = sa.k
+            JOIN sizes sb ON est.key_b = sb.k
+            ORDER BY est.key_a, est.key_b
+        """
+
+
 def _lpa_oracle(
     n_rounds: int = 4, min_count: int = 5, min_size: int = 3, k: int = 50
 ) -> str:
@@ -4364,6 +4478,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "corpus_textrank": _textrank_oracle(),
         "corpus_kcore": _kcore_oracle(),
         "corpus_communities": _lpa_oracle(),
+        "type_audience_similarity": _audience_minhash_oracle(),
         "corpus_triangles": """
             WITH tok AS (
               SELECT string_split(trim(text), ' ') AS tk FROM documents),

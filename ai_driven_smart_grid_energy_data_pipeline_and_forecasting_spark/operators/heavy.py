@@ -445,3 +445,96 @@ def cms_topk_audit(
         )
         .orderBy(F.desc("true_count"), "item")
     )
+
+
+def minhash_state(
+    df: DataFrame, keys: list[str], col: str, n_hashes: int = 16
+) -> DataFrame:
+    """Per-key MinHash signature as a mergeable STATE frame
+    (keys..., j, sig) — ≤ n_hashes rows per key however large the
+    input, built in one partial-aggregated shuffle. min is idempotent
+    and orderless, so two states merge by component-wise min
+    (``merge_minhash_states``) with merge-of-batches ≡ build-of-union
+    EXACTLY, cell for cell — the same ⊕ contract as the CMS/histogram
+    states, and duplicates never move a min, so the state is a SET
+    sketch by construction (no pre-distinct needed). Estimates Jaccard
+    similarity BETWEEN keys' item sets (``minhash_state_jaccard``) —
+    the set-overlap question the other five states can't answer.
+
+    Hash family: the repo's md5-derived universal family
+    h_j(x) = (a_j·h32(x) + b_j) mod 2^32 (``dedup.minhash_params``) —
+    engine-portable, RNG-free, value-exact oracle. Items are
+    string-cast and NULL-filtered on BOTH build and probe paths (the
+    cms_probe ADVICE lesson)."""
+    from ..functions.text import h32
+    from .dedup import MH_MOD, minhash_params
+
+    items = df.select(
+        *keys, F.col(col).cast("string").alias("item")
+    ).where(F.col("item").isNotNull())
+    params = [minhash_params(j) for j in range(n_hashes)]
+    rows = items.withColumn("_h", h32(F.col("item"))).select(
+        *keys,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            (F.lit(a) * F.col("_h") + F.lit(b))
+                            % F.lit(MH_MOD)
+                        ).alias("v"),
+                    )
+                    for j, (a, b) in enumerate(params)
+                ]
+            )
+        ).alias("rc"),
+    )
+    return rows.groupBy(
+        *keys, F.col("rc.j").alias("j")
+    ).agg(F.min("rc.v").alias("sig"))
+
+
+def merge_minhash_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """⊕ of MinHash states: component-wise min. The hash family and
+    n_hashes must match across states (the CMS width contract — the
+    family is not recoverable from the rows, so the caller owns it)."""
+    if not states:
+        raise ValueError("merge_minhash_states needs at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*keys, "j").agg(F.min("sig").alias("sig"))
+
+
+def minhash_state_jaccard(
+    state: DataFrame, key: str, n_hashes: int = 16
+) -> DataFrame:
+    """Pairwise Jaccard estimates between every two keys' item sets
+    from their signatures alone: ĵ = (#agreeing components)/n_hashes —
+    Broder's estimator, E[ĵ] = J. The join is on the n_hashes-row
+    signatures (state-sized, never item-sized); output one row per
+    unordered key pair."""
+    a = state.select(
+        F.col(key).alias("key_a"), "j", F.col("sig").alias("_sa")
+    )
+    b = state.select(
+        F.col(key).alias("key_b"), "j", F.col("sig").alias("_sb")
+    )
+    return (
+        a.join(b, "j")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.sum(
+                (F.col("_sa") == F.col("_sb")).cast("long")
+            ).alias("n_agree")
+        )
+        .select(
+            "key_a",
+            "key_b",
+            "n_agree",
+            (F.col("n_agree") / F.lit(float(n_hashes))).alias("jhat"),
+        )
+        .orderBy("key_a", "key_b")
+    )

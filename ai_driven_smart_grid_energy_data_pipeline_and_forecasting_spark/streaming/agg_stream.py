@@ -337,6 +337,50 @@ def stream_mg_state(
     )
 
 
+def stream_minhash_state(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    keys: list[str],
+    col: str,
+    n_hashes: int = 16,
+):
+    """Streaming per-key MinHash signatures — the SIXTH mergeable state
+    behind the shared commit protocol (decimal/HLL rollup, histogram,
+    Count-Min, Bloom, Misra-Gries, now MinHash): each micro-batch's
+    signature rows fold in by component-wise min, so the committed
+    ≤ n_hashes-rows-per-key state always equals the signature of
+    EVERYTHING ingested, cell for cell (min is idempotent AND orderless
+    — merge-of-batches ≡ build-of-union exactly, the CMS-strength
+    contract, and replays of an already-folded batch are no-ops even
+    WITHOUT the guard; the guard still makes the version history
+    exactly-once). Answers the set-overlap question the other five
+    can't: estimated Jaccard BETWEEN keys' item sets over the whole
+    stream history, via ``heavy.minhash_state_jaccard`` on the
+    committed snapshot. The hash family / n_hashes must stay constant
+    across the state's lifetime (caller owns it — the CMS/Bloom spec
+    contract)."""
+    from ..operators.heavy import merge_minhash_states, minhash_state
+
+    bind_checkpoint(state_path, checkpoint)
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        _apply_state_batch(
+            batch,
+            batch_id,
+            state_path,
+            lambda b: minhash_state(b, keys, col, n_hashes),
+            lambda prev, new: merge_minhash_states([prev, new], keys),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def vacuum_state(state_path: str, keep_last: int = 2) -> list[str]:
     """Retention sweep for committed snapshots: delete ``v*`` dirs
     older than the newest ``keep_last`` versions (the pointer target

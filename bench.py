@@ -227,6 +227,7 @@ HEADLINE = [
     "part_sorted_neighbors",
     "source_kl",
     "corpus_communities",
+    "type_audience_similarity",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -982,3 +982,124 @@ def test_stream_bloom_state_equals_union_build(spark, tmp_path):
         lambda p, n: p.unionByName(n).distinct(),
     )
     assert {r.pos for r in read_state(spark, state).collect()} == want
+
+
+def test_minhash_state_matches_python_reference_and_merges_exactly(spark):
+    import hashlib
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        MH_MOD,
+        minhash_params,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        merge_minhash_states,
+        minhash_state,
+    )
+
+    def ref_sig(items, j):
+        a, b = minhash_params(j)
+        return min(
+            (a * int(hashlib.md5(x.encode()).hexdigest()[:8], 16) + b)
+            % MH_MOD
+            for x in items
+        )
+
+    rows = [("A", "u1"), ("A", "u2"), ("A", "u1"), ("B", "u2")]
+    df = spark.createDataFrame(rows, "k string, item string")
+    st = minhash_state(df, ["k"], "item", n_hashes=4)
+    got = {(r.k, r.j): r.sig for r in st.collect()}
+    for j in range(4):
+        assert got[("A", j)] == ref_sig(["u1", "u2"], j)  # dup u1 ignored
+        assert got[("B", j)] == ref_sig(["u2"], j)
+    # merge of split halves == build of union, cell for cell
+    h1 = minhash_state(df.where(df.item == "u1"), ["k"], "item", 4)
+    h2 = minhash_state(df.where(df.item == "u2"), ["k"], "item", 4)
+    merged = {
+        (r.k, r.j): r.sig
+        for r in merge_minhash_states([h1, h2], ["k"]).collect()
+    }
+    assert merged == got
+
+
+def test_minhash_state_jaccard_identical_and_disjoint_sets(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        minhash_state,
+        minhash_state_jaccard,
+    )
+
+    rows = (
+        [("A", f"u{i}") for i in range(20)]
+        + [("B", f"u{i}") for i in range(20)]      # B == A
+        + [("C", f"w{i}") for i in range(20)]      # C disjoint
+    )
+    df = spark.createDataFrame(rows, "k string, item string")
+    st = minhash_state(df, ["k"], "item", n_hashes=16)
+    got = {
+        (r.key_a, r.key_b): (r.n_agree, r.jhat)
+        for r in minhash_state_jaccard(st, "k", 16).collect()
+    }
+    assert got[("A", "B")] == (16, 1.0)  # identical sets: every component
+    assert got[("A", "C")][1] <= 0.25    # disjoint: only hash collisions
+
+
+def test_stream_minhash_state_equals_union_build(spark, tmp_path):
+    # sixth mergeable state behind the shared commit protocol: the
+    # streamed signatures must equal the one-pass build over the union
+    # CELL FOR CELL (min is orderless and idempotent)
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        merge_minhash_states,
+        minhash_state,
+        minhash_state_jaccard,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.agg_stream import (
+        _apply_state_batch,
+        read_state,
+        stream_minhash_state,
+    )
+
+    drop = str(tmp_path / "drop")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    batches = [
+        [{"k": "alpha", "value": 1.0, "uid": 1},
+         {"k": "alpha", "value": 1.0, "uid": 2},
+         {"k": "beta", "value": 1.0, "uid": 2}],
+        [{"k": "alpha", "value": 1.0, "uid": 2},
+         {"k": "beta", "value": 1.0, "uid": 5}],
+    ]
+    for i, rows in enumerate(batches):
+        _drop_events(drop, f"m{i}.json", rows)
+        q = stream_minhash_state(
+            _read_stream(spark, drop), state, ckpt, ["k"], "uid",
+            n_hashes=8,
+        )
+        q.awaitTermination(60)
+
+    st = read_state(spark, state)
+    union = spark.createDataFrame(
+        [(r["k"], r["uid"]) for b in batches for r in b],
+        "k string, uid long",
+    )
+    want = {
+        (r.k, r.j): r.sig
+        for r in minhash_state(union, ["k"], "uid", 8).collect()
+    }
+    got = {(r.k, r.j): r.sig for r in st.collect()}
+    assert got == want
+    # the state answers the between-key overlap question
+    sim = minhash_state_jaccard(st, "k", 8).collect()
+    assert len(sim) == 1 and sim[0].key_a == "alpha"
+    # replay after pointer loss must be a no-op on the values
+    os.remove(os.path.join(state, "_LATEST"))
+    batch = spark.createDataFrame(
+        [(r["k"], r["uid"]) for r in batches[-1]], "k string, uid long"
+    )
+    _apply_state_batch(
+        batch, 1, state,
+        lambda b: minhash_state(b, ["k"], "uid", 8),
+        lambda p, n: merge_minhash_states([p, n], ["k"]),
+    )
+    again = {(r.k, r.j): r.sig for r in read_state(spark, state).collect()}
+    assert again == want
