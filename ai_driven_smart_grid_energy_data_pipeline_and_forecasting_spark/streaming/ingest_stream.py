@@ -206,3 +206,42 @@ def hourly_stream_distinct_users(
         )
         .select(F.col("w.start").alias("ts_hour"), "n_users_approx")
     )
+
+
+def stream_dedup_append(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """FIRST-WINS streaming dedup of an at-least-once source into an
+    append-only sink — the complement of the latest-wins MERGE path
+    above (which needs a keyed, rewritable store; this needs only
+    append, the cheap sink shape at 100 TB fan-in).
+
+    ``dropDuplicatesWithinWatermark`` keeps the first row per key and
+    holds key state ONLY until the watermark passes it, so state is
+    bounded by (arrival rate × watermark) instead of the full key
+    history — the documented trade: a duplicate arriving later than
+    the watermark re-emits (an at-least-once source with bounded
+    duplicate lag; pick the watermark past that lag and the output is
+    exactly-once per key). The plain ``dropDuplicates`` alternative
+    keeps state FOREVER — unbounded at stream scale — which is why it
+    has no place here; a true latest-wins correction feed rides the
+    MERGE sink instead.
+
+    Sink is native streaming parquet append (checkpoint-tracked file
+    manifest → exactly-once files even across crashes; no foreachBatch
+    needed because append of deduped rows is idempotent per epoch)."""
+    deduped = stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

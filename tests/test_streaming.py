@@ -221,3 +221,54 @@ def test_stream_sliding_window_matches_batch(spark, tmp_path):
     assert got == want
     # every event belongs to exactly two 2h/1h windows
     assert sum(got.values()) == 2 * len(rows)
+
+
+def test_stream_dedup_append_first_wins_across_batches(spark, tmp_path):
+    import json
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.ingest_stream import (
+        stream_dedup_append,
+    )
+
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop, exist_ok=True)
+
+    def emit(name, rows):
+        tmp = os.path.join(drop, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.replace(tmp, os.path.join(drop, name))
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, payload string"
+        ).json(drop)
+        q = stream_dedup_append(
+            stream, out, ckpt, ["event_id"], "ts", "1 hour"
+        )
+        q.awaitTermination(60)
+
+    # batch 0: ids 1, 2 and an in-batch duplicate of 1
+    emit("b0.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "payload": "first"},
+        {"event_id": 2, "ts": "2024-01-01T00:01:00", "payload": "first"},
+        {"event_id": 1, "ts": "2024-01-01T00:02:00", "payload": "dup"},
+    ])
+    run()
+    # batch 1: re-sends id 2 within the watermark (dropped — state held
+    # across the restart via the checkpoint) and adds id 3
+    emit("b1.json", [
+        {"event_id": 2, "ts": "2024-01-01T00:03:00", "payload": "dup"},
+        {"event_id": 3, "ts": "2024-01-01T00:04:00", "payload": "first"},
+    ])
+    run()
+
+    rows = {
+        (r.event_id, r.payload)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {(1, "first"), (2, "first"), (3, "first")}
