@@ -859,6 +859,17 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_value_equidepth_bins(spark, sf_dir):
+    # Feature discretization: exact equi-depth bin edges at every i*n/8
+    # simultaneously via the rational threshold — a value spanning
+    # cumulative mass (prev, cum] serves every integer bin index in
+    # (prev*8/n, cum*8/n], one sequence-explode, no driver loop; per-
+    # bin counts fall out of the same cumulative column. Distinct-value
+    # domain guarded loudly. operators/relational.equidepth_bins.
+    ev = _t(spark, sf_dir, "events")
+    return R.equidepth_bins(ev, "value", n_bins=8)
+
+
 def q_type_audience_similarity(spark, sf_dir):
     # MinHash STATE demo + estimator audit in one: per-type signatures
     # over user-id audiences (the sixth mergeable state — component-
@@ -3450,6 +3461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "corpus_communities": q_corpus_communities,
         "type_audience_similarity": q_type_audience_similarity,
+        "value_equidepth_bins": q_value_equidepth_bins,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5500,6 +5512,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "value_equidepth_bins": """
+            WITH vc AS (
+              SELECT value AS v, count(*) AS c FROM events
+              WHERE value IS NOT NULL AND NOT isnan(value)
+              GROUP BY value),
+            cum AS (
+              SELECT v, c,
+                     sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS cum
+              FROM vc),
+            tot AS (SELECT sum(c) AS n FROM vc),
+            edges AS (
+              SELECT CAST(i.i AS BIGINT) AS bin, cum.v AS hi,
+                     cum.cum AS cum
+              FROM cum CROSS JOIN tot,
+                   unnest(generate_series(
+                     CAST((cum.cum - cum.c) * 8 // tot.n + 1 AS BIGINT),
+                     CAST(cum.cum * 8 // tot.n AS BIGINT))) AS i(i))
+            SELECT bin, hi,
+                   CAST(cum - COALESCE(lag(cum) OVER (ORDER BY bin), 0)
+                     AS BIGINT) AS n_rows
+            FROM edges ORDER BY bin
         """,
         "source_kl": """
             WITH st AS (

@@ -869,3 +869,93 @@ def mad_outliers(
         )
         .orderBy(key_col)
     )
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 8,
+    max_distinct: int = 1 << 20,
+) -> DataFrame:
+    """Exact equi-depth (quantile) binning — the feature-discretization
+    pass an ML pipeline runs before bucketed models / monotone binning
+    (each bin holds ~n/B rows by construction, where equi-WIDTH bins
+    collapse under skew). Edge i is the smallest value whose cumulative
+    count reaches i·n/B — the ``weighted_percentile`` rational
+    threshold at every i at once:
+
+        edge_i = min{ v : cum(v)·B ≥ n·i },  i = 1..B
+
+    A distinct value spanning cumulative mass (cum_prev, cum] serves as
+    edge for every integer i in (cum_prev·B/n, cum·B/n] — computed as
+    the integer sequence [cum_prev·B div n + 1 .. cum·B div n], pure
+    column algebra (one sequence-explode), no driver loop and no float
+    thresholds, so ties and boundaries resolve identically on any
+    engine. Per-bin counts fall out of the SAME cumulative column:
+    n_rows_i = cum(edge_i) − cum(edge_{i−1}).
+
+    Plan: one partial-agg groupBy to the distinct-value count table,
+    then ONE unpartitioned cumulative window over it — deliberate and
+    bounded: the table is |distinct values|, guarded by a loud refusal
+    past ``max_distinct`` (the ``ks_two_sample`` discipline; a
+    near-unique continuous column should be pre-rounded or routed to
+    ``histogram_percentile``'s fixed bins). NULL/NaN excluded up
+    front. Output: (bin, hi, n_rows), B rows."""
+    if n_bins < 2:
+        raise ValueError(f"equidepth_bins: n_bins must be >= 2, got {n_bins}")
+    v = F.col(value_col)
+    vc = (
+        df.select(v.alias("_v"))
+        .where(v.isNotNull() & ~F.isnan(v))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        (F.sum("_c").over(w) - F.col("_c")).alias("_prev"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_nd"),
+        F.sum("_c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    guard = F.when(
+        F.col("_nd") > F.lit(max_distinct),
+        F.raise_error(
+            F.concat(
+                F.lit("equidepth_bins: "),
+                F.col("_nd").cast("string"),
+                F.lit(
+                    f" distinct values exceed the {max_distinct} bound for"
+                    " the single cumulative window — pre-round the column"
+                    " or use histogram_percentile's fixed bins."
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_cum"))
+    lo_i = F.expr(f"(_prev * {n_bins}) div _n") + 1
+    hi_i = F.expr(f"(_cum * {n_bins}) div _n")
+    edges = (
+        cum.withColumn("_cum", guard)
+        .where(hi_i >= lo_i)
+        .select(
+            F.explode(F.sequence(lo_i, hi_i)).alias("bin"),
+            F.col("_v").alias("hi"),
+            "_cum",
+        )
+    )
+    wb = Window.orderBy("bin")
+    return edges.select(
+        "bin",
+        "hi",
+        (F.col("_cum") - F.coalesce(F.lag("_cum").over(wb), F.lit(0))).alias(
+            "n_rows"
+        ),
+    ).orderBy("bin")

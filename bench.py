@@ -228,6 +228,7 @@ HEADLINE = [
     "source_kl",
     "corpus_communities",
     "type_audience_similarity",
+    "value_equidepth_bins",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

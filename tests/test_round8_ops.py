@@ -962,3 +962,50 @@ def test_lpa_refuses_bad_rounds(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_rounds"):
         collocation_communities(docs, n_rounds=0)
+
+
+# ---------------------------------------------------------------- equi-depth
+
+
+def test_equidepth_bins_uniform_counts(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        equidepth_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 17)], "v double"
+    )
+    rows = equidepth_bins(df, "v", n_bins=4).collect()
+    assert [(r.bin, r.hi, r.n_rows) for r in rows] == [
+        (1, 4.0, 4), (2, 8.0, 4), (3, 12.0, 4), (4, 16.0, 4)
+    ]
+
+
+def test_equidepth_bins_heavy_tie_swallows_bins(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        equidepth_bins,
+    )
+
+    # 12 of 16 rows share one value: it must serve several bin indices,
+    # later swallowed bins carrying 0 additional rows
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,)] + [(5.0,)] * 12 + [(9.0,), (10.0,)], "v double"
+    )
+    rows = {r.bin: (r.hi, r.n_rows) for r in equidepth_bins(df, "v", 4).collect()}
+    assert rows[1] == (5.0, 14)  # cum(5.0)=14 >= 4 -> 5.0 is edge 1..3
+    assert rows[2] == (5.0, 0)
+    assert rows[3] == (5.0, 0)
+    assert rows[4] == (10.0, 2)
+    assert sum(v[1] for v in rows.values()) == 16
+
+
+def test_equidepth_bins_refuses_wide_domains(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        equidepth_bins,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(64)], "v double")
+    with pytest.raises(Exception, match="distinct values exceed"):
+        equidepth_bins(df, "v", n_bins=4, max_distinct=32).collect()
+    with pytest.raises(ValueError, match="n_bins"):
+        equidepth_bins(df, "v", n_bins=1)
