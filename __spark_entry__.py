@@ -859,6 +859,17 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_ann_binary_topk(spark, sf_dir):
+    # Two-stage binary ANN: sign bits packed into two BIGINT words,
+    # XOR+popcount Hamming coarse stage (integer-only, codegen), exact
+    # ordered-fold cosine re-rank of the coarse top-50. Per-partition
+    # top-k prunes losslessly before the shuffle. The 1-bit member of
+    # the compression family (PQ, int8, JL).
+    # operators/similarity.binary_hamming_topk.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.binary_hamming_topk(emb, F.col("vec_id") < 8, k=10, coarse_k=50)
+
+
 def q_value_equidepth_bins(spark, sf_dir):
     # Feature discretization: exact equi-depth bin edges at every i*n/8
     # simultaneously via the rational threshold — a value spanning
@@ -3462,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_communities": q_corpus_communities,
         "type_audience_similarity": q_type_audience_similarity,
         "value_equidepth_bins": q_value_equidepth_bins,
+        "ann_binary_topk": q_ann_binary_topk,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5512,6 +5524,53 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "ann_binary_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            d AS (
+              SELECT vec_id, i, v[i + 1] AS val
+              FROM e, unnest(range(0, 64)) AS r(i)),
+            bits AS (
+              SELECT vec_id,
+                     sum(CASE WHEN i < 32 AND val > 0
+                         THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+                     sum(CASE WHEN i >= 32 AND val > 0
+                         THEN CAST(1 AS BIGINT) << (i - 32)
+                         ELSE 0 END) AS hi
+              FROM d GROUP BY vec_id),
+            b2 AS (
+              SELECT bits.vec_id, bits.lo, bits.hi, e.v
+              FROM bits JOIN e ON bits.vec_id = e.vec_id),
+            q AS (
+              SELECT vec_id AS query_id, lo AS qlo, hi AS qhi, v AS qv
+              FROM b2 WHERE vec_id < 8),
+            cand AS (
+              SELECT q.query_id, c.vec_id,
+                     CAST(bit_count(xor(c.lo, q.qlo))
+                       + bit_count(xor(c.hi, q.qhi)) AS BIGINT)
+                       AS hamming,
+                     c.v, q.qv
+              FROM b2 c JOIN q ON c.vec_id <> q.query_id),
+            coarse AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY hamming, vec_id) AS g
+              FROM cand),
+            fine AS (
+              SELECT query_id, vec_id, hamming,
+                     list_dot_product(v, qv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(qv, qv))) AS cosine
+              FROM coarse WHERE g <= 50),
+            ranked AS (
+              SELECT query_id, vec_id, hamming, cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+              FROM fine)
+            SELECT query_id, vec_id, hamming, cosine, rank
+            FROM ranked WHERE rank <= 10
+            ORDER BY query_id, rank
         """,
         "value_equidepth_bins": """
             WITH vc AS (

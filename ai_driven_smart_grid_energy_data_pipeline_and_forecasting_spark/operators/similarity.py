@@ -1975,3 +1975,121 @@ def embedding_split_drift(
         "n_b",
         (dot / (F.sqrt(na) * F.sqrt(nb))).alias("cos_means"),
     )
+
+
+def pack_sign_bits(vec: Column, dims: int = 64) -> tuple[Column, Column]:
+    """1-bit (sign) quantization of an embedding packed into two BIGINT
+    words: bit i of ``lo`` is 1 iff vec[i] > 0 (dims 0..31), ``hi``
+    covers 32..63. Two words instead of one keep every shift strictly
+    below 2^62 — a single 64-bit word would need bit 63, whose shift
+    overflows SIGNED ranges differently across engines. 64 explicit
+    WHEN terms: fully codegen-able, no fold."""
+    if dims != 64:
+        raise ValueError(
+            f"pack_sign_bits: packed layout is defined for dims=64, got {dims}"
+        )
+    lo = F.lit(0).cast("long")
+    hi = F.lit(0).cast("long")
+    for i in range(32):
+        lo = lo + F.when(vec.getItem(i) > 0, F.lit(1 << i)).otherwise(0)
+    for i in range(32, 64):
+        hi = hi + F.when(
+            vec.getItem(i) > 0, F.lit(1 << (i - 32))
+        ).otherwise(0)
+    return lo, hi
+
+
+def binary_hamming_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 10,
+    coarse_k: int = 50,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary ANN: 1-bit sign quantization (64 dims → two
+    BIGINT words) + XOR/popcount Hamming distance as the COARSE stage,
+    exact cosine re-rank of the coarse top-``coarse_k`` as the FINE
+    stage — the binary-passage-retrieval pattern: for sign-random
+    projections, Hamming distance is monotone in expected angle
+    (Goemans-Williamson / Charikar SRP), so the cheap integer stage
+    finds the angular neighborhood and the float stage orders it.
+    Completes the compression family: PQ/IVFADC (8-bit codebooks),
+    int8 quantization, JL projection, now 1-bit — 512× smaller than
+    the float vectors, and the scan stage is two XORs + two popcounts
+    per candidate, fully whole-stage-codegen.
+
+    Plan: the ≤-handful query rows broadcast against the packed corpus
+    (integer-only candidate rows); a PER-PARTITION top-``coarse_k``
+    window prunes before the shuffle — lossless (the global top-k is a
+    subset of the union of per-partition top-ks) and partitioning-
+    invariant in its RESULT, so the exchange carries ≤ partitions ×
+    |Q| × coarse_k rows instead of |Q| × |corpus|. Ties break by
+    neighbor id at both stages; the cosine is the repo's ordered
+    ``dot_fixed`` fold ≡ ``list_dot_product`` (bit-identical to the
+    oracle). Output: (query_id, vec_id, hamming, cosine, rank ≤ k)."""
+    if k < 1 or coarse_k < k:
+        raise ValueError(
+            f"binary_hamming_topk: need 1 <= k <= coarse_k, got k={k},"
+            f" coarse_k={coarse_k}"
+        )
+    vec = _vec(vec_col)
+    lo, hi = pack_sign_bits(vec, dims)
+    packed = emb.select(
+        F.col(id_col).alias("vec_id"),
+        vec.alias("_v"),
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+    )
+    q = (
+        emb.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            vec.alias("_qv"),
+        )
+        .select(
+            "query_id",
+            "_qv",
+            pack_sign_bits(F.col("_qv"), dims)[0].alias("_qlo"),
+            pack_sign_bits(F.col("_qv"), dims)[1].alias("_qhi"),
+        )
+    )
+    ham = (
+        F.bit_count(F.col("_lo").bitwiseXOR(F.col("_qlo")))
+        + F.bit_count(F.col("_hi").bitwiseXOR(F.col("_qhi")))
+    ).cast("long")
+    cand = (
+        packed.join(F.broadcast(q), packed["vec_id"] != q["query_id"])
+        .select(
+            "query_id", "vec_id", "_v", "_qv", ham.alias("hamming"),
+            F.spark_partition_id().alias("_part"),
+        )
+    )
+    wp = Window.partitionBy("query_id", "_part").orderBy("hamming", "vec_id")
+    pruned = cand.withColumn("_r", F.row_number().over(wp)).where(
+        F.col("_r") <= coarse_k
+    )
+    wg = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    coarse = pruned.withColumn("_g", F.row_number().over(wg)).where(
+        F.col("_g") <= coarse_k
+    )
+    cos = dot_fixed(F.col("_v"), F.col("_qv"), dims) / (
+        norm_fixed(F.col("_v"), dims) * norm_fixed(F.col("_qv"), dims)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.col("vec_id")
+    )
+    return (
+        coarse.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            F.col("_cos").alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -229,6 +229,7 @@ HEADLINE = [
     "corpus_communities",
     "type_audience_similarity",
     "value_equidepth_bins",
+    "ann_binary_topk",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -1009,3 +1009,57 @@ def test_equidepth_bins_refuses_wide_domains(spark):
         equidepth_bins(df, "v", n_bins=4, max_distinct=32).collect()
     with pytest.raises(ValueError, match="n_bins"):
         equidepth_bins(df, "v", n_bins=1)
+
+
+# ---------------------------------------------------------------- binary ANN
+
+
+def test_pack_sign_bits_known_pattern(spark):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        pack_sign_bits,
+    )
+
+    # dims 0 and 33 positive, everything else non-positive
+    vec = [0.0] * 64
+    vec[0] = 1.0
+    vec[33] = 2.5
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    lo, hi = pack_sign_bits(F.col("v"))
+    r = df.select(lo.alias("lo"), hi.alias("hi")).collect()[0]
+    assert (r.lo, r.hi) == (1, 2)  # bit 0 of lo, bit 1 of hi
+
+
+def test_binary_hamming_topk_self_excluded_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    out1 = binary_hamming_topk(emb, F.col("vec_id") < 3, k=5, coarse_k=20)
+    rows1 = [tuple(r) for r in out1.collect()]
+    assert all(r[0] != r[1] for r in rows1)  # no self-match
+    assert {r[0] for r in rows1} == {0, 1, 2}
+    # per-partition pruning must be invariant to the physical layout
+    out2 = binary_hamming_topk(
+        emb.repartition(7), F.col("vec_id") < 3, k=5, coarse_k=20
+    )
+    assert [tuple(r) for r in out2.collect()] == rows1
+
+
+def test_binary_hamming_topk_refuses_bad_k(spark):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="coarse_k"):
+        binary_hamming_topk(df, F.col("vec_id") < 1, k=10, coarse_k=5)
