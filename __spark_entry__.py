@@ -859,6 +859,31 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_orders_zorder_stats(spark, sf_dir):
+    # Z-order clustering audit: Morton-interleave (custkey, order-day)
+    # and fold to per-prefix rectangles — the multi-dimensional sort
+    # key behind 2-D row-group skipping, as one deterministic integer
+    # column (pure shift/mask algebra, value-exact oracle).
+    # plans/layout.morton_code / zorder_write.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.layout import (
+        morton_code,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    z = morton_code(F.col("o_custkey"), day, bits=16)
+    return (
+        o.select(z.alias("_z"))
+        .groupBy(F.shiftright(F.col("_z"), 20).alias("z_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("_z").alias("min_code"),
+            F.max("_z").alias("max_code"),
+        )
+        .orderBy("z_prefix")
+    )
+
+
 def q_ann_binary_topk(spark, sf_dir):
     # Two-stage binary ANN: sign bits packed into two BIGINT words,
     # XOR+popcount Hamming coarse stage (integer-only, codegen), exact
@@ -3474,6 +3499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_audience_similarity": q_type_audience_similarity,
         "value_equidepth_bins": q_value_equidepth_bins,
         "ann_binary_topk": q_ann_binary_topk,
+        "orders_zorder_stats": q_orders_zorder_stats,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5524,6 +5550,24 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "orders_zorder_stats": """
+            WITH base AS (
+              SELECT o_custkey AS x,
+                     date_diff('day', TIMESTAMP '1992-01-01',
+                       o_orderdate) AS y
+              FROM orders),
+            z AS (
+              SELECT (SELECT sum(
+                       (((x >> i.i) & 1) << (2 * i.i))
+                       + (((y >> i.i) & 1) << (2 * i.i + 1)))
+                      FROM unnest(range(0, 16)) AS i(i)) AS zc
+              FROM base)
+            SELECT CAST(zc >> 20 AS BIGINT) AS z_prefix,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(min(zc) AS BIGINT) AS min_code,
+                   CAST(max(zc) AS BIGINT) AS max_code
+            FROM z GROUP BY 1 ORDER BY z_prefix
         """,
         "ann_binary_topk": """
             WITH e AS (

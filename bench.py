@@ -230,6 +230,7 @@ HEADLINE = [
     "type_audience_similarity",
     "value_equidepth_bins",
     "ann_binary_topk",
+    "orders_zorder_stats",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -133,3 +133,76 @@ def test_zorder_write_shrinks_file_bounding_boxes(spark, tmp_path):
     # fraction of the random layout's area -> min/max skipping works on
     # BOTH dimensions at once
     assert bbox_area_sum(zpath) < 0.5 * bbox_area_sum(plain)
+
+
+def test_morton_code_known_interleave(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.layout import (
+        morton_code,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long"
+    )
+    got = [
+        r.z
+        for r in df.select(
+            morton_code(F.col("x"), F.col("y"), bits=4).alias("z")
+        ).collect()
+    ]
+    # interleave(x=3=0b011, y=5=0b101): x bits at even slots -> 0b010101
+    # wait: x bit0=1->bit0, x bit1=1->bit2, y bit0=1->bit1, y bit2=1->bit5
+    # = 1 + 4 + 2 + 32 = 39
+    assert got == [0, 1, 2, 39]
+    with pytest.raises(ValueError, match="bits"):
+        morton_code(F.col("x"), F.col("y"), bits=0)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.layout import (
+        zorder_write,
+    )
+
+    # deterministic 2-D grid, pseudo-shuffled arrival order
+    n = 1 << 14
+    df = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        ((F.col("id") * 7919) % 128).alias("y"),
+    )
+    zpath = str(tmp_path / "zorder")
+    xpath = str(tmp_path / "xsort")
+    zorder_write(df, zpath, F.col("x"), F.col("y"), bits=7, n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(xpath)
+    )
+
+    def boxes(path):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            )
+            .collect()
+        )
+        return [(r.x0, r.x1, r.y0, r.y1) for r in per]
+
+    zb, xb = boxes(zpath), boxes(xpath)
+    assert len(zb) == 16 and len(xb) == 16
+
+    def files_hit(bxs, lo, hi, dim):
+        return sum(
+            1 for b in bxs
+            if not (b[dim * 2] > hi or b[dim * 2 + 1] < lo)
+        )
+
+    # a y-range predicate: the x-sorted layout cannot skip anything
+    # (every file spans the full y domain); the z-order layout's files
+    # cover rectangles, so most of them miss
+    assert files_hit(xb, 10, 20, dim=1) == 16
+    assert files_hit(zb, 10, 20, dim=1) < 8
+    # and the x predicate still prunes in the z-order layout too
+    assert files_hit(zb, 10, 20, dim=0) < 16
