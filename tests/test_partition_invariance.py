@@ -88,6 +88,20 @@ NEW_R5 = [
     "media_gif_audit",
     "source_lang_entropy",
     "quantity_weighted_median",
+    # round-8 second half
+    "hourly_acf",
+    "price_benford",
+    "corpus_kcore",
+    "audio_frame_features",
+    "value_mad_outliers",
+    "hourly_ccf",
+    "part_sorted_neighbors",
+    "source_kl",
+    "corpus_communities",
+    "type_audience_similarity",
+    "value_equidepth_bins",
+    "ann_binary_topk",
+    "orders_zorder_stats",
 ]
 
 
