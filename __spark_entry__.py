@@ -859,6 +859,20 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_order_skyline(spark, sf_dir):
+    # Pareto frontier: orders no other order beats on BOTH total price
+    # and recency — the classic multi-objective skyline (Borzsonyi et
+    # al.), its quadratic NOT-EXISTS collapsed to one lag-of-running-
+    # max window over the distinct-price table plus a broadcast join
+    # back. operators/relational.skyline_2d.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        R.skyline_2d(o, "o_totalprice", "o_orderdate")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
 def q_orders_zorder_stats(spark, sf_dir):
     # Z-order clustering audit: Morton-interleave (custkey, order-day)
     # and fold to per-prefix rectangles — the multi-dimensional sort
@@ -3500,6 +3514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_equidepth_bins": q_value_equidepth_bins,
         "ann_binary_topk": q_ann_binary_topk,
         "orders_zorder_stats": q_orders_zorder_stats,
+        "order_skyline": q_order_skyline,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5550,6 +5565,25 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "order_skyline": """
+            WITH base AS (
+              SELECT o_orderkey, o_totalprice AS x, o_orderdate AS y
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderdate IS NOT NULL),
+            px AS (SELECT x, max(y) AS ymax FROM base GROUP BY x),
+            fr AS (
+              SELECT x, ymax,
+                     max(ymax) OVER (ORDER BY x DESC ROWS BETWEEN
+                       UNBOUNDED PRECEDING AND 1 PRECEDING) AS a
+              FROM px)
+            SELECT b.o_orderkey, b.x AS o_totalprice,
+                   CAST(b.y AS TIMESTAMP) AS o_orderdate
+            FROM base b JOIN (
+              SELECT x, ymax FROM fr WHERE a IS NULL OR ymax > a) f
+              ON b.x = f.x AND b.y = f.ymax
+            ORDER BY o_totalprice DESC, b.o_orderkey
         """,
         "orders_zorder_stats": """
             WITH base AS (

@@ -959,3 +959,67 @@ def equidepth_bins(
             "n_rows"
         ),
     ).orderBy("bin")
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_distinct: int = 1 << 20,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier, both dimensions MAXIMIZED):
+    rows no other row dominates — dominates = ≥ on both dimensions,
+    strictly > on at least one (Börzsönyi-Kossmann-Stocker, ICDE 2001;
+    the multi-objective "best trade-offs" query: biggest-and-most-
+    recent orders, cheapest-and-fastest suppliers).
+
+    The quadratic NOT-EXISTS definition collapses to the classic
+    sort-scan identity on the DISTINCT POINT set: with ymax(x) = the
+    best y at x and A(x) = max ymax over all strictly larger x, a row
+    is on the frontier iff
+
+        y = ymax(x)  AND  (A(x) IS NULL OR y > A(x))
+
+    (equal-x rows below their column's best are dominated within the
+    column; anything ≤ the best y of a larger x is dominated by that
+    point; equal points do NOT dominate each other, so ties on the
+    frontier all survive). A(x) is one lag-of-running-max window over
+    the distinct-x table — bounded by |distinct x|, guarded loudly
+    past ``max_distinct`` (the ``equidepth_bins`` discipline), never
+    the row count. Exact comparisons only — no floats are derived, so
+    any orderable column types work. NULLs in either dimension are
+    excluded up front (no place in a dominance order).
+
+    Plan: one partial-agg groupBy to the distinct-x table, ONE
+    unpartitioned window over it, then a broadcast-size join of the
+    frontier points back to the rows."""
+    x, y = F.col(x_col), F.col(y_col)
+    base = df.where(x.isNotNull() & y.isNotNull())
+    per_x = base.groupBy(x.alias("_x")).agg(
+        F.max(y).alias("_ymax"), F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.orderBy(F.desc("_x")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nd = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ).orderBy(F.lit(1))
+    guard = F.when(
+        F.count(F.lit(1)).over(nd) > F.lit(max_distinct),
+        F.raise_error(
+            F.lit(
+                f"skyline_2d: more than {max_distinct} distinct x values"
+                " for the single frontier window — bucket the dimension"
+                " first."
+            )
+        ).cast(per_x.schema["_ymax"].dataType.simpleString()),
+    ).otherwise(F.max("_ymax").over(w))
+    frontier = (
+        per_x.withColumn("_a", guard)
+        .where(F.col("_a").isNull() | (F.col("_ymax") > F.col("_a")))
+        .select("_x", "_ymax")
+    )
+    return base.join(
+        F.broadcast(frontier),
+        (x == F.col("_x")) & (y == F.col("_ymax")),
+    ).drop("_x", "_ymax")

@@ -231,6 +231,7 @@ HEADLINE = [
     "value_equidepth_bins",
     "ann_binary_topk",
     "orders_zorder_stats",
+    "order_skyline",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

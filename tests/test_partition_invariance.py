@@ -102,6 +102,7 @@ NEW_R5 = [
     "value_equidepth_bins",
     "ann_binary_topk",
     "orders_zorder_stats",
+    "order_skyline",
 ]
 
 

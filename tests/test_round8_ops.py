@@ -1063,3 +1063,65 @@ def test_binary_hamming_topk_refuses_bad_k(spark):
     df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="coarse_k"):
         binary_hamming_topk(df, F.col("vec_id") < 1, k=10, coarse_k=5)
+
+
+# ---------------------------------------------------------------- skyline
+
+
+def test_skyline_2d_hand_case(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    # points: (1,5) on frontier, (3,3) on frontier, (2,2) dominated by
+    # (3,3), (3,1) dominated within x=3's column, (1,5) duplicated ->
+    # BOTH copies survive (equal points never dominate each other)
+    rows = [(10, 1.0, 5.0), (11, 3.0, 3.0), (12, 2.0, 2.0),
+            (13, 3.0, 1.0), (14, 1.0, 5.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r.id for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {10, 11, 14}
+
+
+def test_skyline_2d_single_point_and_nulls(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        skyline_2d,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, None, 9.0), (3, 9.0, None)],
+        "id long, x double, y double",
+    )
+    got = {r.id for r in skyline_2d(df, "x", "y").collect()}
+    assert got == {1}  # NULL rows excluded from the dominance order
+
+
+def test_skyline_2d_no_member_dominated_no_survivor_dominates(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        skyline_2d,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    o = load_table(spark, "orders", "/root/testdata/sf0.001")
+    pts = [
+        (r.o_totalprice, r.o_orderdate)
+        for r in skyline_2d(o, "o_totalprice", "o_orderdate").collect()
+    ]
+    allpts = [
+        (r.o_totalprice, r.o_orderdate)
+        for r in o.where("o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL").collect()
+    ]
+
+    def dominates(a, b):
+        return a[0] >= b[0] and a[1] >= b[1] and a != b
+
+    assert pts and all(
+        not any(dominates(q, p) for q in allpts) for p in pts
+    )
+    # completeness: every non-dominated point is in the skyline
+    want = {
+        p for p in allpts if not any(dominates(q, p) for q in allpts)
+    }
+    assert set(pts) == want
