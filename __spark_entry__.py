@@ -838,14 +838,16 @@ def q_hourly_anomalies(spark, sf_dir):
 
 def q_hourly_acf(spark, sf_dir):
     # Per-type autocorrelation of the hourly event-rate series at lags
-    # 1..6 over the DENSE hour spine (zero hours enter as explicit 0
+    # 1..24 — lag 24 IS the daily cycle, the model-order signal that
+    # matters for hourly data — over the DENSE hour spine (zero hours
+    # enter as explicit 0
     # rows) — the model-order probe beside the z-score and CUSUM
     # monitors. H^2-scaled numerator/denominator on decimal(38,0)
     # carriers -> one terminal double division; everything after the
     # (type,hour) count shuffle runs on the |types|x|hours|-bounded
     # count table. plans/analytics.hourly_autocorrelation.
     ev = _t(spark, sf_dir, "events")
-    return A.hourly_autocorrelation(ev, max_lag=6)
+    return A.hourly_autocorrelation(ev, max_lag=24)
 
 
 def q_price_benford(spark, sf_dir):
@@ -5887,7 +5889,7 @@ def _oracle_sql_base() -> dict[str, str]:
                      CAST(COALESCE(c.n, 0) AS BIGINT) AS n
               FROM spine s LEFT JOIN cnt c
                 ON s.event_type = c.event_type AND s.h = c.h),
-            ks AS (SELECT unnest(generate_series(1, 6)) AS k),
+            ks AS (SELECT unnest(generate_series(1, 24)) AS k),
             pl AS (
               SELECT a.event_type, ks.k AS lag,
                      sum(CAST(a.n AS DECIMAL(19,0))
