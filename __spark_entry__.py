@@ -861,6 +861,16 @@ def q_price_benford(spark, sf_dir):
     return R.benford_audit(li, "l_extendedprice")
 
 
+def q_value_quantile_match(spark, sf_dir):
+    # Exact quantile normalization: every type's value distribution
+    # mapped onto the click distribution by CDF matching. Cross-
+    # denominator fractions compared as exact cross-multiplied BIGINTs;
+    # the match is a union-scan window (reference-first on ties), not
+    # an inequality join. operators/relational.quantile_match.
+    ev = _t(spark, sf_dir, "events")
+    return R.quantile_match(ev, "event_type", "value", "click")
+
+
 def q_order_skyline(spark, sf_dir):
     # Pareto frontier: orders no other order beats on BOTH total price
     # and recency — the classic multi-objective skyline (Borzsonyi et
@@ -3517,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_binary_topk": q_ann_binary_topk,
         "orders_zorder_stats": q_orders_zorder_stats,
         "order_skyline": q_order_skyline,
+        "value_quantile_match": q_value_quantile_match,
         "doc_lm_perplexity": q_doc_lm_perplexity,
         "corpus_textrank": q_corpus_textrank,
         "incremental_join_revenue": q_incremental_join_revenue,
@@ -5567,6 +5578,32 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
             FROM scored
             ORDER BY avg_nll_s DESC, doc_id LIMIT 50
+        """,
+        "value_quantile_match": """
+            WITH base AS (
+              SELECT event_type AS k, value AS v, count(*) AS c
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+                AND NOT isnan(value)
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT k, v, c,
+                     sum(c) OVER (PARTITION BY k ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+              FROM base),
+            tot AS (SELECT k, sum(c) AS n FROM base GROUP BY k),
+            p AS (
+              SELECT cum.k, cum.v, cum.c, cum.cum, tot.n
+              FROM cum JOIN tot ON cum.k = tot.k),
+            r AS (SELECT v AS rv, cum AS rcum FROM p
+                  WHERE k = 'click'),
+            rn AS (SELECT n AS rn FROM tot WHERE k = 'click')
+            SELECT p.k AS event_type, p.v AS value,
+                   CAST(p.c AS BIGINT) AS n,
+                   (SELECT min(r.rv) FROM r, rn
+                    WHERE r.rcum * p.n >= p.cum * rn.rn) AS matched
+            FROM p ORDER BY event_type, value
         """,
         "order_skyline": """
             WITH base AS (

@@ -1039,3 +1039,102 @@ def skyline_2d(
         F.broadcast(frontier),
         (x == F.col("_x")) & (y == F.col("_ymax")),
     ).drop("_x", "_ymax")
+
+
+def quantile_match(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ref_key,
+) -> DataFrame:
+    """Exact quantile normalization: map every key's value distribution
+    onto the REFERENCE key's distribution — each distinct value v of
+    key k is replaced by the smallest reference value whose cumulative
+    fraction reaches v's cumulative fraction within k (CDF matching,
+    the genomics quantile-normalization / feature-alignment transform:
+    after it, every key's marginal IS the reference marginal up to
+    rank granularity).
+
+    Exactness discipline: cumulative fractions live on DIFFERENT
+    denominators (n_k rows in key k, n_r in the reference), so
+    comparing cum_k/n_k ≥ cum_r/n_r in floats could flip at near-ties.
+    Within a key both denominators are constants, so each side scales
+    by the other's: probe sort key cum_k·n_r, reference sort key
+    cum_r·n_k — exact BIGINTs, and the match condition becomes plain
+    integer order. The match itself is the union-scan trick: probe and
+    reference rows interleave in one DESCENDING sort per key
+    (reference first on ties, because a reference at exactly the
+    probe's fraction IS the match), and a running last-non-null over
+    the reference value column hands every probe the smallest
+    reference fraction ≥ its own — one window, no inequality join, no
+    quadratic candidate set.
+
+    Plan: both cumulative tables ride the distinct-value discipline
+    (groupBy (key, value) first — window inputs are value domains, not
+    rows); the reference table replicates per key through a broadcast
+    (it is one key's distinct values). Overflow guard: cum·n products
+    stay in BIGINT for n ≤ 3e9 rows per key — far past any keyed
+    slice; beyond, bucket first.
+
+    Output: (key, value, n, matched) per distinct (key, value),
+    matched = the reference-distribution value. Reference-key rows map
+    to themselves (the identity sanity check rides in the result)."""
+    k, v = F.col(key_col), F.col(value_col)
+    base = (
+        df.where(k.isNotNull() & v.isNotNull() & ~F.isnan(v))
+        .groupBy(k.alias("_k"), v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = Window.partitionBy("_k").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = base.withColumn("_cum", F.sum("_c").over(wcum))
+    tot = base.groupBy("_k").agg(F.sum("_c").alias("_n"))
+    cum = cum.join(tot, "_k")
+    ref = (
+        cum.where(F.col("_k") == F.lit(ref_key))
+        .select(
+            F.col("_v").alias("_rv"),
+            F.col("_cum").alias("_rcum"),
+            F.col("_n").alias("_rn"),
+        )
+    )
+    keys = tot.select("_k", "_n")
+    ref_rows = keys.crossJoin(F.broadcast(ref)).select(
+        "_k",
+        F.lit(None).cast(base.schema["_v"].dataType).alias("_v"),
+        F.lit(None).cast("long").alias("_c"),
+        (F.col("_rcum") * F.col("_n")).alias("_sort"),
+        F.col("_rv").alias("_refv"),
+    )
+    probe_rows = cum.crossJoin(
+        F.broadcast(ref.agg(F.max("_rn").alias("_rn")))
+    ).select(
+        "_k",
+        "_v",
+        "_c",
+        (F.col("_cum") * F.col("_rn")).alias("_sort"),
+        F.lit(None).cast(ref.schema["_rv"].dataType).alias("_refv"),
+    )
+    both = ref_rows.unionByName(probe_rows)
+    # descending scan: reference rows first on sort-key ties (equal
+    # fraction -> that reference IS the match); running last non-null
+    # reference value = smallest reference fraction >= the probe's
+    wscan = (
+        Window.partitionBy("_k")
+        .orderBy(F.desc("_sort"), F.col("_refv").isNull().cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        both.withColumn(
+            "matched", F.last("_refv", ignorenulls=True).over(wscan)
+        )
+        .where(F.col("_v").isNotNull())
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_v").alias(value_col),
+            F.col("_c").alias("n"),
+            "matched",
+        )
+        .orderBy(key_col, value_col)
+    )

@@ -232,6 +232,7 @@ HEADLINE = [
     "ann_binary_topk",
     "orders_zorder_stats",
     "order_skyline",
+    "value_quantile_match",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -103,6 +103,7 @@ NEW_R5 = [
     "ann_binary_topk",
     "orders_zorder_stats",
     "order_skyline",
+    "value_quantile_match",
 ]
 
 

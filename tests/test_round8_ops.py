@@ -1125,3 +1125,51 @@ def test_skyline_2d_no_member_dominated_no_survivor_dominates(spark):
         p for p in allpts if not any(dominates(q, p) for q in allpts)
     }
     assert set(pts) == want
+
+
+# -------------------------------------------------------------- q-match
+
+
+def test_quantile_match_hand_case(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        quantile_match,
+    )
+
+    # ref 'r': values 10,20,30,40 (uniform). probe 'a': 1,2,3 ->
+    # fractions 1/3, 2/3, 1 -> smallest ref fraction >= that:
+    # 1/3 -> 20 (2/4=0.5 >= 0.333; 10 has 0.25 < 1/3); 2/3 -> 30; 1 -> 40
+    rows = [("r", float(x)) for x in (10, 20, 30, 40)] + [
+        ("a", 1.0), ("a", 2.0), ("a", 3.0)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        (r.k, r.v): r.matched
+        for r in quantile_match(df, "k", "v", "r").collect()
+    }
+    assert got[("a", 1.0)] == 20.0
+    assert got[("a", 2.0)] == 30.0
+    assert got[("a", 3.0)] == 40.0
+    # reference maps to itself (fraction equality picks the ref row)
+    for x in (10.0, 20.0, 30.0, 40.0):
+        assert got[("r", x)] == x
+
+
+def test_quantile_match_transforms_marginal_to_reference(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        quantile_match,
+    )
+
+    # a skewed probe distribution lands exactly on the reference's
+    # values; weights carry through (duplicate probe values share a row)
+    rows = [("r", float(x)) for x in range(1, 11)] + [
+        ("a", 100.0), ("a", 100.0), ("a", 100.0), ("a", 100.0),
+        ("a", 100.0), ("a", 999.0), ("a", 999.0), ("a", 999.0),
+        ("a", 999.0), ("a", 999.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        (r.k, r.v): (r.n, r.matched)
+        for r in quantile_match(df, "k", "v", "r").collect()
+    }
+    assert got[("a", 100.0)] == (5, 5.0)   # fraction 0.5 -> ref 5
+    assert got[("a", 999.0)] == (5, 10.0)  # fraction 1.0 -> ref 10
