@@ -650,9 +650,11 @@ def weighted_percentile(
     ride decimal(20,6) sums, and the threshold test is the cross-
     multiplied integer-exact comparison ``cum·q_den ≥ total·q_num`` —
     no float threshold, so ties and boundary rows resolve identically
-    on any engine and any partitioning. The cumulative frame is RANGE
-    (not ROWS): all rows tied on the value enter together, which is
-    what makes the answer well-defined under duplicate values.
+    on any engine and any partitioning. Ties are folded BEFORE the
+    window by the distinct-(group, value) pre-aggregation below, so
+    every frame row is a distinct value and ROWS ≡ RANGE — all rows
+    tied on a value enter the cumulative together, which is what makes
+    the answer well-defined under duplicate values.
 
     Plan: one partial-agg groupBy to the DISTINCT (group, value) table
     with summed weights, then the cumulative window over THAT table —
@@ -662,8 +664,8 @@ def weighted_percentile(
     sorts of the whole fact table; value domains grow sub-linearly in
     any real corpus, so the pre-aggregated form stays under the line).
     Summing weights per distinct value before the cumulative is an
-    exact identity: the RANGE frame already folded ties together, and
-    decimal sums are associative. NULL values/weights and non-positive
+    exact identity — it folds ties the way a RANGE frame over raw rows
+    would, and decimal sums are associative. NULL values/weights and non-positive
     weights are excluded up front (a zero/negative weight has no place
     in a CDF)."""
     if q_den < 1 or not 0 < q_num <= q_den:
@@ -803,9 +805,9 @@ def _lower_median(
     value and resolves identically on any engine). Counts are
     pre-aggregated per DISTINCT (group, value) so the cumulative
     window runs on the distinct-value table, not the rows (exact
-    identity — the RANGE frame already folded ties; bounds per-group
-    window cost by the value domain, the ``weighted_percentile``
-    scale fix). One partial-agg groupBy + one window + one total."""
+    identity — the pre-aggregation folds ties, making the ROWS frame
+    below behave as RANGE would on raw rows; bounds per-group window
+    cost by the value domain, the ``weighted_percentile`` scale fix). One partial-agg groupBy + one window + one total."""
     agg = frame.groupBy(*groups, col).agg(F.count(F.lit(1)).alias("_c"))
     win = (
         Window.partitionBy(*groups)
@@ -839,7 +841,8 @@ def mad_outliers(
     division enters.
 
     Both medians are the exact LOWER median (rational-threshold
-    cumulative counts, RANGE frames for ties) — actual data values,
+    cumulative counts; ties folded by the distinct-(key, value)
+    pre-aggregation, so ROWS ≡ RANGE) — actual data values,
     engine-portable, no interpolation. MAD = 0 (at least half the
     values equal the median) degenerates to flagging every v ≠ median
     that is textbook MAD behavior on discrete/saturated domains and
@@ -1072,9 +1075,15 @@ def quantile_match(
     Plan: both cumulative tables ride the distinct-value discipline
     (groupBy (key, value) first — window inputs are value domains, not
     rows); the reference table replicates per key through a broadcast
-    (it is one key's distinct values). Overflow guard: cum·n products
-    stay in BIGINT for n ≤ 3e9 rows per key — far past any keyed
-    slice; beyond, bucket first.
+    (it is one key's distinct values). Two loud guards (r8 ADVICE):
+    a ``ref_key`` matching no usable rows (typo, or every reference
+    value NULL/NaN) raises instead of silently emitting matched=NULL
+    for every probe row, and any key past the BIGINT-safe row bound
+    raises instead of letting a cum·n product wrap. Overflow bound:
+    both factors of every product are ≤ some key's row count, so
+    capping every key at floor(sqrt(2^63−1)) ≈ 3.03e9 rows makes
+    wrap impossible — far past any keyed slice; beyond, bucket
+    first.
 
     Output: (key, value, n, matched) per distinct (key, value),
     matched = the reference-distribution value. Reference-key rows map
@@ -1089,7 +1098,35 @@ def quantile_match(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = base.withColumn("_cum", F.sum("_c").over(wcum))
-    tot = base.groupBy("_k").agg(F.sum("_c").alias("_n"))
+    # both factors of every cum·n product are key row counts, so one
+    # per-key bound makes BIGINT wrap impossible; the guard rides _n,
+    # which feeds both products, so Catalyst cannot prune it
+    lim = 3_037_000_499  # floor(sqrt(2^63 - 1))
+    tot = (
+        base.groupBy("_k")
+        .agg(F.sum("_c").alias("_raw_n"))
+        .select(
+            "_k",
+            F.when(
+                F.col("_raw_n") > lim,
+                F.raise_error(
+                    F.concat(
+                        F.lit("quantile_match: key "),
+                        F.col("_k").cast("string"),
+                        F.lit(" has "),
+                        F.col("_raw_n").cast("string"),
+                        F.lit(
+                            f" rows > {lim} — the exact cum·n BIGINT"
+                            " sort keys would wrap; bucket values"
+                            " first"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("_raw_n"))
+            .alias("_n"),
+        )
+    )
     cum = cum.join(tot, "_k")
     ref = (
         cum.where(F.col("_k") == F.lit(ref_key))
@@ -1107,13 +1144,25 @@ def quantile_match(
         (F.col("_rcum") * F.col("_n")).alias("_sort"),
         F.col("_rv").alias("_refv"),
     )
+    # an aggregate over an EMPTY reference still yields one row, with
+    # NULL _rn — a missing/typo'd ref_key (or one whose values are all
+    # NULL/NaN) must fail loudly here, not propagate matched=NULL
+    rn_checked = F.when(
+        F.col("_rn").isNull(),
+        F.raise_error(
+            F.lit(
+                f"quantile_match: reference key {ref_key!r} has no"
+                " non-null, non-NaN rows — nothing to match onto"
+            )
+        ),
+    ).otherwise(F.col("_rn"))
     probe_rows = cum.crossJoin(
         F.broadcast(ref.agg(F.max("_rn").alias("_rn")))
     ).select(
         "_k",
         "_v",
         "_c",
-        (F.col("_cum") * F.col("_rn")).alias("_sort"),
+        (F.col("_cum") * rn_checked).alias("_sort"),
         F.lit(None).cast(ref.schema["_rv"].dataType).alias("_refv"),
     )
     both = ref_rows.unionByName(probe_rows)

@@ -2020,13 +2020,24 @@ def binary_hamming_topk(
     the float vectors, and the scan stage is two XORs + two popcounts
     per candidate, fully whole-stage-codegen.
 
-    Plan: the ≤-handful query rows broadcast against the packed corpus
-    (integer-only candidate rows); a PER-PARTITION top-``coarse_k``
-    window prunes before the shuffle — lossless (the global top-k is a
-    subset of the union of per-partition top-ks) and partitioning-
-    invariant in its RESULT, so the exchange carries ≤ partitions ×
-    |Q| × coarse_k rows instead of |Q| × |corpus|. Ties break by
-    neighbor id at both stages; the cosine is the repo's ordered
+    Plan: the ≤-handful query rows broadcast against the packed corpus;
+    the candidate stream carries ONLY (query_id, vec_id, hamming) —
+    three integers, never the float vectors — and the coarse prune is
+    an Arrow-batched per-partition top-``coarse_k`` combiner
+    (``mapInPandas`` holding ≤ |Q|·coarse_k rows per partition), so NO
+    exchange exists below the prune at all. (The previous
+    window-over-``spark_partition_id`` formulation was refuted by its
+    own executedPlan: EnsureRequirements inserts the
+    hashpartitioning(query_id, _part) Exchange BELOW the window, so
+    the full |Q|×|corpus| candidate set — float vectors included —
+    crossed a shuffle despite the "prunes before the shuffle" claim.)
+    The prune is lossless (the global top-k is a subset of the union
+    of per-partition top-ks) and its RESULT partitioning-invariant;
+    the only exchanges left are the two tiny query_id-partitioned
+    windows over ≤ partitions × |Q| × coarse_k integer rows. Float
+    vectors re-attach to the ≤ |Q|·coarse_k coarse winners only, via
+    broadcast joins that leave the corpus scan un-shuffled. Ties break
+    by neighbor id at both stages; the cosine is the repo's ordered
     ``dot_fixed`` fold ≡ ``list_dot_product`` (bit-identical to the
     oracle). Output: (query_id, vec_id, hamming, cosine, rank ≤ k)."""
     if k < 1 or coarse_k < k:
@@ -2054,7 +2065,6 @@ def binary_hamming_topk(
         F.col(id_col).alias("vec_id"), vec.alias("_v")
     ).select(
         "vec_id",
-        "_v",
         F.expr(_pack_expr("_v", True)).alias("_lo"),
         F.expr(_pack_expr("_v", False)).alias("_hi"),
     )
@@ -2066,7 +2076,6 @@ def binary_hamming_topk(
         )
         .select(
             "query_id",
-            "_qv",
             F.expr(_pack_expr("_qv", True)).alias("_qlo"),
             F.expr(_pack_expr("_qv", False)).alias("_qhi"),
         )
@@ -2075,20 +2084,45 @@ def binary_hamming_topk(
         F.bit_count(F.col("_lo").bitwiseXOR(F.col("_qlo")))
         + F.bit_count(F.col("_hi").bitwiseXOR(F.col("_qhi")))
     ).cast("long")
-    cand = (
-        packed.join(F.broadcast(q), packed["vec_id"] != q["query_id"])
-        .select(
-            "query_id", "vec_id", "_v", "_qv", ham.alias("hamming"),
-            F.spark_partition_id().alias("_part"),
-        )
-    )
-    wp = Window.partitionBy("query_id", "_part").orderBy("hamming", "vec_id")
-    pruned = cand.withColumn("_r", F.row_number().over(wp)).where(
-        F.col("_r") <= coarse_k
-    )
+    cand = packed.join(
+        F.broadcast(q), packed["vec_id"] != q["query_id"]
+    ).select("query_id", "vec_id", ham.alias("hamming"))
+
+    def _coarse_prune(batches):
+        # Per-partition lossless top-coarse_k combiner: the running
+        # accumulator never exceeds |Q|·coarse_k rows, so each Arrow
+        # batch costs one sort of (accumulator + batch). Runs where
+        # the candidates already live — no exchange below the prune.
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            both = (
+                pdf
+                if acc is None
+                else pd.concat((acc, pdf), ignore_index=True)
+            )
+            both = both.sort_values(["query_id", "hamming", "vec_id"])
+            acc = both.groupby("query_id", sort=False).head(coarse_k)
+        if acc is not None:
+            yield acc
+
+    pruned = cand.mapInPandas(_coarse_prune, cand.schema)
     wg = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
-    coarse = pruned.withColumn("_g", F.row_number().over(wg)).where(
-        F.col("_g") <= coarse_k
+    coarse = (
+        pruned.withColumn("_g", F.row_number().over(wg))
+        .where(F.col("_g") <= coarse_k)
+        .select("query_id", "vec_id", "hamming")
+    )
+    # Float vectors re-attach to the coarse winners only: broadcast the
+    # ≤ |Q|·coarse_k-row coarse set so the corpus scan is never
+    # shuffled, then broadcast the query vectors onto it.
+    vecs = emb.select(F.col(id_col).alias("vec_id"), vec.alias("_v"))
+    qvecs = emb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), vec.alias("_qv")
+    )
+    coarse = vecs.join(F.broadcast(coarse), "vec_id").join(
+        F.broadcast(qvecs), "query_id"
     )
     def _dot_expr(a: str, b: str) -> str:
         return " + ".join(f"{a}[{d}] * {b}[{d}]" for d in range(dims))

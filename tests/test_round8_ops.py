@@ -1173,3 +1173,21 @@ def test_quantile_match_transforms_marginal_to_reference(spark):
     }
     assert got[("a", 100.0)] == (5, 5.0)   # fraction 0.5 -> ref 5
     assert got[("a", 999.0)] == (5, 10.0)  # fraction 1.0 -> ref 10
+
+
+def test_quantile_match_missing_ref_key_raises(spark):
+    # r8 ADVICE: a ref_key matching no usable rows must fail loudly,
+    # not silently emit matched=NULL for every probe row
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
+        quantile_match,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", float("nan"))], "k string, v double"
+    )
+    # key does not exist at all
+    with pytest.raises(Exception, match="reference key 'zzz' has no"):
+        quantile_match(df, "k", "v", "zzz").collect()
+    # key exists but every value is NaN-filtered out
+    with pytest.raises(Exception, match="reference key 'b' has no"):
+        quantile_match(df, "k", "v", "b").collect()
