@@ -36,53 +36,161 @@ def test_rows_only_queries_are_the_documented_two():
 
 
 def test_registry_order_is_certification_debt_first():
-    # VERDICT r7 Next #2: the sweep-front ordering is DERIVED from the
-    # CORRECTNESS_r*.json artifacts + the tracked added-round map,
-    # never maintained by hand. Ordering key: certification DEBT
-    # descending — current - last_green for certified rows,
-    # current - added + 2.5 for never-certified ones (they outrank
-    # rows certified up to two rounds before their registration, but
-    # NOT rows >= 3 rounds stale). Plain "never-certified first"
-    # regressed at 200 entries: a round adding ~20 operators pushed
-    # 4-round-stale certified rows out of a 50-row sweep window behind
-    # its own zero-wait additions.
+    # VERDICT r7 Next #2 / r8 Next #4: the sweep-front ordering is
+    # DERIVED from the CORRECTNESS_r*.json artifacts + the tracked
+    # added-round map + the OBSERVED sweep-window size, never
+    # maintained by hand. Ordering key: certification DEBT descending;
+    # the never-certified credit is period/2 + 0.5 (period =
+    # n_entries / window_rows), and §2-core serving rows >= 2 rounds
+    # stale ride a period-1 cadence boost. Plain "never-certified
+    # first" regressed at 200 entries: a round adding ~20 operators
+    # pushed 4-round-stale certified rows out of a 50-row sweep
+    # window behind its own zero-wait additions.
     last = entry_mod._last_green_rounds()
     added = entry_mod._added_rounds()
     current = max(last.values(), default=0) + 1
+    w = entry_mod._observed_window_rows()
     ks = list(entry_mod.queries())
+    period = (len(ks) / w) if w > 0 else 4.0
+    credit = period / 2.0 + 0.5
+    boost = max(0.0, period - 1.0)
 
     def debt(k):
         if k in last:
-            return float(current - last[k])
-        return current - added.get(k, current) + 2.5
+            d = float(current - last[k])
+            if k in entry_mod._CORE_SURFACE and d >= 2.0:
+                d += boost
+            return d
+        return current - added.get(k, current) + credit
 
     debts = [debt(k) for k in ks]
     assert debts == sorted(debts, reverse=True), [
         (k, d) for k, d in zip(ks, debts)
     ][:5]
-    # the two concrete guarantees the rotation rides on:
-    # (a) certified rows >= debt+1 stale outrank never-certified
-    #     entries added in the current round...
-    stale = {k for k in ks if k in last and current - last[k] >= 3}
+    # the concrete guarantees the rotation rides on:
+    # (a) non-core certified rows staler than the credit outrank
+    #     never-certified entries added in the current round...
+    stale = {
+        k
+        for k in ks
+        if k in last
+        and k not in entry_mod._CORE_SURFACE
+        and current - last[k] > credit
+    }
     newly = {k for k in ks if k not in last and added.get(k, 0) >= current}
     if stale and newly:
         assert max(ks.index(k) for k in stale) < min(
             ks.index(k) for k in newly
         )
     # (b) ...while never-certified entries from PREVIOUS rounds outrank
-    #     rows certified in the round they were added or later
+    #     non-core rows certified in the round they were added or later
     prior_never = {
         k for k in ks if k not in last and added.get(k, current) < current
     }
     recent = {
         k
         for k in ks
-        if k in last and current - last[k] <= 2
+        if k in last
+        and k not in entry_mod._CORE_SURFACE
+        and current - last[k] <= 2
     }
     if prior_never and recent:
         assert max(ks.index(k) for k in prior_never) < min(
             ks.index(k) for k in recent
         )
+    # (c) a §2-core row >= 2 rounds stale outranks every non-core
+    #     certified row of equal staleness (the cadence guarantee)
+    overdue_core = {
+        k
+        for k in ks
+        if k in entry_mod._CORE_SURFACE
+        and k in last
+        and current - last[k] >= 2
+    }
+    plain_same = {
+        k
+        for k in ks
+        if k in last
+        and k not in entry_mod._CORE_SURFACE
+        and current - last[k] in {current - last[c] for c in overdue_core}
+    }
+    if overdue_core and plain_same:
+        assert max(ks.index(k) for k in overdue_core) < min(
+            ks.index(k) for k in plain_same
+        )
+
+
+def test_debt_order_survives_simulated_window_sizes():
+    # VERDICT r8 Next #4 done-condition: the derived ordering holds
+    # with a 25-row and a 100-row sweep window, not just the observed
+    # 50. Synthetic registry: 200 entries — 40 certified 5 rounds ago,
+    # 40 certified 3 rounds ago, 40 certified last round (incl. two
+    # core rows), 40 never-certified added last round, 40 never-
+    # certified added this round; current round = 9.
+    names, last, added = [], {}, {}
+    core_stale = ["summary_events", "keep_metrics"]       # 3 stale
+    core_fresh = ["hourly_long", "props_stats"]           # certified r8
+    for i in range(40):
+        names.append(f"old5_{i}"); last[f"old5_{i}"] = 4
+        added[f"old5_{i}"] = 3
+    names += core_stale
+    for k in core_stale:
+        last[k] = 6; added[k] = 1
+    for i in range(38):
+        names.append(f"mid3_{i}"); last[f"mid3_{i}"] = 6
+        added[f"mid3_{i}"] = 3
+    names += core_fresh
+    for k in core_fresh:
+        last[k] = 8; added[k] = 1
+    for i in range(38):
+        names.append(f"new1_{i}"); last[f"new1_{i}"] = 8
+        added[f"new1_{i}"] = 5
+    for i in range(40):
+        names.append(f"nc8_{i}"); added[f"nc8_{i}"] = 8
+    for i in range(40):
+        names.append(f"nc9_{i}"); added[f"nc9_{i}"] = 9
+
+    for w in (25, 50, 100):
+        period = len(names) / w
+        credit = period / 2.0 + 0.5
+        order = entry_mod._debt_order(names, last, added, w)
+        idx = {k: i for i, k in enumerate(order)}
+        # overdue core rows lead everything except (possibly) the
+        # deepest certified backlog — their boosted debt clears the
+        # steady-state cutoff (= period) at every window size, but a
+        # 5-round-stale row may still legitimately drain first when
+        # the period is short
+        assert max(idx[k] for k in core_stale) < min(
+            idx[k]
+            for k in names
+            if k not in core_stale and not k.startswith("old5_")
+        ), w
+        # fresh core rows get NO boost — they rank with the other
+        # round-8-certified rows, not ahead of staler work
+        assert min(idx[k] for k in core_fresh) > max(
+            idx[f"old5_{i}"] for i in range(40)
+        ), w
+        # the credit scales with the window: last-round never-certified
+        # entries (debt 1 + credit) outrank certified rows strictly
+        # fresher than their debt and lose to strictly staler ones
+        nc_debt = 1 + credit
+        for cert_debt, grp in ((5, "old5_0"), (3, "mid3_0"), (1, "new1_0")):
+            if cert_debt > nc_debt:
+                assert idx[grp] < idx["nc8_0"], (w, grp)
+            elif cert_debt < nc_debt:
+                assert idx[grp] > idx["nc8_0"], (w, grp)
+        # never-certified from a previous round always outrank this
+        # round's additions
+        assert max(idx[f"nc8_{i}"] for i in range(40)) < min(
+            idx[f"nc9_{i}"] for i in range(40)
+        ), w
+    # the window-derivation itself: a 25-row window must rank
+    # never-certified entries HIGHER relative to 3-stale rows than a
+    # 100-row window does (period doubles -> credit doubles)
+    o25 = entry_mod._debt_order(names, last, added, 25)
+    o100 = entry_mod._debt_order(names, last, added, 100)
+    assert o25.index("nc8_0") < o25.index("mid3_0")    # credit 4.5: 1+4.5 > 3
+    assert o100.index("nc8_0") > o100.index("mid3_0")  # credit 1.5: 1+1.5 < 3
 
 
 def test_every_registry_entry_declares_its_added_round():
