@@ -260,8 +260,15 @@ def measure(spark) -> None:
     queries = entry_mod.queries()
     probe = PROBE_QUERIES
     if "--queries" in sys.argv:
+        # take the requested list verbatim (any registry entry probes,
+        # not just PROBE_QUERIES members — the old intersect-or-all
+        # logic silently dropped unlisted names when MIXED with listed
+        # ones); unknown names fail loudly
         want = sys.argv[sys.argv.index("--queries") + 1].split(",")
-        probe = [q for q in probe if q in want] or want
+        unknown = [q for q in want if q not in queries]
+        if unknown:
+            raise SystemExit(f"unknown --queries entries: {unknown}")
+        probe = want
     # warmups (same rationale as bench.py)
     queries["summary_events"](spark, BASE).collect()
     spark.range(2048).mapInPandas(lambda it: it, "id long").count()
