@@ -1053,6 +1053,46 @@ def test_binary_hamming_topk_self_excluded_and_partition_invariant(spark):
     assert [tuple(r) for r in out2.collect()] == rows1
 
 
+def test_binary_hamming_topk_multi_batch_accumulation(spark):
+    # the r9 mapInPandas coarse prune accumulates a running top-k
+    # ACROSS Arrow batches; at test corpus sizes every partition fits
+    # one default 10k-row batch, so force tiny batches to execute the
+    # concat-and-reprune path and pin it against the single-batch
+    # result (the prune is lossless, so the output must be identical)
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001").coalesce(2)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    want = [
+        tuple(r)
+        for r in binary_hamming_topk(
+            emb, F.col("vec_id") < 3, k=5, coarse_k=20
+        ).collect()
+    ]
+    try:
+        spark.conf.set(key, "37")  # hundreds of batches per partition
+        got = [
+            tuple(r)
+            for r in binary_hamming_topk(
+                emb, F.col("vec_id") < 3, k=5, coarse_k=20
+            ).collect()
+        ]
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    assert got == want
+
+
 def test_binary_hamming_topk_refuses_bad_k(spark):
     from pyspark.sql import functions as F
 
