@@ -278,6 +278,28 @@ def main() -> None:
     queries["summary_events"](spark, SF_DIR).collect()
     spark.range(2048).mapInPandas(lambda it: it, "id long").count()
 
+    # fixed machine-speed reference (reads no repo data): one
+    # codegen-bound range aggregate + one 32→97-key shuffle reduction,
+    # min of 3 warm runs. Recorded as calib_sec so round-over-round
+    # bench comparisons can separate engine regressions from host
+    # drift — r9 measured two full re-runs at ~1.25× the r8 totals
+    # UNIFORMLY (different worst movers each run) while a same-host
+    # worktree A/B of r8-vs-r9 code was identical; a calib shift in
+    # the same ratio marks the round's numbers as host drift, a flat
+    # calib marks them as real.
+    def calib_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "sum(id * 2654435761 % 1000003) as s"
+        ).collect()
+        spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "id % 97 as k", "id as v"
+        ).groupBy("k").sum("v").collect()
+        return time.perf_counter() - t0
+
+    calib_once()  # codegen compile for the calib plans themselves
+    calib_sec = round(min(calib_once() for _ in range(3)), 4)
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
@@ -342,6 +364,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_total_sec": round(cold_total, 4),
+        "calib_sec": calib_sec,
         "sf": sf,
         # registry entries deliberately not benched, with reasons
         # (VERDICT r6 ask #4: the exclusion list must be explicit)
@@ -364,6 +387,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "cold_total_sec": round(cold_total, 4),
+        "calib_sec": calib_sec,
         # "queries" deliberately holds only the 10 slowest (full map in
         # the detail file) so this line always fits the tail capture
         "queries": worst,
