@@ -193,6 +193,65 @@ def test_debt_order_survives_simulated_window_sizes():
     assert o100.index("nc8_0") > o100.index("mid3_0")  # credit 1.5: 1+1.5 < 3
 
 
+def test_debt_order_properties_under_random_histories():
+    # hypothesis fuzz over random certification histories and window
+    # sizes: the invariants that must hold for EVERY history, not just
+    # the constructed ones above
+    from hypothesis import given, settings, strategies as st
+
+    core = sorted(entry_mod._CORE_SURFACE)
+
+    @st.composite
+    def history(draw):
+        n = draw(st.integers(min_value=5, max_value=120))
+        names = [f"e{i}" for i in range(n)] + draw(
+            st.lists(st.sampled_from(core), max_size=4, unique=True)
+        )
+        current = draw(st.integers(min_value=2, max_value=12))
+        last, added = {}, {}
+        for k in names:
+            added[k] = draw(st.integers(min_value=1, max_value=current))
+            if added[k] < current and draw(st.booleans()):
+                last[k] = draw(
+                    st.integers(min_value=added[k], max_value=current - 1)
+                )
+        w = draw(st.integers(min_value=1, max_value=2 * len(names)))
+        return names, last, added, w, current
+
+    @given(history())
+    @settings(max_examples=200, deadline=None)
+    def check(h):
+        names, last, added, w, current = h
+        order = entry_mod._debt_order(names, last, added, w)
+        # permutation of the input, nothing lost or invented
+        assert sorted(order) == sorted(names)
+        # deterministic
+        assert order == entry_mod._debt_order(names, last, added, w)
+        # mirror the function's own notion of "current": one past the
+        # newest certification on record (the drawn upper bound only
+        # shapes the history)
+        current = max(last.values(), default=0) + 1
+        period = len(names) / w
+        credit = period / 2.0 + 0.5
+        boost = max(0.0, period - 1.0)
+        # the emitted order IS the non-increasing debt order
+        def debt(k):
+            if k in last:
+                d = float(current - last[k])
+                if k in entry_mod._CORE_SURFACE and d >= 2.0:
+                    d += boost
+                return d
+            return current - added[k] + credit
+        ds = [debt(k) for k in order]
+        assert all(a >= b - 1e-9 for a, b in zip(ds, ds[1:]))
+        # among equal debts, input order is preserved (stable tie-break)
+        for a, b in zip(order, order[1:]):
+            if abs(debt(a) - debt(b)) < 1e-9:
+                assert names.index(a) < names.index(b)
+
+    check()
+
+
 def test_every_registry_entry_declares_its_added_round():
     # the added-round map is what lets the debt ordering rank entries
     # that have never been swept; an unrecorded entry would silently
