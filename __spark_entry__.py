@@ -2386,6 +2386,20 @@ def q_embedding_clusters(spark, sf_dir):
     return S.cluster_assign_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_revenue_rollup(spark, sf_dir):
+    # ROLLUP / GROUPING SETS: (region, nation) detail + region subtotal
+    # + grand total in ONE Expand pass, gid = grouping_id() (SURVEY
+    # §2.4 noted cube/rollup as unexposed; r9 closes it).
+    # plans/warehouse.revenue_rollup.
+    return W.revenue_rollup(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_nation_trade_volume(spark, sf_dir):
     # TPC-H Q7-shaped nation-pair shipped revenue by year (scale surface)
     return W.nation_trade_volume(
@@ -3722,6 +3736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
+        # --- r9 (consolidation round; the single real-gap closure the
+        # verdict budget allows: §2.4's "rollup/cube free from Spark if
+        # we choose to expose them" had nothing exposing it) ----------
+        "revenue_rollup": q_revenue_rollup,
     })
 
 
@@ -7869,6 +7887,19 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM sess
             GROUP BY user_id, session_id
             ORDER BY user_id, session_start
+        """,
+        "revenue_rollup": """
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(GROUPING(r.r_name, n.n_name) AS BIGINT) AS gid,
+                   CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY ROLLUP(r.r_name, n.n_name)
+            ORDER BY gid, region, nation
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

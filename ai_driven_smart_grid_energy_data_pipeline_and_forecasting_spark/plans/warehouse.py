@@ -352,6 +352,69 @@ def local_supplier_volume(
     )
 
 
+def revenue_rollup(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Multi-level subtotals in ONE pass — the ROLLUP / GROUPING SETS
+    operator (SURVEY §2.4 notes the reference has none and "our engine
+    gets cube/rollup free from Spark if we choose to expose them";
+    until now nothing exposed it. Reference parity site: the KPI cards
+    recompute the same aggregate at two granularities instead —
+    ``streamlit/app.py:339-341`` + ``main.py:276-286``): customer
+    revenue at (region, nation) detail, per-region subtotal, and grand
+    total, with ``gid = grouping_id()`` marking the level (0 detail /
+    1 region subtotal / 3 grand total; bit set ⇔ that column is
+    NULLed out — the same bitmask DuckDB's ``GROUPING(a, b)``
+    produces, so the oracle is a literal ``GROUP BY ROLLUP``).
+
+    Plan / 100 TB design: the dimension arm (region ⋈ nation ⋈
+    customer keys) broadcasts onto orders (AQE re-validates the size
+    at runtime on a real cluster), the only big shuffle is
+    orders ⋈ lineitem on orderkey, and the rollup itself is Catalyst's
+    Expand: each surviving fact row is duplicated once per grouping
+    set MAP-SIDE and ONE partial-agg exchange carries all three
+    levels at once — vs the naive three groupBys + union (three fact
+    scans, three shuffles). Revenue rides the exact decimal(30,6)
+    carrier (per-row IEEE product, then exact decimal sum), so every
+    level is partition-order-free and bit-identical to the oracle;
+    one final cast back to double."""
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        "n_nationkey",
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+    )
+    cust = customer.join(
+        F.broadcast(nr), customer.c_nationkey == nr.n_nationkey
+    ).select("c_custkey", "region", "nation")
+    ords = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .select("o_orderkey", "region", "nation")
+    )
+    rev = (
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    return (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .rollup("region", "nation")
+        .agg(F.grouping_id().cast("long").alias("gid"), rev)
+        .orderBy("gid", "region", "nation")
+    )
+
+
 def order_count_distribution(
     customer: DataFrame,
     orders: DataFrame,

@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the scale-relevant queries (big scans, shuffles, joins,
 # windows) — not the tiny serving lookups.
 HEADLINE = [
+    "revenue_rollup",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",

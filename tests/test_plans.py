@@ -493,3 +493,16 @@ def test_zipf_fit_topn_is_take_ordered(spark):
     # the token-count table
     plan = _plan(spark, "corpus_zipf_fit")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_revenue_rollup_single_pass_expand(spark):
+    # the three grouping levels (detail, region subtotal, grand total)
+    # must come from ONE Expand over the fact rows — never three
+    # groupBys + union (three fact scans); dims broadcast onto the
+    # fact side so the only key shuffle is orders x lineitem + the
+    # single rollup partial-agg exchange
+    plan = _plan(spark, "revenue_rollup")
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, "rollup regressed to union-of-groupbys"
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
