@@ -2387,10 +2387,11 @@ def q_embedding_clusters(spark, sf_dir):
 
 
 def q_revenue_rollup(spark, sf_dir):
-    # ROLLUP / GROUPING SETS: (region, nation) detail + region subtotal
-    # + grand total in ONE Expand pass, gid = grouping_id() (SURVEY
-    # §2.4 noted cube/rollup as unexposed; r9 closes it).
-    # plans/warehouse.revenue_rollup.
+    # ROLLUP on the warehouse scale surface: (region, nation) detail +
+    # region subtotal + grand total in ONE Expand pass over the joined
+    # fact stream, gid = grouping_id() (type_status_rollup covers the
+    # single-table form; this is the join-heavy one that matters at
+    # scale). plans/warehouse.revenue_rollup.
     return W.revenue_rollup(
         _t(spark, sf_dir, "region"),
         _t(spark, sf_dir, "nation"),
@@ -3736,9 +3737,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "doc_text_stats": q_doc_text_stats,
         "doc_lang_id": q_doc_lang_id,
-        # --- r9 (consolidation round; the single real-gap closure the
-        # verdict budget allows: §2.4's "rollup/cube free from Spark if
-        # we choose to expose them" had nothing exposing it) ----------
+        # --- r9 (consolidation round; the one addition the verdict
+        # budget allows: ROLLUP above a multi-join fact stream — the
+        # warehouse-scale form of §2.4's single-table
+        # type_status_rollup) -----------------------------------------
         "revenue_rollup": q_revenue_rollup,
     })
 

@@ -359,17 +359,20 @@ def revenue_rollup(
     orders: DataFrame,
     lineitem: DataFrame,
 ) -> DataFrame:
-    """Multi-level subtotals in ONE pass — the ROLLUP / GROUPING SETS
-    operator (SURVEY §2.4 notes the reference has none and "our engine
-    gets cube/rollup free from Spark if we choose to expose them";
-    until now nothing exposed it. Reference parity site: the KPI cards
-    recompute the same aggregate at two granularities instead —
-    ``streamlit/app.py:339-341`` + ``main.py:276-286``): customer
-    revenue at (region, nation) detail, per-region subtotal, and grand
-    total, with ``gid = grouping_id()`` marking the level (0 detail /
-    1 region subtotal / 3 grand total; bit set ⇔ that column is
-    NULLed out — the same bitmask DuckDB's ``GROUPING(a, b)``
-    produces, so the oracle is a literal ``GROUP BY ROLLUP``).
+    """Multi-level subtotals in ONE pass — ROLLUP on the warehouse
+    scale surface. `type_status_rollup` already exposes the SURVEY
+    §2.4 "free Spark capability" on a single-table aggregate; this is
+    the form that matters at 100 TB — the Expand sits ABOVE a
+    multi-join fact stream, so the grouping-set duplication must not
+    multiply the join work and the dims must broadcast (reference
+    parity site: the KPI cards recompute the same aggregate at two
+    granularities with separate queries — ``streamlit/app.py:339-341``
+    + ``main.py:276-286``): customer revenue at (region, nation)
+    detail, per-region subtotal, and grand total, with ``gid =
+    grouping_id()`` marking the level (0 detail / 1 region subtotal /
+    3 grand total; bit set ⇔ that column is NULLed out — the same
+    bitmask DuckDB's ``GROUPING(a, b)`` produces, so the oracle is a
+    literal ``GROUP BY ROLLUP``).
 
     Plan / 100 TB design: the dimension arm (region ⋈ nation ⋈
     customer keys) broadcasts onto orders (AQE re-validates the size
