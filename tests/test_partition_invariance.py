@@ -104,6 +104,8 @@ NEW_R5 = [
     "orders_zorder_stats",
     "order_skyline",
     "value_quantile_match",
+    # round 9
+    "revenue_rollup",
 ]
 
 
