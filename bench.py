@@ -373,8 +373,18 @@ def main() -> None:
     }
     if errors:
         detail["errors"] = errors
+    # The tracked BENCH_DETAIL.json is the DRIVER's per-round record
+    # (default SF dir). Local rehearsals at other scales write a
+    # sibling file instead — a sf0.001 verification run once clobbered
+    # the tracked sf0.1 state, and cross-session numbers on this host
+    # are not comparable anyway (see calib_sec).
+    fname = (
+        "BENCH_DETAIL.json"
+        if "SPARK_GRAFT_SF_DIR" not in os.environ
+        else f"BENCH_DETAIL_sf{sf}.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), fname
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
