@@ -1044,7 +1044,8 @@ def q_value_mad_outliers(spark, sf_dir):
     # Robust outlier screen: |v - median| > 3*MAD per event type — the
     # breakdown-resistant twin of value_outliers' z-scores (whose sigma
     # the outliers themselves inflate). Exact lower medians via
-    # rational-threshold cumulative counts (RANGE frames for ties);
+    # rational-threshold cumulative counts (ties folded by the
+    # distinct-(key, value) pre-aggregation, so ROWS ≡ RANGE);
     # rational multiple so the flag is one IEEE multiply per side.
     # operators/relational.mad_outliers.
     ev = _t(spark, sf_dir, "events")
@@ -1170,8 +1171,9 @@ def q_quantity_weighted_median(spark, sf_dir):
     # Exact weighted median: per return flag, the smallest extended
     # price whose cumulative QUANTITY reaches half the flag's total —
     # the weighted quantile the unweighted percentile family cannot
-    # express. Rational threshold (cum*2 >= tot*1 in exact decimals),
-    # RANGE frame so tied prices enter together.
+    # express. Rational threshold (cum*2 >= tot*1 in exact decimals);
+    # tied prices enter together because the cumulative window runs
+    # over the distinct-(flag, price) pre-aggregation.
     li = _t(spark, sf_dir, "lineitem")
     return R.weighted_percentile(
         li, ["l_returnflag"], "l_extendedprice", "l_quantity", 1, 2

@@ -1,0 +1,315 @@
+"""Parameter-sweep differential fuzz: the oracle gate certifies each
+operator at ONE fixed configuration (the registry entry); these tests
+sweep the operator's parameter space against a TEMPLATED DuckDB twin,
+so a bug that only bites at an untested quantile / bin count /
+threshold / reference key cannot hide behind the registry's single
+config. Templates mirror the registered ``oracle_sql()`` strings with
+the parameter literal substituted — same exactness discipline
+(rational thresholds, decimal carriers, distinct-value windows), just
+generalized over the parameter.
+
+All sweeps run at sf0.001 (the oracle suite's scale); parameter sets
+are fixed literals, not RNG draws, so failures reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+    relational as R,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _match(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def _assert_same(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
+    got, want = _norm(got), _norm(want)
+    assert list(got.columns) == list(want.columns), (
+        f"{label}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{label}: rows {len(got)} != {len(want)}"
+    for col in got.columns:
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(got[col], want[col]))
+            if not _match(x, y)
+        ]
+        assert not bad, f"{label}.{col}: first mismatches {bad[:5]}"
+
+
+# ---------------------------------------------------------------- #
+# weighted_percentile: sweep the rational quantile q_num/q_den
+# (registry config: 1/2)
+
+
+@pytest.mark.parametrize(
+    "q_num,q_den", [(1, 4), (1, 3), (3, 4), (9, 10), (1, 1)]
+)
+def test_weighted_percentile_sweep(spark, duck, q_num, q_den):
+    li = tables.load_table(spark, "lineitem", SF_DIR)
+    got = R.weighted_percentile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", q_num, q_den
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH base AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 CAST(l_quantity AS DECIMAL(20,6)) AS w
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND l_quantity IS NOT NULL AND l_quantity > 0),
+        cum AS (
+          SELECT l_returnflag, v,
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS c
+          FROM base),
+        tot AS (
+          SELECT l_returnflag, sum(w) AS t
+          FROM base GROUP BY l_returnflag)
+        SELECT cum.l_returnflag, min(cum.v) AS weighted_p{q_num}_{q_den}
+        FROM cum JOIN tot ON cum.l_returnflag = tot.l_returnflag
+        WHERE cum.c * {q_den} >= tot.t * {q_num}
+        GROUP BY cum.l_returnflag ORDER BY cum.l_returnflag
+    """).fetchdf()
+    _assert_same(got, want, f"weighted_percentile({q_num}/{q_den})")
+
+
+# ---------------------------------------------------------------- #
+# mad_outliers: sweep the rational threshold multiple k_num/k_den
+# (registry config: 3/1)
+
+
+@pytest.mark.parametrize("k_num,k_den", [(1, 1), (2, 1), (5, 2), (7, 4)])
+def test_mad_outliers_sweep(spark, duck, k_num, k_den):
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = R.mad_outliers(ev, "event_type", "value", k_num, k_den).toPandas()
+    want = duck.execute(f"""
+        WITH base AS (
+          SELECT event_type AS k, value AS v FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)),
+        cum AS (
+          SELECT k, v,
+                 count(*) OVER (PARTITION BY k ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS c
+          FROM base),
+        tot AS (SELECT k, count(*) AS n FROM base GROUP BY k),
+        med AS (
+          SELECT cum.k, min(cum.v) AS med
+          FROM cum JOIN tot ON cum.k = tot.k
+          WHERE cum.c * 2 >= tot.n GROUP BY cum.k),
+        dev AS (
+          SELECT base.k, abs(base.v - med.med) AS d, med.med
+          FROM base JOIN med ON base.k = med.k),
+        dcum AS (
+          SELECT k, d,
+                 count(*) OVER (PARTITION BY k ORDER BY d
+                   RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS c
+          FROM dev),
+        mad AS (
+          SELECT dcum.k, min(dcum.d) AS mad
+          FROM dcum JOIN tot ON dcum.k = tot.k
+          WHERE dcum.c * 2 >= tot.n GROUP BY dcum.k)
+        SELECT dev.k AS event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(dev.med) AS median, min(mad.mad) AS mad,
+               CAST(sum(CASE WHEN dev.d * {float(k_den)!r}
+                   > {float(k_num)!r} * mad.mad
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.k = mad.k
+        GROUP BY dev.k ORDER BY dev.k
+    """).fetchdf()
+    _assert_same(got, want, f"mad_outliers({k_num}/{k_den})")
+
+
+# ---------------------------------------------------------------- #
+# equidepth_bins: sweep the bin count (registry config: 8)
+
+
+@pytest.mark.parametrize("n_bins", [2, 3, 5, 16])
+def test_equidepth_bins_sweep(spark, duck, n_bins):
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = R.equidepth_bins(ev, "value", n_bins=n_bins).toPandas()
+    want = duck.execute(f"""
+        WITH vc AS (
+          SELECT value AS v, count(*) AS c FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+          GROUP BY value),
+        cum AS (
+          SELECT v, c,
+                 sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum
+          FROM vc),
+        tot AS (SELECT sum(c) AS n FROM vc),
+        edges AS (
+          SELECT CAST(i.i AS BIGINT) AS bin, cum.v AS hi,
+                 cum.cum AS cum
+          FROM cum CROSS JOIN tot,
+               unnest(generate_series(
+                 CAST((cum.cum - cum.c) * {n_bins} // tot.n + 1 AS BIGINT),
+                 CAST(cum.cum * {n_bins} // tot.n AS BIGINT))) AS i(i))
+        SELECT bin, hi,
+               CAST(cum - COALESCE(lag(cum) OVER (ORDER BY bin), 0)
+                 AS BIGINT) AS n_rows
+        FROM edges ORDER BY bin
+    """).fetchdf()
+    _assert_same(got, want, f"equidepth_bins({n_bins})")
+    assert len(got) == n_bins, f"expected exactly {n_bins} bins"
+
+
+# ---------------------------------------------------------------- #
+# quantile_match: sweep the reference key (registry config: 'click')
+
+
+@pytest.mark.parametrize("ref", ["view", "purchase", "error", "signup"])
+def test_quantile_match_sweep(spark, duck, ref):
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = R.quantile_match(ev, "event_type", "value", ref).toPandas()
+    want = duck.execute(f"""
+        WITH base AS (
+          SELECT event_type AS k, value AS v, count(*) AS c
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+            AND NOT isnan(value)
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT k, v, c,
+                 sum(c) OVER (PARTITION BY k ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum
+          FROM base),
+        tot AS (SELECT k, sum(c) AS n FROM base GROUP BY k),
+        p AS (
+          SELECT cum.k, cum.v, cum.c, cum.cum, tot.n
+          FROM cum JOIN tot ON cum.k = tot.k),
+        r AS (SELECT v AS rv, cum AS rcum FROM p
+              WHERE k = '{ref}'),
+        rn AS (SELECT n AS rn FROM tot WHERE k = '{ref}')
+        SELECT p.k AS event_type, p.v AS value,
+               CAST(p.c AS BIGINT) AS n,
+               (SELECT min(r.rv) FROM r, rn
+                WHERE r.rcum * p.n >= p.cum * rn.rn) AS matched
+        FROM p ORDER BY event_type, value
+    """).fetchdf()
+    _assert_same(got, want, f"quantile_match(ref={ref})")
+
+
+# ---------------------------------------------------------------- #
+# skyline_2d: sweep the dimension pair (registry config:
+# orders over (o_totalprice, o_orderdate))
+
+
+@pytest.mark.parametrize(
+    "xc,yc",
+    [
+        ("o_totalprice", "o_custkey"),
+        ("o_custkey", "o_totalprice"),
+    ],
+)
+def test_skyline_sweep(spark, duck, xc, yc):
+    o = tables.load_table(spark, "orders", SF_DIR)
+    got = (
+        R.skyline_2d(o, xc, yc)
+        .select("o_orderkey", xc, yc)
+        .toPandas()
+    )
+    # quadratic NOT-EXISTS reference — independent of the sort-scan
+    # identity the operator uses, so this checks the IDENTITY, not
+    # just the plumbing
+    want = duck.execute(f"""
+        WITH base AS (
+          SELECT o_orderkey, {xc} AS x, {yc} AS y FROM orders
+          WHERE {xc} IS NOT NULL AND {yc} IS NOT NULL)
+        SELECT b.o_orderkey, b.x AS {xc}, b.y AS {yc}
+        FROM base b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM base d
+          WHERE d.x >= b.x AND d.y >= b.y
+            AND (d.x > b.x OR d.y > b.y))
+        ORDER BY b.o_orderkey
+    """).fetchdf()
+    _assert_same(got, want, f"skyline_2d({xc},{yc})")
+
+
+# ---------------------------------------------------------------- #
+# spearman_corr: sweep the column pair (registry config:
+# n_items vs o_totalprice)
+
+
+@pytest.mark.parametrize(
+    "xc,yc,ybucket_div",
+    [
+        ("l_quantity", "l_extendedprice", 10000),
+        ("l_discount", "l_tax", None),
+    ],
+)
+def test_spearman_sweep(spark, duck, xc, yc, ybucket_div):
+    li = tables.load_table(spark, "lineitem", SF_DIR).select(xc, yc)
+    yb = (
+        F.floor(F.col(yc) / ybucket_div)
+        if ybucket_div
+        else F.floor(F.col(yc) * 100)
+    )
+    got = R.spearman_corr(
+        li, xc, yc, x_bucket=F.col(xc), y_bucket=yb
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH r AS (
+          SELECT CAST(2 * rank() OVER (ORDER BY {xc})
+                      + count(*) OVER (PARTITION BY {xc}) - 1
+                   AS HUGEINT) AS u,
+                 CAST(2 * rank() OVER (ORDER BY {yc})
+                      + count(*) OVER (PARTITION BY {yc}) - 1
+                   AS HUGEINT) AS v
+          FROM lineitem),
+        m AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(u) AS su, sum(v) AS sv,
+                 sum(u * u) AS suu, sum(v * v) AS svv,
+                 sum(u * v) AS suv
+          FROM r)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n * suv - su * sv AS DOUBLE)
+                 / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+                    * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS rho
+        FROM m
+    """).fetchdf()
+    _assert_same(got, want, f"spearman({xc},{yc})")
