@@ -32,7 +32,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["orders", "lineitem", "events"]:
+    for t in ["orders", "lineitem", "events", "documents"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
@@ -313,3 +313,238 @@ def test_spearman_sweep(spark, duck, xc, yc, ybucket_div):
         FROM m
     """).fetchdf()
     _assert_same(got, want, f"spearman({xc},{yc})")
+
+
+# ---------------------------------------------------------------- #
+# topk_recent: sweep k (registry config: 168)
+
+
+@pytest.mark.parametrize("k", [1, 7, 500])
+def test_topk_recent_sweep(spark, duck, k):
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = (
+        R.topk_recent(ev, "ts", k, tiebreak=["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value
+        FROM events
+        ORDER BY ts DESC, event_id DESC
+        LIMIT {k}
+    """).fetchdf()
+    _assert_same(got, want, f"topk_recent({k})")
+
+
+# ---------------------------------------------------------------- #
+# benford_audit: sweep the amount column (registry config:
+# lineitem.l_extendedprice)
+
+
+@pytest.mark.parametrize(
+    "table,col", [("orders", "o_totalprice"), ("lineitem", "l_quantity")]
+)
+def test_benford_sweep(spark, duck, table, col):
+    df = tables.load_table(spark, table, SF_DIR)
+    got = R.benford_audit(df, col).toPandas()
+    want = duck.execute(f"""
+        WITH cnt AS (
+          SELECT CAST(substr(CAST(CAST(floor({col})
+                   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                 count(*) AS n
+          FROM {table}
+          WHERE {col} IS NOT NULL AND {col} >= 1
+          GROUP BY 1),
+        tot AS (SELECT sum(n) AS t FROM cnt),
+        spine AS (
+          SELECT * FROM (VALUES
+            (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+            (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+            (9, 45757)) AS e(digit, benford_ppm)),
+        j AS (
+          SELECT CAST(s.digit AS BIGINT) AS digit,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n_obs,
+                 CAST((1000000 * COALESCE(c.n, 0)) // tot.t
+                   AS BIGINT) AS obs_ppm,
+                 CAST(s.benford_ppm AS BIGINT) AS benford_ppm
+          FROM spine s LEFT JOIN cnt c ON s.digit = c.digit
+          CROSS JOIN tot)
+        SELECT digit, n_obs, obs_ppm, benford_ppm,
+               obs_ppm - benford_ppm AS delta_ppm
+        FROM j ORDER BY digit
+    """).fetchdf()
+    _assert_same(got, want, f"benford({table}.{col})")
+
+
+# ---------------------------------------------------------------- #
+# numeric_drift: sweep the split day and bin width (registry
+# config: day 15, width 25.0)
+
+
+@pytest.mark.parametrize("days,bw", [(7, 10.0), (20, 50.0)])
+def test_numeric_drift_sweep(spark, duck, days, bw):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        numeric_drift,
+        split_at_day_boundary,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    ref, cur = split_at_day_boundary(ev, "ts", days)
+    got = numeric_drift(ref, cur, "value", bin_width=bw).toPandas()
+    want = duck.execute(f"""
+        WITH b AS (
+          SELECT date_trunc('day', min(ts)) + INTERVAL {days} DAY AS boundary
+          FROM events),
+        rsel AS (
+          SELECT CAST(floor(value / {bw!r}) AS BIGINT) AS bin
+          FROM events, b WHERE ts < boundary),
+        csel AS (
+          SELECT CAST(floor(value / {bw!r}) AS BIGINT) AS bin
+          FROM events, b WHERE ts >= boundary),
+        rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS ref_n
+               FROM rsel GROUP BY bin),
+        cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS cur_n
+               FROM csel GROUP BY bin),
+        j AS (
+          SELECT coalesce(rc.bin, cc.bin) AS bin,
+                 coalesce(ref_n, 0) AS ref_n,
+                 coalesce(cur_n, 0) AS cur_n
+          FROM rc FULL OUTER JOIN cc ON rc.bin = cc.bin),
+        t AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS rt,
+                     CAST(sum(cur_n) AS DOUBLE) AS ct FROM j),
+        rated AS (
+          SELECT bin, ref_n, cur_n,
+                 CAST(ref_n AS DOUBLE) / rt AS ref_rate,
+                 CAST(cur_n AS DOUBLE) / ct AS cur_rate
+          FROM j CROSS JOIN t)
+        SELECT bin, ref_n, cur_n, ref_rate, cur_rate,
+               abs(cur_rate - ref_rate) AS rate_diff,
+               ((cur_rate - ref_rate) * (cur_rate - ref_rate))
+                 / nullif(ref_rate, 0.0) AS chi2_term,
+               abs(cur_rate - ref_rate) > 0.01 AS drifted
+        FROM rated ORDER BY bin
+    """).fetchdf()
+    _assert_same(got, want, f"numeric_drift(day={days},bw={bw})")
+
+
+# ---------------------------------------------------------------- #
+# ks_two_sample: sweep the split predicate (registry config:
+# doc_id % 2 == 0)
+
+
+@pytest.mark.parametrize("mod", [3, 5])
+def test_ks_split_sweep(spark, duck, mod):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.drift import (
+        ks_two_sample,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR).select(
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % mod == 0).alias("side"),
+    )
+    got = ks_two_sample(
+        docs.withColumn("n_tokens", F.col("n_tokens").cast("double")),
+        "n_tokens",
+        "side",
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH d AS (
+          SELECT CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS v,
+                 doc_id % {mod} = 0 AS s
+          FROM documents),
+        pv AS (
+          SELECT v,
+                 sum(CASE WHEN s THEN 1 ELSE 0 END) AS ca,
+                 sum(CASE WHEN s THEN 0 ELSE 1 END) AS cb
+          FROM d GROUP BY v),
+        cum AS (
+          SELECT sum(ca) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cuma,
+                 sum(cb) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cumb
+          FROM pv),
+        t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv)
+        SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+               CAST(max(abs(cum.cuma * t.nb - cum.cumb * t.na))
+                 AS BIGINT) AS ks_num,
+               CAST(t.na * t.nb AS BIGINT) AS ks_den,
+               CAST(max(abs(cum.cuma * t.nb - cum.cumb * t.na))
+                 AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS ks_stat
+        FROM cum CROSS JOIN t GROUP BY t.na, t.nb
+    """).fetchdf()
+    _assert_same(got, want, f"ks_two_sample(mod={mod})")
+
+
+# ---------------------------------------------------------------- #
+# stratified_hash_sample: sweep the per-stratum rates (registry
+# config: src0/.5 src1/.2 src2/.1) + the nested-sample property
+# ACROSS rates (raising every rate strictly grows the sample)
+
+
+@pytest.mark.parametrize(
+    "rates",
+    [
+        {"src0": 0.25, "src1": 0.75},
+        {"src3": 0.1, "src4": 1.0, "src5": 0.05},
+    ],
+)
+def test_stratified_sample_sweep(spark, duck, rates):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = (
+        stratified_hash_sample(docs, "doc_id", "source", rates)
+        .select("doc_id", "source")
+        .toPandas()
+    )
+    cond = " OR ".join(
+        f"(source = '{s}' AND bkt < {int(r * 10000)})"
+        for s, r in rates.items()
+    )
+    want = duck.execute(f"""
+        WITH b AS (
+          SELECT doc_id, source,
+                 CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                   AS bkt
+          FROM documents
+        )
+        SELECT doc_id, source FROM b
+        WHERE {cond}
+        ORDER BY doc_id
+    """).fetchdf()
+    _assert_same(got, want, f"stratified_sample({rates})")
+
+
+def test_stratified_sample_nested(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    small = {
+        f"src{i}": r for i, r in enumerate([0.1, 0.2, 0.3, 0.4, 0.5])
+    }
+    big = {s: min(1.0, r + 0.3) for s, r in small.items()}
+    ids_small = {
+        r.doc_id
+        for r in stratified_hash_sample(docs, "doc_id", "source", small)
+        .select("doc_id")
+        .collect()
+    }
+    ids_big = {
+        r.doc_id
+        for r in stratified_hash_sample(docs, "doc_id", "source", big)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids_small <= ids_big, (
+        "nested-sample property violated: raising every stratum rate "
+        "must only ADD rows"
+    )
+    assert len(ids_big) > len(ids_small)
