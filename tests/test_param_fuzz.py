@@ -548,3 +548,120 @@ def test_stratified_sample_nested(spark):
         "must only ADD rows"
     )
     assert len(ids_big) > len(ids_small)
+
+
+# ---------------------------------------------------------------- #
+# session_window_stats: sweep the session gap (registry config:
+# 28800 s) — exercises the merge semantics at gaps from 10 min to
+# a day
+
+
+@pytest.mark.parametrize("gap", [600, 3600, 86400])
+def test_session_gap_sweep(spark, duck, gap):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        session_window_stats,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = session_window_stats(ev, gap_seconds=gap).toPandas()
+    want = duck.execute(f"""
+        WITH ordered AS (
+          SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                           OR epoch(ts) - epoch(prev_ts) > {gap}
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ordered
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL {gap} SECONDS AS TIMESTAMP)
+                 AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """).fetchdf()
+    _assert_same(got, want, f"session_window(gap={gap})")
+
+
+# ---------------------------------------------------------------- #
+# quota_cap: sweep the cap AND both execution paths (plain window
+# vs spray two-phase skew cut; registry config: cap=3, spray=8)
+
+
+@pytest.mark.parametrize("cap,spray", [(1, None), (1, 8), (10, None), (10, 8)])
+def test_quota_cap_sweep(spark, duck, cap, spray):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        quota_cap,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = (
+        quota_cap(docs, "source", cap=cap, spray=spray)
+        .select("doc_id", "source")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        SELECT doc_id, source
+        FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY doc_id) <= {cap}
+        ORDER BY source, doc_id
+    """).fetchdf()
+    _assert_same(got, want, f"quota_cap({cap},spray={spray})")
+
+
+# ---------------------------------------------------------------- #
+# percentile: sweep the p-values (registry config: .5/.9/.99) —
+# Spark F.percentile vs DuckDB quantile_cont, both exact
+# interpolated sort-based
+
+
+@pytest.mark.parametrize("p", [0.25, 0.75, 0.95])
+def test_percentile_sweep(spark, duck, p):
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = (
+        ev.groupBy("event_type")
+        .agg(F.percentile("value", p).alias("pv"))
+        .orderBy("event_type")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        SELECT event_type, quantile_cont(value, {p!r}) AS pv
+        FROM events GROUP BY event_type ORDER BY event_type
+    """).fetchdf()
+    _assert_same(got, want, f"percentile({p})")
+
+
+# ---------------------------------------------------------------- #
+# hourly_autocorrelation: sweep max_lag (registry config: 24)
+
+
+@pytest.mark.parametrize("max_lag", [2, 6])
+def test_hourly_acf_sweep(spark, duck, max_lag):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        analytics as A,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = A.hourly_autocorrelation(ev, max_lag=max_lag).toPandas()
+    import __spark_entry__ as entry_mod
+
+    sql = entry_mod.oracle_sql()["hourly_acf"].replace(
+        "generate_series(1, 24)", f"generate_series(1, {max_lag})"
+    )
+    assert f"generate_series(1, {max_lag})" in sql
+    want = duck.execute(sql).fetchdf()
+    _assert_same(got, want, f"hourly_acf(max_lag={max_lag})")
