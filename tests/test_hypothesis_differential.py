@@ -1,0 +1,336 @@
+"""Hypothesis differential tests: random SMALL adversarial inputs run
+through the Spark operator AND a DuckDB twin of its oracle SQL, then
+compared value-by-value. The registry oracle gate runs on the harness
+testdata, whose distributions are benign; these generate what that
+data can't — tie-saturated domains (values drawn from ≤ 6 distinct
+doubles), NaN/NULL mixtures, single-row and single-group degenerate
+shapes, MAD = 0 collapses, exact-gap session boundaries — the inputs
+where exact-rank/threshold semantics actually diverge between engines
+if anything is off.
+
+Examples are few (each round-trips a Spark job) but hypothesis
+shrinks failures to minimal counterexamples.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+    relational as R,
+)
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# Tie-heavy value domain: ≤ 6 distinct doubles (incl. negatives and a
+# repeated-magnitude pair), so cumulative-threshold boundaries land ON
+# ties constantly. NaN exercises the operators' NaN filters.
+VALS = [-2.5, -1.0, 0.0, 0.25, 1.0, 7.5]
+val_or_nan = st.one_of(
+    st.sampled_from(VALS), st.just(float("nan")), st.none()
+)
+keys = st.sampled_from(["a", "b", "c"])
+
+kv_rows = st.lists(
+    st.tuples(keys, val_or_nan), min_size=1, max_size=30
+)
+
+
+def _duck(pdf: pd.DataFrame) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.register("t", pdf)
+    return con
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
+    got = got.reindex(sorted(got.columns), axis=1).sort_values(
+        list(sorted(got.columns)), ignore_index=True
+    )
+    want = want.reindex(sorted(want.columns), axis=1).sort_values(
+        list(sorted(want.columns)), ignore_index=True
+    )
+    assert list(got.columns) == list(want.columns), (
+        f"{label}: {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), (
+        f"{label}: rows {len(got)} != {len(want)}\n{got}\n{want}"
+    )
+    for col in got.columns:
+        for i, (x, y) in enumerate(zip(got[col], want[col])):
+            if pd.isna(x) and pd.isna(y):
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                assert math.isclose(
+                    float(x), float(y), rel_tol=1e-9, abs_tol=1e-9
+                ), f"{label}.{col}[{i}]: {x} != {y}\n{got}\n{want}"
+            else:
+                assert x == y, f"{label}.{col}[{i}]: {x} != {y}"
+
+
+@settings(**SETTINGS)
+@given(rows=kv_rows, q=st.sampled_from([(1, 2), (1, 4), (9, 10)]))
+def test_weighted_percentile_differential(spark, rows, q):
+    # weight = 1 + |value| keeps weights positive and tie-correlated
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    # None -> NaN via float64: safe because BOTH engines' filters drop
+    # NULL and NaN alike, so representation can't affect the result
+    pdf["v"] = pdf["v"].astype("float64")
+    pdf["w"] = 1.0 + pdf["v"].abs()
+    q_num, q_den = q
+    sdf = spark.createDataFrame(pdf, "k string, v double, w double")
+    got = R.weighted_percentile(
+        sdf, ["k"], "v", "w", q_num, q_den
+    ).toPandas()
+    con = _duck(pdf)
+    want = con.execute(f"""
+        WITH base AS (
+          SELECT k, v, CAST(w AS DECIMAL(20,6)) AS w FROM t
+          WHERE v IS NOT NULL AND NOT isnan(v)
+            AND w IS NOT NULL AND w > 0),
+        cum AS (
+          SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM base),
+        tot AS (SELECT k, sum(w) AS t FROM base GROUP BY k)
+        SELECT cum.k, min(cum.v) AS weighted_p{q_num}_{q_den}
+        FROM cum JOIN tot ON cum.k = tot.k
+        WHERE cum.c * {q_den} >= tot.t * {q_num}
+        GROUP BY cum.k ORDER BY cum.k
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, f"weighted_percentile({q_num}/{q_den})")
+
+
+@settings(**SETTINGS)
+@given(rows=kv_rows)
+def test_mad_outliers_differential(spark, rows):
+    # the tie-heavy domain makes MAD = 0 collapses routine — the
+    # degenerate branch (flag every v != median) must agree too
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    sdf = spark.createDataFrame(pdf, "k string, v double")
+    got = R.mad_outliers(sdf, "k", "v", 3, 1).toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        WITH base AS (
+          SELECT k, v FROM t
+          WHERE v IS NOT NULL AND NOT isnan(v)),
+        cum AS (
+          SELECT k, v, count(*) OVER (PARTITION BY k ORDER BY v
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM base),
+        tot AS (SELECT k, count(*) AS n FROM base GROUP BY k),
+        med AS (
+          SELECT cum.k, min(cum.v) AS med
+          FROM cum JOIN tot ON cum.k = tot.k
+          WHERE cum.c * 2 >= tot.n GROUP BY cum.k),
+        dev AS (
+          SELECT base.k, abs(base.v - med.med) AS d, med.med
+          FROM base JOIN med ON base.k = med.k),
+        dcum AS (
+          SELECT k, d, count(*) OVER (PARTITION BY k ORDER BY d
+            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM dev),
+        mad AS (
+          SELECT dcum.k, min(dcum.d) AS mad
+          FROM dcum JOIN tot ON dcum.k = tot.k
+          WHERE dcum.c * 2 >= tot.n GROUP BY dcum.k)
+        SELECT dev.k AS k,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(dev.med) AS median, min(mad.mad) AS mad,
+               CAST(sum(CASE WHEN dev.d * 1.0 > 3.0 * mad.mad
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.k = mad.k
+        GROUP BY dev.k ORDER BY dev.k
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "mad_outliers")
+
+
+@settings(**SETTINGS)
+@given(rows=kv_rows, n_bins=st.sampled_from([2, 4, 9]))
+def test_equidepth_differential(spark, rows, n_bins):
+    # n_bins frequently EXCEEDS the ≤ 6-value distinct domain here —
+    # the under-populated-bin edge the registry config never hits
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    if pdf["v"].notna().sum() == 0:
+        return  # operator raises loudly on an empty domain (guard-tested)
+    sdf = spark.createDataFrame(pdf, "k string, v double")
+    got = R.equidepth_bins(sdf, "v", n_bins=n_bins).toPandas()
+    con = _duck(pdf)
+    want = con.execute(f"""
+        WITH vc AS (
+          SELECT v, count(*) AS c FROM t
+          WHERE v IS NOT NULL AND NOT isnan(v)
+          GROUP BY v),
+        cum AS (
+          SELECT v, c, sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS cum
+          FROM vc),
+        tot AS (SELECT sum(c) AS n FROM vc),
+        edges AS (
+          SELECT CAST(i.i AS BIGINT) AS bin, cum.v AS hi, cum.cum AS cum
+          FROM cum CROSS JOIN tot,
+               unnest(generate_series(
+                 CAST((cum.cum - cum.c) * {n_bins} // tot.n + 1 AS BIGINT),
+                 CAST(cum.cum * {n_bins} // tot.n AS BIGINT))) AS i(i))
+        SELECT bin, hi,
+               CAST(cum - COALESCE(lag(cum) OVER (ORDER BY bin), 0)
+                 AS BIGINT) AS n_rows
+        FROM edges ORDER BY bin
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, f"equidepth({n_bins})")
+
+
+point_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from([0.0, 1.0, 2.0, 3.0]),
+        st.sampled_from([0.0, 1.0, 2.0, 3.0]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=point_rows)
+def test_skyline_differential(spark, rows):
+    # duplicate points and dominated ties on a 4x4 lattice — every
+    # frontier membership decision is a tie-or-dominance edge case;
+    # the reference is the quadratic NOT-EXISTS definition, so this
+    # checks the sort-scan identity itself
+    pdf = pd.DataFrame(rows, columns=["rid", "x", "y"])
+    sdf = spark.createDataFrame(pdf, "rid long, x double, y double")
+    got = R.skyline_2d(sdf, "x", "y").select("rid", "x", "y").toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        SELECT rid, x, y FROM t b
+        WHERE x IS NOT NULL AND y IS NOT NULL
+          AND NOT EXISTS (
+            SELECT 1 FROM t d
+            WHERE d.x >= b.x AND d.y >= b.y
+              AND (d.x > b.x OR d.y > b.y))
+        ORDER BY rid
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "skyline_2d")
+
+
+@settings(**SETTINGS)
+@given(rows=kv_rows, ref=keys)
+def test_quantile_match_differential(spark, rows, ref):
+    # CDF matching with tie-saturated distributions; skip draws where
+    # the reference key has no valid rows (the operator raises loudly
+    # there by design — covered by its guard test)
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    pdf["v"] = pdf["v"].astype("float64")
+    if pdf[(pdf.k == ref) & pdf.v.notna()].empty:
+        return
+    sdf = spark.createDataFrame(pdf, "k string, v double")
+    got = R.quantile_match(sdf, "k", "v", ref).toPandas()
+    con = _duck(pdf)
+    want = con.execute(f"""
+        WITH base AS (
+          SELECT k, v, count(*) AS c FROM t
+          WHERE k IS NOT NULL AND v IS NOT NULL AND NOT isnan(v)
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT k, v, c, sum(c) OVER (PARTITION BY k ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM base),
+        tot AS (SELECT k, sum(c) AS n FROM base GROUP BY k),
+        p AS (
+          SELECT cum.k, cum.v, cum.c, cum.cum, tot.n
+          FROM cum JOIN tot ON cum.k = tot.k),
+        r AS (SELECT v AS rv, cum AS rcum FROM p WHERE k = '{ref}'),
+        rn AS (SELECT n AS rn FROM tot WHERE k = '{ref}')
+        SELECT p.k AS k, p.v AS v, CAST(p.c AS BIGINT) AS n,
+               (SELECT min(r.rv) FROM r, rn
+                WHERE r.rcum * p.n >= p.cum * rn.rn) AS matched
+        FROM p ORDER BY k, v
+    """).fetchdf()
+    con.close()
+    # column names: operator emits (key_col, value_col, n, matched)
+    got = got.rename(columns={"event_type": "k", "value": "v"})
+    _cmp(got, want, f"quantile_match(ref={ref})")
+
+
+session_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        # second offsets chosen so consecutive events land exactly AT
+        # the gap boundary (gap=60 below) as often as strictly inside
+        # or beyond it — the merge-vs-new-session knife edge
+        st.integers(min_value=0, max_value=6).map(lambda i: i * 60),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=session_rows)
+def test_session_gap_boundary_differential(spark, rows):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        session_window_stats,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "off", "event_id"])
+    pdf["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(
+        pdf["off"], unit="s"
+    )
+    pdf = pdf[["user_id", "ts", "event_id"]]
+    sdf = spark.createDataFrame(
+        pdf, "user_id string, ts timestamp, event_id long"
+    )
+    got = session_window_stats(sdf, gap_seconds=60).toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM t
+        ), flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                           OR epoch(ts) - epoch(prev_ts) > 60
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ordered
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) + INTERVAL 60 SECONDS AS TIMESTAMP)
+                 AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """).fetchdf()
+    con.close()
+    for df in (got, want):
+        for c in ("session_start", "session_end"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    _cmp(got, want, "session_window(gap=60)")
