@@ -380,7 +380,7 @@ def main() -> None:
     # are not comparable anyway (see calib_sec).
     fname = (
         "BENCH_DETAIL.json"
-        if "SPARK_GRAFT_SF_DIR" not in os.environ
+        if os.path.realpath(SF_DIR) == os.path.realpath("/root/testdata/sf0.1")
         else f"BENCH_DETAIL_sf{sf}.json"
     )
     detail_path = os.path.join(
