@@ -665,3 +665,121 @@ def test_hourly_acf_sweep(spark, duck, max_lag):
     assert f"generate_series(1, {max_lag})" in sql
     want = duck.execute(sql).fetchdf()
     _assert_same(got, want, f"hourly_acf(max_lag={max_lag})")
+
+
+# ---------------------------------------------------------------- #
+# ngram_jaccard_pairs: sweep threshold and df cap (registry config:
+# threshold=0.5, max_df=6) — the cap changes WHICH shingles index
+# AND the set sizes, so both arms of the identity move together
+
+
+@pytest.mark.parametrize("threshold,max_df", [(0.3, 20), (0.7, 3)])
+def test_ngram_jaccard_sweep(spark, duck, threshold, max_df):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = D.ngram_jaccard_pairs(
+        docs, threshold=threshold, max_df=max_df
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 2, 0)),
+                 i -> array_to_string(tk[i:i+2], ' '))) AS shs
+               FROM toks),
+        inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        df AS (SELECT s, count(*) AS df FROM inv GROUP BY 1),
+        inv2 AS (SELECT i.doc_id, i.s FROM inv i
+                 JOIN df ON i.s = df.s WHERE df.df <= {max_df}),
+        sizes2 AS (SELECT doc_id, count(*) AS n FROM inv2 GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM inv2 a JOIN inv2 b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               c * 1.0 / (sa.n + sb.n - c) AS jaccard
+        FROM inter
+        JOIN sizes2 sa ON doc_a = sa.doc_id
+        JOIN sizes2 sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold!r}
+        ORDER BY doc_a, doc_b
+    """).fetchdf()
+    _assert_same(got, want, f"ngram_jaccard(t={threshold},df={max_df})")
+
+
+# ---------------------------------------------------------------- #
+# heavy_hitters: sweep the frequency divisor k (registry config:
+# 100) — the Misra-Gries candidate pass + exact recount must equal
+# the full GROUP BY at every threshold
+
+
+@pytest.mark.parametrize("k", [10, 1000])
+def test_heavy_hitters_sweep(spark, duck, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        heavy_hitters,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    toks = tables.load_table(spark, "documents", SF_DIR).select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    got = heavy_hitters(toks, "token", k=k).toPandas()
+    want = duck.execute(f"""
+        WITH tok AS (
+          SELECT unnest(string_split(trim(text), ' ')) AS item
+          FROM documents),
+        tot AS (SELECT count(*) AS n FROM tok)
+        SELECT item, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM tok, tot GROUP BY item, n HAVING count(*) > n / {k}
+        ORDER BY n_occurrences DESC, item
+    """).fetchdf()
+    _assert_same(got, want, f"heavy_hitters(k={k})")
+
+
+# ---------------------------------------------------------------- #
+# chunk_documents: sweep (window, overlap) incl. overlap=0 (registry
+# config: 32/8) — chunk boundaries and the short-tail chunk are
+# byte-exact at every geometry
+
+
+@pytest.mark.parametrize("w,ov", [(16, 0), (64, 32)])
+def test_chunking_sweep(spark, duck, w, ov):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = (
+        TX.chunk_documents(docs, window=w, overlap=ov)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    stride = w - ov
+    want = duck.execute(f"""
+        WITH t AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS tk
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, tk,
+                 unnest(generate_series(
+                   0,
+                   CAST(ceil(greatest(len(tk) - {w}, 0) / {stride}.0)
+                        AS BIGINT))) AS k
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_idx,
+               CAST(len(tk[k * {stride} + 1 : k * {stride} + {w}]) AS BIGINT)
+                 AS n_chunk_tokens,
+               array_to_string(tk[k * {stride} + 1 : k * {stride} + {w}], ' ')
+                 AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_idx
+    """).fetchdf()
+    _assert_same(got, want, f"chunks({w},{ov})")
