@@ -162,11 +162,20 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         zorder_write,
     )
 
-    # deterministic 2-D grid, pseudo-shuffled arrival order
+    # deterministic FULL 2-D grid (every x paired with every y),
+    # pseudo-shuffled arrival order. The old y = (id*7919) % 128 was
+    # secretly a bijection OF x (128·7919·k ≡ 0 mod 128), so each
+    # x-range file held only 8 distinct y values and the "x-sorted
+    # files span all of y" assertion hinged on where the range
+    # sampler — whose seed varies with session history — happened to
+    # cut: an order-dependent flake. id = x + 128·k with y = 53·k
+    # mod 128 (53 odd ⇒ bijection on k) gives every x stripe all 128
+    # y values, making both layouts' boxes independent of boundary
+    # jitter.
     n = 1 << 14
     df = spark.range(n).select(
         (F.col("id") % 128).alias("x"),
-        ((F.col("id") * 7919) % 128).alias("y"),
+        ((F.col("id") / 128).cast("long") * 53 % 128).alias("y"),
     )
     zpath = str(tmp_path / "zorder")
     xpath = str(tmp_path / "xsort")
