@@ -35,7 +35,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["orders", "lineitem", "events", "documents"]:
+    for t in ["orders", "lineitem", "events", "documents", "customer"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
@@ -786,3 +786,192 @@ def test_chunking_sweep(spark, duck, w, ov):
         ORDER BY doc_id, chunk_idx
     """).fetchdf()
     _assert_same(got, want, f"chunks({w},{ov})")
+
+
+# ---------------------------------------------------------------- #
+# hourly_cusum_changepoints: sweep the slack and alarm rationals
+# (registry config: k = mu/4, h = 3*mu)
+
+
+@pytest.mark.parametrize(
+    "s_num,s_den,h_num,h_den",
+    [(1, 4, 3, 1), (1, 2, 1, 1), (1, 8, 2, 1)],
+)
+def test_cusum_sweep(spark, duck, s_num, s_den, h_num, h_den):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        analytics as A,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = A.hourly_cusum_changepoints(
+        ev, slack_num=s_num, slack_den=s_den, h_num=h_num, h_den=h_den
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH cnt AS (
+          SELECT event_type,
+                 CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        params AS (
+          SELECT event_type,
+                 (1000000 * sum(n)) // count(*) AS mu_s
+          FROM cnt GROUP BY event_type),
+        p2 AS (
+          SELECT event_type, mu_s,
+                 ({s_num} * mu_s) // {s_den} AS k_s,
+                 ({h_num} * mu_s) // {h_den} AS h_s
+          FROM params),
+        pre AS (
+          SELECT cnt.event_type, cnt.ts_hour, cnt.n, p2.h_s,
+                 sum(cnt.n * 1000000 - p2.mu_s - p2.k_s) OVER (
+                   PARTITION BY cnt.event_type ORDER BY cnt.ts_hour
+                   ROWS UNBOUNDED PRECEDING) AS p
+          FROM cnt JOIN p2 ON cnt.event_type = p2.event_type),
+        cus AS (
+          SELECT event_type, ts_hour, n, h_s,
+                 p - least(0, min(p) OVER (
+                   PARTITION BY event_type ORDER BY ts_hour
+                   ROWS UNBOUNDED PRECEDING)) AS cusum_s
+          FROM pre)
+        SELECT event_type, ts_hour, CAST(n AS BIGINT) AS n,
+               CAST(cusum_s AS BIGINT) AS cusum_s
+        FROM cus WHERE cusum_s > h_s
+        ORDER BY event_type, ts_hour
+    """).fetchdf()
+    for df in (got, want):
+        df["ts_hour"] = pd.to_datetime(df["ts_hour"]).astype("datetime64[us]")
+    _assert_same(got, want, f"cusum(k={s_num}/{s_den},h={h_num}/{h_den})")
+
+
+# ---------------------------------------------------------------- #
+# ntile quantile report: sweep the tile count (registry config: 4)
+
+
+@pytest.mark.parametrize("n_tiles", [2, 4, 10])
+def test_ntile_sweep(spark, duck, n_tiles):
+    from pyspark.sql import Window
+
+    c = tables.load_table(spark, "customer", SF_DIR)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal"), F.col("c_custkey")
+    )
+    got = (
+        c.withColumn("quartile", F.ntile(n_tiles).over(w))
+        .groupBy("c_nationkey", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("lo_bal"),
+            F.max("c_acctbal").alias("hi_bal"),
+        )
+        .orderBy("c_nationkey", "quartile")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        WITH q AS (
+          SELECT c_nationkey, c_acctbal,
+                 ntile({n_tiles}) OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey)
+                   AS quartile
+          FROM customer
+        )
+        SELECT c_nationkey, CAST(quartile AS INTEGER) AS quartile,
+               count(*) AS n,
+               min(c_acctbal) AS lo_bal,
+               max(c_acctbal) AS hi_bal
+        FROM q
+        GROUP BY c_nationkey, quartile
+        ORDER BY c_nationkey, quartile
+    """).fetchdf()
+    _assert_same(got, want, f"ntile({n_tiles})")
+
+
+# ---------------------------------------------------------------- #
+# with_split: sweep the fraction map (registry config:
+# train .9 / val .05 / test rest)
+
+
+@pytest.mark.parametrize(
+    "w_train,w_val", [(0.9, 0.05), (0.6, 0.2), (0.33, 0.33)]
+)
+def test_with_split_sweep(spark, duck, w_train, w_val):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        with_split,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = (
+        with_split(docs, "doc_id", {"train": w_train, "val": w_val, "test": 0.0})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+        .toPandas()
+    )
+    t1 = int(round(w_train * 10000))
+    t2 = t1 + int(round(w_val * 10000))
+    want = duck.execute(f"""
+        WITH b AS (
+          SELECT n_chars,
+                 CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                   AS bkt
+          FROM documents
+        ), s AS (
+          SELECT n_chars,
+                 CASE WHEN bkt < {t1} THEN 'train'
+                      WHEN bkt < {t2} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b
+        )
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY split ORDER BY split
+    """).fetchdf()
+    _assert_same(got, want, f"with_split({w_train},{w_val})")
+
+
+# ---------------------------------------------------------------- #
+# epoch_upsample: sweep the per-stratum epoch map (registry config:
+# en 2.5 / de 1.25 / fr 0.5 / es 1.0)
+
+
+@pytest.mark.parametrize(
+    "eps",
+    [
+        {"en": 2.5, "de": 1.25, "fr": 0.5, "es": 1.0},
+        {"en": 1.75, "de": 0.25, "fr": 3.0, "zh": 2.0},
+    ],
+)
+def test_epoch_upsample_sweep(spark, duck, eps):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        epoch_upsample,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = (
+        epoch_upsample(docs, "doc_id", "lang", eps)
+        .select("doc_id", "lang", "copy_idx")
+        .toPandas()
+    )
+    case = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in eps.items())
+    want = duck.execute(f"""
+        WITH e AS (
+          SELECT doc_id, lang,
+                 CASE lang {case} END AS ep,
+                 CAST(('0x' || substr(md5('epochs' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                   AS bkt
+          FROM documents
+        ), c AS (
+          SELECT doc_id, lang,
+                 CAST(floor(ep)
+                      + CASE WHEN bkt < (ep - floor(ep)) * 10000
+                             THEN 1 ELSE 0 END AS BIGINT) AS n
+          FROM e WHERE ep IS NOT NULL
+        )
+        SELECT doc_id, lang,
+               CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy_idx
+        FROM c
+        ORDER BY doc_id, copy_idx
+    """).fetchdf()
+    _assert_same(got, want, f"epoch_upsample({sorted(eps)})")
