@@ -975,3 +975,70 @@ def test_epoch_upsample_sweep(spark, duck, eps):
         ORDER BY doc_id, copy_idx
     """).fetchdf()
     _assert_same(got, want, f"epoch_upsample({sorted(eps)})")
+
+
+# ---------------------------------------------------------------- #
+# bm25_search: sweep k1/b (registry config: k1=1.2, b=0.75, k=20) —
+# b=0 turns length normalization off entirely, k1 moves the tf
+# saturation ceiling; the fixed-point identity must hold at every
+# setting
+
+
+@pytest.mark.parametrize(
+    "terms,k,k1s,bs",
+    [
+        ("vector stream merge window", 20, 1_200_000, 750_000),
+        ("vector window", 5, 2_000_000, 0),
+        ("merge stream", 10, 500_000, 1_000_000),
+    ],
+)
+def test_bm25_param_sweep(spark, duck, terms, k, k1s, bs):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.bm25_search(
+        docs, terms, k=k, k1_scaled=k1s, b_scaled=bs
+    ).toPandas()
+    tlist = ", ".join(f"'{t}'" for t in terms.split())
+    want = duck.execute(f"""
+        WITH q AS (
+          SELECT unnest([{tlist}]) AS t),
+        stats AS (
+          SELECT count(*) AS n,
+                 sum(len(string_split(trim(text), ' '))) AS l
+          FROM documents),
+        tok AS (
+          SELECT doc_id,
+                 len(string_split(trim(text), ' ')) AS dl,
+                 unnest(string_split(trim(text), ' ')) AS t
+          FROM documents),
+        hits AS (SELECT tok.doc_id, tok.dl, tok.t
+                 FROM tok JOIN q ON q.t = tok.t),
+        dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+                FROM hits GROUP BY t),
+        idf AS (
+          SELECT t,
+                 CAST(floor(1000000 * ln(1 +
+                   CAST(2*n - 2*df + 1 AS DOUBLE)
+                   / CAST(2*df + 1 AS DOUBLE))) AS BIGINT) AS idf_s
+          FROM dfs CROSS JOIN stats),
+        tfs AS (SELECT doc_id, dl, t, count(*) AS tf
+                FROM hits GROUP BY doc_id, dl, t),
+        scored AS (
+          SELECT tfs.doc_id,
+                 sum(idf.idf_s * (
+                   (CAST(tfs.tf AS HUGEINT) * {k1s + 1_000_000} * 1000000)
+                   // (CAST(tfs.tf AS HUGEINT) * 1000000
+                       + (CAST({k1s} AS HUGEINT) *
+                          (1000000 - {bs}
+                           + CAST({bs} AS HUGEINT)
+                             * tfs.dl * stats.n // stats.l))
+                         // 1000000))) AS score
+          FROM tfs JOIN idf ON tfs.t = idf.t CROSS JOIN stats
+          GROUP BY tfs.doc_id)
+        SELECT doc_id, CAST(score AS BIGINT) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+    """).fetchdf()
+    _assert_same(got, want, f"bm25(k1s={k1s},bs={bs},k={k})")
