@@ -35,7 +35,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ["orders", "lineitem", "events", "documents", "customer"]:
+    for t in ["orders", "lineitem", "events", "documents", "customer", "part"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
@@ -1042,3 +1042,131 @@ def test_bm25_param_sweep(spark, duck, terms, k, k1s, bs):
         FROM scored ORDER BY score DESC, doc_id LIMIT {k}
     """).fetchdf()
     _assert_same(got, want, f"bm25(k1s={k1s},bs={bs},k={k})")
+
+
+# ---------------------------------------------------------------- #
+# edit_distance_pairs (Ed-Join): sweep the distance bound — the
+# q-gram prefix filter's zero-false-negative guarantee must hold at
+# every max_dist, certified by the brute-force levenshtein twin
+# (registry config: max_dist=2)
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_edjoin_distance_sweep(spark, duck, d):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    part = tables.load_table(spark, "part", SF_DIR)
+    names = part.groupBy("p_name").agg(F.min("p_partkey").alias("id"))
+    got = D.edit_distance_pairs(
+        names.select("id", F.col("p_name").alias("s")), max_dist=d
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH p AS (
+          SELECT min(p_partkey) AS id, p_name AS s
+          FROM part GROUP BY p_name)
+        SELECT a.id AS id1, b.id AS id2,
+               CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        FROM p a JOIN p b
+          ON a.id < b.id AND abs(len(a.s) - len(b.s)) <= {d}
+        WHERE levenshtein(a.s, b.s) <= {d}
+        ORDER BY id1, id2
+    """).fetchdf()
+    _assert_same(got, want, f"edjoin(d={d})")
+
+
+# ---------------------------------------------------------------- #
+# winnow_pairs: sweep the window size / df cap / pair threshold
+# (registry config: w=4, max_df=50, min_shared=2) — w moves which
+# grams become fingerprints, the cap moves which posting lists join
+
+
+@pytest.mark.parametrize(
+    "w,max_df,ms", [(4, 50, 2), (8, 50, 2), (4, 10, 3)]
+)
+def test_winnow_sweep(spark, duck, w, max_df, ms):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = D.winnow_pairs(
+        docs, min_shared=ms, k=3, w=w, max_df=max_df
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+        g AS (
+          SELECT doc_id, i - 1 AS pos, len(tk) - 3 + 1 AS ng,
+                 array_to_string(tk[i:i+2], ' ') AS gram
+          FROM toks,
+               unnest(generate_series(1, greatest(len(tk) - 2, 0)))
+                 AS r(i)),
+        keyed AS (
+          SELECT doc_id, pos, ng,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 2097152 + (1048576 - pos)
+                   AS key
+          FROM g),
+        wins AS (
+          SELECT doc_id, pos, ng,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND {w - 1} FOLLOWING) AS wkey
+          FROM keyed),
+        sel AS (
+          SELECT DISTINCT doc_id, wkey // 2097152 AS fp
+          FROM wins WHERE pos = 0 OR pos <= ng - {w}),
+        capped AS (
+          SELECT fp FROM sel GROUP BY fp HAVING count(*) <= {max_df}),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sel a JOIN capped USING (fp) JOIN sel b USING (fp)
+          WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, count(*) AS n_shared
+        FROM pairs GROUP BY doc_a, doc_b HAVING count(*) >= {ms}
+        ORDER BY n_shared DESC, doc_a, doc_b
+    """).fetchdf()
+    _assert_same(got, want, f"winnow(w={w},df={max_df},ms={ms})")
+
+
+# ---------------------------------------------------------------- #
+# containment_pairs: sweep the directed threshold (registry
+# config: 0.9)
+
+
+@pytest.mark.parametrize("threshold", [0.9, 0.5])
+def test_containment_sweep(spark, duck, threshold):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = D.containment_pairs(docs, threshold=threshold).toPandas()
+    want = duck.execute(f"""
+        WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 2, 0)),
+                 i -> array_to_string(tk[i:i+2], ' '))) AS shs
+               FROM toks),
+        sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+        inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        cand AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM inv a JOIN inv b
+            ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY da, db),
+        dir AS (
+          SELECT da AS inner_doc, db AS outer_doc,
+                 (inter * 1.0) / sa.n AS containment
+          FROM cand JOIN sizes sa ON da = sa.doc_id
+          UNION ALL
+          SELECT db, da, (inter * 1.0) / sb.n
+          FROM cand JOIN sizes sb ON db = sb.doc_id)
+        SELECT inner_doc, outer_doc, containment
+        FROM dir WHERE containment >= {threshold!r}
+        ORDER BY inner_doc, outer_doc
+    """).fetchdf()
+    _assert_same(got, want, f"containment({threshold})")
