@@ -334,3 +334,167 @@ def test_session_gap_boundary_differential(spark, rows):
         for c in ("session_start", "session_end"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     _cmp(got, want, "session_window(gap=60)")
+
+
+# ---------------------------------------------------------------- #
+# Adversarial TEXT shapes: the harness corpus is benign (every doc
+# has many space-separated tokens); these generate what it never
+# does — empty documents, single-token docs, docs shorter than the
+# shingle length, heavy token repetition — and push them through the
+# text/dedup operators and their DuckDB twins.
+
+doc_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9999),
+        st.lists(
+            st.sampled_from(["a", "b", "c", "aa", "xyz"]),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _docs_pdf(rows):
+    return pd.DataFrame(
+        [(i, " ".join(toks)) for i, toks in rows],
+        columns=["doc_id", "text"],
+    )
+
+
+@settings(**SETTINGS)
+@given(rows=doc_rows, w=st.sampled_from([16, 5]), ov=st.sampled_from([0, 2]))
+def test_chunking_adversarial(spark, rows, w, ov):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    pdf = _docs_pdf(rows)
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = (
+        TX.chunk_documents(sdf, window=w, overlap=ov)
+        .orderBy("doc_id", "chunk_idx")
+        .toPandas()
+    )
+    stride = w - ov
+    con = _duck(pdf)
+    want = con.execute(f"""
+        WITH tt AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS tk FROM t
+        ),
+        c AS (
+          SELECT doc_id, tk,
+                 unnest(generate_series(
+                   0,
+                   CAST(ceil(greatest(len(tk) - {w}, 0) / {stride}.0)
+                        AS BIGINT))) AS k
+          FROM tt
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_idx,
+               CAST(len(tk[k * {stride} + 1 : k * {stride} + {w}]) AS BIGINT)
+                 AS n_chunk_tokens,
+               array_to_string(tk[k * {stride} + 1 : k * {stride} + {w}], ' ')
+                 AS chunk_text
+        FROM c
+        ORDER BY doc_id, chunk_idx
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, f"chunking_adv({w},{ov})")
+
+
+@settings(**SETTINGS)
+@given(rows=doc_rows, threshold=st.sampled_from([0.1, 0.5, 1.0]))
+def test_ngram_jaccard_adversarial(spark, rows, threshold):
+    # docs with < 3 tokens have an EMPTY trigram set (no pairs); docs
+    # of pure repetition ("a a a a") have a single distinct shingle;
+    # identical docs must hit jaccard = 1.0 exactly (threshold 1.0
+    # keeps only those)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    pdf = _docs_pdf(rows)
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = D.ngram_jaccard_pairs(sdf, threshold=threshold).toPandas()
+    con = _duck(pdf)
+    want = con.execute(f"""
+        WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                      FROM t),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - 2, 0)),
+                 i -> array_to_string(tk[i:i+2], ' '))) AS shs
+               FROM toks),
+        sizes AS (SELECT doc_id, len(shs) AS n FROM sh),
+        inv AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               c * 1.0 / (sa.n + sb.n - c) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold!r}
+        ORDER BY doc_a, doc_b
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, f"jaccard_adv({threshold})")
+
+
+@settings(**SETTINGS)
+@given(rows=doc_rows)
+def test_winnow_adversarial(spark, rows):
+    # docs shorter than k have NO grams; docs with exactly k tokens
+    # have one gram (the pos=0 guarantee row); repetition makes every
+    # window's min the SAME packed key (rightmost-tie rule) — all
+    # must agree with the packed-window SQL twin
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    pdf = _docs_pdf(rows)
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = D.winnow_pairs(
+        sdf, min_shared=1, k=3, w=4, max_df=50
+    ).toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        WITH toks AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS tk FROM t),
+        g AS (
+          SELECT doc_id, i - 1 AS pos, len(tk) - 3 + 1 AS ng,
+                 array_to_string(tk[i:i+2], ' ') AS gram
+          FROM toks,
+               unnest(generate_series(1, greatest(len(tk) - 2, 0)))
+                 AS r(i)),
+        keyed AS (
+          SELECT doc_id, pos, ng,
+                 CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) * 2097152 + (1048576 - pos)
+                   AS key
+          FROM g),
+        wins AS (
+          SELECT doc_id, pos, ng,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                AND 3 FOLLOWING) AS wkey
+          FROM keyed),
+        sel AS (
+          SELECT DISTINCT doc_id, wkey // 2097152 AS fp
+          FROM wins WHERE pos = 0 OR pos <= ng - 4),
+        capped AS (
+          SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sel a JOIN capped USING (fp) JOIN sel b USING (fp)
+          WHERE a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, count(*) AS n_shared
+        FROM pairs GROUP BY doc_a, doc_b HAVING count(*) >= 1
+        ORDER BY n_shared DESC, doc_a, doc_b
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "winnow_adv")
