@@ -1170,3 +1170,40 @@ def test_containment_sweep(spark, duck, threshold):
         ORDER BY inner_doc, outer_doc
     """).fetchdf()
     _assert_same(got, want, f"containment({threshold})")
+
+
+def test_spearman_zero_variance_is_null_both_engines(spark, duck):
+    # a constant column makes the exact-moment denominator 0; Spark's
+    # double division and DuckDB's both yield NULL (neither raises,
+    # neither returns inf) — pin the parity so a future guard or
+    # engine change can't silently diverge
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"x": [1.0, 1.0, 1.0, 1.0], "y": [1.0, 2.0, 3.0, 4.0]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = R.spearman_corr(
+        sdf, "x", "y", x_bucket=F.col("x"), y_bucket=F.col("y")
+    ).collect()
+    assert len(got) == 1 and got[0]["n"] == 4 and got[0]["rho"] is None
+    duck.register("zv", pdf)
+    want = duck.execute("""
+        WITH r AS (
+          SELECT CAST(2 * rank() OVER (ORDER BY x)
+                      + count(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS u,
+                 CAST(2 * rank() OVER (ORDER BY y)
+                      + count(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS v
+          FROM zv),
+        m AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(u) AS su, sum(v) AS sv, sum(u*u) AS suu,
+                 sum(v*v) AS svv, sum(u*v) AS suv
+          FROM r)
+        SELECT CAST(n * suv - su * sv AS DOUBLE)
+                 / (sqrt(CAST(n * suu - su * su AS DOUBLE))
+                    * sqrt(CAST(n * svv - sv * sv AS DOUBLE))) AS rho
+        FROM m
+    """).fetchone()
+    duck.unregister("zv")
+    assert want[0] is None
