@@ -1207,3 +1207,78 @@ def test_spearman_zero_variance_is_null_both_engines(spark, duck):
     """).fetchone()
     duck.unregister("zv")
     assert want[0] is None
+
+
+# ---------------------------------------------------------------- #
+# binary_hamming_topk: sweep k / coarse_k / query-set size
+# (registry config: k=10, coarse_k=50, queries = vec_id < 8) — the
+# per-partition coarse prune must stay lossless at shallow cuts
+# (k = coarse_k stresses the tie edge) and wider query sets
+
+
+@pytest.mark.parametrize(
+    "k,ck,qmax",
+    [(10, 50, 8), (3, 5, 4), (5, 5, 2), (20, 100, 16)],
+)
+def test_binary_ann_sweep(spark, duck, k, ck, qmax):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    con = duck
+    con.execute(
+        f"CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    emb = tables.load_table(spark, "embeddings", SF_DIR)
+    got = S.binary_hamming_topk(
+        emb, F.col("vec_id") < qmax, k=k, coarse_k=ck
+    ).toPandas()
+    want = con.execute(f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        d AS (
+          SELECT vec_id, i, v[i + 1] AS val
+          FROM e, unnest(range(0, 64)) AS r(i)),
+        bits AS (
+          SELECT vec_id,
+                 sum(CASE WHEN i < 32 AND val > 0
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+                 sum(CASE WHEN i >= 32 AND val > 0
+                     THEN CAST(1 AS BIGINT) << (i - 32)
+                     ELSE 0 END) AS hi
+          FROM d GROUP BY vec_id),
+        b2 AS (
+          SELECT bits.vec_id, bits.lo, bits.hi, e.v
+          FROM bits JOIN e ON bits.vec_id = e.vec_id),
+        q AS (
+          SELECT vec_id AS query_id, lo AS qlo, hi AS qhi, v AS qv
+          FROM b2 WHERE vec_id < {qmax}),
+        cand AS (
+          SELECT q.query_id, c.vec_id,
+                 CAST(bit_count(xor(c.lo, q.qlo))
+                   + bit_count(xor(c.hi, q.qhi)) AS BIGINT)
+                   AS hamming,
+                 c.v, q.qv
+          FROM b2 c JOIN q ON c.vec_id <> q.query_id),
+        coarse AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY hamming, vec_id) AS g
+          FROM cand),
+        fine AS (
+          SELECT query_id, vec_id, hamming,
+                 list_dot_product(v, qv)
+                   / (sqrt(list_dot_product(v, v))
+                      * sqrt(list_dot_product(qv, qv))) AS cosine
+          FROM coarse WHERE g <= {ck}),
+        ranked AS (
+          SELECT query_id, vec_id, hamming, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+          FROM fine)
+        SELECT query_id, vec_id, hamming, cosine, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """).fetchdf()
+    _assert_same(got, want, f"binary_ann(k={k},ck={ck},q<{qmax})")
