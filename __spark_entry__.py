@@ -3460,7 +3460,9 @@ def _debt_order(
 
         debt = current − last_green                       (certified)
         debt = current − added + (period/2 + 0.5)         (never)
-        debt += max(0, period − 1)    (certified CORE rows ≥ 2 stale)
+        debt += max(0, period − 1)    (certified CORE rows ≥ 2 stale,
+                                       OR never rows that MISSED ≥ 1
+                                       sweep since registration)
 
     The never-certified credit ``period/2 + 0.5``: an entry with
     externally UNVALIDATED claims outranks rows certified up to about
@@ -3474,13 +3476,25 @@ def _debt_order(
     certified tail actually gets. The half-unit keeps never/certified
     strictly ordered on integer ties (never first).
 
-    The core cadence boost ``period − 1``: a §2-core serving row
-    (_CORE_SURFACE) that reaches 2 rounds stale gets effective debt
-    ≥ period + 1, past the steady-state front cutoff (≈ period), so
-    the flagship queries re-certify every ~2 rounds and are never the
-    oldest evidence — without occupying sweep slots while fresh
-    (boost applies only at staleness ≥ 2, ~len(core)/2 slots per
-    round amortized)."""
+    The cadence boost ``period − 1`` applies in two places:
+
+    * a §2-core serving row (_CORE_SURFACE) that reaches 2 rounds
+      stale gets effective debt ≥ period + 1, past the steady-state
+      front cutoff (≈ period), so the flagship queries re-certify
+      every ~2 rounds and are never the oldest evidence — without
+      occupying sweep slots while fresh (boost only at staleness
+      ≥ 2, ~len(core)/2 slots per round amortized);
+    * a never-certified STRAGGLER — an entry a sweep has already run
+      past without certifying (wait = current − added ≥ 1) — gets the
+      same boost. The anti-starvation credit discount exists to hold
+      back a round's own zero-wait additions; once an entry has
+      missed a sweep its unvalidated claims are the weakest evidence
+      in the registry and must not age a SECOND time behind the
+      stale-but-validated tail. (Found in r10: ``revenue_rollup``,
+      added r9 with wait 1, ranked at slot 59 — behind fifty 4-stale
+      r6 rows and outside a 50-row window — under the credit alone,
+      violating the r9 verdict's "every never-certified entry in the
+      r10 front" convergence requirement.)"""
     current = max(last.values(), default=0) + 1
     period = (len(names) / window_rows) if window_rows > 0 else 4.0
     credit = period / 2.0 + 0.5
@@ -3493,7 +3507,10 @@ def _debt_order(
             if k in _CORE_SURFACE and debt >= 2.0:
                 debt += boost
         else:
-            debt = current - added.get(k, current) + credit
+            wait = current - added.get(k, current)
+            debt = wait + credit
+            if wait >= 1:
+                debt += boost
         return (-debt, pos[k])
 
     return sorted(names, key=key)

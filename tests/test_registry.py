@@ -61,12 +61,27 @@ def test_registry_order_is_certification_debt_first():
             if k in entry_mod._CORE_SURFACE and d >= 2.0:
                 d += boost
             return d
-        return current - added.get(k, current) + credit
+        wait = current - added.get(k, current)
+        return wait + credit + (boost if wait >= 1 else 0.0)
 
     debts = [debt(k) for k in ks]
     assert debts == sorted(debts, reverse=True), [
         (k, d) for k, d in zip(ks, debts)
     ][:5]
+    # (r10) straggler convergence: EVERY never-certified entry that has
+    # already missed a sweep (wait >= 1) must sit inside the observed
+    # sweep window — the r9 verdict's done-condition for r10 is that
+    # all nine stragglers certify, after which every registry entry
+    # has been driver-certified at least once. Under the credit alone
+    # revenue_rollup (added r9, wait 1) ranked 59th behind fifty
+    # 4-stale r6 rows; the straggler boost is what restores this.
+    stragglers = {
+        k for k in ks if k not in last and added.get(k, current) < current
+    }
+    if stragglers and w > 0:
+        assert max(ks.index(k) for k in stragglers) < w, sorted(
+            (ks.index(k), k) for k in stragglers
+        )
     # the concrete guarantees the rotation rides on:
     # (a) non-core certified rows staler than the credit outrank
     #     never-certified entries added in the current round...
@@ -153,44 +168,61 @@ def test_debt_order_survives_simulated_window_sizes():
     for w in (25, 50, 100):
         period = len(names) / w
         credit = period / 2.0 + 0.5
+        boost = max(0.0, period - 1.0)
         order = entry_mod._debt_order(names, last, added, w)
         idx = {k: i for i, k in enumerate(order)}
         # overdue core rows lead everything except (possibly) the
-        # deepest certified backlog — their boosted debt clears the
-        # steady-state cutoff (= period) at every window size, but a
-        # 5-round-stale row may still legitimately drain first when
-        # the period is short
+        # deepest certified backlog and boosted never-certified
+        # stragglers — their boosted debt clears the steady-state
+        # cutoff (= period) at every window size, but a 5-round-stale
+        # row may still legitimately drain first when the period is
+        # short, and a straggler (also boosted, also never validated)
+        # can rank ahead when the credit exceeds the core rows'
+        # staleness edge
         assert max(idx[k] for k in core_stale) < min(
             idx[k]
             for k in names
-            if k not in core_stale and not k.startswith("old5_")
+            if k in core_fresh
+            or k.startswith(("mid3_", "new1_", "nc9_"))
         ), w
         # fresh core rows get NO boost — they rank with the other
         # round-8-certified rows, not ahead of staler work
         assert min(idx[k] for k in core_fresh) > max(
             idx[f"old5_{i}"] for i in range(40)
         ), w
-        # the credit scales with the window: last-round never-certified
-        # entries (debt 1 + credit) outrank certified rows strictly
-        # fresher than their debt and lose to strictly staler ones
-        nc_debt = 1 + credit
+        # last-round never-certified entries are STRAGGLERS (they
+        # missed the round-8 sweep): debt = 1 + credit + boost. They
+        # outrank certified rows strictly fresher than that and lose
+        # to strictly staler ones (at w=100 the 5-stale backlog still
+        # drains first: 3.5 < 5)
+        nc_debt = 1 + credit + boost
         for cert_debt, grp in ((5, "old5_0"), (3, "mid3_0"), (1, "new1_0")):
             if cert_debt > nc_debt:
                 assert idx[grp] < idx["nc8_0"], (w, grp)
             elif cert_debt < nc_debt:
                 assert idx[grp] > idx["nc8_0"], (w, grp)
+        # this round's additions (wait 0) get NO straggler boost —
+        # the anti-starvation property the credit was built for
+        nc9_debt = 0 + credit
+        for cert_debt, grp in ((5, "old5_0"), (3, "mid3_0"), (1, "new1_0")):
+            if cert_debt > nc9_debt:
+                assert idx[grp] < idx["nc9_0"], (w, grp)
+            elif cert_debt < nc9_debt:
+                assert idx[grp] > idx["nc9_0"], (w, grp)
         # never-certified from a previous round always outrank this
         # round's additions
         assert max(idx[f"nc8_{i}"] for i in range(40)) < min(
             idx[f"nc9_{i}"] for i in range(40)
         ), w
     # the window-derivation itself: a 25-row window must rank
-    # never-certified entries HIGHER relative to 3-stale rows than a
-    # 100-row window does (period doubles -> credit doubles)
+    # straggler never-certified entries HIGHER relative to the 5-stale
+    # backlog than a 100-row window does (period quadruples ->
+    # credit + boost more than quadruple: 1+4.5+7=12.5 > 5 vs
+    # 1+1.5+1=3.5 < 5)
     o25 = entry_mod._debt_order(names, last, added, 25)
     o100 = entry_mod._debt_order(names, last, added, 100)
-    assert o25.index("nc8_0") < o25.index("mid3_0")    # credit 4.5: 1+4.5 > 3
-    assert o100.index("nc8_0") > o100.index("mid3_0")  # credit 1.5: 1+1.5 < 3
+    assert o25.index("nc8_0") < o25.index("old5_0")
+    assert o100.index("nc8_0") > o100.index("old5_0")
 
 
 def test_debt_order_properties_under_random_histories():
@@ -241,7 +273,8 @@ def test_debt_order_properties_under_random_histories():
                 if k in entry_mod._CORE_SURFACE and d >= 2.0:
                     d += boost
                 return d
-            return current - added[k] + credit
+            wait = current - added[k]
+            return wait + credit + (boost if wait >= 1 else 0.0)
         ds = [debt(k) for k in order]
         assert all(a >= b - 1e-9 for a, b in zip(ds, ds[1:]))
         # among equal debts, input order is preserved (stable tie-break)
@@ -250,6 +283,52 @@ def test_debt_order_properties_under_random_histories():
                 assert names.index(a) < names.index(b)
 
     check()
+
+
+def test_core_surface_reenters_front_by_r11_from_real_history():
+    # VERDICT r9 Next #5: first live exercise of the _CORE_SURFACE
+    # cadence, simulated forward from the REAL artifact history (not a
+    # synthetic one). The 11 core rows went green in the r9 sweep; the
+    # period-1 boost fires once they are >= 2 rounds stale, so they
+    # must be back inside the sweep window at the r11 ordering. The
+    # simulation replays the driver's actual mechanics: each round
+    # certifies the front `w` rows of the CURRENT debt order, then the
+    # next round re-derives the order from the updated history.
+    last = dict(entry_mod._last_green_rounds())
+    added = entry_mod._added_rounds()
+    names = list(entry_mod.queries())
+    w = entry_mod._observed_window_rows()
+    assert w > 0, "no CORRECTNESS artifact on disk"
+    core = [k for k in names if k in entry_mod._CORE_SURFACE]
+    assert len(core) == 11, core
+    # all 11 core rows are r9-green in the real history (the cadence
+    # regime's clean start the r9 round notes promised)
+    assert all(last.get(k) == 9 for k in core), {
+        k: last.get(k) for k in core
+    }
+
+    # r10 sweep: the front w rows of the current order certify
+    order_r10 = entry_mod._debt_order(names, last, added, w)
+    front_r10 = set(order_r10[:w])
+    # ...which must contain every never-certified straggler (the r10
+    # convergence milestone: zero never-certified entries remain)
+    never = {k for k in names if k not in last}
+    assert never <= front_r10, sorted(never - front_r10)
+    # the core rows spent no slot in the r10 front (they are only
+    # 1-stale at r10 planning time — the zero-cost-while-fresh half of
+    # the cadence contract)...
+    assert not (set(core) & front_r10), sorted(set(core) & front_r10)
+    sim_last = dict(last)
+    for k in front_r10:
+        sim_last[k] = 10
+    # ...and at the r11 ordering (current = 11) they are exactly
+    # 2 rounds stale, the boost fires, and ALL 11 must be back inside
+    # the window — re-entry round <= r11 given r9's actuals, the
+    # verdict's pinned schedule
+    order_r11 = entry_mod._debt_order(names, sim_last, added, w)
+    front_r11 = order_r11[:w]
+    missing = [k for k in core if k not in front_r11]
+    assert not missing, missing
 
 
 def test_every_registry_entry_declares_its_added_round():
