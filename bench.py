@@ -255,6 +255,75 @@ EXCLUDED = {
 }
 
 
+def drift_vs_prev(
+    detail_path: str,
+    timings: dict[str, float],
+    total: float,
+    calib_sec: float,
+) -> dict:
+    """Drift-normalized round-over-round comparison (VERDICT r9
+    Next #2), computed against the PRIOR tracked detail file at
+    ``detail_path`` before this run overwrites it.
+
+    calib_ratio_vs_prev = calib_now / calib_prev measures how much the
+    host itself sped up or slowed down between the two recordings (the
+    calibration plans read no repo data, so code changes cannot move
+    them). Dividing this round's raw times by that ratio restates them
+    in the prior round's machine-speed units; the shared-query delta
+    and the movers list are computed on those normalized times, so a
+    uniform host-drift episode (r9: every query ~1.42x, worktree A/B
+    of identical code reproducing it) normalizes to ~1.0x instead of
+    reading as a regression, while a real per-query plan regression
+    still shows because it moves one query against a flat calib.
+
+    Returns {} when there is no prior artifact or it predates calib
+    recording — the keys are absent rather than null so a reader can
+    distinguish "first run" from "computed 1.0"."""
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        calib_prev = float(prev["calib_sec"])
+        prev_q = {k: float(v) for k, v in prev["queries"].items()}
+    except (OSError, ValueError, KeyError, TypeError):
+        return {}
+    if calib_prev <= 0 or calib_sec <= 0:
+        return {}
+    ratio = calib_sec / calib_prev
+    shared = sorted(set(timings) & set(prev_q))
+    out = {
+        "calib_prev_sec": round(calib_prev, 4),
+        "calib_ratio_vs_prev": round(ratio, 4),
+        "drift_normalized_total_sec": round(total / ratio, 4),
+    }
+    if shared:
+        cur_shared = sum(timings[k] for k in shared)
+        prev_shared = sum(prev_q[k] for k in shared)
+        out["shared_queries"] = len(shared)
+        out["shared_total_sec"] = round(cur_shared, 4)
+        out["prev_shared_total_sec"] = round(prev_shared, 4)
+        if prev_shared > 0:
+            out["drift_normalized_shared_delta"] = round(
+                (cur_shared / ratio) / prev_shared, 4
+            )
+        # movers on NORMALIZED times: normalized_ratio > 1 means the
+        # query got slower beyond what the host explains. Floor the
+        # denominator at 50 ms — sub-noise queries produce huge
+        # meaningless ratios.
+        movers = {
+            k: round((timings[k] / ratio) / prev_q[k], 2)
+            for k in shared
+            if prev_q[k] >= 0.05 and timings[k] >= 0.05
+        }
+        ranked = sorted(movers.items(), key=lambda kv: -kv[1])
+        out["norm_movers_slower"] = dict(
+            (k, v) for k, v in ranked[:8] if v >= 1.3
+        )
+        out["norm_movers_faster"] = dict(
+            (k, v) for k, v in ranked[::-1][:8] if v <= 0.77
+        )
+    return out
+
+
 def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -386,6 +455,17 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), fname
     )
+    # VERDICT r9 Next #2: calib_sec must CLOSE the loop it opened —
+    # the prior round's detail file (read before this run overwrites
+    # it) supplies last round's calib + per-query map, and the
+    # round-over-round comparison is emitted drift-normalized instead
+    # of left for a reviewer to re-derive by hand. Normalization:
+    # dividing this round's times by calib_ratio (= calib_now /
+    # calib_prev) restates them in the prior round's machine-speed
+    # units; r9's uniform 1.42x "regression" reads as ~1.0x after the
+    # same correction (verified by worktree A/B of identical code).
+    drift = drift_vs_prev(detail_path, timings, total, calib_sec)
+    detail.update(drift)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
@@ -405,6 +485,17 @@ def main() -> None:
         "queries_truncated_to": 10,
         "detail_file": "BENCH_DETAIL.json",
     }
+    # the drift-normalized round-over-round verdict rides the compact
+    # line too (VERDICT r9 Next #2 done-condition: BENCH_r10.json
+    # carries calib_ratio_vs_prev + drift_normalized_total_sec); the
+    # full movers analysis lives in the detail file
+    for k in (
+        "calib_ratio_vs_prev",
+        "drift_normalized_total_sec",
+        "drift_normalized_shared_delta",
+    ):
+        if k in drift:
+            out[k] = drift[k]
     line = json.dumps(out)
     if len(line) > 1500:  # hard guarantee: never outgrow the tail capture
         out.pop("queries", None)

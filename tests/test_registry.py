@@ -341,6 +341,48 @@ def test_every_registry_entry_declares_its_added_round():
     assert not missing, missing
 
 
+def test_bench_drift_normalization(tmp_path):
+    # VERDICT r9 Next #2: the bench must emit the drift-normalized
+    # round-over-round comparison itself instead of leaving calib_sec
+    # for a reviewer to consume by hand. Scenario modeled on the real
+    # r9 episode: the host slows 1.5x uniformly (calib 0.6 -> 0.9,
+    # every query x1.5) EXCEPT one query that genuinely regressed 3x
+    # and one that genuinely improved 2x.
+    import json as _json
+
+    prev = {
+        "calib_sec": 0.6,
+        "queries": {"a": 1.0, "b": 2.0, "c": 0.5, "tiny": 0.01},
+    }
+    p = tmp_path / "BENCH_DETAIL.json"
+    p.write_text(_json.dumps(prev))
+    timings = {
+        "a": 1.5,            # pure host drift -> normalized 1.0
+        "b": 2.0 * 1.5 * 3,  # real 3x regression under the same drift
+        "c": 0.5 * 1.5 / 2,  # real 2x improvement
+        "tiny": 0.03,        # sub-noise: excluded from movers
+        "new_q": 1.0,        # not shared: no mover row
+    }
+    total = sum(timings.values())
+    out = bench.drift_vs_prev(str(p), timings, total, calib_sec=0.9)
+    assert out["calib_ratio_vs_prev"] == 1.5
+    assert out["drift_normalized_total_sec"] == round(total / 1.5, 4)
+    assert out["shared_queries"] == 4
+    # the uniform-drift query normalizes to ~1.0 and is NOT a mover
+    assert "a" not in out["norm_movers_slower"]
+    assert "a" not in out["norm_movers_faster"]
+    # the real movers survive normalization
+    assert out["norm_movers_slower"]["b"] == 3.0
+    assert out["norm_movers_faster"]["c"] == 0.5
+    # sub-noise rows never fabricate a mover
+    assert "tiny" not in out["norm_movers_slower"]
+    # first run / missing artifact -> keys absent, not null
+    assert bench.drift_vs_prev(str(tmp_path / "nope.json"), timings, total, 0.9) == {}
+    # prior artifact predating calib recording -> absent too
+    p.write_text(_json.dumps({"queries": {"a": 1.0}}))
+    assert bench.drift_vs_prev(str(p), timings, total, 0.9) == {}
+
+
 def test_last_green_rounds_semantics():
     # green = full oracle match OR the documented rows-only check;
     # errors and hash mismatches must NOT count as certification
