@@ -2039,7 +2039,15 @@ def binary_hamming_topk(
     broadcast joins that leave the corpus scan un-shuffled. Ties break
     by neighbor id at both stages; the cosine is the repo's ordered
     ``dot_fixed`` fold ≡ ``list_dot_product`` (bit-identical to the
-    oracle). Output: (query_id, vec_id, hamming, cosine, rank ≤ k)."""
+    oracle). Output: (query_id, vec_id, hamming, cosine, rank ≤ k).
+
+    Input contract: ``emb`` must scan DETERMINISTICALLY (same rows and
+    vectors on every pass) — the fine stage re-reads it by id to
+    re-attach float vectors without carrying them through the coarse
+    stage. ``query_filter`` is evaluated exactly once (both stages
+    read the same filtered DataFrame), but a lineage with
+    rand()/unseeded sampling upstream must be materialized
+    (checkpoint/write) before calling."""
     if k < 1 or coarse_k < k:
         raise ValueError(
             f"binary_hamming_topk: need 1 <= k <= coarse_k, got k={k},"
@@ -2068,17 +2076,19 @@ def binary_hamming_topk(
         F.expr(_pack_expr("_v", True)).alias("_lo"),
         F.expr(_pack_expr("_v", False)).alias("_hi"),
     )
-    q = (
-        emb.filter(query_filter)
-        .select(
-            F.col(id_col).alias("query_id"),
-            vec.alias("_qv"),
-        )
-        .select(
-            "query_id",
-            F.expr(_pack_expr("_qv", True)).alias("_qlo"),
-            F.expr(_pack_expr("_qv", False)).alias("_qhi"),
-        )
+    # qsrc is built ONCE and feeds BOTH the packed coarse-stage query
+    # set and the fine-stage re-rank vectors (qvecs below): evaluating
+    # query_filter twice against emb would let a non-deterministic
+    # predicate or lineage (rand()/sample upstream) hand the re-rank a
+    # different query set than the one the coarse candidates were
+    # generated for — silently yielding NULL cosines (r9 ADVICE).
+    qsrc = emb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), vec.alias("_qv")
+    )
+    q = qsrc.select(
+        "query_id",
+        F.expr(_pack_expr("_qv", True)).alias("_qlo"),
+        F.expr(_pack_expr("_qv", False)).alias("_qhi"),
     )
     ham = (
         F.bit_count(F.col("_lo").bitwiseXOR(F.col("_qlo")))
@@ -2116,11 +2126,15 @@ def binary_hamming_topk(
     )
     # Float vectors re-attach to the coarse winners only: broadcast the
     # ≤ |Q|·coarse_k-row coarse set so the corpus scan is never
-    # shuffled, then broadcast the query vectors onto it.
+    # shuffled, then broadcast the query vectors onto it. The query
+    # side reuses qsrc (the same DataFrame the packing stage read —
+    # query_filter is evaluated exactly once in this plan); the corpus
+    # side is an id-keyed re-read of emb, which requires emb to be a
+    # DETERMINISTIC scan — the same vec_id must yield the same vector
+    # on every pass (true for any stored table; a lineage with
+    # rand()/unseeded sample upstream must be materialized first).
     vecs = emb.select(F.col(id_col).alias("vec_id"), vec.alias("_v"))
-    qvecs = emb.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), vec.alias("_qv")
-    )
+    qvecs = qsrc
     coarse = vecs.join(F.broadcast(coarse), "vec_id").join(
         F.broadcast(qvecs), "query_id"
     )

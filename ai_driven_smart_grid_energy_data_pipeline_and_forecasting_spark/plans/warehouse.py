@@ -374,9 +374,16 @@ def revenue_rollup(
     bitmask DuckDB's ``GROUPING(a, b)`` produces, so the oracle is a
     literal ``GROUP BY ROLLUP``).
 
-    Plan / 100 TB design: the dimension arm (region ⋈ nation ⋈
-    customer keys) broadcasts onto orders (AQE re-validates the size
-    at runtime on a real cluster), the only big shuffle is
+    Plan / 100 TB design: region and nation are domain-bounded (a few
+    dozen rows by schema semantics) and carry explicit broadcast
+    hints; customer is a GROWABLE dimension, so its arm deliberately
+    carries NO hint — Spark never demotes an explicit broadcast hint,
+    so hinting customer would pin a driver-side OOM at the 100 TB
+    design point, while leaving the decision to
+    auto-broadcast/AQE (size-threshold-checked at runtime) broadcasts
+    it at benched scales and falls back to a shuffle join when the
+    dimension outgrows the threshold (r9 ADVICE). The only
+    guaranteed big shuffle is
     orders ⋈ lineitem on orderkey, and the rollup itself is Catalyst's
     Expand: each surviving fact row is duplicated once per grouping
     set MAP-SIDE and ONE partial-agg exchange carries all three
@@ -397,7 +404,9 @@ def revenue_rollup(
     ).select("c_custkey", "region", "nation")
     ords = (
         orders.select("o_orderkey", "o_custkey")
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        # no broadcast hint: customer grows with the fact data — see
+        # docstring (explicit hints are never demoted by AQE)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select("o_orderkey", "region", "nation")
     )
     rev = (
