@@ -1282,3 +1282,419 @@ def test_binary_ann_sweep(spark, duck, k, ck, qmax):
         ORDER BY query_id, rank
     """).fetchdf()
     _assert_same(got, want, f"binary_ann(k={k},ck={ck},q<{qmax})")
+
+
+# ---------------------------------------------------------------- #
+# as-of join (VERDICT r9 Next #4): sweep the tolerance window AND the
+# execution strategy — asof_join (union-and-window) and
+# asof_join_broadcast (sorted-build + searchsorted probe) must be
+# row-identical to each other and to DuckDB's native ASOF LEFT JOIN
+# at every tolerance. ties=True builds the right side from ALL event
+# types, so every purchase has a right row at EXACTLY its own
+# timestamp — the inclusive >= tie edge is exercised for every left
+# row instead of being left to data luck (at sf0.001 there are ZERO
+# natural purchase/view exact-ts collisions).
+# (registry config: asof_purchase_view — purchase vs view,
+# tolerance_hours=None — is the (None, False) case)
+
+
+@pytest.mark.parametrize(
+    "tol,ties",
+    [
+        (None, False),  # registry config
+        (None, True),
+        (1, True),
+        (6, True),
+        (24, False),
+        (168, True),
+    ],
+)
+def test_asof_join_sweep(spark, duck, tol, ties):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        asof as AS,
+    )
+
+    rtypes = (
+        ("view", "click", "error", "signup", "purchase")
+        if ties
+        else ("view",)
+    )
+    ev = tables.load_table(spark, "events", SF_DIR)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type").isin(*rtypes))
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    got_uw = AS.asof_join(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        tolerance_hours=tol,
+    ).toPandas()
+    got_bc = AS.asof_join_broadcast(
+        left, right, keys=["user_id"], left_ts="ts", right_ts="ts",
+        tolerance_hours=tol,
+    ).toPandas()
+    keep = (
+        "TRUE" if tol is None
+        else f"matched_ts >= ts - INTERVAL {tol} HOUR"
+    )
+    in_list = ", ".join(f"'{t}'" for t in rtypes)
+    want = duck.execute(f"""
+        WITH l AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+          FROM events WHERE event_type = 'purchase'),
+        r AS (
+          SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                 max(value) AS value
+          FROM events WHERE event_type IN ({in_list}) GROUP BY 1, 2),
+        m AS (
+          SELECT l.user_id, l.ts, l.event_id, l.value,
+                 r.value AS value_right, r.ts AS matched_ts
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.ts >= r.ts)
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN {keep} THEN value_right END AS value_right,
+               CASE WHEN {keep} THEN matched_ts END AS matched_ts
+        FROM m ORDER BY user_id, ts, event_id
+    """).fetchdf()
+    _assert_same(got_uw, want, f"asof_join(tol={tol},ties={ties})")
+    _assert_same(got_bc, want, f"asof_broadcast(tol={tol},ties={ties})")
+    # ties=True makes the exact-ts edge non-vacuous: every purchase
+    # matches at distance zero when no tolerance excludes it
+    if ties and tol is None:
+        assert (got_uw["matched_ts"] == got_uw["ts"]).all()
+
+
+# ---------------------------------------------------------------- #
+# funnel (VERDICT r9 Next #4): sweep the step-order permutations, the
+# funnel depth, and the conversion window against a templated chain
+# of the registry oracle's CTEs. Step order is semantic, not
+# cosmetic — 'click before view' counts a different population — so
+# every permutation of the 3-step funnel runs, plus a 4-step funnel
+# and the unbounded-gap form.
+# (registry config: event_funnel — [view, click, purchase], gap 24h)
+
+
+def _funnel_twin_sql(steps: list[str], gap_hours: int | None) -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t1 FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(2, len(steps) + 1):
+        gap_cond = (
+            f"AND e.ts <= s{i-1}.t{i-1} + INTERVAL {gap_hours} HOUR"
+            if gap_hours is not None
+            else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t{i} "
+            f"FROM events e JOIN s{i-1} ON e.user_id = s{i-1}.user_id "
+            f"WHERE e.event_type = '{steps[i-1]}' "
+            f"AND e.ts > s{i-1}.t{i-1} {gap_cond} GROUP BY e.user_id)"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name, "
+        f"(SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"WITH {', '.join(ctes)} SELECT * FROM ({rows}) ORDER BY step"
+
+
+@pytest.mark.parametrize(
+    "steps,gap",
+    [
+        (["view", "click", "purchase"], 24),  # registry config
+        (["view", "purchase", "click"], 24),
+        (["click", "view", "purchase"], 24),
+        (["click", "purchase", "view"], 24),
+        (["purchase", "view", "click"], 24),
+        (["purchase", "click", "view"], 24),
+        (["view", "click", "purchase"], 1),
+        (["view", "click", "purchase"], None),
+        (["signup", "view", "click", "purchase"], 24),
+    ],
+)
+def test_funnel_sweep(spark, duck, steps, gap):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = funnel_counts(ev, steps, max_gap_hours=gap).toPandas()
+    want = duck.execute(_funnel_twin_sql(steps, gap)).fetchdf()
+    _assert_same(got, want, f"funnel({steps},gap={gap})")
+    # the funnel invariant the operator promises: monotone reach
+    assert list(got.sort_values("step")["n_users"]) == sorted(
+        got["n_users"], reverse=True
+    )
+
+
+# ---------------------------------------------------------------- #
+# SCD2 (VERDICT r9 Next #4): sweep the snapshot histories — change
+# cadence, deletion/reappearance, NON-DENSE version numbers, history
+# depth — against a templated generalization of the registry oracle.
+# Each snapshot is ONE SQL string evaluated by BOTH engines (Spark
+# temp view / DuckDB view), so the swept history is embedded in the
+# case itself and cannot diverge between the two sides. The template
+# ranks contiguity on the DENSE version index (a VALUES dimension
+# carrying v -> (index, next-version)), which is what distinguishes
+# the operator's "global version order" semantics from the registry
+# oracle's dense-history shortcut (last_v + 1).
+# (registry config: orders_scd2 — versions 1/2/3, %7->'X' at v2,
+# %5->'Y' + %7->'X' + delete %11 at v3 — is the first case)
+
+_SCD2_REG = [
+    (1, "SELECT o_orderkey, o_orderstatus FROM {tbl}"),
+    (2, "SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN 'X' "
+        "ELSE o_orderstatus END AS o_orderstatus FROM {tbl}"),
+    (3, "SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN 'Y' "
+        "WHEN o_orderkey % 7 = 0 THEN 'X' "
+        "ELSE o_orderstatus END AS o_orderstatus FROM {tbl} "
+        "WHERE o_orderkey % 11 != 0"),
+]
+_SCD2_CASES = {
+    "registry": _SCD2_REG,
+    # every key changes at EVERY version: all runs are length 1 —
+    # the back-to-back supersession edge (no stable run anywhere)
+    "churn": [
+        (1, "SELECT o_orderkey, o_orderstatus FROM {tbl}"),
+        (2, "SELECT o_orderkey, 'A' AS o_orderstatus FROM {tbl}"),
+        (3, "SELECT o_orderkey, o_orderstatus FROM {tbl}"),
+    ],
+    # %3 keys vanish at v2 and REAPPEAR at v3 with the same value:
+    # the contiguity break must close [1,2) and open a NEW current
+    # run at 3 even though the value never changed
+    "reappear": [
+        (1, "SELECT o_orderkey, o_orderstatus FROM {tbl}"),
+        (2, "SELECT o_orderkey, o_orderstatus FROM {tbl} "
+            "WHERE o_orderkey % 3 != 0"),
+        (3, "SELECT o_orderkey, o_orderstatus FROM {tbl}"),
+    ],
+    # NON-DENSE version numbers (1, 5, 9): valid_from/valid_to must be
+    # the actual next VERSION (vnext), not last_v + 1 — the dense
+    # shortcut would emit valid_to 2/6 instead of 5/9
+    "sparse": [
+        (1, "SELECT o_orderkey, o_orderstatus FROM {tbl}"),
+        (5, "SELECT o_orderkey, CASE WHEN o_orderkey % 4 = 0 THEN 'Z' "
+            "ELSE o_orderstatus END AS o_orderstatus FROM {tbl}"),
+        (9, "SELECT o_orderkey, o_orderstatus FROM {tbl} "
+            "WHERE o_orderkey % 13 != 0"),
+    ],
+    # minimal two-snapshot history with deletions
+    "two": [
+        (1, "SELECT o_orderkey, o_orderstatus FROM {tbl}"),
+        (2, "SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 'E' "
+            "ELSE o_orderstatus END AS o_orderstatus FROM {tbl} "
+            "WHERE o_orderkey % 9 != 0"),
+    ],
+}
+
+
+def _scd2_twin_sql(cfg: list) -> str:
+    """DuckDB twin of scd2_intervals over the config's snapshots
+    (snapshot SQL templated on {tbl} = the orders view)."""
+    order = sorted(v for v, _ in cfg)
+    vmax = order[-1]
+    vnext = {order[i]: order[i + 1] for i in range(len(order) - 1)}
+    u = " UNION ALL ".join(
+        f"SELECT o_orderkey, o_orderstatus, {v} AS v "
+        f"FROM ({sql.format(tbl='orders')})"
+        for v, sql in cfg
+    )
+    vd = ", ".join(
+        f"({v}, {i}, "
+        + (f"{vnext[v]}" if v in vnext else "CAST(NULL AS BIGINT)")
+        + ")"
+        for i, v in enumerate(order)
+    )
+    return f"""
+        WITH u AS ({u}),
+        vd(v, vi, vnext) AS (VALUES {vd}),
+        uv AS (SELECT u.*, vd.vi FROM u JOIN vd ON u.v = vd.v),
+        lagged AS (
+          SELECT *, lag(o_orderstatus) OVER w AS pstat,
+                 lag(vi) OVER w AS pvi
+          FROM uv WINDOW w AS (PARTITION BY o_orderkey ORDER BY vi)),
+        brk AS (
+          SELECT *, CASE WHEN pvi IS NULL OR vi != pvi + 1
+                          OR o_orderstatus IS DISTINCT FROM pstat
+                     THEN 1 ELSE 0 END AS b
+          FROM lagged),
+        runs AS (
+          SELECT *, sum(b) OVER (PARTITION BY o_orderkey ORDER BY vi
+                                 ROWS UNBOUNDED PRECEDING) AS run
+          FROM brk),
+        g AS (
+          SELECT o_orderkey, run, min(o_orderstatus) AS o_orderstatus,
+                 CAST(min(v) AS BIGINT) AS valid_from, max(v) AS last_v
+          FROM runs GROUP BY o_orderkey, run)
+        SELECT g.o_orderkey, g.o_orderstatus, g.valid_from,
+               CAST(vd.vnext AS BIGINT) AS valid_to,
+               (g.last_v = {vmax}) AS is_current
+        FROM g JOIN vd ON g.last_v = vd.v
+        ORDER BY g.o_orderkey, g.valid_from
+    """
+
+
+@pytest.mark.parametrize("case", sorted(_SCD2_CASES))
+def test_scd2_history_sweep(spark, duck, case):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        scd2_intervals,
+    )
+
+    cfg = _SCD2_CASES[case]
+    tables.load_table(spark, "orders", SF_DIR).createOrReplaceTempView(
+        "orders_scd2_fuzz"
+    )
+    snaps = [
+        (v, spark.sql(sql.format(tbl="orders_scd2_fuzz")))
+        for v, sql in cfg
+    ]
+    got = (
+        scd2_intervals(snaps, ["o_orderkey"])
+        .orderBy("o_orderkey", "valid_from")
+        .toPandas()
+    )
+    want = duck.execute(_scd2_twin_sql(cfg)).fetchdf()
+    _assert_same(got, want, f"scd2({case})")
+    # structural invariants every history must satisfy: per-key
+    # intervals are disjoint and at most one current run per key
+    cur = got[got["is_current"]]
+    assert cur.groupby("o_orderkey").size().max() <= 1, case
+    open_rows = got[got["valid_to"].isna() & ~got["is_current"]]
+    assert open_rows.empty, case
+
+
+@pytest.mark.parametrize("as_of", [0, 1, 2, 3, 4])
+def test_scd2_lookup_sweep(spark, duck, as_of):
+    # point-in-time lookup swept across the whole version axis —
+    # BEFORE the first snapshot (0: everything NULL), each real
+    # version, and past the last (4: currents only). Registry config
+    # probes as_of = okey % 3 + 1; the constant probes here cover the
+    # two boundary values the modulo can never produce.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.versioned import (
+        scd2_intervals,
+        scd2_lookup,
+    )
+
+    tables.load_table(spark, "orders", SF_DIR).createOrReplaceTempView(
+        "orders_scd2_fuzz"
+    )
+    snaps = [
+        (v, spark.sql(sql.format(tbl="orders_scd2_fuzz")))
+        for v, sql in _SCD2_REG
+    ]
+    dim = scd2_intervals(snaps, ["o_orderkey"])
+    probes = spark.sql(
+        f"SELECT o_orderkey, CAST({as_of} AS INT) AS as_of "
+        "FROM orders_scd2_fuzz"
+    )
+    got = (
+        scd2_lookup(dim, probes, ["o_orderkey"], "as_of")
+        .groupBy("as_of", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("as_of", "o_orderstatus")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        WITH dim AS ({_scd2_twin_sql(_SCD2_REG)}),
+        looked AS (
+          SELECT p.o_orderkey, d.o_orderstatus
+          FROM orders p LEFT JOIN dim d
+            ON p.o_orderkey = d.o_orderkey
+           AND d.valid_from <= {as_of}
+           AND (d.valid_to IS NULL OR {as_of} < d.valid_to))
+        SELECT CAST({as_of} AS INT) AS as_of, o_orderstatus,
+               count(*) AS n
+        FROM looked
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """).fetchdf()
+    _assert_same(got, want, f"scd2_lookup(as_of={as_of})")
+    if as_of == 0:
+        # before any snapshot: the LEFT join must keep every probe
+        # with NULL attributes, never drop them
+        assert got["o_orderstatus"].isna().all()
+
+
+# ---------------------------------------------------------------- #
+# counting IVM with deletes (VERDICT r9 Next #4): sweep the
+# insert/delete date cuts — including the delete-heavy edge where the
+# delta deletes EVERYTHING the old view held (lo == hi: every old
+# multiplicity driven exactly to zero and dropped) — against the
+# plain recompute over the post-delta bases. A green row proves
+# signed-delta maintenance ≡ recompute at every cut.
+# (registry config: incremental_join_deletes — lo=1993-01-01,
+# hi=1996-01-01)
+
+
+@pytest.mark.parametrize(
+    "lo,hi",
+    [
+        ("1993-01-01", "1996-01-01"),  # registry config
+        ("1995-06-01", "1996-01-01"),  # delete-heavy: most of view cut
+        ("1996-01-01", "1996-01-01"),  # lo == hi: old view fully deleted
+        ("1992-06-01", "1997-06-01"),  # wide: few deletes, many inserts
+        ("1994-01-01", "1995-01-01"),  # interior cut
+    ],
+)
+def test_counting_ivm_sweep(spark, duck, lo, hi):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.ivm import (
+        apply_counted_delta,
+        counted_join_delta,
+        with_multiplicity,
+    )
+
+    orders = tables.load_table(spark, "orders", SF_DIR).select(
+        F.col("o_orderkey").alias("okey"), "o_custkey", "o_orderdate"
+    )
+    li = tables.load_table(spark, "lineitem", SF_DIR).select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_shipdate"
+    )
+    a_old = with_multiplicity(orders.where(F.col("o_orderdate") < hi))
+    a_delta = with_multiplicity(
+        orders.where(F.col("o_orderdate") >= hi)
+    ).unionByName(
+        with_multiplicity(orders.where(F.col("o_orderdate") < lo))
+        .withColumn("_mult", -F.col("_mult"))
+    )
+    b_old = with_multiplicity(li.where(F.col("l_shipdate") < hi))
+    b_delta = with_multiplicity(
+        li.where(F.col("l_shipdate") >= hi)
+    ).unionByName(
+        with_multiplicity(li.where(F.col("l_shipdate") < lo))
+        .withColumn("_mult", -F.col("_mult"))
+    )
+    view_old = counted_join_delta(
+        a_old, b_old.limit(0), a_old.limit(0), b_old, ["okey"]
+    )
+    delta = counted_join_delta(a_old, b_old, a_delta, b_delta, ["okey"])
+    maintained = apply_counted_delta(view_old, delta)
+    got = (
+        maintained.groupBy("o_custkey")
+        .agg(
+            F.sum("_mult").alias("n_rows"),
+            F.sum(
+                F.col("_mult")
+                * F.col("l_extendedprice").cast("decimal(20,6)")
+            ).cast("double").alias("revenue"),
+        )
+        .orderBy("o_custkey")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        SELECT o.o_custkey, count(*) AS n_rows,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,6)))
+                 AS DOUBLE) AS revenue
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '{lo}'
+          AND l.l_shipdate >= TIMESTAMP '{lo}'
+        GROUP BY o.o_custkey ORDER BY o.o_custkey
+    """).fetchdf()
+    _assert_same(got, want, f"counting_ivm(lo={lo},hi={hi})")
+    # every surviving multiplicity must be strictly positive — the
+    # delete-heavy cuts drive old rows exactly to zero, and a zero or
+    # negative survivor would mean the drop rule leaked
+    mm = maintained.agg(F.min("_mult").alias("m")).collect()[0]["m"]
+    assert mm is None or mm >= 1, (lo, hi, mm)
