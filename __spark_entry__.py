@@ -1537,6 +1537,21 @@ def q_vocab_growth(spark, sf_dir):
     return TX.vocab_growth_curve(docs, fractions=5)
 
 
+def q_vocab_coverage(spark, sf_dir):
+    # Tokenizer-sizing report (new r10): minimal vocab size for
+    # 50/90/99% token coverage + exact OOV token mass at fixed vocab
+    # sizes (5 / 20 / 10000 — the last deliberately exceeds the type
+    # inventory, pinning the oov=0 edge). All-integer arithmetic over
+    # the frequency spectrum; the corpus pays one explode + one count
+    # shuffle.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.vocab_coverage(
+        docs,
+        coverage=((1, 2), (9, 10), (99, 100)),
+        vocab_sizes=(5, 20, 10000),
+    )
+
+
 def q_minhash_accuracy_audit(spark, sf_dir):
     # MinHash estimator vs exact Jaccard over all pairs >= 0.3: the
     # missing sketch audit (HLL/CMS/percentile/PQ have theirs).
@@ -3654,6 +3669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_point_lookup": q_scd2_point_lookup,
         "source_distinctive_terms": q_source_distinctive_terms,
         "vocab_growth": q_vocab_growth,
+        # --- new r10 (sole addition: tokenizer-sizing coverage report) ------
+        "vocab_coverage": q_vocab_coverage,
         "minhash_accuracy_audit": q_minhash_accuracy_audit,
         "ann_hard_negatives": q_ann_hard_negatives,
         # --- driver-certified r6 (current testdata) --------------------------
@@ -4532,6 +4549,69 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(vocab AS BIGINT) AS vocab
             FROM curve ORDER BY sample_pct
+        """,
+        # frequency-spectrum cumulative form: coverage/OOV depend only
+        # on cumulative mass, so equal-count types fold to one row and
+        # the partial-group take is an integer ceil-division — all
+        # arithmetic exact BIGINT, matching the Spark operator's
+        # spectrum formulation value for value
+        "vocab_coverage": """
+            WITH tok AS (
+              SELECT unnest(string_split(trim(text), ' ')) AS t
+              FROM documents),
+            cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            spec AS (SELECT c, count(*) AS k FROM cnt GROUP BY c),
+            ranked AS (
+              SELECT c, k,
+                     sum(k) OVER (ORDER BY c DESC
+                       ROWS UNBOUNDED PRECEDING) AS cum_types,
+                     sum(k * c) OVER (ORDER BY c DESC
+                       ROWS UNBOUNDED PRECEDING) AS cum_mass
+              FROM spec),
+            tot AS (SELECT sum(k * c) AS t, sum(k) AS v FROM spec)
+            SELECT 'coverage_k' AS kind, '1/2' AS param, (
+              SELECT CAST((cum_types - k)
+                + ((((t * 1 + 2 - 1) // 2) - (cum_mass - k * c)) + c - 1)
+                  // c AS BIGINT)
+              FROM ranked, tot WHERE cum_mass * 2 >= t * 1
+              ORDER BY cum_types LIMIT 1) AS value
+            UNION ALL
+            SELECT 'coverage_k', '9/10', (
+              SELECT CAST((cum_types - k)
+                + ((((t * 9 + 10 - 1) // 10) - (cum_mass - k * c)) + c - 1)
+                  // c AS BIGINT)
+              FROM ranked, tot WHERE cum_mass * 10 >= t * 9
+              ORDER BY cum_types LIMIT 1)
+            UNION ALL
+            SELECT 'coverage_k', '99/100', (
+              SELECT CAST((cum_types - k)
+                + ((((t * 99 + 100 - 1) // 100) - (cum_mass - k * c)) + c - 1)
+                  // c AS BIGINT)
+              FROM ranked, tot WHERE cum_mass * 100 >= t * 99
+              ORDER BY cum_types LIMIT 1)
+            UNION ALL
+            SELECT 'oov_tokens', '5', (
+              SELECT CAST(t - coalesce((
+                SELECT (cum_mass - k * c) + (5 - (cum_types - k)) * c
+                FROM ranked WHERE cum_types >= 5
+                ORDER BY cum_types LIMIT 1), t) AS BIGINT) FROM tot)
+            UNION ALL
+            SELECT 'oov_tokens', '20', (
+              SELECT CAST(t - coalesce((
+                SELECT (cum_mass - k * c) + (20 - (cum_types - k)) * c
+                FROM ranked WHERE cum_types >= 20
+                ORDER BY cum_types LIMIT 1), t) AS BIGINT) FROM tot)
+            UNION ALL
+            SELECT 'oov_tokens', '10000', (
+              SELECT CAST(t - coalesce((
+                SELECT (cum_mass - k * c) + (10000 - (cum_types - k)) * c
+                FROM ranked WHERE cum_types >= 10000
+                ORDER BY cum_types LIMIT 1), t) AS BIGINT) FROM tot)
+            UNION ALL
+            SELECT 'total', 'tokens', (SELECT CAST(t AS BIGINT) FROM tot)
+            UNION ALL
+            SELECT 'total', 'types', (SELECT CAST(v AS BIGINT) FROM tot)
+            ORDER BY kind, param
         """,
         "source_distinctive_terms": """
             WITH st AS (

@@ -1948,3 +1948,157 @@ def collocation_communities(
         .orderBy(F.desc("n_tokens"), "community")
         .limit(k)
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    coverage=((9, 10), (99, 100), (999, 1000)),
+    vocab_sizes=(100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage report — the tokenizer-SIZING query: how
+    many types does a vocabulary need to cover 90/99/99.9% of the
+    corpus token mass, and how many tokens fall out-of-vocabulary at
+    fixed vocabulary sizes? (``vocab_growth_curve`` answers "does the
+    vocabulary keep growing" and ``corpus_zipf_fit`` "what does the
+    frequency spectrum look like"; this answers the budget question a
+    tokenizer design actually starts from.) Not a reference-surface
+    op — a corpus-release companion like the dataset cards.
+
+    Everything is EXACT integer arithmetic (coverage targets are
+    rational ``(num, den)`` pairs compared cross-multiplied; the
+    partial-group take is an integer ceil-division), so the oracle is
+    value-exact — no floats anywhere.
+
+    Plan / 100 TB design: the only corpus-scale work is one explode +
+    one partial-agg token count (one shuffle). The count table then
+    collapses to its FREQUENCY SPECTRUM (distinct count value →
+    n_types) — a table bounded by sqrt(2·T) rows (distinct positive
+    integers summing to T), e.g. ≤ ~7M at T = 2.5e13 tokens — because
+    coverage/OOV depend only on cumulative mass, and within an
+    equal-count group every type contributes the same mass, so the
+    partial-group take is closed-form. The count-descending
+    cumulative sums over the spectrum ride the total-order-partitioner
+    pattern (``relational.global_rank``): integer-log2 count bands
+    (≤ 64, exact via base-2 ``conv`` — float log2 is not trusted near
+    band edges), per-band totals collected driver-side (bounded), and
+    band offsets + per-band windows give exact global prefixes with
+    NO single-partition window over the spectrum. Answers are ONE
+    conditional aggregate over the prefix table; first-matching-group
+    selection is a struct-min (lexicographic on the strictly
+    increasing cum_types).
+
+    Output rows (kind, param, value BIGINT), ordered:
+      ('coverage_k', 'num/den', minimal vocab size K)
+      ('oov_tokens', str(V),    token mass outside the top-V types)
+      ('total', 'tokens' | 'types', corpus totals)
+    """
+    coverage = [(int(n), int(d)) for n, d in coverage]
+    vocab_sizes = [int(v) for v in vocab_sizes]
+    for n, d in coverage:
+        if not (0 < n <= d):
+            raise ValueError(f"vocab_coverage: bad coverage fraction {n}/{d}")
+    if any(v < 1 for v in vocab_sizes):
+        raise ValueError(f"vocab_coverage: vocab sizes must be >= 1: {vocab_sizes}")
+
+    counts = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("_t")
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # frequency spectrum: distinct count value -> number of types
+    spec = counts.groupBy("_c").agg(F.count(F.lit(1)).alias("_k"))
+    # exact integer log2 band: number of binary digits of the count
+    # (conv goes through a string — exact for the full BIGINT range,
+    # unlike float log2 whose rounding near 2^k is not trusted)
+    band = F.length(F.conv(F.col("_c").cast("string"), 10, 2)).cast("int")
+    spec = spec.withColumn("_b", band)
+    per_band = (
+        spec.groupBy("_b")
+        .agg(
+            F.sum("_k").alias("_types"),
+            F.sum(F.col("_k") * F.col("_c")).alias("_mass"),
+        )
+        .orderBy(F.desc("_b"))
+        .collect()  # <= 64 rows by construction (BIGINT bit length)
+    )
+    if not per_band:
+        raise ValueError("vocab_coverage: empty corpus — no tokens at all")
+    offsets, t_off, m_off = [], 0, 0
+    for r in per_band:
+        offsets.append((r["_b"], t_off, m_off))
+        t_off += r["_types"]
+        m_off += r["_mass"]
+    total_tokens, total_types = m_off, t_off
+    max_den = max(d for _, d in coverage)
+    if total_tokens > (2**63 - 1) // max_den:
+        raise ValueError(
+            f"vocab_coverage: {total_tokens} tokens x den {max_den} "
+            "would overflow the BIGINT cross-multiplied comparison — "
+            "reduce the fraction denominators"
+        )
+    off_df = docs.sparkSession.createDataFrame(
+        offsets, "_b int, _toff bigint, _moff bigint"
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy(F.desc("_c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        spec.join(F.broadcast(off_df), "_b")
+        .withColumn("_cum_types", F.col("_toff") + F.sum("_k").over(w))
+        .withColumn(
+            "_cum_mass",
+            F.col("_moff") + F.sum(F.col("_k") * F.col("_c")).over(w),
+        )
+        .select("_c", "_k", "_cum_types", "_cum_mass")
+    )
+    T, V = F.lit(total_tokens), F.lit(total_types)
+    aggs, names = [], []
+    for n, d in coverage:
+        # first spectrum group whose cumulative mass reaches
+        # ceil(T*n/d) (cross-multiplied: cum_mass*d >= T*n); K takes
+        # the whole groups before it plus an integer ceil-div partial
+        # take of the matching group
+        k_expr = F.expr(
+            f"(_cum_types - _k) + "
+            f"(({(total_tokens * n + d - 1) // d}L - (_cum_mass - _k * _c))"
+            f" + _c - 1L) div _c"
+        )
+        cond = F.col("_cum_mass") * F.lit(d) >= T * F.lit(n)
+        aggs.append(
+            F.min(F.when(cond, F.struct(F.col("_cum_types"), k_expr.alias("_val"))))
+            .getField("_val")
+            .alias(f"_cov_{n}_{d}")
+        )
+        names.append(("coverage_k", f"{n}/{d}", f"_cov_{n}_{d}"))
+    for v in vocab_sizes:
+        covered = F.expr(
+            f"(_cum_mass - _k * _c) + ({v}L - (_cum_types - _k)) * _c"
+        )
+        aggs.append(
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("_cum_types") >= F.lit(v),
+                        F.struct(F.col("_cum_types"), covered.alias("_val")),
+                    )
+                ).getField("_val"),
+                T,  # vocab larger than the whole type inventory
+            ).alias(f"_oov_{v}")
+        )
+        names.append(("oov_tokens", str(v), f"_oov_{v}"))
+    one = ranked.agg(*aggs)
+    stack_items = []
+    for kind, param, col in names:
+        val = f"CAST({total_tokens}L - {col} AS BIGINT)" if kind == "oov_tokens" else f"CAST({col} AS BIGINT)"
+        stack_items.append(f"'{kind}', '{param}', {val}")
+    stack_items.append(f"'total', 'tokens', {total_tokens}L")
+    stack_items.append(f"'total', 'types', {total_types}L")
+    return one.selectExpr(
+        f"stack({len(stack_items)}, {', '.join(stack_items)}) "
+        "AS (kind, param, value)"
+    ).orderBy("kind", "param")

@@ -2103,6 +2103,11 @@ def binary_hamming_topk(
         # accumulator never exceeds |Q|·coarse_k rows, so each Arrow
         # batch costs one sort of (accumulator + batch). Runs where
         # the candidates already live — no exchange below the prune.
+        # Cost note (r9 verdict): the per-batch full sort is
+        # O(batches · (|Q|·coarse_k + batch)·log(...)) — fine at the
+        # registered |Q| (a handful of query rows); if |Q| ever grows
+        # to thousands, replace the sort with a per-query bounded heap
+        # / np.partition partial select.
         import pandas as pd
 
         acc = None

@@ -203,6 +203,7 @@ HEADLINE = [
     "scd2_point_lookup",
     "source_distinctive_terms",
     "vocab_growth",
+    "vocab_coverage",
     "minhash_accuracy_audit",
     "ann_hard_negatives",
     # r8 additions

@@ -1698,3 +1698,63 @@ def test_counting_ivm_sweep(spark, duck, lo, hi):
     # negative survivor would mean the drop rule leaked
     mm = maintained.agg(F.min("_mult").alias("m")).collect()[0]["m"]
     assert mm is None or mm >= 1, (lo, hi, mm)
+
+
+# ---------------------------------------------------------------- #
+# vocab_coverage (new r10): sweep the coverage fractions and vocab
+# sizes against a templated spectrum-form DuckDB twin.
+# (registry config: coverage (1/2, 9/10, 99/100), sizes (5, 20, 10000))
+
+
+@pytest.mark.parametrize(
+    "cov,sizes",
+    [
+        ([(1, 2), (9, 10), (99, 100)], [5, 20, 10000]),  # registry config
+        ([(1, 1)], [1]),                 # full coverage + tiniest vocab
+        ([(1, 3), (2, 3)], [2, 3]),      # thirds: non-decimal rationals
+        ([(999, 1000)], [31, 32]),       # around the sf0.001 type count
+    ],
+)
+def test_vocab_coverage_sweep(spark, duck, cov, sizes):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        vocab_coverage,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = vocab_coverage(docs, coverage=cov, vocab_sizes=sizes).toPandas()
+    rows = []
+    for n, d in cov:
+        rows.append(f"""
+          SELECT 'coverage_k' AS kind, '{n}/{d}' AS param, (
+            SELECT CAST((cum_types - k)
+              + ((((t * {n} + {d} - 1) // {d}) - (cum_mass - k * c)) + c - 1)
+                // c AS BIGINT)
+            FROM ranked, tot WHERE cum_mass * {d} >= t * {n}
+            ORDER BY cum_types LIMIT 1) AS value""")
+    for v in sizes:
+        rows.append(f"""
+          SELECT 'oov_tokens', '{v}', (
+            SELECT CAST(t - coalesce((
+              SELECT (cum_mass - k * c) + ({v} - (cum_types - k)) * c
+              FROM ranked WHERE cum_types >= {v}
+              ORDER BY cum_types LIMIT 1), t) AS BIGINT) FROM tot)""")
+    rows.append("SELECT 'total', 'tokens', (SELECT CAST(t AS BIGINT) FROM tot)")
+    rows.append("SELECT 'total', 'types', (SELECT CAST(v AS BIGINT) FROM tot)")
+    want = duck.execute(f"""
+        WITH tok AS (
+          SELECT unnest(string_split(trim(text), ' ')) AS t
+          FROM documents),
+        cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        spec AS (SELECT c, count(*) AS k FROM cnt GROUP BY c),
+        ranked AS (
+          SELECT c, k,
+                 sum(k) OVER (ORDER BY c DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum_types,
+                 sum(k * c) OVER (ORDER BY c DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum_mass
+          FROM spec),
+        tot AS (SELECT sum(k * c) AS t, sum(k) AS v FROM spec)
+        {" UNION ALL ".join(rows)}
+        ORDER BY kind, param
+    """).fetchdf()
+    _assert_same(got, want, f"vocab_coverage({cov},{sizes})")

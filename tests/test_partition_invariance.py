@@ -72,6 +72,7 @@ NEW_R5 = [
     "scd2_point_lookup",
     "source_distinctive_terms",
     "vocab_growth",
+    "vocab_coverage",
     "minhash_accuracy_audit",
     "ann_hard_negatives",
     # round-8 additions

@@ -276,10 +276,16 @@ def test_debt_order_properties_under_random_histories():
             wait = current - added[k]
             return wait + credit + (boost if wait >= 1 else 0.0)
         ds = [debt(k) for k in order]
-        assert all(a >= b - 1e-9 for a, b in zip(ds, ds[1:]))
-        # among equal debts, input order is preserved (stable tie-break)
+        assert all(a >= b for a, b in zip(ds, ds[1:]))
+        # among EXACTLY equal debts, input order is preserved (stable
+        # tie-break). Exact equality, not a tolerance: the mirror
+        # replays the function's own float ops in the same order, and
+        # sorted() keys on the exact values — two debts one ulp apart
+        # (e.g. 3 + credit + boost vs a certified 5.0) are a REAL
+        # ordering difference, not a tie (found by hypothesis when the
+        # straggler boost landed never-rows next to certified ones)
         for a, b in zip(order, order[1:]):
-            if abs(debt(a) - debt(b)) < 1e-9:
+            if debt(a) == debt(b):
                 assert names.index(a) < names.index(b)
 
     check()
@@ -310,10 +316,14 @@ def test_core_surface_reenters_front_by_r11_from_real_history():
     # r10 sweep: the front w rows of the current order certify
     order_r10 = entry_mod._debt_order(names, last, added, w)
     front_r10 = set(order_r10[:w])
-    # ...which must contain every never-certified straggler (the r10
-    # convergence milestone: zero never-certified entries remain)
-    never = {k for k in names if k not in last}
-    assert never <= front_r10, sorted(never - front_r10)
+    # ...which must contain every never-certified STRAGGLER — wait >= 1
+    # round since registration (the r10 convergence milestone: after
+    # this sweep only same-round additions can remain uncertified)
+    current = max(last.values()) + 1
+    stragglers = {
+        k for k in names if k not in last and added.get(k, current) < current
+    }
+    assert stragglers <= front_r10, sorted(stragglers - front_r10)
     # the core rows spent no slot in the r10 front (they are only
     # 1-stale at r10 planning time — the zero-cost-while-fresh half of
     # the cadence contract)...
