@@ -10,10 +10,15 @@ packing, CLEAR/EOI codes, dictionary capped at 4096 with mid-stream
 resets). GIF is LOSSLESS over its palette, so decode is pixel-exact —
 the audit discipline of the PNG leg applies verbatim.
 
-Refusals (the narrow-profile-or-raise convention): interlaced frames,
-images with no color table, palettes over 256 on encode. Animated
-streams decode their FIRST frame (the standard feature-extraction
-treatment) — deterministic, not a guess. Decoder allocation is
+Interlaced frames decode too (r10): GIF interlace stores rows in the
+spec's four passes (every 8th row from 0, every 8th from 4, every 4th
+from 2, every 2nd from 1) — a pure row-order permutation applied
+after the LZW stage, pixel-exact like the sequential path.
+
+Refusals (the narrow-profile-or-raise convention): images with no
+color table, palettes over 256 on encode. Animated streams decode
+their FIRST frame (the standard feature-extraction treatment) —
+deterministic, not a guess. Decoder allocation is
 bounded by the declared image descriptor dimensions: the LZW stream
 cannot emit more than w·h pixels (decompression-bomb refusal, the PNG
 inflate-cap discipline) and dimensions above ``MAX_PIXELS`` are
@@ -141,6 +146,18 @@ def gif_encode(rows: list) -> bytes:
     return bytes(out)
 
 
+def _interlace_rows(h: int) -> list[int]:
+    """Display-row order of an interlaced frame's stored rows — the
+    GIF87a spec's four passes (appendix E): rows ≡ 0 (mod 8), then
+    ≡ 4 (mod 8), then ≡ 2 (mod 4), then odd rows. A permutation of
+    range(h) for every h (each row matches exactly one pass)."""
+    return [
+        y
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for y in range(start, h, step)
+    ]
+
+
 # -------------------------------------------------------------- decoder
 
 
@@ -256,8 +273,7 @@ def gif_decode(content: bytes) -> tuple[int, int, list]:
                 f"GIF dimensions {w}x{h} exceed the {MAX_PIXELS}-pixel "
                 "decode bound"
             )
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF frames are unsupported")
+        interlaced = bool(iflags & 0x40)
         table = global_table
         if iflags & 0x80:
             n = 1 << ((iflags & 7) + 1)
@@ -287,15 +303,18 @@ def gif_decode(content: bytes) -> tuple[int, int, list]:
         idx = _lzw_decode(bytes(chunks), mcs, w * h)
         if len(idx) < w * h:
             raise ValueError("GIF LZW stream ended before the raster")
+        # interlace: the stream's j-th stored row is display row
+        # _interlace_rows(h)[j]; sequential frames are the identity
+        order = _interlace_rows(h) if interlaced else range(h)
         n_table = len(table)
-        rows = []
-        for y in range(h):
+        rows: list = [None] * h
+        for j, y in enumerate(order):
             row = []
             for x in range(w):
-                i = idx[y * w + x]
+                i = idx[j * w + x]
                 if i >= n_table:
                     raise ValueError("GIF pixel index outside color table")
                 row.append(table[i])
-            rows.append(row)
+            rows[y] = row
         return w, h, rows
     raise ValueError("GIF stream contains no image frame")

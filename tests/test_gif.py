@@ -60,12 +60,7 @@ def test_refusals_and_bounds():
     with pytest.raises(ValueError, match="not a GIF"):
         gif_decode(b"nope")
     data = bytearray(gif_encode([[(1, 2, 3)] * 4] * 4))
-    # interlace flag on the image descriptor
     i = data.index(0x2C, 13)
-    flagged = bytearray(data)
-    flagged[i + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        gif_decode(bytes(flagged))
     # dimension bomb: claim a raster past MAX_PIXELS
     bombed = bytearray(data)
     struct.pack_into("<HH", bombed, i + 5, 65000, 65000)
@@ -144,3 +139,64 @@ def test_gif_through_spark_kernels(spark):
     assert feats[0] == 8.0 and feats[1] == 8.0
     want_mean_r = sum(px[0] for row in rows for px in row) / 64
     assert abs(feats[3] - want_mean_r) < 1e-9
+
+
+def _interlace_gif(rows):
+    """Hand-build an interlaced single-frame GIF87a: rows are stored
+    in the spec's four-pass order and the descriptor carries the
+    interlace flag — built from the encoder's own parts so only the
+    row ORDER and flag differ from gif_encode's sequential output."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.gif import (
+        _interlace_rows,
+        _lzw_encode,
+    )
+
+    h, w = len(rows), len(rows[0])
+    palette = {}
+    for row in rows:
+        for px in row:
+            palette.setdefault(tuple(px), len(palette))
+    bits = max((len(palette) - 1).bit_length(), 1)
+    mcs = max(bits, 2)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    colors = list(palette)
+    for i in range(1 << bits):
+        r, g, b = colors[i] if i < len(colors) else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)  # interlaced
+    out.append(mcs)
+    stored = [rows[y] for y in _interlace_rows(h)]  # pass order
+    data = _lzw_encode(
+        [palette[tuple(p)] for row in stored for p in row], mcs
+    )
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def test_interlaced_decode_pixel_exact():
+    # 13 rows (not a multiple of 8: all four passes have ragged ends);
+    # every row a distinct color so a row-order slip cannot cancel
+    rows = [[(y, 2 * y, 255 - y)] * 5 for y in range(13)]
+    w, h, back = gif_decode(_interlace_gif(rows))
+    assert (w, h) == (5, 13)
+    assert back == rows
+
+
+def test_interlace_row_order_is_a_permutation():
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.gif import (
+        _interlace_rows,
+    )
+
+    for h in range(1, 40):
+        order = _interlace_rows(h)
+        assert sorted(order) == list(range(h)), h
+    # the spec's canonical 16-row example: pass starts 0,8 / 4,12 /
+    # 2,6,.. / odds
+    assert _interlace_rows(16) == [
+        0, 8, 4, 12, 2, 6, 10, 14, 1, 3, 5, 7, 9, 11, 13, 15
+    ]
