@@ -1758,3 +1758,147 @@ def test_vocab_coverage_sweep(spark, duck, cov, sizes):
         ORDER BY kind, param
     """).fetchdf()
     _assert_same(got, want, f"vocab_coverage({cov},{sizes})")
+
+
+# ---------------------------------------------------------------- #
+# bucketized range join: sweep the BIN WIDTH — a pure execution knob
+# that must never change results — across tier geometries, against
+# a plain interval-join DuckDB twin. A wrong bin assignment, a
+# boundary-bin off-by-one, or a replication slip shows up as a row
+# diff at some width; the geometry axis varies interval sizes so the
+# per-interval bin counts range from 1 to the guard's edge.
+# (registry config: value_tier_report — quadratic 5k^2 tiers,
+# bin_width=20.0)
+
+_TIER_GEOMS = {
+    # (name, tier SQL for DuckDB, spark builder): tier, lo, hi
+    "quadratic": "SELECT k AS tier, 5.0 * k * k AS lo, "
+                 "5.0 * (k + 1) * (k + 1) AS hi FROM range(10) t(k)",
+    "linear": "SELECT k AS tier, 30.0 * k AS lo, 30.0 * (k + 1) AS hi "
+              "FROM range(17) t(k)",
+    "two_band": "SELECT k AS tier, 250.0 * k AS lo, 250.0 * (k + 1) AS hi "
+                "FROM range(2) t(k)",
+}
+
+
+def _tiers_df(spark, geom):
+    if geom == "quadratic":
+        base = spark.range(10).select(
+            F.col("id").alias("tier"),
+            (F.col("id") * F.col("id") * F.lit(5.0)).alias("lo"),
+            ((F.col("id") + 1) * (F.col("id") + 1) * F.lit(5.0)).alias("hi"),
+        )
+    elif geom == "linear":
+        base = spark.range(17).select(
+            F.col("id").alias("tier"),
+            (F.col("id") * F.lit(30.0)).alias("lo"),
+            ((F.col("id") + 1) * F.lit(30.0)).alias("hi"),
+        )
+    else:
+        base = spark.range(2).select(
+            F.col("id").alias("tier"),
+            (F.col("id") * F.lit(250.0)).alias("lo"),
+            ((F.col("id") + 1) * F.lit(250.0)).alias("hi"),
+        )
+    return base
+
+
+@pytest.mark.parametrize(
+    "geom,bw",
+    [
+        ("quadratic", 20.0),  # registry config
+        ("quadratic", 3.0),
+        ("quadratic", 500.0),  # every interval inside one bin span
+        ("linear", 20.0),
+        ("linear", 7.5),
+        ("two_band", 100.0),
+    ],
+)
+def test_range_join_bin_width_sweep(spark, duck, geom, bw):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.range_join import (
+        range_join,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR).select(
+        "user_id", "value",
+        F.col("value").cast("decimal(20,6)").alias("value_dec"),
+    )
+    hit = range_join(ev, _tiers_df(spark, geom), "value", "lo", "hi", bin_width=bw)
+    got = (
+        hit.groupBy("tier", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("tier")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        WITH tiers AS ({_TIER_GEOMS[geom]})
+        SELECT tier, lo, hi, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                 AS sum_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events e JOIN tiers
+          ON e.value >= tiers.lo AND e.value < tiers.hi
+        GROUP BY tier, lo, hi ORDER BY tier
+    """).fetchdf()
+    _assert_same(got, want, f"range_join({geom},bw={bw})")
+
+
+def test_range_join_degenerate_width_refused(spark):
+    # a bin width that replicates one interval past the guard must
+    # raise the written refusal, never silently explode the join
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.range_join import (
+        range_join,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR).select("value")
+    with pytest.raises(Exception, match="max_bins_per_interval|bin_width"):
+        range_join(
+            ev, _tiers_df(spark, "quadratic"), "value", "lo", "hi",
+            bin_width=20.0, max_bins_per_interval=2,
+        ).count()
+
+
+@pytest.mark.parametrize("bw_sec", [3600, 28800, 604800])
+def test_session_attribution_bin_width_sweep(spark, duck, bw_sec):
+    # the attribution interval-join's bin width is likewise a pure
+    # execution knob: every width must reproduce the registry oracle
+    # (28800 is the registered width; 1h forces multi-bin sessions,
+    # a week collapses everything into one or two bins)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.range_join import (
+        range_join_ts,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sessions import (
+        session_stats,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    browse = ev.where(F.col("event_type") != "purchase")
+    sess = (
+        session_stats(browse, ordered=False)
+        .select("user_id", "session_id", "session_start", "session_end")
+        .localCheckpoint(eager=True)
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").cast("decimal(20,6)").alias("value_dec")
+    )
+    hit = range_join_ts(
+        purchases, sess, "ts", "session_start", "session_end",
+        bin_width_seconds=bw_sec, equi_keys=("user_id",),
+    )
+    got = (
+        hit.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value_dec").cast("double").alias("purchase_value"),
+        )
+        .orderBy("user_id", "session_id")
+        .toPandas()
+    )
+    import __spark_entry__ as entry_mod
+
+    want = duck.execute(entry_mod.oracle_sql()["session_attribution"]).fetchdf()
+    _assert_same(got, want, f"session_attribution(bw={bw_sec})")
