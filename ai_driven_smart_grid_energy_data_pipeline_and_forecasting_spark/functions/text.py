@@ -2014,7 +2014,13 @@ def vocab_coverage(
     # (conv goes through a string — exact for the full BIGINT range,
     # unlike float log2 whose rounding near 2^k is not trusted)
     band = F.length(F.conv(F.col("_c").cast("string"), 10, 2)).cast("int")
-    spec = spec.withColumn("_b", band)
+    # materialize the tiny spectrum ONCE: both the per-band offset
+    # collect below and the returned plan consume it, and without the
+    # checkpoint the returned lineage would re-run the corpus-scale
+    # explode + count shuffle a second time when the caller evaluates
+    # (r10 self-review finding) — the spectrum is ≤ √(2T) rows, so
+    # this is the cheap side to pin
+    spec = spec.withColumn("_b", band).localCheckpoint(eager=True)
     per_band = (
         spec.groupBy("_b")
         .agg(

@@ -225,8 +225,9 @@ def _lzw_decode(data: bytes, mcs: int, max_pixels: int) -> list[int]:
 
 def gif_decode(content: bytes) -> tuple[int, int, list]:
     """GIF bytes → (width, height, RGB rows top-down) — the FIRST
-    image frame; extension blocks skipped; interlace and missing color
-    tables refused loudly."""
+    image frame; extension blocks skipped; interlaced frames decode
+    via the four-pass row permutation; missing color tables refused
+    loudly."""
     b = bytes(content)
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
