@@ -1902,3 +1902,130 @@ def test_session_attribution_bin_width_sweep(spark, duck, bw_sec):
 
     want = duck.execute(entry_mod.oracle_sql()["session_attribution"]).fetchdf()
     _assert_same(got, want, f"session_attribution(bw={bw_sec})")
+
+
+# ---------------------------------------------------------------- #
+# winsorization: sweep the clamp fraction p (registry config: 0.01).
+# Sweep values beyond the registry's are EXACT binary fractions
+# (1/4, 1/8, 1/32) so ceil(p*n) is bit-identical across engines even
+# where DuckDB parses the literal as DECIMAL and Spark computes in
+# binary64 — the rank boundary must not depend on literal parsing.
+
+
+@pytest.mark.parametrize("p", [0.01, 0.25, 0.125, 0.03125])
+def test_winsorize_fraction_sweep(spark, duck, p):
+    ev = tables.load_table(spark, "events", SF_DIR)
+    got = R.winsorized_stats(ev, "event_type", "value", p=p).toPandas()
+    want = duck.execute(f"""
+        WITH v AS (
+          SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        counts AS (
+          SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+        ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value) AS rn
+          FROM v),
+        bounds AS (
+          SELECT r.event_type,
+                 min(CASE WHEN rn = greatest(
+                       CAST(ceil({p} * n) AS BIGINT), 1)
+                     THEN value END) AS lo,
+                 min(CASE WHEN rn = greatest(
+                       CAST(ceil((1.0 - {p}) * n) AS BIGINT), 1)
+                     THEN value END) AS hi,
+                 min(n) AS n
+          FROM ranked r JOIN counts c USING (event_type)
+          GROUP BY r.event_type)
+        SELECT v.event_type,
+               min(b.n) AS n, min(lo) AS lo, min(hi) AS hi,
+               CAST(sum(CAST(least(greatest(value, lo), hi)
+                             AS DECIMAL(20,6))) AS DOUBLE)
+                 / count(*) AS mean_winsorized
+        FROM v JOIN bounds b USING (event_type)
+        GROUP BY v.event_type ORDER BY v.event_type
+    """).fetchdf()
+    _assert_same(got, want, f"winsorize(p={p})")
+    # the clamp invariant: bounds tighten monotonically in p
+    assert (got["lo"] <= got["hi"]).all()
+
+
+# ---------------------------------------------------------------- #
+# gap fill: sweep the bounded forward-fill horizon (registry config:
+# max_fill_hours=6) — 1 (fill only adjacent holes), 24, and a horizon
+# wider than any gap (everything fillable fills). The oracle is the
+# registry SQL templated on the window frame.
+
+
+_GAP_FILL_TWIN = """
+    WITH b AS (
+      SELECT event_type AS site, CAST(ts AS TIMESTAMP) AS ts_utc,
+             value AS ghi_wm2, value - 150.0 AS t2m_c,
+             value / 50.0 AS ws10_mps,
+             CAST(ts AS TIMESTAMP) AS ingested_at
+      FROM events
+    ), v AS (
+      SELECT site, ts_utc, date_trunc('hour', ts_utc) AS ts_hour,
+             CASE WHEN ghi_wm2 >= 0 THEN ghi_wm2 END AS ghi_wm2,
+             CASE WHEN t2m_c BETWEEN -80 AND 80 THEN t2m_c END AS t2m_c,
+             CASE WHEN ws10_mps >= 0 THEN ws10_mps END AS ws10_mps,
+             ingested_at
+      FROM b
+    ), c AS (
+      SELECT * FROM v
+      WHERE ghi_wm2 IS NOT NULL AND t2m_c IS NOT NULL
+        AND ws10_mps IS NOT NULL
+    ), d AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY site, ts_hour
+        ORDER BY ingested_at DESC, ts_utc DESC) AS rn
+      FROM c
+    ), fact AS (
+      SELECT site, CAST(ts_hour AS TIMESTAMP) AS ts_utc,
+             ghi_wm2, t2m_c AS temp_c, ws10_mps AS wind_mps
+      FROM d WHERE rn = 1
+    ), spine AS (
+      SELECT site, unnest(generate_series(lo, hi,
+                          INTERVAL 1 HOUR)) AS ts_utc
+      FROM (SELECT site, min(ts_utc) AS lo, max(ts_utc) AS hi
+            FROM fact GROUP BY site)
+    ), dense AS (
+      SELECT s.site, CAST(s.ts_utc AS TIMESTAMP) AS ts_utc,
+             f.ghi_wm2, f.temp_c, f.wind_mps
+      FROM spine s LEFT JOIN fact f
+        ON s.site = f.site AND s.ts_utc = f.ts_utc
+    )
+    SELECT site, ts_utc,
+           last_value(ghi_wm2 IGNORE NULLS) OVER w AS ghi_wm2,
+           ghi_wm2 IS NULL
+             AND last_value(ghi_wm2 IGNORE NULLS) OVER w IS NOT NULL
+             AS ghi_wm2_filled,
+           last_value(temp_c IGNORE NULLS) OVER w AS temp_c,
+           temp_c IS NULL
+             AND last_value(temp_c IGNORE NULLS) OVER w IS NOT NULL
+             AS temp_c_filled,
+           last_value(wind_mps IGNORE NULLS) OVER w AS wind_mps,
+           wind_mps IS NULL
+             AND last_value(wind_mps IGNORE NULLS) OVER w IS NOT NULL
+             AS wind_mps_filled
+    FROM dense
+    WINDOW w AS (PARTITION BY site ORDER BY ts_utc
+                 ROWS BETWEEN {g} PRECEDING AND CURRENT ROW)
+    ORDER BY site, ts_utc
+"""
+
+
+@pytest.mark.parametrize("g", [1, 6, 24, 100000])
+def test_gap_fill_horizon_sweep(spark, duck, g):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        gold as G,
+        silver as SV,
+    )
+    import __spark_entry__ as entry_mod
+
+    bronze = entry_mod._pseudo_bronze(spark, SF_DIR)
+    got = G.gap_fill_hourly(
+        SV.clean_to_hourly(bronze), max_fill_hours=g
+    ).toPandas()
+    want = duck.execute(_GAP_FILL_TWIN.format(g=g)).fetchdf()
+    _assert_same(got, want, f"gap_fill(max_fill_hours={g})")
