@@ -8,14 +8,20 @@ spec's standard (Annex K) Huffman tables, JFIF YCbCr color. Encoder
 emits 4:4:4 (no chroma subsampling) or — with ``subsample=True`` —
 4:2:0 MCU-interleaved streams (2×2 luma blocks + box-averaged chroma
 per MCU, the most common real-world layout), plus single-component
-grayscale. The decoder accepts baseline streams with sampling factors
-in {1, 2} — 4:4:4, 4:2:0, 4:2:2, 4:4:0 and grayscale — with
-replication chroma upsampling and restart intervals (VERDICT r7 Next
-#5 lifted the 4:2:0 refusal), and REFUSES everything else loudly
-(progressive SOF2, arithmetic coding, 12-bit, sampling factors > 2) —
-the same narrow-profile-or-raise convention as the BMP/PGM/PNG/WAV
-codecs in ``binary_ops``: a wrong answer is worse than no answer at a
-codec boundary.
+grayscale, and — with ``progressive=True`` — a spectral-selection
+progressive (SOF2) scan script quantized identically to baseline.
+The decoder accepts baseline streams with sampling factors in
+{1, 2} — 4:4:4, 4:2:0, 4:2:2, 4:4:0 and grayscale — with replication
+chroma upsampling and restart intervals (VERDICT r7 Next #5 lifted
+the 4:2:0 refusal), and — r10 — PROGRESSIVE (SOF2) streams: spectral
+selection AND successive approximation, all four scan kinds of T.81
+G.1.2 including AC end-of-band runs and refinement correction bits
+(validated against a hand-built fixture, not just this encoder's own
+output). Everything else stays a loud refusal (arithmetic coding,
+12-bit, hierarchical, sampling factors > 2, restart intervals inside
+progressive streams) — the same narrow-profile-or-raise convention as
+the BMP/PGM/PNG/WAV codecs in ``binary_ops``: a wrong answer is worse
+than no answer at a codec boundary.
 
 Like the PNG decoder's deflate-bomb cap, all decoder allocation is
 bounded by the declared SOF dimensions (an entropy stream cannot make
@@ -204,11 +210,13 @@ def _magnitude(v: int) -> tuple[int, int]:
 # -------------------------------------------------------------- encoder
 
 
-def _encode_block(bw, plane, y0, x0, qt, dc_codes, ac_codes, pred):
-    """Huffman-encode the 8×8 block of ``plane`` at (y0, x0) — edge
+def _quantize_block(plane, y0, x0, qt) -> np.ndarray:
+    """DCT + quantize the 8×8 block of ``plane`` at (y0, x0) — edge
     replication for partial blocks (spec-recommended) — returning the
-    new DC predictor. One definition shared by the 4:4:4 and 4:2:0
-    block loops so the per-block entropy coding can never diverge."""
+    quantized coefficients in ZIGZAG order. Shared by the baseline
+    entropy coder and the progressive scan-script emitter so the two
+    modes quantize identically (their decodes must agree pixel for
+    pixel)."""
     h, w = plane.shape
     block = np.zeros((8, 8))
     ys, xs = min(8, h - y0), min(8, w - x0)
@@ -219,7 +227,15 @@ def _encode_block(bw, plane, y0, x0, qt, dc_codes, ac_codes, pred):
         block[:, xs:] = block[:, xs - 1 : xs]
     coef = _C @ block @ _C.T
     q = np.round(coef / qt.reshape(8, 8)).astype(np.int64).reshape(64)
-    zz = q[ZIGZAG]
+    return q[ZIGZAG]
+
+
+def _encode_block(bw, plane, y0, x0, qt, dc_codes, ac_codes, pred):
+    """Huffman-encode the 8×8 block of ``plane`` at (y0, x0),
+    returning the new DC predictor. One definition shared by the
+    4:4:4 and 4:2:0 block loops so the per-block entropy coding can
+    never diverge."""
+    zz = _quantize_block(plane, y0, x0, qt)
     diff = int(zz[0]) - pred
     s, bits_v = _magnitude(diff)
     code, ln = dc_codes[s]
@@ -252,6 +268,7 @@ def jpeg_encode(
     quality: int = 90,
     grayscale: bool = False,
     subsample: bool = False,
+    progressive: bool = False,
 ) -> bytes:
     """RGB rows (top-down, pixel = (r, g, b)) → baseline JFIF bytes.
     Default 4:4:4 interleaved; ``subsample=True`` emits the 4:2:0
@@ -259,7 +276,16 @@ def jpeg_encode(
     MCU = 4 luma + 1 Cb + 1 Cr blocks — the layout most real-world
     encoders default to). With ``grayscale=True`` the rows hold plain
     0–255 ints and a single-component stream is emitted (``subsample``
-    is meaningless there and refused)."""
+    is meaningless there and refused).
+
+    ``progressive=True`` emits a SPECTRAL-SELECTION progressive stream
+    (SOF2): one interleaved DC scan, then per-component AC band scans
+    (1–5, 6–63), all at full precision (Ah=Al=0). Quantization is
+    byte-identical to the baseline mode (same ``_quantize_block``), so
+    a progressive stream decodes to EXACTLY the pixels of its baseline
+    sibling — the round-trip tests pin that identity. (Successive-
+    approximation ENCODING is deliberately not offered; the decoder
+    handles those streams, covered by a hand-built fixture.)"""
     h = len(rows)
     w = len(rows[0]) if h else 0
     if h == 0 or w == 0:
@@ -291,9 +317,18 @@ def jpeg_encode(
         _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
     ]
 
-    bw = _BitWriter()
+    if progressive:
+        scans = _progressive_scans(
+            planes, h, w, nc, qts, enc_dc, enc_ac, subsample
+        )
+        bw = None
+    else:
+        scans = None
+        bw = _BitWriter()
     pred = [0] * nc
-    if not subsample:
+    if progressive:
+        pass
+    elif not subsample:
         bh, bwid = (h + 7) // 8, (w + 7) // 8
         for by in range(bh):
             for bx in range(bwid):
@@ -340,7 +375,8 @@ def jpeg_encode(
                         bw, chroma[ci - 1], my * 8, mx * 8,
                         qts[1], enc_dc[1], enc_ac[1], pred[ci],
                     )
-    bw.flush()
+    if bw is not None:
+        bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -356,7 +392,7 @@ def jpeg_encode(
     for cid in range(1, nc + 1):
         samp = 0x22 if (subsample and cid == 1) else 0x11
         sof += bytes([cid, samp, 0 if cid == 1 else 1])
-    out += seg(0xFFC0, sof)
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     dht_specs = [
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
         (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
@@ -370,15 +406,149 @@ def jpeg_encode(
         out += seg(
             0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         )
+    if progressive:
+        for sos_payload, entropy in scans:
+            out += seg(0xFFDA, sos_payload)
+            out += entropy
+    else:
+        sos = bytes([nc])
+        for cid in range(1, nc + 1):
+            t = 0 if cid == 1 else 1
+            sos += bytes([cid, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += seg(0xFFDA, sos)
+        out += bw.out
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def _progressive_scans(
+    planes, h, w, nc, qts, enc_dc, enc_ac, subsample
+) -> list[tuple[bytes, bytes]]:
+    """Build the spectral-selection scan script: quantize every block
+    once (identically to the baseline path), then emit one interleaved
+    DC scan followed by per-component AC band scans (1–5, 6–63) at
+    Ah=Al=0. Returns [(SOS payload, entropy bytes), ...]."""
+    # quantized zigzag blocks per component, in the layout the
+    # INTERLEAVED DC scan walks (MCU-padded for 4:2:0)
+    if not subsample:
+        grids = []
+        for ci in range(nc):
+            tbl = 0 if ci == 0 else 1
+            qt = qts[tbl]
+            bh, bwid = (h + 7) // 8, (w + 7) // 8
+            grids.append(
+                [
+                    [
+                        _quantize_block(planes[ci], by * 8, bx * 8, qt)
+                        for bx in range(bwid)
+                    ]
+                    for by in range(bh)
+                ]
+            )
+        samp = [(1, 1)] * nc
+    else:
+        ph, pw = ((h + 15) // 16) * 16, ((w + 15) // 16) * 16
+        padded = []
+        for plane in planes:
+            p = np.empty((ph, pw))
+            p[:h, :w] = plane
+            p[:h, w:] = plane[:, w - 1 : w]
+            p[h:, :] = p[h - 1 : h, :]
+            padded.append(p)
+        chroma = [
+            0.25
+            * (
+                p[0::2, 0::2] + p[0::2, 1::2]
+                + p[1::2, 0::2] + p[1::2, 1::2]
+            )
+            for p in padded[1:]
+        ]
+        srcs = [padded[0], chroma[0], chroma[1]]
+        grids = []
+        for ci, src in enumerate(srcs):
+            tbl = 0 if ci == 0 else 1
+            qt = qts[tbl]
+            gh, gw = src.shape[0] // 8, src.shape[1] // 8
+            grids.append(
+                [
+                    [
+                        _quantize_block(src, by * 8, bx * 8, qt)
+                        for bx in range(gw)
+                    ]
+                    for by in range(gh)
+                ]
+            )
+        samp = [(2, 2), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    scans: list[tuple[bytes, bytes]] = []
+    # ---- DC scan: all components, interleaved in MCU order
+    bw_dc = _BitWriter()
+    pred = [0] * nc
+    mcuy = len(grids[0]) // samp[0][1]
+    mcux = len(grids[0][0]) // samp[0][0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hc, vc = samp[ci]
+                tbl = 0 if ci == 0 else 1
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        dc = int(
+                            grids[ci][my * vc + byy][mx * hc + bxx][0]
+                        )
+                        s, bits_v = _magnitude(dc - pred[ci])
+                        code, ln = enc_dc[tbl][s]
+                        bw_dc.put(code, ln)
+                        if s:
+                            bw_dc.put(bits_v, s)
+                        pred[ci] = dc
+    bw_dc.flush()
     sos = bytes([nc])
     for cid in range(1, nc + 1):
         t = 0 if cid == 1 else 1
         sos += bytes([cid, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
-    out += bw.out
-    out += b"\xFF\xD9"  # EOI
-    return bytes(out)
+    sos += bytes([0, 0, 0])  # Ss=0, Se=0, Ah=Al=0
+    scans.append((sos, bytes(bw_dc.out)))
+    # ---- AC band scans: single-component, NON-interleaved grids
+    # (T.81 A.1.1 component dims — a subset of the padded DC grid
+    # when the frame is not an MCU multiple)
+    for ci in range(nc):
+        hc, vc = samp[ci]
+        tbl = 0 if ci == 0 else 1
+        cw = -(-w * hc // hmax)
+        ch = -(-h * vc // vmax)
+        gbw, gbh = -(-cw // 8), -(-ch // 8)
+        for ss, se in ((1, 5), (6, 63)):
+            bwr = _BitWriter()
+            for by in range(gbh):
+                for bx in range(gbw):
+                    zz = grids[ci][by][bx]
+                    run = 0
+                    for k in range(ss, se + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = enc_ac[tbl][0xF0]
+                            bwr.put(code, ln)
+                            run -= 16
+                        s, bits_v = _magnitude(v)
+                        code, ln = enc_ac[tbl][(run << 4) | s]
+                        bwr.put(code, ln)
+                        bwr.put(bits_v, s)
+                        run = 0
+                    if run:  # EOB0: end-of-band run of exactly 1
+                        code, ln = enc_ac[tbl][0x00]
+                        bwr.put(code, ln)
+            bwr.flush()
+            t = 0 if ci == 0 else 1
+            sos = bytes([1, ci + 1, (t << 4) | t, ss, se, 0])
+            scans.append((sos, bytes(bwr.out)))
+    return scans
 
 
 # -------------------------------------------------------------- decoder
@@ -476,6 +646,11 @@ def jpeg_decode(
     restart_interval = 0
     i = 2
     scan = None
+    progressive = False
+    # progressive scans: (scan_comps, Ss, Se, Ah, Al, tables, data_pos)
+    # — Huffman tables resolve AT PARSE TIME because DHT segments may
+    # legally redefine tables between scans
+    prog_scans: list = []
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -500,11 +675,13 @@ def jpeg_decode(
                     nat[ZIGZAG[k]] = zz[k]
                 qts[tq] = nat
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "unsupported JPEG process (need baseline sequential SOF0)"
+                "unsupported JPEG process (need baseline SOF0 or "
+                "progressive SOF2)"
             )
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if len(payload) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
@@ -554,16 +731,67 @@ def jpeg_decode(
                 raise ValueError("truncated JPEG DRI segment")
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:  # SOS
-            if len(payload) < 1 or len(payload) < 1 + 2 * payload[0]:
+            if len(payload) < 1 or len(payload) < 4 + 2 * payload[0]:
                 raise ValueError("truncated JPEG SOS segment")
             ns = payload[0]
             scan_comps = []
             for c in range(ns):
                 cs, tt = payload[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append((cs, tt >> 4, tt & 15))
-            scan = (scan_comps, i + 2 + ln)
-            break
+            if not progressive:
+                scan = (scan_comps, i + 2 + ln)
+                break
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ah = payload[3 + 2 * ns] >> 4
+            al = payload[3 + 2 * ns] & 15
+            # resolve only the tables this scan KIND actually reads:
+            # DC-refinement scans are raw bits (no Huffman at all),
+            # and a DC scan never touches the AC slot (T.81 G.1.2)
+            tabs = []
+            for cs, dc_t, ac_t in scan_comps:
+                need = None
+                if ss == 0 and ah == 0:
+                    need = (0, dc_t)
+                elif ss > 0:
+                    need = (1, ac_t)
+                t = None
+                if need is not None:
+                    t = huff.get(need)
+                    if t is None:
+                        raise ValueError(
+                            f"missing JPEG huffman table {need} for "
+                            f"progressive scan component {cs}"
+                        )
+                tabs.append(t)
+            data_pos = i + 2 + ln
+            # entropy data runs to the next real marker (stuffed 0x00
+            # and RSTn bytes belong to the scan)
+            j = data_pos
+            while j + 1 < len(b):
+                if (
+                    b[j] == 0xFF
+                    and b[j + 1] != 0x00
+                    and not (0xD0 <= b[j + 1] <= 0xD7)
+                ):
+                    break
+                j += 1
+            prog_scans.append(
+                (scan_comps, ss, se, ah, al, tabs, data_pos)
+            )
+            i = j
+            continue
         i += 2 + ln
+    if progressive:
+        if sof is None or not prog_scans:
+            raise ValueError("missing JPEG SOF/SOS")
+        if restart_interval:
+            raise ValueError(
+                "restart intervals in progressive JPEG streams are "
+                "unsupported (DRI + SOF2)"
+            )
+        fw, fh, comps = sof
+        return _decode_progressive(b, fw, fh, comps, qts, prog_scans)
     if sof is None or scan is None:
         raise ValueError("missing JPEG SOF/SOS")
     fw, fh, comps = sof
@@ -654,9 +882,19 @@ def jpeg_decode(
                             (my * vc + byy) * 8,
                             (mx * hc + bxx) * 8,
                         )
-    # replication upsampling to full resolution (box-subsampled chroma
-    # comes back as its nearest-neighbor expansion), then crop the MCU
-    # padding to the declared dimensions
+    return _reconstruct(planes, comps, fw, fh)
+
+
+def _reconstruct(
+    planes: list, comps: list, fw: int, fh: int
+) -> tuple[int, int, list]:
+    """Shared decode tail (baseline + progressive): replication
+    upsampling to full resolution (box-subsampled chroma comes back as
+    its nearest-neighbor expansion), crop the MCU padding to the
+    declared dimensions, then JFIF YCbCr→RGB (or grayscale fan-out)."""
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for ci, (_, hc, vc, _) in enumerate(comps):
         p = planes[ci]
@@ -683,3 +921,220 @@ def jpeg_decode(
         for yy in range(fh)
     ]
     return fw, fh, rows
+
+
+# --------------------------------------------------- progressive decode
+
+
+def _decode_progressive(
+    b: bytes, fw: int, fh: int, comps: list, qts: dict, scans: list
+) -> tuple[int, int, list]:
+    """Progressive (SOF2) decode: every scan deposits bits into
+    per-component ZIGZAG-ORDER coefficient arrays — spectral selection
+    picks the band [Ss, Se], successive approximation the bit plane
+    (first pass Ah=0 codes values at precision Al; refinement passes
+    Ah=Al+1 append one bit) — and one dequantize+IDCT pass at the end
+    reconstructs pixels. The four scan kinds follow T.81 G.1.2 (the
+    same algorithms libjpeg's decode_mcu_DC/AC_first/refine implement
+    from the spec; reimplemented here from the public description):
+
+    * DC first  (Ss=0, Ah=0): baseline DC diff coding, value << Al;
+      interleaved in MCU order when the scan names several components.
+    * DC refine (Ss=0, Ah>0): one raw bit per block ORed at bit Al.
+    * AC first  (Ss>0, Ah=0): run/size coding inside the band plus
+      EOBn end-of-band RUNS (eobrun = 2^r − 1 + r extra bits of blocks
+      beyond this one with nothing in the band). Single-component by
+      spec — AC scans are never interleaved.
+    * AC refine (Ss>0, Ah>0): for each coded symbol, one correction
+      bit per already-nonzero coefficient passed over, zero-history
+      runs positioned by r, new coefficients appear as ±2^Al
+      (magnitude must be 1); EOBn here counts the CURRENT block and
+      the remainder of every EOB-run block still receives correction
+      bits for its nonzero history.
+
+    Correction-bit arithmetic uses two's-complement bit tests
+    ((coef & 2^Al) == 0 → move the magnitude up one bit away from
+    zero), which Python's infinite-precision & reproduces exactly for
+    negative values.
+
+    Allocation stays SOF-bounded as in the baseline path: coefficient
+    arrays are (MCU-padded blocks) × 64 per component, capped by the
+    MAX_PIXELS refusal on fw·fh before any scan work."""
+    nc = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    coefs = [
+        np.zeros((mcuy * vc, mcux * hc, 64), dtype=np.int64)
+        for (_, hc, vc, _) in comps
+    ]
+    # non-interleaved block grids derive from the COMPONENT dimensions
+    # (T.81 A.1.1: ceil(f·h/hmax) samples), NOT the MCU-padded grid —
+    # a 4:2:0 luma plane at fh=17 has 3 block rows non-interleaved but
+    # 4 in the padded interleaved grid
+    nbw, nbh = [], []
+    for _, hc, vc, _ in comps:
+        cw = -(-fw * hc // hmax)
+        ch = -(-fh * vc // vmax)
+        nbw.append(-(-cw // 8))
+        nbh.append(-(-ch // 8))
+    cidx = {c[0]: i for i, c in enumerate(comps)}
+
+    for scan_comps, ss, se, ah, al, tabs, dpos in scans:
+        if not (0 <= ss <= se <= 63):
+            raise ValueError(f"bad JPEG spectral band [{ss}, {se}]")
+        for cs, _, _ in scan_comps:
+            if cs not in cidx:
+                raise ValueError(
+                    f"JPEG scan names unknown component {cs}"
+                )
+        br = _BitReader(b, dpos)
+        try:
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive JPEG DC scan must have Se=0 "
+                        "(a baseline-coded stream marked SOF2?)"
+                    )
+                _scan_dc(
+                    br, scan_comps, cidx, comps, coefs, nbw, nbh,
+                    mcux, mcuy, ah, al, tabs,
+                )
+            else:
+                if len(scan_comps) != 1:
+                    raise ValueError(
+                        "progressive JPEG AC scans are single-component"
+                    )
+                ci = cidx[scan_comps[0][0]]
+                _scan_ac(
+                    br, coefs[ci], nbw[ci], nbh[ci], ss, se, ah, al,
+                    tabs[0],
+                )
+        except _MarkerReached as exc:
+            raise ValueError("truncated JPEG entropy stream") from exc
+
+    planes = []
+    for ci, (_, hc, vc, tq) in enumerate(comps):
+        qt = qts.get(tq)
+        if qt is None:
+            raise ValueError("missing JPEG quant table")
+        arr = coefs[ci]
+        plane = np.zeros((arr.shape[0] * 8, arr.shape[1] * 8))
+        for by in range(arr.shape[0]):
+            for bx in range(arr.shape[1]):
+                nat = np.zeros(64, dtype=np.float64)
+                nat[ZIGZAG] = arr[by, bx]
+                coef = (nat * qt).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C.T @ coef @ _C
+                )
+        planes.append(plane)
+    return _reconstruct(planes, comps, fw, fh)
+
+
+def _scan_dc(
+    br, scan_comps, cidx, comps, coefs, nbw, nbh, mcux, mcuy, ah, al,
+    tabs,
+):
+    """One progressive DC scan: interleaved in MCU order when the scan
+    names several components (each contributes its hc×vc blocks per
+    MCU), non-interleaved block-raster order for a single component."""
+    pred = [0] * len(scan_comps)
+
+    def block(si, ci, by, bx):
+        blk = coefs[ci][by, bx]
+        if ah == 0:
+            s = _huff_decode(br, tabs[si])
+            diff = _extend(br.bits(s), s) if s else 0
+            pred[si] += diff
+            blk[0] = pred[si] << al
+        elif br.bit():
+            blk[0] |= 1 << al
+
+    if len(scan_comps) == 1:
+        ci = cidx[scan_comps[0][0]]
+        for by in range(nbh[ci]):
+            for bx in range(nbw[ci]):
+                block(0, ci, by, bx)
+        return
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (cs, _, _) in enumerate(scan_comps):
+                ci = cidx[cs]
+                _, hc, vc, _ = comps[ci]
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        block(si, ci, my * vc + byy, mx * hc + bxx)
+
+
+def _scan_ac(br, arr, bw_blocks, bh_blocks, ss, se, ah, al, actab):
+    """One progressive AC scan over a single component's blocks in
+    raster order — first pass (Ah=0) or refinement (Ah>0)."""
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            blk = arr[by, bx]
+            if ah == 0:
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huff_decode(br, actab)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: sixteen zeros
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC run past band end")
+                    blk[k] = _extend(br.bits(s), s) << al
+                    k += 1
+                continue
+            # refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(br, actab)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: position over 16 zero-history slots
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "bad JPEG AC refinement magnitude"
+                            )
+                        newval = p1 if br.bit() else m1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if br.bit() and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0 and br.bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1

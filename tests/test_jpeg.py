@@ -160,12 +160,20 @@ def test_grayscale_single_component_stream():
 def test_refuses_non_baseline_profiles():
     with pytest.raises(ValueError, match="not a JPEG"):
         jpeg_decode(b"nope")
-    # progressive: rewrite our SOF0 marker to SOF2
+    # arithmetic coding: rewrite our SOF0 marker to SOF9
     data = bytearray(jpeg_encode(_gradient(8, 8)))
     i = data.find(b"\xFF\xC0")
     assert i > 0
+    data[i + 1] = 0xC9
+    with pytest.raises(ValueError, match="unsupported JPEG process"):
+        jpeg_decode(bytes(data))
+    # a BASELINE-coded stream merely relabeled SOF2 is not a valid
+    # progressive stream (its one scan says Ss=0, Se=63 — a DC scan
+    # may not carry a band) — refused, never decoded as garbage
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    i = data.find(b"\xFF\xC0")
     data[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(data))
     # sampling factors above 2 (e.g. 4:1:1's 4x1 luma) stay refused —
     # r8 lifted the 4:2:0/4:2:2 refusal, not the whole lattice
@@ -262,3 +270,216 @@ def test_jpeg_through_spark_kernels(spark):
     src = jpeg_decode(bytes(media.collect()[0].content))[2]
     want = [[src[y * 4][x * 4] for x in range(4)] for y in range(4)]
     assert _err(want, got) <= 24.0
+
+
+# ------------------------------------------------- progressive (r10)
+
+
+def test_progressive_roundtrip_identical_to_baseline():
+    # the progressive encoder quantizes with the same _quantize_block
+    # as baseline, so its decode must equal the baseline decode PIXEL
+    # FOR PIXEL across layouts — incl. a non-MCU-multiple 4:2:0 frame,
+    # where the interleaved DC grid (padded) and the non-interleaved
+    # AC grids (component dims) genuinely differ
+    cases = [
+        (dict(), 16, 16),
+        (dict(), 20, 14),
+        (dict(subsample=True), 32, 32),
+        (dict(subsample=True), 24, 17),
+        (dict(grayscale=True), 20, 12),
+    ]
+    for kwargs, w, h in cases:
+        if kwargs.get("grayscale"):
+            rows = [[(x * 9 + y * 5) % 256 for x in range(w)] for y in range(h)]
+        else:
+            rows = [
+                [((x * 11) % 256, (y * 7) % 256, ((x + y) * 5) % 256)
+                 for x in range(w)]
+                for y in range(h)
+            ]
+        base = jpeg_decode(jpeg_encode(rows, quality=90, **kwargs))
+        prog = jpeg_decode(
+            jpeg_encode(rows, quality=90, progressive=True, **kwargs)
+        )
+        assert base == prog, (kwargs, w, h)
+
+
+def test_progressive_solid_tiles_exact():
+    # the 4:2:0 sample-exactness construction of
+    # test_jpeg420_tiled_fixture_decodes_sample_exactly (16x16 solid
+    # tiles = constant per MCU, quality 97 = DC quant step 1) must
+    # survive the progressive scan script unchanged
+    import hashlib
+
+    colors = [
+        tuple(
+            int(hashlib.md5(f"t{t}_{c}".encode()).hexdigest()[:2], 16)
+            for c in range(3)
+        )
+        for t in range(8)
+    ]
+    rows = _tiled(64, 32, 16, colors)
+    data = jpeg_encode(rows, quality=97, subsample=True, progressive=True)
+    w, h, back = jpeg_decode(data)
+    assert (w, h) == (64, 32)
+    assert _err(rows, back) == 0.0
+    # and the stream really is SOF2 with multiple scans
+    assert data.find(b"\xFF\xC2") > 0 and data.find(b"\xFF\xC0") < 0
+    assert data.count(b"\xFF\xDA") >= 7  # 1 DC + 3 comps x 2 bands
+
+
+def _build_sa_fixture():
+    """Hand-build a SUCCESSIVE-APPROXIMATION progressive stream —
+    independent of jpeg_encode, so the decoder's Ah/Al paths are
+    validated against a stream whose expected coefficients were
+    chosen by hand, not against this codec's own encoder.
+
+    Grayscale 16x8 (two blocks), quant table all ones. True quantized
+    zigzag coefficients: block A: DC=5, zz[1]=3, zz[2]=-2, zz[5]=1;
+    block B: DC=-3 only. Scan script:
+      1. DC first  Al=1: diffs of DC>>1 (arithmetic): +2, then -4
+      2. DC refine Al=0: bits 1, 1   (5 = 4|1; -3 = -4|1)
+      3. AC first  Al=1, band 1-63: A codes 1, -1 (3 and -2 truncated
+         toward zero), zz[5] vanishes at this precision; EOB1 with
+         appended bit 0 ends A and swallows B (eobrun = 1)
+      4. AC refine Al=0: A: symbol (r=2, s=1) inserts +1 at zz[5]
+         after two zero-history skips, with correction bits 1 (3=2+1)
+         and 0 (-2 stays) consumed while positioning over zz[1], zz[2];
+         then EOB0; B: EOB0
+    """
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _magnitude,
+    )
+
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    # the baseline Annex K AC tables carry NO EOBn symbols (0x10 etc.
+    # exist only in progressive streams), so the fixture defines its
+    # own five-symbol AC table: EOB0, (0,1), (0,2), EOB1, (2,1)
+    ac_bits = [0, 0, 5] + [0] * 13
+    ac_vals = [0x00, 0x01, 0x02, 0x10, 0x21]
+    ac = _canonical_codes(ac_bits, ac_vals)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))  # qt0 = all ones
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    def sos(ss, se, ah, al):
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=1 — diffs +2 then -4
+    bw = _BitWriter()
+    for diff in (2, -4):
+        s, bits = _magnitude(diff)
+        code, ln = dc[s]
+        bw.put(code, ln)
+        bw.put(bits, s)
+    bw.flush()
+    out += sos(0, 0, 0, 1) + bw.out
+    # scan 2: DC refine, Al=0 — low bits 1, 1
+    bw = _BitWriter()
+    bw.put(1, 1)
+    bw.put(1, 1)
+    bw.flush()
+    out += sos(0, 0, 1, 0) + bw.out
+    # scan 3: AC first, Al=1 — A: 1 at zz[1], -1 at zz[2], EOB1(+0)
+    bw = _BitWriter()
+    for v in (1, -1):
+        s, bits = _magnitude(v)
+        code, ln = ac[s]  # run 0
+        bw.put(code, ln)
+        bw.put(bits, s)
+    code, ln = ac[0x10]  # EOB1: eobrun = 2^1 - 1 + appended bit
+    bw.put(code, ln)
+    bw.put(0, 1)
+    bw.flush()
+    out += sos(1, 63, 0, 1) + bw.out
+    # scan 4: AC refine, Al=0 — A: (r=2,s=1) + sign(+) + corr 1, 0;
+    # EOB0; B: EOB0
+    bw = _BitWriter()
+    code, ln = ac[0x21]
+    bw.put(code, ln)
+    bw.put(1, 1)  # sign: +1
+    bw.put(1, 1)  # correction for zz[1]: 2 -> 3
+    bw.put(0, 1)  # correction for zz[2]: -2 stays
+    code, ln = ac[0x00]
+    bw.put(code, ln)  # EOB for rest of A
+    bw.put(code, ln)  # EOB for B
+    bw.flush()
+    out += sos(1, 63, 1, 0) + bw.out
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def test_progressive_successive_approximation_fixture():
+    import numpy as np
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        ZIGZAG,
+        _C,
+    )
+
+    w, h, back = jpeg_decode(_build_sa_fixture())
+    assert (w, h) == (16, 8)
+    # expected pixels from the HAND-CHOSEN coefficients via the same
+    # orthonormal IDCT, computed here independently of the decoder's
+    # entropy path
+    zz_a = np.zeros(64, dtype=np.int64)
+    zz_a[0], zz_a[1], zz_a[2], zz_a[5] = 5, 3, -2, 1
+    zz_b = np.zeros(64, dtype=np.int64)
+    zz_b[0] = -3
+    expect = np.zeros((8, 16))
+    for bx, zz in ((0, zz_a), (1, zz_b)):
+        nat = np.zeros(64)
+        nat[ZIGZAG] = zz
+        expect[:, bx * 8 : bx * 8 + 8] = _C.T @ nat.reshape(8, 8) @ _C
+    exp = np.rint(np.clip(expect + 128.0, 0, 255)).astype(int)
+    got = np.array([[p[0] for p in row] for row in back])
+    assert (got == exp).all(), (got - exp)
+    # grayscale fan-out
+    assert all(p[0] == p[1] == p[2] for row in back for p in row)
+
+
+def test_progressive_refusals():
+    # DRI + SOF2: restart intervals inside progressive streams refused
+    data = bytearray(
+        jpeg_encode(_gradient(16, 16), progressive=True)
+    )
+    i = data.find(b"\xFF\xC2")
+    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
+    patched = bytes(data[:i]) + dri + bytes(data[i:])
+    with pytest.raises(ValueError, match="restart intervals"):
+        jpeg_decode(patched)
+    # an interleaved AC scan is invalid progressive syntax: patch the
+    # first AC SOS (single-component) to claim ns=2 would break the
+    # header length; instead check a DC-banded scan is refused via the
+    # relabeled-baseline case in test_refuses_non_baseline_profiles.
+    # Here: AC refinement magnitude must be 1 — corrupt scan 4's
+    # symbol to (r=0, s=2) and expect the loud error
+    fx = bytearray(_build_sa_fixture())
+    # locate scan 4 (last SOS): payload byte AhAl == 0x10, Ss=1
+    idx = fx.rfind(b"\xFF\xDA")
+    assert fx[idx + 2 : idx + 4] == b"\x00\x08"  # length 8
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    # the fixture's own AC table (see _build_sa_fixture)
+    ac = _canonical_codes([0, 0, 5] + [0] * 13, [0x00, 0x01, 0x02, 0x10, 0x21])
+    bw = _BitWriter()
+    code, ln = ac[0x02]  # r=0, s=2: illegal in a refinement scan
+    bw.put(code, ln)
+    bw.put(3, 2)
+    bw.flush()
+    patched = bytes(fx[: idx + 10]) + bw.out + b"\xFF\xD9"
+    with pytest.raises(ValueError, match="refinement magnitude"):
+        jpeg_decode(patched)
