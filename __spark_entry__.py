@@ -3187,6 +3187,21 @@ def q_media_jpeg420_audit(spark, sf_dir):
     return jpeg420_roundtrip_audit(_t(spark, sf_dir, "documents"))
 
 
+def q_media_jpeg_prog_audit(spark, sf_dir):
+    # Progressive (SOF2) JPEG roundtrip certified by the oracle (new
+    # r10): the jpeg420 solid-tile sample-exactness construction
+    # emitted through the spectral-selection scan script and decoded
+    # through the multi-scan coefficient-accumulation path; the kernel
+    # asserts SOF2 + >= 7 scans + pixel equality, the oracle
+    # recomputes the means codec-free from the md5 derivation.
+    # multimodal/binary_ops.jpeg_progressive_audit.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        jpeg_progressive_audit,
+    )
+
+    return jpeg_progressive_audit(_t(spark, sf_dir, "documents"))
+
+
 
 def q_events_zscore(spark, sf_dir):
     # Per-type z-score standardization with ORDER-INDEPENDENT moments
@@ -3630,6 +3645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_search_indexed": q_doc_search_indexed,
         "click_attribution_outer": q_click_attribution_outer,
         "media_jpeg420_audit": q_media_jpeg420_audit,
+        # --- new r10: progressive-JPEG byte-path audit -----------------------
+        "media_jpeg_prog_audit": q_media_jpeg_prog_audit,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "order_size_price_spearman": q_order_size_price_spearman,
@@ -6390,6 +6407,26 @@ def _oracle_sql_base() -> dict[str, str]:
               SELECT d.doc_id, t.t, c.c,
                      CAST(('0x' || substr(md5(
                        'jt_' || CAST(d.doc_id AS VARCHAR) || '_' ||
+                       CAST(t.t AS VARCHAR) || '_' ||
+                       CAST(c.c AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+                       AS val
+              FROM d, unnest([0, 1]) AS t(t), unnest([0, 1, 2]) AS c(c))
+            SELECT doc_id, CAST(32 AS INT) AS width,
+                   CAST(16 AS INT) AS height,
+                   CAST(sum(val) * 256 AS DOUBLE) / 1536 AS mean_px
+            FROM v GROUP BY doc_id ORDER BY doc_id
+        """,
+        # same codec-free md5 recomputation with the 'jp_' tile key —
+        # the Spark side must decode the PROGRESSIVE stream to these
+        # exact means (kernel asserts SOF2 + scan count + pixel
+        # equality before emitting)
+        "media_jpeg_prog_audit": """
+            WITH d AS (
+              SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),
+            v AS (
+              SELECT d.doc_id, t.t, c.c,
+                     CAST(('0x' || substr(md5(
+                       'jp_' || CAST(d.doc_id AS VARCHAR) || '_' ||
                        CAST(t.t AS VARCHAR) || '_' ||
                        CAST(c.c AS VARCHAR)), 1, 8)) AS BIGINT) % 256
                        AS val

@@ -823,6 +823,77 @@ def jpeg420_roundtrip_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
     )
 
 
+def jpeg_progressive_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
+    """Oracle-checkable proof of the PROGRESSIVE (SOF2) JPEG byte path
+    (r10): the ``jpeg420_roundtrip_audit`` construction — per doc id a
+    32×16 raster of two solid 16×16 tiles, tile t's channel c =
+    ``h32("jp_<d>_<t>_<c>") mod 256``, encoded 4:2:0 at quality 97 —
+    emitted through the progressive scan script
+    (``jpeg_encode(progressive=True)``: interleaved DC scan + two AC
+    band scans per component) and decoded back through the multi-scan
+    coefficient-accumulation path. The same solid-tile argument makes
+    the lossy codec sample-exact, so the kernel ASSERTS pixel equality
+    AND that the stream really is SOF2 with ≥ 7 scans (a silent
+    fallback to baseline would be a vacuous pass), and the SQL oracle
+    recomputes the decoded means from the md5 derivation with no
+    codec. A hash match certifies spectral-selection encode →
+    multi-scan entropy decode → dequantize/IDCT → upsample → color
+    transform inside the standard correctness gate."""
+    import hashlib
+
+    from .jpeg import jpeg_decode, jpeg_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                colors = [
+                    tuple(
+                        int(
+                            hashlib.md5(
+                                f"jp_{d}_{t}_{c}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % 256
+                        for c in range(3)
+                    )
+                    for t in range(2)
+                ]
+                rows = [
+                    [colors[x // 16] for x in range(32)] for y in range(16)
+                ]
+                data = jpeg_encode(
+                    rows, quality=97, subsample=True, progressive=True
+                )
+                assert data.find(b"\xFF\xC2") > 0, "stream is not SOF2"
+                assert data.count(b"\xFF\xDA") >= 7, "missing scans"
+                w, h, back = jpeg_decode(data)
+                assert (w, h) == (32, 16)
+                assert back == rows, (
+                    f"progressive decode not sample-exact (doc {d})"
+                )
+                total = sum(ch for row in back for px in row for ch in px)
+                ids.append(d)
+                means.append(total / (32 * 16 * 3))
+            yield pd.DataFrame({"doc_id": ids, "mean_px": means})
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .distinct()
+        .mapInPandas(run, "doc_id long, mean_px double")
+        .select(
+            "doc_id",
+            F.lit(32).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            "mean_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def audio_frame_audit(
     docs: DataFrame,
     n_docs: int = 32,

@@ -211,6 +211,7 @@ HEADLINE = [
     "doc_search_indexed",
     "click_attribution_outer",
     "media_jpeg420_audit",
+    "media_jpeg_prog_audit",
     "doc_winnow_pairs",
     "corpus_zipf_fit",
     "order_size_price_spearman",

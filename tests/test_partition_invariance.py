@@ -80,6 +80,7 @@ NEW_R5 = [
     "doc_search_indexed",
     "click_attribution_outer",
     "media_jpeg420_audit",
+    "media_jpeg_prog_audit",
     "doc_winnow_pairs",
     "corpus_zipf_fit",
     "order_size_price_spearman",
