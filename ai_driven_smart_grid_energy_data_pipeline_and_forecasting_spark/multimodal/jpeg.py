@@ -230,6 +230,35 @@ def _quantize_block(plane, y0, x0, qt) -> np.ndarray:
     return q[ZIGZAG]
 
 
+def _pad_subsample_420(planes, h, w):
+    """Pad Y/Cb/Cr planes to a multiple of 16 by edge replication (so
+    the 2×2 box average never reads outside the raster and partial
+    MCUs encode the spec-recommended replicated edge) and box-average
+    chroma to half resolution. ONE definition shared by the baseline
+    entropy loop and the progressive scan builder — the progressive
+    round-trip's pixel-identity to baseline depends on both modes
+    feeding ``_quantize_block`` the same samples (r10 review: this
+    block was copy-pasted in both places). Returns (luma, [cb, cr])
+    at padded resolution."""
+    ph, pw = ((h + 15) // 16) * 16, ((w + 15) // 16) * 16
+    padded = []
+    for plane in planes:
+        p = np.empty((ph, pw))
+        p[:h, :w] = plane
+        p[:h, w:] = plane[:, w - 1 : w]
+        p[h:, :] = p[h - 1 : h, :]
+        padded.append(p)
+    chroma = [
+        0.25
+        * (
+            p[0::2, 0::2] + p[0::2, 1::2]
+            + p[1::2, 0::2] + p[1::2, 1::2]
+        )
+        for p in padded[1:]
+    ]
+    return padded[0], chroma
+
+
 def _encode_block(bw, plane, y0, x0, qt, dc_codes, ac_codes, pred):
     """Huffman-encode the 8×8 block of ``plane`` at (y0, x0),
     returning the new DC predictor. One definition shared by the
@@ -321,14 +350,9 @@ def jpeg_encode(
         scans = _progressive_scans(
             planes, h, w, nc, qts, enc_dc, enc_ac, subsample
         )
-        bw = None
-    else:
-        scans = None
-        bw = _BitWriter()
-    pred = [0] * nc
-    if progressive:
-        pass
     elif not subsample:
+        bw = _BitWriter()
+        pred = [0] * nc
         bh, bwid = (h + 7) // 8, (w + 7) // 8
         for by in range(bh):
             for bx in range(bwid):
@@ -338,29 +362,16 @@ def jpeg_encode(
                         bw, planes[ci], by * 8, bx * 8, qts[tbl],
                         enc_dc[tbl], enc_ac[tbl], pred[ci],
                     )
+        bw.flush()
     else:
-        # 4:2:0: pad all planes to a multiple of 16 by edge replication
-        # (so the 2×2 box average never reads outside the raster and
-        # partial MCUs encode the spec-recommended replicated edge),
-        # box-average chroma to half resolution, then MCU-interleave
-        # 4 luma + 1 Cb + 1 Cr blocks with per-component DC prediction.
-        ph, pw = ((h + 15) // 16) * 16, ((w + 15) // 16) * 16
-        padded = []
-        for plane in planes:
-            p = np.empty((ph, pw))
-            p[:h, :w] = plane
-            p[:h, w:] = plane[:, w - 1 : w]
-            p[h:, :] = p[h - 1 : h, :]
-            padded.append(p)
-        luma = padded[0]
-        chroma = [
-            0.25
-            * (
-                p[0::2, 0::2] + p[0::2, 1::2]
-                + p[1::2, 0::2] + p[1::2, 1::2]
-            )
-            for p in padded[1:]
-        ]
+        # 4:2:0: MCU-interleave 4 luma + 1 Cb + 1 Cr blocks with
+        # per-component DC prediction over the padded/box-averaged
+        # planes (_pad_subsample_420 — shared with the progressive
+        # scan builder so the two modes' pixel prep can never diverge)
+        bw = _BitWriter()
+        pred = [0] * nc
+        luma, chroma = _pad_subsample_420(planes, h, w)
+        ph, pw = luma.shape
         for my in range(ph // 16):
             for mx in range(pw // 16):
                 for byy in range(2):
@@ -375,7 +386,6 @@ def jpeg_encode(
                         bw, chroma[ci - 1], my * 8, mx * 8,
                         qts[1], enc_dc[1], enc_ac[1], pred[ci],
                     )
-    if bw is not None:
         bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -448,23 +458,8 @@ def _progressive_scans(
             )
         samp = [(1, 1)] * nc
     else:
-        ph, pw = ((h + 15) // 16) * 16, ((w + 15) // 16) * 16
-        padded = []
-        for plane in planes:
-            p = np.empty((ph, pw))
-            p[:h, :w] = plane
-            p[:h, w:] = plane[:, w - 1 : w]
-            p[h:, :] = p[h - 1 : h, :]
-            padded.append(p)
-        chroma = [
-            0.25
-            * (
-                p[0::2, 0::2] + p[0::2, 1::2]
-                + p[1::2, 0::2] + p[1::2, 1::2]
-            )
-            for p in padded[1:]
-        ]
-        srcs = [padded[0], chroma[0], chroma[1]]
+        luma, chroma = _pad_subsample_420(planes, h, w)
+        srcs = [luma, chroma[0], chroma[1]]
         grids = []
         for ci, src in enumerate(srcs):
             tbl = 0 if ci == 0 else 1
@@ -631,12 +626,15 @@ def _extend(v: int, s: int) -> int:
 def jpeg_decode(
     content: bytes,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
-    """Baseline JPEG bytes → (width, height, RGB rows top-down).
-    Accepts baseline color with sampling factors in {1, 2} — 4:4:4,
+    """JPEG bytes → (width, height, RGB rows top-down). Accepts
+    baseline (SOF0) color with sampling factors in {1, 2} — 4:4:4,
     4:2:0 (2×2 luma MCUs, chroma upsampled by replication), 4:2:2,
-    4:4:0 — and grayscale, plus restart intervals; refuses
-    progressive/12-bit/arithmetic streams and sampling factors > 2
-    with ``ValueError`` so callers fall back to the stub boundary."""
+    4:4:0 — and grayscale, plus restart intervals, AND progressive
+    (SOF2) streams — spectral selection and successive approximation,
+    dispatched to ``_decode_progressive`` (r10). Refuses
+    12-bit/arithmetic/hierarchical streams, sampling factors > 2, and
+    restart intervals inside progressive streams with ``ValueError``
+    so callers fall back to the stub boundary."""
     b = bytes(content)
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
@@ -1128,7 +1126,19 @@ def _scan_ac(br, arr, bw_blocks, bh_blocks, ss, se, ah, al, actab):
                                 break
                             r -= 1
                         k += 1
-                    if newval and k <= se:
+                    # inner-loop exhaustion means the symbol's run did
+                    # not complete inside the band (a pending new
+                    # coefficient with no slot, or a ZRL short of its
+                    # 16 zeros) — stream corruption, refused as loudly
+                    # as the AC-first path's run check ("a wrong
+                    # answer is worse than no answer"); silently
+                    # dropping the pending coefficient would misalign
+                    # every following entropy bit (r10 review)
+                    if k > se:
+                        raise ValueError(
+                            "JPEG AC refinement run past band end"
+                        )
+                    if newval:
                         blk[k] = newval
                     k += 1
             if eobrun > 0:

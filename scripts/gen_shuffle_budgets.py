@@ -69,10 +69,11 @@ DYNAMIC = {
     "hourly_agg_incremental",
     "silver_clean_vs_actual",
     "pipeline_lineage",
-    "media_codec_audit",
-    "media_jpeg420_audit",
-    "media_gif_audit",
 }
+# (r10) the three media byte-path audits left this set: their plans
+# are static (pruned id scan -> mapInPandas -> orderBy) - the new
+# media_jpeg_prog_audit proved the shape budgets cleanly, so the
+# siblings now carry measured budgets (2) instead of an exclusion.
 
 
 # \bExchange does not match inside BroadcastExchange (no word boundary

@@ -483,3 +483,47 @@ def test_progressive_refusals():
     patched = bytes(fx[: idx + 10]) + bw.out + b"\xFF\xD9"
     with pytest.raises(ValueError, match="refinement magnitude"):
         jpeg_decode(patched)
+
+
+def test_progressive_refine_run_past_band_refused():
+    # r10 review: an AC-refinement symbol whose zero-history run
+    # cannot complete inside the band (here: four ZRLs = 64 zero
+    # skips against a 63-slot band over all-zero history) must raise
+    # the same loud refusal as the AC-first path, never silently drop
+    # the run and misalign the following entropy bits
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        _BitWriter,
+        _canonical_codes,
+    )
+
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x00, 0xF0]  # EOB0 + ZRL only
+    ac = _canonical_codes(ac_bits, ac_vals)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    # DC first scan: one block, diff 0
+    bw = _BitWriter()
+    code, ln = dc[0]
+    bw.put(code, ln)
+    bw.flush()
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bw.out
+    # AC refinement scan (Ah=1, Al=0): 4 x ZRL over an all-zero band
+    bw = _BitWriter()
+    code, ln = ac[0xF0]
+    for _ in range(4):
+        bw.put(code, ln)
+    bw.flush()
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bw.out
+    out += b"\xFF\xD9"
+    with pytest.raises(ValueError, match="refinement run past band"):
+        jpeg_decode(bytes(out))
