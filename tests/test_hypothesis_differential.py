@@ -498,3 +498,84 @@ def test_winnow_adversarial(spark, rows):
     """).fetchdf()
     con.close()
     _cmp(got, want, "winnow_adv")
+
+
+# ---------------------------------------------------------------- #
+# whitespace-adversarial tokenization (r10): every text operator in
+# the repo shares the split(trim(text), ' ') ↔
+# string_split(trim(text), ' ') idiom, but the harness corpus is
+# single-spaced — consecutive/leading/trailing spaces and empty or
+# whitespace-only documents (which yield EMPTY-STRING tokens) were
+# never differentially pinned across the two engines. vocab_coverage
+# consumes the full token stream in one report, making it the
+# sharpest single probe of the idiom.
+
+_ws_texts = st.lists(
+    st.one_of(
+        st.just(""),
+        st.just("   "),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "xyz"]),
+                st.sampled_from([" ", "  ", "   "]),
+            ),
+            min_size=1,
+            max_size=6,
+        ).map(lambda ps: " " + "".join(t + s for t, s in ps)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**SETTINGS)
+@given(texts=_ws_texts)
+def test_vocab_coverage_whitespace_adversarial(spark, texts):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        vocab_coverage,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+    )
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = vocab_coverage(
+        sdf, coverage=((1, 2), (9, 10)), vocab_sizes=(1, 3, 100)
+    ).toPandas()
+    con = _duck(pdf)
+    rows = []
+    for n, d in ((1, 2), (9, 10)):
+        rows.append(f"""
+          SELECT 'coverage_k' AS kind, '{n}/{d}' AS param, (
+            SELECT CAST((cum_types - k)
+              + ((((t * {n} + {d} - 1) // {d}) - (cum_mass - k * c)) + c - 1)
+                // c AS BIGINT)
+            FROM ranked, tot WHERE cum_mass * {d} >= t * {n}
+            ORDER BY cum_types LIMIT 1) AS value""")
+    for v in (1, 3, 100):
+        rows.append(f"""
+          SELECT 'oov_tokens', '{v}', (
+            SELECT CAST(t - coalesce((
+              SELECT (cum_mass - k * c) + ({v} - (cum_types - k)) * c
+              FROM ranked WHERE cum_types >= {v}
+              ORDER BY cum_types LIMIT 1), t) AS BIGINT) FROM tot)""")
+    rows.append("SELECT 'total', 'tokens', (SELECT CAST(t AS BIGINT) FROM tot)")
+    rows.append("SELECT 'total', 'types', (SELECT CAST(v AS BIGINT) FROM tot)")
+    want = con.execute(f"""
+        WITH tok AS (
+          SELECT unnest(string_split(trim(text), ' ')) AS tk FROM t),
+        cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+        spec AS (SELECT c, count(*) AS k FROM cnt GROUP BY c),
+        ranked AS (
+          SELECT c, k,
+                 sum(k) OVER (ORDER BY c DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum_types,
+                 sum(k * c) OVER (ORDER BY c DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum_mass
+          FROM spec),
+        tot AS (SELECT sum(k * c) AS t, sum(k) AS v FROM spec)
+        {" UNION ALL ".join(rows)}
+        ORDER BY kind, param
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "vocab_coverage_ws")
