@@ -1,0 +1,641 @@
+"""Parameter-sweep differential fuzz, wave 2: the families the first
+wave (tests/test_param_fuzz.py) had not reached — skew-salted joins
+(salt factor, join type, hot-key targeting), GROUPING SETS
+combinations, Z-order bit depth / prefix grain, sequence-packing
+geometry (token budget x shard count), IVF probe width, MinHash-LSH
+verification threshold and shingle size, contamination n-gram size,
+and the CMS / Misra-Gries sketch parameter spaces (where the swept
+property is the published deterministic guarantee, since the sketch
+estimate itself is parameter-dependent by design).
+
+Same discipline as wave 1: templated DuckDB twins mirroring the
+registered ``oracle_sql()`` strings with the parameter literal
+substituted; every sweep INCLUDES its registry config so a registry
+oracle edit not mirrored here fails loudly; fixed literal parameter
+sets (no RNG draws) so failures reproduce exactly; sf0.001 scale.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["orders", "lineitem", "events", "documents", "customer",
+              "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def _match(a, b) -> bool:
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def _assert_same(got: pd.DataFrame, want: pd.DataFrame, label: str) -> None:
+    got, want = _norm(got), _norm(want)
+    assert list(got.columns) == list(want.columns), (
+        f"{label}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{label}: rows {len(got)} != {len(want)}"
+    for col in got.columns:
+        bad = [
+            (i, x, y)
+            for i, (x, y) in enumerate(zip(got[col], want[col]))
+            if not _match(x, y)
+        ]
+        assert not bad, f"{label}.{col}: first mismatches {bad[:5]}"
+
+
+# ---------------------------------------------------------------- #
+# salted_join: the salt factor is a pure execution knob — the result
+# must be identical to the plain equi-join at EVERY n_salt, both join
+# types, and under hot-key targeting (only the listed keys take the
+# salted path). (registry config: salted_join_segments — n_salt=8,
+# how='inner', hot_keys=None)
+
+_SALTED_INNER_SQL = """
+    SELECT c_mktsegment,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def _salted_inputs(spark):
+    ev = tables.load_table(spark, "events", SF_DIR).select(
+        F.col("user_id").alias("c_custkey"),
+        F.col("value").cast("decimal(20,6)").alias("value_dec"),
+    )
+    cust = tables.load_table(spark, "customer", SF_DIR).select(
+        "c_custkey", "c_mktsegment"
+    )
+    return ev, cust
+
+
+@pytest.mark.parametrize("n_salt", [1, 2, 8, 32])
+def test_salted_join_salt_sweep(spark, duck, n_salt):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        skew as SK,
+    )
+
+    ev, cust = _salted_inputs(spark)
+    got = (
+        SK.salted_join(ev, cust, ["c_custkey"], n_salt=n_salt)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+        .toPandas()
+    )
+    want = duck.execute(_SALTED_INNER_SQL).fetchdf()
+    _assert_same(got, want, f"salted_join(n_salt={n_salt})")
+
+
+@pytest.mark.parametrize("n_salt", [1, 8])
+def test_salted_join_left_sweep(spark, duck, n_salt):
+    # LEFT rows with no dim match must survive exactly once (the
+    # replicated build side is the part that could get this wrong:
+    # a naive replication surfaces an unmatched probe row per salt
+    # value or drops it entirely).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        skew as SK,
+    )
+
+    ev, cust = _salted_inputs(spark)
+    got = (
+        SK.salted_join(ev, cust, ["c_custkey"], n_salt=n_salt, how="left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+        .toPandas()
+    )
+    want = duck.execute("""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+        FROM events LEFT JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """).fetchdf()
+    _assert_same(got, want, f"salted_left(n_salt={n_salt})")
+
+
+@pytest.mark.parametrize("top", [1, 3])
+def test_salted_join_hotkey_sweep(spark, duck, top):
+    # hot_keys limits salting to the listed values: hot rows take the
+    # salted path, cold rows the plain join — the union of the two
+    # paths must still be the plain join, whatever the hot list is.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        skew as SK,
+    )
+
+    hot = [
+        r[0]
+        for r in duck.execute(
+            "SELECT user_id FROM events WHERE user_id IS NOT NULL "
+            f"GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT {top}"
+        ).fetchall()
+    ]
+    ev, cust = _salted_inputs(spark)
+    got = (
+        SK.salted_join(ev, cust, ["c_custkey"], n_salt=8, hot_keys=hot)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+        .toPandas()
+    )
+    want = duck.execute(_SALTED_INNER_SQL).fetchdf()
+    _assert_same(got, want, f"salted_hot(top={top})")
+
+
+# ---------------------------------------------------------------- #
+# GROUPING SETS: sweep the set combinations — per-dimension only
+# (registry config), the CUBE-equivalent full lattice, rollup-like
+# prefixes, and the cross-cells-only form. Identical SQL text runs on
+# both engines. (registry config: type_status_grouping_sets —
+# ((l_returnflag), (l_linestatus), ()))
+
+
+@pytest.mark.parametrize(
+    "sets",
+    [
+        "((l_returnflag), (l_linestatus), ())",  # registry config
+        "((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())",
+        "((l_returnflag, l_linestatus), ())",
+        "((l_returnflag, l_linestatus), (l_returnflag))",
+        # NOTE: a set list that omits a selected column entirely (e.g.
+        # ((l_linestatus)) with l_returnflag still selected) is valid
+        # DuckDB (NULL-fill) but an AnalysisException in Spark
+        # (MISSING_AGGREGATION) — engine semantics, not sweepable.
+        "((l_returnflag, l_linestatus), (l_linestatus))",
+    ],
+)
+def test_grouping_sets_sweep(spark, duck, sets):
+    sql = f"""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS {sets}
+        ORDER BY l_returnflag, l_linestatus
+    """
+    tables.register_views(spark, SF_DIR)
+    got = spark.sql(sql).toPandas()
+    want = duck.execute(sql).fetchdf()
+    _assert_same(got, want, f"grouping_sets{sets}")
+
+
+# ---------------------------------------------------------------- #
+# Z-order Morton code: sweep interleave bit depth and the prefix
+# grain. High bits beyond `bits` are truncated identically on both
+# sides (the interleave only reads the low `bits` of each dimension),
+# so bits=8 exercises real truncation on both custkey and day.
+# (registry config: orders_zorder_stats — bits=16, prefix shift 20)
+
+
+@pytest.mark.parametrize("bits,shift", [(16, 20), (8, 12), (21, 28), (16, 8)])
+def test_zorder_morton_sweep(spark, duck, bits, shift):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.layout import (
+        morton_code,
+    )
+
+    o = tables.load_table(spark, "orders", SF_DIR)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    z = morton_code(F.col("o_custkey"), day, bits=bits)
+    got = (
+        o.select(z.alias("_z"))
+        .groupBy(F.shiftright(F.col("_z"), shift).alias("z_prefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("_z").alias("min_code"),
+            F.max("_z").alias("max_code"),
+        )
+        .orderBy("z_prefix")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        WITH base AS (
+          SELECT o_custkey AS x,
+                 date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS y
+          FROM orders),
+        z AS (
+          SELECT (SELECT sum(
+                   (((x >> i.i) & 1) << (2 * i.i))
+                   + (((y >> i.i) & 1) << (2 * i.i + 1)))
+                  FROM unnest(range(0, {bits})) AS i(i)) AS zc
+          FROM base)
+        SELECT CAST(zc >> {shift} AS BIGINT) AS z_prefix,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(min(zc) AS BIGINT) AS min_code,
+               CAST(max(zc) AS BIGINT) AS max_code
+        FROM z GROUP BY 1 ORDER BY z_prefix
+    """).fetchdf()
+    _assert_same(got, want, f"zorder(bits={bits},shift={shift})")
+
+
+# ---------------------------------------------------------------- #
+# Sequence packing: token budget and shard count are geometry knobs —
+# doc/token totals are conserved at every (budget, n_shards), and the
+# sequence/crosser counts follow the exact integer formulas. budget=64
+# drives many docs across MULTIPLE sequence boundaries (spill case the
+# registry's 512 hits rarely). (registry config: doc_pack_stats —
+# budget=512, n_shards=16)
+
+
+@pytest.mark.parametrize(
+    "budget,shards", [(512, 16), (64, 16), (2048, 16), (512, 1), (512, 64)]
+)
+def test_pack_geometry_sweep(spark, duck, budget, shards):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    d = tables.load_table(spark, "documents", SF_DIR)
+    got = pack_stats(
+        pack_sequences(d, budget=budget, n_shards=shards), budget=budget
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS h,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+          FROM documents
+        ), p AS (
+          SELECT h % {shards} AS shard, n_tok,
+                 sum(n_tok) OVER (PARTITION BY h % {shards}
+                                  ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS tok_end
+          FROM d
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(floor((sum(n_tok) - 1) / {budget}) + 1 AS BIGINT)
+                 AS n_seqs,
+               CAST(sum(CASE WHEN floor((tok_end - 1) / {budget})
+                               <> floor((tok_end - n_tok) / {budget})
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
+        FROM p GROUP BY shard ORDER BY shard
+    """).fetchdf()
+    _assert_same(got, want, f"pack(budget={budget},shards={shards})")
+
+
+# ---------------------------------------------------------------- #
+# IVF ANN: sweep centroid count, probe width, and k. n_probe ==
+# n_centroids is the exhaustive-probe edge (every cluster scored — the
+# result must equal brute force minus the query's own cluster
+# restriction, which the template reproduces); n_probe=1 is the
+# narrowest recall cut. (registry config: ann_ivf_topk —
+# n_centroids=16, n_probe=4, k=5, queries vec_id < 8)
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@pytest.mark.parametrize(
+    "nc,np_,k",
+    [(16, 4, 5), (16, 1, 5), (16, 16, 5), (8, 8, 10), (4, 2, 3)],
+)
+def test_ivf_probe_sweep(spark, duck, nc, np_, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    emb = tables.load_table(spark, "embeddings", SF_DIR)
+    got = S.ann_ivf_topk(
+        emb, F.col("vec_id") < 8, k=k, n_centroids=nc, n_probe=np_
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {nc}),
+        asg AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_COS.format(a='e.v', b='c.cv')} DESC,
+                              c.cid) AS rn
+            FROM e, cents c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        probes AS (
+          SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {_COS.format(a='q.qv', b='c.cv')} DESC,
+                              c.cid) AS rn
+            FROM q, cents c) WHERE rn <= {np_}),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 {_COS.format(a='q.qv', b='e.v')} AS sim
+          FROM probes p
+          JOIN asg a ON a.cluster = p.cluster
+          JOIN e ON e.vec_id = a.vec_id
+          JOIN q ON q.query_id = p.query_id
+          WHERE a.vec_id != p.query_id)
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS INTEGER) AS "rank"
+        FROM scored
+        QUALIFY "rank" <= {k}
+        ORDER BY query_id, "rank"
+    """).fetchdf()
+    _assert_same(got, want, f"ivf(nc={nc},np={np_},k={k})")
+
+
+# ---------------------------------------------------------------- #
+# MinHash-LSH: sweep the verification threshold and the shingle size.
+# Banding geometry (16 perms, 8 bands x 2 rows) is fixed — it IS the
+# operator's recall contract — so the candidate set is identical
+# across thresholds and the sweep exercises the verify cut; n=2
+# changes the shingle domain itself. (registry config:
+# minhash_lsh_pairs — threshold=0.5, n=3)
+
+
+def _shingle_cte(n: int) -> str:
+    nm1 = n - 1
+    return f"""
+        WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - {nm1}, 0)),
+                 i -> array_to_string(tk[i:i+{nm1}], ' '))) AS shs
+               FROM toks),
+        inv AS (SELECT doc_id, unnest(shs) AS s FROM sh)
+    """
+
+
+def _minhash_chain_sql() -> str:
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        MH_MOD,
+        minhash_params,
+    )
+
+    h = "CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)"
+    mins = ",\n         ".join(
+        f"min(({minhash_params(j)[0]} * {h} + {minhash_params(j)[1]})"
+        f" % {MH_MOD}) AS m{j}"
+        for j in range(16)
+    )
+    sig = f"sig AS (SELECT doc_id,\n {mins}\n FROM inv GROUP BY doc_id)"
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band,"
+        f" md5(CAST(m{2*b} AS VARCHAR) || '_' || CAST(m{2*b+1} AS VARCHAR))"
+        f" AS bh FROM sig"
+        for b in range(8)
+    )
+    return sig + ",\nbands AS (" + band_rows + ")"
+
+
+@pytest.mark.parametrize(
+    "threshold,n",
+    [(0.5, 3), (0.3, 3), (0.7, 3), (0.9, 3), (0.5, 2)],
+)
+def test_minhash_lsh_sweep(spark, duck, threshold, n):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = D.minhash_lsh_pairs(docs, threshold=threshold, n=n).toPandas()
+    want = duck.execute(
+        _shingle_cte(n)
+        + ",\n"
+        + _minhash_chain_sql()
+        + f""",
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT doc_a, doc_b,
+                 len(list_intersect(sa.shs, sb.shs)) * 1.0
+                   / (len(sa.shs) + len(sb.shs)
+                      - len(list_intersect(sa.shs, sb.shs))) AS jacc
+          FROM cands
+          JOIN sh sa ON doc_a = sa.doc_id
+          JOIN sh sb ON doc_b = sb.doc_id)
+        SELECT doc_a, doc_b, jacc AS jaccard
+        FROM verified WHERE jacc >= {threshold}
+        ORDER BY doc_a, doc_b
+    """
+    ).fetchdf()
+    _assert_same(got, want, f"minhash(th={threshold},n={n})")
+
+
+# ---------------------------------------------------------------- #
+# Contamination audit: sweep the n-gram size. Small n flags more of
+# the corpus (3-grams collide often), large n approaches exact-span
+# matching — the per-source counts must track the templated twin at
+# every n. (registry config: doc_contamination — n=5)
+
+
+@pytest.mark.parametrize("n", [3, 5, 8])
+def test_contamination_ngram_sweep(spark, duck, n):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        ngram_contamination,
+    )
+
+    d = tables.load_table(spark, "documents", SF_DIR)
+    hits = ngram_contamination(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=n,
+    )
+    got = (
+        d.join(hits, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .orderBy("source")
+        .toPandas()
+    )
+    nm1 = n - 1
+    want = duck.execute(f"""
+        WITH toks AS (SELECT doc_id, source,
+                             string_split(trim(text), ' ') AS tk
+                      FROM documents),
+        sh AS (SELECT doc_id, source, list_distinct(list_transform(
+                 generate_series(1, greatest(len(tk) - {nm1}, 0)),
+                 i -> array_to_string(tk[i:i+{nm1}], ' '))) AS shs
+               FROM toks),
+        inv AS (SELECT doc_id, source, unnest(shs) AS s FROM sh),
+        ev AS (SELECT DISTINCT s FROM inv WHERE source = 'src0'),
+        hit AS (SELECT DISTINCT i.doc_id FROM inv i JOIN ev USING (s)
+                WHERE i.source <> 'src0')
+        SELECT d.source, count(*) AS n_contaminated
+        FROM documents d JOIN hit USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """).fetchdf()
+    _assert_same(got, want, f"contamination(n={n})")
+
+
+# ---------------------------------------------------------------- #
+# Count-Min sketch: the estimate is parameter-dependent by design, so
+# the swept properties are the DETERMINISTIC guarantees — (a) the
+# point estimate never underestimates, at every (depth, width)
+# including a width small enough (64) to force heavy collision; (b)
+# state merge is cell-exact: build(full) == merge(build(even),
+# build(odd)), the mergeability contract every streaming twin rides.
+# (registry config family: cms_join_size_audit depth=4 width=2048,
+# cms_topk_audit depth=4 width=1024)
+
+
+@pytest.mark.parametrize("depth,width", [(4, 2048), (4, 64), (1, 1024), (2, 256)])
+def test_cms_one_sided_sweep(spark, duck, depth, width):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_probe,
+        cms_state,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    state = cms_state(ev, "user_id", depth=depth, width=width)
+    est = cms_probe(
+        state, ev.select("user_id").distinct(), "user_id",
+        depth=depth, width=width,
+    ).toPandas()
+    exact = duck.execute(
+        "SELECT CAST(user_id AS VARCHAR) AS item, count(*) AS n "
+        "FROM events WHERE user_id IS NOT NULL GROUP BY 1"
+    ).fetchdf()
+    merged = est.merge(exact, on="item", how="outer")
+    assert not merged["cms_estimate"].isna().any(), "probe missed an item"
+    assert not merged["n"].isna().any(), "probe invented an item"
+    under = merged[merged["cms_estimate"] < merged["n"]]
+    assert under.empty, (
+        f"cms(d={depth},w={width}) underestimated: {under.head()}"
+    )
+    if width >= 2048 and depth >= 4:
+        # at |items| << depth*width the estimate is near-exact; demand
+        # SOME exact cells so the sweep can't pass on a vacuous >= alone
+        assert (merged["cms_estimate"] == merged["n"]).any()
+
+
+@pytest.mark.parametrize("depth,width", [(4, 1024), (2, 64)])
+def test_cms_merge_cell_exact(spark, depth, width):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_state,
+        merge_cms_states,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    full = cms_state(ev, "user_id", depth=depth, width=width).toPandas()
+    halves = merge_cms_states(
+        [
+            cms_state(ev.filter(F.col("event_id") % 2 == 0), "user_id",
+                      depth=depth, width=width),
+            cms_state(ev.filter(F.col("event_id") % 2 == 1), "user_id",
+                      depth=depth, width=width),
+        ]
+    ).toPandas()
+    _assert_same(full, halves, f"cms_merge(d={depth},w={width})")
+
+
+# ---------------------------------------------------------------- #
+# Misra-Gries: the summary contents are fold-order-dependent (any
+# valid summary is correct), so the swept property is the published
+# guarantee at every k — cnt <= true <= cnt + n/k for each surviving
+# item, sentinel == total row count, and every item with true
+# frequency > n/k PRESENT. k=2 is the single-counter edge.
+# (registry config family: mg state tests use k=100 defaults;
+# event_type has 5 values so k=8 captures the full exact domain)
+
+
+@pytest.mark.parametrize("k,col", [(2, "event_type"), (8, "event_type"),
+                                   (16, "user_id"), (64, "user_id")])
+def test_mg_guarantee_sweep(spark, duck, k, col):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        mg_summary,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    summ = mg_summary(ev, col, k=k).toPandas()
+    exact = dict(
+        duck.execute(
+            f"SELECT CAST({col} AS VARCHAR), count(*) FROM events "
+            f"WHERE {col} IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    )
+    total = sum(exact.values())
+    sentinel = summ[summ["item"].isna()]
+    assert len(sentinel) == 1 and int(sentinel["cnt"].iloc[0]) == total
+    items = summ[summ["item"].notna()]
+    assert len(items) <= k - 1
+    for _, row in items.iterrows():
+        true = exact.get(row["item"], 0)
+        assert row["cnt"] <= true <= row["cnt"] + total / k, (
+            f"mg(k={k}) interval violated for {row['item']}: "
+            f"cnt={row['cnt']} true={true} n/k={total / k}"
+        )
+    present = set(items["item"])
+    missing = {
+        it for it, n in exact.items() if n > total / k and it not in present
+    }
+    assert not missing, f"mg(k={k}) lost guaranteed heavy hitters {missing}"
+
+
+# ---------------------------------------------------------------- #
+# CMS join-size estimate: one-sided at every (depth, width) — the
+# inner-product composition only ADDS collision cross-terms.
+# (registry config: join_size_cms_audit — depth=4, width=2048)
+
+
+@pytest.mark.parametrize("depth,width", [(4, 2048), (2, 128)])
+def test_cms_join_size_sweep(spark, duck, depth, width):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        cms_join_size_audit,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    orders = tables.load_table(spark, "orders", SF_DIR)
+    row = cms_join_size_audit(
+        ev, "user_id", orders, "o_custkey", depth=depth, width=width
+    ).toPandas()
+    true = duck.execute(
+        "SELECT count(*) FROM events JOIN orders ON user_id = o_custkey"
+    ).fetchone()[0]
+    assert int(row["true_join_size"].iloc[0]) == true
+    assert int(row["cms_join_estimate"].iloc[0]) >= true
+    assert int(row["overestimate"].iloc[0]) == (
+        int(row["cms_join_estimate"].iloc[0]) - true
+    )
