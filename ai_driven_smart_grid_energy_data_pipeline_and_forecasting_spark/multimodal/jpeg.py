@@ -17,9 +17,11 @@ the 4:2:0 refusal), and — r10 — PROGRESSIVE (SOF2) streams: spectral
 selection AND successive approximation, all four scan kinds of T.81
 G.1.2 including AC end-of-band runs and refinement correction bits
 (validated against a hand-built fixture, not just this encoder's own
-output). Everything else stays a loud refusal (arithmetic coding,
-12-bit, hierarchical, sampling factors > 2, restart intervals inside
-progressive streams) — the same narrow-profile-or-raise convention as
+output), with restart intervals supported in BOTH modes (progressive
+restarts are per-scan: MCU-grained in DC scans, data-unit-grained in
+the non-interleaved AC scans). Everything else stays a loud refusal
+(arithmetic coding, 12-bit, hierarchical, sampling factors > 2) —
+the same narrow-profile-or-raise convention as
 the BMP/PGM/PNG/WAV codecs in ``binary_ops``: a wrong answer is worse
 than no answer at a codec boundary.
 
@@ -199,6 +201,15 @@ class _BitWriter:
             self.put(0x7F, 8 - self._nbits)  # pad with 1-bits per spec
 
 
+def _emit_restart(bw: "_BitWriter", rst: int) -> int:
+    """Byte-align (1-padding per spec) and append the next RSTn marker
+    bytes directly — markers are not entropy data, so no stuffing.
+    Returns the next marker number in the 0-7 cycle."""
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + rst])
+    return (rst + 1) & 7
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(category, appended bits) for a DC diff / AC coefficient."""
     if v == 0:
@@ -298,6 +309,7 @@ def jpeg_encode(
     grayscale: bool = False,
     subsample: bool = False,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """RGB rows (top-down, pixel = (r, g, b)) → baseline JFIF bytes.
     Default 4:4:4 interleaved; ``subsample=True`` emits the 4:2:0
@@ -314,13 +326,24 @@ def jpeg_encode(
     a progressive stream decodes to EXACTLY the pixels of its baseline
     sibling — the round-trip tests pin that identity. (Successive-
     approximation ENCODING is deliberately not offered; the decoder
-    handles those streams, covered by a hand-built fixture.)"""
+    handles those streams, covered by a hand-built fixture.)
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that-many MCUs (baseline and the progressive DC scan) or
+    blocks (progressive AC scans — their MCU is one data unit,
+    T.81 A.2.2), resetting the DC predictors and byte-aligning at
+    each marker. RSTn numbers 0-7 cyclically, starting at RST0
+    within every scan."""
     h = len(rows)
     w = len(rows[0]) if h else 0
     if h == 0 or w == 0:
         raise ValueError("jpeg_encode needs a non-empty raster")
     if subsample and grayscale:
         raise ValueError("subsample=True needs a color raster")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError(
+            f"restart_interval must be in [0, 65535], got {restart_interval}"
+        )
     if grayscale:
         y = np.asarray(rows, dtype=np.float64)
         planes = [y - 128.0]
@@ -348,14 +371,20 @@ def jpeg_encode(
 
     if progressive:
         scans = _progressive_scans(
-            planes, h, w, nc, qts, enc_dc, enc_ac, subsample
+            planes, h, w, nc, qts, enc_dc, enc_ac, subsample,
+            restart_interval,
         )
     elif not subsample:
         bw = _BitWriter()
         pred = [0] * nc
         bh, bwid = (h + 7) // 8, (w + 7) // 8
+        mcu, rst = 0, 0
         for by in range(bh):
             for bx in range(bwid):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    rst = _emit_restart(bw, rst)
+                    pred = [0] * nc
+                mcu += 1
                 for ci in range(nc):
                     tbl = 0 if ci == 0 else 1
                     pred[ci] = _encode_block(
@@ -372,8 +401,13 @@ def jpeg_encode(
         pred = [0] * nc
         luma, chroma = _pad_subsample_420(planes, h, w)
         ph, pw = luma.shape
+        mcu, rst = 0, 0
         for my in range(ph // 16):
             for mx in range(pw // 16):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    rst = _emit_restart(bw, rst)
+                    pred = [0] * nc
+                mcu += 1
                 for byy in range(2):
                     for bxx in range(2):
                         pred[0] = _encode_block(
@@ -416,6 +450,8 @@ def jpeg_encode(
         out += seg(
             0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
         )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     if progressive:
         for sos_payload, entropy in scans:
             out += seg(0xFFDA, sos_payload)
@@ -433,12 +469,19 @@ def jpeg_encode(
 
 
 def _progressive_scans(
-    planes, h, w, nc, qts, enc_dc, enc_ac, subsample
+    planes, h, w, nc, qts, enc_dc, enc_ac, subsample, ri=0
 ) -> list[tuple[bytes, bytes]]:
     """Build the spectral-selection scan script: quantize every block
     once (identically to the baseline path), then emit one interleaved
     DC scan followed by per-component AC band scans (1–5, 6–63) at
-    Ah=Al=0. Returns [(SOS payload, entropy bytes), ...]."""
+    Ah=Al=0. Returns [(SOS payload, entropy bytes), ...].
+
+    ``ri`` > 0 inserts RSTn every ``ri`` MCUs in the DC scan (DC
+    predictors reset) and every ``ri`` blocks in each AC scan (the
+    non-interleaved MCU is one data unit); the 0-7 marker cycle
+    restarts per scan. Every AC block's entropy ends at its own EOB,
+    so no end-of-band run can cross a restart boundary here by
+    construction — the decoder refuses streams where one does."""
     # quantized zigzag blocks per component, in the layout the
     # INTERLEAVED DC scan walks (MCU-padded for 4:2:0)
     if not subsample:
@@ -484,8 +527,13 @@ def _progressive_scans(
     pred = [0] * nc
     mcuy = len(grids[0]) // samp[0][1]
     mcux = len(grids[0][0]) // samp[0][0]
+    mcu, rst = 0, 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if ri and mcu and mcu % ri == 0:
+                rst = _emit_restart(bw_dc, rst)
+                pred = [0] * nc
+            mcu += 1
             for ci in range(nc):
                 hc, vc = samp[ci]
                 tbl = 0 if ci == 0 else 1
@@ -518,8 +566,12 @@ def _progressive_scans(
         gbw, gbh = -(-cw // 8), -(-ch // 8)
         for ss, se in ((1, 5), (6, 63)):
             bwr = _BitWriter()
+            blk_n, rst = 0, 0
             for by in range(gbh):
                 for bx in range(gbw):
+                    if ri and blk_n and blk_n % ri == 0:
+                        rst = _emit_restart(bwr, rst)
+                    blk_n += 1
                     zz = grids[ci][by][bx]
                     run = 0
                     for k in range(ss, se + 1):
@@ -631,10 +683,11 @@ def jpeg_decode(
     4:2:0 (2×2 luma MCUs, chroma upsampled by replication), 4:2:2,
     4:4:0 — and grayscale, plus restart intervals, AND progressive
     (SOF2) streams — spectral selection and successive approximation,
-    dispatched to ``_decode_progressive`` (r10). Refuses
-    12-bit/arithmetic/hierarchical streams, sampling factors > 2, and
-    restart intervals inside progressive streams with ``ValueError``
-    so callers fall back to the stub boundary."""
+    dispatched to ``_decode_progressive`` (r10), with restart
+    intervals honored there too (per-scan DRI, MCU grain in DC scans,
+    data-unit grain in AC scans). Refuses
+    12-bit/arithmetic/hierarchical streams and sampling factors > 2
+    with ``ValueError`` so callers fall back to the stub boundary."""
     b = bytes(content)
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
@@ -645,9 +698,10 @@ def jpeg_decode(
     i = 2
     scan = None
     progressive = False
-    # progressive scans: (scan_comps, Ss, Se, Ah, Al, tables, data_pos)
-    # — Huffman tables resolve AT PARSE TIME because DHT segments may
-    # legally redefine tables between scans
+    # progressive scans: (scan_comps, Ss, Se, Ah, Al, tables, data_pos,
+    # restart_interval) — Huffman tables (and the DRI value) resolve AT
+    # PARSE TIME because DHT/DRI segments may legally redefine them
+    # between scans
     prog_scans: list = []
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -774,8 +828,11 @@ def jpeg_decode(
                 ):
                     break
                 j += 1
+            # DRI may be redefined between scans (like DHT): the value
+            # in effect at THIS SOS governs this scan's restart grid
             prog_scans.append(
-                (scan_comps, ss, se, ah, al, tabs, data_pos)
+                (scan_comps, ss, se, ah, al, tabs, data_pos,
+                 restart_interval)
             )
             i = j
             continue
@@ -783,11 +840,6 @@ def jpeg_decode(
     if progressive:
         if sof is None or not prog_scans:
             raise ValueError("missing JPEG SOF/SOS")
-        if restart_interval:
-            raise ValueError(
-                "restart intervals in progressive JPEG streams are "
-                "unsupported (DRI + SOF2)"
-            )
         fw, fh, comps = sof
         return _decode_progressive(b, fw, fh, comps, qts, prog_scans)
     if sof is None or scan is None:
@@ -979,7 +1031,7 @@ def _decode_progressive(
         nbh.append(-(-ch // 8))
     cidx = {c[0]: i for i, c in enumerate(comps)}
 
-    for scan_comps, ss, se, ah, al, tabs, dpos in scans:
+    for scan_comps, ss, se, ah, al, tabs, dpos, ri in scans:
         if not (0 <= ss <= se <= 63):
             raise ValueError(f"bad JPEG spectral band [{ss}, {se}]")
         for cs, _, _ in scan_comps:
@@ -997,7 +1049,7 @@ def _decode_progressive(
                     )
                 _scan_dc(
                     br, scan_comps, cidx, comps, coefs, nbw, nbh,
-                    mcux, mcuy, ah, al, tabs,
+                    mcux, mcuy, ah, al, tabs, ri,
                 )
             else:
                 if len(scan_comps) != 1:
@@ -1007,7 +1059,7 @@ def _decode_progressive(
                 ci = cidx[scan_comps[0][0]]
                 _scan_ac(
                     br, coefs[ci], nbw[ci], nbh[ci], ss, se, ah, al,
-                    tabs[0],
+                    tabs[0], ri,
                 )
         except _MarkerReached as exc:
             raise ValueError("truncated JPEG entropy stream") from exc
@@ -1033,12 +1085,26 @@ def _decode_progressive(
 
 def _scan_dc(
     br, scan_comps, cidx, comps, coefs, nbw, nbh, mcux, mcuy, ah, al,
-    tabs,
+    tabs, ri=0,
 ):
     """One progressive DC scan: interleaved in MCU order when the scan
     names several components (each contributes its hc×vc blocks per
-    MCU), non-interleaved block-raster order for a single component."""
+    MCU), non-interleaved block-raster order for a single component.
+
+    ``ri`` > 0: a restart marker every ``ri`` MCUs (interleaved) or
+    data units (non-interleaved — T.81 A.2.2's degenerate MCU), each
+    byte-aligning the reader and resetting the DC predictors. The
+    refinement form (Ah>0) carries no predictor, but the byte
+    alignment still applies."""
     pred = [0] * len(scan_comps)
+    unit = 0
+
+    def restart_point():
+        nonlocal unit, pred
+        if ri and unit and unit % ri == 0:
+            br.align_restart()
+            pred = [0] * len(scan_comps)
+        unit += 1
 
     def block(si, ci, by, bx):
         blk = coefs[ci][by, bx]
@@ -1054,10 +1120,12 @@ def _scan_dc(
         ci = cidx[scan_comps[0][0]]
         for by in range(nbh[ci]):
             for bx in range(nbw[ci]):
+                restart_point()
                 block(0, ci, by, bx)
         return
     for my in range(mcuy):
         for mx in range(mcux):
+            restart_point()
             for si, (cs, _, _) in enumerate(scan_comps):
                 ci = cidx[cs]
                 _, hc, vc, _ = comps[ci]
@@ -1066,13 +1134,29 @@ def _scan_dc(
                         block(si, ci, my * vc + byy, mx * hc + bxx)
 
 
-def _scan_ac(br, arr, bw_blocks, bh_blocks, ss, se, ah, al, actab):
+def _scan_ac(br, arr, bw_blocks, bh_blocks, ss, se, ah, al, actab, ri=0):
     """One progressive AC scan over a single component's blocks in
-    raster order — first pass (Ah=0) or refinement (Ah>0)."""
+    raster order — first pass (Ah=0) or refinement (Ah>0).
+
+    ``ri`` > 0: a restart marker every ``ri`` blocks (AC scans are
+    non-interleaved, so the MCU is one data unit). A restart resets
+    ALL entropy state, including the end-of-band run — an EOBn run
+    still open at a boundary means the encoder let it cross, which a
+    conforming stream cannot do; refused loudly rather than silently
+    zeroing it (the bits after the marker would decode misaligned)."""
     eobrun = 0
     p1, m1 = 1 << al, -(1 << al)
+    unit = 0
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
+            if ri and unit and unit % ri == 0:
+                if eobrun:
+                    raise ValueError(
+                        "JPEG end-of-band run crosses a restart "
+                        "boundary"
+                    )
+                br.align_restart()
+            unit += 1
             blk = arr[by, bx]
             if ah == 0:
                 if eobrun:

@@ -449,15 +449,6 @@ def test_progressive_successive_approximation_fixture():
 
 
 def test_progressive_refusals():
-    # DRI + SOF2: restart intervals inside progressive streams refused
-    data = bytearray(
-        jpeg_encode(_gradient(16, 16), progressive=True)
-    )
-    i = data.find(b"\xFF\xC2")
-    dri = struct.pack(">HHH", 0xFFDD, 4, 8)
-    patched = bytes(data[:i]) + dri + bytes(data[i:])
-    with pytest.raises(ValueError, match="restart intervals"):
-        jpeg_decode(patched)
     # an interleaved AC scan is invalid progressive syntax: patch the
     # first AC SOS (single-component) to claim ns=2 would break the
     # header length; instead check a DC-banded scan is refused via the
@@ -527,3 +518,135 @@ def test_progressive_refine_run_past_band_refused():
     out += b"\xFF\xD9"
     with pytest.raises(ValueError, match="refinement run past band"):
         jpeg_decode(bytes(out))
+
+
+# ------------------------------------------------- restart intervals
+
+
+def test_restart_interval_roundtrip_identity():
+    # DRI is a resync feature, not a pixel feature: at every interval,
+    # layout, and BOTH coding modes the decode must equal the
+    # no-restart decode bit for bit. The encoder resets its DC
+    # predictors at each marker, so a decoder that forgot the reset
+    # (or the byte alignment, or the EOB-run reset) diverges here.
+    cases = [
+        (dict(), 20, 14),
+        (dict(subsample=True), 24, 17),
+        (dict(grayscale=True), 20, 12),
+    ]
+    for kwargs, w, h in cases:
+        if kwargs.get("grayscale"):
+            rows = [[(x * 9 + y * 5) % 256 for x in range(w)] for y in range(h)]
+        else:
+            rows = [
+                [((x * 11) % 256, (y * 7) % 256, ((x + y) * 5) % 256)
+                 for x in range(w)]
+                for y in range(h)
+            ]
+        for prog in (False, True):
+            base = jpeg_decode(
+                jpeg_encode(rows, quality=90, progressive=prog, **kwargs)
+            )
+            for ri in (1, 2, 7):
+                data = jpeg_encode(
+                    rows, quality=90, progressive=prog,
+                    restart_interval=ri, **kwargs,
+                )
+                assert struct.pack(">HHH", 0xFFDD, 4, ri) in data
+                assert jpeg_decode(data) == base, (kwargs, prog, ri)
+            # the ri=1 stream must actually CONTAIN restart markers
+            # (entropy data can't fake the 2-byte sequence: the
+            # encoder stuffs 0x00 after every literal 0xFF)
+            data = jpeg_encode(
+                rows, quality=90, progressive=prog, restart_interval=1,
+                **kwargs,
+            )
+            n_rst = sum(
+                data.count(bytes([0xFF, 0xD0 + m])) for m in range(8)
+            )
+            assert n_rst > 0, (kwargs, prog)
+
+
+def test_restart_missing_marker_refused():
+    # strip the first RSTn from a restart stream: the decoder must
+    # refuse at the resync point, not decode misaligned entropy
+    for prog in (False, True):
+        data = jpeg_encode(
+            _gradient(32, 16), quality=90, progressive=prog,
+            restart_interval=1,
+        )
+        i = min(
+            j for j in (
+                data.find(bytes([0xFF, 0xD0 + m])) for m in range(8)
+            ) if j > 0
+        )
+        patched = data[:i] + data[i + 2:]
+        with pytest.raises(ValueError):
+            jpeg_decode(patched)
+
+
+def test_restart_eobrun_crossing_boundary_refused():
+    # hand-built: grayscale 24x8 (three blocks), DRI=1, one AC-first
+    # scan whose first block ends with EOB1 + extra bit 1 -> eobrun=2,
+    # which would have to span the restart boundary after block 1 — a
+    # conforming encoder cannot emit this; the decoder must refuse
+    # rather than silently resetting the run (the following bits
+    # would decode misaligned)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _magnitude,
+    )
+
+    ac_bits = [0, 0, 5] + [0] * 13
+    ac_vals = [0x00, 0x01, 0x02, 0x10, 0x21]
+    ac = _canonical_codes(ac_bits, ac_vals)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))
+    out += seg(
+        0xFFC2, struct.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0])
+    )
+    out += seg(0xFFC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xFFDD, struct.pack(">H", 1))
+    bw = _BitWriter()
+    s, bits = _magnitude(1)
+    code, ln = ac[s]
+    bw.put(code, ln)
+    bw.put(bits, s)
+    code, ln = ac[0x10]  # EOB1: eobrun = 2^1 - 1 + appended bit
+    bw.put(code, ln)
+    bw.put(1, 1)  # -> eobrun = 2: covers blocks B and C, crossing
+    bw.flush()
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.out
+    out += b"\xFF\xD9"
+    with pytest.raises(ValueError, match="crosses a restart"):
+        jpeg_decode(bytes(out))
+
+
+def test_restart_dri_redefined_between_scans():
+    # DRI resolves per scan (like DHT): splice DRI=0 in front of the
+    # LAST SOS of an ri=1 progressive stream — the final AC scan's
+    # entropy still contains RSTn markers, which a per-scan decoder
+    # (now told ri=0) must surface as a loud error instead of decoding
+    # through them; a decoder that latched the header DRI globally
+    # would decode cleanly and fail this test
+    data = jpeg_encode(_gradient(16, 16), progressive=True,
+                       restart_interval=1)
+    i = data.rfind(b"\xFF\xDA")
+    assert i > 0
+    patched = (
+        data[:i] + struct.pack(">HHH", 0xFFDD, 4, 0) + data[i:]
+    )
+    with pytest.raises(ValueError):
+        jpeg_decode(patched)
+
+
+def test_restart_interval_encoder_validation():
+    with pytest.raises(ValueError, match="restart_interval"):
+        jpeg_encode(_gradient(8, 8), restart_interval=-1)
+    with pytest.raises(ValueError, match="restart_interval"):
+        jpeg_encode(_gradient(8, 8), restart_interval=65536)
