@@ -639,3 +639,254 @@ def test_cms_join_size_sweep(spark, duck, depth, width):
     assert int(row["overestimate"].iloc[0]) == (
         int(row["cms_join_estimate"].iloc[0]) - true
     )
+
+
+# ---------------------------------------------------------------- #
+# Bloom filter: sweep (m, k) — the deterministic guarantees are zero
+# false negatives at EVERY geometry (m=256 forces heavy collision so
+# the no-false-negative claim is tested under pressure, and the test
+# demands false positives there so it cannot pass vacuously) and
+# bitwise-OR mergeability (build(A ∪ B) == union of builds, the state
+# being the SET of set bit positions). Counts are md5-deterministic,
+# so the audit row checks value-exact against DuckDB's exact
+# membership counts. (registry/default config: m=2^16, k=4)
+
+
+@pytest.mark.parametrize("m,k", [(1 << 16, 4), (256, 2), (1024, 8)])
+def test_bloom_geometry_sweep(spark, duck, m, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.bloom import (
+        bloom_membership_audit,
+    )
+
+    # orders.o_custkey: 150 distinct keys at sf0.001 — big enough that
+    # the m=256 geometry provably saturates (50 members x 2 hashes set
+    # ~84 of 256 bits -> 11 deterministic false positives), unlike
+    # events.user_id's 15-key universe where fp would be luck
+    o = tables.load_table(spark, "orders", SF_DIR)
+    row = bloom_membership_audit(
+        o, "o_custkey", F.col("o_custkey") % 3 == 0, m=m, k=k
+    ).toPandas()
+    n_universe, n_members = duck.execute("""
+        SELECT count(DISTINCT CAST(o_custkey AS VARCHAR)),
+               count(DISTINCT CASE WHEN o_custkey % 3 = 0
+                     THEN CAST(o_custkey AS VARCHAR) END)
+        FROM orders WHERE o_custkey IS NOT NULL
+    """).fetchone()
+    assert int(row["n_universe"].iloc[0]) == n_universe
+    assert int(row["n_members"].iloc[0]) == n_members
+    assert int(row["n_false_neg"].iloc[0]) == 0, f"bloom(m={m},k={k})"
+    assert int(row["n_candidates"].iloc[0]) == n_members + int(
+        row["n_false_pos"].iloc[0]
+    )
+    assert int(row["n_bits_set"].iloc[0]) <= min(m, n_members * k)
+    if m == 256:
+        # saturated filter: the sweep must SEE false positives, or the
+        # zero-false-negative assertion proved nothing
+        assert int(row["n_false_pos"].iloc[0]) > 0
+
+
+@pytest.mark.parametrize("m,k", [(1 << 16, 4), (512, 3)])
+def test_bloom_merge_is_bit_union(spark, m, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.bloom import (
+        bloom_build,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR).select(
+        F.col("user_id").cast("string").alias("key")
+    ).where(F.col("key").isNotNull())
+    full = bloom_build(ev, "key", m, k).toPandas()
+    halves = (
+        bloom_build(ev.filter(F.col("key").cast("long") % 2 == 0), "key", m, k)
+        .unionByName(
+            bloom_build(
+                ev.filter(F.col("key").cast("long") % 2 == 1), "key", m, k
+            )
+        )
+        .distinct()
+        .toPandas()
+    )
+    _assert_same(full, halves, f"bloom_merge(m={m},k={k})")
+
+
+# ---------------------------------------------------------------- #
+# Fixed-bin histogram state: sweep (lo, hi, n_bins) across BOTH
+# physical forms (inline one-sum-per-bin <= 128 bins; the wide
+# bin-as-data form above) — per-bin counts are pure binary64 floor
+# arithmetic, so a templated DuckDB twin checks them value-exact,
+# including real below/above mass on a narrowed range; and the merge
+# is exact addition, pinned by build(full) == merge(even, odd) cell
+# for cell. The width literal is injected as repr(width) so both
+# engines run the identical binary64 constant the Spark side folds.
+# (registry/default config: n_bins=64)
+
+
+@pytest.mark.parametrize(
+    "lo,hi,n_bins",
+    [(0.0, 100.0, 64), (0.0, 100.0, 4), (0.0, 100.0, 200), (10.0, 50.0, 16)],
+)
+def test_histogram_bins_sweep(spark, duck, lo, hi, n_bins):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_state,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    st = histogram_state(ev, ["event_type"], "value", lo, hi, n_bins)
+    got = st.select(
+        "event_type",
+        F.posexplode("bins").alias("bin", "cnt"),
+    ).filter(F.col("cnt") > 0).toPandas()
+    width = (hi - lo) / n_bins
+    want = duck.execute(f"""
+        SELECT event_type,
+               CAST(least(floor((value - {lo!r}) / {width!r}),
+                          {n_bins - 1}) AS INTEGER) AS bin,
+               count(*) AS cnt
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+          AND value >= {lo!r} AND value < {hi!r}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    _assert_same(got, want, f"hist_bins(lo={lo},hi={hi},b={n_bins})")
+    edges = st.select("event_type", "below", "above", "n").toPandas()
+    want_e = duck.execute(f"""
+        SELECT event_type,
+               sum(CASE WHEN value < {lo!r} THEN 1 ELSE 0 END) AS below,
+               sum(CASE WHEN value >= {hi!r} THEN 1 ELSE 0 END) AS above,
+               count(*) AS n
+        FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1 ORDER BY 1
+    """).fetchdf()
+    _assert_same(edges, want_e, f"hist_edges(lo={lo},hi={hi},b={n_bins})")
+
+
+@pytest.mark.parametrize("n_bins", [64, 200])
+def test_histogram_merge_cell_exact(spark, n_bins):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+
+    def flat(st):
+        return st.select(
+            "event_type", "below", "above", "n",
+            F.posexplode("bins").alias("bin", "cnt"),
+        ).toPandas()
+
+    full = flat(histogram_state(ev, ["event_type"], "value", 0.0, 100.0,
+                                n_bins))
+    merged = flat(
+        merge_histogram_states(
+            [
+                histogram_state(
+                    ev.filter(F.col("event_id") % 2 == 0),
+                    ["event_type"], "value", 0.0, 100.0, n_bins,
+                ),
+                histogram_state(
+                    ev.filter(F.col("event_id") % 2 == 1),
+                    ["event_type"], "value", 0.0, 100.0, n_bins,
+                ),
+            ],
+            ["event_type"],
+        )
+    )
+    _assert_same(full, merged, f"hist_merge(b={n_bins})")
+
+
+# ---------------------------------------------------------------- #
+# MinHash state: component-wise min is idempotent and orderless, so
+# merge-of-split == build-of-union EXACTLY at every n_hashes — and the
+# signature cells themselves are md5-deterministic, so the full state
+# checks value-exact against a templated DuckDB twin of the same
+# universal-hash family. (registry config: type_audience_similarity —
+# n_hashes=16 over event_type/user_id)
+
+
+@pytest.mark.parametrize("n_hashes", [4, 16, 32])
+def test_minhash_state_sweep(spark, duck, n_hashes):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        MH_MOD,
+        minhash_params,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
+        merge_minhash_states,
+        minhash_state,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    full = minhash_state(ev, ["event_type"], "user_id", n_hashes)
+    got = full.toPandas()
+    h = ("CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) "
+         "AS BIGINT)")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT event_type, {j} AS j, "
+        f"min(({minhash_params(j)[0]} * {h} + {minhash_params(j)[1]})"
+        f" % {MH_MOD}) AS sig "
+        f"FROM events WHERE user_id IS NOT NULL GROUP BY event_type"
+        for j in range(n_hashes)
+    )
+    want = duck.execute(arms).fetchdf()
+    _assert_same(got, want, f"minhash_state(n={n_hashes})")
+    merged = merge_minhash_states(
+        [
+            minhash_state(ev.filter(F.col("event_id") % 2 == 0),
+                          ["event_type"], "user_id", n_hashes),
+            minhash_state(ev.filter(F.col("event_id") % 2 == 1),
+                          ["event_type"], "user_id", n_hashes),
+        ],
+        ["event_type"],
+    ).toPandas()
+    _assert_same(got, merged, f"minhash_merge(n={n_hashes})")
+
+
+# ---------------------------------------------------------------- #
+# Decimal + HLL rollup state: exact columns check against DuckDB per
+# key; the merge identity covers the HLL column too — a register-max
+# sketch over disjoint splits unions to the identical register set,
+# so finalize(merge(even, odd)) == finalize(full) INCLUDING the
+# approx_distinct estimate, bit for bit.
+
+
+def test_aggregate_state_merge_and_exact(spark, duck):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        aggregate_state,
+        finalize_state,
+        merge_aggregate_states,
+    )
+
+    ev = tables.load_table(spark, "events", SF_DIR)
+    full = finalize_state(
+        aggregate_state(ev, ["event_type"], "value", distinct_col="user_id"),
+        ["event_type"],
+    ).toPandas()
+    merged = finalize_state(
+        merge_aggregate_states(
+            [
+                aggregate_state(ev.filter(F.col("event_id") % 2 == 0),
+                                ["event_type"], "value",
+                                distinct_col="user_id"),
+                aggregate_state(ev.filter(F.col("event_id") % 2 == 1),
+                                ["event_type"], "value",
+                                distinct_col="user_id"),
+            ],
+            ["event_type"],
+        ),
+        ["event_type"],
+    ).toPandas()
+    _assert_same(full, merged, "aggstate_merge")
+    want = duck.execute("""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+                 AS sum_value,
+               CAST(sum(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+                 / count(*) AS avg_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """).fetchdf()
+    _assert_same(
+        full.drop(columns=["approx_distinct"]), want, "aggstate_exact"
+    )
