@@ -579,3 +579,165 @@ def test_vocab_coverage_whitespace_adversarial(spark, texts):
     """).fetchdf()
     con.close()
     _cmp(got, want, "vocab_coverage_ws")
+
+
+@settings(**SETTINGS)
+@given(texts=_ws_texts)
+def test_pack_whitespace_adversarial(spark, texts):
+    # sequence packing consumes token_count(text) = size(split(trim,
+    # ' ')) — on whitespace-adversarial docs the empty-string tokens
+    # COUNT (an empty doc is 1 token under the idiom), and both
+    # engines must agree on every shard's totals, sequence count, and
+    # boundary crossers at a budget small enough (4) that the
+    # adversarial docs actually cross
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, t) for i, t in enumerate(texts)], columns=["doc_id", "text"]
+    )
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string")
+    got = pack_stats(
+        pack_sequences(sdf, budget=4, n_shards=2), budget=4
+    ).toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) AS h,
+                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+          FROM t
+        ), p AS (
+          SELECT h % 2 AS shard, n_tok,
+                 sum(n_tok) OVER (PARTITION BY h % 2 ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS tok_end
+          FROM d
+        )
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(floor((sum(n_tok) - 1) / 4) + 1 AS BIGINT) AS n_seqs,
+               CAST(sum(CASE WHEN floor((tok_end - 1) / 4)
+                               <> floor((tok_end - n_tok) / 4)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
+        FROM p GROUP BY shard ORDER BY shard
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "pack_ws(budget=4,shards=2)")
+
+
+# ---------------------------------------------------------------- #
+# histogram_state FP clamp edge: with lo=0, hi=0.9, n_bins=3 the bin
+# width is an inexact binary64 (0.9/3 = 0.30000000000000004 > 0.3
+# exactly), and the value one ulp below hi divides to EXACTLY n_bins
+# (0.8999999999999999 / width == 3.0 on this arithmetic — verified by
+# the in-test assertion) — the least() clamp is what keeps that row
+# in the last bin instead of stranding it outside every bin. Both
+# engines run the identical arithmetic, and conservation (sum bins +
+# below + above == n) is asserted so no row can vanish at the edge.
+
+_HAZARD_VALS = [
+    0.0,                     # exactly lo
+    0.35,
+    0.8999999999999999,      # one ulp below hi: (v-lo)/width lands at 3.0
+    0.9,                     # exactly hi -> above
+    -0.1,                    # below lo
+    0.3,                     # a bin boundary that is not exact in binary64
+]
+_hval = st.one_of(
+    st.sampled_from(_HAZARD_VALS), st.just(float("nan")), st.none()
+)
+_hist_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), _hval), min_size=1, max_size=20
+)
+
+
+@settings(**SETTINGS)
+@given(rows=_hist_rows)
+def test_histogram_fp_clamp_differential(spark, rows):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
+        histogram_state,
+    )
+
+    lo, hi, n_bins = 0.0, 0.9, 3
+    width = (hi - lo) / n_bins
+    # the hazard is real on this machine or the fixture is stale
+    assert math.floor((_HAZARD_VALS[2] - lo) / width) == n_bins
+    pdf = pd.DataFrame(rows, columns=["k", "v"]).astype({"v": "float64"})
+    sdf = spark.createDataFrame(pdf, "k string, v double")
+    st_df = histogram_state(sdf, ["k"], "v", lo, hi, n_bins)
+    got = st_df.select(
+        "k", F.posexplode("bins").alias("bin", "cnt")
+    ).filter(F.col("cnt") > 0).toPandas()
+    con = _duck(pdf)
+    want = con.execute(f"""
+        SELECT k,
+               CAST(least(floor((v - {lo!r}) / {width!r}),
+                          {n_bins - 1}) AS INTEGER) AS bin,
+               count(*) AS cnt
+        FROM t
+        WHERE v IS NOT NULL AND NOT isnan(v)
+          AND v >= {lo!r} AND v < {hi!r}
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "hist_clamp_bins")
+    # conservation: nothing strands outside every bucket
+    tot = st_df.select(
+        "k",
+        (
+            F.aggregate("bins", F.lit(0).cast("long"), lambda a, x: a + x)
+            + F.col("below") + F.col("above")
+        ).alias("accounted"),
+        F.col("n"),
+    ).toPandas()
+    assert (tot["accounted"] == tot["n"]).all(), tot
+
+
+# ---------------------------------------------------------------- #
+# salted_join NULL keys: SQL join semantics drop NULL keys on inner
+# and preserve the probe row (NULL dim columns) on left — the salted
+# path must reproduce both, row for row, which the harness data never
+# tests (its key columns are non-null).
+
+_nk_key = st.one_of(st.integers(min_value=0, max_value=4), st.none())
+_nk_large = st.lists(
+    st.tuples(_nk_key, st.integers(min_value=-5, max_value=5)),
+    min_size=1, max_size=20,
+)
+_nk_small = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),
+              st.sampled_from(["x", "y"])),
+    min_size=0, max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**SETTINGS)
+@given(large=_nk_large, small=_nk_small, how=st.sampled_from(["inner", "left"]))
+def test_salted_join_null_keys_differential(spark, large, small, how):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        skew as SK,
+    )
+
+    lpdf = pd.DataFrame(large, columns=["key", "val"]).astype(
+        {"key": "Int64"}
+    )
+    spdf = pd.DataFrame(small, columns=["key", "tag"]).astype(
+        {"key": "Int64"}
+    )
+    ldf = spark.createDataFrame(lpdf, "key long, val long")
+    sdf = spark.createDataFrame(spdf, "key long, tag string")
+    got = SK.salted_join(ldf, sdf, ["key"], n_salt=4, how=how).toPandas()
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("s", spdf)
+    want = con.execute(f"""
+        SELECT l.key AS key, l.val AS val, s.tag AS tag
+        FROM l {'LEFT' if how == 'left' else 'INNER'} JOIN s USING (key)
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, f"salted_null_keys({how})")
