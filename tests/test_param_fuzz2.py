@@ -33,7 +33,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def duck():
     con = duckdb.connect()
     for t in ["orders", "lineitem", "events", "documents", "customer",
-              "embeddings"]:
+              "embeddings", "part"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
@@ -890,3 +890,188 @@ def test_aggregate_state_merge_and_exact(spark, duck):
     _assert_same(
         full.drop(columns=["approx_distinct"]), want, "aggstate_exact"
     )
+
+
+# ---------------------------------------------------------------- #
+# Wave 3: SimHash Hamming bound, keyword top-k, sorted-neighborhood
+# geometry, k-core threshold, and the exactly-N sampler — the
+# remaining parameterized operators whose registry oracles certify a
+# single configuration.
+
+
+# SimHash: sweep the verification bound (registry config:
+# simhash_near_pairs — max_hamming=6; the 16-bit prefix bucketing is
+# the operator's recall contract and stays fixed, so the candidate
+# set is constant and the sweep exercises the Hamming cut, including
+# max_hamming=0 = exact-signature duplicates only).
+
+
+@pytest.mark.parametrize("mh", [0, 2, 6, 10])
+def test_simhash_hamming_sweep(spark, duck, mh):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        dedup as D,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = D.simhash_near_pairs(docs, max_hamming=mh).toPandas()
+    want = duck.execute(
+        entry._simhash_sig_sql()
+        + f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                 AS hamming
+        FROM sig a JOIN sig b
+          ON (a.simhash >> 16) = (b.simhash >> 16)
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {mh}
+        ORDER BY doc_a, doc_b
+    """
+    ).fetchdf()
+    _assert_same(got, want, f"simhash(mh={mh})")
+
+
+# Keyword extraction: sweep k (registry config: doc_keywords — k=5).
+# k=1 exercises the single-winner tie chain (tf DESC, df ASC, token
+# ASC) hardest: any ordering disagreement surfaces as a different
+# champion, not a reordered tail.
+
+
+@pytest.mark.parametrize("k", [1, 3, 5, 10])
+def test_doc_keywords_k_sweep(spark, duck, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.doc_keywords(docs, k=k).toPandas()
+    want = duck.execute(f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM tok GROUP BY doc_id, token
+        ), dfreq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), r AS (
+          SELECT t.doc_id, t.token,
+                 CAST(t.tf AS BIGINT) AS tf,
+                 CAST(d.df AS BIGINT) AS df,
+                 CAST(row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf DESC, d.df ASC, t.token ASC
+                 ) AS INT) AS rank
+          FROM tf t JOIN dfreq d USING (token)
+        )
+        SELECT doc_id, rank, token, tf, df
+        FROM r WHERE rank <= {k}
+        ORDER BY doc_id, rank
+    """).fetchdf()
+    _assert_same(got, want, f"doc_keywords(k={k})")
+
+
+# Sorted-neighborhood blocking: sweep the window and the verify
+# threshold (registry config: part_sorted_neighbors — window=4,
+# min_shared_tokens=1). window=2 is adjacent-only; the candidate set
+# is (w-1)*n by construction, so a window error changes row counts
+# loudly.
+
+
+@pytest.mark.parametrize("w,ms", [(4, 1), (2, 1), (8, 1), (4, 2)])
+def test_sorted_neighbor_sweep(spark, duck, w, ms):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        sorted_neighbor_pairs,
+    )
+
+    part_df = tables.load_table(spark, "part", SF_DIR)
+    got = sorted_neighbor_pairs(
+        part_df, "p_partkey", "p_name", window=w, min_shared_tokens=ms
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH r AS (
+          SELECT p_partkey AS id, p_name AS k,
+                 row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+          FROM part WHERE p_name IS NOT NULL),
+        pr AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+                 a.k AS key_a, b.k AS key_b,
+                 CAST(len(list_intersect(string_split(a.k, ' '),
+                   string_split(b.k, ' '))) AS BIGINT)
+                   AS shared_tokens
+          FROM r a JOIN r b
+            ON b.rn > a.rn AND b.rn <= a.rn + {w - 1})
+        SELECT id_a, id_b, key_a, key_b, shared_tokens
+        FROM pr WHERE shared_tokens >= {ms}
+        ORDER BY id_a, id_b
+    """).fetchdf()
+    _assert_same(got, want, f"snm(w={w},ms={ms})")
+
+
+# k-core: sweep the degree threshold and the edge-weight floor
+# (registry config: corpus_kcore — k_core=3, n_rounds=8, min_count=5).
+# Both engines run the SAME fixed 8 synchronous peeling rounds, so
+# equality holds round-for-round regardless of convergence; k=2 keeps
+# far more of the graph alive, k=4 peels deeper.
+
+
+@pytest.mark.parametrize(
+    "kc,mc", [(3, 5), (2, 5), (4, 5), (3, 3)]
+)
+def test_kcore_sweep(spark, duck, kc, mc):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.collocation_kcore(
+        docs, k_core=kc, n_rounds=8, min_count=mc
+    ).toPandas()
+    want = duck.execute(
+        entry._kcore_oracle(k_core=kc, n_rounds=8, min_count=mc)
+    ).fetchdf()
+    _assert_same(got, want, f"kcore(k={kc},mc={mc})")
+
+
+# Exactly-N sampler: sweep n across the under/over-corpus boundary
+# (registry config: doc_sample_fixed — n=100) and pin the NESTED
+# property the docstring promises — growing n only appends, because
+# the hash order is one fixed global permutation.
+
+
+@pytest.mark.parametrize("n", [5, 50, 100, 5000])
+def test_deterministic_top_n_sweep(spark, duck, n):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        deterministic_top_n,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    got = deterministic_top_n(docs, "doc_id", n).toPandas()
+    want = duck.execute(f"""
+        SELECT doc_id, source, lang, n_chars FROM (
+          SELECT *,
+                 CAST(('0x' || substr(md5('sample'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+          FROM documents)
+        ORDER BY h, doc_id LIMIT {n}
+    """).fetchdf()
+    _assert_same(got, want, f"top_n({n})")
+
+
+def test_deterministic_top_n_nested(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        deterministic_top_n,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR).select("doc_id")
+    small = set(
+        deterministic_top_n(docs, "doc_id", 5).toPandas()["doc_id"]
+    )
+    big = set(
+        deterministic_top_n(docs, "doc_id", 50).toPandas()["doc_id"]
+    )
+    assert len(small) == 5 and len(big) == 50
+    assert small <= big, "growing n must only append"
