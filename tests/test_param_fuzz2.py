@@ -1075,3 +1075,86 @@ def test_deterministic_top_n_nested(spark):
     )
     assert len(small) == 5 and len(big) == 50
     assert small <= big, "growing n must only append"
+
+
+# ---------------------------------------------------------------- #
+# Incremental dedup: sweep the BATCH COUNT — folding the corpus
+# through novel_against_index one batch at a time (each batch checked
+# against the union of all earlier batches) must keep exactly the
+# docs whose fingerprint has no occurrence in a strictly earlier
+# batch, for ANY batch partitioning; k=1 is the degenerate everything-
+# is-novel case. Templated twin mirrors the registered
+# incremental_novel_docs fingerprint SQL with the batch rule
+# substituted. (registry config: one batch = every 5th doc vs the
+# rest — the k-fold generalization of that single split)
+
+_FP_SQL = (
+    "md5(array_to_string(list_sort(list_distinct("
+    "string_split(trim(lower(text)), ' '))), ' '))"
+)
+
+
+@pytest.mark.parametrize("k", [1, 2, 4])
+def test_incremental_batch_fold_sweep(spark, duck, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        novel_against_index,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    batches = [docs.where(F.col("doc_id") % k == i) for i in range(k)]
+    kept = batches[0]
+    for i in range(1, k):
+        index = batches[0]
+        for b in batches[1:i]:
+            index = index.unionByName(b)
+        kept = kept.unionByName(novel_against_index(batches[i], index))
+    got = kept.select("doc_id").toPandas()
+    want = duck.execute(f"""
+        WITH fp AS (
+          SELECT doc_id, {_FP_SQL} AS fp, doc_id % {k} AS batch
+          FROM documents)
+        SELECT a.doc_id
+        FROM fp a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM fp b
+          WHERE b.fp = a.fp AND b.batch < a.batch)
+        ORDER BY a.doc_id
+    """).fetchdf()
+    _assert_same(got, want, f"incremental_fold(k={k})")
+
+
+# ---------------------------------------------------------------- #
+# Compaction: the target file size is a pure layout knob — the
+# compacted table must read back row-identical at every target, from
+# one-file-per-partition (huge target) to many small files (tiny
+# target), including the NULL partition value.
+
+
+@pytest.mark.parametrize("target", [1 << 30, 64 * 1024, 4 * 1024])
+def test_compaction_target_size_sweep(spark, tmp_path, target):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
+        compact_partitions,
+    )
+
+    src = tables.load_table(spark, "events", SF_DIR).select(
+        "event_id", "event_type", "value"
+    ).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.col("event_type")
+        ),
+    )
+    path = str(tmp_path / f"tbl_{target}")
+    # spray many small files per partition, like a streaming sink
+    src.repartition(8).write.partitionBy("event_type").parquet(path)
+    before = spark.read.parquet(path).toPandas()
+    compact_partitions(
+        spark, path, partition_by=("event_type",),
+        target_file_bytes=target,
+    )
+    after = spark.read.parquet(path).toPandas()
+    for df in (before, after):
+        df["event_type"] = df["event_type"].astype(object).where(
+            df["event_type"].notna(), None
+        )
+    _assert_same(after, before, f"compact(target={target})")
