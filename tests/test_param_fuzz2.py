@@ -1158,3 +1158,110 @@ def test_compaction_target_size_sweep(spark, tmp_path, target):
             df["event_type"].notna(), None
         )
     _assert_same(after, before, f"compact(target={target})")
+
+
+# ---------------------------------------------------------------- #
+# Quality-filter cascade: sweep the thresholds (registry config:
+# doc_filter_cascade — min_tokens=20, max_chars=450,
+# min_avg_token_len=4.3). First-failure-wins labels partition the
+# corpus, so a priority-order bug shows as mass moving between
+# reasons; the avg-token ratio is integer-derived binary64 on both
+# engines, so thresholds compare identically.
+
+
+@pytest.mark.parametrize(
+    "min_tok,max_ch,min_avt",
+    [
+        (20, 450, 4.3),      # registry config
+        (5, 450, 4.3),
+        (50, 200, 4.3),
+        (20, 450, 10.0),     # short_tokens dominates the tail
+        (1, 10 ** 6, 0.0),   # only low_stopword can fire
+    ],
+)
+def test_quality_cascade_threshold_sweep(spark, duck, min_tok, max_ch,
+                                         min_avt):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    d = tables.load_table(spark, "documents", SF_DIR)
+    got = (
+        d.select(
+            TX.quality_drop_reason(
+                F.col("text"), F.col("lang"),
+                min_tokens=min_tok, max_chars=max_ch,
+                min_avg_token_len=min_avt,
+            ).alias("reason")
+        )
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("reason")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        WITH s AS (
+          SELECT {entry._STATS['n_tokens']} AS n_tok,
+                 length(text) AS n_ch,
+                 {entry._AVG_TOK} AS avt,
+                 lang,
+                 {entry._STOP_HITS} AS hits
+          FROM documents
+        )
+        SELECT CASE WHEN n_tok < {min_tok} THEN 'too_short'
+                    WHEN n_ch > {max_ch} THEN 'too_long'
+                    WHEN lang = 'en' AND hits = 0 THEN 'low_stopword'
+                    WHEN avt < {min_avt!r} THEN 'short_tokens'
+                    ELSE 'kept' END AS reason,
+               count(*) AS n_docs
+        FROM s GROUP BY reason ORDER BY reason
+    """).fetchdf()
+    _assert_same(got, want, f"cascade({min_tok},{max_ch},{min_avt})")
+
+
+# ---------------------------------------------------------------- #
+# Feature hashing: sweep the table size and the n-gram order
+# (registry config: doc_feature_hashes — n_features=1024, ngram=1).
+# The sweep compares the FULL sparse (doc_id, feature_idx, tf) triple
+# — stronger than the registry's top-50 histogram cut — including the
+# <ngram-token documents that must contribute zero grams (Spark's
+# descending sequence(1, 0) footgun, guarded in the operator).
+
+
+@pytest.mark.parametrize(
+    "nf,ng", [(1024, 1), (64, 1), (1024, 2), (256, 3)]
+)
+def test_feature_hash_sweep(spark, duck, nf, ng):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    d = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.feature_hash_counts(d, n_features=nf, ngram=ng).toPandas()
+    if ng == 1:
+        gram_cte = """
+            g AS (SELECT doc_id,
+                         unnest(string_split(trim(text), ' ')) AS t
+                  FROM documents)"""
+    else:
+        gram_cte = f"""
+            tok AS (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                    FROM documents),
+            g AS (SELECT doc_id, array_to_string(tk[i:i+{ng - 1}], ' ') AS t
+                  FROM tok,
+                       unnest(generate_series(1, len(tk) - {ng - 1}))
+                         AS r(i)
+                  WHERE len(tk) >= {ng})"""
+    want = duck.execute(f"""
+        WITH {gram_cte},
+        fh AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('feat' || t), 1, 8)) AS BIGINT)
+                   % {nf} AS feature_idx
+          FROM g)
+        SELECT doc_id, feature_idx, CAST(count(*) AS BIGINT) AS tf
+        FROM fh GROUP BY doc_id, feature_idx
+        ORDER BY doc_id, feature_idx
+    """).fetchdf()
+    _assert_same(got, want, f"feature_hash(nf={nf},ng={ng})")
