@@ -1,12 +1,18 @@
-"""Parameter-sweep differential fuzz, wave 2: the families the first
-wave (tests/test_param_fuzz.py) had not reached — skew-salted joins
-(salt factor, join type, hot-key targeting), GROUPING SETS
+"""Parameter-sweep differential fuzz, waves 2+: the families the
+first wave (tests/test_param_fuzz.py) had not reached — skew-salted
+joins (salt factor, join type, hot-key targeting), GROUPING SETS
 combinations, Z-order bit depth / prefix grain, sequence-packing
 geometry (token budget x shard count), IVF probe width, MinHash-LSH
 verification threshold and shingle size, contamination n-gram size,
-and the CMS / Misra-Gries sketch parameter spaces (where the swept
-property is the published deterministic guarantee, since the sketch
-estimate itself is parameter-dependent by design).
+ALL SIX mergeable sketch states (CMS, Misra-Gries, Bloom, fixed-bin
+histogram, MinHash signature, decimal+HLL — where the swept property
+is the published deterministic guarantee and the cell-exact merge
+identity, since the estimates themselves are parameter-dependent by
+design), SimHash Hamming bound, keyword top-k, sorted-neighborhood
+geometry, k-core thresholds, the exactly-N sampler's nested growth,
+batch-fold incremental dedup, compaction target size, the quality
+cascade's threshold triple, feature-hashing table size / n-gram
+order, and the SRP-LSH cosine cut.
 
 Same discipline as wave 1: templated DuckDB twins mirroring the
 registered ``oracle_sql()`` strings with the parameter literal
@@ -1265,3 +1271,49 @@ def test_feature_hash_sweep(spark, duck, nf, ng):
         ORDER BY doc_id, feature_idx
     """).fetchdf()
     _assert_same(got, want, f"feature_hash(nf={nf},ng={ng})")
+
+
+# ---------------------------------------------------------------- #
+# SRP-LSH pairs: sweep the cosine verification threshold (registry
+# config: ann_lsh_pairs — dims=64, threshold=0.2). The 2x8-bit
+# banding is the operator's recall contract and stays fixed, so the
+# candidate set is constant across thresholds and the sweep exercises
+# the exact-cosine cut — including threshold=-1.0, where EVERY
+# candidate survives (the full bucket-collision census).
+
+_COS2 = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8, -1.0])
+def test_srp_lsh_threshold_sweep(spark, duck, threshold):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    emb = tables.load_table(spark, "embeddings", SF_DIR)
+    got = S.ann_lsh_pairs(emb, dims=64, threshold=threshold).toPandas()
+    want = duck.execute(
+        entry._srp_sig_sql()
+        + f""",
+        bands AS (
+          SELECT vec_id, v, 0 AS band, srp & 255 AS bv FROM sig
+          UNION ALL
+          SELECT vec_id, v, 1 AS band, (srp >> 8) & 255 AS bv FROM sig),
+        cands AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b,
+               {_COS2.format(a='sa.v', b='sb.v')} AS sim
+        FROM cands
+        JOIN sig sa ON vec_a = sa.vec_id
+        JOIN sig sb ON vec_b = sb.vec_id
+        WHERE {_COS2.format(a='sa.v', b='sb.v')} >= {threshold}
+        ORDER BY vec_a, vec_b
+    """
+    ).fetchdf()
+    _assert_same(got, want, f"srp_lsh(th={threshold})")
