@@ -1317,3 +1317,56 @@ def test_srp_lsh_threshold_sweep(spark, duck, threshold):
     """
     ).fetchdf()
     _assert_same(got, want, f"srp_lsh(th={threshold})")
+
+
+# ---------------------------------------------------------------- #
+# PQ / IVFADC: the codes are lossy so there is no value-level twin —
+# the registry oracles are invariant audits, and the sweep asserts
+# those invariants across the compression grid (registry configs:
+# pq_recall_audit — m=8, n_codes=16, k=5; ivfadc_recall —
+# n_centroids=16, n_probe=4, m=8, n_codes=16): every query returns
+# exactly k rows, never itself, with distinct valid neighbors; wider
+# m (less compression) must not lose the audits' structural shape;
+# n_probe = n_centroids is the exhaustive-probe edge.
+
+
+@pytest.mark.parametrize("m,n_codes", [(8, 16), (4, 16), (16, 16), (8, 8)])
+def test_pq_grid_invariants(spark, m, n_codes):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    emb = tables.load_table(spark, "embeddings", SF_DIR)
+    qf = F.col("vec_id") < 8
+    books = S.pq_codebooks(emb, m=m, n_codes=n_codes)
+    assert books.shape == (m, n_codes, 64 // m)
+    pq = S.pq_topk(emb, qf, books, k=5).toPandas()
+    assert set(pq["query_id"]) == set(range(8))
+    per_q = pq.groupby("query_id").size()
+    assert (per_q == 5).all(), f"pq(m={m},c={n_codes}): {per_q.to_dict()}"
+    assert (pq["query_id"] != pq["neighbor_id"]).all()
+    assert not pq.duplicated(["query_id", "neighbor_id"]).any()
+    assert pq["neighbor_id"].between(0, 499).all()
+
+
+@pytest.mark.parametrize("np_", [1, 4, 16])
+def test_ivfadc_probe_invariants(spark, np_):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    emb = tables.load_table(spark, "embeddings", SF_DIR)
+    qf = F.col("vec_id") < 8
+    adc = S.ivfadc_topk(
+        emb, qf, k=5, n_centroids=16, n_probe=np_
+    ).toPandas()
+    assert set(adc["query_id"]) == set(range(8))
+    per_q = adc.groupby("query_id").size()
+    # n_probe=1 may expose fewer than k candidates in the one probed
+    # cell; every row count must still be bounded by k and positive
+    assert (per_q <= 5).all() and (per_q > 0).all()
+    if np_ == 16:
+        # exhaustive probe scans every cell: full k for every query
+        assert (per_q == 5).all()
+    assert (adc["query_id"] != adc["neighbor_id"]).all()
+    assert not adc.duplicated(["query_id", "neighbor_id"]).any()
