@@ -1370,3 +1370,75 @@ def test_ivfadc_probe_invariants(spark, np_):
         assert (per_q == 5).all()
     assert (adc["query_id"] != adc["neighbor_id"]).all()
     assert not adc.duplicated(["query_id", "neighbor_id"]).any()
+
+
+# ---------------------------------------------------------------- #
+# Retrieval: fixed-point TF-IDF swept over query composition and k —
+# including a query term absent from the corpus, which must simply
+# contribute nothing (df=0 never divides) — and two-round RM3 PRF
+# swept over (fb_docs, fb_terms, k) via the parameterized chained
+# oracle generator. (registry configs: doc_search_tfidf — 4 terms,
+# k=20; doc_search_prf — fb_docs=10, fb_terms=5, k=20)
+
+
+@pytest.mark.parametrize(
+    "terms,k",
+    [
+        (["merge", "stream", "vector", "window"], 20),  # registry
+        (["vector"], 5),
+        (["merge", "zzz_no_such_term"], 20),
+        (["merge", "stream", "vector", "window"], 5),
+    ],
+)
+def test_tfidf_query_sweep(spark, duck, terms, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.tfidf_search(docs, " ".join(terms), k=k).toPandas()
+    qlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    want = duck.execute(f"""
+        WITH q AS (SELECT unnest([{qlist}]) AS t),
+        n AS (SELECT count(*) AS n FROM documents),
+        hits AS (
+          SELECT doc_id, tok.t
+          FROM (SELECT doc_id,
+                       unnest(string_split(trim(text), ' ')) AS t
+                FROM documents) tok
+          JOIN q ON q.t = tok.t),
+        dfs AS (SELECT t, count(DISTINCT doc_id) AS df
+                FROM hits GROUP BY t),
+        tfs AS (SELECT doc_id, t, count(*) AS tf
+                FROM hits GROUP BY doc_id, t),
+        scored AS (
+          SELECT tfs.doc_id,
+                 sum(CAST(tfs.tf AS HUGEINT)
+                     * ((CAST(1000000 AS HUGEINT) * n.n) // dfs.df))
+                   AS score
+          FROM tfs JOIN dfs ON tfs.t = dfs.t CROSS JOIN n
+          GROUP BY tfs.doc_id)
+        SELECT doc_id, CAST(score AS BIGINT) AS score
+        FROM scored ORDER BY score DESC, doc_id LIMIT {k}
+    """).fetchdf()
+    _assert_same(got, want, f"tfidf(k={k},q={terms})")
+
+
+@pytest.mark.parametrize(
+    "fb_docs,fb_terms,k", [(10, 5, 20), (3, 5, 20), (10, 2, 20), (5, 10, 10)]
+)
+def test_prf_feedback_sweep(spark, duck, fb_docs, fb_terms, k):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.bm25_prf_search(
+        docs, "vector stream merge window", k=k,
+        fb_docs=fb_docs, fb_terms=fb_terms,
+    ).toPandas()
+    want = duck.execute(
+        entry._bm25_prf_oracle(fb_docs=fb_docs, fb_terms=fb_terms, k=k)
+    ).fetchdf()
+    _assert_same(got, want, f"prf(fb={fb_docs},t={fb_terms},k={k})")
