@@ -1442,3 +1442,123 @@ def test_prf_feedback_sweep(spark, duck, fb_docs, fb_terms, k):
         entry._bm25_prf_oracle(fb_docs=fb_docs, fb_terms=fb_terms, k=k)
     ).fetchdf()
     _assert_same(got, want, f"prf(fb={fb_docs},t={fb_terms},k={k})")
+
+
+# ---------------------------------------------------------------- #
+# Graph/co-occurrence text mining: Apriori 2-itemsets over the
+# support floor, triangle strength over the edge-weight floor,
+# TextRank over iteration count and pruning floor (fixed-point
+# damping, both engines run the identical IEEE sequence), and
+# corpus heavy-hitter n-grams over the gram order. (registry
+# configs: doc_frequent_pairs — min_support=20, k=50;
+# corpus_triangles — min_count=5, k=50; corpus_textrank — n_iter=5,
+# k=50, min_count=5; corpus_ngram_topk — n=2, k=20)
+
+
+@pytest.mark.parametrize("s,k", [(20, 50), (10, 50), (40, 50), (20, 10)])
+def test_frequent_pairs_support_sweep(spark, duck, s, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.doc_frequent_pairs(docs, min_support=s, k=k).toPandas()
+    want = duck.execute(f"""
+        WITH dt AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_distinct(string_split(trim(text), ' ')))
+                   AS t
+          FROM documents),
+        dfs AS (SELECT t, count(*) AS df FROM dt GROUP BY t),
+        freq AS (SELECT t, df FROM dfs WHERE df >= {s}),
+        pr AS (SELECT dt.doc_id, dt.t FROM dt
+               JOIN freq ON dt.t = freq.t),
+        pairs AS (
+          SELECT a.t AS a, b.t AS b, count(*) AS support
+          FROM pr a JOIN pr b
+            ON a.doc_id = b.doc_id AND a.t < b.t
+          GROUP BY a.t, b.t HAVING count(*) >= {s}),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT p.a, p.b, CAST(p.support AS BIGINT) AS support,
+               CAST(p.support AS DOUBLE) * CAST(n.n AS DOUBLE)
+                 / (CAST(fa.df AS DOUBLE) * CAST(fb.df AS DOUBLE))
+                 AS lift
+        FROM pairs p
+        JOIN freq fa ON p.a = fa.t
+        JOIN freq fb ON p.b = fb.t
+        CROSS JOIN n
+        ORDER BY support DESC, lift DESC, p.a, p.b LIMIT {k}
+    """).fetchdf()
+    _assert_same(got, want, f"freq_pairs(s={s},k={k})")
+
+
+@pytest.mark.parametrize("mc,k", [(5, 50), (3, 50), (10, 50), (5, 10)])
+def test_triangles_min_count_sweep(spark, duck, mc, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.collocation_triangles(docs, k=k, min_count=mc).toPandas()
+    want = duck.execute(f"""
+        WITH tok AS (
+          SELECT string_split(trim(text), ' ') AS tk FROM documents),
+        pairs AS (
+          SELECT least(tk[i], tk[i+1]) AS a,
+                 greatest(tk[i], tk[i+1]) AS b
+          FROM tok, unnest(range(1, len(tk))) AS r(i)
+          WHERE len(tk) >= 2 AND tk[i] <> tk[i+1]),
+        e AS (
+          SELECT a, b, count(*) AS w FROM pairs GROUP BY a, b
+          HAVING count(*) >= {mc})
+        SELECT e1.a, e1.b, e2.b AS c,
+               CAST(least(e1.w, e2.w, e3.w) AS BIGINT) AS strength
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+        ORDER BY strength DESC, e1.a, e1.b, c LIMIT {k}
+    """).fetchdf()
+    _assert_same(got, want, f"triangles(mc={mc},k={k})")
+
+
+@pytest.mark.parametrize("n_iter,mc", [(5, 5), (1, 5), (3, 5), (5, 3)])
+def test_textrank_iteration_sweep(spark, duck, n_iter, mc):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.corpus_textrank(
+        docs, k=50, n_iter=n_iter, min_count=mc
+    ).toPandas()
+    want = duck.execute(
+        entry._textrank_oracle(n_iter=n_iter, k=50, min_count=mc)
+    ).fetchdf()
+    _assert_same(got, want, f"textrank(it={n_iter},mc={mc})")
+
+
+@pytest.mark.parametrize("n,k", [(2, 20), (1, 20), (3, 20), (2, 5)])
+def test_ngram_topk_order_sweep(spark, duck, n, k):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.corpus_ngram_topk(docs, n=n, k=k).toPandas()
+    nm1 = n - 1
+    want = duck.execute(f"""
+        WITH t AS (
+          SELECT string_split(trim(text), ' ') AS tk FROM documents
+        ), g AS (
+          SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - {nm1}, 0)),
+                   i -> array_to_string(tk[i:i+{nm1}], ' '))) AS gram
+          FROM t
+        )
+        SELECT gram, count(*) AS n
+        FROM g GROUP BY gram
+        ORDER BY n DESC, gram
+        LIMIT {k}
+    """).fetchdf()
+    _assert_same(got, want, f"ngram_topk(n={n},k={k})")
