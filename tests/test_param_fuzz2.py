@@ -1562,3 +1562,29 @@ def test_ngram_topk_order_sweep(spark, duck, n, k):
         LIMIT {k}
     """).fetchdf()
     _assert_same(got, want, f"ngram_topk(n={n},k={k})")
+
+
+# ---------------------------------------------------------------- #
+# Greedy k-center coreset: sweep the coreset size against the
+# parameterized unrolled-CTE twin — ids AND gains must hash-match at
+# every k (same dot-identity distances, same (mind DESC, id)
+# tie-break; k=2 pins the very first argmax round alone). (registry
+# config: kcenter_selection — k=8)
+
+
+@pytest.mark.parametrize("k", [2, 5, 8])
+def test_kcenter_k_sweep(spark, duck, k):
+    # k stays <= the registry's 8: _kcenter_sql's chained m{i} CTEs are
+    # not MATERIALIZED (unlike the kcore oracle's e{i}), so DuckDB
+    # inlines them and the plan re-evaluates the min-distance chain
+    # exponentially in k — fine at the certified 8, intractable at 16.
+    # k=2 still pins the very first argmax round alone.
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    emb = tables.load_table(spark, "embeddings", SF_DIR)
+    got = S.kcenter_select(emb, k=k).orderBy("rank").toPandas()
+    want = duck.execute(entry._kcenter_sql(k)).fetchdf()
+    _assert_same(got, want, f"kcenter(k={k})")
