@@ -1588,3 +1588,52 @@ def test_kcenter_k_sweep(spark, duck, k):
     got = S.kcenter_select(emb, k=k).orderBy("rank").toPandas()
     want = duck.execute(entry._kcenter_sql(k)).fetchdf()
     _assert_same(got, want, f"kcenter(k={k})")
+
+
+# ---------------------------------------------------------------- #
+# Repetition audit: sweep the n-gram order and the high-repetition
+# threshold (registry config: doc_repetition_stats — n=2,
+# threshold 1/5). The threshold is an exact integer cross-
+# multiplication, so sweeping the rational moves documents across
+# the n_high_rep cut with no float comparison anywhere; n=3 changes
+# the gram domain itself.
+
+
+@pytest.mark.parametrize(
+    "n,hn,hd", [(2, 1, 5), (3, 1, 5), (2, 1, 2), (2, 1, 100)]
+)
+def test_repetition_threshold_sweep(spark, duck, n, hn, hd):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions import (
+        text as TX,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = TX.repetition_stats(
+        docs, n=n, high_num=hn, high_den=hd
+    ).toPandas()
+    nm1 = n - 1
+    want = duck.execute(f"""
+        WITH t AS (
+          SELECT lang, string_split(trim(text), ' ') AS tk
+          FROM documents
+        ), d AS (
+          SELECT lang,
+                 CAST(greatest(len(tk) - {nm1}, 0) AS BIGINT) AS n_grams,
+                 CAST(greatest(len(tk) - {nm1}, 0)
+                      - len(list_distinct(list_transform(
+                          generate_series(1, greatest(len(tk) - {nm1}, 0)),
+                          i -> array_to_string(tk[i:i+{nm1}], ' '))))
+                   AS BIGINT) AS n_dup
+          FROM t
+        )
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(n_grams) AS BIGINT) AS total_grams,
+               CAST(sum(n_dup) AS BIGINT) AS dup_grams,
+               round(CAST(sum(n_dup) AS DOUBLE)
+                     / CAST(sum(n_grams) AS DOUBLE), 6) AS rep_frac,
+               CAST(sum(CASE WHEN n_dup * {hd} > n_grams * {hn}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_high_rep
+        FROM d GROUP BY lang ORDER BY lang
+    """).fetchdf()
+    _assert_same(got, want, f"repetition(n={n},{hn}/{hd})")
