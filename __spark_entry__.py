@@ -3970,16 +3970,25 @@ def _kcenter_sql(k: int = 8) -> str:
     """Greedy k-center oracle: the Spark loop's k−1 rounds unrolled as
     chained CTEs — same |a|²−2a·b+|b|² distances, same (mind DESC, id)
     tie-break, least() chaining equal to the full min (min is
-    associative over doubles)."""
+    associative over doubles).
+
+    Every m{i}/c{i} is MATERIALIZED (the kcore oracle's lesson):
+    m{i-1} is referenced twice per round (the argmax and the next
+    min-fold) and each c{i} several times (NOT IN chains, the fold,
+    the final selects) — inlined, DuckDB re-evaluates the chain
+    exponentially in k, which only stayed tractable because the
+    certified config is k=8; materialization makes the generator
+    linear so parameter sweeps can exceed the registry k."""
     d2 = (
         "(list_dot_product({a}, {a}) - 2.0 * list_dot_product({a}, {b})"
         " + list_dot_product({b}, {b}))"
     )
     parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
         " FROM embeddings)",
-        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
-        f"m0 AS (SELECT e.vec_id, e.v, {d2.format(a='e.v', b='c.v')} AS mind"
+        "c0 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"m0 AS MATERIALIZED (SELECT e.vec_id, e.v,"
+        f" {d2.format(a='e.v', b='c.v')} AS mind"
         " FROM e, c0 c)",
     ]
     for i in range(1, k):
@@ -3990,13 +3999,13 @@ def _kcenter_sql(k: int = 8) -> str:
             f"SELECT vec_id FROM c{j}" for j in range(i)
         )
         parts.append(
-            f"c{i} AS (SELECT vec_id, v, mind FROM m{i - 1}"
+            f"c{i} AS MATERIALIZED (SELECT vec_id, v, mind FROM m{i - 1}"
             f" WHERE vec_id NOT IN ({prior})"
             " ORDER BY mind DESC, vec_id LIMIT 1)"
         )
         if i < k - 1:
             parts.append(
-                f"m{i} AS (SELECT m.vec_id, m.v, least(m.mind, "
+                f"m{i} AS MATERIALIZED (SELECT m.vec_id, m.v, least(m.mind, "
                 + d2.format(a="m.v", b="c.v")
                 + f") AS mind FROM m{i - 1} m, c{i} c)"
             )

@@ -1572,13 +1572,12 @@ def test_ngram_topk_order_sweep(spark, duck, n, k):
 # config: kcenter_selection — k=8)
 
 
-@pytest.mark.parametrize("k", [2, 5, 8])
+@pytest.mark.parametrize("k", [2, 5, 8, 16])
 def test_kcenter_k_sweep(spark, duck, k):
-    # k stays <= the registry's 8: _kcenter_sql's chained m{i} CTEs are
-    # not MATERIALIZED (unlike the kcore oracle's e{i}), so DuckDB
-    # inlines them and the plan re-evaluates the min-distance chain
-    # exponentially in k — fine at the certified 8, intractable at 16.
-    # k=2 still pins the very first argmax round alone.
+    # k=2 pins the very first argmax round alone; k=16 above the
+    # registry's 8 became tractable once _kcenter_sql materialized its
+    # m{i}/c{i} CTEs (inlined, DuckDB re-evaluated the chain
+    # exponentially in k)
     import __spark_entry__ as entry
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
         similarity as S,
