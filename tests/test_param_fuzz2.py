@@ -1636,3 +1636,88 @@ def test_repetition_threshold_sweep(spark, duck, n, hn, hd):
         FROM d GROUP BY lang ORDER BY lang
     """).fetchdf()
     _assert_same(got, want, f"repetition(n={n},{hn}/{hd})")
+
+
+# ---------------------------------------------------------------- #
+# Split-conformal intervals: sweep the miscoverage rational alpha
+# (registry config: forecast_conformal — alpha=1/10). The calibration
+# rank k = ceil((n_c+1)(1-alpha)) is exact integer arithmetic, so
+# every alpha moves the chosen order statistic deterministically;
+# alpha=1/2 picks the (roughly) median width, alpha=1/20 the extreme
+# tail clamped to n_c.
+
+
+@pytest.mark.parametrize("an,ad", [(1, 10), (1, 2), (1, 4), (1, 20)])
+def test_conformal_alpha_sweep(spark, duck, an, ad):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        gold as G,
+    )
+
+    feats = entry._pseudo_features_hourly(spark, SF_DIR)
+    fc = G.seasonal_naive_forecast(feats, horizons=[1, 24])
+    got = G.conformal_eval(
+        fc, feats, alpha_num=an, alpha_den=ad
+    ).toPandas()
+    a, b = ad - an, ad
+    want = duck.execute(
+        entry._PSEUDO_FEATURES_CTE
+        + f""",
+        fc AS (
+          SELECT site, ts_utc + INTERVAL 1 HOUR AS ts_utc,
+                 'baseline' AS model, var, 1 AS horizon_h,
+                 lag_h1 AS yraw
+          FROM sig
+          UNION ALL
+          SELECT site, ts_utc + INTERVAL 24 HOUR AS ts_utc,
+                 'baseline' AS model, var, 24 AS horizon_h,
+                 lag_h24 AS yraw
+          FROM sig
+        ),
+        f AS (
+          SELECT site, ts_utc, model, var, horizon_h,
+                 greatest(yraw, 0.0) AS yhat
+          FROM fc WHERE yraw IS NOT NULL
+        ),
+        act AS (
+          SELECT site, ts_utc, 'pv' AS var, pv_est_mwh AS y FROM s
+          UNION ALL
+          SELECT site, ts_utc, 'wind' AS var, wind_est_mwh AS y FROM s
+        ),
+        pts AS (
+          SELECT model, var, horizon_h, site, ts_utc,
+                 abs(yhat - y) AS ar
+          FROM f JOIN act USING (site, ts_utc, var)),
+        ranked AS (
+          SELECT *,
+                 row_number() OVER (
+                   PARTITION BY model, var, horizon_h
+                   ORDER BY ts_utc, site) AS rn,
+                 count(*) OVER (
+                   PARTITION BY model, var, horizon_h) AS n
+          FROM pts),
+        calib AS (SELECT * FROM ranked WHERE rn <= n // 2),
+        tst AS (SELECT * FROM ranked WHERE rn > n // 2),
+        qt AS (
+          SELECT model, var, horizon_h, ar AS q, nc AS n_calib
+          FROM (
+            SELECT *,
+                   row_number() OVER (
+                     PARTITION BY model, var, horizon_h
+                     ORDER BY ar, ts_utc, site) AS ra,
+                   count(*) OVER (
+                     PARTITION BY model, var, horizon_h) AS nc
+            FROM calib)
+          WHERE ra = least(((nc + 1) * {a} + {b - 1}) // {b}, nc))
+        SELECT t.model, t.var, t.horizon_h,
+               CAST(q.n_calib AS BIGINT) AS n_calib,
+               count(*) AS n_test,
+               round(q.q, 4) AS q_width,
+               round(avg(CASE WHEN t.ar <= q.q THEN 1.0 ELSE 0.0 END),
+                     4) AS coverage
+        FROM tst t JOIN qt q USING (model, var, horizon_h)
+        GROUP BY t.model, t.var, t.horizon_h, q.n_calib, q.q
+        ORDER BY t.model, t.var, t.horizon_h
+    """
+    ).fetchdf()
+    _assert_same(got, want, f"conformal(a={an}/{ad})")
