@@ -201,13 +201,29 @@ class _BitWriter:
             self.put(0x7F, 8 - self._nbits)  # pad with 1-bits per spec
 
 
-def _emit_restart(bw: "_BitWriter", rst: int) -> int:
-    """Byte-align (1-padding per spec) and append the next RSTn marker
-    bytes directly — markers are not entropy data, so no stuffing.
-    Returns the next marker number in the 0-7 cycle."""
-    bw.flush()
-    bw.out += bytes([0xFF, 0xD0 + rst])
-    return (rst + 1) & 7
+class _RestartCadence:
+    """Encoder-side restart bookkeeping, ONE definition for all four
+    scan loops (baseline 4:4:4, baseline 4:2:0, progressive DC,
+    progressive AC — review r10: the count/emit/reset idiom was
+    copy-pasted): every ``ri`` units, byte-align (1-padding per
+    spec), append the next RSTn bytes directly — markers are not
+    entropy data, so no stuffing — and report that a boundary fired
+    so the caller can reset its DC predictors. The 0-7 marker cycle
+    starts at RST0 within every scan (one cadence per scan)."""
+
+    def __init__(self, ri: int) -> None:
+        self.ri = ri
+        self.unit = 0
+        self.rst = 0
+
+    def boundary(self, bw: "_BitWriter") -> bool:
+        fire = bool(self.ri) and self.unit > 0 and self.unit % self.ri == 0
+        if fire:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + self.rst])
+            self.rst = (self.rst + 1) & 7
+        self.unit += 1
+        return fire
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -378,13 +394,11 @@ def jpeg_encode(
         bw = _BitWriter()
         pred = [0] * nc
         bh, bwid = (h + 7) // 8, (w + 7) // 8
-        mcu, rst = 0, 0
+        cad = _RestartCadence(restart_interval)
         for by in range(bh):
             for bx in range(bwid):
-                if restart_interval and mcu and mcu % restart_interval == 0:
-                    rst = _emit_restart(bw, rst)
+                if cad.boundary(bw):
                     pred = [0] * nc
-                mcu += 1
                 for ci in range(nc):
                     tbl = 0 if ci == 0 else 1
                     pred[ci] = _encode_block(
@@ -401,13 +415,11 @@ def jpeg_encode(
         pred = [0] * nc
         luma, chroma = _pad_subsample_420(planes, h, w)
         ph, pw = luma.shape
-        mcu, rst = 0, 0
+        cad = _RestartCadence(restart_interval)
         for my in range(ph // 16):
             for mx in range(pw // 16):
-                if restart_interval and mcu and mcu % restart_interval == 0:
-                    rst = _emit_restart(bw, rst)
+                if cad.boundary(bw):
                     pred = [0] * nc
-                mcu += 1
                 for byy in range(2):
                     for bxx in range(2):
                         pred[0] = _encode_block(
@@ -527,13 +539,11 @@ def _progressive_scans(
     pred = [0] * nc
     mcuy = len(grids[0]) // samp[0][1]
     mcux = len(grids[0][0]) // samp[0][0]
-    mcu, rst = 0, 0
+    cad = _RestartCadence(ri)
     for my in range(mcuy):
         for mx in range(mcux):
-            if ri and mcu and mcu % ri == 0:
-                rst = _emit_restart(bw_dc, rst)
+            if cad.boundary(bw_dc):
                 pred = [0] * nc
-            mcu += 1
             for ci in range(nc):
                 hc, vc = samp[ci]
                 tbl = 0 if ci == 0 else 1
@@ -566,12 +576,10 @@ def _progressive_scans(
         gbw, gbh = -(-cw // 8), -(-ch // 8)
         for ss, se in ((1, 5), (6, 63)):
             bwr = _BitWriter()
-            blk_n, rst = 0, 0
+            cad = _RestartCadence(ri)
             for by in range(gbh):
                 for bx in range(gbw):
-                    if ri and blk_n and blk_n % ri == 0:
-                        rst = _emit_restart(bwr, rst)
-                    blk_n += 1
+                    cad.boundary(bwr)
                     zz = grids[ci][by][bx]
                     run = 0
                     for k in range(ss, se + 1):
@@ -643,18 +651,28 @@ class _BitReader:
             v = (v << 1) | self.bit()
         return v
 
-    def align_restart(self) -> None:
-        """Consume an RSTn marker and byte-align (restart intervals)."""
+    def align_restart(self, expected: int) -> None:
+        """Consume the RSTn marker with sequence number ``expected``
+        (the 0-7 cycle, restarting at RST0 within every scan) and
+        byte-align. The number IS the resync mechanism T.81 defines
+        the cycle for: accepting any RSTn here would let a stream
+        with swapped or dropped intervals decode self-consistently
+        into spatially scrambled blocks with no error (review r10) —
+        refused loudly instead."""
         self._nbits = 0
         d = self.data
-        if (
+        if not (
             self.pos + 1 < len(d)
             and d[self.pos] == 0xFF
             and 0xD0 <= d[self.pos + 1] <= 0xD7
         ):
-            self.pos += 2
-        else:
             raise ValueError("expected JPEG restart marker")
+        if d[self.pos + 1] != 0xD0 + (expected & 7):
+            raise ValueError(
+                "JPEG restart marker out of sequence: got "
+                f"RST{d[self.pos + 1] - 0xD0}, expected RST{expected & 7}"
+            )
+        self.pos += 2
 
 
 class _MarkerReached(Exception):
@@ -910,10 +928,12 @@ def jpeg_decode(
         coef = (nat * qt).reshape(8, 8)
         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = _C.T @ coef @ _C
 
+    rst_expect = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_restart()
+                br.align_restart(rst_expect)
+                rst_expect = (rst_expect + 1) & 7
                 pred = [0] * nc
             mcu_count += 1
             # component data units in raster order inside the MCU —
@@ -1098,11 +1118,13 @@ def _scan_dc(
     alignment still applies."""
     pred = [0] * len(scan_comps)
     unit = 0
+    rst_expect = 0
 
     def restart_point():
-        nonlocal unit, pred
+        nonlocal unit, pred, rst_expect
         if ri and unit and unit % ri == 0:
-            br.align_restart()
+            br.align_restart(rst_expect)
+            rst_expect = (rst_expect + 1) & 7
             pred = [0] * len(scan_comps)
         unit += 1
 
@@ -1147,6 +1169,7 @@ def _scan_ac(br, arr, bw_blocks, bh_blocks, ss, se, ah, al, actab, ri=0):
     eobrun = 0
     p1, m1 = 1 << al, -(1 << al)
     unit = 0
+    rst_expect = 0
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
             if ri and unit and unit % ri == 0:
@@ -1155,7 +1178,8 @@ def _scan_ac(br, arr, bw_blocks, bh_blocks, ss, se, ah, al, actab, ri=0):
                         "JPEG end-of-band run crosses a restart "
                         "boundary"
                     )
-                br.align_restart()
+                br.align_restart(rst_expect)
+                rst_expect = (rst_expect + 1) & 7
             unit += 1
             blk = arr[by, bx]
             if ah == 0:

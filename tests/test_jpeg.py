@@ -547,6 +547,7 @@ def test_restart_interval_roundtrip_identity():
             base = jpeg_decode(
                 jpeg_encode(rows, quality=90, progressive=prog, **kwargs)
             )
+            ri1_data = None
             for ri in (1, 2, 7):
                 data = jpeg_encode(
                     rows, quality=90, progressive=prog,
@@ -554,15 +555,13 @@ def test_restart_interval_roundtrip_identity():
                 )
                 assert struct.pack(">HHH", 0xFFDD, 4, ri) in data
                 assert jpeg_decode(data) == base, (kwargs, prog, ri)
+                if ri == 1:
+                    ri1_data = data
             # the ri=1 stream must actually CONTAIN restart markers
             # (entropy data can't fake the 2-byte sequence: the
             # encoder stuffs 0x00 after every literal 0xFF)
-            data = jpeg_encode(
-                rows, quality=90, progressive=prog, restart_interval=1,
-                **kwargs,
-            )
             n_rst = sum(
-                data.count(bytes([0xFF, 0xD0 + m])) for m in range(8)
+                ri1_data.count(bytes([0xFF, 0xD0 + m])) for m in range(8)
             )
             assert n_rst > 0, (kwargs, prog)
 
@@ -581,7 +580,9 @@ def test_restart_missing_marker_refused():
             ) if j > 0
         )
         patched = data[:i] + data[i + 2:]
-        with pytest.raises(ValueError):
+        # either the resync point finds entropy bytes ("expected") or
+        # a later marker arrives with the wrong number ("sequence")
+        with pytest.raises(ValueError, match="restart marker"):
             jpeg_decode(patched)
 
 
@@ -641,8 +642,28 @@ def test_restart_dri_redefined_between_scans():
     patched = (
         data[:i] + struct.pack(">HHH", 0xFFDD, 4, 0) + data[i:]
     )
-    with pytest.raises(ValueError):
+    # under ri=0 the final scan's embedded RSTn bytes surface as a
+    # real marker mid-entropy — the loud truncation refusal
+    with pytest.raises(ValueError, match="truncated JPEG entropy"):
         jpeg_decode(patched)
+
+
+def test_restart_marker_out_of_sequence_refused():
+    # the 0-7 cycle IS the resync mechanism: a stream whose restart
+    # intervals were swapped or dropped still has valid-looking RSTn
+    # bytes at every boundary, and only the sequence number betrays
+    # it — renumber the first RST0 to RST1 and the decoder must
+    # refuse, not decode spatially scrambled blocks (review r10)
+    for prog in (False, True):
+        data = bytearray(jpeg_encode(
+            _gradient(32, 16), quality=90, progressive=prog,
+            restart_interval=1,
+        ))
+        i = data.find(bytes([0xFF, 0xD0]))
+        assert i > 0
+        data[i + 1] = 0xD1
+        with pytest.raises(ValueError, match="out of sequence"):
+            jpeg_decode(bytes(data))
 
 
 def test_restart_interval_encoder_validation():
