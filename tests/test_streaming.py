@@ -6,6 +6,8 @@ from __future__ import annotations
 import datetime as dt
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.ingest_stream import (
@@ -272,3 +274,60 @@ def test_stream_dedup_append_first_wins_across_batches(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert rows == {(1, "first"), (2, "first"), (3, "first")}
+
+
+@pytest.mark.parametrize("wm,dup_rows", [("48 hours", 1), ("1 second", 2)])
+def test_stream_dedup_watermark_retention_sweep(spark, tmp_path, wm, dup_rows):
+    # The docstring's documented trade, pinned from BOTH sides: key
+    # state lives only until the watermark passes it, so a duplicate
+    # re-sent AFTER a long quiet gap is dropped under a 48 h watermark
+    # (state still held) but RE-EMITS under a 1 s watermark (state
+    # evicted when the gap advanced the watermark past the original) —
+    # exactly the "at-least-once source with bounded duplicate lag"
+    # contract: pick the watermark past the lag and output is
+    # exactly-once per key.
+    import json
+    import os
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.ingest_stream import (
+        stream_dedup_append,
+    )
+
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(drop, exist_ok=True)
+
+    def emit(name, rows):
+        tmp = os.path.join(drop, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.replace(tmp, os.path.join(drop, name))
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, payload string"
+        ).json(drop)
+        q = stream_dedup_append(stream, out, ckpt, ["event_id"], "ts", wm)
+        q.awaitTermination(60)
+
+    emit("b0.json", [
+        {"event_id": 1, "ts": "2024-01-01T00:00:00", "payload": "first"},
+    ])
+    run()
+    # 10 h quiet gap advances the watermark past id 1's state iff the
+    # delay is shorter than the gap
+    emit("b1.json", [
+        {"event_id": 50, "ts": "2024-01-01T10:00:00", "payload": "first"},
+    ])
+    run()
+    emit("b2.json", [
+        {"event_id": 1, "ts": "2024-01-01T10:00:01", "payload": "dup"},
+    ])
+    run()
+
+    rows = [r for r in spark.read.parquet(out).collect() if r.event_id == 1]
+    assert len(rows) == dup_rows, (wm, rows)
+    if dup_rows == 1:
+        assert rows[0].payload == "first"
