@@ -19,6 +19,15 @@ registered ``oracle_sql()`` strings with the parameter literal
 substituted; every sweep INCLUDES its registry config so a registry
 oracle edit not mirrored here fails loudly; fixed literal parameter
 sets (no RNG draws) so failures reproduce exactly; sf0.001 scale.
+
+One documented softening of the embed rule: where the registry
+oracle is built by a PARAMETERIZED generator (`_kcore_oracle`,
+`_textrank_oracle`, `_kcenter_sql`, `_bm25_prf_oracle`, the
+simhash/SRP signature CTEs, `_PSEUDO_FEATURES_CTE`), the sweep calls
+the generator with swept arguments instead of embedding a copy — the
+parameter dimension is still independently exercised, but an edit to
+the generator body moves both sides together; the registry-config
+case in each sweep plus the driver gate carry that residual risk.
 """
 
 from __future__ import annotations
