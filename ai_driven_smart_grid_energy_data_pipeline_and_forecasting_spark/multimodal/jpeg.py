@@ -19,11 +19,16 @@ G.1.2 including AC end-of-band runs and refinement correction bits
 (validated against a hand-built fixture, not just this encoder's own
 output), with restart intervals supported in BOTH modes (progressive
 restarts are per-scan: MCU-grained in DC scans, data-unit-grained in
-the non-interleaved AC scans). Everything else stays a loud refusal
-(arithmetic coding, 12-bit, hierarchical, sampling factors > 2) —
-the same narrow-profile-or-raise convention as
-the BMP/PGM/PNG/WAV codecs in ``binary_ops``: a wrong answer is worse
-than no answer at a codec boundary.
+the non-interleaved AC scans), and 12-BIT sample precision (SOF1
+extended sequential / 12-bit SOF2: 16-bit DQT entries, level shift
+2048, full T.81 category-range Huffman tables; decode returns native
+0–4095 values). Everything else stays a loud refusal (arithmetic
+coding — deliberately: its QM-coder Qe state table cannot be
+verified against T.81 offline, and a self-consistent-but-wrong table
+would decode real files incorrectly WITHOUT error — hierarchical,
+sampling factors > 2) — the same narrow-profile-or-raise convention
+as the BMP/PGM/PNG/WAV codecs in ``binary_ops``: a wrong answer is
+worse than no answer at a codec boundary.
 
 Like the PNG decoder's deflate-bomb cap, all decoder allocation is
 bounded by the declared SOF dimensions (an entropy stream cannot make
@@ -139,6 +144,20 @@ AC_CHROMA_VALS = [
     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
     0xF9, 0xFA,
 ]
+
+# 12-bit Huffman tables (the Annex K tables stop at DC category 11 /
+# AC size 10, below the 12-bit coefficient range): flat canonical
+# tables covering the full T.81 category space — DC 0..15 at code
+# length 5 (16 of 32 slots), AC = EOB + ZRL + every (run 0..15,
+# size 1..14) at code length 8 (226 of 256 slots). Compression is
+# not the point of the 12-bit profile here; completeness is.
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_VALS = sorted(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS)] + [0] * 8
 
 # 8-point DCT-II basis: C[k, n] = s(k)·cos((2n+1)kπ/16); block DCT is
 # C · B · Cᵀ and the inverse is Cᵀ · B · C (orthonormal)
@@ -326,6 +345,7 @@ def jpeg_encode(
     subsample: bool = False,
     progressive: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """RGB rows (top-down, pixel = (r, g, b)) → baseline JFIF bytes.
     Default 4:4:4 interleaved; ``subsample=True`` emits the 4:2:0
@@ -349,7 +369,16 @@ def jpeg_encode(
     blocks (progressive AC scans — their MCU is one data unit,
     T.81 A.2.2), resetting the DC predictors and byte-aligning at
     each marker. RSTn numbers 0-7 cyclically, starting at RST0
-    within every scan."""
+    within every scan.
+
+    ``precision=12`` emits an EXTENDED SEQUENTIAL stream (SOF1, or
+    SOF2 with ``progressive=True``): rows hold 0–4095 samples, level
+    shift 2048, quantization tables ×16 (the IJG convention, keeping
+    relative quantization error equal to the 8-bit mode) emitted as
+    16-bit DQT entries (Pq=1), and Huffman tables that cover the
+    12-bit category ranges (DC 0–15, AC sizes 1–14 — the Annex K
+    tables stop at DC 11/AC 10, which 12-bit coefficients exceed).
+    Decode returns the native 0–4095 values."""
     h = len(rows)
     w = len(rows[0]) if h else 0
     if h == 0 or w == 0:
@@ -360,30 +389,46 @@ def jpeg_encode(
         raise ValueError(
             f"restart_interval must be in [0, 65535], got {restart_interval}"
         )
+    if precision not in (8, 12):
+        raise ValueError(
+            f"precision must be 8 or 12, got {precision}"
+        )
+    shift = float(1 << (precision - 1))
     if grayscale:
         y = np.asarray(rows, dtype=np.float64)
-        planes = [y - 128.0]
+        planes = [y - shift]
     else:
         rgb = np.asarray(rows, dtype=np.float64)  # h × w × 3
-        # JFIF RGB→YCbCr
+        # JFIF RGB→YCbCr (linear, so the same weights hold at 12-bit)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         planes = [
-            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            0.299 * r + 0.587 * g + 0.114 * b - shift,
             -0.168736 * r - 0.331264 * g + 0.5 * b,
             0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
     nc = len(planes)
     qts = [_scaled_qt(QT_LUMA, quality), _scaled_qt(QT_CHROMA, quality)]
+    if precision == 12:
+        # ×16 tracks the 16× sample range: coefficient magnitudes (and
+        # so the Huffman size categories and relative error) match the
+        # 8-bit mode; entries stay ≤ 255·16 < 2^16 (Pq=1 DQT)
+        qts = [qt * 16 for qt in qts]
     if grayscale:
         qts = qts[:1]
-    enc_dc = [
-        _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
-        _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
-    ]
-    enc_ac = [
-        _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
-        _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
-    ]
+    if precision == 12:
+        dc_spec = (_DC12_BITS, _DC12_VALS)
+        ac_spec = (_AC12_BITS, _AC12_VALS)
+        enc_dc = [_canonical_codes(*dc_spec)] * 2
+        enc_ac = [_canonical_codes(*ac_spec)] * 2
+    else:
+        enc_dc = [
+            _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+            _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+        ]
+        enc_ac = [
+            _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+            _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
 
     if progressive:
         scans = _progressive_scans(
@@ -442,22 +487,47 @@ def jpeg_encode(
         0xFFE0, b"JFIF\x00" + bytes([1, 1, 0]) + struct.pack(">HHBB", 1, 1, 0, 0)
     )
     for tid, qt in enumerate(qts):
-        zz_qt = bytes(int(qt[i]) for i in ZIGZAG)
-        out += seg(0xFFDB, bytes([tid]) + zz_qt)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+        if precision == 12:  # Pq=1: 16-bit entries
+            zz_qt = b"".join(
+                struct.pack(">H", int(qt[i])) for i in ZIGZAG
+            )
+            out += seg(0xFFDB, bytes([0x10 | tid]) + zz_qt)
+        else:
+            zz_qt = bytes(int(qt[i]) for i in ZIGZAG)
+            out += seg(0xFFDB, bytes([tid]) + zz_qt)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for cid in range(1, nc + 1):
         samp = 0x22 if (subsample and cid == 1) else 0x11
         sof += bytes([cid, samp, 0 if cid == 1 else 1])
-    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
-    dht_specs = [
-        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
-        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
-    ]
-    if nc == 3:
-        dht_specs += [
-            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-            (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    # SOF0 is 8-bit-only by T.81 B.2.2: 12-bit sequential rides SOF1
+    # (extended sequential, identical decode path)
+    if progressive:
+        sof_marker = 0xFFC2
+    elif precision == 12:
+        sof_marker = 0xFFC1
+    else:
+        sof_marker = 0xFFC0
+    out += seg(sof_marker, sof)
+    if precision == 12:
+        dht_specs = [
+            (0, 0, _DC12_BITS, _DC12_VALS),
+            (1, 0, _AC12_BITS, _AC12_VALS),
         ]
+        if nc == 3:
+            dht_specs += [
+                (0, 1, _DC12_BITS, _DC12_VALS),
+                (1, 1, _AC12_BITS, _AC12_VALS),
+            ]
+    else:
+        dht_specs = [
+            (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+            (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        ]
+        if nc == 3:
+            dht_specs += [
+                (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+            ]
     for cls, tid, bits, vals in dht_specs:
         out += seg(
             0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals)
@@ -703,9 +773,12 @@ def jpeg_decode(
     (SOF2) streams — spectral selection and successive approximation,
     dispatched to ``_decode_progressive`` (r10), with restart
     intervals honored there too (per-scan DRI, MCU grain in DC scans,
-    data-unit grain in AC scans). Refuses
-    12-bit/arithmetic/hierarchical streams and sampling factors > 2
-    with ``ValueError`` so callers fall back to the stub boundary."""
+    data-unit grain in AC scans). 12-bit streams (SOF1 extended
+    sequential, or 12-bit SOF2) decode to native 0–4095 values —
+    precision follows the stream, never silently rescaled. Refuses
+    arithmetic/hierarchical streams, other precisions, and sampling
+    factors > 2 with ``ValueError`` so callers fall back to the stub
+    boundary."""
     b = bytes(content)
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
@@ -735,30 +808,46 @@ def jpeg_decode(
             p = 0
             while p < len(payload):
                 pq, tq = payload[p] >> 4, payload[p] & 15
-                if pq != 0:
-                    raise ValueError("16-bit JPEG quant tables unsupported")
-                zz = payload[p + 1 : p + 65]
-                if len(zz) < 64:
+                if pq not in (0, 1):
+                    raise ValueError(f"bad JPEG DQT precision {pq}")
+                step = 1 + pq  # 8- or 16-bit entries (Pq=1: 12-bit only)
+                zz = payload[p + 1 : p + 1 + 64 * step]
+                if len(zz) < 64 * step:
                     raise ValueError("truncated JPEG DQT segment")
                 nat = np.zeros(64, dtype=np.int32)
                 for k in range(64):
-                    nat[ZIGZAG[k]] = zz[k]
+                    v = (
+                        zz[k]
+                        if pq == 0
+                        else struct.unpack_from(">H", zz, 2 * k)[0]
+                    )
+                    nat[ZIGZAG[k]] = v
                 qts[tq] = nat
-                p += 65
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                p += 1 + 64 * step
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "unsupported JPEG process (need baseline SOF0 or "
-                "progressive SOF2)"
+                "unsupported JPEG process (need sequential SOF0/SOF1 "
+                "or progressive SOF2)"
             )
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive — SOF1 decodes exactly like SOF0 (the
+            # extended process differs only in the 12-bit allowance
+            # and Huffman table count, both handled below)
             progressive = marker == 0xC2
             if len(payload) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if len(payload) < 6 + 3 * nc:
                 raise ValueError("truncated JPEG SOF segment")
-            if prec != 8:
-                raise ValueError("unsupported JPEG precision (need 8-bit)")
+            if prec not in (8, 12):
+                raise ValueError(
+                    "unsupported JPEG precision (need 8- or 12-bit)"
+                )
+            if prec == 12 and marker == 0xC0:
+                # T.81 B.2.2: baseline is 8-bit only — a 12-bit SOF0
+                # is a malformed stream, not an extended-sequential one
+                raise ValueError("baseline JPEG (SOF0) must be 8-bit")
             if nc not in (1, 3):
                 raise ValueError("unsupported JPEG component count")
             if fw * fh > MAX_PIXELS:
@@ -782,7 +871,7 @@ def jpeg_decode(
                         "be 1 or 2: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
                     )
                 comps.append((cid, hs, vs, tq))
-            sof = (fw, fh, comps)
+            sof = (fw, fh, comps, prec)
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0
             while p < len(payload):
@@ -858,11 +947,13 @@ def jpeg_decode(
     if progressive:
         if sof is None or not prog_scans:
             raise ValueError("missing JPEG SOF/SOS")
-        fw, fh, comps = sof
-        return _decode_progressive(b, fw, fh, comps, qts, prog_scans)
+        fw, fh, comps, prec = sof
+        return _decode_progressive(
+            b, fw, fh, comps, qts, prog_scans, prec
+        )
     if sof is None or scan is None:
         raise ValueError("missing JPEG SOF/SOS")
-    fw, fh, comps = sof
+    fw, fh, comps, prec = sof
     scan_comps, data_pos = scan
     if len(scan_comps) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
@@ -952,19 +1043,27 @@ def jpeg_decode(
                             (my * vc + byy) * 8,
                             (mx * hc + bxx) * 8,
                         )
-    return _reconstruct(planes, comps, fw, fh)
+    return _reconstruct(planes, comps, fw, fh, prec)
 
 
 def _reconstruct(
-    planes: list, comps: list, fw: int, fh: int
+    planes: list, comps: list, fw: int, fh: int, prec: int = 8
 ) -> tuple[int, int, list]:
     """Shared decode tail (baseline + progressive): replication
     upsampling to full resolution (box-subsampled chroma comes back as
     its nearest-neighbor expansion), crop the MCU padding to the
-    declared dimensions, then JFIF YCbCr→RGB (or grayscale fan-out)."""
+    declared dimensions, then JFIF YCbCr→RGB (or grayscale fan-out).
+
+    ``prec`` sets the level shift (2^(P−1)) and clip range
+    (0..2^P−1): 12-bit streams decode to 0..4095 sample values —
+    native precision, NOT rescaled to 8-bit (a silent >>4 would lose
+    the extra bits the format exists for; callers that want 8-bit
+    divide explicitly)."""
     nc = len(comps)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    shift = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     full = []
     for ci, (_, hc, vc, _) in enumerate(comps):
         p = planes[ci]
@@ -974,15 +1073,15 @@ def _reconstruct(
             p = np.repeat(p, hmax // hc, axis=1)
         full.append(p[:fh, :fw])
     if nc == 1:
-        y = np.clip(full[0] + 128.0, 0, 255)
+        y = np.clip(full[0] + shift, 0, maxv)
         r = g = bl = y
     else:
-        y = full[0] + 128.0
+        y = full[0] + shift
         cb = full[1]
         cr = full[2]
-        r = np.clip(y + 1.402 * cr, 0, 255)
-        g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0, 255)
-        bl = np.clip(y + 1.772 * cb, 0, 255)
+        r = np.clip(y + 1.402 * cr, 0, maxv)
+        g = np.clip(y - 0.344136 * cb - 0.714136 * cr, 0, maxv)
+        bl = np.clip(y + 1.772 * cb, 0, maxv)
     ri = np.rint(r).astype(np.int64)
     gi = np.rint(g).astype(np.int64)
     bi = np.rint(bl).astype(np.int64)
@@ -997,7 +1096,8 @@ def _reconstruct(
 
 
 def _decode_progressive(
-    b: bytes, fw: int, fh: int, comps: list, qts: dict, scans: list
+    b: bytes, fw: int, fh: int, comps: list, qts: dict, scans: list,
+    prec: int = 8,
 ) -> tuple[int, int, list]:
     """Progressive (SOF2) decode: every scan deposits bits into
     per-component ZIGZAG-ORDER coefficient arrays — spectral selection
@@ -1100,7 +1200,7 @@ def _decode_progressive(
                     _C.T @ coef @ _C
                 )
         planes.append(plane)
-    return _reconstruct(planes, comps, fw, fh)
+    return _reconstruct(planes, comps, fw, fh, prec)
 
 
 def _scan_dc(

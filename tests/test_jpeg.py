@@ -671,3 +671,79 @@ def test_restart_interval_encoder_validation():
         jpeg_encode(_gradient(8, 8), restart_interval=-1)
     with pytest.raises(ValueError, match="restart_interval"):
         jpeg_encode(_gradient(8, 8), restart_interval=65536)
+
+
+# --------------------------------------------------- 12-bit precision
+
+
+def test_jpeg12_gray_gradient_tight_bound():
+    # non-wrapping 12-bit ramp: quantization noise only, at the SAME
+    # relative bound as the 8-bit gradient test (qt x16 tracks the
+    # 16x sample range, so 8-bit's <=4 scales to <=64 of 4095)
+    g = [[x * 60 + y * 45 for x in range(32)] for y in range(24)]
+    data = jpeg_encode(g, quality=95, grayscale=True, precision=12)
+    # the stream is SOF1 (baseline SOF0 is 8-bit-only) with 16-bit DQT
+    assert data.find(b"\xFF\xC1") > 0 and data.find(b"\xFF\xC0") < 0
+    i = data.find(b"\xFF\xDB")
+    assert data[i + 4] >> 4 == 1  # Pq=1
+    w, h, back = jpeg_decode(data)
+    assert (w, h) == (32, 24)
+    gm = [[p[0] for p in row] for row in back]
+    assert max(max(r) for r in gm) > 255  # native precision, not >>4
+    assert _err(g, gm) <= 64.0
+
+
+def test_jpeg12_flat_even_value_exact():
+    # quality 97 -> luma DC step 1, x16 for 12-bit -> step 16; DCT DC
+    # of a flat block is 8*(v-2048), so round(8*(v-2048)/16)*16/8
+    # reconstructs v exactly whenever v is even
+    flat = [[1000] * 16 for _ in range(16)]
+    w, h, back = jpeg_decode(
+        jpeg_encode(flat, quality=97, grayscale=True, precision=12)
+    )
+    assert all(p[0] == 1000 for row in back for p in row)
+
+
+def test_jpeg12_color_modes_identity():
+    # progressive and restart streams decode bit-identically to the
+    # plain 12-bit sequential decode (same _quantize_block), across
+    # 4:4:4 and 4:2:0
+    rows = [
+        [((x * 120) % 4000, (y * 110) % 4000, ((x + y) * 60) % 4000)
+         for x in range(20)]
+        for y in range(14)
+    ]
+    for kwargs in (dict(), dict(subsample=True)):
+        base = jpeg_decode(
+            jpeg_encode(rows, quality=95, precision=12, **kwargs)
+        )
+        prog = jpeg_decode(
+            jpeg_encode(rows, quality=95, precision=12,
+                        progressive=True, **kwargs)
+        )
+        rst = jpeg_decode(
+            jpeg_encode(rows, quality=95, precision=12,
+                        restart_interval=1, **kwargs)
+        )
+        assert base == prog == rst, kwargs
+
+
+def test_jpeg12_refusals():
+    with pytest.raises(ValueError, match="precision must be 8 or 12"):
+        jpeg_encode(_gradient(8, 8), precision=10)
+    # a 12-bit stream relabeled SOF0 is malformed (T.81 B.2.2:
+    # baseline is 8-bit only) — refused, not decoded
+    g = [[1000] * 8 for _ in range(8)]
+    data = bytearray(jpeg_encode(g, quality=95, grayscale=True,
+                                 precision=12))
+    i = data.find(b"\xFF\xC1")
+    data[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0.*8-bit"):
+        jpeg_decode(bytes(data))
+    # unsupported precision byte (10-bit) stays a loud refusal
+    data = bytearray(jpeg_encode(g, quality=95, grayscale=True,
+                                 precision=12))
+    i = data.find(b"\xFF\xC1")
+    data[i + 4] = 10  # SOF payload precision byte
+    with pytest.raises(ValueError, match="unsupported JPEG precision"):
+        jpeg_decode(bytes(data))
