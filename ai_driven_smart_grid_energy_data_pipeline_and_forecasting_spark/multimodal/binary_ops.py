@@ -385,15 +385,22 @@ def png_decode(
 
 
 def _rgb_features(
-    w: int, h: int, rows: list[list[tuple[int, int, int]]]
+    w: int,
+    h: int,
+    rows: list[list[tuple[int, int, int]]],
+    maxval: int = 255,
 ) -> list[float]:
     """Shared image-feature shape for the real RGB decoders (BMP, PNG):
     [width, height, n_pixels, mean_r, mean_g, mean_b, mean_luma,
-    aspect]."""
+    aspect]. ``maxval`` normalizes higher-precision rasters (12-bit
+    JPEG: 4095) onto the 0-255 feature scale so one feature column
+    never mixes scales (review r10) — means are scale statistics, so
+    the normalization loses nothing the feature consumer could use."""
     n = max(w * h, 1)
-    sr = sum(p[0] for row in rows for p in row)
-    sg = sum(p[1] for row in rows for p in row)
-    sb = sum(p[2] for row in rows for p in row)
+    k = 255.0 / maxval
+    sr = sum(p[0] for row in rows for p in row) * k
+    sg = sum(p[1] for row in rows for p in row) * k
+    sb = sum(p[2] for row in rows for p in row) * k
     mr, mg, mb = sr / n, sg / n, sb / n
     return [
         float(w),
@@ -454,9 +461,12 @@ def decode_stub(content: bytes, modality: str, fake: bool = False) -> list[float
     if not fake and content is not None and bytes(content[:2]) == b"BM":
         return _rgb_features(*bmp_decode(bytes(content)))
     if not fake and content is not None and bytes(content[:2]) == b"\xFF\xD8":
-        from .jpeg import jpeg_decode
+        from .jpeg import jpeg_decode, jpeg_precision
 
-        return _rgb_features(*jpeg_decode(bytes(content)))
+        prec = jpeg_precision(bytes(content))
+        return _rgb_features(
+            *jpeg_decode(bytes(content)), maxval=(1 << prec) - 1
+        )
     if not fake and content is not None and bytes(content[:4]) == b"GIF8":
         from .gif import gif_decode
 
@@ -566,14 +576,18 @@ def resize_stub(
         ]
         return pgm_encode(gout)
     if not fake and content is not None and bytes(content[:2]) == b"\xFF\xD8":
-        from .jpeg import jpeg_decode, jpeg_encode
+        from .jpeg import jpeg_decode, jpeg_encode, jpeg_precision
 
+        # a 12-bit source resizes to a 12-bit thumbnail: its decoded
+        # rows carry 0-4095 samples, which the 8-bit encode default
+        # would reject (or clip) — precision follows the stream
+        prec = jpeg_precision(bytes(content))
         sw, sh, rows = jpeg_decode(bytes(content))
         out = [
             [rows[y * sh // height][x * sw // width] for x in range(width)]
             for y in range(height)
         ]
-        return jpeg_encode(out)
+        return jpeg_encode(out, precision=prec)
     if not fake and content is not None and bytes(content[:4]) == b"GIF8":
         # nearest-neighbor keeps original palette colors, so the
         # re-encode can never exceed the source's 256-color bound

@@ -394,11 +394,26 @@ def jpeg_encode(
             f"precision must be 8 or 12, got {precision}"
         )
     shift = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+
+    def check_range(arr):
+        # out-of-range samples would otherwise surface as an untyped
+        # KeyError from the Huffman category lookup (a 12-bit decode
+        # fed back to an 8-bit encode — review r10); refuse loudly
+        if arr.size and (arr.min() < 0 or arr.max() > maxv):
+            raise ValueError(
+                f"sample value outside the {precision}-bit range "
+                f"[0, {maxv}] — decode output of a higher-precision "
+                "stream? pass the matching precision="
+            )
+
     if grayscale:
         y = np.asarray(rows, dtype=np.float64)
+        check_range(y)
         planes = [y - shift]
     else:
         rgb = np.asarray(rows, dtype=np.float64)  # h × w × 3
+        check_range(rgb)
         # JFIF RGB→YCbCr (linear, so the same weights hold at 12-bit)
         r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         planes = [
@@ -783,6 +798,7 @@ def jpeg_decode(
     if b[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG payload")
     qts: dict[int, np.ndarray] = {}
+    pq1_seen = False
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     restart_interval = 0
@@ -823,6 +839,7 @@ def jpeg_decode(
                     )
                     nat[ZIGZAG[k]] = v
                 qts[tq] = nat
+                pq1_seen = pq1_seen or pq == 1
                 p += 1 + 64 * step
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
@@ -948,12 +965,22 @@ def jpeg_decode(
         if sof is None or not prog_scans:
             raise ValueError("missing JPEG SOF/SOS")
         fw, fh, comps, prec = sof
+        if prec == 8 and pq1_seen:
+            raise ValueError(
+                "16-bit JPEG quant tables (Pq=1) are only legal in "
+                "12-bit streams (T.81 B.2.4.1)"
+            )
         return _decode_progressive(
             b, fw, fh, comps, qts, prog_scans, prec
         )
     if sof is None or scan is None:
         raise ValueError("missing JPEG SOF/SOS")
     fw, fh, comps, prec = sof
+    if prec == 8 and pq1_seen:
+        raise ValueError(
+            "16-bit JPEG quant tables (Pq=1) are only legal in "
+            "12-bit streams (T.81 B.2.4.1)"
+        )
     scan_comps, data_pos = scan
     if len(scan_comps) != len(comps):
         raise ValueError("JPEG scan/frame component mismatch")
@@ -1044,6 +1071,33 @@ def jpeg_decode(
                             (mx * hc + bxx) * 8,
                         )
     return _reconstruct(planes, comps, fw, fh, prec)
+
+
+def jpeg_precision(content: bytes) -> int:
+    """Sample precision (8 or 12) from the stream's SOF header, WITHOUT
+    decoding — the bit routing callers need now that 12-bit streams
+    decode (their rows carry 0–4095 samples, and feeding those to an
+    8-bit re-encode or an 0–255-scale feature column would corrupt
+    silently — review r10). Walks header segments only; same marker
+    conventions (and refusals) as ``jpeg_decode``'s parser."""
+    b = bytes(content)
+    if b[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break
+        if 0xC0 <= marker <= 0xCB and marker not in (0xC4, 0xC8):
+            # any SOFn (DHT 0xC4 and JPG 0xC8 are not frame headers)
+            return b[i + 4]
+        ln = struct.unpack_from(">H", b, i + 2)[0]
+        if i + 2 + ln > len(b):
+            raise ValueError("truncated JPEG header segment")
+        i += 2 + ln
+    raise ValueError("missing JPEG SOF")
 
 
 def _reconstruct(

@@ -747,3 +747,67 @@ def test_jpeg12_refusals():
     data[i + 4] = 10  # SOF payload precision byte
     with pytest.raises(ValueError, match="unsupported JPEG precision"):
         jpeg_decode(bytes(data))
+
+
+def test_jpeg12_stub_boundary_consistency():
+    # review r10: once 12-bit streams decode, the binary_ops callers
+    # must route the 0-4095 rows correctly — resize preserves the
+    # stream's precision (the 8-bit re-encode default would KeyError
+    # or clip), and decode_stub features normalize onto the 0-255
+    # scale so one feature column never mixes scales
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        decode_stub,
+        resize_stub,
+    )
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        jpeg_precision,
+    )
+
+    rows12 = [[(4000, 2000, 1000)] * 16 for _ in range(16)]
+    data12 = jpeg_encode(rows12, quality=97, precision=12)
+    assert jpeg_precision(data12) == 12
+
+    thumb = resize_stub(data12, 8, 8)
+    assert jpeg_precision(thumb) == 12
+    _, _, back = jpeg_decode(thumb)
+    assert max(p[0] for row in back for p in row) > 255
+
+    feats12 = decode_stub(data12, "image")
+    rows8 = [[(4000 * 255 // 4095, 2000 * 255 // 4095,
+               1000 * 255 // 4095)] * 16 for _ in range(16)]
+    feats8 = decode_stub(jpeg_encode(rows8, quality=97), "image")
+    # same 0-255 scale: the means agree within quantization noise
+    for a, b in zip(feats12[3:7], feats8[3:7]):
+        assert abs(a - b) < 4.0, (feats12, feats8)
+
+
+def test_jpeg_encode_range_validation():
+    # out-of-range samples refuse loudly instead of dying in the
+    # Huffman category lookup
+    with pytest.raises(ValueError, match="outside the 8-bit range"):
+        jpeg_encode([[(300, 0, 0)] * 8 for _ in range(8)])
+    with pytest.raises(ValueError, match="outside the 12-bit range"):
+        jpeg_encode([[5000] * 8 for _ in range(8)], grayscale=True,
+                    precision=12)
+
+
+def test_jpeg_pq1_in_8bit_stream_refused():
+    # T.81 B.2.4.1: 16-bit quant tables are only legal in 12-bit
+    # streams — the mirror image of the 12-bit-SOF0 refusal. Rewrite
+    # an 8-bit stream's 8-bit DQT into an equivalent Pq=1 table and
+    # the decoder must refuse rather than decode the malformation.
+    data = bytearray(jpeg_encode(_gradient(16, 16)))
+    i = data.find(b"\xFF\xDB")
+    ln = struct.unpack_from(">H", data, i + 2)[0]
+    assert ln == 2 + 1 + 64  # one 8-bit table
+    entries = bytes(data[i + 5 : i + 5 + 64])
+    wide = b"".join(struct.pack(">H", v) for v in entries)
+    patched = (
+        bytes(data[:i])
+        + struct.pack(">HH", 0xFFDB, 2 + 1 + 128)
+        + bytes([0x10 | (data[i + 4] & 15)])
+        + wide
+        + bytes(data[i + 2 + ln:])
+    )
+    with pytest.raises(ValueError, match="Pq=1"):
+        jpeg_decode(patched)
