@@ -1730,3 +1730,123 @@ def test_conformal_alpha_sweep(spark, duck, an, ad):
     """
     ).fetchdf()
     _assert_same(got, want, f"conformal(a={an}/{ad})")
+
+
+# ---------------------------------------------------------------- #
+# Rolling features: sweep the trailing-frame width (registry config:
+# silver_rolling_features — window_hours=24). The frame bound is the
+# only thing that moves; the exact-decimal windowed mean must match
+# the templated ROWS BETWEEN twin at every width, including the
+# degenerate window_hours=1 (frame = current row alone, roll_mean ==
+# ghi_wm2).
+
+_ROLLING_SQL = """
+    WITH b AS (
+      SELECT event_type AS site, CAST(ts AS TIMESTAMP) AS ts_utc,
+             value AS ghi_wm2, value - 150.0 AS t2m_c,
+             value / 50.0 AS ws10_mps,
+             CAST(ts AS TIMESTAMP) AS ingested_at
+      FROM events
+    ), v AS (
+      SELECT site, ts_utc, date_trunc('hour', ts_utc) AS ts_hour,
+             CASE WHEN ghi_wm2 >= 0 THEN ghi_wm2 END AS ghi_wm2,
+             CASE WHEN t2m_c BETWEEN -80 AND 80 THEN t2m_c END AS t2m_c,
+             CASE WHEN ws10_mps >= 0 THEN ws10_mps END AS ws10_mps,
+             ingested_at
+      FROM b
+    ), c AS (
+      SELECT * FROM v
+      WHERE ghi_wm2 IS NOT NULL AND t2m_c IS NOT NULL
+        AND ws10_mps IS NOT NULL
+    ), d AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY site, ts_hour
+        ORDER BY ingested_at DESC, ts_utc DESC) AS rn
+      FROM c
+    ), fact AS (
+      SELECT site, CAST(ts_hour AS TIMESTAMP) AS ts_utc, ghi_wm2
+      FROM d WHERE rn = 1
+    )
+    SELECT site, ts_utc, ghi_wm2,
+           CAST(sum(CAST(ghi_wm2 AS DECIMAL(20,6))) OVER w AS DOUBLE)
+             / count(ghi_wm2) OVER w AS roll_mean,
+           min(ghi_wm2) OVER w AS roll_min,
+           max(ghi_wm2) OVER w AS roll_max,
+           lag(ghi_wm2, 1) OVER
+             (PARTITION BY site ORDER BY ts_utc) AS lag_1h,
+           lag(ghi_wm2, 24) OVER
+             (PARTITION BY site ORDER BY ts_utc) AS lag_24h
+    FROM fact
+    WINDOW w AS (PARTITION BY site ORDER BY ts_utc
+                 ROWS BETWEEN {pre} PRECEDING AND CURRENT ROW)
+    ORDER BY site, ts_utc
+"""
+
+
+@pytest.mark.parametrize("wh", [24, 1, 6, 168])
+def test_rolling_window_sweep(spark, duck, wh):
+    import __spark_entry__ as entry
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans import (
+        gold as G,
+        silver as SV,
+    )
+
+    got = G.rolling_features(
+        SV.clean_to_hourly(entry._pseudo_bronze(spark, SF_DIR)),
+        window_hours=wh,
+    ).toPandas()
+    want = duck.execute(_ROLLING_SQL.format(pre=wh - 1)).fetchdf()
+    _assert_same(got, want, f"rolling(wh={wh})")
+
+
+# ---------------------------------------------------------------- #
+# Contrastive negatives: sweep k and the bucket count (registry
+# config: doc_negatives — k=4, n_buckets=8). The ring lives inside a
+# hash bucket, so bucket count changes EVERY neighborhood while the
+# per-anchor contract (exactly k distinct negatives, cyclic hash-ring
+# successors) holds at any geometry; the too-small-bucket guard is
+# pinned at the k >= bucket-size edge.
+
+
+@pytest.mark.parametrize("k,nb", [(4, 8), (2, 8), (4, 2), (8, 16)])
+def test_contrastive_negatives_sweep(spark, duck, k, nb):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR)
+    got = contrastive_negatives(docs, k=k, n_buckets=nb).toPandas()
+    slots = ", ".join(str(s) for s in range(1, k + 1))
+    want = duck.execute(f"""
+        WITH ring AS (
+          SELECT doc_id AS anchor,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS r
+          FROM documents),
+        b AS (SELECT anchor, r, r % {nb} AS bk FROM ring),
+        pos AS (
+          SELECT anchor, bk,
+                 row_number() OVER (
+                   PARTITION BY bk ORDER BY r, anchor) AS p,
+                 count(*) OVER (PARTITION BY bk) AS n
+          FROM b),
+        want AS (
+          SELECT anchor, bk, p, n, s.slot,
+                 (p - 1 + s.slot) % n + 1 AS tgt
+          FROM pos, (SELECT unnest([{slots}]) AS slot) s)
+        SELECT w.anchor, m.anchor AS negative,
+               CAST(w.slot AS INTEGER) AS slot
+        FROM want w JOIN pos m ON w.bk = m.bk AND w.tgt = m.p
+        ORDER BY w.anchor, w.slot
+    """).fetchdf()
+    _assert_same(got, want, f"negatives(k={k},nb={nb})")
+
+
+def test_contrastive_small_bucket_guard(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        contrastive_negatives,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR).limit(6)
+    with pytest.raises(Exception, match="bucket|k"):
+        contrastive_negatives(docs, k=8, n_buckets=2).collect()
