@@ -1850,3 +1850,76 @@ def test_contrastive_small_bucket_guard(spark):
     docs = tables.load_table(spark, "documents", SF_DIR).limit(6)
     with pytest.raises(Exception, match="bucket|k"):
         contrastive_negatives(docs, k=8, n_buckets=2).collect()
+
+
+# ---------------------------------------------------------------- #
+# Priority sampling: sweep n across the corpus boundary plus the
+# nested-growth property (growing n only appends — the priority order
+# is one fixed global permutation) and a weight-sensitivity check
+# (squared weights reorder priorities, so the selected set must
+# actually respond to the weight column — a sweep that ignored the
+# weights would still pass the identity otherwise).
+# (registry config: doc_weighted_sample — n=100, weight=token count)
+
+
+@pytest.mark.parametrize("n", [10, 100, 5000])
+def test_priority_sample_n_sweep(spark, duck, n):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text"
+    )
+    w = F.size(F.split(F.trim(F.col("text")), " "))
+    got = (
+        weighted_priority_sample(docs, "doc_id", w, n)
+        .select("doc_id", w.cast("long").alias("n_tokens"))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = duck.execute(f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split(trim(text), ' ')) AS n_tokens
+          FROM documents),
+        q AS (
+          SELECT doc_id, n_tokens,
+                 CAST(n_tokens AS DOUBLE)
+                   / ((CAST(('0x' || substr(md5('priority'
+                         || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       + 1) / 4294967296.0) AS pr
+          FROM t WHERE n_tokens > 0),
+        top AS (
+          SELECT doc_id, n_tokens FROM q
+          ORDER BY pr DESC, doc_id LIMIT {n})
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM top ORDER BY doc_id
+    """).fetchdf()
+    _assert_same(got, want, f"priority(n={n})")
+
+
+def test_priority_sample_nested_and_weighted(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
+        weighted_priority_sample,
+    )
+
+    docs = tables.load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "text"
+    )
+    w = F.size(F.split(F.trim(F.col("text")), " "))
+    small = set(
+        weighted_priority_sample(docs, "doc_id", w, 20)
+        .toPandas()["doc_id"]
+    )
+    big = set(
+        weighted_priority_sample(docs, "doc_id", w, 80)
+        .toPandas()["doc_id"]
+    )
+    assert len(small) == 20 and len(big) == 80 and small <= big
+    # squared weights must reorder the selection (weight sensitivity)
+    sq = set(
+        weighted_priority_sample(docs, "doc_id", w * w, 20)
+        .toPandas()["doc_id"]
+    )
+    assert sq != small
