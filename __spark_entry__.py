@@ -3187,6 +3187,20 @@ def q_media_jpeg420_audit(spark, sf_dir):
     return jpeg420_roundtrip_audit(_t(spark, sf_dir, "documents"))
 
 
+def q_media_jpeg12_audit(spark, sf_dir):
+    # 12-bit (SOF1 extended sequential) JPEG roundtrip certified by
+    # the oracle (r10): grayscale solid tiles with EVEN 12-bit values
+    # make the lossy codec sample-exact (DC step 16 = two even
+    # samples); the kernel asserts SOF1 + 16-bit DQT + 0-4095 sample
+    # equality, the oracle recomputes the means codec-free.
+    # multimodal/binary_ops.jpeg12_audit.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        jpeg12_audit,
+    )
+
+    return jpeg12_audit(_t(spark, sf_dir, "documents"))
+
+
 def q_media_jpeg_prog_audit(spark, sf_dir):
     # Progressive (SOF2) JPEG roundtrip certified by the oracle (new
     # r10): the jpeg420 solid-tile sample-exactness construction
@@ -3647,6 +3661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg420_audit": q_media_jpeg420_audit,
         # --- new r10: progressive-JPEG byte-path audit -----------------------
         "media_jpeg_prog_audit": q_media_jpeg_prog_audit,
+        "media_jpeg12_audit": q_media_jpeg12_audit,
         "doc_winnow_pairs": q_doc_winnow_pairs,
         "corpus_zipf_fit": q_corpus_zipf_fit,
         "order_size_price_spearman": q_order_size_price_spearman,
@@ -6429,6 +6444,21 @@ def _oracle_sql_base() -> dict[str, str]:
         # the Spark side must decode the PROGRESSIVE stream to these
         # exact means (kernel asserts SOF2 + scan count + pixel
         # equality before emitting)
+        "media_jpeg12_audit": """
+            WITH d AS (
+              SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),
+            v AS (
+              SELECT d.doc_id, t.t,
+                     (CAST(('0x' || substr(md5(
+                       'jp12_' || CAST(d.doc_id AS VARCHAR) || '_' ||
+                       CAST(t.t AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 2048) * 2 AS val
+              FROM d, unnest([0, 1]) AS t(t))
+            SELECT doc_id, CAST(32 AS INT) AS width,
+                   CAST(16 AS INT) AS height,
+                   CAST(sum(val) AS DOUBLE) / 2 AS mean_px
+            FROM v GROUP BY doc_id ORDER BY doc_id
+        """,
         "media_jpeg_prog_audit": """
             WITH d AS (
               SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),

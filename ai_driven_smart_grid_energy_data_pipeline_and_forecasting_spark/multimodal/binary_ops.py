@@ -908,6 +908,83 @@ def jpeg_progressive_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
     )
 
 
+def jpeg12_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
+    """Oracle-checkable proof of the 12-BIT JPEG byte path (SOF1
+    extended sequential, r10): per doc id a 32×16 GRAYSCALE raster of
+    two solid 16×16 tiles, tile t's sample =
+    ``(h32("jp12_<d>_<t>") mod 2048) · 2`` — an EVEN 12-bit value, the
+    construction that makes the lossy codec sample-exact: solid tiles
+    leave only DC coefficients, quality 97 gives luma DC step 1 which
+    the 12-bit mode scales ×16, and round(8(v−2048)/16)·16/8 = v
+    exactly whenever v is even. The kernel ASSERTS the stream is SOF1
+    (a silent 8-bit fallback would be a vacuous pass) with a 16-bit
+    DQT (Pq=1) and that decode reproduces every 0–4095 sample; the
+    SQL oracle recomputes the decoded means codec-free from the md5
+    derivation. A hash match certifies 12-bit level shift → 16-bit
+    quantization → full-category Huffman entropy → SOF1 parse →
+    native-precision reconstruction inside the standard gate — the
+    ``jpeg_progressive_audit`` discipline on the precision axis."""
+    import hashlib
+
+    from .jpeg import jpeg_decode, jpeg_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                vals = [
+                    (
+                        int(
+                            hashlib.md5(
+                                f"jp12_{d}_{t}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % 2048
+                    )
+                    * 2
+                    for t in range(2)
+                ]
+                rows = [
+                    [vals[x // 16] for x in range(32)] for y in range(16)
+                ]
+                data = jpeg_encode(
+                    rows, quality=97, grayscale=True, precision=12
+                )
+                assert data.find(b"\xFF\xC1") > 0, "stream is not SOF1"
+                assert data.find(b"\xFF\xC0") < 0, "8-bit fallback"
+                i = data.find(b"\xFF\xDB")
+                assert data[i + 4] >> 4 == 1, "DQT is not 16-bit"
+                w, h, back = jpeg_decode(data)
+                assert (w, h) == (32, 16)
+                got = [[px[0] for px in row] for row in back]
+                assert got == rows, (
+                    f"12-bit decode not sample-exact (doc {d})"
+                )
+                ids.append(d)
+                # mean from the DECODED raster (the oracle recomputes
+                # it from the derivation — the hash match is the gate)
+                means.append(
+                    sum(s for row in got for s in row) / (32.0 * 16.0)
+                )
+            yield pd.DataFrame({"doc_id": ids, "mean_px": means})
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .distinct()
+        .mapInPandas(run, "doc_id long, mean_px double")
+        .select(
+            "doc_id",
+            F.lit(32).cast("int").alias("width"),
+            F.lit(16).cast("int").alias("height"),
+            "mean_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def audio_frame_audit(
     docs: DataFrame,
     n_docs: int = 32,

@@ -212,6 +212,7 @@ HEADLINE = [
     "click_attribution_outer",
     "media_jpeg420_audit",
     "media_jpeg_prog_audit",
+    "media_jpeg12_audit",
     "doc_winnow_pairs",
     "corpus_zipf_fit",
     "order_size_price_spearman",

@@ -81,6 +81,7 @@ NEW_R5 = [
     "click_attribution_outer",
     "media_jpeg420_audit",
     "media_jpeg_prog_audit",
+    "media_jpeg12_audit",
     "doc_winnow_pairs",
     "corpus_zipf_fit",
     "order_size_price_spearman",
