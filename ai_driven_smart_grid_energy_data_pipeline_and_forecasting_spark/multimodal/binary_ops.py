@@ -156,6 +156,12 @@ def wav_decode(content: bytes) -> tuple[int, int, list[int]]:
         # data chunk shorter than the header's frame claim — keep the
         # documented ValueError contract at the codec boundary
         raise ValueError(f"truncated WAV raster: {exc}") from exc
+    except (RuntimeError, EOFError) as exc:
+        # stdlib wave raises bare RuntimeError when a corrupted chunk
+        # size seeks past an unseekable stream end (wave.py Chunk.skip)
+        # and EOFError on a truncated chunk header — same boundary,
+        # same contract (found by the codec byte-flip fuzz)
+        raise ValueError(f"corrupt WAV chunk structure: {exc}") from exc
 
 
 def pgm_encode(rows: list[list[int]]) -> bytes:

@@ -1021,6 +1021,12 @@ def jpeg_decode(
     def decode_block(ci, dc_t, ac_t, qt, y0, x0):
         try:
             s = _huff_decode(br, huff[(0, dc_t)])
+            if s > 15:
+                # a corrupted DHT can carry arbitrary symbol bytes; a
+                # category past T.81's maximum would read a >15-bit
+                # magnitude and overflow the int64 coefficient store
+                # (found by the byte-flip fuzz) — refuse, not crash
+                raise ValueError(f"invalid JPEG DC category {s}")
             diff = _extend(br.bits(s), s) if s else 0
             pred[ci] += diff
             zz = np.zeros(64, dtype=np.int64)
@@ -1286,6 +1292,8 @@ def _scan_dc(
         blk = coefs[ci][by, bx]
         if ah == 0:
             s = _huff_decode(br, tabs[si])
+            if s > 15:
+                raise ValueError(f"invalid JPEG DC category {s}")
             diff = _extend(br.bits(s), s) if s else 0
             pred[si] += diff
             blk[0] = pred[si] << al

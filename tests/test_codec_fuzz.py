@@ -1,0 +1,103 @@
+"""Codec total-function fuzz: every native decoder must be TOTAL on
+arbitrary bytes — a corrupted stream either decodes or raises
+ValueError (the documented stub-boundary contract), never an untyped
+crash (IndexError, KeyError, OverflowError, struct.error, stdlib
+RuntimeError) and never unbounded work. Mutations are md5-derived
+byte flips and truncations of valid streams — deterministic, so any
+failure reproduces exactly.
+
+This suite found two real escapes when first written: a corrupted
+DHT symbol drove a >15-bit DC magnitude read that overflowed the
+int64 coefficient store (jpeg.py now refuses categories > 15), and
+stdlib ``wave`` raises bare RuntimeError when a corrupted chunk size
+seeks past the stream end (wav_decode now maps it to ValueError).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+    bmp_decode,
+    bmp_encode,
+    pgm_decode,
+    pgm_encode,
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.gif import (
+    gif_decode,
+    gif_encode,
+)
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+    jpeg_decode,
+    jpeg_encode,
+)
+
+_ROWS = [
+    [((x * 11) % 256, (y * 7) % 256, ((x + y) * 5) % 256)
+     for x in range(16)]
+    for y in range(16)
+]
+_GRAY = [[(x * 9 + y * 5) % 256 for x in range(16)] for y in range(16)]
+_PAL = [[((x // 4) * 60 % 256, 0, 0) for x in range(16)]
+        for y in range(16)]
+
+
+def _cases():
+    return [
+        ("jpeg", jpeg_encode(_ROWS, quality=90), jpeg_decode),
+        ("jpeg_prog",
+         jpeg_encode(_ROWS, quality=90, progressive=True), jpeg_decode),
+        ("jpeg_rst",
+         jpeg_encode(_ROWS, quality=90, subsample=True,
+                     restart_interval=1), jpeg_decode),
+        ("jpeg12",
+         jpeg_encode([[v * 16 for v in r] for r in _GRAY],
+                     grayscale=True, precision=12), jpeg_decode),
+        ("gif", gif_encode(_PAL), gif_decode),
+        ("png", png_encode(_ROWS), png_decode),
+        ("bmp", bmp_encode(_ROWS), bmp_decode),
+        ("pgm", pgm_encode(_GRAY), pgm_decode),
+        ("wav",
+         wav_encode([((i * 37) % 65536) - 32768 for i in range(256)]),
+         wav_decode),
+    ]
+
+
+@pytest.mark.parametrize(
+    "name,base,dec",
+    _cases(),
+    ids=[c[0] for c in _cases()],
+)
+def test_byte_flip_total(name, base, dec):
+    for trial in range(300):
+        h = int(hashlib.md5(f"{name}_{trial}".encode()).hexdigest(), 16)
+        pos = h % len(base)
+        val = (h >> 32) % 256
+        mutated = base[:pos] + bytes([val]) + base[pos + 1:]
+        try:
+            dec(mutated)
+        except ValueError:
+            pass
+        # anything else propagates and fails the test with the trial
+        # number in the traceback (deterministic reproduction)
+
+
+@pytest.mark.parametrize(
+    "name,base,dec",
+    _cases(),
+    ids=[c[0] for c in _cases()],
+)
+def test_truncation_total(name, base, dec):
+    for trial in range(80):
+        h = int(hashlib.md5(f"tr_{name}_{trial}".encode()).hexdigest(), 16)
+        cut = h % len(base)
+        try:
+            dec(base[:cut])
+        except ValueError:
+            pass
