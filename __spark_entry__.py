@@ -6440,10 +6440,6 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(val) * 256 AS DOUBLE) / 1536 AS mean_px
             FROM v GROUP BY doc_id ORDER BY doc_id
         """,
-        # same codec-free md5 recomputation with the 'jp_' tile key —
-        # the Spark side must decode the PROGRESSIVE stream to these
-        # exact means (kernel asserts SOF2 + scan count + pixel
-        # equality before emitting)
         "media_jpeg12_audit": """
             WITH d AS (
               SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),
@@ -6459,6 +6455,10 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(val) AS DOUBLE) / 2 AS mean_px
             FROM v GROUP BY doc_id ORDER BY doc_id
         """,
+        # same codec-free md5 recomputation with the 'jp_' tile key —
+        # the Spark side must decode the PROGRESSIVE stream to these
+        # exact means (kernel asserts SOF2 + scan count + pixel
+        # equality before emitting)
         "media_jpeg_prog_audit": """
             WITH d AS (
               SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),

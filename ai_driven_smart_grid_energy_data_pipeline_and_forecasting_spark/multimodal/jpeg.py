@@ -448,7 +448,7 @@ def jpeg_encode(
     if progressive:
         scans = _progressive_scans(
             planes, h, w, nc, qts, enc_dc, enc_ac, subsample,
-            restart_interval,
+            restart_interval, single_table=precision == 12,
         )
     elif not subsample:
         bw = _BitWriter()
@@ -524,15 +524,14 @@ def jpeg_encode(
         sof_marker = 0xFFC0
     out += seg(sof_marker, sof)
     if precision == 12:
+        # ONE table pair under id 0, referenced by every component —
+        # the 12-bit profile's luma and chroma tables are identical
+        # (the flat full-category tables), so emitting a second copy
+        # under id 1 only duplicated ~490 DHT bytes (review r10)
         dht_specs = [
             (0, 0, _DC12_BITS, _DC12_VALS),
             (1, 0, _AC12_BITS, _AC12_VALS),
         ]
-        if nc == 3:
-            dht_specs += [
-                (0, 1, _DC12_BITS, _DC12_VALS),
-                (1, 1, _AC12_BITS, _AC12_VALS),
-            ]
     else:
         dht_specs = [
             (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -556,7 +555,7 @@ def jpeg_encode(
     else:
         sos = bytes([nc])
         for cid in range(1, nc + 1):
-            t = 0 if cid == 1 else 1
+            t = 0 if (cid == 1 or precision == 12) else 1
             sos += bytes([cid, (t << 4) | t])
         sos += bytes([0, 63, 0])
         out += seg(0xFFDA, sos)
@@ -566,7 +565,8 @@ def jpeg_encode(
 
 
 def _progressive_scans(
-    planes, h, w, nc, qts, enc_dc, enc_ac, subsample, ri=0
+    planes, h, w, nc, qts, enc_dc, enc_ac, subsample, ri=0,
+    single_table=False,
 ) -> list[tuple[bytes, bytes]]:
     """Build the spectral-selection scan script: quantize every block
     once (identically to the baseline path), then emit one interleaved
@@ -646,7 +646,7 @@ def _progressive_scans(
     bw_dc.flush()
     sos = bytes([nc])
     for cid in range(1, nc + 1):
-        t = 0 if cid == 1 else 1
+        t = 0 if (cid == 1 or single_table) else 1
         sos += bytes([cid, (t << 4) | t])
     sos += bytes([0, 0, 0])  # Ss=0, Se=0, Ah=Al=0
     scans.append((sos, bytes(bw_dc.out)))
@@ -685,7 +685,7 @@ def _progressive_scans(
                         code, ln = enc_ac[tbl][0x00]
                         bwr.put(code, ln)
             bwr.flush()
-            t = 0 if ci == 0 else 1
+            t = 0 if (ci == 0 or single_table) else 1
             sos = bytes([1, ci + 1, (t << 4) | t, ss, se, 0])
             scans.append((sos, bytes(bwr.out)))
     return scans
@@ -1098,6 +1098,12 @@ def jpeg_precision(content: bytes) -> int:
             break
         if 0xC0 <= marker <= 0xCB and marker not in (0xC4, 0xC8):
             # any SOFn (DHT 0xC4 and JPG 0xC8 are not frame headers)
+            if i + 4 >= len(b):
+                # the loop bound admits a header that ends AT the
+                # precision byte — reading it would IndexError through
+                # the stub boundary (review r10, caught by extending
+                # the codec fuzz to this entry point)
+                raise ValueError("truncated JPEG SOF segment")
             return b[i + 4]
         ln = struct.unpack_from(">H", b, i + 2)[0]
         if i + 2 + ln > len(b):

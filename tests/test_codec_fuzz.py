@@ -36,7 +36,18 @@ from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
     jpeg_decode,
     jpeg_encode,
+    jpeg_precision,
 )
+
+
+def _jpeg_probe_then_decode(content: bytes):
+    # decode_stub/resize_stub call jpeg_precision BEFORE jpeg_decode —
+    # the pre-parse is part of the same stub boundary and must be just
+    # as total (review r10: its truncation bound was the one untyped
+    # escape the first version of this suite missed by fuzzing only
+    # the dec callables)
+    jpeg_precision(content)
+    return jpeg_decode(content)
 
 _ROWS = [
     [((x * 11) % 256, (y * 7) % 256, ((x + y) * 5) % 256)
@@ -50,15 +61,16 @@ _PAL = [[((x // 4) * 60 % 256, 0, 0) for x in range(16)]
 
 def _cases():
     return [
-        ("jpeg", jpeg_encode(_ROWS, quality=90), jpeg_decode),
+        ("jpeg", jpeg_encode(_ROWS, quality=90), _jpeg_probe_then_decode),
         ("jpeg_prog",
-         jpeg_encode(_ROWS, quality=90, progressive=True), jpeg_decode),
+         jpeg_encode(_ROWS, quality=90, progressive=True),
+         _jpeg_probe_then_decode),
         ("jpeg_rst",
          jpeg_encode(_ROWS, quality=90, subsample=True,
-                     restart_interval=1), jpeg_decode),
+                     restart_interval=1), _jpeg_probe_then_decode),
         ("jpeg12",
          jpeg_encode([[v * 16 for v in r] for r in _GRAY],
-                     grayscale=True, precision=12), jpeg_decode),
+                     grayscale=True, precision=12), _jpeg_probe_then_decode),
         ("gif", gif_encode(_PAL), gif_decode),
         ("png", png_encode(_ROWS), png_decode),
         ("bmp", bmp_encode(_ROWS), bmp_decode),
