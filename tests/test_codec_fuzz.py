@@ -87,7 +87,7 @@ def _cases():
     ids=[c[0] for c in _cases()],
 )
 def test_byte_flip_total(name, base, dec):
-    for trial in range(300):
+    for trial in range(1000):
         h = int(hashlib.md5(f"{name}_{trial}".encode()).hexdigest(), 16)
         pos = h % len(base)
         val = (h >> 32) % 256
@@ -106,10 +106,32 @@ def test_byte_flip_total(name, base, dec):
     ids=[c[0] for c in _cases()],
 )
 def test_truncation_total(name, base, dec):
-    for trial in range(80):
+    for trial in range(200):
         h = int(hashlib.md5(f"tr_{name}_{trial}".encode()).hexdigest(), 16)
         cut = h % len(base)
         try:
             dec(base[:cut])
+        except ValueError:
+            pass
+
+
+@pytest.mark.parametrize(
+    "name,base,dec",
+    _cases(),
+    ids=[c[0] for c in _cases()],
+)
+def test_insert_delete_total(name, base, dec):
+    # insertion and deletion SHIFT the framing after the mutation
+    # point — every length field downstream now lies — exercising
+    # different parse paths than same-length substitution
+    for trial in range(300):
+        h = int(hashlib.md5(f"id_{name}_{trial}".encode()).hexdigest(), 16)
+        pos = h % len(base)
+        if trial % 2 == 0:
+            mutated = base[:pos] + bytes([(h >> 32) % 256]) + base[pos:]
+        else:
+            mutated = base[:pos] + base[pos + 1:]
+        try:
+            dec(mutated)
         except ValueError:
             pass
