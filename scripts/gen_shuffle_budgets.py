@@ -62,18 +62,18 @@ DYNAMIC = {
     "ann_ivf_trained",          # MLlib fit
     "forecast_mllib",
     "doc_search_indexed",       # persists tables before the probe plan
-    "incremental_novel_near",
-    "incremental_novel_docs",
-    "doc_curriculum",
-    "upsert_merge",             # writes + reads back
-    "hourly_agg_incremental",
-    "silver_clean_vs_actual",
-    "pipeline_lineage",
 }
 # (r10) the three media byte-path audits left this set: their plans
 # are static (pruned id scan -> mapInPandas -> orderBy) - the new
 # media_jpeg_prog_audit proved the shape budgets cleanly, so the
 # siblings now carry measured budgets (2) instead of an exclusion.
+# (r10 continuation) seven more stale exclusions measured and moved
+# to budgets: incremental_novel_docs/_near, doc_curriculum,
+# upsert_merge, hourly_agg_incremental, silver_clean_vs_actual,
+# pipeline_lineage — each builds ONE DataFrame whose prepared plan is
+# bit-stable across builds (side-effectful setup like upsert_merge's
+# staged write happens at build time, but the RETURNED read-back plan
+# is what the budget pins, and its Exchange count is deterministic).
 
 
 # \bExchange does not match inside BroadcastExchange (no word boundary
