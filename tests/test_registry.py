@@ -291,15 +291,20 @@ def test_debt_order_properties_under_random_histories():
     check()
 
 
-def test_core_surface_reenters_front_by_r11_from_real_history():
-    # VERDICT r9 Next #5: first live exercise of the _CORE_SURFACE
-    # cadence, simulated forward from the REAL artifact history (not a
-    # synthetic one). The 11 core rows went green in the r9 sweep; the
-    # period-1 boost fires once they are >= 2 rounds stale, so they
-    # must be back inside the sweep window at the r11 ordering. The
-    # simulation replays the driver's actual mechanics: each round
-    # certifies the front `w` rows of the CURRENT debt order, then the
-    # next round re-derives the order from the updated history.
+def test_core_surface_reenters_within_two_rounds_from_real_history():
+    # VERDICT r9 Next #5, repaired per VERDICT r10 "What's wrong" #1:
+    # the previous version anchored ABSOLUTE round labels at
+    # max(last_green)+1 and asserted "the r10 front contains no core
+    # row" — which broke the moment the driver wrote the next
+    # CORRECTNESS artifact into the tree (current shifted to 11, the
+    # order it labeled r10 was really the r11 order, and the cadence
+    # boost had CORRECTLY pulled the 2-stale core rows in). The
+    # contract is round-RELATIVE: a §2-core serving row re-enters the
+    # sweep front within 2 rounds of its last green, whatever round
+    # the on-disk history ends at. Simulate the driver's mechanics
+    # forward from the REAL history: each round certifies the front
+    # `w` rows of the CURRENT debt order, then the next round
+    # re-derives the order from the updated history.
     last = dict(entry_mod._last_green_rounds())
     added = entry_mod._added_rounds()
     names = list(entry_mod.queries())
@@ -307,38 +312,39 @@ def test_core_surface_reenters_front_by_r11_from_real_history():
     assert w > 0, "no CORRECTNESS artifact on disk"
     core = [k for k in names if k in entry_mod._CORE_SURFACE]
     assert len(core) == 11, core
-    # all 11 core rows are r9-green in the real history (the cadence
-    # regime's clean start the r9 round notes promised)
-    assert all(last.get(k) == 9 for k in core), {
-        k: last.get(k) for k in core
-    }
+    # every core row has been driver-certified at least once (true
+    # since the r9 cadence-regime start) — the relative guarantee
+    # below is anchored on last greens, so they must exist
+    assert all(k in last for k in core), [k for k in core if k not in last]
 
-    # r10 sweep: the front w rows of the current order certify
-    order_r10 = entry_mod._debt_order(names, last, added, w)
-    front_r10 = set(order_r10[:w])
-    # ...which must contain every never-certified STRAGGLER — wait >= 1
-    # round since registration (the r10 convergence milestone: after
-    # this sweep only same-round additions can remain uncertified)
     current = max(last.values()) + 1
+    # the NEXT sweep (round `current`, whatever its number) must
+    # contain every never-certified STRAGGLER — an entry that has
+    # already missed >= 1 sweep since registration (the straggler
+    # boost's anti-starvation guarantee, live on real history)
+    order = entry_mod._debt_order(names, last, added, w)
     stragglers = {
         k for k in names if k not in last and added.get(k, current) < current
     }
-    assert stragglers <= front_r10, sorted(stragglers - front_r10)
-    # the core rows spent no slot in the r10 front (they are only
-    # 1-stale at r10 planning time — the zero-cost-while-fresh half of
-    # the cadence contract)...
-    assert not (set(core) & front_r10), sorted(set(core) & front_r10)
+    assert stragglers <= set(order[:w]), sorted(stragglers - set(order[:w]))
+
+    # simulate 6 rounds forward; after EVERY sweep, no core row may
+    # remain >= 2 rounds stale: at staleness 2 the period-1 boost
+    # lifts its debt past the steady-state cutoff, so the sweep that
+    # planned while it was 2-stale must have re-certified it. (The
+    # zero-cost-while-fresh half — no boost below staleness 2 — is
+    # covered structurally by test_debt_order_survives_simulated_
+    # window_sizes and the hypothesis property test; asserting "fresh
+    # core NEVER appears in a front" here would be wrong, since a
+    # 1-stale row can legitimately ride in on plain debt when the
+    # backlog is shallow.)
     sim_last = dict(last)
-    for k in front_r10:
-        sim_last[k] = 10
-    # ...and at the r11 ordering (current = 11) they are exactly
-    # 2 rounds stale, the boost fires, and ALL 11 must be back inside
-    # the window — re-entry round <= r11 given r9's actuals, the
-    # verdict's pinned schedule
-    order_r11 = entry_mod._debt_order(names, sim_last, added, w)
-    front_r11 = order_r11[:w]
-    missing = [k for k in core if k not in front_r11]
-    assert not missing, missing
+    for rnd in range(current, current + 6):
+        front = entry_mod._debt_order(names, sim_last, added, w)[:w]
+        for k in front:
+            sim_last[k] = rnd
+        overdue = {k: rnd - sim_last[k] for k in core if rnd - sim_last[k] >= 2}
+        assert not overdue, (rnd, overdue)
 
 
 def test_every_registry_entry_declares_its_added_round():
