@@ -1104,7 +1104,17 @@ def jpeg_precision(content: bytes) -> int:
                 # the stub boundary (review r10, caught by extending
                 # the codec fuzz to this entry point)
                 raise ValueError("truncated JPEG SOF segment")
-            return b[i + 4]
+            prec = b[i + 4]
+            if prec not in (8, 12):
+                # probe refusals stay a superset of jpeg_decode's: a
+                # crafted SOF9 can carry any precision byte (even 0,
+                # which would ZeroDivisionError a maxval=(1<<p)-1
+                # consumer), and this probe is callable standalone —
+                # it must not launder a garbage value (review r11)
+                raise ValueError(
+                    f"unsupported JPEG sample precision {prec}"
+                )
+            return prec
         ln = struct.unpack_from(">H", b, i + 2)[0]
         if i + 2 + ln > len(b):
             raise ValueError("truncated JPEG header segment")

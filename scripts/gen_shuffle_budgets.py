@@ -76,6 +76,20 @@ DYNAMIC = {
 # is what the budget pins, and its Exchange count is deterministic).
 
 
+# Confs that can change a prepared plan's Exchange COUNT (ADVICE r10:
+# a drift between the generator session and the test session must
+# surface as a conf mismatch, not masquerade as a plan regression).
+# Recorded into the JSON under "_confs"; tests/test_shuffle_budget.py
+# asserts its session matches before trusting any budget failure.
+# spark.sql.shuffle.partitions is deliberately NOT here: it sets the
+# ARITY of each exchange, never whether one exists, so the generator
+# (32) and the test fixture (4) may differ on it safely.
+PLAN_CONFS = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.files.maxPartitionBytes",
+)
+
 # \bExchange does not match inside BroadcastExchange (no word boundary
 # between two word characters), so this counts data shuffles only.
 _SHUFFLE = re.compile(
@@ -90,7 +104,9 @@ def count_shuffles(plan: str) -> int:
 
 def main() -> None:
     spark = get_spark("shuffle-budgets")
-    budgets: dict[str, int] = {}
+    budgets: dict = {
+        "_confs": {k: spark.conf.get(k) for k in PLAN_CONFS}
+    }
     for name, fn in entry_mod.queries().items():
         if name in DYNAMIC:
             continue
@@ -104,7 +120,7 @@ def main() -> None:
     with open(OUT, "w") as fh:
         json.dump(budgets, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(f"wrote {len(budgets)} budgets to {OUT}")
+    print(f"wrote {len(budgets) - 1} budgets to {OUT}")
     spark.stop()
 
 

@@ -35,7 +35,21 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
-    return df.sort_values(list(df.columns), ignore_index=True)
+    # Row alignment must survive sub-tolerance float jitter: the value
+    # compare is positional after this sort, so if the two engines
+    # disagree by <1e-9 in a float that participates in the sort key,
+    # a raw all-column sort can order the rows differently on each
+    # side and report a false mismatch even though every row matches
+    # within tolerance (ADVICE r10). Sort on exact-typed columns
+    # first, with floats last and rounded to 9 decimals so jitter
+    # below the comparison tolerance lands in the same sort bucket.
+    exact = [c for c in df.columns if df[c].dtype.kind != "f"]
+    floats = [c for c in df.columns if df[c].dtype.kind == "f"]
+    key = df[exact + floats].copy()
+    for c in floats:
+        key[c] = key[c].round(9)
+    order = key.sort_values(exact + floats, kind="mergesort").index
+    return df.loc[order].reset_index(drop=True)
 
 
 def _dtype_kind(s: pd.Series) -> str:

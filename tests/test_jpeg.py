@@ -781,6 +781,30 @@ def test_jpeg12_stub_boundary_consistency():
         assert abs(a - b) < 4.0, (feats12, feats8)
 
 
+def test_jpeg_precision_rejects_garbage_sof_byte():
+    # ADVICE r10: jpeg_precision reads the precision byte of the first
+    # SOFn marker; a crafted unsupported frame (e.g. SOF9 arithmetic)
+    # can carry ANY byte there — even 0, which would ZeroDivisionError
+    # a standalone caller computing maxval=(1<<p)-1. The probe's
+    # refusals must stay a superset of jpeg_decode's: only 8 and 12
+    # may be returned.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        jpeg_precision,
+    )
+
+    for prec_byte in (0, 7, 16, 255):
+        crafted = (
+            b"\xFF\xD8"                        # SOI
+            + b"\xFF\xC9\x00\x0B"              # SOF9 (arithmetic), len 11
+            + bytes([prec_byte])               # garbage precision
+            + b"\x00\x10\x00\x10\x01\x01\x11\x00"
+        )
+        with pytest.raises(ValueError, match="sample precision"):
+            jpeg_precision(crafted)
+    # supported precisions still pass through untouched
+    assert jpeg_precision(jpeg_encode(_gradient(8, 8))) == 8
+
+
 def test_jpeg_encode_range_validation():
     # out-of-range samples refuse loudly instead of dying in the
     # Huffman category lookup

@@ -399,6 +399,36 @@ def test_bench_drift_normalization(tmp_path):
     assert bench.drift_vs_prev(str(p), timings, total, 0.9) == {}
 
 
+def test_retime_flagged_movers_best_of_two():
+    # VERDICT r10 Next #5: flagged slower-movers get a second timed
+    # pass and the artifact keeps the min — so a one-shot GC/compile
+    # burst (all 8 r10 flagged movers were judge-refuted as exactly
+    # that) cannot name a regression.
+    timings = {"burst": 2.26, "real": 3.0, "fast": 0.2}
+    drift = {"norm_movers_slower": {"burst": 2.38, "real": 3.0, "gone": 1.5}}
+    reruns = {"burst": 1.11, "real": 2.95}
+
+    def fake_run(name):
+        if name == "gone":
+            raise AssertionError("not in timings, must be skipped")
+        return reruns[name]
+
+    retimed = bench.retime_flagged(timings, drift, fake_run)
+    # one-shot burst collapses to its true warm time; a genuine
+    # regression survives the re-run; unflagged rows untouched;
+    # flagged-but-absent rows skipped without calling run
+    assert timings == {"burst": 1.11, "real": 2.95, "fast": 0.2}
+    assert retimed == ["burst", "real"]
+    # a re-run that errors keeps the original number and the row
+    def boom(name):
+        raise RuntimeError("transient")
+    t2 = {"burst": 2.26}
+    assert bench.retime_flagged(t2, drift, boom) == []
+    assert t2 == {"burst": 2.26}
+    # no flagged movers (first run / all-faster round) -> no-op
+    assert bench.retime_flagged({"a": 1.0}, {}, fake_run) == []
+
+
 def test_last_green_rounds_semantics():
     # green = full oracle match OR the documented rows-only check;
     # errors and hash mismatches must NOT count as certification
