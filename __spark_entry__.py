@@ -1552,6 +1552,36 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+def q_source_temperature_mix(spark, sf_dir):
+    # Temperature-scaled source sampling weights (new r11): the
+    # multilingual data-mixing recipe (mT5/XLM-R alpha-sampling) at
+    # alpha=1/2 — sqrt is the one fractional power IEEE requires
+    # correctly rounded, keeping the ppm shares oracle-exact. One
+    # partial-agg groupBy(source) shuffle; totals broadcast.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.source_temperature_mix(docs)
+
+
+def q_doc_ccnet_buckets(spark, sf_dir):
+    # CCNet head/middle/tail perplexity thirds per source (new r11,
+    # Wenzek et al. 2020): fixed-point bigram NLL from doc_lm_nll's
+    # pipeline, bucketed with integer threshold semantics on the
+    # per-(source, score) spectrum — no per-doc window anywhere.
+    docs = _t(spark, sf_dir, "documents")
+    return TX.ccnet_buckets(docs)
+
+
+def q_ann_mips_topk(spark, sf_dir):
+    # Exact maximum-inner-product top-5 (new r11): dot-product metric
+    # through the same banded brute-force kernel as ann_topk —
+    # per-batch |Q|·k candidate cut, rank window. The norm-augmented
+    # reduction to cosine (Bachrach et al. 2014) is equivalence-tested
+    # in tests/test_similarity_ops.py, extending the bucketed scale
+    # paths to MIPS.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_bruteforce_topk(emb, F.col("vec_id") < 8, k=5, metric="dot")
+
+
 def q_minhash_accuracy_audit(spark, sf_dir):
     # MinHash estimator vs exact Jaccard over all pairs >= 0.3: the
     # missing sketch audit (HLL/CMS/percentile/PQ have theirs).
@@ -3703,6 +3733,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         # --- new r10 (sole addition: tokenizer-sizing coverage report) ------
         "vocab_coverage": q_vocab_coverage,
+        # --- new r11: data-mixing weights, CCNet buckets, exact MIPS ---------
+        "source_temperature_mix": q_source_temperature_mix,
+        "doc_ccnet_buckets": q_doc_ccnet_buckets,
+        "ann_mips_topk": q_ann_mips_topk,
         "minhash_accuracy_audit": q_minhash_accuracy_audit,
         "ann_hard_negatives": q_ann_hard_negatives,
         # --- driver-certified r6 (current testdata) --------------------------
@@ -4657,6 +4691,116 @@ def _oracle_sql_base() -> dict[str, str]:
             UNION ALL
             SELECT 'total', 'types', (SELECT CAST(v AS BIGINT) FROM tot)
             ORDER BY kind, param
+        """,
+        # alpha=1/2 temperature mixing: sqrt is correctly rounded in
+        # both engines (IEEE requirement), the totals are BIGINT sums,
+        # and every float step has a fixed operand order — so the ppm
+        # shares are deterministic integers, no tolerance needed
+        "source_temperature_mix": """
+            WITH per_src AS (
+              SELECT source,
+                     CAST(SUM(len(string_split(trim(text), ' ')))
+                       AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            sq AS (
+              SELECT source, n_tokens,
+                     CAST(floor(1000000 * sqrt(CAST(n_tokens AS DOUBLE)))
+                       AS BIGINT) AS s
+              FROM per_src),
+            tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                           CAST(SUM(s) AS BIGINT) AS ts FROM sq),
+            shares AS (
+              SELECT source, n_tokens,
+                     CAST(floor(1000000 * (CAST(n_tokens AS DOUBLE)
+                       / CAST(t AS DOUBLE))) AS BIGINT) AS raw_share_ppm,
+                     CAST(floor(1000000 * (CAST(s AS DOUBLE)
+                       / CAST(ts AS DOUBLE))) AS BIGINT) AS temp_share_ppm
+              FROM sq CROSS JOIN tot)
+            SELECT source, n_tokens, raw_share_ppm, temp_share_ppm,
+                   CASE WHEN raw_share_ppm > 0
+                        THEN CAST(temp_share_ppm * 1000000 // raw_share_ppm
+                          AS BIGINT) END AS boost_ppm
+            FROM shares ORDER BY source
+        """,
+        # CCNet head/middle/tail thirds per source over the fixed-point
+        # avg bigram NLL (same model CTEs as doc_lm_perplexity);
+        # threshold bucketing on the (source, score) spectrum — pure
+        # integer comparisons, ties share a bucket by construction
+        "doc_ccnet_buckets": """
+            WITH tok AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS tk
+              FROM documents),
+            pairs AS (
+              SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+              FROM tok, unnest(range(1, len(tk))) AS r(i)
+              WHERE len(tk) >= 2),
+            big AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+            ctx AS (SELECT a, sum(cab) AS ca FROM big GROUP BY a),
+            voc AS (
+              SELECT count(DISTINCT t) AS v
+              FROM (SELECT unnest(string_split(trim(text), ' ')) AS t
+                    FROM documents)),
+            model AS (
+              SELECT big.a, big.b,
+                     CAST(floor(1000000 * ln(
+                       CAST(ctx.ca + voc.v AS DOUBLE)
+                       / CAST(big.cab + 1 AS DOUBLE))) AS BIGINT) AS nll_s
+              FROM big JOIN ctx ON big.a = ctx.a CROSS JOIN voc),
+            per_doc AS (
+              SELECT doc_id, a, b, count(*) AS tf
+              FROM pairs GROUP BY doc_id, a, b),
+            scored AS (
+              SELECT p.doc_id,
+                     sum(p.tf) AS n_bigrams,
+                     sum(p.tf * m.nll_s) AS nll_sum
+              FROM per_doc p JOIN model m ON p.a = m.a AND p.b = m.b
+              GROUP BY p.doc_id),
+            avg_s AS (
+              SELECT doc_id,
+                     CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
+              FROM scored),
+            src AS (
+              SELECT d.source, p.avg_nll_s
+              FROM avg_s p JOIN documents d USING (doc_id)),
+            spec AS (
+              SELECT source, avg_nll_s, count(*) AS c
+              FROM src GROUP BY source, avg_nll_s),
+            cum AS (
+              SELECT source, avg_nll_s, c,
+                     sum(c) OVER (PARTITION BY source ORDER BY avg_nll_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - c AS cum_lt,
+                     sum(c) OVER (PARTITION BY source) AS n
+              FROM spec),
+            b AS (
+              SELECT source, avg_nll_s, c,
+                     CASE WHEN 3 * cum_lt < n THEN 'head'
+                          WHEN 3 * cum_lt < 2 * n THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM cum)
+            SELECT source, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+                   CAST(min(avg_nll_s) AS BIGINT) AS min_nll_s,
+                   CAST(max(avg_nll_s) AS BIGINT) AS max_nll_s
+            FROM b GROUP BY source, bucket
+            ORDER BY source, bucket
+        """,
+        # exact MIPS: ann_topk's shape with the raw dot product (no
+        # norm division); list_dot_product's left-to-right fold is the
+        # kernel's accumulation order, so scores are bit-identical
+        "ann_mips_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.v, c.v) AS sim
+              FROM e q JOIN e c ON q.vec_id < 8 AND q.vec_id != c.vec_id)
+            SELECT query_id, neighbor_id, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" <= 5
+            ORDER BY query_id, "rank"
         """,
         "source_distinctive_terms": """
             WITH st AS (

@@ -1096,6 +1096,22 @@ def doc_lm_nll(
     model (inner join is total). Documents with < 2 tokens have no
     bigrams and are not scored — a perplexity of nothing is undefined
     (the SQL oracle agrees by construction)."""
+    return (
+        doc_nll_scores(docs, text_col=text_col, id_col=id_col)
+        .orderBy(F.desc("avg_nll_s"), id_col)
+        .limit(k)
+    )
+
+
+def doc_nll_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unranked per-document LM scores — the full (id, n_bigrams,
+    nll_sum, avg_nll_s) table ``doc_lm_nll`` takes its top-k from and
+    ``ccnet_buckets`` terciles. See ``doc_lm_nll`` for the model and
+    the fixed-point exactness contract."""
     S = TFIDF_SCALE
     toks = F.split(F.trim(F.col(text_col)), " ")
     pairs = docs.select(
@@ -1144,8 +1160,6 @@ def doc_lm_nll(
             "nll_sum",
             F.expr("nll_sum div n_bigrams").alias("avg_nll_s"),
         )
-        .orderBy(F.desc("avg_nll_s"), id_col)
-        .limit(k)
     )
 
 
@@ -2108,3 +2122,165 @@ def vocab_coverage(
         f"stack({len(stack_items)}, {', '.join(stack_items)}) "
         "AS (kind, param, value)"
     ).orderBy("kind", "param")
+
+
+def source_temperature_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source sampling weights — the multilingual /
+    multi-source data-mixing recipe: sample source i with probability
+    proportional to c_i^alpha with alpha < 1, so tail sources are
+    upsampled relative to their raw token share (Xue et al. 2021 mT5
+    and Conneau et al. 2020 XLM-R both mix with alpha-scaled source
+    probabilities; not a reference-surface op — a corpus-release
+    companion like the dataset cards).
+
+    alpha is fixed at 1/2 (temperature T = 2) deliberately: sqrt is
+    the one fractional power IEEE 754 requires to be correctly
+    rounded, so ``floor(1e6 * sqrt(c))`` is bit-identical across
+    engines, while ``pow(c, 0.3)`` is a libm call with no such
+    guarantee — one ulp from a hash mismatch at every floor boundary.
+
+    Exactness: token counts and both totals are BIGINT sums
+    (order-free); each float step (cast to DOUBLE — exact below 2^53,
+    ~9e15 tokens ≈ 36 PB of single-spaced text — one divide, one
+    multiply, one floor) is correctly rounded with a fixed operand
+    order, so the ppm shares are deterministic integers. boost_ppm is
+    pure BIGINT arithmetic on those shares (≤ 1e6 · 1e6 = 1e12).
+
+    Plan / 100 TB design: ONE corpus-scale shuffle — the partial-agg
+    ``groupBy(source)`` over per-doc token counts (map-side combine
+    carries the weight); the per-source table (|sources| rows) then
+    crosses a broadcast single-row totals aggregate. No window, no
+    per-doc sort anywhere.
+
+    Output per source: ``n_tokens``, ``raw_share_ppm``
+    (floor(1e6·c/T)), ``temp_share_ppm`` (floor(1e6·s/S) with
+    s = floor(1e6·sqrt(c))), ``boost_ppm`` (floor(1e6·temp/raw);
+    > 1_000_000 means the temperature upsamples the source; NULL when
+    the raw share rounds to 0 ppm)."""
+    per_src = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).cast("long").alias("_n"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_n").alias("n_tokens"))
+        .withColumn(
+            "_s",
+            F.floor(
+                F.lit(1_000_000.0) * F.sqrt(F.col("n_tokens").cast("double"))
+            ),
+        )
+        # materialize the tiny per-source table ONCE (≤ |sources|
+        # rows): both the totals aggregate and the returned plan
+        # consume it, and without the pin the totals branch would
+        # re-run the corpus-scale token-count shuffle a second time
+        # (the vocab_coverage spectrum discipline)
+        .localCheckpoint(eager=True)
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_tot"), F.sum("_s").alias("_tot_s")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(
+                F.lit(1_000_000.0)
+                * (
+                    F.col("n_tokens").cast("double")
+                    / F.col("_tot").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("raw_share_ppm"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * (F.col("_s").cast("double") / F.col("_tot_s").cast("double"))
+            )
+            .cast("long")
+            .alias("temp_share_ppm"),
+        )
+        .withColumn(
+            "boost_ppm",
+            F.expr(
+                "CASE WHEN raw_share_ppm > 0 "
+                "THEN temp_share_ppm * 1000000L div raw_share_ppm END"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4): split
+    each source's documents into head / middle / tail thirds by LM
+    score — the shape downstream corpus curation keys on (CCNet and
+    its successors keep head+middle, drop or downweight tail). Score
+    is ``doc_lm_nll``'s fixed-point average bigram NLL, self-trained
+    on the corpus, so the whole report is exact integers.
+
+    Bucket rule (deterministic, tie-stable): within a source with n
+    scored docs and cum_lt = docs scoring strictly BELOW mine,
+
+        head    3·cum_lt < n     (the score group STARTS in the first third)
+        middle  3·cum_lt < 2n    (and not head)
+        tail    otherwise
+
+    Every doc sharing a score shares a bucket — threshold semantics,
+    not NTILE's arbitrary split of ties across bucket boundaries — a
+    tie group straddling a boundary lands in the bucket where it
+    starts (biasing toward keep, the right default for a filter that
+    drops 'tail'), a uniform-score source is all 'head' rather than
+    all 'tail', and the comparisons are pure BIGINT arithmetic.
+
+    Plan / 100 TB design: the per-doc scores reuse the ``doc_lm_nll``
+    pipeline (its explode + three partial aggregates + type-level
+    join); bucketing then runs entirely on the per-(source, score)
+    SPECTRUM — bounded by distinct integer scores per source, the
+    same spectrum-not-rows shape as ``value_equidepth_bins`` — so the
+    cumulative window never sorts documents, only spectrum rows.
+    Output is one row per (source, bucket): doc count and the score
+    range the bucket spans. Docs with < 2 tokens have no score and no
+    bucket (the oracle agrees by construction)."""
+    scores = doc_nll_scores(docs, text_col=text_col, id_col=id_col)
+    scored = docs.select(
+        F.col(id_col), F.col(source_col).alias("source")
+    ).join(scores.select(id_col, "avg_nll_s"), id_col)
+    spec = scored.groupBy("source", "avg_nll_s").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("avg_nll_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    bucketed = (
+        spec.withColumn("_cum_lt", F.sum("_c").over(w_cum) - F.col("_c"))
+        .withColumn("_n", F.sum("_c").over(w_all))
+        .withColumn(
+            "bucket",
+            F.when(3 * F.col("_cum_lt") < F.col("_n"), F.lit("head"))
+            .when(3 * F.col("_cum_lt") < 2 * F.col("_n"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.sum("_c").cast("long").alias("n_docs"),
+            F.min("avg_nll_s").alias("min_nll_s"),
+            F.max("avg_nll_s").alias("max_nll_s"),
+        )
+        .orderBy("source", "bucket")
+    )

@@ -130,8 +130,20 @@ def ann_bruteforce_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for the query subset.
+    """Exact top-k neighbors for the query subset, by ``metric``:
+
+    - ``"cosine"`` — angular similarity (the near-dup / semantic
+      retrieval default);
+    - ``"dot"`` — maximum inner product (MIPS), what retrieval with
+      unnormalized learned embeddings ranks by. MIPS reduces to
+      cosine over norm-augmented vectors (append sqrt(M²−‖x‖²) to
+      each corpus vector, 0 to each query — Bachrach et al. 2014,
+      RecSys; Neyshabur & Srebro 2015), so every cosine-bucketed
+      scale path (SRP-LSH, IVF) extends to it; the brute-force kernel
+      simply skips the norm division. tests/test_similarity_ops.py
+      asserts the augmented-cosine ranking equals this dot ranking.
 
     The query matrix is collected and shipped to every task (the build
     side of a broadcast join, made explicit); the corpus streams
@@ -142,6 +154,8 @@ def ann_bruteforce_topk(
     neighbor id; arithmetic order bit-identical to the DuckDB oracle
     (see module docstring).
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"ann_bruteforce_topk: unknown metric {metric!r}")
     spark = emb.sparkSession
     qpdf = (
         emb.filter(query_filter)
@@ -161,9 +175,11 @@ def ann_bruteforce_topk(
             if len(pdf) == 0:
                 continue
             mc = _as_matrix(pdf[vec_col], dims)
-            nc = _ordered_norms(mc)
             ids_c = pdf[id_col].to_numpy(dtype=np.int64)
-            sim = _ordered_gemm(mq, mc) / np.multiply.outer(nq, nc)
+            sim = _ordered_gemm(mq, mc)
+            if metric == "cosine":
+                nc = _ordered_norms(mc)
+                sim = sim / np.multiply.outer(nq, nc)
             sim[np.equal.outer(ids_q, ids_c)] = -np.inf  # self-match
             # per-batch candidate cut under the full (sim desc, id asc)
             # order so global top-k survives ties at the boundary

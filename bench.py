@@ -237,6 +237,10 @@ HEADLINE = [
     "orders_zorder_stats",
     "order_skyline",
     "value_quantile_match",
+    # r11 additions
+    "source_temperature_mix",
+    "doc_ccnet_buckets",
+    "ann_mips_topk",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded
