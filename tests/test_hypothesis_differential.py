@@ -741,3 +741,52 @@ def test_salted_join_null_keys_differential(spark, large, small, how):
     """).fetchdf()
     con.close()
     _cmp(got, want, f"salted_null_keys({how})")
+
+
+@settings(**SETTINGS)
+@given(texts=_ws_texts)
+def test_temperature_mix_whitespace_adversarial(spark, texts):
+    # source_temperature_mix consumes token_count(text) per source —
+    # the whitespace-adversarial docs drive tiny/empty per-source
+    # counts (an empty doc is 1 empty-string token under the idiom)
+    # through the sqrt/floor share arithmetic, pinning both the
+    # tokenization AND the fixed-operand-order IEEE steps cross-engine
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        source_temperature_mix,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, t, f"s{i % 3}") for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "source"],
+    )
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string, source string")
+    got = source_temperature_mix(sdf).toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        WITH per_src AS (
+          SELECT source,
+                 CAST(SUM(len(string_split(trim(text), ' ')))
+                   AS BIGINT) AS n_tokens
+          FROM t GROUP BY source),
+        sq AS (
+          SELECT source, n_tokens,
+                 CAST(floor(1000000 * sqrt(CAST(n_tokens AS DOUBLE)))
+                   AS BIGINT) AS s
+          FROM per_src),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+                       CAST(SUM(s) AS BIGINT) AS ts FROM sq),
+        shares AS (
+          SELECT source, n_tokens,
+                 CAST(floor(1000000 * (CAST(n_tokens AS DOUBLE)
+                   / CAST(tt AS DOUBLE))) AS BIGINT) AS raw_share_ppm,
+                 CAST(floor(1000000 * (CAST(s AS DOUBLE)
+                   / CAST(ts AS DOUBLE))) AS BIGINT) AS temp_share_ppm
+          FROM sq CROSS JOIN tot)
+        SELECT source, n_tokens, raw_share_ppm, temp_share_ppm,
+               CASE WHEN raw_share_ppm > 0
+                    THEN CAST(temp_share_ppm * 1000000 // raw_share_ppm
+                      AS BIGINT) END AS boost_ppm
+        FROM shares ORDER BY source
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "temperature_mix_ws")
