@@ -3217,6 +3217,21 @@ def q_media_jpeg420_audit(spark, sf_dir):
     return jpeg420_roundtrip_audit(_t(spark, sf_dir, "documents"))
 
 
+def q_media_jpeg411_audit(spark, sf_dir):
+    # Factor-4 (4:1:1) JPEG roundtrip certified by the oracle (r11):
+    # solid 32x8 color tiles = one constant MCU each, so the 4x1 box
+    # average and replication upsample are exact and quality 97 DC
+    # step 1 reconstructs every sample; the kernel asserts the 0x41
+    # sampling byte + pixel equality, the oracle recomputes the means
+    # codec-free. multimodal/binary_ops.jpeg411_audit.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        jpeg411_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return jpeg411_audit(docs, n_docs=32)
+
+
 def q_media_jpeg12_audit(spark, sf_dir):
     # 12-bit (SOF1 extended sequential) JPEG roundtrip certified by
     # the oracle (r10): grayscale solid tiles with EVEN 12-bit values
@@ -3733,10 +3748,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         # --- new r10 (sole addition: tokenizer-sizing coverage report) ------
         "vocab_coverage": q_vocab_coverage,
-        # --- new r11: data-mixing weights, CCNet buckets, exact MIPS ---------
+        # --- new r11: data-mixing weights, CCNet buckets, exact MIPS,
+        #     factor-4 JPEG audit ----------------------------------------------
         "source_temperature_mix": q_source_temperature_mix,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "ann_mips_topk": q_ann_mips_topk,
+        "media_jpeg411_audit": q_media_jpeg411_audit,
         "minhash_accuracy_audit": q_minhash_accuracy_audit,
         "ann_hard_negatives": q_ann_hard_negatives,
         # --- driver-certified r6 (current testdata) --------------------------
@@ -6586,6 +6603,28 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, CAST(32 AS INT) AS width,
                    CAST(16 AS INT) AS height,
                    CAST(sum(val) * 256 AS DOUBLE) / 1536 AS mean_px
+            FROM v GROUP BY doc_id ORDER BY doc_id
+        """,
+        # codec-free md5 recomputation with the 'jp411_' tile key —
+        # the Spark kernel must decode the FACTOR-4 stream to these
+        # exact means (it asserts the 0x41 sampling byte + pixel
+        # equality before emitting); sum(val)/6 = (sum*256 px)/1536
+        # channel-samples, the identical rational, so the one double
+        # division matches the kernel's bit for bit
+        "media_jpeg411_audit": """
+            WITH d AS (
+              SELECT DISTINCT doc_id FROM documents WHERE doc_id < 32),
+            v AS (
+              SELECT d.doc_id, t.t, c.c,
+                     CAST(('0x' || substr(md5(
+                       'jp411_' || CAST(d.doc_id AS VARCHAR) || '_' ||
+                       CAST(t.t AS VARCHAR) || '_' ||
+                       CAST(c.c AS VARCHAR)), 1, 8)) AS BIGINT) % 256
+                       AS val
+              FROM d, unnest([0, 1]) AS t(t), unnest([0, 1, 2]) AS c(c))
+            SELECT doc_id, CAST(64 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(sum(val) AS DOUBLE) / 6 AS mean_px
             FROM v GROUP BY doc_id ORDER BY doc_id
         """,
         "media_jpeg12_audit": """

@@ -991,6 +991,78 @@ def jpeg12_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
     )
 
 
+def jpeg411_audit(docs: DataFrame, n_docs: int = 32) -> DataFrame:
+    """Oracle-checkable proof of the FACTOR-4 (4:1:1) JPEG byte path
+    (r11): per doc id a 64×8 COLOR raster of two solid 32×8 tiles —
+    one MCU each under the 4×1 luma sampling — tile t's channel c =
+    ``h32("jp411_<d>_<t>_<c>") mod 256``. Solid MCUs make the lossy
+    codec sample-exact: the 4×1 chroma box average of a constant is
+    the constant, only DC coefficients survive, quality 97 gives DC
+    quant step 1, and replication upsampling of a constant is exact
+    (the ``media_jpeg420_audit`` construction on the factor-4 axis).
+    The kernel ASSERTS the stream declares luma sampling 0x41 (a
+    silent 4:4:4 fallback would be a vacuous pass) and that decode
+    reproduces every sample; the SQL oracle recomputes the decoded
+    means codec-free from the md5 derivation. A hash match certifies
+    the 6-blocks-per-MCU interleave, the 4×1 box average, and the
+    factor-4 replication upsample inside the standard gate."""
+    import hashlib
+
+    from .jpeg import jpeg_decode, jpeg_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                tiles = [
+                    tuple(
+                        int(
+                            hashlib.md5(
+                                f"jp411_{d}_{t}_{c}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % 256
+                        for c in range(3)
+                    )
+                    for t in range(2)
+                ]
+                rows = [
+                    [tiles[x // 32] for x in range(64)] for y in range(8)
+                ]
+                data = jpeg_encode(rows, quality=97, subsample="411")
+                i = data.find(b"\xFF\xC0")
+                assert i > 0 and data[i + 2 + 2 + 6 + 1] == 0x41, (
+                    "stream does not declare 4:1:1 luma sampling"
+                )
+                w, h, back = jpeg_decode(data)
+                assert (w, h) == (64, 8)
+                assert back == rows, (
+                    f"4:1:1 decode not sample-exact (doc {d})"
+                )
+                ids.append(d)
+                means.append(
+                    sum(ch for row in back for px in row for ch in px)
+                    / (64.0 * 8.0 * 3.0)
+                )
+            yield pd.DataFrame({"doc_id": ids, "mean_px": means})
+
+    return (
+        docs.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .distinct()
+        .mapInPandas(run, "doc_id long, mean_px double")
+        .select(
+            "doc_id",
+            F.lit(64).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+            "mean_px",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def audio_frame_audit(
     docs: DataFrame,
     n_docs: int = 32,

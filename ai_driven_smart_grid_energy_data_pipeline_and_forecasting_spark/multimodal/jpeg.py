@@ -11,9 +11,11 @@ per MCU, the most common real-world layout), plus single-component
 grayscale, and — with ``progressive=True`` — a spectral-selection
 progressive (SOF2) scan script quantized identically to baseline.
 The decoder accepts baseline streams with sampling factors in
-{1, 2} — 4:4:4, 4:2:0, 4:2:2, 4:4:0 and grayscale — with replication
-chroma upsampling and restart intervals (VERDICT r7 Next #5 lifted
-the 4:2:0 refusal), and — r10 — PROGRESSIVE (SOF2) streams: spectral
+{1, 2, 4} — 4:4:4, 4:2:0, 4:2:2, 4:4:0, 4:1:1 (r11 lifted the
+factor-4 refusal; the encoder emits any of those layouts via
+``subsample="411"`` etc.) and grayscale — with replication chroma
+upsampling and restart intervals (VERDICT r7 Next #5 lifted the
+4:2:0 refusal), and — r10 — PROGRESSIVE (SOF2) streams: spectral
 selection AND successive approximation, all four scan kinds of T.81
 G.1.2 including AC end-of-band runs and refinement correction bits
 (validated against a hand-built fixture, not just this encoder's own
@@ -26,7 +28,7 @@ extended sequential / 12-bit SOF2: 16-bit DQT entries, level shift
 coding — deliberately: its QM-coder Qe state table cannot be
 verified against T.81 offline, and a self-consistent-but-wrong table
 would decode real files incorrectly WITHOUT error — hierarchical,
-sampling factors > 2) — the same narrow-profile-or-raise convention
+sampling factor 3) — the same narrow-profile-or-raise convention
 as the BMP/PGM/PNG/WAV codecs in ``binary_ops``: a wrong answer is
 worse than no answer at a codec boundary.
 
@@ -276,17 +278,22 @@ def _quantize_block(plane, y0, x0, qt) -> np.ndarray:
     return q[ZIGZAG]
 
 
-def _pad_subsample_420(planes, h, w):
-    """Pad Y/Cb/Cr planes to a multiple of 16 by edge replication (so
-    the 2×2 box average never reads outside the raster and partial
-    MCUs encode the spec-recommended replicated edge) and box-average
-    chroma to half resolution. ONE definition shared by the baseline
-    entropy loop and the progressive scan builder — the progressive
-    round-trip's pixel-identity to baseline depends on both modes
-    feeding ``_quantize_block`` the same samples (r10 review: this
-    block was copy-pasted in both places). Returns (luma, [cb, cr])
-    at padded resolution."""
-    ph, pw = ((h + 15) // 16) * 16, ((w + 15) // 16) * 16
+def _pad_subsample(planes, h, w, hs=2, vs=2):
+    """Pad Y/Cb/Cr planes to a multiple of the 8·hs × 8·vs MCU by edge
+    replication (so the hs×vs box average never reads outside the
+    raster and partial MCUs encode the spec-recommended replicated
+    edge) and box-average chroma by the luma sampling factors. ONE
+    definition shared by the baseline entropy loop and the progressive
+    scan builder — the progressive round-trip's pixel-identity to
+    baseline depends on both modes feeding ``_quantize_block`` the
+    same samples (r10 review: this block was copy-pasted in both
+    places). The box accumulation runs in fixed raster order and
+    hs·vs is a power of two for every supported layout, so the
+    average is the exact IEEE value the 4:2:0-only predecessor
+    produced (r11 generalization must not move a single 4:2:0 bit).
+    Returns (luma, [cb, cr]) at padded resolution."""
+    mh, mw = 8 * vs, 8 * hs
+    ph, pw = ((h + mh - 1) // mh) * mh, ((w + mw - 1) // mw) * mw
     padded = []
     for plane in planes:
         p = np.empty((ph, pw))
@@ -294,15 +301,21 @@ def _pad_subsample_420(planes, h, w):
         p[:h, w:] = plane[:, w - 1 : w]
         p[h:, :] = p[h - 1 : h, :]
         padded.append(p)
-    chroma = [
-        0.25
-        * (
-            p[0::2, 0::2] + p[0::2, 1::2]
-            + p[1::2, 0::2] + p[1::2, 1::2]
-        )
-        for p in padded[1:]
-    ]
+    chroma = []
+    for p in padded[1:]:
+        acc = None
+        for dy in range(vs):
+            for dx in range(hs):
+                sl = p[dy::vs, dx::hs]
+                acc = sl if acc is None else acc + sl
+        chroma.append(acc * (1.0 / (hs * vs)))
     return padded[0], chroma
+
+
+#: Encoder chroma layouts: name → luma (H, V) sampling factors
+#: (chroma is always 1×1). hs·vs is a power of two for each, keeping
+#: the box-average multiplier exact.
+_SAMPLINGS = {"420": (2, 2), "422": (2, 1), "440": (1, 2), "411": (4, 1)}
 
 
 def _encode_block(bw, plane, y0, x0, qt, dc_codes, ac_codes, pred):
@@ -351,9 +364,13 @@ def jpeg_encode(
     Default 4:4:4 interleaved; ``subsample=True`` emits the 4:2:0
     layout (luma sampling 2×2, chroma box-averaged to half resolution,
     MCU = 4 luma + 1 Cb + 1 Cr blocks — the layout most real-world
-    encoders default to). With ``grayscale=True`` the rows hold plain
-    0–255 ints and a single-component stream is emitted (``subsample``
-    is meaningless there and refused).
+    encoders default to). ``subsample`` also accepts a layout name —
+    ``"420"``, ``"422"`` (2×1), ``"440"`` (1×2), ``"411"`` (4×1, the
+    DV/consumer-video layout and the one factor-4 profile in common
+    use) — generalizing the same MCU interleave to the declared luma
+    factors with 1×1 chroma (r11). With ``grayscale=True`` the rows
+    hold plain 0–255 ints and a single-component stream is emitted
+    (``subsample`` is meaningless there and refused).
 
     ``progressive=True`` emits a SPECTRAL-SELECTION progressive stream
     (SOF2): one interleaved DC scan, then per-component AC band scans
@@ -385,6 +402,15 @@ def jpeg_encode(
         raise ValueError("jpeg_encode needs a non-empty raster")
     if subsample and grayscale:
         raise ValueError("subsample=True needs a color raster")
+    if isinstance(subsample, str):
+        if subsample not in _SAMPLINGS:
+            raise ValueError(
+                f"unknown subsample layout {subsample!r} "
+                f"(one of {sorted(_SAMPLINGS)})"
+            )
+        samp_hv = _SAMPLINGS[subsample]
+    else:
+        samp_hv = (2, 2) if subsample else None
     if not 0 <= restart_interval <= 0xFFFF:
         raise ValueError(
             f"restart_interval must be in [0, 65535], got {restart_interval}"
@@ -447,10 +473,10 @@ def jpeg_encode(
 
     if progressive:
         scans = _progressive_scans(
-            planes, h, w, nc, qts, enc_dc, enc_ac, subsample,
+            planes, h, w, nc, qts, enc_dc, enc_ac, samp_hv,
             restart_interval, single_table=precision == 12,
         )
-    elif not subsample:
+    elif samp_hv is None:
         bw = _BitWriter()
         pred = [0] * nc
         bh, bwid = (h + 7) // 8, (w + 7) // 8
@@ -467,24 +493,25 @@ def jpeg_encode(
                     )
         bw.flush()
     else:
-        # 4:2:0: MCU-interleave 4 luma + 1 Cb + 1 Cr blocks with
-        # per-component DC prediction over the padded/box-averaged
-        # planes (_pad_subsample_420 — shared with the progressive
-        # scan builder so the two modes' pixel prep can never diverge)
+        # subsampled: MCU-interleave hs·vs luma + 1 Cb + 1 Cr blocks
+        # with per-component DC prediction over the padded/box-averaged
+        # planes (_pad_subsample — shared with the progressive scan
+        # builder so the two modes' pixel prep can never diverge)
+        hs, vs = samp_hv
         bw = _BitWriter()
         pred = [0] * nc
-        luma, chroma = _pad_subsample_420(planes, h, w)
+        luma, chroma = _pad_subsample(planes, h, w, hs, vs)
         ph, pw = luma.shape
         cad = _RestartCadence(restart_interval)
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
+        for my in range(ph // (8 * vs)):
+            for mx in range(pw // (8 * hs)):
                 if cad.boundary(bw):
                     pred = [0] * nc
-                for byy in range(2):
-                    for bxx in range(2):
+                for byy in range(vs):
+                    for bxx in range(hs):
                         pred[0] = _encode_block(
                             bw, luma,
-                            my * 16 + byy * 8, mx * 16 + bxx * 8,
+                            (my * vs + byy) * 8, (mx * hs + bxx) * 8,
                             qts[0], enc_dc[0], enc_ac[0], pred[0],
                         )
                 for ci in (1, 2):
@@ -512,7 +539,10 @@ def jpeg_encode(
             out += seg(0xFFDB, bytes([tid]) + zz_qt)
     sof = struct.pack(">BHHB", precision, h, w, nc)
     for cid in range(1, nc + 1):
-        samp = 0x22 if (subsample and cid == 1) else 0x11
+        if samp_hv is not None and cid == 1:
+            samp = (samp_hv[0] << 4) | samp_hv[1]
+        else:
+            samp = 0x11
         sof += bytes([cid, samp, 0 if cid == 1 else 1])
     # SOF0 is 8-bit-only by T.81 B.2.2: 12-bit sequential rides SOF1
     # (extended sequential, identical decode path)
@@ -565,7 +595,7 @@ def jpeg_encode(
 
 
 def _progressive_scans(
-    planes, h, w, nc, qts, enc_dc, enc_ac, subsample, ri=0,
+    planes, h, w, nc, qts, enc_dc, enc_ac, samp_hv, ri=0,
     single_table=False,
 ) -> list[tuple[bytes, bytes]]:
     """Build the spectral-selection scan script: quantize every block
@@ -580,8 +610,8 @@ def _progressive_scans(
     so no end-of-band run can cross a restart boundary here by
     construction — the decoder refuses streams where one does."""
     # quantized zigzag blocks per component, in the layout the
-    # INTERLEAVED DC scan walks (MCU-padded for 4:2:0)
-    if not subsample:
+    # INTERLEAVED DC scan walks (MCU-padded when subsampled)
+    if samp_hv is None:
         grids = []
         for ci in range(nc):
             tbl = 0 if ci == 0 else 1
@@ -598,7 +628,7 @@ def _progressive_scans(
             )
         samp = [(1, 1)] * nc
     else:
-        luma, chroma = _pad_subsample_420(planes, h, w)
+        luma, chroma = _pad_subsample(planes, h, w, *samp_hv)
         srcs = [luma, chroma[0], chroma[1]]
         grids = []
         for ci, src in enumerate(srcs):
@@ -614,7 +644,7 @@ def _progressive_scans(
                     for by in range(gh)
                 ]
             )
-        samp = [(2, 2), (1, 1), (1, 1)]
+        samp = [samp_hv, (1, 1), (1, 1)]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
 
@@ -782,9 +812,10 @@ def jpeg_decode(
     content: bytes,
 ) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
     """JPEG bytes → (width, height, RGB rows top-down). Accepts
-    baseline (SOF0) color with sampling factors in {1, 2} — 4:4:4,
+    baseline (SOF0) color with sampling factors in {1, 2, 4} — 4:4:4,
     4:2:0 (2×2 luma MCUs, chroma upsampled by replication), 4:2:2,
-    4:4:0 — and grayscale, plus restart intervals, AND progressive
+    4:4:0, 4:1:1 (r11) — and grayscale, plus restart intervals, AND
+    progressive
     (SOF2) streams — spectral selection and successive approximation,
     dispatched to ``_decode_progressive`` (r10), with restart
     intervals honored there too (per-scan DRI, MCU grain in DC scans,
@@ -792,7 +823,7 @@ def jpeg_decode(
     sequential, or 12-bit SOF2) decode to native 0–4095 values —
     precision follows the stream, never silently rescaled. Refuses
     arithmetic/hierarchical streams, other precisions, and sampling
-    factors > 2 with ``ValueError`` so callers fall back to the stub
+    factor 3 with ``ValueError`` so callers fall back to the stub
     boundary."""
     b = bytes(content)
     if b[:2] != b"\xFF\xD8":
@@ -882,12 +913,25 @@ def jpeg_decode(
                     # the declared factors — normalize instead of
                     # refusing streams that declare 0x22 for gray
                     hs = vs = 1
-                if hs not in (1, 2) or vs not in (1, 2):
+                if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+                    # {1, 2, 4} keeps every hmax/hc, vmax/vc ratio an
+                    # integer (the replication upsampler's contract);
+                    # factor 3 — legal per T.81 but absent from JFIF
+                    # practice — would need fractional upsampling and
+                    # stays refused (r11: factor 4 / 4:1:1 now decodes)
                     raise ValueError(
                         "unsupported JPEG sampling factors (each must "
-                        "be 1 or 2: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0)"
+                        "be 1, 2 or 4: 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 "
+                        "/ 4:1:1)"
                     )
                 comps.append((cid, hs, vs, tq))
+            if sum(hc * vc for _, hc, vc, _ in comps) > 10:
+                # T.81 B.2.3: at most 10 data units per MCU — a
+                # crafted 4x4+4x4+4x4 frame would otherwise allocate
+                # 48 blocks per MCU and walk them all
+                raise ValueError(
+                    "JPEG MCU exceeds 10 data units (T.81 B.2.3)"
+                )
             sof = (fw, fh, comps, prec)
         elif marker == 0xC4:  # DHT (possibly several tables)
             p = 0

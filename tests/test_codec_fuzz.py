@@ -71,6 +71,9 @@ def _cases():
         ("jpeg12",
          jpeg_encode([[v * 16 for v in r] for r in _GRAY],
                      grayscale=True, precision=12), _jpeg_probe_then_decode),
+        ("jpeg411",
+         jpeg_encode(_ROWS, quality=90, subsample="411"),
+         _jpeg_probe_then_decode),
         ("gif", gif_encode(_PAL), gif_decode),
         ("png", png_encode(_ROWS), png_decode),
         ("bmp", bmp_encode(_ROWS), bmp_decode),

@@ -175,13 +175,23 @@ def test_refuses_non_baseline_profiles():
     data[i + 1] = 0xC2
     with pytest.raises(ValueError, match="Se=0"):
         jpeg_decode(bytes(data))
-    # sampling factors above 2 (e.g. 4:1:1's 4x1 luma) stay refused —
-    # r8 lifted the 4:2:0/4:2:2 refusal, not the whole lattice
+    # sampling factor 3 stays refused (legal per T.81, absent from
+    # JFIF practice, and the replication upsampler needs integer
+    # ratios) — r11 lifted the factor-4 refusal (4:1:1 decodes), not
+    # the whole lattice
     data = bytearray(jpeg_encode(_gradient(8, 8)))
     i = data.find(b"\xFF\xC0")
     # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then cid,samp,tq
-    data[i + 2 + 2 + 6 + 1] = 0x41
+    data[i + 2 + 2 + 6 + 1] = 0x31
     with pytest.raises(ValueError, match="sampling factors"):
+        jpeg_decode(bytes(data))
+    # T.81 B.2.3: > 10 data units per MCU refused before any
+    # allocation — a crafted 4x4 + 4x4 + 4x4 frame declares 48
+    data = bytearray(jpeg_encode(_gradient(8, 8)))
+    i = data.find(b"\xFF\xC0")
+    for c in range(3):
+        data[i + 2 + 2 + 6 + 1 + 3 * c] = 0x44
+    with pytest.raises(ValueError, match="10 data units"):
         jpeg_decode(bytes(data))
 
 
@@ -857,3 +867,111 @@ def test_jpeg12_audit_matches_python_reference(spark):
             for t in range(2)
         ]
         assert got[d] == sum(vals) / 2.0, d
+
+
+# ---------------------------------------------------------------- #
+# r11: generalized chroma layouts (4:2:2 / 4:4:0 encode, 4:1:1 both
+# ways — the factor-4 profile) through the shared _pad_subsample
+
+
+def test_jpeg_layout_names_roundtrip_all():
+    # every named layout round-trips odd and even rasters with the
+    # loose lossy bound, reports true dimensions, and declares the
+    # right luma sampling byte
+    samp_bytes = {"420": 0x22, "422": 0x21, "440": 0x12, "411": 0x41}
+    for name, sb in samp_bytes.items():
+        for w, h in ((32, 16), (33, 17), (40, 24)):
+            # non-wrapping ramps (max 40*5 + 24*3 < 256): a mod-256
+            # wrap edge rings under ANY lossy layout and would test
+            # the raster, not the codec
+            rows = [
+                [(x * 5, y * 7, x * 3 + y * 3) for x in range(w)]
+                for y in range(h)
+            ]
+            data = jpeg_encode(rows, quality=92, subsample=name)
+            i = data.find(b"\xFF\xC0")
+            assert data[i + 2 + 2 + 6 + 1] == sb, name
+            ww, hh, back = jpeg_decode(data)
+            assert (ww, hh) == (w, h), (name, w, h)
+            assert _err(rows, back) <= 48.0, (name, w, h)
+
+
+def test_jpeg411_tiled_fixture_decodes_sample_exactly():
+    # the 4:2:0 sample-exactness construction transplanted to 4:1:1:
+    # 32x8 solid tiles = one constant MCU each (4 luma blocks + the
+    # 4x1 box average of a constant is the constant), quality 97 =
+    # DC quant step 1, so decode reconstructs every sample exactly
+    import hashlib
+
+    colors = [
+        tuple(
+            int(hashlib.md5(f"q{t}_{c}".encode()).hexdigest()[:2], 16)
+            for c in range(3)
+        )
+        for t in range(8)
+    ]
+    rows = [
+        [colors[(y // 8) * 4 + (x // 32)] for x in range(128)]
+        for y in range(16)
+    ]
+    data = jpeg_encode(rows, quality=97, subsample="411")
+    w, h, back = jpeg_decode(data)
+    assert (w, h) == (128, 16)
+    assert _err(rows, back) == 0.0
+    i = data.find(b"\xFF\xC0")
+    assert data[i + 2 + 2 + 6 + 1] == 0x41
+    # 6 blocks per MCU vs 4:4:4's 3-per-8x8: the stream is smaller
+    assert len(data) < len(jpeg_encode(rows, quality=97))
+
+
+def test_jpeg411_progressive_and_restart_identity():
+    # progressive quantizes identically to baseline and restart
+    # markers are pure resync: all four stream variants of one 4:1:1
+    # raster decode to the same pixels
+    rows = [
+        [((x * 6) % 256, (y * 9) % 256, 77) for x in range(37)]
+        for y in range(19)
+    ]
+    base = jpeg_decode(jpeg_encode(rows, quality=90, subsample="411"))
+    for kwargs in (
+        dict(progressive=True),
+        dict(restart_interval=2),
+        dict(progressive=True, restart_interval=3),
+    ):
+        got = jpeg_decode(
+            jpeg_encode(rows, quality=90, subsample="411", **kwargs)
+        )
+        assert got == base, kwargs
+
+
+def test_jpeg_subsample_arg_compat_and_refusals():
+    rows = [[(x * 8, y * 8, 64) for x in range(16)] for y in range(16)]
+    # bool True stays byte-identical to the named "420"
+    assert jpeg_encode(rows, subsample=True) == jpeg_encode(
+        rows, subsample="420"
+    )
+    with pytest.raises(ValueError, match="unknown subsample layout"):
+        jpeg_encode(rows, subsample="444")  # default spelling refused
+    with pytest.raises(ValueError, match="color raster"):
+        jpeg_encode(
+            [[0] * 8] * 8, grayscale=True, subsample="411"
+        )
+
+
+def test_jpeg411_12bit_native_range():
+    # the factor-4 layout composes with the 12-bit extended
+    # sequential profile: even 12-bit solid tiles decode exactly
+    rows = [[(4000, 2000, 1000)] * 32 for _ in range(8)]
+    data = jpeg_encode(rows, quality=97, subsample="411", precision=12)
+    w, h, back = jpeg_decode(data)
+    assert (w, h) == (32, 8)
+    # color 12-bit is exact to the YCbCr round-trip's +-1 rint margin
+    # (the sample-EXACT construction is grayscale-only, like the
+    # jpeg12_audit); the point here is native range + layout compose
+    assert all(
+        abs(a - b) <= 1 for a, b in zip(back[0][0], (4000, 2000, 1000))
+    ), back[0][0]
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.jpeg import (
+        jpeg_precision,
+    )
+    assert jpeg_precision(data) == 12
