@@ -109,6 +109,11 @@ NEW_R5 = [
     "value_quantile_match",
     # round 9
     "revenue_rollup",
+    # round 11
+    "source_temperature_mix",
+    "doc_ccnet_buckets",
+    "ann_mips_topk",
+    "media_jpeg411_audit",
 ]
 
 
