@@ -975,3 +975,21 @@ def test_jpeg411_12bit_native_range():
         jpeg_precision,
     )
     assert jpeg_precision(data) == 12
+
+
+def test_jpeg411_flows_through_decode_and_resize_stubs():
+    # the binary_ops media plumbing needs no 4:1:1 special-casing —
+    # decode_stub features and resize_stub thumbnails ride the same
+    # jpeg_decode the audit certifies
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.multimodal.binary_ops import (
+        decode_stub,
+        resize_stub,
+    )
+
+    rows = [[(x * 3, y * 9, 80) for x in range(64)] for y in range(16)]
+    data = jpeg_encode(rows, quality=92, subsample="411")
+    feats = decode_stub(data, "image", fake=False)
+    assert len(feats) > 0 and all(np.isfinite(feats))
+    thumb = resize_stub(data, 16, 8, fake=False)
+    w, h, back = jpeg_decode(thumb)
+    assert (w, h) == (16, 8)
