@@ -2254,9 +2254,13 @@ def ccnet_buckets(
     Plan / 100 TB design: the per-doc scores reuse the ``doc_lm_nll``
     pipeline (its explode + three partial aggregates + type-level
     join); bucketing then runs entirely on the per-(source, score)
-    SPECTRUM — bounded by distinct integer scores per source, the
-    same spectrum-not-rows shape as ``value_equidepth_bins`` — so the
-    cumulative window never sorts documents, only spectrum rows.
+    SPECTRUM — the same spectrum-not-rows shape as
+    ``value_equidepth_bins``. The spectrum per source is bounded by
+    the SCORE RANGE, not the doc count: avg_nll_s is a fixed-point
+    integer in [0, S·ln(C+V)] ≈ [0, ~3.5e7] at S=1e6 for any corpus
+    (the add-one model's worst per-bigram NLL), so even a source with
+    10^12 documents feeds the cumulative window at most ~35M spectrum
+    rows — a bounded per-source sort, never a sort of documents.
     Output is one row per (source, bucket): doc count and the score
     range the bucket spans. Docs with < 2 tokens have no score and no
     bucket (the oracle agrees by construction)."""
