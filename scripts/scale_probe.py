@@ -142,6 +142,10 @@ PROBE_QUERIES = [
     "incremental_join_deletes",
     "join_size_cms_audit",
     "doc_split_ks",
+    # r11 additions
+    "source_temperature_mix",
+    "doc_ccnet_buckets",
+    "ann_mips_topk",
 ]
 
 
