@@ -1582,6 +1582,19 @@ def q_ann_mips_topk(spark, sf_dir):
     return S.ann_bruteforce_topk(emb, F.col("vec_id") < 8, k=5, metric="dot")
 
 
+def q_ann_mips_ivf_topk(spark, sf_dir):
+    # Inner-product IVF (new r11): the MIPS scale path — assignment
+    # and probing stay angular (a cell groups directions, the public
+    # METRIC_INNER_PRODUCT convention), candidates score by raw dot.
+    # Exhaustive probing recovers exact MIPS (identity-tested);
+    # registry config probes 4/16 cells.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_ivf_topk(
+        emb, F.col("vec_id") < 8, k=5, n_centroids=16, n_probe=4,
+        metric="dot",
+    )
+
+
 def q_minhash_accuracy_audit(spark, sf_dir):
     # MinHash estimator vs exact Jaccard over all pairs >= 0.3: the
     # missing sketch audit (HLL/CMS/percentile/PQ have theirs).
@@ -3753,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_temperature_mix": q_source_temperature_mix,
         "doc_ccnet_buckets": q_doc_ccnet_buckets,
         "ann_mips_topk": q_ann_mips_topk,
+        "ann_mips_ivf_topk": q_ann_mips_ivf_topk,
         "media_jpeg411_audit": q_media_jpeg411_audit,
         "minhash_accuracy_audit": q_minhash_accuracy_audit,
         "ann_hard_negatives": q_ann_hard_negatives,
@@ -7868,6 +7882,44 @@ def _oracle_sql_base() -> dict[str, str]:
                   AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        # inner-product IVF twin: identical assignment/probing CTEs
+        # (angular coarse quantizer), final score is the raw dot —
+        # list_dot_product's left-to-right fold is the kernel's order
+        "ann_mips_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            asg AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM e, cents c) WHERE rn = 1),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+            probes AS (
+              SELECT query_id, cluster FROM (
+                SELECT q.query_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_COS_SQL.format(a='q.qv', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM q, cents c) WHERE rn <= 4),
+            scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_dot_product(q.qv, e.v) AS sim
+              FROM probes p
+              JOIN asg a ON a.cluster = p.cluster
+              JOIN e ON e.vec_id = a.vec_id
+              JOIN q ON q.query_id = p.query_id
+              WHERE a.vec_id != p.query_id)
+            SELECT query_id, neighbor_id, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" <= 5
+            ORDER BY query_id, "rank"
         """,
         "ann_ivf_topk": f"""
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

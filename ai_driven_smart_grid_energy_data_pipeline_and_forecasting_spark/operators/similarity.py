@@ -414,12 +414,23 @@ def ann_ivf_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer assigns every
     corpus vector to its nearest centroid; queries probe only their
     ``n_probe`` closest clusters and score exactly within them. Recall
     trades against the ``n_probe/n_centroids`` ratio; the scored set
     shrinks from |C| to ~|C|·n_probe/n_centroids per query.
+
+    ``metric="dot"`` is the inner-product IVF (the public
+    METRIC_INNER_PRODUCT convention: assignment and probing stay
+    angular — a cell groups directions — while candidates are scored
+    by the raw inner product, so high-norm neighbors rank first
+    within the probed cells; Bachrach et al. 2014's norm-augmented
+    reduction shows why direction-partitioning remains a valid coarse
+    quantizer for MIPS). Exhaustive probing (n_probe = n_centroids)
+    recovers ``ann_bruteforce_topk(metric="dot")`` exactly —
+    identity-tested.
 
     Centroids here are the deterministic id-ordered head of the corpus
     (a fixed sample — Lloyd refinement is an offline concern that
@@ -444,7 +455,10 @@ def ann_ivf_topk(
     c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
     c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
     c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
-    return _ivf_flow(emb, query_filter, c_ids, c_mat, k, n_probe, dims, id_col, vec_col)
+    return _ivf_flow(
+        emb, query_filter, c_ids, c_mat, k, n_probe, dims, id_col,
+        vec_col, metric,
+    )
 
 
 def _ivf_flow(
@@ -457,10 +471,15 @@ def _ivf_flow(
     dims: int,
     id_col: str,
     vec_col: str,
+    metric: str = "cosine",
 ) -> DataFrame:
     """Shared IVF assign→probe→score pipeline, parameterized by the
     coarse-quantizer centroids (fixed head sample or a trained model —
-    the plan is identical either way)."""
+    the plan is identical either way) and the candidate-scoring
+    ``metric`` ("cosine" | "dot" — assignment/probing are always
+    angular; see ``ann_ivf_topk``)."""
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"_ivf_flow: unknown metric {metric!r}")
     spark = emb.sparkSession
     c_norm = _ordered_norms(c_mat)
     bc_c = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
@@ -517,14 +536,17 @@ def _ivf_flow(
             if len(pdf) == 0:
                 continue
             mx = _as_matrix(pdf["v"], dims)
-            nx = _ordered_norms(mx)
             qm = np.stack([qmap[q][0] for q in pdf["query_id"]])
-            qn = np.asarray([qmap[q][1] for q in pdf["query_id"]])
+            sim = _ordered_rowdot(qm, mx)
+            if metric == "cosine":
+                nx = _ordered_norms(mx)
+                qn = np.asarray([qmap[q][1] for q in pdf["query_id"]])
+                sim = sim / (qn * nx)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
                     "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
-                    "sim": _ordered_rowdot(qm, mx) / (qn * nx),
+                    "sim": sim,
                 }
             )
 

@@ -241,6 +241,7 @@ HEADLINE = [
     "source_temperature_mix",
     "doc_ccnet_buckets",
     "ann_mips_topk",
+    "ann_mips_ivf_topk",
     "media_jpeg411_audit",
 ]
 

@@ -113,6 +113,7 @@ NEW_R5 = [
     "source_temperature_mix",
     "doc_ccnet_buckets",
     "ann_mips_topk",
+    "ann_mips_ivf_topk",
     "media_jpeg411_audit",
 ]
 

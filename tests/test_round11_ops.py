@@ -464,3 +464,108 @@ def test_mips_topk_param_sweep(spark, duck, k, qmax):
         ORDER BY query_id, "rank"
     """).fetchdf()
     _assert_same(got, want, f"mips(k={k},qmax={qmax})")
+
+
+# -------------------------------------------------- inner-product IVF
+
+
+def test_mips_ivf_exhaustive_probe_equals_exact_mips(spark):
+    # probing every cell makes the candidate set the whole corpus
+    # (minus self), so the inner-product IVF must reproduce the exact
+    # MIPS top-k row for row — the identity the docstring promises
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    exact = ann_bruteforce_topk(
+        emb, F.col("vec_id") < 6, k=4, metric="dot"
+    ).collect()
+    ivf = ann_ivf_topk(
+        emb, F.col("vec_id") < 6, k=4, n_centroids=16, n_probe=16,
+        metric="dot",
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+    assert sorted(map(key, exact)) == sorted(map(key, ivf))
+
+
+def test_mips_ivf_recall_reasonable_at_registry_config(spark):
+    # 4/16 probes: recall@5 against exact MIPS must clear 0.5 on the
+    # harness embeddings (the cosine IVF's own audit bar) — a broken
+    # candidate path would collapse it toward k/|C|
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    exact = ann_bruteforce_topk(emb, F.col("vec_id") < 8, k=5, metric="dot")
+    approx = ann_ivf_topk(
+        emb, F.col("vec_id") < 8, k=5, n_centroids=16, n_probe=4,
+        metric="dot",
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.5
+
+
+def test_mips_ivf_unknown_metric_refused(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="unknown metric"):
+        ann_ivf_topk(emb, F.col("vec_id") < 1, metric="l2")
+
+
+@pytest.mark.parametrize("k,n_probe", [(5, 4), (3, 1), (8, 16), (5, 7)])
+def test_mips_ivf_param_sweep(spark, duck, k, n_probe):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    got = ann_ivf_topk(
+        emb, F.col("vec_id") < 8, k=k, n_centroids=16, n_probe=n_probe,
+        metric="dot",
+    ).toPandas()
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    want = duck.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        asg AS (
+          SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos.format(a='e.v', b='c.cv')} DESC,
+                              c.cid) AS rn
+            FROM e, cents c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        probes AS (
+          SELECT query_id, cluster FROM (
+            SELECT q.query_id, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY {cos.format(a='q.qv', b='c.cv')} DESC,
+                              c.cid) AS rn
+            FROM q, cents c) WHERE rn <= {n_probe}),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(q.qv, e.v) AS sim
+          FROM probes p
+          JOIN asg a ON a.cluster = p.cluster
+          JOIN e ON e.vec_id = a.vec_id
+          JOIN q ON q.query_id = p.query_id
+          WHERE a.vec_id != p.query_id)
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS INTEGER) AS "rank"
+        FROM scored
+        QUALIFY "rank" <= {k}
+        ORDER BY query_id, "rank"
+    """).fetchdf()
+    _assert_same(got, want, f"mips_ivf(k={k},probe={n_probe})")
