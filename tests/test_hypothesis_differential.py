@@ -790,3 +790,84 @@ def test_temperature_mix_whitespace_adversarial(spark, texts):
     """).fetchdf()
     con.close()
     _cmp(got, want, "temperature_mix_ws")
+
+
+@settings(**SETTINGS)
+@given(texts=_ws_texts)
+def test_ccnet_buckets_whitespace_adversarial(spark, texts):
+    # the full bigram-NLL -> spectrum -> threshold-bucket chain over
+    # whitespace-adversarial docs: empty-string tokens form bigrams
+    # (("", ""), ("", "a"), ...) under the split(trim) idiom, and a
+    # doc of "   " is ONE empty token (no bigrams, unscored) — both
+    # engines must agree on the model, the fixed-point scores, and
+    # every bucket boundary
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.functions.text import (
+        ccnet_buckets,
+    )
+
+    pdf = pd.DataFrame(
+        [(i, t, f"s{i % 2}") for i, t in enumerate(texts)],
+        columns=["doc_id", "text", "source"],
+    )
+    sdf = spark.createDataFrame(pdf, "doc_id long, text string, source string")
+    got = ccnet_buckets(sdf).toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        WITH tok AS (
+          SELECT doc_id, string_split(trim(text), ' ') AS tk FROM t),
+        pairs AS (
+          SELECT doc_id, tk[i] AS a, tk[i+1] AS b
+          FROM tok, unnest(range(1, len(tk))) AS r(i)
+          WHERE len(tk) >= 2),
+        big AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+        ctx AS (SELECT a, sum(cab) AS ca FROM big GROUP BY a),
+        voc AS (
+          SELECT count(DISTINCT u) AS v
+          FROM (SELECT unnest(string_split(trim(text), ' ')) AS u
+                FROM t)),
+        model AS (
+          SELECT big.a, big.b,
+                 CAST(floor(1000000 * ln(
+                   CAST(ctx.ca + voc.v AS DOUBLE)
+                   / CAST(big.cab + 1 AS DOUBLE))) AS BIGINT) AS nll_s
+          FROM big JOIN ctx ON big.a = ctx.a CROSS JOIN voc),
+        per_doc AS (
+          SELECT doc_id, a, b, count(*) AS tf
+          FROM pairs GROUP BY doc_id, a, b),
+        scored AS (
+          SELECT p.doc_id,
+                 sum(p.tf) AS n_bigrams,
+                 sum(p.tf * m.nll_s) AS nll_sum
+          FROM per_doc p JOIN model m ON p.a = m.a AND p.b = m.b
+          GROUP BY p.doc_id),
+        avg_s AS (
+          SELECT doc_id,
+                 CAST(nll_sum // n_bigrams AS BIGINT) AS avg_nll_s
+          FROM scored),
+        src AS (
+          SELECT d.source, p.avg_nll_s
+          FROM avg_s p JOIN t d USING (doc_id)),
+        spec AS (
+          SELECT source, avg_nll_s, count(*) AS c
+          FROM src GROUP BY source, avg_nll_s),
+        cum AS (
+          SELECT source, avg_nll_s, c,
+                 sum(c) OVER (PARTITION BY source ORDER BY avg_nll_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) - c AS cum_lt,
+                 sum(c) OVER (PARTITION BY source) AS n
+          FROM spec),
+        b AS (
+          SELECT source, avg_nll_s, c,
+                 CASE WHEN 3 * cum_lt < n THEN 'head'
+                      WHEN 3 * cum_lt < 2 * n THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM cum)
+        SELECT source, bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(min(avg_nll_s) AS BIGINT) AS min_nll_s,
+               CAST(max(avg_nll_s) AS BIGINT) AS max_nll_s
+        FROM b GROUP BY source, bucket
+        ORDER BY source, bucket
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "ccnet_buckets_ws")
