@@ -871,3 +871,56 @@ def test_ccnet_buckets_whitespace_adversarial(spark, texts):
     """).fetchdf()
     con.close()
     _cmp(got, want, "ccnet_buckets_ws")
+
+
+# tie-heavy embedding domain: components from {-1, 0, 0.5, 1} and
+# vectors drawn WITH repetition, so distinct neighbors frequently
+# share an exact dot product with a query — the (sim DESC,
+# neighbor_id ASC) tie-break must agree cross-engine, and the
+# ordered-fold accumulation must stay bit-identical on signed sums
+# that cancel to zero
+_tie_vecs = st.lists(
+    st.lists(
+        st.sampled_from([-1.0, 0.0, 0.5, 1.0]), min_size=4, max_size=4
+    ),
+    min_size=3,
+    max_size=10,
+)
+
+
+@settings(**SETTINGS)
+@given(vecs=_tie_vecs)
+def test_mips_topk_tie_adversarial(spark, vecs):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_bruteforce_topk,
+    )
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(v) for v in vecs]}
+    )
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = ann_bruteforce_topk(
+        sdf, F.col("vec_id") < 3, k=4, dims=4, metric="dot"
+    ).toPandas()
+    con = _duck(pdf)
+    want = con.execute("""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM t),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.v, c.v) AS sim
+          FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id != c.vec_id)
+        SELECT query_id, neighbor_id, sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS INTEGER) AS "rank"
+        FROM scored
+        QUALIFY "rank" <= 4
+        ORDER BY query_id, "rank"
+    """).fetchdf()
+    con.close()
+    _cmp(got, want, "mips_tie")
