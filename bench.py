@@ -10,11 +10,15 @@ steady-state plan execution, not session boot.
 
 from __future__ import annotations
 
+import ast
+import hashlib
+import inspect
 import json
 import os
 import re
 import sys
 import time
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -264,15 +268,26 @@ EXCLUDED = {
 }
 
 
+def load_prev_detail(detail_path: str) -> dict | None:
+    """The PRIOR round's tracked detail artifact, read once before this
+    run overwrites it — drift normalization, the retime fixpoint, and
+    the code-provenance check all compare against the same snapshot."""
+    try:
+        with open(detail_path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
 def drift_vs_prev(
-    detail_path: str,
+    prev: dict | None,
     timings: dict[str, float],
     total: float,
     calib_sec: float,
 ) -> dict:
     """Drift-normalized round-over-round comparison (VERDICT r9
-    Next #2), computed against the PRIOR tracked detail file at
-    ``detail_path`` before this run overwrites it.
+    Next #2), computed against the PRIOR tracked detail snapshot
+    (``load_prev_detail`` output, read before this run overwrites it).
 
     calib_ratio_vs_prev = calib_now / calib_prev measures how much the
     host itself sped up or slowed down between the two recordings (the
@@ -289,11 +304,9 @@ def drift_vs_prev(
     recording — the keys are absent rather than null so a reader can
     distinguish "first run" from "computed 1.0"."""
     try:
-        with open(detail_path) as fh:
-            prev = json.load(fh)
         calib_prev = float(prev["calib_sec"])
         prev_q = {k: float(v) for k, v in prev["queries"].items()}
-    except (OSError, ValueError, KeyError, TypeError):
+    except (ValueError, KeyError, TypeError):
         return {}
     if calib_prev <= 0 or calib_sec <= 0:
         return {}
@@ -333,33 +346,228 @@ def drift_vs_prev(
     return out
 
 
-def retime_flagged(
+def retime_to_fixpoint(
     timings: dict[str, float],
-    drift: dict,
+    prev: dict | None,
+    calib_sec: float,
     run_once_fn,
-    max_retimes: int = 12,
-) -> list[str]:
-    """Second timed pass for flagged slower-movers only (VERDICT r10
-    Next #5): every one of the 8 movers the r10 artifact flagged was
-    judge-refuted as one-shot variance (min-of-3 re-runs at or below
-    the prior round's times), so a mover list computed from single
-    timings cries wolf. Flagged movers are few by construction (the
-    slower list caps at 8), so re-running just those is cheap; the
-    kept number is the min, i.e. best-of-2+ for anything the artifact
-    will actually name as a regression. Mutates ``timings`` in place
-    and returns the names re-timed so the artifact can disclose the
-    extra pass."""
-    retimed: list[str] = []
-    for name in list(drift.get("norm_movers_slower", {}))[:max_retimes]:
-        if name not in timings:
-            continue
+    max_passes: int = 5,
+) -> tuple[list[str], list[str], dict]:
+    """Retime flagged slower-movers until the flagged list is STABLE
+    (VERDICT r11 Next #2). The r10 version retimed only the
+    *provisional* slower list and recomputed drift once — the recompute
+    could surface a fresh tier of movers that never got a second run,
+    and in BENCH_r11.json that is exactly what happened: the published
+    ``norm_movers_slower`` was disjoint from ``movers_retimed``, i.e.
+    the artifact's named regressions were single-timed after all.
+
+    This loop iterates: retime every not-yet-retimed flagged name
+    (no cap — ADVICE r11 #4: the old max_retimes=12 silently left
+    overflow movers single-timed), recompute drift on the updated
+    timings, repeat until no flagged name lacks a second timing.
+    Convergence is fast by construction — retiming only LOWERS times,
+    so the candidate pool of ≥1.3× movers shrinks monotonically and
+    each pass retires ≥1 new name; ``max_passes`` is a backstop, and
+    any name still single-timed at exit (run failure or backstop) is
+    returned separately so the artifact DISCLOSES it instead of
+    presenting a one-shot number as a regression.
+
+    Mutates ``timings`` in place (kept number = min over all runs).
+    Returns (retimed_names, single_timed_names, final_drift)."""
+    attempted: set[str] = set()
+    retimed: set[str] = set()
+    drift = drift_vs_prev(
+        prev, timings, round(sum(timings.values()), 4), calib_sec
+    )
+    for _ in range(max_passes):
+        fresh = [
+            n
+            for n in drift.get("norm_movers_slower", {})
+            if n not in attempted and n in timings
+        ]
+        if not fresh:
+            break
+        for name in fresh:
+            attempted.add(name)
+            try:
+                t = run_once_fn(name)
+            except Exception:  # noqa: BLE001 — a recheck must never cost the row
+                continue
+            timings[name] = round(min(timings[name], t), 4)
+            retimed.add(name)
+        drift = drift_vs_prev(
+            prev, timings, round(sum(timings.values()), 4), calib_sec
+        )
+    single_timed = sorted(
+        n for n in drift.get("norm_movers_slower", {}) if n not in retimed
+    )
+    return sorted(retimed), single_timed, drift
+
+
+# ------------------------------------------- code-provenance fingerprints
+#
+# VERDICT r11 Next #6: when a flagged mover's implementing code is
+# bit-identical to the prior round's, the artifact should SAY so —
+# a reader can then separate plan regressions from residual host drift
+# without re-measurement. Each benched query gets a deterministic
+# fingerprint: sha256 over (a) the source of its entry function plus any
+# entry-local helpers it calls, and (b) the content hashes of every
+# package module in the transitive import closure of the modules that
+# code references. Entry-file edits OUTSIDE the one function (new
+# queries being added every round) do not move an existing query's
+# fingerprint. Scope is static and conservative: direct global
+# references from the function's code objects, closed over the
+# package's module-level import graph, plus ancestor __init__ files.
+
+_PKG = "ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark"
+
+
+def _pkg_module_files() -> dict[str, str]:
+    """module name -> file path for every .py file in the package."""
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), _PKG)
+    out: dict[str, str] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            rel = os.path.relpath(path, os.path.dirname(root))
+            mod = rel[:-3].replace(os.sep, ".")
+            if mod.endswith(".__init__"):
+                mod = mod[: -len(".__init__")]
+            out[mod] = path
+    return out
+
+
+def _module_import_edges(
+    mod: str, path: str, known: set[str]
+) -> set[str]:
+    """Package modules ``mod`` imports at module level (ast-derived;
+    absolute and relative forms both resolved)."""
+    try:
+        with open(path) as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return set()
+    is_pkg = path.endswith("__init__.py")
+    parts = mod.split(".")
+    edges: set[str] = set()
+
+    def add(candidate: str) -> None:
+        if candidate in known:
+            edges.add(candidate)
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name == _PKG or a.name.startswith(_PKG + "."):
+                    add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                anchor = parts if is_pkg else parts[:-1]
+                base = anchor[: len(anchor) - (node.level - 1)]
+                target = ".".join(base + (node.module or "").split("."))
+                target = target.rstrip(".")
+            else:
+                target = node.module or ""
+            if not (target == _PKG or target.startswith(_PKG + ".")):
+                continue
+            add(target)
+            for a in node.names:
+                add(f"{target}.{a.name}")  # `from pkg.x import submod`
+    return edges
+
+
+def query_fingerprints(queries: dict) -> dict[str, str]:
+    """Deterministic per-query provenance hash (see section comment).
+    Queries whose callable isn't introspectable (no plain function
+    source) are omitted rather than given an unstable hash."""
+    files = _pkg_module_files()
+    known = set(files)
+    file_hash = {
+        m: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for m, p in files.items()
+    }
+    edges = {
+        m: _module_import_edges(m, p, known) for m, p in files.items()
+    }
+
+    def closure(seeds: set[str]) -> set[str]:
+        seen: set[str] = set()
+        stack = list(seeds)
+        while stack:
+            m = stack.pop()
+            if m in seen or m not in known:
+                continue
+            seen.add(m)
+            # ancestor packages execute on import — part of provenance
+            parts = m.split(".")
+            for i in range(1, len(parts)):
+                anc = ".".join(parts[:i])
+                if anc in known and anc not in seen:
+                    stack.append(anc)
+            stack.extend(edges.get(m, ()))
+        return seen
+
+    def fn_refs(fn, visited: set[int]) -> tuple[list[str], set[str]]:
+        """(entry-local helper sources incl. fn itself, seed modules)
+        by walking the function's code objects' global references."""
+        if id(fn) in visited:
+            return [], set()
+        visited.add(id(fn))
         try:
-            t = run_once_fn(name)
-        except Exception:  # noqa: BLE001 — a recheck must never cost the row
+            src = inspect.getsource(fn)
+        except (OSError, TypeError):
+            return [], set()
+        names: set[str] = set()
+        stack = [fn.__code__]
+        while stack:
+            co = stack.pop()
+            names.update(co.co_names)
+            for const in co.co_consts:
+                if isinstance(const, types.CodeType):
+                    stack.append(const)
+        sources = [src]
+        seeds: set[str] = set()
+        for name in sorted(names):
+            obj = fn.__globals__.get(name)
+            if obj is None:
+                continue
+            if isinstance(obj, types.ModuleType):
+                mn = getattr(obj, "__name__", "")
+                if mn == _PKG or mn.startswith(_PKG + "."):
+                    seeds.add(mn)
+            elif isinstance(obj, types.FunctionType):
+                om = getattr(obj, "__module__", "") or ""
+                if om == _PKG or om.startswith(_PKG + "."):
+                    seeds.add(om)
+                elif om == fn.__module__:  # entry-local helper: recurse
+                    s2, m2 = fn_refs(obj, visited)
+                    sources.extend(s2)
+                    seeds.update(m2)
+            else:
+                om = getattr(obj, "__module__", "") or ""
+                if isinstance(om, str) and (
+                    om == _PKG or om.startswith(_PKG + ".")
+                ):
+                    seeds.add(om)
+        return sources, seeds
+
+    out: dict[str, str] = {}
+    for name, fn in queries.items():
+        if not isinstance(fn, types.FunctionType):
             continue
-        timings[name] = round(min(timings[name], t), 4)
-        retimed.append(name)
-    return retimed
+        sources, seeds = fn_refs(fn, set())
+        if not sources:
+            continue
+        mods = sorted(closure(seeds))
+        h = hashlib.sha256()
+        for s in sources:
+            h.update(s.encode())
+        for m in mods:
+            h.update(f"{m}:{file_hash[m]}\n".encode())
+        out[name] = h.hexdigest()[:16]
+    return out
 
 
 def main() -> None:
@@ -502,18 +710,43 @@ def main() -> None:
     # calib_prev) restates them in the prior round's machine-speed
     # units; r9's uniform 1.42x "regression" reads as ~1.0x after the
     # same correction (verified by worktree A/B of identical code).
-    drift = drift_vs_prev(detail_path, timings, total, calib_sec)
-    # VERDICT r10 Next #5: anything the provisional drift pass flags
-    # as a slower-mover gets ONE more timed run before the artifact is
-    # written; the recorded number (and the final mover list) is the
-    # min, so a one-shot GC/compile burst cannot name a regression.
-    retimed = retime_flagged(timings, drift, run_once)
+    prev_detail = load_prev_detail(detail_path)
+    # VERDICT r11 Next #2: retime-and-recompute to a FIXPOINT — every
+    # name the final artifact flags as a slower-mover carries a
+    # best-of-2+ timing, or is disclosed as single-timed. (The r10
+    # single-pass version let the recompute surface fresh movers that
+    # never got a second run: BENCH_r11's published slower list was
+    # disjoint from movers_retimed.)
+    retimed, single_timed, drift = retime_to_fixpoint(
+        timings, prev_detail, calib_sec, run_once
+    )
+    total = round(sum(timings.values()), 4)
+    detail["value"] = total
     if retimed:
-        total = round(sum(timings.values()), 4)
-        detail["value"] = total
-        detail["movers_retimed"] = sorted(retimed)
-        drift = drift_vs_prev(detail_path, timings, total, calib_sec)
+        detail["movers_retimed"] = retimed
+    if single_timed:
+        # disclosure, never silence: these names appear in the slower
+        # list on one timing only (run failure or pass backstop)
+        detail["movers_single_timed"] = single_timed
     detail.update(drift)
+    # VERDICT r11 Next #6: per-mover code provenance. true = the
+    # query's entry function + transitive package-module closure are
+    # bit-identical to the prior round's recording, so a normalized
+    # slowdown there is residual drift, not a plan change; false = the
+    # implementing code moved this round; null = no prior fingerprint.
+    fingerprints = query_fingerprints(queries)
+    prev_fps = (prev_detail or {}).get("fingerprints") or {}
+    slower = drift.get("norm_movers_slower") or {}
+    if slower and prev_fps:
+        detail["movers_unchanged_code"] = {
+            n: (
+                fingerprints[n] == prev_fps[n]
+                if n in fingerprints and n in prev_fps
+                else None
+            )
+            for n in slower
+        }
+    detail["fingerprints"] = fingerprints
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
         fh.write("\n")
