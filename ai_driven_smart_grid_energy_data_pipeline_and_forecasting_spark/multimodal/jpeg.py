@@ -928,7 +928,16 @@ def jpeg_decode(
             if sum(hc * vc for _, hc, vc, _ in comps) > 10:
                 # T.81 B.2.3: at most 10 data units per MCU — a
                 # crafted 4x4+4x4+4x4 frame would otherwise allocate
-                # 48 blocks per MCU and walk them all
+                # 48 blocks per MCU and walk them all.
+                # Deliberately STRICTER than spec scope (ADVICE r11):
+                # B.2.3's bound applies only to interleaved scans, but
+                # this decoder enforces it frame-wide at SOF parse —
+                # a legal stream declaring high factors everywhere and
+                # using non-interleaved scans is refused loudly, the
+                # same narrow-profile-or-raise convention as the
+                # factor-3 refusal above. Move the check to
+                # interleaved-scan setup if such streams ever need to
+                # decode.
                 raise ValueError(
                     "JPEG MCU exceeds 10 data units (T.81 B.2.3)"
                 )

@@ -43,6 +43,13 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     # within tolerance (ADVICE r10). Sort on exact-typed columns
     # first, with floats last and rounded to 9 decimals so jitter
     # below the comparison tolerance lands in the same sort bucket.
+    # Known residual (ADVICE r11): rounding only de-jitters noise away
+    # from a rounding boundary — 0.4999999995 vs 0.5000000005, or
+    # large-magnitude floats where rel_tol 1e-9 exceeds the 1e-9
+    # rounding grain, can still split across sort buckets. If a flaky
+    # positional mismatch ever recurs here, switch to tolerance-aware
+    # matching: sort on exact columns only, then greedily pair the
+    # remaining rows within tolerance (do NOT tighten the rounding).
     exact = [c for c in df.columns if df[c].dtype.kind != "f"]
     floats = [c for c in df.columns if df[c].dtype.kind == "f"]
     key = df[exact + floats].copy()

@@ -99,20 +99,24 @@ def test_temperature_mix_python_oracle_randomized(spark):
 
 
 def test_temperature_mix_zero_raw_share_is_null_boost(spark):
-    # one source so small its raw share floors to 0 ppm: boost must be
-    # NULL, not a division error
-    big = ("w " * 3_000_000).strip()  # would be slow — use many docs instead
+    # ADVICE r11 #1: actually drive the raw_share_ppm == 0 -> NULL
+    # guard through the Spark plan. One source contributes a single
+    # token against > 1e6 tokens total, so floor(1e6 * 1/total) = 0
+    # and boost_ppm must come back NULL — not a division error.
+    # 8 docs x 125_001 tokens ≈ 2 MB of text: fast enough for a unit
+    # test, large enough to floor a one-token source to 0 ppm.
     docs = spark.createDataFrame(
         [(0, "lone", "tiny")]
-        + [(i, "y " * 200, "big") for i in range(1, 60)],
+        + [(i, ("y " * 125_001).strip(), "big") for i in range(1, 9)],
         "doc_id long, text string, source string",
     )
-    # tiny: 1 token of ~12k -> 0 ppm? 1e6/12001 = 83 ppm; need > 1e6
-    # tokens total for a single token to floor to 0 — too slow for a
-    # unit test, so assert the guard path directly on a crafted frame
     out = {r["source"]: r for r in source_temperature_mix(docs).collect()}
-    assert out["tiny"]["boost_ppm"] is not None  # 83+ ppm, well-defined
-    del big
+    assert out["tiny"]["raw_share_ppm"] == 0
+    assert out["tiny"]["boost_ppm"] is None
+    # sqrt-temperature still upsamples... nothing here: the guard only
+    # nulls the ratio; the shares themselves stay well-defined
+    assert out["tiny"]["temp_share_ppm"] > 0
+    assert out["big"]["boost_ppm"] is not None
 
 
 # -------------------------------------------------- ccnet_buckets
