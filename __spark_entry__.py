@@ -2192,6 +2192,89 @@ def q_ivfadc_recall(spark, sf_dir):
     )
 
 
+def q_pq_mips_recall_audit(spark, sf_dir):
+    # MIPS flat PQ (new r12): asymmetric-distance scan over RAW
+    # vectors — the compressed linear MIPS baseline for unnormalized
+    # learned embeddings (FAISS "PQ8" with METRIC_INNER_PRODUCT;
+    # completes the r11 metric="dot" extension into the compressed
+    # family per VERDICT r11 Next #5). Codebooks, encode, and ADC
+    # tables all skip normalization — for MIPS the norm IS signal.
+    # Audited exactly like pq_recall_audit, against exact MIPS
+    # (ann_bruteforce_topk metric="dot"); measured recall 0.27-0.33
+    # here (random embeddings, PQ's worst case), floor 0.1.
+    emb = _t(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 8
+    exact = S.ann_bruteforce_topk(emb, qf, k=5, metric="dot")
+    books = S.pq_codebooks(emb, m=8, n_codes=16, metric="dot")
+    pq = S.pq_topk(emb, qf, books, k=5, metric="dot")
+    hits = exact.join(pq, ["query_id", "neighbor_id"], "left_semi")
+    per_q = pq.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pq.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_pq_rows"),
+        )
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_rows")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hits")))
+        .crossJoin(
+            per_q.filter(F.col("_n") == 5).agg(
+                F.count(F.lit(1)).alias("full_k_queries")
+            )
+        )
+        .select(
+            "n_queries",
+            "n_exact_rows",
+            "n_pq_rows",
+            "full_k_queries",
+            (F.col("_n_hits") / F.col("n_exact_rows") >= 0.1).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+def q_ivfadc_mips_recall_audit(spark, sf_dir):
+    # MIPS-IVFADC (new r12): the production index shape for a 100 TB
+    # unnormalized-embedding corpus (FAISS "IVF16,PQ8" with
+    # METRIC_INNER_PRODUCT) — angular cells keep the probe sub-linear
+    # (assignment by x·c_unit is scale-invariant, the same convention
+    # as ann_mips_ivf_topk), raw residual codes keep the probed
+    # fraction compressed, and q·x = q·c(x) + q·(x−c(x)) holds exactly
+    # for any norms so the residual codebook stays the only
+    # approximation. Audited against exact MIPS; measured recall
+    # 0.25-0.3 here, floor 0.1.
+    emb = _t(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") < 8
+    exact = S.ann_bruteforce_topk(emb, qf, k=5, metric="dot")
+    adc = S.ivfadc_topk(
+        emb, qf, k=5, n_centroids=16, n_probe=4, metric="dot"
+    )
+    hits = exact.join(adc, ["query_id", "neighbor_id"], "left_semi")
+    per_q = adc.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        adc.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_adc_rows"),
+        )
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact_rows")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hits")))
+        .crossJoin(
+            per_q.filter(F.col("_n") == 5).agg(
+                F.count(F.lit(1)).alias("full_k_queries")
+            )
+        )
+        .select(
+            "n_queries",
+            "n_exact_rows",
+            "n_adc_rows",
+            "full_k_queries",
+            (F.col("_n_hits") / F.col("n_exact_rows") >= 0.1).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
 def q_salted_join_segments(spark, sf_dir):
     # Skew-hardened shuffle JOIN (VERDICT r4 ask #2): events fact ⋈
     # customer dim through salted_join — probe side salted uniformly,
@@ -3825,6 +3908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "event_type_drift": q_event_type_drift,
         "pq_recall_audit": q_pq_recall_audit,
+        "pq_mips_recall_audit": q_pq_mips_recall_audit,
+        "ivfadc_mips_recall_audit": q_ivfadc_mips_recall_audit,
         "doc_feature_hashes": q_doc_feature_hashes,
         "ivfadc_recall": q_ivfadc_recall,
         "hourly_agg_incremental": q_hourly_agg_incremental,
@@ -7757,6 +7842,26 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_queries,
                    CAST(count(*) * 5 AS BIGINT) AS n_exact_rows,
                    CAST(count(*) * 5 AS BIGINT) AS n_pq_rows,
+                   CAST(count(*) AS BIGINT) AS full_k_queries,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 8
+        """,
+        # MIPS twins (r12): same invariant-count shape — the audit
+        # asserts full-k coverage per query and the recall floor; the
+        # kernels themselves are exercised against exact MIPS inside
+        # the Spark query
+        "pq_mips_recall_audit": """
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(count(*) * 5 AS BIGINT) AS n_exact_rows,
+                   CAST(count(*) * 5 AS BIGINT) AS n_pq_rows,
+                   CAST(count(*) AS BIGINT) AS full_k_queries,
+                   TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 8
+        """,
+        "ivfadc_mips_recall_audit": """
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(count(*) * 5 AS BIGINT) AS n_exact_rows,
+                   CAST(count(*) * 5 AS BIGINT) AS n_adc_rows,
                    CAST(count(*) AS BIGINT) AS full_k_queries,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 8

@@ -1077,14 +1077,22 @@ def pq_codebooks(
     train: bool = False,
     max_iter: int = 5,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> np.ndarray:
     """Per-subspace codebooks for product quantization (Jégou et al.
     2011, "Product Quantization for Nearest Neighbor Search", IEEE
     TPAMI — the compression behind FAISS's IVFADC): split every
-    L2-normalized vector into ``m`` subvectors of ``dims/m`` and learn
-    ``n_codes`` codewords per subspace. Returns a dense
-    ``(m, n_codes, dims/m)`` array — ``m·n_codes·dims/m`` floats, the
-    same bounded-collect class as the IVF centroids.
+    vector into ``m`` subvectors of ``dims/m`` and learn ``n_codes``
+    codewords per subspace. Returns a dense ``(m, n_codes, dims/m)``
+    array — ``m·n_codes·dims/m`` floats, the same bounded-collect
+    class as the IVF centroids.
+
+    ``metric="cosine"`` (default) learns on L2-normalized vectors — PQ
+    approximates cosine only on normalized inputs. ``metric="dot"``
+    learns on the RAW vectors (r12): for maximum-inner-product search
+    the norm IS signal (FAISS METRIC_INNER_PRODUCT quantizes
+    unnormalized data), so normalizing here would erase exactly what
+    MIPS ranks by.
 
     Default codewords are the id-ordered corpus head's subvector
     slices — deterministic, so the whole PQ family stays
@@ -1092,6 +1100,8 @@ def pq_codebooks(
     ``ann_ivf_topk``). ``train=True`` refines each subspace with MLlib
     KMeans (m distributed fits — balanced codewords, better recall,
     model-dependent output; the offline index-build trade again)."""
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"pq_codebooks: unknown metric {metric!r}")
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
     dsub = dims // m
@@ -1105,7 +1115,9 @@ def pq_codebooks(
             "a filter that exists, or renumber"
         )
     order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
-    head = _unit_rows(_as_matrix(cpdf[vec_col], dims)[order])
+    head = _as_matrix(cpdf[vec_col], dims)[order]
+    if metric == "cosine":
+        head = _unit_rows(head)
     books = np.stack(
         [head[:, j * dsub : (j + 1) * dsub] for j in range(m)]
     )
@@ -1114,7 +1126,11 @@ def pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    normed = _l2_normalized(emb, dims, id_col, vec_col)
+    normed = (
+        _l2_normalized(emb, dims, id_col, vec_col)
+        if metric == "cosine"
+        else emb.select(id_col, vec_col)
+    )
     for j in range(m):
         sub = normed.select(
             array_to_vector(
@@ -1170,14 +1186,19 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Encode every vector as ``m`` codeword indices → (id, codes
     array<int>): ``dims·4`` bytes shrink to ``m`` bytes (32× at
     dims=64, m=8). Assignment is nearest codeword per subspace in L2
     (ties → smallest index, the first-argmin convention shared with
-    the IVF assign kernel). One streamed Arrow pass, no shuffle —
-    the encode of a 100 TB corpus is embarrassingly parallel and the
-    output is small enough to cache per executor."""
+    the IVF assign kernel). ``metric`` must match the codebooks':
+    cosine encodes the L2-normalized vector, dot encodes the raw one.
+    One streamed Arrow pass, no shuffle — the encode of a 100 TB
+    corpus is embarrassingly parallel and the output is small enough
+    to cache per executor."""
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"pq_encode: unknown metric {metric!r}")
     m, n_codes, dsub = codebooks.shape
     dims = m * dsub
     spark = emb.sparkSession
@@ -1191,7 +1212,9 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mx = _unit_rows(_as_matrix(pdf[vec_col], dims))
+            mx = _as_matrix(pdf[vec_col], dims)
+            if metric == "cosine":
+                mx = _unit_rows(mx)
             codes = np.empty((len(mx), m), dtype=np.int32)
             for j in range(m):
                 xj = mx[:, j * dsub : (j + 1) * dsub]
@@ -1216,11 +1239,19 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC):
     queries stay exact, the corpus is scanned in PQ-code form —
     ``approx_sim(q, x) = Σ_j  q_j · c[j, codes_j]``, an inner-product
     table lookup instead of a ``dims``-wide dot product.
+
+    ``metric="cosine"`` normalizes queries and corpus (PQ over unit
+    vectors ≈ cosine); ``metric="dot"`` (r12) keeps both RAW — the
+    compressed MIPS scan for unnormalized learned embeddings (FAISS
+    ``PQx`` with METRIC_INNER_PRODUCT): the ADC sum then approximates
+    the raw inner product, norms included. Codebooks must have been
+    built with the same metric.
 
     Scale profile: the corpus never leaves its partitions and moves
     through the scan at ``m`` bytes/vector — a 32× scan-bandwidth
@@ -1231,19 +1262,23 @@ def pq_topk(
     path: assign codes within IVF cells and probe (IVFADC) — here the
     full scan IS the honest baseline the recall audit measures.
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"pq_topk: unknown metric {metric!r}")
     m, n_codes, dsub = codebooks.shape
     dims = m * dsub
     spark = emb.sparkSession
     qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
-    q_mat = _unit_rows(_as_matrix(qpdf[vec_col], dims))
+    q_mat = _as_matrix(qpdf[vec_col], dims)
+    if metric == "cosine":
+        q_mat = _unit_rows(q_mat)
     # T[q, j, c] = q_j · c[j, c] — the ADC lookup tables, Q×m×n_codes
     tables = np.stack(
         [_ordered_gemm(q_mat[:, j * dsub : (j + 1) * dsub], codebooks[j]) for j in range(m)],
         axis=1,
     )
     bc_q = spark.sparkContext.broadcast((q_ids, tables))
-    codes = pq_encode(emb, codebooks, id_col, vec_col)
+    codes = pq_encode(emb, codebooks, id_col, vec_col, metric)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids_q, tabs = bc_q.value
@@ -1297,6 +1332,7 @@ def ivfadc_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §V, the FAISS ``IVFx,PQy`` index):
     the two approximations composed the way a 100 TB vector corpus
@@ -1315,11 +1351,24 @@ def ivfadc_topk(
     convention throughout — same invariant-audit-oracle contract as
     ``ann_ivf_topk`` and ``pq_topk``.
 
+    ``metric="dot"`` (r12) is MIPS-IVFADC, the production index shape
+    for unnormalized learned embeddings (FAISS ``IVFx,PQy`` with
+    METRIC_INNER_PRODUCT): centroids stay UNIT-norm so assignment and
+    probing remain angular (a cell groups directions — the same
+    convention as ``ann_ivf_topk(metric="dot")``; argmax of
+    ``x·c_unit`` is scale-invariant in ‖x‖, so the assignment itself
+    is literally the cosine one), while residuals, queries, and the
+    base term use the RAW vectors. The decomposition
+    ``q·x = q·c(x) + q·(x − c(x))`` is exact for any norms, so the
+    only approximation is still the residual codebook.
+
     Scale profile: one streamed assign+encode pass over the corpus
     (no shuffle), a broadcast probe join, and a per-task ≤ Q·k
     candidate cut — the corpus moves at m bytes/vector and only
     probed cells are touched at all.
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"ivfadc_topk: unknown metric {metric!r}")
     if dims % m != 0:
         raise ValueError(f"dims={dims} not divisible by m={m} subspaces")
     dsub = dims // m
@@ -1338,9 +1387,16 @@ def ivfadc_topk(
             "starting at 0?"
         )
     order = np.argsort(head_pdf[id_col].to_numpy(dtype=np.int64))
-    head = _unit_rows(_as_matrix(head_pdf[vec_col], dims)[order])
-    c_mat = head[:n_centroids]  # unit-norm → cosine = dot
-    sample = head[n_centroids:]
+    head_raw = _as_matrix(head_pdf[vec_col], dims)[order]
+    # coarse quantizer is ALWAYS unit-norm (angular cells); the
+    # residual sample matches the encode space: unit for cosine, raw
+    # for dot
+    c_mat = _unit_rows(head_raw[:n_centroids])
+    sample = (
+        _unit_rows(head_raw[n_centroids:])
+        if metric == "cosine"
+        else head_raw[n_centroids:]
+    )
     # residuals of the sample after coarse assignment (first-argmax)
     cells = np.argmax(_ordered_gemm(sample, c_mat), axis=1)
     resid = sample - c_mat[cells]
@@ -1355,7 +1411,9 @@ def ivfadc_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mx = _unit_rows(_as_matrix(pdf[vec_col], dims))
+            mx = _as_matrix(pdf[vec_col], dims)
+            if metric == "cosine":
+                mx = _unit_rows(mx)
             cell = np.argmax(_ordered_gemm(mx, cm), axis=1)
             r = mx - cm[cell]
             codes = np.empty((len(mx), m), dtype=np.int32)
@@ -1378,7 +1436,11 @@ def ivfadc_topk(
     qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = _as_matrix(qpdf[vec_col], dims)
-    q_mat = _unit_rows(q_mat) if len(q_ids) else q_mat
+    if metric == "cosine" and len(q_ids):
+        q_mat = _unit_rows(q_mat)
+    # dot mode: q stays raw — probe ranking by q·c_unit is the same
+    # angular order (‖q‖ scales every cell score equally), and the
+    # base term q·c(x) must carry the query's true magnitude
     probe_rows = []
     base_sim = {}  # (query_id, cell) -> q·c
     if len(q_ids):

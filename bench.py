@@ -247,6 +247,9 @@ HEADLINE = [
     "ann_mips_topk",
     "ann_mips_ivf_topk",
     "media_jpeg411_audit",
+    # r12 additions
+    "pq_mips_recall_audit",
+    "ivfadc_mips_recall_audit",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -115,6 +115,9 @@ NEW_R5 = [
     "ann_mips_topk",
     "ann_mips_ivf_topk",
     "media_jpeg411_audit",
+    # round 12
+    "pq_mips_recall_audit",
+    "ivfadc_mips_recall_audit",
 ]
 
 

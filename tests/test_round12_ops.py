@@ -1,0 +1,259 @@
+"""Round-12 operator unit tests: metric="dot" (MIPS) through the
+compressed-ANN family — flat PQ/ADC and IVFADC over RAW vectors
+(FAISS METRIC_INNER_PRODUCT; VERDICT r11 Next #5). Pinned by
+(a) bit-exact equivalence to the cosine path on corpora whose unit
+norms are EXACT in float arithmetic (signed one-hots, ±0.5 four-hots:
+normalization divides by exactly 1.0, so dot ≡ cosine must match row
+for row), (b) a norm-adversarial corpus where MIPS and cosine must
+DISAGREE (big-norm near-orthogonal neighbor, codebook-representable
+so ADC is exact on it), (c) an exact-representability identity (every
+corpus slice is a codeword → flat-PQ MIPS == exact MIPS), and
+(d) the registry-config recall audits."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+    ann_bruteforce_topk,
+    ivfadc_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb_df(spark, rows):
+    """rows: list of (vec_id, list[float]) -> embeddings frame."""
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _exact_unit_corpus(n, dims=16, seed=5):
+    """Vectors whose L2 norm is EXACTLY 1.0 in float arithmetic:
+    signed one-hots and ±0.5 four-hots (0.25·4 = 1.0 exact), at
+    rng-chosen positions/signs — diverse enough to exercise codeword
+    assignment, exact enough that _unit_rows is a bit-level no-op."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        v = np.zeros(dims)
+        if i % 2 == 0:
+            v[rng.integers(dims)] = rng.choice([-1.0, 1.0])
+        else:
+            pos = rng.choice(dims, size=4, replace=False)
+            v[pos] = rng.choice([-0.5, 0.5], size=4)
+        rows.append((i, v.tolist()))
+    return rows
+
+
+def _rows(df):
+    return [
+        (r["query_id"], r["neighbor_id"], r["approx_sim"], r["rank"])
+        for r in df.collect()
+    ]
+
+
+# ------------------------------ dot ≡ cosine on exactly-unit vectors
+
+
+def test_pq_dot_equals_cosine_on_exact_unit_vectors(spark):
+    emb = _emb_df(spark, _exact_unit_corpus(24, dims=16))
+    qf = F.col("vec_id") < 6
+    books_c = pq_codebooks(emb, m=4, n_codes=8, dims=16)
+    books_d = pq_codebooks(emb, m=4, n_codes=8, dims=16, metric="dot")
+    # on exact-unit input the codebooks themselves are bit-identical
+    assert np.array_equal(books_c, books_d)
+    cos = pq_topk(emb, qf, books_c, k=4)
+    dot = pq_topk(emb, qf, books_d, k=4, metric="dot")
+    assert _rows(cos) == _rows(dot)
+
+
+def test_ivfadc_dot_equals_cosine_on_exact_unit_vectors(spark):
+    emb = _emb_df(spark, _exact_unit_corpus(40, dims=16, seed=9))
+    qf = F.col("vec_id") < 5
+    kw = dict(k=3, n_centroids=8, n_codes=8, m=4, dims=16)
+    cos = ivfadc_topk(emb, qf, **kw)
+    dot = ivfadc_topk(emb, qf, metric="dot", **kw)
+    assert _rows(cos) == _rows(dot)
+
+
+# --------------------------- norm-adversarial: MIPS must ≠ cosine
+
+
+def _adversarial_corpus(dims=8, n=16):
+    """id 0 = query e0; id 1 = A, parallel unit (cosine winner);
+    id 2 = B = 2·e0 + 20·e1 (dot 2.0, cosine ≈ 0.0995 — MIPS winner);
+    ids 3.. tiny fillers. All of q/A/B sit in the codebook head so
+    flat-PQ encodes them exactly in BOTH metrics (their own slices
+    are codewords at distance 0)."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (0, [1.0] + [0.0] * (dims - 1)),
+        (1, [1.0] + [0.0] * (dims - 1)),
+        (2, [2.0, 20.0] + [0.0] * (dims - 2)),
+    ]
+    for i in range(3, n):
+        rows.append((i, (rng.normal(0, 0.01, dims)).tolist()))
+    return rows
+
+
+def test_pq_mips_ranks_by_norm_cosine_does_not(spark):
+    emb = _emb_df(spark, _adversarial_corpus())
+    qf = F.col("vec_id") < 1
+    kw = dict(m=4, n_codes=16, dims=8)
+    dot = pq_topk(
+        emb, qf, pq_codebooks(emb, metric="dot", **kw), k=2, metric="dot"
+    ).collect()
+    cos = pq_topk(emb, qf, pq_codebooks(emb, **kw), k=2).collect()
+    # MIPS: the big-norm near-orthogonal B (dot 2.0) beats the
+    # parallel unit A (dot 1.0). Cosine is scale-free: A (1.0) wins
+    # and B (~0.0995) drops out of the top-2 entirely — normalization
+    # inflates the tiny fillers to random directions that outscore it.
+    assert [r["neighbor_id"] for r in dot] == [2, 1]
+    assert cos[0]["neighbor_id"] == 1
+    assert 2 not in [r["neighbor_id"] for r in cos]
+    # and the MIPS sims are EXACT dots (head vectors are codewords)
+    assert dot[0]["approx_sim"] == pytest.approx(2.0)
+    assert dot[1]["approx_sim"] == pytest.approx(1.0)
+
+
+def test_ivfadc_mips_ranks_by_norm(spark):
+    # A and B live in the SAMPLE block (ids n_centroids..): their
+    # residuals are themselves codewords, so their ADC sims are exact
+    # and the MIPS ranking [B, A] is deterministic
+    dims, nc = 8, 4
+    rng = np.random.default_rng(7)
+    rows = [(0, [1.0] + [0.0] * (dims - 1))]  # query + centroid 0
+    for i in range(1, nc):  # remaining centroids: other unit axes
+        v = np.zeros(dims)
+        v[i] = 1.0
+        rows.append((i, v.tolist()))
+    rows.append((nc, [1.0] + [0.0] * (dims - 1)))  # A (id 4)
+    rows.append((nc + 1, [2.0, 20.0] + [0.0] * (dims - 2)))  # B (id 5)
+    for i in range(nc + 2, nc + 8):  # rest of the sample: tiny
+        rows.append((i, (rng.normal(0, 0.01, dims)).tolist()))
+    emb = _emb_df(spark, rows)
+    out = ivfadc_topk(
+        emb,
+        F.col("vec_id") < 1,
+        k=2,
+        n_centroids=nc,
+        n_codes=8,
+        m=4,
+        dims=dims,
+        n_probe=nc,  # exhaustive: cell placement can't hide A or B
+        metric="dot",
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [5, 4]
+    assert out[0]["approx_sim"] == pytest.approx(2.0)
+    assert out[1]["approx_sim"] == pytest.approx(1.0)
+
+
+# ------------------- exact representability: flat-PQ MIPS == MIPS
+
+
+def test_pq_mips_exact_when_corpus_is_codebook(spark):
+    # corpus == codebook head: every subvector slice IS a codeword, so
+    # the encode is lossless and ADC reproduces exact MIPS row for row
+    # (same sim-desc/id-asc tie convention on both paths)
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(16)]
+    emb = _emb_df(spark, rows)
+    qf = F.col("vec_id") < 4
+    books = pq_codebooks(emb, m=4, n_codes=16, dims=16, metric="dot")
+    pq = pq_topk(emb, qf, books, k=5, metric="dot").select(
+        "query_id", "neighbor_id", "rank"
+    )
+    exact = ann_bruteforce_topk(emb, qf, k=5, dims=16, metric="dot").select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert sorted(map(tuple, pq.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+# ------------------------------------------------- guards and sweeps
+
+
+def test_pq_family_unknown_metric_refused(spark):
+    emb = _emb_df(spark, _exact_unit_corpus(20))
+    books = pq_codebooks(emb, m=4, n_codes=8, dims=16)
+    with pytest.raises(ValueError, match="unknown metric"):
+        pq_codebooks(emb, m=4, n_codes=8, dims=16, metric="l2")
+    with pytest.raises(ValueError, match="unknown metric"):
+        pq_encode(emb, books, metric="euclid")
+    with pytest.raises(ValueError, match="unknown metric"):
+        pq_topk(emb, F.col("vec_id") < 1, books, metric="hamming")
+    with pytest.raises(ValueError, match="unknown metric"):
+        ivfadc_topk(emb, F.col("vec_id") < 1, dims=16, metric="ip")
+
+
+@pytest.mark.parametrize("m,n_codes,k", [(4, 8, 3), (8, 16, 5), (16, 8, 1)])
+def test_pq_mips_param_sweep_shape(spark, m, n_codes, k):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qf = F.col("vec_id") < 4
+    books = pq_codebooks(emb, m=m, n_codes=n_codes, metric="dot")
+    out = pq_topk(emb, qf, books, k=k, metric="dot").collect()
+    assert len(out) == 4 * k
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, k + 1))
+        assert all(r["neighbor_id"] != q for r in rs)
+        sims = [r["approx_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+@pytest.mark.parametrize("n_probe", [1, 4, 16])
+def test_ivfadc_mips_probe_sweep(spark, n_probe):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivfadc_topk(
+        emb,
+        F.col("vec_id") < 3,
+        k=4,
+        n_centroids=16,
+        n_probe=n_probe,
+        metric="dot",
+    ).collect()
+    assert len(out) <= 3 * 4
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+    if n_probe == 16:  # exhaustive probing always fills k
+        assert len(out) == 3 * 4
+
+
+def test_pq_mips_trained_codebooks_smoke(spark):
+    # train=True with metric="dot" fits KMeans on the RAW subvectors;
+    # output stays model-dependent, so only shape/contract is pinned
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_codebooks(
+        emb, m=4, n_codes=8, train=True, max_iter=2, metric="dot"
+    )
+    assert books.shape == (4, 8, 16)
+    out = pq_topk(
+        emb, F.col("vec_id") < 2, books, k=3, metric="dot"
+    ).collect()
+    assert len(out) == 6
+
+
+# --------------------------------------------- registry-config audits
+
+
+def test_registered_mips_audits_green(spark):
+    q = entry_mod.queries()
+    for name in ("pq_mips_recall_audit", "ivfadc_mips_recall_audit"):
+        row = q[name](spark, SF_DIR).collect()
+        assert len(row) == 1, name
+        r = row[0]
+        assert r["n_queries"] == 8, name
+        assert r["full_k_queries"] == 8, name
+        assert r["recall_ok"] is True, name
