@@ -481,16 +481,23 @@ def _module_import_edges(
     return edges
 
 
-def query_fingerprints(queries: dict) -> dict[str, str]:
+def query_fingerprints(
+    queries: dict, _file_hashes: dict[str, str] | None = None
+) -> dict[str, str]:
     """Deterministic per-query provenance hash (see section comment).
     Queries whose callable isn't introspectable (no plain function
-    source) are omitted rather than given an unstable hash."""
+    source) are omitted rather than given an unstable hash.
+    ``_file_hashes`` overrides the on-disk module content hashes —
+    test-only hook for proving fingerprint sensitivity without
+    touching real files."""
     files = _pkg_module_files()
     known = set(files)
     file_hash = {
         m: hashlib.sha256(open(p, "rb").read()).hexdigest()
         for m, p in files.items()
     }
+    if _file_hashes:
+        file_hash.update(_file_hashes)
     edges = {
         m: _module_import_edges(m, p, known) for m, p in files.items()
     }

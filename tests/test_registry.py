@@ -494,6 +494,34 @@ def test_query_fingerprints_provenance():
     assert fps["summary_events"] != fps["ann_mips_topk"]
 
 
+def test_query_fingerprints_move_with_implementing_code():
+    # the load-bearing property: a change to a query's implementing
+    # module MOVES its fingerprint (so unchanged_code=false), while
+    # queries that never touch that module keep theirs (so residual
+    # drift on them still reads unchanged_code=true). Simulated via
+    # the test-only hash override instead of editing real files.
+    queries = entry_mod.queries()
+    sub = {
+        k: queries[k]
+        for k in ("ann_mips_topk", "pq_mips_recall_audit", "keep_metrics")
+    }
+    base = bench.query_fingerprints(sub)
+    pkg = bench._PKG
+    moved = bench.query_fingerprints(
+        sub, _file_hashes={f"{pkg}.operators.similarity": "0" * 64}
+    )
+    # both ANN queries reference operators.similarity -> both move
+    assert moved["ann_mips_topk"] != base["ann_mips_topk"]
+    assert moved["pq_mips_recall_audit"] != base["pq_mips_recall_audit"]
+    # keep_metrics (relational serving path) never imports similarity
+    assert moved["keep_metrics"] == base["keep_metrics"]
+    # and a change to a module NOTHING here imports moves nothing
+    inert = bench.query_fingerprints(
+        sub, _file_hashes={f"{pkg}.multimodal.jpeg": "f" * 64}
+    )
+    assert inert == base
+
+
 def test_last_green_rounds_semantics():
     # green = full oracle match OR the documented rows-only check;
     # errors and hash mismatches must NOT count as certification
