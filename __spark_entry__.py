@@ -2192,6 +2192,20 @@ def q_ivfadc_recall(spark, sf_dir):
     )
 
 
+def q_ann_int8_mips_topk(spark, sf_dir):
+    # Int8-quantized MIPS top-5 (new r12): the scalar-quantization
+    # member of the compressed-MIPS family — corpus scanned as
+    # quantize_embeddings int8 codes (4x smaller), scored by
+    # (scale_q·scale_x)·(integer dot). Unlike PQ this approximation
+    # is EXACTLY portable (half-up floor(x/s + 0.5) quantizer, exact
+    # integer dots, pinned double-multiply order), so the oracle is a
+    # full hash-exact SQL twin, int_dot included — the only
+    # compressed-ANN entry with an exact oracle rather than a count
+    # audit.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_int8_mips_topk(emb, F.col("vec_id") < 8, k=5)
+
+
 def q_pq_mips_recall_audit(spark, sf_dir):
     # MIPS flat PQ (new r12): asymmetric-distance scan over RAW
     # vectors — the compressed linear MIPS baseline for unnormalized
@@ -3910,6 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_audit": q_pq_recall_audit,
         "pq_mips_recall_audit": q_pq_mips_recall_audit,
         "ivfadc_mips_recall_audit": q_ivfadc_mips_recall_audit,
+        "ann_int8_mips_topk": q_ann_int8_mips_topk,
         "doc_feature_hashes": q_doc_feature_hashes,
         "ivfadc_recall": q_ivfadc_recall,
         "hourly_agg_incremental": q_hourly_agg_incremental,
@@ -7845,6 +7860,40 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS full_k_queries,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 8
+        """,
+        # int8 MIPS (r12): FULL exact oracle — the quantizer's
+        # floor(x/s + 0.5) half-up rounding, the exact BIGINT dot, and
+        # the pinned (scale·scale)·dot multiply order are all
+        # bit-portable, so every value hashes, unlike the PQ count
+        # audits
+        "ann_int8_mips_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0
+                      AS scale
+                  FROM e),
+            q8 AS (SELECT vec_id, scale,
+                    list_transform(v, x -> CAST(floor(
+                      x / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END)
+                      + 0.5) AS DOUBLE)) AS qv
+                  FROM s),
+            q AS (SELECT vec_id AS query_id, scale AS qscale, qv AS qqv
+                  FROM q8 WHERE vec_id < 8),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     CAST(list_dot_product(c.qv, q.qqv) AS BIGINT)
+                       AS int_dot,
+                     (c.scale * q.qscale) * list_dot_product(c.qv, q.qqv)
+                       AS sim
+              FROM q8 c, q WHERE c.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, int_dot, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" <= 5
+            ORDER BY query_id, "rank"
         """,
         # MIPS twins (r12): same invariant-count shape — the audit
         # asserts full-k coverage per query and the recall floor; the

@@ -1064,6 +1064,91 @@ def quantization_error_stats(
     )
 
 
+def ann_int8_mips_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Int8-quantized maximum-inner-product top-k (r12): the scalar-
+    quantization member of the compressed-MIPS family — the corpus is
+    scanned as ``quantize_embeddings`` int8 codes (4× smaller than
+    float32) and scored by
+    ``sim = (scale_q · scale_x) · (q_q ⊙ q_x)``, one integer dot per
+    pair plus two multiplies.
+
+    Unlike PQ/IVFADC, this approximation is EXACTLY reproducible in
+    ANSI SQL, so the registry entry carries a full hash-exact oracle
+    rather than a count audit: the quantizer rounds with
+    ``floor(x/scale + 0.5)`` (explicit half-up — numpy rint is
+    half-even, SQL round is half-away, neither is portable), the
+    integer dot is exact at any fold order (|q| ≤ 127 → partials
+    < 2^53), and the two double multiplies use a pinned operand order
+    ``(scale_q · scale_x) · dot``. Output includes the exact BIGINT
+    ``int_dot`` so the oracle constrains the integer path, not just
+    the float product.
+
+    Scale profile: identical to ``ann_bruteforce_topk`` — one
+    streamed quantize pass (no shuffle), queries broadcast as an
+    int64 matrix, per-task candidate cut ≤ |Q|·k (sim desc, id asc),
+    one final rank window over ≤ |Q|·k·n_tasks rows. Ties between
+    equal sims resolve by neighbor id on both engines."""
+    q8 = quantize_embeddings(emb, dims, id_col, vec_col)
+    qpdf = q8.filter(query_filter).toPandas()
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_scales = qpdf["scale"].to_numpy(dtype=np.float64)
+    q_mat = (
+        np.stack(qpdf["qvec"].to_numpy()).astype(np.int64)
+        if len(q_ids)
+        else np.empty((0, dims), dtype=np.int64)
+    )
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, q_scales, q_mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, sq, qm = bc.value
+        if len(ids_q) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            ns = pdf["scale"].to_numpy(dtype=np.float64)
+            nm = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            d = nm @ qm.T  # B×Q, exact: |entries| ≤ 127²·dims < 2^53
+            # pinned order: (scale_q · scale_x) first, then · dot —
+            # the oracle SQL parenthesizes identically
+            sim = (ns[:, None] * sq[None, :]) * d.astype(np.float64)
+            sim[np.equal.outer(nid, ids_q)] = -np.inf  # self-match
+            for qi in range(len(ids_q)):
+                order = np.lexsort((nid, -sim[:, qi]))[: min(k, len(nid))]
+                keep = order[np.isfinite(sim[order, qi])]
+                if len(keep):
+                    yield pd.DataFrame(
+                        {
+                            "query_id": ids_q[qi],
+                            "neighbor_id": nid[keep],
+                            "int_dot": d[keep, qi],
+                            "sim": sim[keep, qi],
+                        }
+                    )
+
+    scored = q8.mapInPandas(
+        score,
+        "query_id long, neighbor_id long, int_dot long, sim double",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ----------------------------------------- product quantization (ADC)
 
 

@@ -250,6 +250,7 @@ HEADLINE = [
     # r12 additions
     "pq_mips_recall_audit",
     "ivfadc_mips_recall_audit",
+    "ann_int8_mips_topk",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

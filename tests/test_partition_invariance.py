@@ -118,6 +118,7 @@ NEW_R5 = [
     # round 12
     "pq_mips_recall_audit",
     "ivfadc_mips_recall_audit",
+    "ann_int8_mips_topk",
 ]
 
 

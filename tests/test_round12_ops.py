@@ -19,13 +19,28 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entry_mod
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
     ann_bruteforce_topk,
+    ann_int8_mips_topk,
     ivfadc_topk,
     pq_codebooks,
     pq_encode,
     pq_topk,
+    quantize_embeddings,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    yield con
+    con.close()
 
 
 def _emb_df(spark, rows):
@@ -243,6 +258,143 @@ def test_pq_mips_trained_codebooks_smoke(spark):
         emb, F.col("vec_id") < 2, books, k=3, metric="dot"
     ).collect()
     assert len(out) == 6
+
+
+# ---------------------------------------------- int8-quantized MIPS
+
+
+def test_int8_mips_matches_duckdb_oracle(spark, duck):
+    # the full hash-exact differential: quantizer, integer dot, pinned
+    # multiply order, tie rank — every value must be bit-identical
+    got = ann_int8_mips_topk(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        F.col("vec_id") < 8,
+        k=5,
+    ).toPandas()
+    want = duck.execute(entry_mod.oracle_sql()["ann_int8_mips_topk"]).fetchdf()
+    assert len(got) == len(want) == 40
+    for c in ("query_id", "neighbor_id", "int_dot", "rank"):
+        assert (
+            got[c].astype("int64") == want[c].astype("int64")
+        ).all(), c
+    assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
+
+
+def test_int8_mips_half_up_rounding_decides_ranking(spark):
+    # adversarial: a component sitting EXACTLY on the rounding
+    # boundary. Corpus max 127.0 -> scale exactly 1.0, so 62.5
+    # quantizes to 63 under the engine's half-up floor(x+0.5) but
+    # would be 62 under numpy's half-even rint. With query = e0,
+    # A = [62.5, 127, ...] and B = [63.0 - eps...] tie at int_dot 63
+    # under half-up (tie -> id asc -> A first); half-even would rank
+    # B strictly above A. The assertion pins the half-up order AND
+    # the exact integer dots.
+    dims = 8
+    rows = [
+        (0, [127.0] + [0.0] * (dims - 1)),      # query, scale 1.0
+        (1, [62.5, 127.0] + [0.0] * (dims - 2)),  # A: boundary
+        (2, [62.75, 127.0] + [0.0] * (dims - 2)),  # B: rounds to 63 too
+        (3, [-127.0, 1.0] + [0.0] * (dims - 2)),  # far negative
+    ]
+    emb = _emb_df(spark, rows)
+    out = ann_int8_mips_topk(emb, F.col("vec_id") < 1, k=3, dims=dims).collect()
+    assert [(r["neighbor_id"], r["int_dot"]) for r in out] == [
+        (1, 63 * 127),  # 62.5 -> 63 (half-up), tie with B -> id asc
+        (2, 63 * 127),
+        (3, -127 * 127),
+    ]
+    # and the quantizer itself: 62.5 -> 63, -62.5 -> -62 (floor(x+0.5)
+    # rounds ties toward +inf for negatives too — portable, unlike
+    # numpy rint / SQL round)
+    q = {
+        r["vec_id"]: list(r["qvec"])
+        for r in quantize_embeddings(
+            _emb_df(spark, [(0, [127.0, 62.5, -62.5] + [0.0] * 5)]), dims=8
+        ).collect()
+    }
+    assert q[0][:3] == [127, 63, -62]
+
+
+def test_int8_mips_zero_vector_and_empty_queries(spark):
+    dims = 8
+    rows = [
+        (0, [1.0] + [0.0] * (dims - 1)),
+        (1, [0.0] * dims),  # zero vector: scale 0, codes 0, sim 0
+        (2, [0.5] + [0.0] * (dims - 1)),
+    ]
+    emb = _emb_df(spark, rows)
+    out = ann_int8_mips_topk(emb, F.col("vec_id") < 1, k=3, dims=dims).collect()
+    got = {r["neighbor_id"]: (r["int_dot"], r["sim"]) for r in out}
+    assert got[1] == (0, 0.0)
+    assert got[2][0] == 127 * 127  # both quantize e0 to full scale
+    # empty query set -> empty result, no kernel crash
+    assert (
+        ann_int8_mips_topk(emb, F.col("vec_id") < 0, k=3, dims=dims).count()
+        == 0
+    )
+
+
+@pytest.mark.parametrize("k,qmax", [(1, 4), (7, 6), (5, 16)])
+def test_int8_mips_param_sweep(spark, duck, k, qmax):
+    got = ann_int8_mips_topk(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        F.col("vec_id") < qmax,
+        k=k,
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        s AS (SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM e),
+        q8 AS (SELECT vec_id, scale,
+                list_transform(v, x -> CAST(floor(
+                  x / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END)
+                  + 0.5) AS DOUBLE)) AS qv
+              FROM s),
+        q AS (SELECT vec_id AS query_id, scale AS qscale, qv AS qqv
+              FROM q8 WHERE vec_id < {qmax}),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 CAST(list_dot_product(c.qv, q.qqv) AS BIGINT) AS int_dot,
+                 (c.scale * q.qscale) * list_dot_product(c.qv, q.qqv) AS sim
+          FROM q8 c, q WHERE c.vec_id != q.query_id)
+        SELECT query_id, neighbor_id, int_dot, sim,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS INTEGER) AS "rank"
+        FROM scored QUALIFY "rank" <= {k}
+        ORDER BY query_id, "rank"
+    """).fetchdf()
+    assert len(got) == len(want) == qmax * k
+    for c in ("query_id", "neighbor_id", "int_dot", "rank"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+    assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
+
+
+def test_int8_mips_tracks_exact_mips(spark):
+    # quantization keeps MIPS recall high on the real corpus — int8
+    # is a 4x compression with per-dim error <= scale/2, far gentler
+    # than PQ's 32x: require >= 0.5 recall@5 vs the exact kernel
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qf = F.col("vec_id") < 8
+    exact = set(
+        map(
+            tuple,
+            ann_bruteforce_topk(emb, qf, k=5, metric="dot")
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    got = set(
+        map(
+            tuple,
+            ann_int8_mips_topk(emb, qf, k=5)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    assert len(got & exact) / len(exact) >= 0.5
 
 
 # --------------------------------------------- registry-config audits
