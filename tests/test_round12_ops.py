@@ -397,6 +397,88 @@ def test_int8_mips_tracks_exact_mips(spark):
     assert len(got & exact) / len(exact) >= 0.5
 
 
+def test_int8_mips_plan_contract(spark):
+    # the compressed scan must be shuffle-free below the rank window:
+    # quantize + score are two fused MapInPandas passes over the
+    # corpus's own partitions; the only exchanges are the window's
+    # hash partitioning and the presentation sort (budget 2)
+    import re
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        ann_int8_mips_topk(emb, F.col("vec_id") < 8, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 2, plan
+    shuffles = re.findall(
+        r"\bExchange (hashpartitioning|rangepartitioning"
+        r"|SinglePartition|RoundRobinPartitioning)",
+        plan,
+    )
+    assert len(shuffles) <= 2, plan
+
+
+def _int8_mips_reference(rows, query_ids, k, dims):
+    """Pure-numpy twin of the engine spec: float32 round-trip,
+    scale = max|v|/127, half-up floor(x/s + 0.5), exact integer dots,
+    pinned (s·s)·dot multiply, ties sim desc / id asc."""
+    ids = np.array([i for i, _ in rows], dtype=np.int64)
+    m = np.stack(
+        [np.asarray(v, dtype=np.float32).astype(np.float64) for _, v in rows]
+    )
+    scale = np.abs(m).max(axis=1) / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+    out = []
+    for qid in query_ids:
+        qi = int(np.nonzero(ids == qid)[0][0])
+        d = q @ q[qi]
+        sim = (scale * scale[qi]) * d.astype(np.float64)
+        cand = [
+            (ids[j], int(d[j]), float(sim[j]))
+            for j in range(len(ids))
+            if ids[j] != qid
+        ]
+        cand.sort(key=lambda t: (-t[2], t[0]))
+        for r, (nid, dot, s) in enumerate(cand[:k], start=1):
+            out.append((int(qid), int(nid), dot, s, r))
+    return out
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# tie-saturated component domain: scales collide (max|v| repeats),
+# quantized codes repeat, sims tie constantly — the inputs where rank
+# conventions diverge if anything is off. 0.5 with max 1.0 lands a
+# component exactly on the 63.5 code boundary.
+_COMP = st.sampled_from([-1.0, -0.5, 0.0, 0.25, 0.5, 1.0])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(_COMP, min_size=8, max_size=8), min_size=2, max_size=10
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_int8_mips_numpy_differential(spark, vecs, k):
+    rows = list(enumerate(vecs))
+    emb = _emb_df(spark, rows)
+    n_q = min(2, len(rows))
+    got = [
+        (r["query_id"], r["neighbor_id"], r["int_dot"], r["sim"], r["rank"])
+        for r in ann_int8_mips_topk(
+            emb, F.col("vec_id") < n_q, k=k, dims=8
+        ).collect()
+    ]
+    want = _int8_mips_reference(rows, list(range(n_q)), k, dims=8)
+    assert got == want
+
+
 # --------------------------------------------- registry-config audits
 
 
