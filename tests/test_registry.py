@@ -473,6 +473,48 @@ def test_retime_to_fixpoint_retimes_fresh_tier():
     assert all(timings[f"q{i}"] == 1.0 for i in range(10))
 
 
+def test_retime_fixpoint_invariants_randomized():
+    # refactor guard for the loop itself: under arbitrary prior maps,
+    # burst patterns, and flaky re-runs, (a) kept timings never
+    # increase, (b) retimed and single-timed are disjoint and cover
+    # every name the final artifact flags as slower, (c) the call
+    # terminates (bounded passes) — i.e. the disclosure contract
+    # can't be broken by any run behavior
+    import random
+
+    rng = random.Random(12)
+    for _ in range(60):
+        names = [f"q{i}" for i in range(rng.randint(1, 12))]
+        prev = {
+            "calib_sec": 1.0,
+            "queries": {n: rng.uniform(0.06, 2.0) for n in names},
+        }
+        # production timings are round(·, 4) before retime; mirror it
+        # (the kept value is round(min(...), 4), so an unrounded input
+        # could appear to "increase" by the rounding grain)
+        timings = {n: round(rng.uniform(0.06, 4.0), 4) for n in names}
+        orig = dict(timings)
+        mode = {n: rng.choice(["lower", "same", "fail"]) for n in names}
+
+        def run(name):
+            if mode[name] == "fail":
+                raise RuntimeError("transient")
+            if mode[name] == "lower":
+                return orig[name] * rng.uniform(0.3, 0.9)
+            return orig[name] * rng.uniform(1.0, 1.5)  # min() ignores
+
+        retimed, single, drift = bench.retime_to_fixpoint(
+            timings, prev, 1.0, run
+        )
+        assert all(timings[n] <= orig[n] + 1e-9 for n in names)
+        assert not (set(retimed) & set(single))
+        flagged = set(drift.get("norm_movers_slower", {}))
+        assert flagged <= set(retimed) | set(single)
+        assert set(retimed) | set(single) <= set(names)
+        # a name that failed its re-run can only appear as single-timed
+        assert all(mode[n] != "fail" for n in retimed)
+
+
 def test_query_fingerprints_provenance():
     # VERDICT r11 Next #6: per-query code-provenance fingerprints let
     # the next round's artifact mark flagged movers whose implementing
