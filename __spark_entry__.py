@@ -2192,6 +2192,19 @@ def q_ivfadc_recall(spark, sf_dir):
     )
 
 
+def q_embedding_mips_pairs(spark, sf_dir):
+    # MIPS pair join (new r12): all unordered pairs with raw inner
+    # product >= 0.35 — the graph-building/positive-pair-mining
+    # primitive for unnormalized embedding dumps, completing the
+    # metric="dot" family's pairs column. Blocked exact kernel (the
+    # cosine_threshold_pairs machinery, norm division skipped) plus a
+    # Cauchy-Schwarz norm prefilter that drops can't-pass vectors
+    # BEFORE block replication (dot <= |a||b|, the public ip-join
+    # norm-prefix pruning); ordered-fold dots keep the oracle exact.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mips_threshold_pairs(emb, threshold=0.35)
+
+
 def q_ann_int8_mips_topk(spark, sf_dir):
     # Int8-quantized MIPS top-5 (new r12): the scalar-quantization
     # member of the compressed-MIPS family — corpus scanned as
@@ -3925,6 +3938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_mips_recall_audit": q_pq_mips_recall_audit,
         "ivfadc_mips_recall_audit": q_ivfadc_mips_recall_audit,
         "ann_int8_mips_topk": q_ann_int8_mips_topk,
+        "embedding_mips_pairs": q_embedding_mips_pairs,
         "doc_feature_hashes": q_doc_feature_hashes,
         "ivfadc_recall": q_ivfadc_recall,
         "hourly_agg_incremental": q_hourly_agg_incremental,
@@ -7860,6 +7874,19 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS full_k_queries,
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 8
+        """,
+        # MIPS pair join (r12): exact oracle — ordered-fold dots match
+        # list_dot_product; the Spark-side Cauchy-Schwarz prefilter is
+        # output-invariant (necessary condition only) so the oracle
+        # needs no twin of it
+        "embedding_mips_pairs": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_dot_product(a.v, b.v) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) >= 0.35
+            ORDER BY vec_a, vec_b
         """,
         # int8 MIPS (r12): FULL exact oracle — the quantizer's
         # floor(x/s + 0.5) half-up rounding, the exact BIGINT dot, and

@@ -266,6 +266,7 @@ def cosine_threshold_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
     """All corpus pairs with cosine ≥ threshold — embedding near-dup.
 
@@ -289,7 +290,22 @@ def cosine_threshold_pairs(
     is the sub-quadratic scale path.  Per-pair arithmetic is
     dimension-ordered (`_ordered_gemm`), so results are bit-identical
     for any B.
+
+    ``metric="dot"`` (r12) is the MIPS pair join — all unordered pairs
+    with raw inner product ≥ threshold, the graph-building primitive
+    for unnormalized embedding dumps. For τ > 0 a Cauchy–Schwarz
+    prefilter runs BEFORE replication: ``dot(a,b) ≤ ‖a‖·‖b‖``, so a
+    vector with ``‖v‖·max_norm < τ`` cannot appear in any passing pair
+    and never enters a block — on real embedding dumps (long norm
+    tails) this cuts the quadratic term to the high-norm head, the
+    public ip-join/norm-prefix pruning idea. The filter carries a
+    1e-9 relative slack so engine fold-order rounding can only
+    OVERcount candidates, never drop a valid pair.
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(
+            f"cosine_threshold_pairs: unknown metric {metric!r}"
+        )
     spark = emb.sparkSession
     if n_blocks is None:
         # One extra count() action (a scan of emb's lineage) before the
@@ -322,6 +338,22 @@ def cosine_threshold_pairs(
         F.col(vec_col).alias("vec"),
         F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
+    if metric == "dot" and threshold > 0:
+        # Cauchy–Schwarz prefilter (see docstring): a vector whose
+        # norm times the corpus max norm is under τ cannot pass with
+        # ANY partner — drop it before the ×(B+1) replication. One
+        # extra corpus pass for the max-norm aggregate (broadcast one
+        # row back); output-invariant, so the oracle needs no twin.
+        nv = v.withColumn("_nrm", norm(F.col("vec")))
+        mx = nv.agg(F.max("_nrm").alias("_mx"))
+        v = (
+            nv.crossJoin(F.broadcast(mx))
+            .filter(
+                F.col("_nrm") * F.col("_mx")
+                >= F.lit(threshold * (1.0 - 1e-9))
+            )
+            .select("vid", "vec", "blk")
+        )
     # One corpus scan, not two: instead of joining v once per side (a
     # union whose branches each re-scan the embeddings), explode each
     # block pair into its (block, pair, side) memberships — side 1 is
@@ -375,9 +407,11 @@ def cosine_threshold_pairs(
         ids_b = b["vid"].to_numpy(dtype=np.int64)
         ma = _as_matrix(a["vec"], dims)
         mb = _as_matrix(b["vec"], dims)
-        sim = _ordered_gemm(ma, mb) / np.multiply.outer(
-            _ordered_norms(ma), _ordered_norms(mb)
-        )
+        sim = _ordered_gemm(ma, mb)
+        if metric == "cosine":
+            sim = sim / np.multiply.outer(
+                _ordered_norms(ma), _ordered_norms(mb)
+            )
         mask = sim >= threshold
         if diagonal:
             mask &= np.less.outer(ids_a, ids_b)
@@ -399,6 +433,26 @@ def cosine_threshold_pairs(
         both.groupBy("pair_id")
         .applyInPandas(score_pair, "vec_a long, vec_b long, sim double")
         .orderBy("vec_a", "vec_b")
+    )
+
+
+def mips_threshold_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """All unordered pairs with raw inner product ≥ ``threshold`` —
+    the MIPS pair join (r12), completing the metric="dot" family's
+    pairs column: positive-pair mining / retrieval-graph building over
+    unnormalized embedding dumps. Delegates to the blocked exact
+    kernel with ``metric="dot"``; for τ > 0 the Cauchy–Schwarz norm
+    prefilter drops can't-pass vectors before block replication (see
+    ``cosine_threshold_pairs``)."""
+    return cosine_threshold_pairs(
+        emb, threshold, dims, id_col, vec_col, n_blocks, metric="dot"
     )
 
 

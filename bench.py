@@ -251,6 +251,7 @@ HEADLINE = [
     "pq_mips_recall_audit",
     "ivfadc_mips_recall_audit",
     "ann_int8_mips_topk",
+    "embedding_mips_pairs",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -119,6 +119,7 @@ NEW_R5 = [
     "pq_mips_recall_audit",
     "ivfadc_mips_recall_audit",
     "ann_int8_mips_topk",
+    "embedding_mips_pairs",
 ]
 
 

@@ -20,7 +20,9 @@ import __spark_entry__ as entry_mod
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
     ann_bruteforce_topk,
     ann_int8_mips_topk,
+    cosine_threshold_pairs,
     ivfadc_topk,
+    mips_threshold_pairs,
     pq_codebooks,
     pq_encode,
     pq_topk,
@@ -477,6 +479,91 @@ def test_int8_mips_numpy_differential(spark, vecs, k):
     ]
     want = _int8_mips_reference(rows, list(range(n_q)), k, dims=8)
     assert got == want
+
+
+# ------------------------------------------------- MIPS pair join
+
+
+@pytest.mark.parametrize("threshold", [0.25, 0.35, 0.45])
+def test_mips_pairs_match_duckdb(spark, duck, threshold):
+    got = mips_threshold_pairs(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        threshold=threshold,
+    ).toPandas()
+    want = duck.execute(f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.v, b.v) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) >= {threshold}
+        ORDER BY vec_a, vec_b
+    """).fetchdf()
+    assert len(got) == len(want) > 0
+    for c in ("vec_a", "vec_b"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+    assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
+
+
+def test_mips_pairs_prefilter_never_drops_a_pair(spark):
+    # adversarial for the Cauchy-Schwarz prefilter: tiny-norm vectors
+    # that the filter must drop coexist with pairs that pass exactly
+    # AT the bound (parallel vectors, dot == |a|*|b| == tau). The
+    # boundary pair must survive the prefilter's 1e-9 slack.
+    dims = 8
+    rows = [
+        (0, [2.0] + [0.0] * (dims - 1)),     # norm 2 (corpus max)
+        (1, [0.1875] + [0.0] * (dims - 1)),  # parallel: dot = 0.375 = tau
+        (2, [0.01] * dims),                  # tiny: prefiltered
+        (3, [0.0] * dims),                   # zero: prefiltered
+        (4, [0.0, 1.0] + [0.0] * (dims - 2)),  # orthogonal to 0/1
+    ]
+    emb = _emb_df(spark, rows)
+    out = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in mips_threshold_pairs(
+            emb, threshold=0.375, dims=dims
+        ).collect()
+    }
+    # 0.1875 = 3/16 and 2.0 are float32-exact, so the pair sits
+    # EXACTLY on the bound: dot = |a|*|b| = 0.375 = tau
+    assert out == {(0, 1): 0.375}
+    # negative threshold: prefilter must NOT run (dot can be negative,
+    # Cauchy-Schwarz gives no lower bound) — every pair comes back
+    n = len(rows)
+    assert (
+        mips_threshold_pairs(emb, threshold=-100.0, dims=dims).count()
+        == n * (n - 1) // 2
+    )
+    # and the tiny-but-nonzero vector is genuinely BELOW any passing
+    # product with the corpus max — i.e. the prefilter dropping it was
+    # sound, not lucky: |v2| * 2.0 < 0.375
+    import math
+    assert math.sqrt(dims) * 0.01 * 2.0 < 0.375
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3, 7])
+def test_mips_pairs_block_invariant(spark, n_blocks):
+    # the kernel promise extends to dot: results bit-identical for any
+    # blocking factor (dimension-ordered dots, exactly-once pairing)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = [
+        tuple(r)
+        for r in mips_threshold_pairs(emb, threshold=0.35).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in mips_threshold_pairs(
+            emb, threshold=0.35, n_blocks=n_blocks
+        ).collect()
+    ]
+    assert got == base
+
+
+def test_threshold_pairs_unknown_metric_refused(spark):
+    emb = _emb_df(spark, _exact_unit_corpus(8))
+    with pytest.raises(ValueError, match="unknown metric"):
+        cosine_threshold_pairs(emb, 0.5, dims=16, metric="euclid")
 
 
 # --------------------------------------------- registry-config audits
