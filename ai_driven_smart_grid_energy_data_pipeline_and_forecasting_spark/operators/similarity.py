@@ -1043,6 +1043,141 @@ def ann_lsh_pairs(
     ).orderBy("vec_a", "vec_b")
 
 
+def mips_lsh_pairs(
+    emb: DataFrame,
+    dims: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic MIPS pair candidates via the SYMMETRIC norm
+    embedding (Neyshabur & Srebro 2015, "On Symmetric and Asymmetric
+    LSHs for Inner Product Search"): scale the corpus by its max norm
+    M, lift every vector twice into dims+2 —
+    ``P(x) = [x/M, √(1−‖x/M‖²), 0]`` (index role) and
+    ``Q(x) = [x/M, 0, √(1−‖x/M‖²)]`` (query role), both exactly unit
+    norm — so ``cos(Q(a), P(b)) = (a·b)/M²`` and the existing SRP-LSH
+    banding becomes a valid MIPS bucketer. A pair is a candidate iff
+    some band of Q(a) collides with P(b) or vice versa; candidates are
+    verified by the exact raw inner product ≥ threshold, so the output
+    is always a SUBSET of ``mips_threshold_pairs`` — recall traded for
+    the sub-quadratic candidate generation, exactly the
+    ``ann_lsh_pairs`` contract with cosine swapped for dot.
+
+    Determinism / oracle exactness: every float step is bit-portable —
+    M = max √(ordered-fold dot) in double (the array is cast to double
+    BEFORE any arithmetic; folding float32 products would round
+    differently from the SQL oracle's DOUBLE[] lists), per-component
+    x/M, ``√(max(1 − u·u, 0))`` (clamped: the max-norm row rounds to a
+    tiny negative), md5-derived hyperplanes over dims+2, and the same
+    band split — the DuckDB oracle reproduces signatures, candidate
+    set, and sims exactly.
+
+    Scale shape: two streamed signature passes (P and Q roles — the
+    corpus never leaves its partitions), ONE shuffle on (band, bucket)
+    carrying (id, side) pairs, in-bucket Q×P candidate explode, and a
+    vector re-join only for surviving candidates; no n² stage
+    anywhere. Degenerate all-zero corpus (M = 0) yields NaN embeds and
+    no verified pairs for τ > 0 — dots are all zero."""
+    spark = emb.sparkSession  # noqa: F841 — symmetry with siblings
+    v64 = _vec(F.col(vec_col))
+    m_row = emb.select(F.max(F.sqrt(dot(v64, v64))).alias("_m"))
+    base = (
+        emb.crossJoin(F.broadcast(m_row))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.transform(v64, lambda x: x / F.col("_m")).alias("u"),
+        )
+        .select(
+            "vid",
+            "u",
+            F.sqrt(
+                F.greatest(
+                    F.lit(1.0) - dot(F.col("u"), F.col("u")), F.lit(0.0)
+                )
+            ).alias("s"),
+        )
+    )
+    pside = base.select(
+        "vid",
+        F.concat(F.col("u"), F.array(F.col("s"), F.lit(0.0))).alias("ev"),
+    )
+    qside = base.select(
+        "vid",
+        F.concat(F.col("u"), F.array(F.lit(0.0), F.col("s"))).alias("ev"),
+    )
+
+    def banded(sig: DataFrame, side: int) -> DataFrame:
+        return sig.select(
+            F.col("vec_id_sig").alias("vid"),
+            F.lit(side).alias("side"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.shiftright(F.col("srp"), 8 * i)
+                            .bitwiseAND(255)
+                            .alias("bv"),
+                        )
+                        for i in range(SRP_BANDS)
+                    ]
+                )
+            ).alias("e"),
+        ).select("vid", "side", "e.band", "e.bv")
+
+    bands = banded(srp_signatures(qside, dims + 2, "vid", "ev"), 0).unionByName(
+        banded(srp_signatures(pside, dims + 2, "vid", "ev"), 1)
+    )
+    # one shuffle on (band, bucket): collect the bucket's Q-role and
+    # P-role ids side-by-side, explode Q×P in place — ids only, the
+    # vectors never ride the shuffle (the ann_lsh_pairs discipline)
+    cands = (
+        bands.groupBy("band", "bv")
+        .agg(
+            F.collect_list(
+                F.when(F.col("side") == 0, F.col("vid"))
+            ).alias("qs"),
+            F.collect_list(
+                F.when(F.col("side") == 1, F.col("vid"))
+            ).alias("ps"),
+        )
+        .filter((F.size("qs") > 0) & (F.size("ps") > 0))
+        .select(F.explode("qs").alias("ida"), "ps")
+        .select("ida", F.explode("ps").alias("idb"))
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    paired = cands.join(va, "vec_a").join(vb, "vec_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = _as_matrix(pdf["va"], dims)
+            mb = _as_matrix(pdf["vb"], dims)
+            sim = _ordered_rowdot(ma, mb)
+            keep = sim >= threshold
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy(dtype=np.int64)[keep],
+                        "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64)[keep],
+                        "sim": sim[keep],
+                    }
+                )
+
+    return paired.mapInPandas(
+        verify, "vec_a long, vec_b long, sim double"
+    ).orderBy("vec_a", "vec_b")
+
+
 def quantize_embeddings(
     emb: DataFrame,
     dims: int = 64,

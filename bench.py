@@ -252,6 +252,7 @@ HEADLINE = [
     "ivfadc_mips_recall_audit",
     "ann_int8_mips_topk",
     "embedding_mips_pairs",
+    "ann_mips_lsh_pairs",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -120,6 +120,7 @@ NEW_R5 = [
     "ivfadc_mips_recall_audit",
     "ann_int8_mips_topk",
     "embedding_mips_pairs",
+    "ann_mips_lsh_pairs",
 ]
 
 

@@ -22,6 +22,7 @@ from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.s
     ann_int8_mips_topk,
     cosine_threshold_pairs,
     ivfadc_topk,
+    mips_lsh_pairs,
     mips_threshold_pairs,
     pq_codebooks,
     pq_encode,
@@ -564,6 +565,79 @@ def test_threshold_pairs_unknown_metric_refused(spark):
     emb = _emb_df(spark, _exact_unit_corpus(8))
     with pytest.raises(ValueError, match="unknown metric"):
         cosine_threshold_pairs(emb, 0.5, dims=16, metric="euclid")
+
+
+# -------------------------------------------- symmetric MIPS-LSH pairs
+
+
+@pytest.mark.parametrize("tau", [0.2, 0.35])
+def test_mips_lsh_pairs_match_duckdb(spark, duck, tau):
+    # the FULL pipeline differential: symmetric norm embedding, SRP
+    # signatures over dims+2, band candidate rule, raw-dot verify —
+    # bit-exact against the generated SQL twin
+    got = mips_lsh_pairs(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        dims=64,
+        threshold=tau,
+    ).toPandas()
+    want = duck.execute(entry_mod._mips_lsh_sql(tau)).fetchdf()
+    assert len(got) == len(want) > 0
+    for c in ("vec_a", "vec_b"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+    assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
+
+
+def test_mips_lsh_pairs_subset_of_exact(spark):
+    # the LSH contract: candidates are verified by the exact raw dot,
+    # so every emitted pair appears in mips_threshold_pairs with the
+    # identical sim (recall < 1 is the trade; precision is 1)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in mips_lsh_pairs(emb, dims=64, threshold=0.35).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in mips_threshold_pairs(emb, threshold=0.35).collect()
+    }
+    assert lsh and set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+
+
+def test_mips_lsh_finds_parallel_high_norm_pairs(spark):
+    # recall concentrates where MIPS cares: near-parallel high-norm
+    # pairs embed to near-identical directions, so every band collides
+    # and the pair ALWAYS surfaces — while a near-orthogonal pair with
+    # the same dot is a legitimate (probabilistic) miss. Corpus built
+    # so the parallel pair's embedded cosine is ~1.
+    dims = 8
+    rng = np.random.default_rng(3)
+    rows = [
+        (0, [10.0] + [0.0] * (dims - 1)),
+        (1, [9.0, 0.1] + [0.0] * (dims - 2)),  # near-parallel, dot 90
+    ]
+    for i in range(2, 20):
+        rows.append((i, (rng.normal(0, 0.05, dims)).tolist()))
+    emb = _emb_df(spark, rows)
+    out = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in mips_lsh_pairs(emb, dims=dims, threshold=50.0).collect()
+    }
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] == pytest.approx(90.0)
+
+
+def test_mips_lsh_zero_and_degenerate_corpora(spark):
+    dims = 8
+    # zero vectors embed to s=1 lifted axes; no pair passes tau > 0
+    rows = [(i, [0.0] * dims) for i in range(4)] + [
+        (4, [1.0] + [0.0] * (dims - 1))
+    ]
+    emb = _emb_df(spark, rows)
+    assert mips_lsh_pairs(emb, dims=dims, threshold=0.1).count() == 0
+    # single-vector corpus: no pairs, no crash
+    one = _emb_df(spark, [(0, [1.0] + [0.0] * (dims - 1))])
+    assert mips_lsh_pairs(one, dims=dims, threshold=0.1).count() == 0
 
 
 # --------------------------------------------- registry-config audits
