@@ -222,9 +222,15 @@ def q_embedding_near_pairs(spark, sf_dir):
 
 
 def q_ann_lsh_pairs(spark, sf_dir):
-    # SRP-LSH bucketed near-neighbor pairs (scale path)
+    # SRP-LSH bucketed near-neighbor pairs (scale path). max_bucket
+    # is the r13 hot-bucket guard: buckets larger than LSH_MAX_BUCKET
+    # are skipped (recall-only, oracle-mirrored) so one near-dup-rich
+    # bucket can never make a task quadratic.
     return S.ann_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"), dims=64, threshold=0.2
+        _t(spark, sf_dir, "embeddings"),
+        dims=64,
+        threshold=0.2,
+        max_bucket=S.LSH_MAX_BUCKET,
     )
 
 
@@ -2205,7 +2211,9 @@ def q_ann_mips_lsh_pairs(spark, sf_dir):
     # measures 2.8% on the same data) — on real corpora high-dot
     # pairs are near-parallel and band collisions concentrate there.
     emb = _t(spark, sf_dir, "embeddings")
-    return S.mips_lsh_pairs(emb, dims=64, threshold=0.35)
+    return S.mips_lsh_pairs(
+        emb, dims=64, threshold=0.35, max_bucket=S.LSH_MAX_BUCKET
+    )
 
 
 def q_embedding_mips_pairs(spark, sf_dir):
@@ -4111,11 +4119,26 @@ _COS_SQL = (
 )
 
 
-def _mips_lsh_sql(tau: float) -> str:
+def _srp_band_slices() -> list[tuple[int, int, int]]:
+    """(band_index, shift, mask) per band, derived from the kernel's
+    SRP_BANDS/SRP_BITS constants — the oracle band CTEs are generated
+    from these so a constant change re-splits kernel and oracle
+    together instead of silently desynchronizing them (ADVICE r12)."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        SRP_BAND_BITS,
+        SRP_BAND_MASK,
+        SRP_BANDS,
+    )
+
+    return [(i, i * SRP_BAND_BITS, SRP_BAND_MASK) for i in range(SRP_BANDS)]
+
+
+def _mips_lsh_sql(tau: float, max_bucket: int | None = None) -> str:
     """DuckDB twin of ``similarity.mips_lsh_pairs`` (r12): the
     Neyshabur & Srebro 2015 symmetric norm embedding into dims+2
     (P/Q roles), md5-derived hyperplanes over the lifted space inlined
-    as full-precision literals, the same 2×8-bit band split and
+    as full-precision literals, the band split generated from the
+    kernel's SRP_BANDS/SRP_BITS constants (never restated), the
     Q-role × P-role candidate rule, raw-dot verification — every
     float step bit-matches the kernel (double-cast before any
     arithmetic, left-fold dots, clamped sqrt)."""
@@ -4132,6 +4155,26 @@ def _mips_lsh_sql(tau: float) -> str:
                 f"THEN {1 << bit} ELSE 0 END)"
             )
         return " + ".join(out)
+
+    band_rows = []
+    for i, shift, mask in _srp_band_slices():
+        for col, side in (("srp_q", 0), ("srp_p", 1)):
+            bv = f"({col} >> {shift}) & {mask}" if shift else f"{col} & {mask}"
+            band_rows.append(
+                f"SELECT vec_id, {i} AS band, {bv} AS bv, {side} AS side FROM sig"
+            )
+    bands_cte = "\n          UNION ALL ".join(band_rows)
+    # hot-bucket guard twin (r13): identical skip rule to the kernel's
+    # _cap_hot_buckets — count Q-rows + P-rows per (band, bv), drop
+    # buckets over the cap
+    if max_bucket is None:
+        ok_cte, ok_join = "", ""
+    else:
+        ok_cte = (
+            ",\n        ok AS (SELECT band, bv FROM bands "
+            f"GROUP BY band, bv HAVING count(*) <= {max_bucket})"
+        )
+        ok_join = " JOIN ok ON q.band = ok.band AND q.bv = ok.bv"
 
     return f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -4151,15 +4194,13 @@ def _mips_lsh_sql(tau: float) -> str:
                   CAST({terms('qv')} AS BIGINT) AS srp_q
                 FROM pq),
         bands AS (
-          SELECT vec_id, 0 AS band, srp_q & 255 AS bv, 0 AS side FROM sig
-          UNION ALL SELECT vec_id, 1, (srp_q >> 8) & 255, 0 FROM sig
-          UNION ALL SELECT vec_id, 0, srp_p & 255, 1 FROM sig
-          UNION ALL SELECT vec_id, 1, (srp_p >> 8) & 255, 1 FROM sig),
+          {bands_cte}){ok_cte},
         cands AS (
           SELECT DISTINCT least(q.vec_id, p.vec_id) AS vec_a,
                           greatest(q.vec_id, p.vec_id) AS vec_b
           FROM bands q JOIN bands p
             ON q.band = p.band AND q.bv = p.bv AND q.vec_id != p.vec_id
+            {ok_join}
           WHERE q.side = 0 AND p.side = 1)
         SELECT c.vec_a, c.vec_b, list_dot_product(ea.v, eb.v) AS sim
         FROM cands c
@@ -4186,6 +4227,16 @@ def _srp_sig_sql() -> str:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 sig AS (SELECT vec_id, v, CAST({combine} AS BIGINT) AS srp FROM e)
 """
+
+
+def _cos_bands_cte() -> str:
+    """Bands CTE body for the cosine SRP oracle (ann_lsh_pairs),
+    generated from the kernel's band constants — see _srp_band_slices."""
+    rows = []
+    for i, shift, mask in _srp_band_slices():
+        bv = f"(srp >> {shift}) & {mask}" if shift else f"srp & {mask}"
+        rows.append(f"SELECT vec_id, v, {i} AS band, {bv} AS bv FROM sig")
+    return "\n              UNION ALL\n              ".join(rows)
 
 
 _LANG_HITS = {
@@ -7024,13 +7075,14 @@ def _oracle_sql_base() -> dict[str, str]:
         "ann_lsh_pairs": _srp_sig_sql()
         + f""",
             bands AS (
-              SELECT vec_id, v, 0 AS band, srp & 255 AS bv FROM sig
-              UNION ALL
-              SELECT vec_id, v, 1 AS band, (srp >> 8) & 255 AS bv FROM sig),
+              {_cos_bands_cte()}),
+            ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+                   HAVING count(*) <= {S.LSH_MAX_BUCKET}),
             cands AS (
               SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
               FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+                ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+              JOIN ok ON a.band = ok.band AND a.bv = ok.bv)
             SELECT vec_a, vec_b,
                    {_COS_SQL.format(a='sa.v', b='sb.v')} AS sim
             FROM cands
@@ -7954,7 +8006,9 @@ def _oracle_sql_base() -> dict[str, str]:
         # sub-quadratic MIPS pairs (r12): exact oracle — the full
         # symmetric-embedding + SRP + band + verify pipeline
         # reproduced in SQL (see _mips_lsh_sql)
-        "ann_mips_lsh_pairs": _mips_lsh_sql(0.35),
+        "ann_mips_lsh_pairs": _mips_lsh_sql(
+            0.35, max_bucket=S.LSH_MAX_BUCKET
+        ),
         # MIPS pair join (r12): exact oracle — ordered-fold dots match
         # list_dot_product; the Spark-side Cauchy-Schwarz prefilter is
         # output-invariant (necessary condition only) so the oracle

@@ -344,7 +344,14 @@ def cosine_threshold_pairs(
         # ANY partner — drop it before the ×(B+1) replication. One
         # extra corpus pass for the max-norm aggregate (broadcast one
         # row back); output-invariant, so the oracle needs no twin.
-        nv = v.withColumn("_nrm", norm(F.col("vec")))
+        # Widen to double BEFORE the norm fold: squaring the raw
+        # array<float> components in float32 loses up to ~6e-8
+        # relative — more than the 1e-9 slack — so a pair sitting at
+        # the Cauchy–Schwarz bound could be silently DROPPED,
+        # breaking the overcount-only guarantee (and the hash-exact
+        # oracle for embedding_mips_pairs).  _vec matches the scoring
+        # kernel and every other call site.
+        nv = v.withColumn("_nrm", norm(_vec(F.col("vec"))))
         mx = nv.agg(F.max("_nrm").alias("_mx"))
         v = (
             nv.crossJoin(F.broadcast(mx))
@@ -965,6 +972,46 @@ def srp_signatures(
 
 
 SRP_BANDS = 2  # 2 bands × 8 bits: candidates share either half-signature
+# Band geometry is DERIVED, never restated: every banding site (the two
+# Spark explodes below and the DuckDB oracles in __spark_entry__) slices
+# the signature as (srp >> i*SRP_BAND_BITS) & SRP_BAND_MASK, so changing
+# SRP_BANDS/SRP_BITS re-splits kernel and oracle together (ADVICE r12).
+SRP_BAND_BITS = SRP_BITS // SRP_BANDS
+SRP_BAND_MASK = (1 << SRP_BAND_BITS) - 1
+# Registered hot-bucket cap for the LSH pair joins: a (band, bucket)
+# with more members than this is skipped (recall-only). 4096 bounds
+# the worst in-bucket explode at ~16.8M id pairs (cosine) / ~4.2M
+# (MIPS Q×P) — a few hundred MB of longs, well inside one task — and
+# sits far above the bucket sizes healthy banding produces (corpus /
+# 2^SRP_BAND_BITS per band on signature-diverse data). The oracle SQL
+# twins implement the identical rule, so kernel and oracle stay
+# lock-step even when the cap fires.
+LSH_MAX_BUCKET = 4096
+
+
+def _cap_hot_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Hot-bucket guard shared by the LSH pair joins (r13): drop every
+    (band, bv) bucket whose member-row count exceeds ``max_bucket``
+    before any collect/explode. Window count over the same key the
+    downstream aggregation shuffles on — the exchange is reused, so
+    the guard costs zero extra shuffles. Deterministic (pure count
+    threshold, no ordering), hence exactly reproducible in the DuckDB
+    oracles; recall-only by construction."""
+    if max_bucket is None:
+        return bands
+    if max_bucket < 2:
+        # a bucket needs ≥2 members to emit any pair — a lower cap is
+        # a mis-parameterization, not a degenerate request
+        raise ValueError(
+            f"max_bucket must be ≥ 2 (got {max_bucket}): buckets of "
+            "size < 2 emit no pairs, so the guard would drop everything"
+        )
+    wb = Window.partitionBy("band", "bv")
+    return (
+        bands.withColumn("_bsz", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bsz") <= F.lit(max_bucket))
+        .drop("_bsz")
+    )
 
 
 def ann_lsh_pairs(
@@ -973,12 +1020,26 @@ def ann_lsh_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SRP-LSH near-neighbor pairs: signatures split into 2 bands of
     8 bits; docs sharing any band become candidates (equi-join on
     (band, half-signature) — no n² cross join); candidates verified
     with exact cosine ≥ threshold. Distinct pairs survive both bands
     colliding.
+
+    ``max_bucket`` is the hot-bucket guard (r13): a (band, bucket)
+    whose member count exceeds it is SKIPPED ENTIRELY — on a
+    near-duplicate-rich corpus one hot bucket otherwise makes a
+    single task quadratic (the in-bucket explode) and can OOM the
+    executor. The rule is deterministic and order-free (pure count
+    threshold), so the DuckDB oracle reproduces it exactly; the
+    effect is recall-only — every emitted pair still passes the exact
+    verify, precision untouched. The guard runs as a window count
+    over the SAME (band, bucket) key the aggregation shuffles on, so
+    Catalyst reuses the exchange: zero extra shuffles, and the filter
+    lands BEFORE collect_list, bounding the aggregation buffer too,
+    not just the explode.
 
     Shuffle discipline: candidate generation is ONE shuffle on
     (band, bucket) — groupBy, collect the bucket's ids, double-explode
@@ -999,13 +1060,16 @@ def ann_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("srp"), 8 * i).bitwiseAND(255).alias("bv"),
+                        F.shiftright(F.col("srp"), SRP_BAND_BITS * i)
+                        .bitwiseAND(SRP_BAND_MASK)
+                        .alias("bv"),
                     )
                     for i in range(SRP_BANDS)
                 ]
             )
         ).alias("e"),
     ).select("vid", "e.band", "e.bv")
+    bands = _cap_hot_buckets(bands, max_bucket)
     cands = (
         bands.groupBy("band", "bv")
         .agg(F.collect_list("vid").alias("ids"))
@@ -1049,6 +1113,7 @@ def mips_lsh_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic MIPS pair candidates via the SYMMETRIC norm
     embedding (Neyshabur & Srebro 2015, "On Symmetric and Asymmetric
@@ -1116,8 +1181,8 @@ def mips_lsh_pairs(
                     *[
                         F.struct(
                             F.lit(i).alias("band"),
-                            F.shiftright(F.col("srp"), 8 * i)
-                            .bitwiseAND(255)
+                            F.shiftright(F.col("srp"), SRP_BAND_BITS * i)
+                            .bitwiseAND(SRP_BAND_MASK)
                             .alias("bv"),
                         )
                         for i in range(SRP_BANDS)
@@ -1129,6 +1194,11 @@ def mips_lsh_pairs(
     bands = banded(srp_signatures(qside, dims + 2, "vid", "ev"), 0).unionByName(
         banded(srp_signatures(pside, dims + 2, "vid", "ev"), 1)
     )
+    # hot-bucket guard (r13): bucket size here counts Q-rows + P-rows
+    # together — the explode below is |Q|×|P| ≤ (size/2)², so capping
+    # the combined count bounds the quadratic term. See
+    # _cap_hot_buckets for the zero-extra-shuffle argument.
+    bands = _cap_hot_buckets(bands, max_bucket)
     # one shuffle on (band, bucket): collect the bucket's Q-role and
     # P-role ids side-by-side, explode Q×P in place — ids only, the
     # vectors never ride the shuffle (the ann_lsh_pairs discipline)
@@ -1285,7 +1355,15 @@ def ann_int8_mips_topk(
     one final rank window over ≤ |Q|·k·n_tasks rows. Ties between
     equal sims resolve by neighbor id on both engines."""
     q8 = quantize_embeddings(emb, dims, id_col, vec_col)
-    qpdf = q8.filter(query_filter).toPandas()
+    # query_filter is applied to EMB (columns id/embedding), matching
+    # the pq_topk/ivfadc_topk contract — a filter referencing the
+    # embedding column is legal here like everywhere else in the
+    # family (ADVICE r12). The selected rows are then quantized
+    # locally; scale is per-vector, so quantizing the subset yields
+    # bit-identical codes to filtering the quantized corpus.
+    qpdf = quantize_embeddings(
+        emb.filter(query_filter), dims, id_col, vec_col
+    ).toPandas()
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_scales = qpdf["scale"].to_numpy(dtype=np.float64)
     q_mat = (
