@@ -2243,6 +2243,22 @@ def q_ann_int8_mips_topk(spark, sf_dir):
     return S.ann_int8_mips_topk(emb, F.col("vec_id") < 8, k=5)
 
 
+def q_ann_ivf_sq8_mips_topk(spark, sf_dir):
+    # IVF-SQ8 MIPS top-5 (new r13): the other standard FAISS
+    # deployment shape (IVF16,SQ8 + METRIC_INNER_PRODUCT) — angular
+    # coarse cells (the audited ann_mips_ivf_topk stage), int8
+    # scalar-quantized scan inside the 4/16 probed cells (the audited
+    # ann_int8_mips_topk arithmetic). Every step is bit-portable, so
+    # this is the first SUB-LINEAR compressed entry with a FULL
+    # hash-exact oracle (int_dot constrains the integer path);
+    # exhaustive probing recovers ann_int8_mips_topk exactly
+    # (identity-tested).
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_sq8_mips_topk(
+        emb, F.col("vec_id") < 8, k=5, n_centroids=16, n_probe=4
+    )
+
+
 def q_pq_mips_recall_audit(spark, sf_dir):
     # MIPS flat PQ (new r12): asymmetric-distance scan over RAW
     # vectors — the compressed linear MIPS baseline for unnormalized
@@ -3962,6 +3978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_mips_recall_audit": q_pq_mips_recall_audit,
         "ivfadc_mips_recall_audit": q_ivfadc_mips_recall_audit,
         "ann_int8_mips_topk": q_ann_int8_mips_topk,
+        # --- new r13: IVF-SQ8 MIPS (r12 verdict Next #6) ----------------------
+        "ann_ivf_sq8_mips_topk": q_ann_ivf_sq8_mips_topk,
         "embedding_mips_pairs": q_embedding_mips_pairs,
         "ann_mips_lsh_pairs": q_ann_mips_lsh_pairs,
         "doc_feature_hashes": q_doc_feature_hashes,
@@ -8048,6 +8066,61 @@ def _oracle_sql_base() -> dict[str, str]:
                      (c.scale * q.qscale) * list_dot_product(c.qv, q.qqv)
                        AS sim
               FROM q8 c, q WHERE c.vec_id != q.query_id)
+            SELECT query_id, neighbor_id, int_dot, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" <= 5
+            ORDER BY query_id, "rank"
+        """,
+        # IVF-SQ8 MIPS (r13): FULL hash-exact twin — the coarse stage
+        # is ann_mips_ivf_topk's audited angular assign/probe CTEs, the
+        # fine stage is ann_int8_mips_topk's audited quantize/score
+        # CTEs; integer dots are exact at any fold order and the two
+        # double multiplies are pinned (scale_x * scale_q) * dot
+        "ann_ivf_sq8_mips_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            asg AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM e, cents c) WHERE rn = 1),
+            s AS (SELECT vec_id, v,
+                    list_max(list_transform(v, x -> abs(x))) / 127.0
+                      AS scale
+                  FROM e),
+            q8 AS (SELECT vec_id, scale,
+                    list_transform(v, x -> CAST(floor(
+                      x / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END)
+                      + 0.5) AS DOUBLE)) AS qv
+                  FROM s),
+            q AS (SELECT vec_id AS query_id, v AS qraw FROM e
+                  WHERE vec_id < 8),
+            qq AS (SELECT vec_id AS query_id, scale AS qscale, qv AS qqv
+                   FROM q8 WHERE vec_id < 8),
+            probes AS (
+              SELECT query_id, cluster FROM (
+                SELECT q.query_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_COS_SQL.format(a='q.qraw', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM q, cents c) WHERE rn <= 4),
+            scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     CAST(list_dot_product(c8.qv, qq.qqv) AS BIGINT)
+                       AS int_dot,
+                     (c8.scale * qq.qscale) * list_dot_product(c8.qv, qq.qqv)
+                       AS sim
+              FROM probes p
+              JOIN asg a ON a.cluster = p.cluster
+              JOIN q8 c8 ON c8.vec_id = a.vec_id
+              JOIN qq ON qq.query_id = p.query_id
+              WHERE a.vec_id != p.query_id)
             SELECT query_id, neighbor_id, int_dot, sim,
                    CAST(row_number() OVER (
                      PARTITION BY query_id ORDER BY sim DESC, neighbor_id

@@ -1416,6 +1416,176 @@ def ann_int8_mips_topk(
     )
 
 
+def ivf_sq8_mips_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 maximum-inner-product top-k (r13): the other standard
+    FAISS deployment shape (``IVF…,SQ8`` with METRIC_INNER_PRODUCT) —
+    coarse IVF cells over angular direction + an int8 scalar-quantized
+    scan inside the probed cells. Composes the two already-audited
+    parts: the coarse stage is ``ann_ivf_topk``'s deterministic
+    head-sample quantizer with angular assignment/probing (a cell
+    groups DIRECTIONS — the public METRIC_INNER_PRODUCT convention;
+    Bachrach et al. 2014), the fine stage is ``quantize_embeddings``'
+    symmetric SQ8 code with ``ann_int8_mips_topk``'s exact integer
+    scoring ``sim = (scale_x · scale_q) · (q_x ⊙ q_q)``.
+
+    Unlike PQ/IVFADC, every step is EXACTLY reproducible in ANSI SQL
+    — the coarse cosine runs on double-cast raw vectors (the audited
+    ``ann_mips_ivf_topk`` expression), the quantizer rounds half-up
+    ``floor(x/s + 0.5)``, the integer dot is exact at any fold order
+    (partials < 2^53), and the two double multiplies are pinned
+    ``(scale_x · scale_q) · dot`` — so this is the first SUB-LINEAR
+    compressed entry carrying a FULL hash-exact oracle rather than a
+    count audit (the ``int_dot`` column constrains the integer path
+    itself). Exhaustive probing (n_probe = n_centroids) recovers
+    ``ann_int8_mips_topk`` exactly — identity-tested.
+
+    Scale shape: ONE streamed corpus pass fuses assignment and
+    quantization (centroids broadcast; raw vectors are read once and
+    never shuffled — only the 4×-smaller codes ride the probe join;
+    a production layout would pack them as binary for the full 4×,
+    the array<int> schema here keeps the semantics bit-portable),
+    (query, cluster) probes broadcast, candidates = the probed
+    n_probe/n_centroids fraction of each cell, one rank window over
+    candidate rows. Queries are selected from ``emb`` by
+    ``query_filter`` (the family contract — filters may reference the
+    embedding column) and quantized locally; per-vector scale makes
+    subset quantization bit-identical."""
+    spark = emb.sparkSession
+    cpdf = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"no centroid rows: filter {id_col} < {n_centroids} matched "
+            "nothing (ids not starting at 0?) — supply a corpus whose id "
+            "head exists, or use the trained-KMeans variant"
+        )
+    c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
+    c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
+    c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
+    c_norm = _ordered_norms(c_mat)
+    bc_c = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign_quantize(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        ids_c, mc, nc = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            nx = _ordered_norms(mx)
+            csim = _ordered_gemm(mx, mc) / np.multiply.outer(nx, nc)
+            # argmax takes the first maximum — centroids are id-sorted,
+            # so ties resolve to the smallest centroid id (the SQL
+            # ORDER BY sim DESC, cid ASC convention)
+            scale = np.abs(mx).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            q = np.floor(mx / safe[:, None] + 0.5).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": ids_c[np.argmax(csim, axis=1)],
+                    "scale": scale,
+                    "qvec": list(q),
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign_quantize,
+        "neighbor_id long, cluster long, scale double, qvec array<int>",
+    )
+
+    qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = _as_matrix(qpdf[vec_col], dims)
+    probe_rows: list[tuple[int, int]] = []
+    if len(q_ids):
+        q_norm = _ordered_norms(q_mat)
+        qsim = _ordered_gemm(q_mat, c_mat) / np.multiply.outer(q_norm, c_norm)
+        for i in range(len(q_ids)):
+            top = np.lexsort((c_ids, -qsim[i]))[:n_probe]
+            probe_rows.extend(
+                (int(q_ids[i]), int(c_ids[j])) for j in top
+            )
+    probes = spark.createDataFrame(
+        probe_rows or [(-1, -1)], "query_id long, cluster long"
+    )
+    if not probe_rows:
+        probes = probes.filter(F.lit(False))
+    # queries quantized locally with the identical kernel arithmetic
+    q_scale = (
+        np.abs(q_mat).max(axis=1) / 127.0
+        if len(q_ids)
+        else np.empty(0, dtype=np.float64)
+    )
+    q_safe = np.where(q_scale == 0.0, 1.0, q_scale)
+    q_codes = (
+        np.floor(q_mat / q_safe[:, None] + 0.5).astype(np.int64)
+        if len(q_ids)
+        else np.empty((0, dims), dtype=np.int64)
+    )
+    bc_q = spark.sparkContext.broadcast(
+        {
+            int(q_ids[i]): (q_codes[i], float(q_scale[i]))
+            for i in range(len(q_ids))
+        }
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmap = bc_q.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nm = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            ns = pdf["scale"].to_numpy(dtype=np.float64)
+            qm = np.stack([qmap[q][0] for q in pdf["query_id"]])
+            qs = np.asarray([qmap[q][1] for q in pdf["query_id"]])
+            d = np.einsum("ij,ij->i", nm, qm)  # exact: int64 partials
+            # pinned order: (scale_x · scale_q) first, then · dot —
+            # the oracle SQL parenthesizes identically
+            sim = (ns * qs) * d.astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(
+                        dtype=np.int64
+                    ),
+                    "int_dot": d,
+                    "sim": sim,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, int_dot long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ----------------------------------------- product quantization (ADC)
 
 

@@ -253,6 +253,8 @@ HEADLINE = [
     "ann_int8_mips_topk",
     "embedding_mips_pairs",
     "ann_mips_lsh_pairs",
+    # r13 additions
+    "ann_ivf_sq8_mips_topk",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -121,6 +121,8 @@ NEW_R5 = [
     "ann_int8_mips_topk",
     "embedding_mips_pairs",
     "ann_mips_lsh_pairs",
+    # round 13
+    "ann_ivf_sq8_mips_topk",
 ]
 
 

@@ -199,6 +199,117 @@ def test_lsh_hot_bucket_cap_mips(spark):
         mips_lsh_pairs(emb, dims=dims, threshold=3.0, max_bucket=0)
 
 
+# ---------------------------------------- IVF-SQ8 MIPS (Next #6, r12)
+
+
+def test_ivf_sq8_exhaustive_probing_recovers_int8(spark):
+    # the coarse stage must be a pure candidate restriction: probing
+    # EVERY cell makes the probed set the whole corpus, so the result
+    # must equal ann_int8_mips_topk bit-for-bit (same quantizer, same
+    # pinned multiply order, same tie rule)
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_int8_mips_topk,
+        ivf_sq8_mips_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    flat = ann_int8_mips_topk(emb, F.col("vec_id") < 6, k=4).collect()
+    ivf = ivf_sq8_mips_topk(
+        emb, F.col("vec_id") < 6, k=4, n_centroids=16, n_probe=16
+    ).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in flat]
+    assert len(flat) == 6 * 4
+
+
+@pytest.mark.parametrize("n_probe", [1, 2, 8])
+def test_ivf_sq8_param_sweep(spark, n_probe):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ivf_sq8_mips_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivf_sq8_mips_topk(
+        emb, F.col("vec_id") < 5, k=3, n_centroids=16, n_probe=n_probe
+    ).toPandas()
+    # contract: per-query ranks contiguous from 1, <= k rows, sims
+    # non-increasing, never a self match, int_dot consistent with sim
+    # sign (scales are non-negative)
+    for qid, grp in out.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+        sims = grp["sim"].to_numpy()
+        assert (sims[:-1] >= sims[1:]).all()
+        assert (grp["neighbor_id"] != qid).all()
+        assert (
+            np.sign(grp["int_dot"].to_numpy())
+            == np.sign(np.where(np.abs(sims) < 1e-300, 0.0, sims))
+        ).all()
+
+
+def test_ivf_sq8_more_probes_never_worse(spark):
+    # candidates grow monotonically with n_probe, so each query's
+    # best-found sim is non-decreasing in n_probe
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ivf_sq8_mips_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    best = {}
+    for n_probe in (1, 4, 16):
+        out = ivf_sq8_mips_topk(
+            emb, F.col("vec_id") < 5, k=1, n_centroids=16, n_probe=n_probe
+        ).toPandas()
+        cur = dict(zip(out["query_id"], out["sim"]))
+        for q, s in best.items():
+            assert cur.get(q, -np.inf) >= s - 1e-15, (q, n_probe)
+        best = cur
+
+
+def test_ivf_sq8_guards_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ivf_sq8_mips_topk,
+    )
+
+    dims = 8
+    # ids not starting at 0 -> centroid head empty -> loud refusal
+    shifted = _emb_df(
+        spark, [(1000 + i, [float(i + 1)] * dims) for i in range(6)]
+    )
+    with pytest.raises(ValueError, match="no centroid rows"):
+        ivf_sq8_mips_topk(
+            shifted, F.col("vec_id") < 1002, k=2, n_centroids=4,
+            n_probe=2, dims=dims,
+        )
+    # zero query vector: scale 0 -> codes all zero -> every sim == 0;
+    # ranks resolve purely by neighbor id
+    rows = [(0, [0.0] * dims)] + [
+        (i, [float(i)] + [0.0] * (dims - 1)) for i in range(1, 6)
+    ]
+    emb = _emb_df(spark, rows)
+    out = ivf_sq8_mips_topk(
+        emb, F.col("vec_id") == 0, k=3, n_centroids=6, n_probe=6,
+        dims=dims,
+    ).toPandas()
+    assert (out["sim"] == 0.0).all() and (out["int_dot"] == 0).all()
+    assert list(out["neighbor_id"]) == sorted(out["neighbor_id"])
+    # family contract: query_filter may reference the embedding column
+    emb64 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plain = ivf_sq8_mips_topk(emb64, F.col("vec_id") < 3, k=2).collect()
+    with_emb = ivf_sq8_mips_topk(
+        emb64, (F.col("vec_id") < 3) & (F.size(F.col("embedding")) == 64),
+        k=2,
+    ).collect()
+    assert [tuple(r) for r in with_emb] == [tuple(r) for r in plain]
+
+
 def test_hot_bucket_cap_costs_no_extra_shuffle(spark):
     # the guard's window count partitions on the same (band, bv) key
     # the aggregation shuffles on — Catalyst reuses the exchange, so
