@@ -2259,6 +2259,20 @@ def q_ann_ivf_sq8_mips_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_sq8r_mips_topk(spark, sf_dir):
+    # IVF-SQ8 MIPS with RESIDUAL encoding (new r13): the FAISS
+    # by_residual convention — cells store int8 codes of r = x - c(x),
+    # scoring uses the exact decomposition q·x = q·c + q·r with only
+    # the residual term approximated (sim = q·c + scale·(q·codes));
+    # queries stay raw (asymmetric ADC). Every step bit-portable →
+    # FULL hash-exact oracle; corpus==centroid-head recovers exact
+    # MIPS bit-for-bit (identity-tested).
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_sq8r_mips_topk(
+        emb, F.col("vec_id") < 8, k=5, n_centroids=16, n_probe=4
+    )
+
+
 def q_pq_mips_recall_audit(spark, sf_dir):
     # MIPS flat PQ (new r12): asymmetric-distance scan over RAW
     # vectors — the compressed linear MIPS baseline for unnormalized
@@ -3978,8 +3992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_mips_recall_audit": q_pq_mips_recall_audit,
         "ivfadc_mips_recall_audit": q_ivfadc_mips_recall_audit,
         "ann_int8_mips_topk": q_ann_int8_mips_topk,
-        # --- new r13: IVF-SQ8 MIPS (r12 verdict Next #6) ----------------------
+        # --- new r13: IVF-SQ8 MIPS, symmetric + residual (r12 Next #6) -------
         "ann_ivf_sq8_mips_topk": q_ann_ivf_sq8_mips_topk,
+        "ann_ivf_sq8r_mips_topk": q_ann_ivf_sq8r_mips_topk,
         "embedding_mips_pairs": q_embedding_mips_pairs,
         "ann_mips_lsh_pairs": q_ann_mips_lsh_pairs,
         "doc_feature_hashes": q_doc_feature_hashes,
@@ -8122,6 +8137,67 @@ def _oracle_sql_base() -> dict[str, str]:
               JOIN qq ON qq.query_id = p.query_id
               WHERE a.vec_id != p.query_id)
             SELECT query_id, neighbor_id, int_dot, sim,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+                   ) AS INTEGER) AS "rank"
+            FROM scored
+            QUALIFY "rank" <= 5
+            ORDER BY query_id, "rank"
+        """,
+        # IVF-SQ8-residual MIPS (r13): FULL hash-exact twin of the
+        # FAISS by_residual convention — r = x - c(x) is one
+        # elementwise double subtract, codes are the audited half-up
+        # quantizer over r, and sim = q·c + scale·(q·codes) with both
+        # dots left-fold list_dot_product (queries raw — asymmetric)
+        "ann_ivf_sq8r_mips_topk": f"""
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+            asg AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {_COS_SQL.format(a='e.v', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM e, cents c) WHERE rn = 1),
+            res AS (
+              SELECT a.vec_id, a.cluster,
+                     list_transform(list_zip(e.v, c.cv), x -> x[1] - x[2])
+                       AS r
+              FROM asg a
+              JOIN e ON e.vec_id = a.vec_id
+              JOIN cents c ON c.cid = a.cluster),
+            enc AS (
+              SELECT vec_id, cluster, r,
+                     list_max(list_transform(r, x -> abs(x))) / 127.0
+                       AS scale
+              FROM res),
+            codes AS (
+              SELECT vec_id, cluster, scale,
+                     list_transform(r, x -> CAST(floor(
+                       x / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END)
+                       + 0.5) AS DOUBLE)) AS code
+              FROM enc),
+            q AS (SELECT vec_id AS query_id, v AS qraw FROM e
+                  WHERE vec_id < 8),
+            probes AS (
+              SELECT query_id, cluster FROM (
+                SELECT q.query_id, c.cid AS cluster,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY {_COS_SQL.format(a='q.qraw', b='c.cv')} DESC,
+                                  c.cid) AS rn
+                FROM q, cents c) WHERE rn <= 4),
+            scored AS (
+              SELECT p.query_id, cd.vec_id AS neighbor_id,
+                     list_dot_product(q.qraw, c.cv)
+                       + cd.scale * list_dot_product(q.qraw, cd.code)
+                       AS sim
+              FROM probes p
+              JOIN codes cd ON cd.cluster = p.cluster
+              JOIN cents c ON c.cid = p.cluster
+              JOIN q ON q.query_id = p.query_id
+              WHERE cd.vec_id != p.query_id)
+            SELECT query_id, neighbor_id, sim,
                    CAST(row_number() OVER (
                      PARTITION BY query_id ORDER BY sim DESC, neighbor_id
                    ) AS INTEGER) AS "rank"

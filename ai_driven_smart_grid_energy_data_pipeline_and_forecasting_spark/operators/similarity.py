@@ -466,6 +466,63 @@ def mips_threshold_pairs(
 # ------------------------------------------------------------ IVF probe
 
 
+def _head_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic id-ordered head-sample coarse quantizer shared by
+    the whole IVF family (fixed sample — Lloyd refinement is an
+    offline concern that changes centroid quality, not plan shape).
+    Returns (c_ids, c_mat) sorted by centroid id so argmax-first-max
+    ties resolve to the smallest id (the SQL ORDER BY convention)."""
+    cpdf = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .toPandas()
+    )
+    if len(cpdf) == 0:
+        raise ValueError(
+            f"no centroid rows: filter {id_col} < {n_centroids} matched "
+            "nothing (ids not starting at 0?) — supply a corpus whose id "
+            "head exists, or use the trained-KMeans variant"
+        )
+    order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
+    c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[order]
+    c_mat = _as_matrix(cpdf[vec_col], dims)[order]
+    return c_ids, c_mat
+
+
+def _angular_probes(
+    spark,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    c_ids: np.ndarray,
+    c_mat: np.ndarray,
+    c_norm: np.ndarray,
+    n_probe: int,
+) -> DataFrame:
+    """(query_id, cluster) probe table: each query's ``n_probe``
+    angular-nearest cells (cosine on raw vectors — assignment and
+    probing stay angular for every metric; ties by centroid id).
+    Tiny by construction (|Q|·n_probe rows) — always broadcast."""
+    probe_rows: list[tuple[int, int]] = []
+    if len(q_ids):
+        q_norm = _ordered_norms(q_mat)
+        qsim = _ordered_gemm(q_mat, c_mat) / np.multiply.outer(q_norm, c_norm)
+        for i in range(len(q_ids)):
+            top = np.lexsort((c_ids, -qsim[i]))[:n_probe]
+            probe_rows.extend((int(q_ids[i]), int(c_ids[j])) for j in top)
+    probes = spark.createDataFrame(
+        probe_rows or [(-1, -1)], "query_id long, cluster long"
+    )
+    if not probe_rows:
+        probes = probes.filter(F.lit(False))
+    return probes
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_filter: Column,
@@ -502,20 +559,7 @@ def ann_ivf_topk(
     alternative to ``cosine_threshold_pairs`` alongside
     ``ann_lsh_pairs``.
     """
-    cpdf = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .toPandas()
-    )
-    if len(cpdf) == 0:
-        raise ValueError(
-            f"no centroid rows: filter {id_col} < {n_centroids} matched "
-            "nothing (ids not starting at 0?) — supply a corpus whose id "
-            "head exists, or use the trained-KMeans variant"
-        )
-    c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
-    c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
-    c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
+    c_ids, c_mat = _head_centroids(emb, n_centroids, dims, id_col, vec_col)
     return _ivf_flow(
         emb, query_filter, c_ids, c_mat, k, n_probe, dims, id_col,
         vec_col, metric,
@@ -572,15 +616,7 @@ def _ivf_flow(
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = _as_matrix(qpdf[vec_col], dims)
     q_norm = _ordered_norms(q_mat) if len(q_ids) else np.empty(0)
-    probe_rows = []
-    if len(q_ids):
-        qsim = _ordered_gemm(q_mat, c_mat) / np.multiply.outer(q_norm, c_norm)
-        for i in range(len(q_ids)):
-            top = np.lexsort((c_ids, -qsim[i]))[:n_probe]
-            probe_rows.extend((int(q_ids[i]), int(c_ids[j])) for j in top)
-    probes = spark.createDataFrame(probe_rows or [(-1, -1)], "query_id long, cluster long")
-    if not probe_rows:
-        probes = probes.filter(F.lit(False))
+    probes = _angular_probes(spark, q_ids, q_mat, c_ids, c_mat, c_norm, n_probe)
     bc_q = spark.sparkContext.broadcast(
         {int(q_ids[i]): (q_mat[i], float(q_norm[i])) for i in range(len(q_ids))}
     )
@@ -1460,20 +1496,7 @@ def ivf_sq8_mips_topk(
     embedding column) and quantized locally; per-vector scale makes
     subset quantization bit-identical."""
     spark = emb.sparkSession
-    cpdf = (
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .toPandas()
-    )
-    if len(cpdf) == 0:
-        raise ValueError(
-            f"no centroid rows: filter {id_col} < {n_centroids} matched "
-            "nothing (ids not starting at 0?) — supply a corpus whose id "
-            "head exists, or use the trained-KMeans variant"
-        )
-    c_order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
-    c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[c_order]
-    c_mat = _as_matrix(cpdf[vec_col], dims)[c_order]
+    c_ids, c_mat = _head_centroids(emb, n_centroids, dims, id_col, vec_col)
     c_norm = _ordered_norms(c_mat)
     bc_c = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
 
@@ -1510,20 +1533,7 @@ def ivf_sq8_mips_topk(
     qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = _as_matrix(qpdf[vec_col], dims)
-    probe_rows: list[tuple[int, int]] = []
-    if len(q_ids):
-        q_norm = _ordered_norms(q_mat)
-        qsim = _ordered_gemm(q_mat, c_mat) / np.multiply.outer(q_norm, c_norm)
-        for i in range(len(q_ids)):
-            top = np.lexsort((c_ids, -qsim[i]))[:n_probe]
-            probe_rows.extend(
-                (int(q_ids[i]), int(c_ids[j])) for j in top
-            )
-    probes = spark.createDataFrame(
-        probe_rows or [(-1, -1)], "query_id long, cluster long"
-    )
-    if not probe_rows:
-        probes = probes.filter(F.lit(False))
+    probes = _angular_probes(spark, q_ids, q_mat, c_ids, c_mat, c_norm, n_probe)
     # queries quantized locally with the identical kernel arithmetic
     q_scale = (
         np.abs(q_mat).max(axis=1) / 127.0
@@ -1575,6 +1585,136 @@ def ivf_sq8_mips_topk(
 
     scored = cand.mapInPandas(
         score, "query_id long, neighbor_id long, int_dot long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_sq8r_mips_topk(
+    emb: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-SQ8 MIPS top-k with RESIDUAL encoding (r13): the FAISS
+    ``by_residual`` convention — each cell stores int8 codes of the
+    residual ``r = x − c(x)`` instead of the raw vector, and scoring
+    uses the exact decomposition ``q·x = q·c(x) + q·r`` with only the
+    residual term approximated:
+
+        sim = q·c  +  scale_r · (q · codes_r)
+
+    (IVFADC's identity with the residual codebook swapped for a
+    scalar quantizer). Asymmetric by design: queries stay RAW doubles
+    — the standard ADC convention — so residual quantization is the
+    ONLY approximation, and a vector that equals its centroid (r = 0,
+    scale 0, codes 0) scores EXACTLY q·x; with the centroid head as
+    the whole corpus this recovers exact MIPS bit-for-bit
+    (identity-tested, the ADC exact-representability pattern).
+
+    Still FULLY hash-exact in SQL: r is one elementwise double
+    subtract (``list_transform(list_zip(v, cv), x -> x[1] - x[2])``),
+    the quantizer is the audited half-up ``floor(r/s + 0.5)``, and
+    the two dots are left-fold ``list_dot_product`` against
+    integer-valued-double codes — every step the same IEEE ops on
+    both engines, pinned as ``q·c + scale · (q·codes)``.
+
+    Scale shape identical to ``ivf_sq8_mips_topk``: one streamed pass
+    fuses assignment + residual encoding (centroids broadcast, raw
+    vectors never shuffled — only codes ride the probe join), probes
+    broadcast, candidates are the probed fraction, one rank window.
+    Versus the symmetric variant this buys finer codes (residual
+    ranges shrink with cell coherence — the reason FAISS defaults
+    IVF indexes to residual encoding) at the cost of one centroid
+    lookup per candidate at score time (the centroid matrix rides
+    the same broadcast as the query rows)."""
+    spark = emb.sparkSession
+    c_ids, c_mat = _head_centroids(emb, n_centroids, dims, id_col, vec_col)
+    c_norm = _ordered_norms(c_mat)
+    bc_c = spark.sparkContext.broadcast((c_ids, c_mat, c_norm))
+
+    def assign_encode(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        ids_c, mc, nc = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mx = _as_matrix(pdf[vec_col], dims)
+            nx = _ordered_norms(mx)
+            csim = _ordered_gemm(mx, mc) / np.multiply.outer(nx, nc)
+            a = np.argmax(csim, axis=1)  # first max = smallest cid
+            r = mx - mc[a]  # exact: one elementwise double subtract
+            scale = np.abs(r).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            codes = np.floor(r / safe[:, None] + 0.5).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cluster": ids_c[a],
+                    "scale": scale,
+                    "codes": list(codes),
+                }
+            )
+
+    assigned = emb.select(id_col, vec_col).mapInPandas(
+        assign_encode,
+        "neighbor_id long, cluster long, scale double, codes array<int>",
+    )
+
+    qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = _as_matrix(qpdf[vec_col], dims)
+    probes = _angular_probes(spark, q_ids, q_mat, c_ids, c_mat, c_norm, n_probe)
+    # asymmetric ADC: queries broadcast RAW (never quantized)
+    bc_q = spark.sparkContext.broadcast(
+        {int(q_ids[i]): q_mat[i] for i in range(len(q_ids))}
+    )
+
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qmap = bc_q.value
+        ids_c, mc, _ = bc_c.value
+        row_of = {int(c): i for i, c in enumerate(ids_c)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.stack([qmap[q] for q in pdf["query_id"]])
+            crows = mc[[row_of[int(c)] for c in pdf["cluster"]]]
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float64)
+            ns = pdf["scale"].to_numpy(dtype=np.float64)
+            # pinned order: q·c + scale · (q·codes) — the oracle SQL
+            # parenthesizes identically; both dots are left folds
+            sim = _ordered_rowdot(qm, crows) + ns * _ordered_rowdot(
+                qm, codes
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(
+                        dtype=np.int64
+                    ),
+                    "sim": sim,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.col("neighbor_id")

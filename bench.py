@@ -255,6 +255,7 @@ HEADLINE = [
     "ann_mips_lsh_pairs",
     # r13 additions
     "ann_ivf_sq8_mips_topk",
+    "ann_ivf_sq8r_mips_topk",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

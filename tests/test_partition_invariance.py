@@ -123,6 +123,7 @@ NEW_R5 = [
     "ann_mips_lsh_pairs",
     # round 13
     "ann_ivf_sq8_mips_topk",
+    "ann_ivf_sq8r_mips_topk",
 ]
 
 

@@ -310,6 +310,140 @@ def test_ivf_sq8_guards_and_zero_vector(spark):
     assert [tuple(r) for r in with_emb] == [tuple(r) for r in plain]
 
 
+# ------------------------------- IVF-SQ8 residual variant (by_residual)
+
+
+def test_ivf_sq8r_exact_when_corpus_is_centroid_head(spark):
+    # the ADC exact-representability identity: when every corpus
+    # vector IS a centroid, r = 0 -> scale 0 -> codes 0 -> sim is
+    # EXACTLY q·c = q·x, so the result must equal exact brute-force
+    # MIPS bit-for-bit (residual quantization is the ONLY
+    # approximation in the kernel)
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ivf_sq8r_mips_topk,
+    )
+
+    dims = 8
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dims).astype("float32")])
+        for i in range(12)
+    ]
+    emb = _emb_df(spark, rows)
+    got = ivf_sq8r_mips_topk(
+        emb, F.col("vec_id") < 4, k=3, n_centroids=12, n_probe=12,
+        dims=dims,
+    ).toPandas()
+    want = ann_bruteforce_topk(
+        emb, F.col("vec_id") < 4, k=3, dims=dims, metric="dot"
+    ).toPandas()
+    assert list(got["query_id"]) == list(want["query_id"])
+    assert list(got["neighbor_id"]) == list(want["neighbor_id"])
+    assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
+
+
+def test_ivf_sq8r_residual_beats_symmetric_on_coherent_cells(spark):
+    # the reason FAISS defaults to residual encoding: inside a
+    # coherent cell the residual range is much smaller than the raw
+    # range, so the same 8 bits quantize finer. Build clustered data
+    # (tight blobs around far-apart centers) and compare per-pair
+    # reconstruction-style sim error against the exact dot — the
+    # residual variant must be strictly more accurate in aggregate.
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ivf_sq8_mips_topk,
+        ivf_sq8r_mips_topk,
+    )
+
+    dims = 8
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, dims)) * 10.0
+    rows = []
+    for i in range(40):
+        c = centers[i % 4]
+        rows.append(
+            (i, [float(x) for x in (c + rng.normal(size=dims) * 0.05)])
+        )
+    emb = _emb_df(spark, rows)
+    qf = F.col("vec_id") < 4  # the four earliest rows, one per blob
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ann_bruteforce_topk(
+            emb, qf, k=40, dims=dims, metric="dot"
+        ).collect()
+    }
+
+    def total_err(df):
+        return sum(
+            abs(r["sim"] - exact[(r["query_id"], r["neighbor_id"])])
+            for r in df.collect()
+        )
+
+    # exhaustive probing isolates quantization error from cell recall
+    e_sym = total_err(
+        ivf_sq8_mips_topk(
+            emb, qf, k=40, n_centroids=4, n_probe=4, dims=dims
+        )
+    )
+    e_res = total_err(
+        ivf_sq8r_mips_topk(
+            emb, qf, k=40, n_centroids=4, n_probe=4, dims=dims
+        )
+    )
+    assert e_res < e_sym / 10.0, (e_res, e_sym)
+
+
+@pytest.mark.parametrize("n_probe", [1, 4, 16])
+def test_ivf_sq8r_param_sweep(spark, n_probe):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ivf_sq8r_mips_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivf_sq8r_mips_topk(
+        emb, F.col("vec_id") < 5, k=3, n_centroids=16, n_probe=n_probe
+    ).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+        sims = grp["sim"].to_numpy()
+        assert (sims[:-1] >= sims[1:]).all()
+        assert (grp["neighbor_id"] != qid).all()
+
+
+def test_ivf_sq8r_guards(spark):
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ivf_sq8r_mips_topk,
+    )
+
+    dims = 8
+    shifted = _emb_df(
+        spark, [(1000 + i, [float(i + 1)] * dims) for i in range(6)]
+    )
+    with pytest.raises(ValueError, match="no centroid rows"):
+        ivf_sq8r_mips_topk(
+            shifted, F.col("vec_id") < 1002, k=2, n_centroids=4,
+            n_probe=2, dims=dims,
+        )
+    # family contract: query_filter may reference the embedding column
+    emb64 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plain = ivf_sq8r_mips_topk(emb64, F.col("vec_id") < 3, k=2).collect()
+    with_emb = ivf_sq8r_mips_topk(
+        emb64, (F.col("vec_id") < 3) & (F.size(F.col("embedding")) == 64),
+        k=2,
+    ).collect()
+    assert [tuple(r) for r in with_emb] == [tuple(r) for r in plain]
+
+
 def test_hot_bucket_cap_costs_no_extra_shuffle(spark):
     # the guard's window count partitions on the same (band, bv) key
     # the aggregation shuffles on — Catalyst reuses the exchange, so
