@@ -80,6 +80,28 @@ def cosine(a: Column, b: Column) -> Column:
 # ----------------------------------------------- ordered numpy kernels
 
 
+def _batch_topk_cut(
+    qids: np.ndarray, nids: np.ndarray, sim: np.ndarray, k: int
+) -> np.ndarray:
+    """Row indices of each query's top-k WITHIN one Arrow batch of
+    row-paired (query, neighbor, sim) candidates, under the engines'
+    total order: sim desc with NaN ranked ABOVE +inf (Spark and DuckDB
+    both sort NaN greatest, so a pre-cut that dropped NaN rows would
+    diverge from the rank window on degenerate inputs), ties by
+    neighbor id asc. The global top-k under the same order is a
+    subset of the union of per-batch cuts, so the downstream window
+    sees ≤ |Q|·k rows per task instead of the whole probed fraction —
+    at a 10⁹-row corpus the uncut plan concentrates one query's
+    every candidate in a single window partition."""
+    key = np.where(np.isnan(sim), -np.inf, -sim)
+    order = np.lexsort((nids, key, qids))
+    sq = qids[order]
+    starts = np.r_[0, np.flatnonzero(sq[1:] != sq[:-1]) + 1]
+    sizes = np.diff(np.r_[starts, len(sq)])
+    ranks = np.arange(len(sq)) - np.repeat(starts, sizes)
+    return order[ranks < k]
+
+
 def _as_matrix(col: pd.Series, dims: int) -> np.ndarray:
     """Stack an Arrow list<float> column into an (n, dims) float64
     matrix — float32→float64 widening matches Spark's cast."""
@@ -639,11 +661,16 @@ def _ivf_flow(
                 nx = _ordered_norms(mx)
                 qn = np.asarray([qmap[q][1] for q in pdf["query_id"]])
                 sim = sim / (qn * nx)
+            qid = pdf["query_id"].to_numpy(dtype=np.int64)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            # per-batch ≤ Q·k cut (r13): same discipline as the
+            # bruteforce/PQ/ADC kernels — see _batch_topk_cut
+            keep = _batch_topk_cut(qid, nid, sim, k)
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
-                    "sim": sim,
+                    "query_id": qid[keep],
+                    "neighbor_id": nid[keep],
+                    "sim": sim[keep],
                 }
             )
 
@@ -1572,14 +1599,15 @@ def ivf_sq8_mips_topk(
             # pinned order: (scale_x · scale_q) first, then · dot —
             # the oracle SQL parenthesizes identically
             sim = (ns * qs) * d.astype(np.float64)
+            qid = pdf["query_id"].to_numpy(dtype=np.int64)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            keep = _batch_topk_cut(qid, nid, sim, k)  # ≤ Q·k per batch
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(
-                        dtype=np.int64
-                    ),
-                    "int_dot": d,
-                    "sim": sim,
+                    "query_id": qid[keep],
+                    "neighbor_id": nid[keep],
+                    "int_dot": d[keep],
+                    "sim": sim[keep],
                 }
             )
 
@@ -1703,13 +1731,14 @@ def ivf_sq8r_mips_topk(
             sim = _ordered_rowdot(qm, crows) + ns * _ordered_rowdot(
                 qm, codes
             )
+            qid = pdf["query_id"].to_numpy(dtype=np.int64)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            keep = _batch_topk_cut(qid, nid, sim, k)  # ≤ Q·k per batch
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(
-                        dtype=np.int64
-                    ),
-                    "sim": sim,
+                    "query_id": qid[keep],
+                    "neighbor_id": nid[keep],
+                    "sim": sim[keep],
                 }
             )
 

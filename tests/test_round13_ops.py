@@ -310,6 +310,35 @@ def test_ivf_sq8_guards_and_zero_vector(spark):
     assert [tuple(r) for r in with_emb] == [tuple(r) for r in plain]
 
 
+def test_batch_topk_cut_semantics():
+    # the per-batch candidate cut must reproduce the engines' total
+    # order exactly: sim desc with NaN ranked ABOVE +inf (Spark and
+    # DuckDB both sort NaN greatest), ties by neighbor id asc — a cut
+    # that dropped NaN rows would silently diverge from the rank
+    # window on degenerate (zero-norm cosine) inputs
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        _batch_topk_cut,
+    )
+
+    qids = np.array([1, 1, 1, 1, 2, 2, 2], dtype=np.int64)
+    nids = np.array([10, 11, 12, 13, 20, 21, 22], dtype=np.int64)
+    sim = np.array([0.5, np.nan, np.inf, 0.5, 1.0, 1.0, 2.0])
+    keep = _batch_topk_cut(qids, nids, sim, k=2)
+    got = sorted(zip(qids[keep], nids[keep]))
+    # query 1: NaN (nid 11) outranks +inf (nid 12); the 0.5 tie never
+    # reaches k. query 2: 2.0 first, then the 1.0 tie resolves to the
+    # smaller nid 20.
+    assert got == [(1, 11), (1, 12), (2, 20), (2, 22)]
+    # k larger than any group keeps everything
+    assert len(_batch_topk_cut(qids, nids, sim, k=10)) == len(sim)
+    # tie at the boundary: equal sims cut by id asc
+    t_q = np.zeros(3, dtype=np.int64)
+    t_n = np.array([7, 3, 5], dtype=np.int64)
+    t_s = np.array([1.0, 1.0, 1.0])
+    kept = _batch_topk_cut(t_q, t_n, t_s, k=2)
+    assert sorted(t_n[kept]) == [3, 5]
+
+
 # ------------------------------- IVF-SQ8 residual variant (by_residual)
 
 
