@@ -473,6 +473,93 @@ def test_ivf_sq8r_guards(spark):
     assert [tuple(r) for r in with_emb] == [tuple(r) for r in plain]
 
 
+# --------------------------------------------- hypothesis differentials
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# float32-exact components plus one inexact value (0.3) so the
+# double-widening paths are exercised, not just bit-trivial inputs
+_COMP13 = st.sampled_from([-1.0, -0.5, 0.0, 0.25, 0.3, 0.5, 1.0])
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(_COMP13, min_size=8, max_size=8), min_size=2, max_size=10
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_ivf_sq8_exhaustive_identity_property(spark, vecs, k):
+    # for ANY corpus: probing every cell makes the coarse stage a
+    # no-op, so IVF-SQ8 == flat int8 scan bit-for-bit
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_int8_mips_topk,
+        ivf_sq8_mips_topk,
+    )
+
+    rows = list(enumerate(vecs))
+    emb = _emb_df(spark, rows)
+    n_q = min(2, len(rows))
+    nc = len(rows)
+    got = [
+        tuple(r)
+        for r in ivf_sq8_mips_topk(
+            emb, F.col("vec_id") < n_q, k=k, n_centroids=nc, n_probe=nc,
+            dims=8,
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ann_int8_mips_topk(
+            emb, F.col("vec_id") < n_q, k=k, dims=8
+        ).collect()
+    ]
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(_COMP13, min_size=8, max_size=8), min_size=2, max_size=10
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_ivf_sq8r_exactness_identity_property(spark, vecs, k):
+    # for ANY corpus that IS the centroid head: r = 0 everywhere, so
+    # the residual variant equals exact brute-force MIPS bit-for-bit
+    # (sim columns compare exactly; sq8r has no int_dot column)
+    from pyspark.sql import functions as F
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ivf_sq8r_mips_topk,
+    )
+
+    rows = list(enumerate(vecs))
+    emb = _emb_df(spark, rows)
+    n_q = min(2, len(rows))
+    nc = len(rows)
+    got = [
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in ivf_sq8r_mips_topk(
+            emb, F.col("vec_id") < n_q, k=k, n_centroids=nc, n_probe=nc,
+            dims=8,
+        ).collect()
+    ]
+    want = [
+        (r["query_id"], r["neighbor_id"], r["sim"])
+        for r in ann_bruteforce_topk(
+            emb, F.col("vec_id") < n_q, k=k, dims=8, metric="dot"
+        ).collect()
+    ]
+    assert got == want
+
+
 def test_hot_bucket_cap_costs_no_extra_shuffle(spark):
     # the guard's window count partitions on the same (band, bv) key
     # the aggregation shuffles on — Catalyst reuses the exchange, so
