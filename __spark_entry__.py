@@ -4272,6 +4272,36 @@ def _cos_bands_cte() -> str:
     return "\n              UNION ALL\n              ".join(rows)
 
 
+def _cos_lsh_sql(threshold: float, max_bucket: int) -> str:
+    """DuckDB twin of ``similarity.ann_lsh_pairs`` with the r13
+    hot-bucket guard: bands generated from the kernel constants, the
+    identical count-threshold skip rule (HAVING), SRP candidate join,
+    exact cosine verify. Parameterized so the firing-cap parity test
+    can run it with a small cap on an adversarial corpus — the
+    registered entry uses LSH_MAX_BUCKET."""
+    return (
+        _srp_sig_sql()
+        + f""",
+            bands AS (
+              {_cos_bands_cte()}),
+            ok AS (SELECT band, bv FROM bands GROUP BY band, bv
+                   HAVING count(*) <= {max_bucket}),
+            cands AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
+              JOIN ok ON a.band = ok.band AND a.bv = ok.bv)
+            SELECT vec_a, vec_b,
+                   {_COS_SQL.format(a='sa.v', b='sb.v')} AS sim
+            FROM cands
+            JOIN sig sa ON vec_a = sa.vec_id
+            JOIN sig sb ON vec_b = sb.vec_id
+            WHERE {_COS_SQL.format(a='sa.v', b='sb.v')} >= {threshold}
+            ORDER BY vec_a, vec_b
+        """
+    )
+
+
 _LANG_HITS = {
     lang: f"len(list_filter({_TOKS}, t -> list_contains({words!r}, t)))"
     for lang, words in TX.LANG_PROFILES.items()
@@ -7105,25 +7135,7 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE c2.vec_id IS NULL
             ORDER BY emb.vec_id
         """,
-        "ann_lsh_pairs": _srp_sig_sql()
-        + f""",
-            bands AS (
-              {_cos_bands_cte()}),
-            ok AS (SELECT band, bv FROM bands GROUP BY band, bv
-                   HAVING count(*) <= {S.LSH_MAX_BUCKET}),
-            cands AS (
-              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id
-              JOIN ok ON a.band = ok.band AND a.bv = ok.bv)
-            SELECT vec_a, vec_b,
-                   {_COS_SQL.format(a='sa.v', b='sb.v')} AS sim
-            FROM cands
-            JOIN sig sa ON vec_a = sa.vec_id
-            JOIN sig sb ON vec_b = sb.vec_id
-            WHERE {_COS_SQL.format(a='sa.v', b='sb.v')} >= 0.2
-            ORDER BY vec_a, vec_b
-        """,
+        "ann_lsh_pairs": _cos_lsh_sql(0.2, S.LSH_MAX_BUCKET),
         # gold math mirrors plans/gold.py with identical association order
         "gold_features": """
             SELECT event_type AS site,

@@ -473,6 +473,55 @@ def test_ivf_sq8r_guards(spark):
     assert [tuple(r) for r in with_emb] == [tuple(r) for r in plain]
 
 
+def test_hot_bucket_cap_oracle_parity_when_firing(spark):
+    # the sf0.001/sf0.01 corpora never trip the 4096 cap, so the
+    # registered oracle differentials only prove the NON-firing path.
+    # This test pins kernel and SQL twin LOCK-STEP when the guard
+    # FIRES: an adversarial corpus (30 identical max-norm vectors +
+    # healthy pairs) with cap 20 must drop the same buckets on both
+    # engines, bit-for-bit.
+    import duckdb
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        ann_lsh_pairs,
+        mips_lsh_pairs,
+    )
+
+    dims = 64
+    hot = [(i, [2.0] + [0.0] * (dims - 1)) for i in range(30)]
+    cold = [
+        (100, [0.0, 0.0, 2.0] + [0.0] * (dims - 3)),
+        (101, [0.0, 0.0, 2.0] + [0.0] * (dims - 3)),
+        (102, [0.0, 0.0, 0.0, 2.0] + [0.0] * (dims - 4)),
+    ]
+    emb = _emb_df(spark, hot + cold)
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+
+    got = ann_lsh_pairs(
+        emb, dims=dims, threshold=0.2, max_bucket=20
+    ).toPandas()
+    want = con.execute(entry_mod._cos_lsh_sql(0.2, 20)).fetchdf()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    got_m = mips_lsh_pairs(
+        emb, dims=dims, threshold=3.0, max_bucket=20
+    ).toPandas()
+    want_m = con.execute(
+        entry_mod._mips_lsh_sql(3.0, max_bucket=20)
+    ).fetchdf()
+    assert len(got_m) == len(want_m) > 0
+    for c in got_m.columns:
+        assert (got_m[c].to_numpy() == want_m[c].to_numpy()).all(), c
+    # and the guard genuinely fired: uncapped finds the hot pairs too
+    assert (
+        mips_lsh_pairs(emb, dims=dims, threshold=3.0).count()
+        > len(got_m)
+    )
+
+
 # --------------------------------------------- hypothesis differentials
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
