@@ -1319,7 +1319,9 @@ def quantize_embeddings(
 ) -> DataFrame:
     """Symmetric int8 scalar quantization per vector — the embedding-
     compression step a 100 TB vector corpus runs before serving (4×
-    smaller, distance error bounded by scale/2 per dim).
+    smaller once the codes are packed as binary; the array<int>
+    schema here trades that width for bit-portable semantics —
+    distance error bounded by scale/2 per dim either way).
 
     scale = max|v| / 127; q = floor(v/scale + 0.5) (explicit
     round-half-up — numpy's rint is half-even and DuckDB's round is
@@ -1513,9 +1515,9 @@ def ivf_sq8_mips_topk(
 
     Scale shape: ONE streamed corpus pass fuses assignment and
     quantization (centroids broadcast; raw vectors are read once and
-    never shuffled — only the 4×-smaller codes ride the probe join;
-    a production layout would pack them as binary for the full 4×,
-    the array<int> schema here keeps the semantics bit-portable),
+    never shuffled — only codes ride the probe join; the array<int>
+    schema keeps the semantics bit-portable, a production layout
+    packs the int8 codes as binary for the actual 4× width saving),
     (query, cluster) probes broadcast, candidates = the probed
     n_probe/n_centroids fraction of each cell, one rank window over
     candidate rows. Queries are selected from ``emb`` by
