@@ -2534,6 +2534,17 @@ def q_forecast_eval(spark, sf_dir):
     return G.forecast_accuracy(fc, feats)
 
 
+def q_forecast_backtest(spark, sf_dir):
+    # Rolling-origin backtest (new r13): time-series cross-validation
+    # of the seasonal-naive model — 4 disjoint 24h test windows tiled
+    # back from the series' max hour, leakage-free (horizon <= season
+    # enforced), seasonal lag as a TIME join so series gaps yield no
+    # forecast instead of a shifted one. Per (site, var, fold) MAE/
+    # RMSE/bias rounded to 4 decimals (family convention).
+    feats = _pseudo_features_hourly(spark, sf_dir)
+    return G.rolling_backtest(feats, n_folds=4, horizon_h=24, season_h=24)
+
+
 def q_forecast_sarimax(spark, sf_dir):
     # Gold mart_forecast model='sarimax' via groupBy().applyInPandas —
     # per-(site,var) model fit; not SQL-expressible, rows-only check
@@ -3961,6 +3972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_quantization": q_embedding_quantization,
         "forecast_eval": q_forecast_eval,
+        # --- new r13: rolling-origin backtest --------------------------------
+        "forecast_backtest": q_forecast_backtest,
         "order_priority_sql": q_order_priority_sql,
         "media_stats": q_media_stats,
         "media_frame_sample": q_media_frame_sample,
@@ -8433,6 +8446,38 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY query_id, "rank"
         """,
         "forecast_mllib": _mllib_oracle_sql(),
+        # rolling-origin backtest (r13): folds tile back from the max
+        # hour; seasonal lag is a TIME join (gaps drop out); epoch
+        # diffs are hour-multiples so the floor is exact
+        "forecast_backtest": _PSEUDO_FEATURES_CTE
+        + """,
+            mxx AS (SELECT max(ts_utc) AS mxts FROM long),
+            fcast AS (SELECT site, var,
+                             ts_utc + INTERVAL 24 HOUR AS ts_utc,
+                             y AS yhat
+                      FROM long),
+            joined AS (
+              SELECT l.site, l.var, l.y, f.yhat,
+                     CAST(floor((epoch(m.mxts) - epoch(l.ts_utc))
+                                / 86400.0) AS BIGINT) AS kk
+              FROM long l
+              JOIN fcast f ON f.site = l.site AND f.var = l.var
+                          AND f.ts_utc = l.ts_utc
+              CROSS JOIN mxx m)
+            SELECT site, var, CAST(4 - kk AS INTEGER) AS fold,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(abs(yhat - y) AS DECIMAL(30,15)))
+                              AS DOUBLE) / count(*), 4) AS mae,
+                   round(sqrt(CAST(sum(CAST((yhat - y) * (yhat - y)
+                                            AS DECIMAL(30,15)))
+                                   AS DOUBLE) / count(*)), 4) AS rmse,
+                   round(CAST(sum(CAST(yhat - y AS DECIMAL(30,15)))
+                              AS DOUBLE) / count(*), 4) AS bias
+            FROM joined
+            WHERE kk >= 0 AND kk < 4
+            GROUP BY site, var, fold
+            ORDER BY site, var, fold
+        """,
         "forecast_eval": _PSEUDO_FEATURES_CTE
         + """,
             fc AS (

@@ -159,6 +159,102 @@ def forecast_accuracy(forecast: DataFrame, features: DataFrame) -> DataFrame:
     )
 
 
+def rolling_backtest(
+    features: DataFrame,
+    n_folds: int = 4,
+    horizon_h: int = 24,
+    season_h: int = 24,
+) -> DataFrame:
+    """Rolling-origin backtest — time-series cross-validation of the
+    seasonal-naive forecaster, the standard out-of-sample evaluation a
+    forecasting pipeline runs before trusting a model (Tashman 2000;
+    Hyndman & Athanasopoulos fpp3 §5.10). The reference's roadmap
+    stops at a single forecast-vs-actual join (``forecast_accuracy``);
+    this adds the multi-origin protocol: the last
+    ``n_folds·horizon_h`` hours are tiled into ``n_folds`` disjoint
+    test windows anchored at the series' global max hour, and fold f
+    evaluates ŷ(t) = y(t − season_h h) over its window.
+
+    Leakage-free by construction: ``horizon_h ≤ season_h`` is
+    enforced, so every forecast reads an actual at or before the
+    fold's origin — no fold trains on its own test window. The
+    seasonal lag is a TIME-based self-join on the hour-aligned key
+    (site, var, ts − season_h), not a row lag: a gap in the series
+    yields no forecast for the orphaned hour (counted via ``n``)
+    instead of a silently shifted one.
+
+    Per (site, var, fold): matched-point count, MAE, RMSE, bias
+    (mean error), rounded to 4 decimals. The means divide EXACT
+    decimal(30,15) sums (the ``det_mean`` convention) rather than
+    averaging doubles: a plain ``avg`` differs between engines by
+    fold order, and on this very dataset the sf0.01 bias lands within
+    an ulp of the −0.01495 rounding boundary — Spark published
+    −0.0150, DuckDB −0.0149. Exact sums make both engines round the
+    identical double, and the result partition-invariant. (Each term
+    is itself bit-identical cross-engine — one subtract/multiply of
+    the same operands — so the only approximation is the 1e-15
+    decimal quantization of each term, far below the 4-decimal
+    output.)
+
+    Scale: the lag join is an equi-join on (site, var, hour) —
+    co-located under site partitioning exactly like
+    ``forecast_accuracy``; fold assignment is pure arithmetic against
+    ONE broadcast max-ts row; the final agg emits
+    sites·vars·n_folds rows."""
+    if horizon_h > season_h:
+        raise ValueError(
+            f"horizon_h ({horizon_h}) must be <= season_h ({season_h}): "
+            "a longer horizon would read actuals past the fold origin "
+            "(train-on-test leakage)"
+        )
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    long = features.select(
+        "site",
+        "ts_utc",
+        F.col("pv_est_mwh").alias("pv"),
+        F.col("wind_est_mwh").alias("wind"),
+    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    mx = long.agg(F.max("ts_utc").alias("_mx"))
+    lagged = long.select(
+        "site",
+        "var",
+        (
+            F.col("ts_utc") + F.expr(f"INTERVAL {int(season_h)} HOURS")
+        ).alias("ts_utc"),
+        F.col("y").alias("yhat"),
+    )
+    j = long.join(lagged, ["site", "var", "ts_utc"]).crossJoin(
+        F.broadcast(mx)
+    )
+    # window index back from the anchor: k = 0 is the newest window
+    # (origin_max−H, origin_max]; fold numbers run oldest-first 1..F
+    k = F.floor(
+        (F.unix_timestamp("_mx") - F.unix_timestamp("ts_utc"))
+        / F.lit(3600 * int(horizon_h))
+    )
+    err = F.col("yhat") - F.col("y")
+    dec = lambda c: c.cast("decimal(30,15)")  # noqa: E731 — exact sum carrier
+    n_ = F.count(F.lit(1))
+    return (
+        j.withColumn("_k", k)
+        .filter((F.col("_k") >= 0) & (F.col("_k") < n_folds))
+        .withColumn("fold", (F.lit(n_folds) - F.col("_k")).cast("int"))
+        .groupBy("site", "var", "fold")
+        .agg(
+            n_.alias("n"),
+            F.round(
+                F.sum(dec(F.abs(err))).cast("double") / n_, 4
+            ).alias("mae"),
+            F.round(
+                F.sqrt(F.sum(dec(err * err)).cast("double") / n_), 4
+            ).alias("rmse"),
+            F.round(F.sum(dec(err)).cast("double") / n_, 4).alias("bias"),
+        )
+        .orderBy("site", "var", "fold")
+    )
+
+
 def rolling_features(
     fact: DataFrame,
     value_col: str = "ghi_wm2",

@@ -256,6 +256,7 @@ HEADLINE = [
     # r13 additions
     "ann_ivf_sq8_mips_topk",
     "ann_ivf_sq8r_mips_topk",
+    "forecast_backtest",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

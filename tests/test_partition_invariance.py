@@ -124,6 +124,7 @@ NEW_R5 = [
     # round 13
     "ann_ivf_sq8_mips_topk",
     "ann_ivf_sq8r_mips_topk",
+    "forecast_backtest",
 ]
 
 
