@@ -2243,6 +2243,19 @@ def q_ann_int8_mips_topk(spark, sf_dir):
     return S.ann_int8_mips_topk(emb, F.col("vec_id") < 8, k=5)
 
 
+def q_ann_int8_packed_mips_topk(spark, sf_dir):
+    # Binary-packed int8 MIPS top-5 (new r14): the same flat SQ8 scan
+    # with the code column in the FAISS storage layout — ONE byte/dim
+    # two's-complement binary instead of array<int> (the actual 4×
+    # width saving for persisted code tables; measured in SCALE.md).
+    # _unpack_codes is the exact inverse of _pack_codes, so every
+    # scored row is bit-identical to ann_int8_mips_topk
+    # (identity-tested) and this entry shares its full hash-exact
+    # oracle verbatim.
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_int8_mips_topk(emb, F.col("vec_id") < 8, k=5, packed=True)
+
+
 def q_ann_ivf_sq8_mips_topk(spark, sf_dir):
     # IVF-SQ8 MIPS top-5 (new r13): the other standard FAISS
     # deployment shape (IVF16,SQ8 + METRIC_INNER_PRODUCT) — angular
@@ -2543,6 +2556,20 @@ def q_forecast_backtest(spark, sf_dir):
     # RMSE/bias rounded to 4 decimals (family convention).
     feats = _pseudo_features_hourly(spark, sf_dir)
     return G.rolling_backtest(feats, n_folds=4, horizon_h=24, season_h=24)
+
+
+def q_forecast_champion(spark, sf_dir):
+    # Model-selection leaderboard (new r14): the champion step the
+    # reference's multi-model mart_forecast DDL implies (init.sql:61-73
+    # declares a model column but nothing ever SELECTS a winner) — the
+    # rolling_backtest protocol run for three SQL-exact forecasters
+    # (snaive_24, snaive_168 weekly, hod_mean climatology with
+    # per-fold train cutoff), ranked per (site, var) by det_mean of
+    # fold MAEs; rank 1 = champion, ties name-deterministic. Fully
+    # hash-exact oracle (chained CTEs over the backtest SQL); the
+    # iteratively-fitted models stay on their invariant-audit entries.
+    feats = _pseudo_features_hourly(spark, sf_dir)
+    return G.model_leaderboard(feats, n_folds=4, horizon_h=24)
 
 
 def q_forecast_sarimax(spark, sf_dir):
@@ -3974,6 +4001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_eval": q_forecast_eval,
         # --- new r13: rolling-origin backtest --------------------------------
         "forecast_backtest": q_forecast_backtest,
+        "forecast_champion": q_forecast_champion,
         "order_priority_sql": q_order_priority_sql,
         "media_stats": q_media_stats,
         "media_frame_sample": q_media_frame_sample,
@@ -4005,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_mips_recall_audit": q_pq_mips_recall_audit,
         "ivfadc_mips_recall_audit": q_ivfadc_mips_recall_audit,
         "ann_int8_mips_topk": q_ann_int8_mips_topk,
+        "ann_int8_packed_mips_topk": q_ann_int8_packed_mips_topk,
         # --- new r13: IVF-SQ8 MIPS, symmetric + residual (r12 Next #6) -------
         "ann_ivf_sq8_mips_topk": q_ann_ivf_sq8_mips_topk,
         "ann_ivf_sq8r_mips_topk": q_ann_ivf_sq8r_mips_topk,
@@ -4905,6 +4934,12 @@ def oracle_sql() -> dict[str, str]:
     # corpus BY CONTRACT — so the inline oracle certifies the
     # composed persist→append→probe path verbatim
     d["doc_search_indexed"] = d["doc_search_bm25"]
+    # binary-packed code layout (r14): packed=True changes ONLY the
+    # storage of the code column (_unpack_codes ∘ _pack_codes ≡ id,
+    # identity-tested incl. ±127) — scored rows are bit-identical, so
+    # the array-layout hash-exact oracle certifies the packed path
+    # verbatim
+    d["ann_int8_packed_mips_topk"] = d["ann_int8_mips_topk"]
     return d
 
 
@@ -8477,6 +8512,69 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE kk >= 0 AND kk < 4
             GROUP BY site, var, fold
             ORDER BY site, var, fold
+        """,
+        # champion leaderboard (r14): the backtest CTEs widened to a
+        # three-model family — two seasonal-naive lags (24 h/168 h TIME
+        # joins) and the hod_mean climatology (per-fold expanding
+        # hour-of-day mean, integer-seconds train cutoff at the fold
+        # origin) — then det_mean fold MAEs, det_mean of those per
+        # model, rank per (site, var) by (mean_mae, model)
+        "forecast_champion": _PSEUDO_FEATURES_CTE
+        + """,
+            mxx AS (SELECT max(ts_utc) AS mxts FROM long),
+            test AS (
+              SELECT l.site, l.var, l.ts_utc, l.y,
+                     CAST(4 - floor((epoch(m.mxts) - epoch(l.ts_utc))
+                                    / 86400.0) AS INTEGER) AS fold
+              FROM long l CROSS JOIN mxx m
+              WHERE floor((epoch(m.mxts) - epoch(l.ts_utc)) / 86400.0) >= 0
+                AND floor((epoch(m.mxts) - epoch(l.ts_utc)) / 86400.0) < 4),
+            sn AS (
+              SELECT t.site, t.var, t.fold, t.y, f.y AS yhat,
+                     'snaive_24' AS model
+              FROM test t
+              JOIN long f ON f.site = t.site AND f.var = t.var
+                         AND f.ts_utc + INTERVAL 24 HOUR = t.ts_utc
+              UNION ALL
+              SELECT t.site, t.var, t.fold, t.y, f.y AS yhat,
+                     'snaive_168' AS model
+              FROM test t
+              JOIN long f ON f.site = t.site AND f.var = t.var
+                         AND f.ts_utc + INTERVAL 168 HOUR = t.ts_utc),
+            tr AS (
+              SELECT l.site, l.var, hour(l.ts_utc) AS hod, fd.fold,
+                     CAST(sum(CAST(l.y AS DECIMAL(30,15))) AS DOUBLE)
+                       / count(*) AS yhat
+              FROM long l CROSS JOIN mxx m
+              CROSS JOIN (VALUES (1), (2), (3), (4)) fd(fold)
+              WHERE epoch(l.ts_utc) <= epoch(m.mxts)
+                                       - (5 - fd.fold) * 86400
+              GROUP BY 1, 2, 3, 4),
+            hm AS (
+              SELECT t.site, t.var, t.fold, t.y, h.yhat,
+                     'hod_mean' AS model
+              FROM test t
+              JOIN tr h ON h.site = t.site AND h.var = t.var
+                       AND h.hod = hour(t.ts_utc) AND h.fold = t.fold),
+            allfc AS (SELECT * FROM sn UNION ALL SELECT * FROM hm),
+            perfold AS (
+              SELECT site, var, model, fold, count(*) AS n,
+                     round(CAST(sum(CAST(abs(yhat - y)
+                                         AS DECIMAL(30,15)))
+                                AS DOUBLE) / count(*), 4) AS mae
+              FROM allfc GROUP BY 1, 2, 3, 4),
+            board AS (
+              SELECT site, var, model,
+                     CAST(count(*) AS INTEGER) AS folds_evaluated,
+                     CAST(sum(n) AS BIGINT) AS total_n,
+                     round(CAST(sum(CAST(mae AS DECIMAL(30,15)))
+                                AS DOUBLE) / count(*), 4) AS mean_mae
+              FROM perfold GROUP BY 1, 2, 3)
+            SELECT site, var, model, folds_evaluated, total_n, mean_mae,
+                   CAST(row_number() OVER (PARTITION BY site, var
+                        ORDER BY mean_mae, model) AS INTEGER) AS "rank"
+            FROM board
+            ORDER BY site, var, "rank"
         """,
         "forecast_eval": _PSEUDO_FEATURES_CTE
         + """,

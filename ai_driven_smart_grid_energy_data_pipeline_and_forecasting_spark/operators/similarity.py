@@ -92,14 +92,43 @@ def _batch_topk_cut(
     subset of the union of per-batch cuts, so the downstream window
     sees ≤ |Q|·k rows per task instead of the whole probed fraction —
     at a 10⁹-row corpus the uncut plan concentrates one query's
-    every candidate in a single window partition."""
-    key = np.where(np.isnan(sim), -np.inf, -sim)
-    order = np.lexsort((nids, key, qids))
+    every candidate in a single window partition. The explicit
+    isnan sort key keeps NaN strictly above +inf (both map to the
+    same -inf value key, so without it a +inf row with a smaller
+    neighbor id would outrank a NaN row at a k boundary — the
+    opposite of the engines' NaN-greatest total order)."""
+    isn = np.isnan(sim)
+    key = np.where(isn, -np.inf, -sim)
+    order = np.lexsort((nids, key, ~isn, qids))
     sq = qids[order]
     starts = np.r_[0, np.flatnonzero(sq[1:] != sq[:-1]) + 1]
     sizes = np.diff(np.r_[starts, len(sq)])
     ranks = np.arange(len(sq)) - np.repeat(starts, sizes)
     return order[ranks < k]
+
+
+def _pack_codes(q: np.ndarray) -> list[bytes]:
+    """int8 code matrix → one dims-byte two's-complement buffer per
+    row — the FAISS SQ8 storage layout (1 byte/dim, 4× narrower than
+    the bit-portable ``array<int>`` schema). Codes are always in
+    [-127, 127] by the half-up quantizer's construction, so int8
+    round-trips losslessly."""
+    qb = np.ascontiguousarray(q, dtype=np.int8)
+    return [qb[i].tobytes() for i in range(len(qb))]
+
+
+def _unpack_codes(col: pd.Series, dims: int) -> np.ndarray:
+    """binary code column → (n, dims) int64 matrix, the exact inverse
+    of ``_pack_codes`` (unpack-identity-tested incl. the ±127
+    extremes), widened for the exact integer dot."""
+    if len(col) == 0:
+        return np.empty((0, dims), dtype=np.int64)
+    buf = b"".join(col)
+    return (
+        np.frombuffer(buf, dtype=np.int8)
+        .astype(np.int64)
+        .reshape(-1, dims)
+    )
 
 
 def _as_matrix(col: pd.Series, dims: int) -> np.ndarray:
@@ -514,6 +543,23 @@ def _head_centroids(
     order = np.argsort(cpdf[id_col].to_numpy(dtype=np.int64))
     c_ids = cpdf[id_col].to_numpy(dtype=np.int64)[order]
     c_mat = _as_matrix(cpdf[vec_col], dims)[order]
+    c_norm = _ordered_norms(c_mat)
+    bad = ~(np.isfinite(c_norm) & (c_norm > 0.0))
+    if bad.any():
+        # a zero-norm (or NaN/Inf-bearing) centroid makes its cosine
+        # NaN in the numpy kernels but NULL in the oracle SQL (DuckDB
+        # `/` yields NULL on zero divisors), and the two rank a MIXED
+        # NaN/finite probe column differently (numpy: NaN last; the
+        # engines: NaN greatest / NULL last respectively) — the
+        # hash-exact contract cannot hold, so refuse loudly instead
+        # of silently probing different cells (ADVICE r13 #2)
+        raise ValueError(
+            "degenerate centroid head: rows "
+            f"{c_ids[bad][:8].tolist()} have zero or non-finite norm — "
+            "an angular quantizer cannot assign a direction to them; "
+            "drop or re-embed these rows, or use the trained-KMeans "
+            "variant"
+        )
     return c_ids, c_mat
 
 
@@ -529,7 +575,17 @@ def _angular_probes(
     """(query_id, cluster) probe table: each query's ``n_probe``
     angular-nearest cells (cosine on raw vectors — assignment and
     probing stay angular for every metric; ties by centroid id).
-    Tiny by construction (|Q|·n_probe rows) — always broadcast."""
+    Tiny by construction (|Q|·n_probe rows) — always broadcast.
+
+    Degenerate-input contract: ``_head_centroids`` rejects zero-norm
+    and non-finite centroid rows, so a probe key can be NaN only when
+    the QUERY is zero-norm — an all-NaN row, where np.lexsort's
+    stable fallback to the ``c_ids`` key gives cid-ascending, exactly
+    the oracle's ``ORDER BY cos DESC, cid`` over an all-NULL column
+    (DuckDB's ``/`` yields NULL on zero divisors and sorts NULLs
+    last; ties resolve by cid). A MIXED NaN/finite column — the one
+    shape where numpy's NaN-last and the engines' orders could ever
+    disagree — cannot reach this sort."""
     probe_rows: list[tuple[int, int]] = []
     if len(q_ids):
         q_norm = _ordered_norms(q_mat)
@@ -1316,12 +1372,19 @@ def quantize_embeddings(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = False,
 ) -> DataFrame:
     """Symmetric int8 scalar quantization per vector — the embedding-
-    compression step a 100 TB vector corpus runs before serving (4×
-    smaller once the codes are packed as binary; the array<int>
-    schema here trades that width for bit-portable semantics —
-    distance error bounded by scale/2 per dim either way).
+    compression step a 100 TB vector corpus runs before serving.
+
+    Two storage layouts, identical arithmetic (r14):
+    - ``packed=False`` → ``qvec array<int>``: bit-portable semantics
+      (a DuckDB oracle can fold the list directly) at 4-ish bytes/dim.
+    - ``packed=True`` → ``qcode binary``: the FAISS SQ8 layout, ONE
+      byte/dim two's-complement — the actual 4× width saving for
+      persisted code tables and any exchange the codes ride.
+      ``_unpack_codes`` is the exact inverse; scores are bit-identical
+      (identity-tested).
 
     scale = max|v| / 127; q = floor(v/scale + 0.5) (explicit
     round-half-up — numpy's rint is half-even and DuckDB's round is
@@ -1337,16 +1400,19 @@ def quantize_embeddings(
             scale = np.abs(m).max(axis=1) / 127.0
             safe = np.where(scale == 0.0, 1.0, scale)
             q = np.floor(m / safe[:, None] + 0.5).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    "scale": scale,
-                    "qvec": list(q),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                "scale": scale,
+            }
+            if packed:
+                out["qcode"] = _pack_codes(q)
+            else:
+                out["qvec"] = list(q)
+            yield pd.DataFrame(out)
 
+    code_field = "qcode binary" if packed else "qvec array<int>"
     return emb.select(id_col, vec_col).mapInPandas(
-        kernel, f"{id_col} long, scale double, qvec array<int>"
+        kernel, f"{id_col} long, scale double, {code_field}"
     )
 
 
@@ -1395,6 +1461,7 @@ def ann_int8_mips_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = False,
 ) -> DataFrame:
     """Int8-quantized maximum-inner-product top-k (r12): the scalar-
     quantization member of the compressed-MIPS family — the corpus is
@@ -1418,8 +1485,15 @@ def ann_int8_mips_topk(
     streamed quantize pass (no shuffle), queries broadcast as an
     int64 matrix, per-task candidate cut ≤ |Q|·k (sim desc, id asc),
     one final rank window over ≤ |Q|·k·n_tasks rows. Ties between
-    equal sims resolve by neighbor id on both engines."""
-    q8 = quantize_embeddings(emb, dims, id_col, vec_col)
+    equal sims resolve by neighbor id on both engines.
+
+    ``packed=True`` (r14) streams the corpus as ``binary`` one-byte
+    codes instead of ``array<int>`` — the same integer dot on the
+    ``_unpack_codes`` matrix, bit-identical rows (identity-tested and
+    sharing the array-layout entry's hash-exact oracle); the 4×
+    narrower code column is what a persisted 100 TB code table and
+    any code-bearing exchange actually ship."""
+    q8 = quantize_embeddings(emb, dims, id_col, vec_col, packed=packed)
     # query_filter is applied to EMB (columns id/embedding), matching
     # the pq_topk/ivfadc_topk contract — a filter referencing the
     # embedding column is legal here like everywhere else in the
@@ -1448,7 +1522,11 @@ def ann_int8_mips_topk(
                 continue
             nid = pdf[id_col].to_numpy(dtype=np.int64)
             ns = pdf["scale"].to_numpy(dtype=np.float64)
-            nm = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            nm = (
+                _unpack_codes(pdf["qcode"], dims)
+                if packed
+                else np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            )
             d = nm @ qm.T  # B×Q, exact: |entries| ≤ 127²·dims < 2^53
             # pinned order: (scale_q · scale_x) first, then · dot —
             # the oracle SQL parenthesizes identically
@@ -1490,6 +1568,7 @@ def ivf_sq8_mips_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = False,
 ) -> DataFrame:
     """IVF-SQ8 maximum-inner-product top-k (r13): the other standard
     FAISS deployment shape (``IVF…,SQ8`` with METRIC_INNER_PRODUCT) —
@@ -1545,18 +1624,24 @@ def ivf_sq8_mips_topk(
             scale = np.abs(mx).max(axis=1) / 127.0
             safe = np.where(scale == 0.0, 1.0, scale)
             q = np.floor(mx / safe[:, None] + 0.5).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cluster": ids_c[np.argmax(csim, axis=1)],
-                    "scale": scale,
-                    "qvec": list(q),
-                }
-            )
+            out = {
+                "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "cluster": ids_c[np.argmax(csim, axis=1)],
+                "scale": scale,
+            }
+            # packed: 1 byte/dim binary codes — this is the column
+            # that actually RIDES the probe join, so the 4× width cut
+            # lands on the only code-bearing data path of the plan
+            if packed:
+                out["qcode"] = _pack_codes(q)
+            else:
+                out["qvec"] = list(q)
+            yield pd.DataFrame(out)
 
+    code_field = "qcode binary" if packed else "qvec array<int>"
     assigned = emb.select(id_col, vec_col).mapInPandas(
         assign_quantize,
-        "neighbor_id long, cluster long, scale double, qvec array<int>",
+        f"neighbor_id long, cluster long, scale double, {code_field}",
     )
 
     qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
@@ -1593,7 +1678,11 @@ def ivf_sq8_mips_topk(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            nm = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            nm = (
+                _unpack_codes(pdf["qcode"], dims)
+                if packed
+                else np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            )
             ns = pdf["scale"].to_numpy(dtype=np.float64)
             qm = np.stack([qmap[q][0] for q in pdf["query_id"]])
             qs = np.asarray([qmap[q][1] for q in pdf["query_id"]])
@@ -1635,6 +1724,7 @@ def ivf_sq8r_mips_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    packed: bool = False,
 ) -> DataFrame:
     """IVF-SQ8 MIPS top-k with RESIDUAL encoding (r13): the FAISS
     ``by_residual`` convention — each cell stores int8 codes of the
@@ -1688,18 +1778,21 @@ def ivf_sq8r_mips_topk(
             scale = np.abs(r).max(axis=1) / 127.0
             safe = np.where(scale == 0.0, 1.0, scale)
             codes = np.floor(r / safe[:, None] + 0.5).astype(np.int32)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
-                    "cluster": ids_c[a],
-                    "scale": scale,
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                "neighbor_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "cluster": ids_c[a],
+                "scale": scale,
+            }
+            if packed:
+                out["code"] = _pack_codes(codes)
+            else:
+                out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
+    code_field = "code binary" if packed else "codes array<int>"
     assigned = emb.select(id_col, vec_col).mapInPandas(
         assign_encode,
-        "neighbor_id long, cluster long, scale double, codes array<int>",
+        f"neighbor_id long, cluster long, scale double, {code_field}",
     )
 
     qpdf = emb.filter(query_filter).select(id_col, vec_col).toPandas()
@@ -1726,7 +1819,11 @@ def ivf_sq8r_mips_topk(
                 continue
             qm = np.stack([qmap[q] for q in pdf["query_id"]])
             crows = mc[[row_of[int(c)] for c in pdf["cluster"]]]
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.float64)
+            codes = (
+                _unpack_codes(pdf["code"], dims).astype(np.float64)
+                if packed
+                else np.stack(pdf["codes"].to_numpy()).astype(np.float64)
+            )
             ns = pdf["scale"].to_numpy(dtype=np.float64)
             # pinned order: q·c + scale · (q·codes) — the oracle SQL
             # parenthesizes identically; both dots are left folds

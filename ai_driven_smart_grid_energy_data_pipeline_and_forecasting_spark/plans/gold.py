@@ -255,6 +255,140 @@ def rolling_backtest(
     )
 
 
+def model_leaderboard(
+    features: DataFrame,
+    n_folds: int = 4,
+    horizon_h: int = 24,
+) -> DataFrame:
+    """Forecast model-selection leaderboard (r14) — the champion step
+    the reference's multi-model ``mart_forecast`` DDL implies
+    (``infra/init.sql:61-73`` declares a ``model`` column but nothing
+    ever SELECTS a winner): run the ``rolling_backtest`` protocol for
+    a family of SQL-exact forecasters and rank them per (site, var)
+    by mean fold MAE.
+
+    Models (all leakage-free at ``horizon_h ≤ lag`` by the same
+    argument as ``rolling_backtest``; all exactly reproducible in
+    ANSI SQL, so the entry carries a full hash-exact oracle — the
+    iteratively-fitted models, Holt-Winters/SARIMAX, stay on their
+    invariant-audit entries and are out of scope here by design):
+
+    - ``snaive_24``  — ŷ(t) = y(t − 24 h): the daily seasonal naive.
+    - ``snaive_168`` — ŷ(t) = y(t − 168 h): the weekly seasonal naive
+      (fpp3's other standard benchmark for hourly energy series).
+    - ``hod_mean``   — ŷ(t) = expanding mean of y at the same
+      hour-of-day over all actuals at or before the fold's ORIGIN
+      (the climatology baseline). Per-fold train cutoff — so later
+      folds see more history, exactly like a refit would.
+
+    Each model is evaluated only where its forecast exists (a short
+    series yields no ``snaive_168`` rows in early folds — visible in
+    ``folds_evaluated``/``total_n``, never silently imputed). Fold
+    MAE uses the exact-decimal det_mean convention and 4-decimal
+    rounding of ``rolling_backtest``; ``mean_mae`` is the det_mean of
+    those fold MAEs. ``rank`` = row_number per (site, var) ordering
+    (mean_mae asc, model asc) — rank 1 is the champion; ties are
+    name-deterministic on both engines.
+
+    Scale: everything joins on (site, var, hour) — co-located under
+    the site partitioning; the fold table (n_folds rows) and the
+    global max-ts row are broadcast; the hod_mean train agg emits
+    sites·vars·24·n_folds rows. Output is sites·vars·models rows."""
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    spark = features.sparkSession
+    long = features.select(
+        "site",
+        "ts_utc",
+        F.col("pv_est_mwh").alias("pv"),
+        F.col("wind_est_mwh").alias("wind"),
+    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    mx = long.agg(F.max("ts_utc").alias("_mx"))
+    k = F.floor(
+        (F.unix_timestamp("_mx") - F.unix_timestamp("ts_utc"))
+        / F.lit(3600 * int(horizon_h))
+    )
+    test = (
+        long.crossJoin(F.broadcast(mx))
+        .withColumn("_k", k)
+        .filter((F.col("_k") >= 0) & (F.col("_k") < n_folds))
+        .withColumn("fold", (F.lit(n_folds) - F.col("_k")).cast("int"))
+    )
+    # seasonal-naive members: the same TIME-join convention as
+    # rolling_backtest (gaps drop, never shift)
+    fcs = []
+    for lag_h, name in ((24, "snaive_24"), (168, "snaive_168")):
+        lagged = long.select(
+            "site",
+            "var",
+            (
+                F.col("ts_utc") + F.expr(f"INTERVAL {int(lag_h)} HOURS")
+            ).alias("ts_utc"),
+            F.col("y").alias("yhat"),
+        )
+        fcs.append(
+            test.join(lagged, ["site", "var", "ts_utc"]).select(
+                "site", "var", "fold", "y", "yhat",
+                F.lit(name).alias("model"),
+            )
+        )
+    # climatology member: per-fold expanding hour-of-day mean with
+    # train cutoff at the fold origin (integer-seconds arithmetic —
+    # exact on both engines)
+    folds = F.broadcast(
+        spark.range(1, int(n_folds) + 1).select(
+            F.col("id").cast("int").alias("fold")
+        )
+    )
+    dec = lambda c: c.cast("decimal(30,15)")  # noqa: E731 — exact sums
+    train = (
+        long.crossJoin(F.broadcast(mx))
+        .crossJoin(folds)
+        .filter(
+            F.unix_timestamp("ts_utc")
+            <= F.unix_timestamp("_mx")
+            - (F.lit(int(n_folds) + 1) - F.col("fold"))
+            * F.lit(3600 * int(horizon_h))
+        )
+        .groupBy("site", "var", F.hour("ts_utc").alias("hod"), "fold")
+        .agg(
+            (
+                F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))
+            ).alias("yhat")
+        )
+    )
+    fcs.append(
+        test.withColumn("hod", F.hour("ts_utc"))
+        .join(train, ["site", "var", "hod", "fold"])
+        .select(
+            "site", "var", "fold", "y", "yhat",
+            F.lit("hod_mean").alias("model"),
+        )
+    )
+    allfc = fcs[0]
+    for f_ in fcs[1:]:
+        allfc = allfc.unionByName(f_)
+    err = F.col("yhat") - F.col("y")
+    per_fold = allfc.groupBy("site", "var", "model", "fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(dec(F.abs(err))).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mae"),
+    )
+    board = per_fold.groupBy("site", "var", "model").agg(
+        F.count(F.lit(1)).cast("int").alias("folds_evaluated"),
+        F.sum("n").alias("total_n"),
+        F.round(
+            F.sum(dec(F.col("mae"))).cast("double") / F.count(F.lit(1)), 4
+        ).alias("mean_mae"),
+    )
+    w = Window.partitionBy("site", "var").orderBy("mean_mae", "model")
+    return (
+        board.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("site", "var", "rank")
+    )
+
+
 def rolling_features(
     fact: DataFrame,
     value_col: str = "ghi_wm2",

@@ -251,12 +251,14 @@ HEADLINE = [
     "pq_mips_recall_audit",
     "ivfadc_mips_recall_audit",
     "ann_int8_mips_topk",
+    "ann_int8_packed_mips_topk",
     "embedding_mips_pairs",
     "ann_mips_lsh_pairs",
     # r13 additions
     "ann_ivf_sq8_mips_topk",
     "ann_ivf_sq8r_mips_topk",
     "forecast_backtest",
+    "forecast_champion",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

@@ -119,12 +119,14 @@ NEW_R5 = [
     "pq_mips_recall_audit",
     "ivfadc_mips_recall_audit",
     "ann_int8_mips_topk",
+    "ann_int8_packed_mips_topk",
     "embedding_mips_pairs",
     "ann_mips_lsh_pairs",
     # round 13
     "ann_ivf_sq8_mips_topk",
     "ann_ivf_sq8r_mips_topk",
     "forecast_backtest",
+    "forecast_champion",
 ]
 
 

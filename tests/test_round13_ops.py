@@ -289,17 +289,28 @@ def test_ivf_sq8_guards_and_zero_vector(spark):
             n_probe=2, dims=dims,
         )
     # zero query vector: scale 0 -> codes all zero -> every sim == 0;
-    # ranks resolve purely by neighbor id
-    rows = [(0, [0.0] * dims)] + [
-        (i, [float(i)] + [0.0] * (dims - 1)) for i in range(1, 6)
-    ]
+    # ranks resolve purely by neighbor id.  Since r14 the zero row
+    # must live OUTSIDE the centroid head (a zero-norm centroid is
+    # refused loudly — see test_round14_ops): its all-NaN probe row
+    # ties by cid, probing the full cell set here (n_probe = n_cells).
+    rows = [
+        (i, [float(i + 1)] + [0.0] * (dims - 1)) for i in range(6)
+    ] + [(10, [0.0] * dims)]
     emb = _emb_df(spark, rows)
     out = ivf_sq8_mips_topk(
-        emb, F.col("vec_id") == 0, k=3, n_centroids=6, n_probe=6,
+        emb, F.col("vec_id") == 10, k=3, n_centroids=4, n_probe=4,
         dims=dims,
     ).toPandas()
+    assert len(out) == 3
     assert (out["sim"] == 0.0).all() and (out["int_dot"] == 0).all()
     assert list(out["neighbor_id"]) == sorted(out["neighbor_id"])
+    # r14 guard: the same zero row INSIDE the head is refused
+    with pytest.raises(ValueError, match="degenerate centroid head"):
+        ivf_sq8_mips_topk(
+            _emb_df(spark, [(0, [0.0] * dims)] + rows[:5]),
+            F.col("vec_id") == 0, k=3, n_centroids=6, n_probe=6,
+            dims=dims,
+        )
     # family contract: query_filter may reference the embedding column
     emb64 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plain = ivf_sq8_mips_topk(emb64, F.col("vec_id") < 3, k=2).collect()

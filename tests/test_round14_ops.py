@@ -1,0 +1,364 @@
+"""Round-14 operator tests.
+
+Covers the r13 ADVICE closures — the NaN-above-+inf tiebreak in the
+per-batch top-k cut, and the degenerate-centroid guard that keeps the
+IVF family's hash-exact oracle claim honest (investigation note: the
+advisor's premise that the oracle ranks NaN FIRST does not hold on the
+zero-norm path — DuckDB's ``/`` yields NULL on zero divisors and sorts
+NULLs LAST under ``ORDER BY cos DESC``, so the only safe contract is
+to refuse degenerate centroid heads loudly, the advisor's option A) —
+plus the r14 additions.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+# ---------------------------------------------- ADVICE r13 #1 (low)
+
+
+def test_batch_topk_cut_nan_above_inf_adverse_ids():
+    # ADVICE r13 repro: both NaN and +inf map to the same -inf value
+    # key, so before the fix the neighbor-id tiebreak decided between
+    # them — a +inf row with a SMALLER id outranked a NaN row at the
+    # k boundary, the opposite of Spark's NaN-greatest window order.
+    # The r13 unit test missed it because its NaN row happened to
+    # hold the smaller id; this one pins the adverse assignment.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        _batch_topk_cut,
+    )
+
+    qids = np.array([1, 1], dtype=np.int64)
+    nids = np.array([10, 11], dtype=np.int64)  # +inf gets the small id
+    sim = np.array([np.inf, np.nan])
+    keep = _batch_topk_cut(qids, nids, sim, k=1)
+    assert list(nids[keep]) == [11]  # NaN strictly above +inf
+    # at k=2 both survive
+    keep2 = _batch_topk_cut(qids, nids, sim, k=2)
+    assert sorted(nids[keep2]) == [10, 11]
+    # multiple NaNs tie among themselves by id asc, still above +inf
+    q3 = np.zeros(3, dtype=np.int64)
+    n3 = np.array([9, 7, 8], dtype=np.int64)
+    s3 = np.array([np.nan, np.inf, np.nan])
+    keep3 = _batch_topk_cut(q3, n3, s3, k=2)
+    assert sorted(n3[keep3]) == [8, 9]
+
+
+# ---------------------------------------------- ADVICE r13 #2 (low)
+
+
+def test_degenerate_centroid_head_refused(spark):
+    # a zero-norm (or NaN-bearing) row inside the centroid head makes
+    # its cosine NaN in the numpy kernels but NULL in the oracle SQL,
+    # and the two rank a mixed NaN/finite probe column differently —
+    # the hash-exact claim cannot hold, so the whole head-sample IVF
+    # family must refuse loudly rather than silently probe different
+    # cells than its oracle.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    dims = 8
+    rows = []
+    for i in range(20):
+        v = [0.0] * dims
+        if i != 3:  # id 3: zero-norm row INSIDE the 16-row head
+            v[i % dims] = 1.0 + (i % 5)
+        rows.append((i, v))
+    emb = _emb_df(spark, rows)
+    for kern in (
+        S.ivf_sq8_mips_topk,
+        S.ivf_sq8r_mips_topk,
+        S.ann_ivf_topk,
+    ):
+        with pytest.raises(ValueError, match="degenerate centroid head"):
+            kern(
+                emb, F.col("vec_id") < 8, k=5, n_centroids=16,
+                n_probe=4, dims=dims,
+            )
+    # NaN component inside the head is refused the same way
+    nan_rows = [(i, r[1][:]) for i, r in enumerate(rows)]
+    nan_rows[3] = (3, [float("nan")] * dims)
+    with pytest.raises(ValueError, match="degenerate centroid head"):
+        S.ivf_sq8_mips_topk(
+            _emb_df(spark, nan_rows), F.col("vec_id") < 8,
+            k=5, n_centroids=16, n_probe=4, dims=dims,
+        )
+
+
+def test_angular_probes_all_nan_query_ties_by_cid(spark):
+    # with the guard in place the ONE reachable NaN shape is an
+    # all-NaN probe row (zero-norm QUERY): np.lexsort's stable
+    # fallback to the c_ids key must give cid-ascending — identical
+    # to the oracle's ORDER BY cos DESC, cid over an all-NULL column
+    # (NULLs last, ties by cid).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        _angular_probes,
+        _ordered_norms,
+    )
+
+    c_ids = np.array([0, 1, 2, 3], dtype=np.int64)
+    c_mat = np.eye(4)
+    out = _angular_probes(
+        spark,
+        np.array([200], dtype=np.int64),
+        np.zeros((1, 4)),
+        c_ids,
+        c_mat,
+        _ordered_norms(c_mat),
+        2,
+    ).toPandas()
+    assert sorted(out["cluster"]) == [0, 1]
+
+
+def _zero_tail_corpus(spark, dims=8, n=20):
+    """20 vectors, ids 0..19, nonzero head, with a ZERO vector at
+    id 16 — OUTSIDE the n_centroids=16 head and the vec_id<8 query
+    set, so the guard admits it and the corpus-ASSIGNMENT NaN row
+    (argmax over all-NaN cosines) is the live degenerate path."""
+    rows = []
+    for i in range(n):
+        v = [0.0] * dims
+        if i != 16:
+            v[i % dims] = 1.0 + (i % 5)
+            v[(i + 3) % dims] = 0.25 * (i % 7)
+        rows.append((i, v))
+    return _emb_df(spark, rows)
+
+
+@pytest.mark.parametrize(
+    "qname", ["ann_ivf_sq8_mips_topk", "ann_ivf_sq8r_mips_topk"]
+)
+def test_sq8_oracle_parity_zero_norm_corpus_row(spark, qname):
+    # end-to-end differential on the admissible degenerate shape: a
+    # zero-norm NON-centroid corpus row. Kernel assignment sees an
+    # all-NaN cosine row (np.argmax returns the first index → smallest
+    # cid); the oracle sees an all-NULL column (NULLs-last DESC ties →
+    # smallest cid) — both must land it in the same cell and score it
+    # sim = 0 exactly, row-for-row against the REGISTERED oracle SQL.
+    import duckdb
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    dims = 8
+    emb = _zero_tail_corpus(spark, dims=dims)
+    kern = (
+        S.ivf_sq8_mips_topk
+        if qname == "ann_ivf_sq8_mips_topk"
+        else S.ivf_sq8r_mips_topk
+    )
+    got = kern(
+        emb, F.col("vec_id") < 8, k=5, n_centroids=16, n_probe=4, dims=dims
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    want = con.execute(entry_mod.oracle_sql()[qname]).fetchdf()
+    assert len(got) == len(want) > 0
+    for c in want.columns:
+        g = got[c.strip('"')].to_numpy()
+        w = want[c].to_numpy()
+        assert (g == w).all(), (qname, c, g, w)
+
+
+# ------------------------------- binary-packed int8/SQ8 codes (r14)
+
+
+def test_pack_unpack_identity():
+    # the packed layout is lossless for every value the half-up
+    # quantizer can emit ([-127, 127]) including the extremes, and
+    # for the full int8 domain
+    import pandas as pd
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        _pack_codes,
+        _unpack_codes,
+    )
+
+    rng = np.random.default_rng(7)
+    m = rng.integers(-127, 128, size=(50, 16), dtype=np.int64)
+    m[0, :] = 127
+    m[1, :] = -127
+    m[2, :] = [-128] * 16  # not reachable from the quantizer, but the
+    # layout itself must round-trip the whole int8 domain
+    packed = _pack_codes(m)
+    assert all(isinstance(b, bytes) and len(b) == 16 for b in packed)
+    back = _unpack_codes(pd.Series(packed), 16)
+    assert back.dtype == np.int64
+    assert (back == m).all()
+    # empty column -> empty matrix with the right shape
+    assert _unpack_codes(pd.Series([], dtype=object), 16).shape == (0, 16)
+
+
+def test_packed_code_layout_bit_identical(spark):
+    # packed=True changes ONLY the storage layout of the code column
+    # (array<int> -> 1-byte-per-dim binary); every scored row must be
+    # bit-identical, so the packed variants inherit the array-layout
+    # entries' hash-exact oracles by identity
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    flt = F.col("vec_id") < 8
+    for kern, kwargs in [
+        (S.ann_int8_mips_topk, {}),
+        (S.ivf_sq8_mips_topk, {"n_centroids": 16, "n_probe": 4}),
+        (S.ivf_sq8r_mips_topk, {"n_centroids": 16, "n_probe": 4}),
+    ]:
+        plain = kern(emb, flt, k=5, **kwargs).collect()
+        packed = kern(emb, flt, k=5, packed=True, **kwargs).collect()
+        assert len(plain) > 0
+        assert [tuple(r) for r in packed] == [tuple(r) for r in plain], kern
+
+
+def test_quantize_embeddings_packed_schema_and_width(spark):
+    # the packed quantizer emits binary codes of exactly dims bytes —
+    # the FAISS SQ8 1-byte/dim layout (the array<int> sibling ships
+    # 4-byte elements plus list overhead)
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize_embeddings(emb, packed=True)
+    assert dict(q.dtypes)["qcode"] == "binary"
+    rows = q.limit(5).collect()
+    assert all(len(r["qcode"]) == 64 for r in rows)
+    # scales identical to the array-layout quantizer
+    qa = quantize_embeddings(emb).select("vec_id", "scale").orderBy("vec_id")
+    qb = q.select("vec_id", "scale").orderBy("vec_id")
+    assert [tuple(r) for r in qa.collect()] == [tuple(r) for r in qb.collect()]
+
+
+# ------------------------------ forecast model leaderboard (r14)
+
+
+def _hourly_feats(spark, rows):
+    """rows: (site, ts_iso_hour, pv, wind) -> features frame."""
+    df = spark.createDataFrame(
+        rows,
+        "site string, ts_utc string, pv_est_mwh double, wind_est_mwh double",
+    )
+    return df.withColumn("ts_utc", F.to_timestamp("ts_utc"))
+
+
+def _series(spark, fn, days=14):
+    rows = [
+        (
+            "s1",
+            f"2024-01-{d:02d} {h:02d}:00:00",
+            float(fn(d - 1, h)),
+            float(fn(d - 1, h)),
+        )
+        for d in range(1, days + 1)
+        for h in range(24)
+    ]
+    return _hourly_feats(spark, rows)
+
+
+def test_leaderboard_guard_and_schema(spark):
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        model_leaderboard,
+    )
+
+    with pytest.raises(ValueError, match="n_folds"):
+        model_leaderboard(_series(spark, lambda d, h: 1.0), n_folds=0)
+    out = model_leaderboard(_series(spark, lambda d, h: 1.0))
+    assert out.columns == [
+        "site", "var", "model", "folds_evaluated", "total_n",
+        "mean_mae", "rank",
+    ]
+
+
+def test_leaderboard_daily_drift_picks_snaive24(spark):
+    # y = hour + day: snaive_24 is off by exactly 1 everywhere, the
+    # weekly naive by 7, the climatology by the distance to the train
+    # mean (several days) — the daily naive must champion BOTH vars
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        model_leaderboard,
+    )
+
+    out = model_leaderboard(
+        _series(spark, lambda d, h: h + d)
+    ).toPandas()
+    champs = out[out["rank"] == 1]
+    assert set(champs["model"]) == {"snaive_24"}
+    assert (champs["mean_mae"] == 1.0).all()
+    # all three models evaluated all four folds on this 14-day series
+    assert (out["folds_evaluated"] == 4).all()
+    assert set(out["model"]) == {"snaive_24", "snaive_168", "hod_mean"}
+
+
+def test_leaderboard_weekly_pattern_picks_snaive168(spark):
+    # y = day-of-week: the weekly naive reproduces it exactly (MAE 0)
+    # while the daily naive is off whenever consecutive days differ
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        model_leaderboard,
+    )
+
+    out = model_leaderboard(
+        _series(spark, lambda d, h: d % 7)
+    ).toPandas()
+    champs = out[out["rank"] == 1]
+    assert set(champs["model"]) == {"snaive_168"}
+    assert (champs["mean_mae"] == 0.0).all()
+    sn24 = out[out["model"] == "snaive_24"]
+    assert (sn24["mean_mae"] > 0).all()
+
+
+def test_leaderboard_tie_breaks_by_model_name(spark):
+    # constant series: every model is exact, mean_mae 0.0 across the
+    # board — rank 1 must be the alphabetically first model name
+    # (hod_mean), pinning the name-deterministic tie rule the oracle
+    # relies on
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        model_leaderboard,
+    )
+
+    out = model_leaderboard(
+        _series(spark, lambda d, h: 2.5)
+    ).toPandas()
+    assert (out["mean_mae"] == 0.0).all()
+    champs = out[out["rank"] == 1]
+    assert set(champs["model"]) == {"hod_mean"}
+
+
+def test_leaderboard_hod_mean_train_cutoff_no_leakage(spark):
+    # adversarial leakage check with exact numbers: a 100-unit spike
+    # at hour 5 of the LAST day (fold 4's test window). The hod_mean
+    # train cutoff for fold 4 is the fold ORIGIN (max_ts - 24 h), so
+    # the spike day is excluded from its own climatology: ŷ(hour 5)
+    # stays 1.0 and fold-4 MAE is exactly 100/24; a leaky cutoff
+    # (train through the test window) would pull the hour-5 mean off
+    # 1.0 and break the closed-form value. Earlier folds see a flat
+    # series, so mean_mae = round((100/24)/4, 4) = 1.0417 — for
+    # hod_mean AND snaive_24 (whose lag-24 forecast is equally
+    # uncontaminated).
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        model_leaderboard,
+    )
+
+    out = model_leaderboard(
+        _series(
+            spark,
+            lambda d, h: 101.0 if (d == 13 and h == 5) else 1.0,
+        )
+    ).toPandas()
+    for model in ("hod_mean", "snaive_24"):
+        got = out[(out["model"] == model) & (out["var"] == "pv")]
+        assert list(got["mean_mae"]) == [1.0417], (model, got)
