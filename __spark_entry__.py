@@ -2572,6 +2572,18 @@ def q_forecast_champion(spark, sf_dir):
     return G.model_leaderboard(feats, n_folds=4, horizon_h=24)
 
 
+def q_forecast_champion_forward(spark, sf_dir):
+    # Champion forward forecast (new r14): the end of the selection
+    # story — each (site, var)'s leaderboard winner re-applied FORWARD
+    # to the next 24 hours after the series max (lag joins read only
+    # actuals <= max ts; hod climatology = full-history det_mean),
+    # emitting mart_forecast-shaped rows tagged with the model that
+    # produced them. Oracle shares _CHAMPION_CTES with
+    # forecast_champion — the model family cannot desync.
+    feats = _pseudo_features_hourly(spark, sf_dir)
+    return G.champion_forecast(feats, n_folds=4, horizon_h=24)
+
+
 def q_forecast_sarimax(spark, sf_dir):
     # Gold mart_forecast model='sarimax' via groupBy().applyInPandas —
     # per-(site,var) model fit; not SQL-expressible, rows-only check
@@ -4002,6 +4014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new r13: rolling-origin backtest --------------------------------
         "forecast_backtest": q_forecast_backtest,
         "forecast_champion": q_forecast_champion,
+        "forecast_champion_forward": q_forecast_champion_forward,
         "order_priority_sql": q_order_priority_sql,
         "media_stats": q_media_stats,
         "media_frame_sample": q_media_frame_sample,
@@ -4561,6 +4574,65 @@ sig AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sigma
   FROM lagged
 )
+"""
+
+
+# shared CTE chain of the forecast-champion family (r14): pseudo
+# features → fold-indexed test points → three SQL-exact model
+# forecasts → det_mean fold MAEs → per-model board. Appended after
+# _PSEUDO_FEATURES_CTE; both forecast_champion (leaderboard) and
+# forecast_champion_forward (winner's forward forecast) extend it, so
+# the model family cannot desync between the two oracles.
+_CHAMPION_CTES = """,
+    mxx AS (SELECT max(ts_utc) AS mxts FROM long),
+    test AS (
+      SELECT l.site, l.var, l.ts_utc, l.y,
+             CAST(4 - floor((epoch(m.mxts) - epoch(l.ts_utc))
+                            / 86400.0) AS INTEGER) AS fold
+      FROM long l CROSS JOIN mxx m
+      WHERE floor((epoch(m.mxts) - epoch(l.ts_utc)) / 86400.0) >= 0
+        AND floor((epoch(m.mxts) - epoch(l.ts_utc)) / 86400.0) < 4),
+    sn AS (
+      SELECT t.site, t.var, t.fold, t.y, f.y AS yhat,
+             'snaive_24' AS model
+      FROM test t
+      JOIN long f ON f.site = t.site AND f.var = t.var
+                 AND f.ts_utc + INTERVAL 24 HOUR = t.ts_utc
+      UNION ALL
+      SELECT t.site, t.var, t.fold, t.y, f.y AS yhat,
+             'snaive_168' AS model
+      FROM test t
+      JOIN long f ON f.site = t.site AND f.var = t.var
+                 AND f.ts_utc + INTERVAL 168 HOUR = t.ts_utc),
+    tr AS (
+      SELECT l.site, l.var, hour(l.ts_utc) AS hod, fd.fold,
+             CAST(sum(CAST(l.y AS DECIMAL(30,15))) AS DOUBLE)
+               / count(*) AS yhat
+      FROM long l CROSS JOIN mxx m
+      CROSS JOIN (VALUES (1), (2), (3), (4)) fd(fold)
+      WHERE epoch(l.ts_utc) <= epoch(m.mxts)
+                               - (5 - fd.fold) * 86400
+      GROUP BY 1, 2, 3, 4),
+    hm AS (
+      SELECT t.site, t.var, t.fold, t.y, h.yhat,
+             'hod_mean' AS model
+      FROM test t
+      JOIN tr h ON h.site = t.site AND h.var = t.var
+               AND h.hod = hour(t.ts_utc) AND h.fold = t.fold),
+    allfc AS (SELECT * FROM sn UNION ALL SELECT * FROM hm),
+    perfold AS (
+      SELECT site, var, model, fold, count(*) AS n,
+             round(CAST(sum(CAST(abs(yhat - y)
+                                 AS DECIMAL(30,15)))
+                        AS DOUBLE) / count(*), 4) AS mae
+      FROM allfc GROUP BY 1, 2, 3, 4),
+    board AS (
+      SELECT site, var, model,
+             CAST(count(*) AS INTEGER) AS folds_evaluated,
+             CAST(sum(n) AS BIGINT) AS total_n,
+             round(CAST(sum(CAST(mae AS DECIMAL(30,15)))
+                        AS DOUBLE) / count(*), 4) AS mean_mae
+      FROM perfold GROUP BY 1, 2, 3)
 """
 
 
@@ -8518,63 +8590,61 @@ def _oracle_sql_base() -> dict[str, str]:
         # joins) and the hod_mean climatology (per-fold expanding
         # hour-of-day mean, integer-seconds train cutoff at the fold
         # origin) — then det_mean fold MAEs, det_mean of those per
-        # model, rank per (site, var) by (mean_mae, model)
+        # model, rank per (site, var) by (mean_mae, model).
+        # _CHAMPION_CTES is SHARED with champion_forecast below (one
+        # source of truth — the r13 oracle-generation discipline)
         "forecast_champion": _PSEUDO_FEATURES_CTE
-        + """,
-            mxx AS (SELECT max(ts_utc) AS mxts FROM long),
-            test AS (
-              SELECT l.site, l.var, l.ts_utc, l.y,
-                     CAST(4 - floor((epoch(m.mxts) - epoch(l.ts_utc))
-                                    / 86400.0) AS INTEGER) AS fold
-              FROM long l CROSS JOIN mxx m
-              WHERE floor((epoch(m.mxts) - epoch(l.ts_utc)) / 86400.0) >= 0
-                AND floor((epoch(m.mxts) - epoch(l.ts_utc)) / 86400.0) < 4),
-            sn AS (
-              SELECT t.site, t.var, t.fold, t.y, f.y AS yhat,
-                     'snaive_24' AS model
-              FROM test t
-              JOIN long f ON f.site = t.site AND f.var = t.var
-                         AND f.ts_utc + INTERVAL 24 HOUR = t.ts_utc
-              UNION ALL
-              SELECT t.site, t.var, t.fold, t.y, f.y AS yhat,
-                     'snaive_168' AS model
-              FROM test t
-              JOIN long f ON f.site = t.site AND f.var = t.var
-                         AND f.ts_utc + INTERVAL 168 HOUR = t.ts_utc),
-            tr AS (
-              SELECT l.site, l.var, hour(l.ts_utc) AS hod, fd.fold,
-                     CAST(sum(CAST(l.y AS DECIMAL(30,15))) AS DOUBLE)
-                       / count(*) AS yhat
-              FROM long l CROSS JOIN mxx m
-              CROSS JOIN (VALUES (1), (2), (3), (4)) fd(fold)
-              WHERE epoch(l.ts_utc) <= epoch(m.mxts)
-                                       - (5 - fd.fold) * 86400
-              GROUP BY 1, 2, 3, 4),
-            hm AS (
-              SELECT t.site, t.var, t.fold, t.y, h.yhat,
-                     'hod_mean' AS model
-              FROM test t
-              JOIN tr h ON h.site = t.site AND h.var = t.var
-                       AND h.hod = hour(t.ts_utc) AND h.fold = t.fold),
-            allfc AS (SELECT * FROM sn UNION ALL SELECT * FROM hm),
-            perfold AS (
-              SELECT site, var, model, fold, count(*) AS n,
-                     round(CAST(sum(CAST(abs(yhat - y)
-                                         AS DECIMAL(30,15)))
-                                AS DOUBLE) / count(*), 4) AS mae
-              FROM allfc GROUP BY 1, 2, 3, 4),
-            board AS (
-              SELECT site, var, model,
-                     CAST(count(*) AS INTEGER) AS folds_evaluated,
-                     CAST(sum(n) AS BIGINT) AS total_n,
-                     round(CAST(sum(CAST(mae AS DECIMAL(30,15)))
-                                AS DOUBLE) / count(*), 4) AS mean_mae
-              FROM perfold GROUP BY 1, 2, 3)
+        + _CHAMPION_CTES
+        + """
             SELECT site, var, model, folds_evaluated, total_n, mean_mae,
                    CAST(row_number() OVER (PARTITION BY site, var
                         ORDER BY mean_mae, model) AS INTEGER) AS "rank"
             FROM board
             ORDER BY site, var, "rank"
+        """,
+        # champion forward forecast (r14): the leaderboard chain plus
+        # a rank CTE selecting each series' winner, 24 future stamps
+        # from range(), the three model rules re-applied FORWARD (lag
+        # joins read only actuals <= max ts; hod climatology is the
+        # full-history det_mean), champion join keeps one model/series
+        "forecast_champion_forward": _PSEUDO_FEATURES_CTE
+        + _CHAMPION_CTES
+        + """,
+            ranked AS (
+              SELECT site, var, model,
+                     row_number() OVER (PARTITION BY site, var
+                          ORDER BY mean_mae, model) AS rnk
+              FROM board),
+            champ AS (SELECT site, var, model FROM ranked WHERE rnk = 1),
+            future AS (
+              SELECT m.mxts + to_hours(t.h) AS ts_utc
+              FROM range(1, 25) t(h) CROSS JOIN mxx m),
+            fsn AS (
+              SELECT f.site, f.var, u.ts_utc, f.y AS yhat,
+                     'snaive_24' AS model
+              FROM long f
+              JOIN future u ON f.ts_utc + INTERVAL 24 HOUR = u.ts_utc
+              UNION ALL
+              SELECT f.site, f.var, u.ts_utc, f.y AS yhat,
+                     'snaive_168' AS model
+              FROM long f
+              JOIN future u ON f.ts_utc + INTERVAL 168 HOUR = u.ts_utc),
+            clim AS (
+              SELECT site, var, hour(ts_utc) AS hod,
+                     CAST(sum(CAST(y AS DECIMAL(30,15))) AS DOUBLE)
+                       / count(*) AS yhat
+              FROM long GROUP BY 1, 2, 3),
+            fhm AS (
+              SELECT c.site, c.var, u.ts_utc, c.yhat, 'hod_mean' AS model
+              FROM future u
+              JOIN clim c ON c.hod = hour(u.ts_utc)),
+            allf AS (SELECT * FROM fsn UNION ALL SELECT * FROM fhm)
+            SELECT a.site, a.var, CAST(a.ts_utc AS TIMESTAMP) AS ts_utc,
+                   a.model, round(a.yhat, 6) AS yhat
+            FROM allf a
+            JOIN champ c ON c.site = a.site AND c.var = a.var
+                        AND c.model = a.model
+            ORDER BY a.site, a.var, a.ts_utc
         """,
         "forecast_eval": _PSEUDO_FEATURES_CTE
         + """,

@@ -389,6 +389,96 @@ def model_leaderboard(
     )
 
 
+def champion_forecast(
+    features: DataFrame,
+    n_folds: int = 4,
+    horizon_h: int = 24,
+) -> DataFrame:
+    """Forward forecast by the per-series CHAMPION model (r14) — the
+    end of the model-selection story: ``model_leaderboard`` crowns a
+    winner per (site, var); this emits that winner's ŷ for the next
+    ``horizon_h`` hours after the series' global max hour, tagged
+    with the model that produced it (the reference's multi-model
+    ``mart_forecast`` shape, ``infra/init.sql:61-73``, with the model
+    column now actually SELECTED by backtest skill).
+
+    Forecast rules are the leaderboard's own (all read only actuals
+    ≤ max ts — leakage-free trivially): ``snaive_24``/``snaive_168``
+    probe the lagged actual at t − lag (a TIME join — a gap in the
+    tail yields no forecast row for that hour rather than a shifted
+    one, visible as a missing stamp), ``hod_mean`` joins the
+    full-history hour-of-day climatology (det_mean). All three are
+    computed declaratively and the champion join keeps one model's
+    rows per series — Catalyst sees one shared scan of the long
+    table; total candidate volume is sites·vars·horizon_h·3 rows
+    before the champion cut, so there is nothing to prune at scale.
+
+    Output: (site, var, ts_utc, model, yhat) with yhat rounded to 6
+    decimals (the ``forecast_baseline`` family convention), ordered
+    by site, var, ts_utc."""
+    spark = features.sparkSession
+    board = model_leaderboard(features, n_folds, horizon_h)
+    champ = board.filter(F.col("rank") == 1).select("site", "var", "model")
+    long = features.select(
+        "site",
+        "ts_utc",
+        F.col("pv_est_mwh").alias("pv"),
+        F.col("wind_est_mwh").alias("wind"),
+    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    mx = long.agg(F.max("ts_utc").alias("_mx"))
+    future = (
+        spark.range(1, int(horizon_h) + 1)
+        .select(F.col("id").cast("int").alias("h"))
+        .crossJoin(F.broadcast(mx))
+        .select("h", F.expr("timestampadd(HOUR, h, _mx)").alias("ts_utc"))
+    )
+    fcs = []
+    for lag_h, name in ((24, "snaive_24"), (168, "snaive_168")):
+        lagged = long.select(
+            "site",
+            "var",
+            (
+                F.col("ts_utc") + F.expr(f"INTERVAL {int(lag_h)} HOURS")
+            ).alias("ts_utc"),
+            F.col("y").alias("yhat"),
+        )
+        fcs.append(
+            lagged.join(F.broadcast(future.select("ts_utc")), "ts_utc")
+            .select(
+                "site", "var", "ts_utc", "yhat",
+                F.lit(name).alias("model"),
+            )
+        )
+    dec = lambda c: c.cast("decimal(30,15)")  # noqa: E731 — exact sums
+    clim = long.groupBy(
+        "site", "var", F.hour("ts_utc").alias("hod")
+    ).agg(
+        (F.sum(dec(F.col("y"))).cast("double") / F.count(F.lit(1))).alias(
+            "yhat"
+        )
+    )
+    fcs.append(
+        F.broadcast(future)
+        .withColumn("hod", F.hour("ts_utc"))
+        .join(clim, "hod")
+        .select(
+            "site", "var", "ts_utc", "yhat",
+            F.lit("hod_mean").alias("model"),
+        )
+    )
+    allfc = fcs[0]
+    for f_ in fcs[1:]:
+        allfc = allfc.unionByName(f_)
+    return (
+        allfc.join(champ, ["site", "var", "model"])
+        .select(
+            "site", "var", "ts_utc", "model",
+            F.round("yhat", 6).alias("yhat"),
+        )
+        .orderBy("site", "var", "ts_utc")
+    )
+
+
 def rolling_features(
     fact: DataFrame,
     value_col: str = "ghi_wm2",

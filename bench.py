@@ -259,6 +259,7 @@ HEADLINE = [
     "ann_ivf_sq8r_mips_topk",
     "forecast_backtest",
     "forecast_champion",
+    "forecast_champion_forward",
 ]
 
 # Every registry entry NOT in HEADLINE, with the reason it is excluded

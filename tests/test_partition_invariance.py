@@ -127,6 +127,7 @@ NEW_R5 = [
     "ann_ivf_sq8r_mips_topk",
     "forecast_backtest",
     "forecast_champion",
+    "forecast_champion_forward",
 ]
 
 

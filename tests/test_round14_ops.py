@@ -362,3 +362,40 @@ def test_leaderboard_hod_mean_train_cutoff_no_leakage(spark):
     for model in ("hod_mean", "snaive_24"):
         got = out[(out["model"] == model) & (out["var"] == "pv")]
         assert list(got["mean_mae"]) == [1.0417], (model, got)
+
+
+def test_champion_forecast_forwards_the_winner(spark):
+    # daily drift: champion is snaive_24 (proven above); the forward
+    # forecast must be y(t - 24 h) for every one of the next 24 hours
+    # — closed form: day-14 hour-h actual is h + 13, so the day-15
+    # forecast repeats it
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        champion_forecast,
+    )
+
+    out = champion_forecast(
+        _series(spark, lambda d, h: h + d)
+    ).toPandas()
+    assert set(out["model"]) == {"snaive_24"}
+    pv = out[out["var"] == "pv"].sort_values("ts_utc")
+    assert len(pv) == 24
+    # series ends Jan 14 23:00 -> future window is Jan 15 00:00-23:00
+    assert [t.hour for t in pv["ts_utc"]] == list(range(24))
+    assert all(t.day == 15 for t in pv["ts_utc"])
+    got = {t.hour: y for t, y in zip(pv["ts_utc"], pv["yhat"])}
+    assert got == {h: float(h + 13) for h in range(24)}
+
+
+def test_champion_forecast_constant_series_climatology(spark):
+    # constant series: tie -> hod_mean champion; its climatology mean
+    # is exactly the constant for all 24 future hours
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        champion_forecast,
+    )
+
+    out = champion_forecast(
+        _series(spark, lambda d, h: 2.5)
+    ).toPandas()
+    assert set(out["model"]) == {"hod_mean"}
+    assert len(out) == 2 * 24
+    assert (out["yhat"] == 2.5).all()
