@@ -293,7 +293,14 @@ def model_leaderboard(
     Scale: everything joins on (site, var, hour) — co-located under
     the site partitioning; the fold table (n_folds rows) and the
     global max-ts row are broadcast; the hod_mean train agg emits
-    sites·vars·24·n_folds rows. Output is sites·vars·models rows."""
+    sites·vars·24·n_folds rows. Output is sites·vars·models rows.
+    The unpivoted series is ``localCheckpoint``ed once (the dedup.py
+    subtree-reuse convention): Catalyst does not share common
+    subplans across union branches, so without it each of the three
+    model branches (plus the max-ts row) re-derives the series from
+    the raw fact scan — ~10 scans of a 100 TB table for one
+    leaderboard; checkpointing pins the sites·hours·2-row frame and
+    every branch reads that instead (plan-audited: one fact scan)."""
     if n_folds < 1:
         raise ValueError(f"n_folds must be >= 1, got {n_folds}")
     spark = features.sparkSession
@@ -302,7 +309,9 @@ def model_leaderboard(
         "ts_utc",
         F.col("pv_est_mwh").alias("pv"),
         F.col("wind_est_mwh").alias("wind"),
-    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    ).unpivot(
+        ["site", "ts_utc"], ["pv", "wind"], "var", "y"
+    ).localCheckpoint(eager=True)
     mx = long.agg(F.max("ts_utc").alias("_mx"))
     k = F.floor(
         (F.unix_timestamp("_mx") - F.unix_timestamp("ts_utc"))
@@ -409,9 +418,12 @@ def champion_forecast(
     one, visible as a missing stamp), ``hod_mean`` joins the
     full-history hour-of-day climatology (det_mean). All three are
     computed declaratively and the champion join keeps one model's
-    rows per series — Catalyst sees one shared scan of the long
-    table; total candidate volume is sites·vars·horizon_h·3 rows
-    before the champion cut, so there is nothing to prune at scale.
+    rows per series; total candidate volume is
+    sites·vars·horizon_h·3 rows before the champion cut, so there is
+    nothing to prune at scale. The unpivoted series is
+    ``localCheckpoint``ed like the leaderboard's (Catalyst does not
+    share subplans across union branches — without it the forward
+    branches re-scan the raw fact table per model).
 
     Output: (site, var, ts_utc, model, yhat) with yhat rounded to 6
     decimals (the ``forecast_baseline`` family convention), ordered
@@ -424,7 +436,9 @@ def champion_forecast(
         "ts_utc",
         F.col("pv_est_mwh").alias("pv"),
         F.col("wind_est_mwh").alias("wind"),
-    ).unpivot(["site", "ts_utc"], ["pv", "wind"], "var", "y")
+    ).unpivot(
+        ["site", "ts_utc"], ["pv", "wind"], "var", "y"
+    ).localCheckpoint(eager=True)
     mx = long.agg(F.max("ts_utc").alias("_mx"))
     future = (
         spark.range(1, int(horizon_h) + 1)

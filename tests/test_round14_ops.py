@@ -399,3 +399,58 @@ def test_champion_forecast_constant_series_climatology(spark):
     assert set(out["model"]) == {"hod_mean"}
     assert len(out) == 2 * 24
     assert (out["yhat"] == 2.5).all()
+
+
+def test_batch_topk_cut_matches_reference_order_property():
+    # pure-numpy property test (no Spark round-trip, so examples are
+    # cheap): against a reference ranking that literally spells the
+    # engine total order — NaN group first, then sim desc (+inf at
+    # the top of the finite/inf group), ties by neighbor id asc —
+    # the cut must keep exactly the reference's per-query top-k set.
+    # Domains are tie-saturated and NaN/±inf-heavy on purpose.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.similarity import (
+        _batch_topk_cut,
+    )
+
+    sims = st.sampled_from(
+        [float("nan"), float("inf"), float("-inf"), -1.0, 0.0, 0.0, 2.5]
+    )
+    rows = st.lists(
+        st.tuples(st.integers(0, 2), sims), min_size=1, max_size=24
+    )
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows=rows, k=st.integers(1, 5))
+    def check(rows, k):
+        qids = np.array([q for q, _ in rows], dtype=np.int64)
+        # neighbor ids unique per row, assigned in REVERSE so adverse
+        # (small id on the hotter sim) pairings occur constantly
+        nids = np.arange(len(rows), 0, -1, dtype=np.int64)
+        sim = np.array([s for _, s in rows], dtype=np.float64)
+        keep = _batch_topk_cut(qids, nids, sim, k)
+        got = {}
+        for i in keep:
+            got.setdefault(qids[i], set()).add(int(nids[i]))
+        for q in set(qids.tolist()):
+            mask = qids == q
+            order = sorted(
+                zip(nids[mask], sim[mask]),
+                key=lambda t: (
+                    0 if math.isnan(t[1]) else 1,
+                    0.0 if math.isnan(t[1]) else -t[1],
+                    t[0],
+                ),
+            )
+            want = {int(n) for n, _ in order[:k]}
+            assert got.get(q, set()) == want, (q, k, list(zip(qids, nids, sim)))
+
+    import math
+
+    check()
