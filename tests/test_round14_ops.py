@@ -454,3 +454,109 @@ def test_batch_topk_cut_matches_reference_order_property():
     import math
 
     check()
+
+
+# A feature-source prefix over a registered `feats` table, spliced
+# onto the REGISTERED oracle's CTE chain (split off after
+# _PSEUDO_FEATURES_CTE) — the model family under differential test is
+# literally the registered SQL, not a restatement that could desync.
+_FEATS_PREFIX = """
+WITH s AS (
+  SELECT site, CAST(ts_utc AS TIMESTAMP) AS ts_utc,
+         pv_est_mwh, wind_est_mwh
+  FROM feats
+),
+long AS (
+  SELECT site, ts_utc, 'pv' AS var, pv_est_mwh AS y FROM s
+  UNION ALL
+  SELECT site, ts_utc, 'wind' AS var, wind_est_mwh AS y FROM s
+)
+"""
+
+
+def _champion_twin_sql(name: str) -> str:
+    oracle = entry_mod.oracle_sql()[name]
+    prefix = entry_mod._PSEUDO_FEATURES_CTE
+    assert oracle.startswith(prefix)
+    return _FEATS_PREFIX + oracle[len(prefix):]
+
+
+def test_leaderboard_hypothesis_differential(spark):
+    # adversarial differential over random series the constructed
+    # cases can't cover: gappy hours (the TIME-join drop semantics),
+    # tie-saturated values (rank boundaries land ON equal mean_mae
+    # constantly), series too short for snaive_168 or even for any
+    # fold, and non-dyadic values exercising the decimal(30,15)
+    # quantization — Spark kernel vs the registered SQL chain in
+    # DuckDB, value-by-value, for BOTH champion entries.
+    import math
+
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.plans.gold import (
+        champion_forecast,
+        model_leaderboard,
+    )
+
+    vals = st.sampled_from([0.0, 1.0, 1.0, 2.5, -1.0, 0.1])
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        days=st.integers(2, 10),
+        drop=st.sets(st.integers(0, 239), max_size=60),
+        seed_vals=st.lists(vals, min_size=8, max_size=8),
+        two_sites=st.booleans(),
+    )
+    def check(days, drop, seed_vals, two_sites):
+        rows = []
+        for s in ["a", "b"] if two_sites else ["a"]:
+            for i in range(days * 24):
+                if i in drop:
+                    continue  # hour gap: joins must DROP, never shift
+                d, h = divmod(i, 24)
+                rows.append(
+                    (
+                        s,
+                        f"2024-01-{d + 1:02d} {h:02d}:00:00",
+                        seed_vals[(i + (7 if s == "b" else 0)) % 8],
+                        seed_vals[(i + 3) % 8],
+                    )
+                )
+        feats = _hourly_feats(spark, rows)
+        con = duckdb.connect()
+        con.register(
+            "feats",
+            feats.toPandas(),
+        )
+        for name, fn in [
+            ("forecast_champion", model_leaderboard),
+            ("forecast_champion_forward", champion_forecast),
+        ]:
+            got = fn(feats).toPandas()
+            want = con.execute(_champion_twin_sql(name)).fetchdf()
+            want.columns = [c.strip('"') for c in want.columns]
+            assert list(got.columns) == list(want.columns), name
+            assert len(got) == len(want), (name, len(got), len(want))
+            for c in got.columns:
+                for x, y in zip(got[c], want[c]):
+                    if isinstance(x, float) or isinstance(y, float):
+                        assert (
+                            (pd_isna(x) and pd_isna(y))
+                            or math.isclose(
+                                float(x), float(y),
+                                rel_tol=1e-9, abs_tol=1e-9,
+                            )
+                        ), (name, c, x, y)
+                    else:
+                        assert x == y, (name, c, x, y)
+
+    import pandas as _pd
+
+    pd_isna = _pd.isna
+    check()
