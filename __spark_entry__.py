@@ -1511,6 +1511,35 @@ def q_doc_search_prf(spark, sf_dir):
     )
 
 
+def q_doc_search_prf_indexed(spark, sf_dir):
+    # PRF served entirely from the persisted inverted index (new r14
+    # — the at-scale path the repeated-scan audit prescribed: inline
+    # PRF re-tokenizes the corpus ~5x per query; this tokenizes once
+    # at ingest and serves every PRF stage from postings). Same
+    # persist→append lifecycle as doc_search_indexed, own prefix;
+    # bit-identical to inline bm25_prf_search by construction
+    # (identity-tested incl. across appends), so the inline entry's
+    # chained oracle certifies this path verbatim.
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import fsutil
+
+    docs = _t(spark, sf_dir, "documents")
+    prefix = "entry_prf_idx_lifecycle"
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for suffix in ("postings", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+        fsutil.delete(
+            fsutil.join(wh, f"{prefix}_{suffix}"), recursive=True, spark=spark
+        )
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    TX.persist_search_index(base, prefix, batch_id="base")
+    TX.append_search_index(delta, prefix, batch_id="delta")
+    return TX.prf_index_topk(
+        spark, prefix, "vector stream merge window",
+        k=20, fb_docs=10, fb_terms=5,
+    )
+
+
 def q_doc_frequent_pairs(spark, sf_dir):
     # Apriori 2-itemsets with docs as baskets: frequent co-occurring
     # (non-adjacent) token pairs; downward-closure prune bounds the
@@ -3968,6 +3997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dataset_cards": q_source_dataset_cards,
         "corpus_triangles": q_corpus_triangles,
         "doc_search_prf": q_doc_search_prf,
+        "doc_search_prf_indexed": q_doc_search_prf_indexed,
         "doc_frequent_pairs": q_doc_frequent_pairs,
         "embedding_drift": q_embedding_drift,
         "scd2_point_lookup": q_scd2_point_lookup,
@@ -5006,6 +5036,12 @@ def oracle_sql() -> dict[str, str]:
     # corpus BY CONTRACT — so the inline oracle certifies the
     # composed persist→append→probe path verbatim
     d["doc_search_indexed"] = d["doc_search_bm25"]
+    # index-resident PRF (r14): bit-identical to inline PRF over the
+    # same ingested corpus by construction (every stage reads postings
+    # whose per-(term, doc) rows ARE the explode-counts; identity-
+    # tested incl. across appends) — the inline chained oracle
+    # certifies the persisted path verbatim
+    d["doc_search_prf_indexed"] = d["doc_search_prf"]
     # binary-packed code layout (r14): packed=True changes ONLY the
     # storage of the code column (_unpack_codes ∘ _pack_codes ≡ id,
     # identity-tested incl. ±127) — scored rows are bit-identical, so

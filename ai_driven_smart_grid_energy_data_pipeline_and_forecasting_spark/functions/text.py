@@ -1060,6 +1060,120 @@ def search_index_topk(
     )
 
 
+def prf_index_topk(
+    spark,
+    table_prefix: str,
+    query: str,
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    k1_scaled: int = 1_200_000,
+    b_scaled: int = 750_000,
+) -> DataFrame:
+    """Pseudo-relevance feedback served ENTIRELY from the persisted
+    inverted index (r14) — the at-scale path the repeated-scan audit
+    prescribed for ``bm25_prf_search``: inline PRF pays ~5
+    semi-join-filtered corpus passes per query because every stage
+    re-tokenizes the text column; here every stage reads the postings
+    tables instead, so a 100 TB corpus is tokenized once at ingest
+    and never again:
+
+    - round 1 = ``search_index_topk`` (bucket-pruned probe of the
+      original query terms);
+    - feedback term mining = the feedback docs' posting rows
+      (``Σ tf`` per term ≡ the inline explode-count, since a posting
+      row IS the per-(term, doc) occurrence count) — one narrow
+      postings scan filtered by a broadcast ≤fb_docs id set, not a
+      corpus re-tokenize;
+    - candidate df = posting-row counts per candidate term;
+    - round 2 = the BM25 fixed-point arithmetic over the expanded
+      term set's postings (broadcast semi-join — the data-dependent
+      analogue of the probe's IN filter).
+
+    Every aggregate is over content-DEDUPLICATED rows (the replay
+    guard of the index family), N/Σdl come from the summed per-batch
+    stats rows, and every expression is the same fixed-point pipeline
+    as ``bm25_prf_search`` — the result is BIT-IDENTICAL to inline
+    PRF over the full ingested corpus (identity-tested incl. across
+    appends), so the inline entry's chained oracle certifies this
+    path verbatim."""
+    S = TFIDF_SCALE
+    terms = sorted(set(query.strip().split()))
+    if not terms:
+        raise ValueError("prf_index_topk needs a non-empty query")
+    postings = spark.table(f"{table_prefix}_postings").distinct()
+    stats = (
+        spark.table(f"{table_prefix}_stats")
+        .distinct()
+        .agg(F.sum("n").alias("_n"), F.sum("l").alias("_l"))
+    )
+    top1 = search_index_topk(
+        spark, table_prefix, query, k=fb_docs, mode="bm25",
+        k1_scaled=k1_scaled, b_scaled=b_scaled,
+    ).select("doc_id")
+    fb_tf = (
+        postings.join(F.broadcast(top1), "doc_id", "left_semi")
+        .where(~F.col("t").isin(terms))
+        .groupBy("t")
+        .agg(F.sum("tf").alias("_fbtf"))
+    )
+    cand_df = (
+        postings.join(F.broadcast(fb_tf.select("t")), "t", "left_semi")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    expansion = (
+        fb_tf.join(cand_df, "t")
+        .crossJoin(F.broadcast(stats.select("_n")))
+        .select(
+            "t",
+            F.expr(
+                f"_fbtf * (cast({S} as decimal(38,0)) * _n div _df)"
+            ).alias("_w"),
+        )
+        .orderBy(F.desc("_w"), "t")
+        .limit(fb_terms)
+        .select("t")
+    )
+    term_tbl = expansion.unionByName(
+        spark.createDataFrame([(t,) for t in terms], "t string")
+    ).distinct()
+    hits = postings.join(F.broadcast(term_tbl), "t", "left_semi")
+    df_tbl = hits.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
+    idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.expr(
+            f"floor({S}L * ln(1 + cast(2*_n - 2*_df + 1 as double)"
+            " / cast(2*_df + 1 as double)))"
+        ).alias("_idf_s"),
+    )
+    norm_s = (
+        f"({S}L - {b_scaled}L"
+        f" + cast({b_scaled} as decimal(38,0)) * dl * _n div _l)"
+    )
+    scored = (
+        hits.join(F.broadcast(idf_tbl), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                f"_idf_s * ((cast(tf as decimal(38,0))"
+                f" * {k1_scaled + S}L * {S}L)"
+                f" div (cast(tf as decimal(38,0)) * {S}L"
+                f" + (cast({k1_scaled} as decimal(38,0)) * {norm_s})"
+                f" div {S}L))"
+            ).alias("_term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_term_score").alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
 def doc_lm_nll(
     docs: DataFrame,
     k: int = 50,

@@ -202,6 +202,7 @@ HEADLINE = [
     "source_dataset_cards",
     "corpus_triangles",
     "doc_search_prf",
+    "doc_search_prf_indexed",
     "doc_frequent_pairs",
     "embedding_drift",
     "scd2_point_lookup",

@@ -67,6 +67,7 @@ NEW_R5 = [
     "source_dataset_cards",
     "corpus_triangles",
     "doc_search_prf",
+    "doc_search_prf_indexed",
     "doc_frequent_pairs",
     "embedding_drift",
     "scd2_point_lookup",
