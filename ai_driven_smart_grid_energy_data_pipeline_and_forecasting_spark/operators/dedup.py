@@ -246,6 +246,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     max_df: int | None = None,
+    _inv: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-n-gram Jaccard near-dup pairs via inverted index.
 
@@ -269,8 +270,12 @@ def ngram_jaccard_pairs(
     shingle arrays per candidate, while this formulation only counts
     join rows that partial-aggregate map-side. Prefer this shape until
     profiled otherwise; at extreme df skew, cap df here or go MinHash.
+    ``_inv`` (private): a prebuilt — typically checkpointed —
+    ``doc_shingles(docs, text_col, n)`` frame, so a caller composing
+    this with other shingle consumers (``minhash_accuracy_audit``)
+    shares one kernel pass instead of re-tokenizing per consumer.
     """
-    inv = doc_shingles(docs, text_col, n)
+    inv = doc_shingles(docs, text_col, n) if _inv is None else _inv
     # One aggregate per shingle — the posting list — generates the
     # pairs via a double explode: one Exchange on `sh`, and the Python
     # shingle kernel executes ONCE (an inv⋈inv self-join re-executes
@@ -386,14 +391,21 @@ def minhash_params(j: int) -> tuple[int, int]:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    _inv: DataFrame | None = None,
 ) -> DataFrame:
     """K=16 minhash signature per doc. One md5 per shingle, then the
     universal family h_j(s) = (a_j·h32(s) + b_j) mod 2^32 — 16
     multiply-adds instead of 16 md5s per row (md5 dominates shingle
     hashing cost). Per-doc min is a partial-aggregatable groupBy agg —
-    the shuffle carries 16 longs per doc per partition."""
-    inv = doc_shingles(docs, text_col, n).withColumn("h", h32(F.col("sh")))
+    the shuffle carries 16 longs per doc per partition. ``_inv``
+    (private): a prebuilt ``doc_shingles`` frame to share one kernel
+    pass across shingle consumers."""
+    inv = (doc_shingles(docs, text_col, n) if _inv is None else _inv).withColumn(
+        "h", h32(F.col("sh"))
+    )
     params = [minhash_params(j) for j in range(N_HASHES)]
     hashed = inv.select(
         "doc_id",
@@ -414,7 +426,11 @@ def _band_hash(b: int):
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """MinHash banding: docs sharing any of 8 (2-row) band hashes become
     candidates; candidates are verified with exact Jaccard over their
@@ -438,8 +454,34 @@ def minhash_lsh_pairs(
     O(Σ bucket²) regardless of formulation, which is the LSH
     parameterization's job to bound. The verify shuffle carries
     shingle arrays only for candidate docs, not the corpus.
+
+    r14: ONE kernel pass total. ``materialize=True`` (default)
+    checkpoints the flat shingle index (``doc_shingles``), and BOTH
+    the signature aggregate and the verify sets derive from it — the
+    signature chain reads the pinned rows instead of re-tokenizing,
+    and the verify sets are a semi-join + collect_list over candidate
+    docs only instead of a second full-corpus kernel pass (the
+    ``duplicated_spans`` ``materialize_grams`` convention: the pinned
+    frame is corpus-token-sized, so at scales past executor storage
+    pass ``False`` and pay the second kernel pass instead). Verify
+    arithmetic is unchanged: collect_list order is nondeterministic
+    but only set SIZES feed the Jaccard, so the output is
+    bit-identical either way.
     """
-    sig = minhash_signatures(docs, text_col, n)
+    inv = doc_shingles(docs, text_col, n)
+    if materialize:
+        inv = inv.localCheckpoint(eager=True)
+    params = [minhash_params(j) for j in range(N_HASHES)]
+    hashed = inv.withColumn("h", h32(F.col("sh"))).select(
+        "doc_id",
+        *[
+            ((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_MOD)).alias(f"h{j}")
+            for j, (a, b) in enumerate(params)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(N_HASHES)]
+    )
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -460,7 +502,23 @@ def minhash_lsh_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
-    sets = doc_shingle_sets(docs, text_col, n)
+    if materialize:
+        # verify sets for CANDIDATE docs only, rebuilt from the pinned
+        # index (collect_list over distinct rows — a permutation of the
+        # set; only sizes feed the Jaccard). The candidate chain is
+        # consumed twice below (roles + the semi join), so pin the
+        # small pair list too rather than re-running the band chain.
+        cands = cands.localCheckpoint(eager=True)
+        cand_ids = cands.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        sets = (
+            inv.join(cand_ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.collect_list("sh").alias("shs"))
+        )
+    else:
+        sets = doc_shingle_sets(docs, text_col, n)
     roles = cands.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
@@ -999,10 +1057,13 @@ def novel_against_index(
     )
 
 
-def _lsh_bands(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+def _lsh_bands(
+    docs: DataFrame, text_col: str, n: int, _inv: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, bh) rows — the persistable LSH index of a corpus
-    (same banding as ``minhash_lsh_pairs``)."""
-    sig = minhash_signatures(docs, text_col, n)
+    (same banding as ``minhash_lsh_pairs``). ``_inv``: prebuilt
+    ``doc_shingles`` frame to share one kernel pass."""
+    sig = minhash_signatures(docs, text_col, n, _inv=_inv)
     return sig.select(
         "doc_id",
         F.explode(
@@ -1042,8 +1103,19 @@ def novel_against_index_near(
     ``minhash_lsh_pairs``); a missed near-dup is a false "novel", the
     standard LSH trade.
     """
-    ib = _lsh_bands(index_docs, text_col, n)
-    sets_idx = doc_shingle_sets(index_docs, text_col, n)
+    # r14: ONE shingle-kernel pass per corpus side (was two per side —
+    # bands and sets each re-tokenized). The pinned flat index feeds
+    # the band chain, and the verify sets fold out of it with a
+    # collect_list (distinct rows → a permutation of the set; only
+    # sizes feed the Jaccard). The new-docs side gets the same
+    # treatment inside ``_novel_vs_index_frames``.
+    inv_idx = doc_shingles(index_docs, text_col, n).localCheckpoint(
+        eager=True
+    )
+    ib = _lsh_bands(index_docs, text_col, n, _inv=inv_idx)
+    sets_idx = inv_idx.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs")
+    )
     return _novel_vs_index_frames(
         new_docs, ib, sets_idx, threshold, n, text_col
     )
@@ -1060,11 +1132,18 @@ def _novel_vs_index_frames(
     """Shared probe flow for ``novel_against_index_near`` (index frames
     computed inline) and ``probe_lsh_index`` (index frames read from
     persisted bucketed tables)."""
-    nb = _lsh_bands(new_docs, text_col, n).withColumnRenamed("doc_id", "new_id")
+    # r14: one kernel pass over the batch — bands and verify sets both
+    # derive from the pinned flat shingle index (sizes-only Jaccard,
+    # so collect_list order is irrelevant; empty-shingle docs never
+    # band, so the inner joins below see the same rows either way).
+    inv_new = doc_shingles(new_docs, text_col, n).localCheckpoint(eager=True)
+    nb = _lsh_bands(new_docs, text_col, n, _inv=inv_new).withColumnRenamed(
+        "doc_id", "new_id"
+    )
     ib = index_bands.withColumnRenamed("doc_id", "idx_id")
     cands = nb.join(ib, ["band", "bh"]).select("new_id", "idx_id").distinct()
     sets_new = (
-        doc_shingle_sets(new_docs, text_col, n)
+        inv_new.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
         .withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("shs", "shs_a")
     )
@@ -1481,16 +1560,28 @@ def winnow_pairs(
     fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
         F.col(id_col), "fp"
     ).distinct()
-    capped = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= max_df)
-        .select("fp")
+    # Posting-list pair generation (r14 optimization — the
+    # ngram_jaccard_pairs convention this operator predated): ONE
+    # shuffle on fp builds the posting list; in-bucket pairs expand
+    # with a double explode. The prior shape joined fps→capped twice
+    # and then a⋈b on fp — Catalyst shares no common subplans, so the
+    # whole fingerprint chain (scan, gram posexplode, winnow window,
+    # distinct) executed THREE times (audited: 4 documents scans / 7
+    # exchanges → 1 scan / 4 exchanges). The df cap rides a window
+    # count over the SAME key the posting aggregate shuffles on
+    # (the _cap_hot_buckets convention — zero extra exchange), so no
+    # posting list above max_df is ever materialized: identical
+    # output, hot-fp-safe at any corpus size.
+    wfp = Window.partitionBy("fp")
+    posting = (
+        fps.withColumn("_df", F.count(F.lit(1)).over(wfp))
+        .where((F.col("_df") > 1) & (F.col("_df") <= F.lit(max_df)))
+        .groupBy("fp")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
     )
-    a = fps.join(capped, "fp").select("fp", F.col(id_col).alias("doc_a"))
-    b = fps.join(capped, "fp").select("fp", F.col(id_col).alias("doc_b"))
     return (
-        a.join(b, "fp")
+        posting.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -1525,9 +1616,17 @@ def minhash_accuracy_audit(
     (one shingle shuffle + one pair shuffle); signatures are one
     partial-agg groupBy; two id-joins attach them to the pairs. All
     md5-deterministic → value-exact oracle."""
+    # r14: ONE shingle-kernel pass — the pair join and the signature
+    # aggregate both consume the same pinned flat index (previously 3
+    # kernel executions: pairs ×1 + the sig chain re-derived per side
+    # of the sa/sb join). sig is pinned too: it is consumed twice
+    # below and re-deriving it costs a 16-min aggregate per side.
+    inv = doc_shingles(docs, text_col, n).localCheckpoint(eager=True)
     pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n,
-                                text_col=text_col)
-    sig = minhash_signatures(docs, text_col=text_col, n=n)
+                                text_col=text_col, _inv=inv)
+    sig = minhash_signatures(
+        docs, text_col=text_col, n=n, _inv=inv
+    ).localCheckpoint(eager=True)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)],

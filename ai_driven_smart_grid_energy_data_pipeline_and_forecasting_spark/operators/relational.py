@@ -561,6 +561,7 @@ def spearman_corr(
     y_col: str,
     x_bucket: Column,
     y_bucket: Column,
+    materialize: bool = True,
 ) -> DataFrame:
     """Spearman rank correlation ρ between two columns — monotone
     association, the distribution-free complement of Pearson (which
@@ -581,7 +582,18 @@ def spearman_corr(
     front (global_rank refuses invalid keys loudly rather than
     ordering them arbitrarily).
 
-    Returns 1 row: (n, rho)."""
+    Returns 1 row: (n, rho).
+
+    ``materialize=True`` (r14) pins the narrow (x, y, bucket)
+    projection — and the x-ranked intermediate — with
+    ``localCheckpoint``: each ``global_rank`` call consumes its input
+    several times (the envelope-audit aggregate, the offsets join,
+    the tie fold), and Catalyst shares no common subplans, so the
+    un-pinned form re-derived the caller's upstream join ~6× (audited
+    at sf0.1: 8 parquet scans / 14 exchanges → 2 scans; the pinned
+    frames are 4-6 numeric columns per surviving row — the
+    guide-§8 "decide on small rows" proxy table, linear storage).
+    Pass ``False`` to trade re-computation for zero pinned storage."""
     # bucket expressions are evaluated against the CALLER's columns
     # here, before the rename — they ride along as materialized cols
     base = df.select(
@@ -595,6 +607,8 @@ def spearman_corr(
         & ~F.isnan(F.col("_x").cast("double"))
         & ~F.isnan(F.col("_y").cast("double"))
     )
+    if materialize:
+        base = base.localCheckpoint(eager=True)
 
     def avg2_ranks(frame: DataFrame, col: str, bucket_col: str, out: str):
         ranked = global_rank(
@@ -605,9 +619,10 @@ def spearman_corr(
         )
         return ranked.drop("_rk").join(ties, col)
 
-    both = avg2_ranks(
-        avg2_ranks(base, "_x", "_bx", "_u"), "_y", "_by", "_v"
-    )
+    xr = avg2_ranks(base, "_x", "_bx", "_u")
+    if materialize:
+        xr = xr.localCheckpoint(eager=True)
+    both = avg2_ranks(xr, "_y", "_by", "_v")
     dec = "decimal(38,0)"
     mom = both.select(
         F.col("_u").cast(dec).alias("_u"), F.col("_v").cast(dec).alias("_v")
@@ -687,10 +702,18 @@ def weighted_percentile(
         .orderBy("_v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = base.withColumn("_cum", F.sum("_w").over(win))
-    tot = base.groupBy(*groups).agg(F.sum("_w").alias("_tot"))
+    # group total as an unbounded window over the SAME partition keys
+    # the cumulative window already shuffles/sorts on (r14): one pass
+    # over one exchange, where the former groupBy+join re-derived
+    # ``base`` (its scan + distinct-value aggregate) a second time and
+    # paid a join exchange. Decimal sums are associative, so the
+    # window total is bit-identical to the aggregate total.
+    wtot = Window.partitionBy(*groups)
+    cum = base.withColumn("_cum", F.sum("_w").over(win)).withColumn(
+        "_tot", F.sum("_w").over(wtot)
+    )
     return (
-        cum.join(tot, groups)
+        cum
         .where(
             F.col("_cum") * F.lit(q_den) >= F.col("_tot") * F.lit(q_num)
         )
@@ -814,11 +837,16 @@ def _lower_median(
         .orderBy(col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = agg.withColumn("_cumn", F.sum("_c").over(win))
-    tot = agg.groupBy(*groups).agg(F.sum("_c").alias("_totn"))
+    # group total via an unbounded window over the same partition keys
+    # the cumulative already shuffles/sorts on (r14, the
+    # weighted_percentile fix): integer sums are associative, so the
+    # window total is bit-identical to the former groupBy+join total —
+    # and ``agg`` is derived once instead of twice.
+    cum = agg.withColumn("_cumn", F.sum("_c").over(win)).withColumn(
+        "_totn", F.sum("_c").over(Window.partitionBy(*groups))
+    )
     return (
-        cum.join(tot, list(groups))
-        .where(F.col("_cumn") * 2 >= F.col("_totn"))
+        cum.where(F.col("_cumn") * 2 >= F.col("_totn"))
         .groupBy(*groups)
         .agg(F.min(col).alias(out))
     )
@@ -855,14 +883,21 @@ def mad_outliers(
     which would poison the deviation median on one engine and not the
     other)."""
     v = F.col(value_col)
+    # r14 subtree pinning: ``base`` feeds the median chain AND the
+    # deviation join, ``dev`` feeds the MAD chain AND the flag fold,
+    # and the per-key median/MAD rows are consumed by joins — Catalyst
+    # re-derives each reference, so the un-pinned plan scanned the
+    # fact table 9×. Pinning the narrow (_k, _v) projection plus the
+    # two per-key single-row tables makes it ONE scan; ``dev`` stays
+    # lazy (pinned base ⋈ broadcast median is cheap to derive twice).
     base = df.select(
         F.col(key_col).alias("_k"), v.alias("_v")
-    ).where(v.isNotNull() & ~F.isnan(v))
-    med = _lower_median(base, ["_k"], "_v", "_med")
+    ).where(v.isNotNull() & ~F.isnan(v)).localCheckpoint(eager=True)
+    med = _lower_median(base, ["_k"], "_v", "_med").localCheckpoint(eager=True)
     dev = base.join(med, "_k").select(
         "_k", "_v", "_med", F.abs(F.col("_v") - F.col("_med")).alias("_d")
     )
-    mad = _lower_median(dev, ["_k"], "_d", "_mad")
+    mad = _lower_median(dev, ["_k"], "_d", "_mad").localCheckpoint(eager=True)
     flagged = dev.join(mad, "_k").select(
         "_k",
         "_med",
@@ -1089,10 +1124,17 @@ def quantile_match(
     matched = the reference-distribution value. Reference-key rows map
     to themselves (the identity sanity check rides in the result)."""
     k, v = F.col(key_col), F.col(value_col)
+    # r14 subtree pinning: base feeds cum + tot, cum feeds ref + the
+    # probe rows, tot feeds the cum join + keys — un-pinned, the fact
+    # table was scanned 7×. base (the distinct-(key, value) table —
+    # value-domain-sized, the same bound the window relies on) and the
+    # joined cum table are pinned; everything downstream derives from
+    # them. ONE fact scan.
     base = (
         df.where(k.isNotNull() & v.isNotNull() & ~F.isnan(v))
         .groupBy(k.alias("_k"), v.alias("_v"))
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     wcum = Window.partitionBy("_k").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1127,7 +1169,7 @@ def quantile_match(
             .alias("_n"),
         )
     )
-    cum = cum.join(tot, "_k")
+    cum = cum.join(tot, "_k").localCheckpoint(eager=True)
     ref = (
         cum.where(F.col("_k") == F.lit(ref_key))
         .select(

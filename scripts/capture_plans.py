@@ -1,0 +1,56 @@
+"""Capture .explain('formatted') for declared queries into plans/<tag>/.
+
+Usage: python scripts/capture_plans.py <tag> [query ...]
+Writes plans/r14/<query>_<tag>.txt for each named query (default: all
+declared queries). Plan capture is driver-side only — no job runs —
+except for queries whose construction itself runs eager work (index
+lifecycle builds etc.), which execute that part as usual.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = get_spark("capture-plans")
+    queries = entry_mod.queries()
+    if not names:
+        names = sorted(queries)
+    failed = []
+    for name in names:
+        if name not in queries:
+            print(f"SKIP unknown query {name}", file=sys.stderr)
+            continue
+        try:
+            df = queries[name](spark, SF_DIR)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001
+            failed.append(name)
+            print(f"FAIL {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            continue
+        path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path}")
+    if failed:
+        raise SystemExit(f"failed: {failed}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
