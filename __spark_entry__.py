@@ -3618,7 +3618,11 @@ def q_orders_scd2(spark, sf_dir):
         scd2_intervals,
     )
 
-    orders = _t(spark, sf_dir, "orders")
+    # r14: the three snapshots are projections of one 2-column scan —
+    # pin it once instead of re-scanning orders per union branch
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).localCheckpoint(eager=True)
     k = F.col("o_orderkey")
     s1 = orders.select(k.alias("o_orderkey"), "o_orderstatus")
     s2 = orders.select(

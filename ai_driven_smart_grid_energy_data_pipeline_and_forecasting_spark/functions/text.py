@@ -1101,7 +1101,12 @@ def prf_index_topk(
     terms = sorted(set(query.strip().split()))
     if not terms:
         raise ValueError("prf_index_topk needs a non-empty query")
-    postings = spark.table(f"{table_prefix}_postings").distinct()
+    # r14 probe-shape fixes (content-dedup semantics unchanged —
+    # ``distinct`` commutes with every filter applied here, so
+    # deduplicating AFTER the prune shuffles the pruned rows, not the
+    # whole postings table; the prior shape paid a full-table distinct
+    # exchange once per consumer):
+    postings = spark.table(f"{table_prefix}_postings")
     stats = (
         spark.table(f"{table_prefix}_stats")
         .distinct()
@@ -1114,11 +1119,13 @@ def prf_index_topk(
     fb_tf = (
         postings.join(F.broadcast(top1), "doc_id", "left_semi")
         .where(~F.col("t").isin(terms))
+        .distinct()
         .groupBy("t")
         .agg(F.sum("tf").alias("_fbtf"))
     )
     cand_df = (
         postings.join(F.broadcast(fb_tf.select("t")), "t", "left_semi")
+        .distinct()
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
@@ -1135,10 +1142,15 @@ def prf_index_topk(
         .limit(fb_terms)
         .select("t")
     )
-    term_tbl = expansion.unionByName(
-        spark.createDataFrame([(t,) for t in terms], "t string")
-    ).distinct()
-    hits = postings.join(F.broadcast(term_tbl), "t", "left_semi")
+    # the final term set is bounded by fb_terms + |query| — collect it
+    # (the registry's bounded-collect policy) so round 2 is a
+    # bucket-pruned IN-filter read of exactly the expanded terms'
+    # postings, the same pruned shape as ``search_index_topk``, instead
+    # of two more full-table scans behind a broadcast semi join.
+    # Deterministic: the expansion ranking is a total order (_w desc,
+    # then term).
+    all_terms = sorted(set(terms) | {r[0] for r in expansion.collect()})
+    hits = postings.where(F.col("t").isin(all_terms)).distinct()
     df_tbl = hits.groupBy("t").agg(F.count(F.lit(1)).alias("_df"))
     idf_tbl = df_tbl.crossJoin(F.broadcast(stats)).select(
         "t",

@@ -934,31 +934,44 @@ def containment_pairs(
     shingle, one on the pair; ``max_df`` is the identical hot-shingle
     escape, biasing containment low only.
     """
-    sets = doc_shingle_sets(docs, text_col, n).localCheckpoint()
-    sizes = sets.select("doc_id", F.size("shs").alias("sz"))
-    inv = sets.select("doc_id", F.explode("shs").alias("s"))
+    # r14: posting-list double-explode (the ngram_jaccard_pairs
+    # convention) replaces the inv⋈inv self-join — one Exchange on the
+    # shingle instead of two join sides, and the FULL set size rides
+    # each index row (the cap biases containment low only, so
+    # denominators stay full-set — unchanged semantics), which removes
+    # both sides of the former sizes join. The df cap becomes a window
+    # count over the same shingle key (the _cap_hot_buckets
+    # convention — no unbounded posting list materialized under a cap).
+    sets = doc_shingle_sets(docs, text_col, n)
+    inv = sets.select(
+        "doc_id", F.size("shs").alias("sz"), F.explode("shs").alias("s")
+    )
     if max_df is not None:
-        ok = (
-            inv.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        ws = Window.partitionBy("s")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(ws))
             .filter(F.col("_df") <= max_df)
-            .select("s")
+            .drop("_df")
         )
-        inv = inv.join(ok, "s", "left_semi")
-    inter = (
-        inv.select(F.col("doc_id").alias("da"), "s")
-        .join(inv.select(F.col("doc_id").alias("db"), "s"), "s")
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    posting = inv.groupBy("s").agg(
+        F.collect_list(F.struct("doc_id", "sz")).alias("ids")
     )
-    with_sizes = inter.join(
-        sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza")),
-        "da",
-    ).join(
-        sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb")),
-        "db",
+    pair_rows = (
+        posting.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
+    # pinned: the ab/ba union consumes this twice, and each reference
+    # would otherwise re-run the kernel + posting chain. Pair-level
+    # rows — bounded by the candidate set, far below the index.
+    with_sizes = pair_rows.groupBy(
+        F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+    ).agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("a.sz").alias("sza"),
+        F.first("b.sz").alias("szb"),
+    ).localCheckpoint(eager=True)
     ab = with_sizes.select(
         F.col("da").alias("inner_doc"),
         F.col("db").alias("outer_doc"),
