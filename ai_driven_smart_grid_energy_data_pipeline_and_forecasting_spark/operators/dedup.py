@@ -430,7 +430,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """MinHash banding: docs sharing any of 8 (2-row) band hashes become
     candidates; candidates are verified with exact Jaccard over their
@@ -455,18 +455,18 @@ def minhash_lsh_pairs(
     parameterization's job to bound. The verify shuffle carries
     shingle arrays only for candidate docs, not the corpus.
 
-    r14: ONE kernel pass total. ``materialize=True`` (default)
-    checkpoints the flat shingle index (``doc_shingles``), and BOTH
-    the signature aggregate and the verify sets derive from it — the
-    signature chain reads the pinned rows instead of re-tokenizing,
-    and the verify sets are a semi-join + collect_list over candidate
-    docs only instead of a second full-corpus kernel pass (the
-    ``duplicated_spans`` ``materialize_grams`` convention: the pinned
-    frame is corpus-token-sized, so at scales past executor storage
-    pass ``False`` and pay the second kernel pass instead). Verify
-    arithmetic is unchanged: collect_list order is nondeterministic
-    but only set SIZES feed the Jaccard, so the output is
-    bit-identical either way.
+    r14: ``materialize=True`` runs ONE kernel pass total — it
+    checkpoints the flat shingle index (``doc_shingles``) and BOTH the
+    signature aggregate and the verify sets derive from it (verify
+    sets become a semi-join + collect_list over candidate docs only;
+    collect_list order is irrelevant because only set SIZES feed the
+    Jaccard, so the output is bit-identical either way). Default is
+    ``False``: the two eager pins (index + candidate list) add ~3
+    sequential job groups, and a same-host A/B at sf0.1 measured the
+    pinned form ~0.3-0.9 s SLOWER across the registered consumers —
+    the tokenize kernel is cheaper than the pin at benched scales.
+    Flip to ``True`` when a corpus pass costs more than pinned
+    storage (the ``duplicated_spans`` ``materialize_grams`` trade).
     """
     inv = doc_shingles(docs, text_col, n)
     if materialize:
