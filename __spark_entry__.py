@@ -3618,11 +3618,12 @@ def q_orders_scd2(spark, sf_dir):
         scd2_intervals,
     )
 
-    # r14: the three snapshots are projections of one 2-column scan —
-    # pin it once instead of re-scanning orders per union branch
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus"
-    ).localCheckpoint(eager=True)
+    # r14 note: pinning the 2-column snapshot base was A/B'd and
+    # REVERTED — the three branch scans are column-pruned 2-column
+    # parquet reads, cheaper than the eager pin job they'd save
+    # (same finding as the recall-audit arms: pin only what runtime
+    # exchange reuse and cheap scans don't already cover).
+    orders = _t(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
     s1 = orders.select(k.alias("o_orderkey"), "o_orderstatus")
     s2 = orders.select(
