@@ -1116,19 +1116,14 @@ def novel_against_index_near(
     ``minhash_lsh_pairs``); a missed near-dup is a false "novel", the
     standard LSH trade.
     """
-    # r14: ONE shingle-kernel pass per corpus side (was two per side —
-    # bands and sets each re-tokenized). The pinned flat index feeds
-    # the band chain, and the verify sets fold out of it with a
-    # collect_list (distinct rows → a permutation of the set; only
-    # sizes feed the Jaccard). The new-docs side gets the same
-    # treatment inside ``_novel_vs_index_frames``.
-    inv_idx = doc_shingles(index_docs, text_col, n).localCheckpoint(
-        eager=True
-    )
-    ib = _lsh_bands(index_docs, text_col, n, _inv=inv_idx)
-    sets_idx = inv_idx.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs")
-    )
+    # r14 note: a one-kernel-pass variant (pin the flat shingle index,
+    # fold verify sets with groupBy+collect_list) was A/B'd and
+    # REVERTED — it replaced the second narrow tokenize kernel with a
+    # full Exchange of the token stream (caught by the shuffle-budget
+    # contract; shuffles, not kernel passes, are the scarce resource
+    # at scale) and measured a wash at sf0.1.
+    ib = _lsh_bands(index_docs, text_col, n)
+    sets_idx = doc_shingle_sets(index_docs, text_col, n)
     return _novel_vs_index_frames(
         new_docs, ib, sets_idx, threshold, n, text_col
     )
@@ -1145,18 +1140,11 @@ def _novel_vs_index_frames(
     """Shared probe flow for ``novel_against_index_near`` (index frames
     computed inline) and ``probe_lsh_index`` (index frames read from
     persisted bucketed tables)."""
-    # r14: one kernel pass over the batch — bands and verify sets both
-    # derive from the pinned flat shingle index (sizes-only Jaccard,
-    # so collect_list order is irrelevant; empty-shingle docs never
-    # band, so the inner joins below see the same rows either way).
-    inv_new = doc_shingles(new_docs, text_col, n).localCheckpoint(eager=True)
-    nb = _lsh_bands(new_docs, text_col, n, _inv=inv_new).withColumnRenamed(
-        "doc_id", "new_id"
-    )
+    nb = _lsh_bands(new_docs, text_col, n).withColumnRenamed("doc_id", "new_id")
     ib = index_bands.withColumnRenamed("doc_id", "idx_id")
     cands = nb.join(ib, ["band", "bh"]).select("new_id", "idx_id").distinct()
     sets_new = (
-        inv_new.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+        doc_shingle_sets(new_docs, text_col, n)
         .withColumnRenamed("doc_id", "new_id")
         .withColumnRenamed("shs", "shs_a")
     )
