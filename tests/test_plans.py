@@ -456,13 +456,16 @@ def test_click_attribution_outer_is_sortmerge_not_bnlj(spark):
 
 
 def test_winnow_pairs_windows_only_per_doc(spark):
-    # the winnowing window partitions by doc_id — a global (empty
-    # partition-spec) window would sort the gram stream on one task
+    # every window must be KEYED — a global (empty partition-spec)
+    # window would sort the gram stream on one task. Two keyed windows
+    # exist since r14: the winnowing min per doc_id, and the df cap's
+    # count per fingerprint (the _cap_hot_buckets convention).
     plan = _plan(spark, "doc_winnow_pairs")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
-            assert "doc_id" in line, line
+            assert ("doc_id" in line) or ("fp" in line), line
+            assert "windowspecdefinition()" not in line, line
 
 
 def test_spearman_windows_bounded_by_buckets(spark):
