@@ -1460,6 +1460,7 @@ def winnow_fingerprints(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _dedup: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every POSITIONAL k-token
@@ -1524,12 +1525,17 @@ def winnow_fingerprints(
         .orderBy("_pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    selected = (
-        guarded.withColumn("_wkey", F.min("_key").over(win))
-        .where((F.col("_pos") == 0) | (F.col("_pos") <= F.col("_ng") - w))
-        .select(id_col, "_wkey")
-        .distinct()
-    )
+    selected = guarded.withColumn("_wkey", F.min("_key").over(win)).where(
+        (F.col("_pos") == 0) | (F.col("_pos") <= F.col("_ng") - w)
+    ).select(id_col, "_wkey")
+    if _dedup:
+        # public contract: one row per selected (doc, packed key).
+        # ``_dedup=False`` (private) skips this exchange for callers
+        # that re-key and deduplicate on (doc, fp) anyway
+        # (winnow_pairs: fp = _wkey div cap is coarser than _wkey, so
+        # its own distinct subsumes this one — identical output, one
+        # Exchange saved).
+        selected = selected.distinct()
     return selected.select(
         id_col,
         # integer div — a float division would round at the 2^53 edge
@@ -1558,7 +1564,7 @@ def winnow_pairs(
     quadratic (the ``ngram_jaccard_capped`` scale lever; at 100 TB the
     cap is what bounds Σdf²). Output (doc_a, doc_b, n_shared) ordered
     by strength — every count an exact integer, value-exact oracle."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col, _dedup=False).select(
         F.col(id_col), "fp"
     ).distinct()
     # Posting-list pair generation (r14 optimization — the
