@@ -884,6 +884,55 @@ def _search_stats(docs, text_col, batch_id):
     )
 
 
+def _stats_from_postings(docs, table_prefix, text_col, id_col, batch_id):
+    """The batch's ``_search_stats`` row DERIVED from the postings
+    table just written, instead of a second full tokenize pass over
+    the corpus — at ingest scale the text column dominates the batch's
+    bytes, and the postings table already holds every number the stats
+    row needs in two integer columns.
+
+    Value-identity with ``_search_stats(docs, ...)`` (r15; tested,
+    including NULL/empty-text corpora and crash replays):
+
+    - ``split(trim(text), ' ')`` on any NON-NULL text yields >= 1
+      token ('' tokenizes to ['']), so every non-NULL-text doc owns
+      >= 1 posting row and ONLY NULL-text docs are absent from the
+      index. ``n`` is therefore (# distinct posted docs) +
+      (# NULL-text docs); the latter comes from an IsNull-pushed scan
+      that reads no text bytes from row groups whose parquet
+      null_count is 0.
+    - ``dl`` is constant per doc (the index contract: unique doc ids
+      per batch), so summing ``dl`` over the distinct (doc_id, dl)
+      rows equals ``sum(size(tokens))`` over non-NULL-text docs — and
+      a NULL text contributes NULL (nothing) to the original sum, so
+      the two sums agree on every corpus.
+    - replay safety: the distinct collapses the duplicated posting
+      rows a crash-replayed append leaves behind, so the derived row
+      is value-identical to the crash-free one and the content-dedup
+      replay guard keeps holding (a raw sum over replayed rows would
+      double ``l``).
+    """
+    spark = docs.sparkSession
+    per_doc = (
+        spark.table(f"{table_prefix}_postings")
+        .where(F.col("batch_id") == batch_id)
+        .select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("_nd"),
+            F.sum("dl").alias("_l"),
+        )
+    )
+    null_docs = docs.where(F.col(text_col).isNull()).agg(
+        F.count(F.lit(1)).alias("_nn")
+    )
+    return per_doc.crossJoin(F.broadcast(null_docs)).select(
+        F.lit(batch_id).alias("batch_id"),
+        (F.col("_nd") + F.col("_nn")).alias("n"),
+        F.col("_l").alias("l"),
+    )
+
+
 def persist_search_index(
     docs: DataFrame,
     table_prefix: str,
@@ -924,9 +973,15 @@ def persist_search_index(
         _search_postings(docs, text_col, id_col, batch_id),
         f"{table_prefix}_postings", ["t"], n_buckets, sort_cols=["t"],
     )
-    _search_stats(docs, text_col, batch_id).write.format(
-        "parquet"
-    ).mode("overwrite").saveAsTable(f"{table_prefix}_stats")
+    # stats derived from the table just written (+ an IsNull-pushed
+    # NULL-text count) — saves the second full corpus tokenize per
+    # index write; value-identical to _search_stats by the proof on
+    # _stats_from_postings
+    _stats_from_postings(
+        docs, table_prefix, text_col, id_col, batch_id
+    ).write.format("parquet").mode("overwrite").saveAsTable(
+        f"{table_prefix}_stats"
+    )
 
 
 def append_search_index(
@@ -962,9 +1017,13 @@ def append_search_index(
         .bucketBy(n_buckets, "t").sortBy("t")
     )
     writer.saveAsTable(f"{table_prefix}_postings")
-    _search_stats(docs, text_col, batch_id).write.format(
-        "parquet"
-    ).mode("append").saveAsTable(f"{table_prefix}_stats")
+    # derived from the appended postings (distinct-collapsed, so a
+    # replayed append still writes the same row) — no corpus re-tokenize
+    _stats_from_postings(
+        docs, table_prefix, text_col, id_col, batch_id
+    ).write.format("parquet").mode("append").saveAsTable(
+        f"{table_prefix}_stats"
+    )
 
 
 def search_index_topk(

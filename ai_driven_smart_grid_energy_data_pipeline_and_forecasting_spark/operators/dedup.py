@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import h32, tokens
+from .relational import _pin
 
 #: id types the driver union-find can hold as int64 without loss
 _INTEGRAL_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
@@ -270,6 +271,16 @@ def ngram_jaccard_pairs(
     shingle arrays per candidate, while this formulation only counts
     join rows that partial-aggregate map-side. Prefer this shape until
     profiled otherwise; at extreme df skew, cap df here or go MinHash.
+
+    Memory bound (r15): with ``max_df`` set, the cap is applied as a
+    window count BEFORE the posting aggregate, so no posting list
+    longer than ``max_df`` is ever materialized in an aggregation
+    buffer. With ``max_df=None`` the posting list of the hottest
+    shingle IS the memory ceiling — one array of df (doc_id, n_sh)
+    structs in a single task. That is inherent to the uncapped
+    semantics (the pair fan-out is Σdf² regardless of formulation);
+    at 100 TB always pass a cap — the uncapped form exists for exact
+    small-corpus parity, not scale.
     ``_inv`` (private): a prebuilt — typically checkpointed —
     ``doc_shingles(docs, text_col, n)`` frame, so a caller composing
     this with other shingle consumers (``minhash_accuracy_audit``)
@@ -293,11 +304,26 @@ def ngram_jaccard_pairs(
     # path must recount over surviving shingles only (exact Jaccard on
     # the capped vocabulary), one extra branch off the same posting
     # aggregate.
+    # r15: the df cap moves UPSTREAM of the posting aggregate as a
+    # window count over the same shingle key (the winnow/_cap_hot_
+    # buckets convention): rows of an over-cap shingle are dropped
+    # before collect_list ever runs, so no posting list larger than
+    # max_df is materialized in any aggregation buffer — the former
+    # collect-then-filter shape built the full stop-shingle array
+    # (df ~ corpus size at 100 TB) in one task before discarding it.
+    # Identical output: size(collect_list) per shingle == the window
+    # count, so the same groups survive; window and groupBy share one
+    # hashpartitioning(sh) exchange.
+    if max_df is not None:
+        wsh = Window.partitionBy("sh")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(wsh))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     posting = inv.groupBy("sh").agg(
         F.collect_list(F.struct("doc_id", "n_sh")).alias("ids")
     )
-    if max_df is not None:
-        posting = posting.filter(F.size("ids") <= max_df)
     pair_rows = (
         posting.filter(F.size("ids") > 1)
         .select(F.explode("ids").alias("a"), "ids")
@@ -918,6 +944,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Directed near-CONTAINMENT pairs: ``containment(A→B) =
     |shingles(A) ∩ shingles(B)| / |shingles(A)|`` ≥ threshold —
@@ -933,6 +960,13 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` — shingle kernel once, one shuffle on the
     shingle, one on the pair; ``max_df`` is the identical hot-shingle
     escape, biasing containment low only.
+
+    Memory bound: with ``max_df`` set the window-count prefilter keeps
+    every materialized posting list ≤ max_df structs. With
+    ``max_df=None`` the hottest shingle's full posting list is built
+    in one aggregation buffer — inherent to exact uncapped containment
+    (the old self-join's Σdf² row fan-out was the same quadratic paid
+    differently); at 100 TB pass a cap.
     """
     # r14: posting-list double-explode (the ngram_jaccard_pairs
     # convention) replaces the inv⋈inv self-join — one Exchange on the
@@ -965,13 +999,18 @@ def containment_pairs(
     # pinned: the ab/ba union consumes this twice, and each reference
     # would otherwise re-run the kernel + posting chain. Pair-level
     # rows — bounded by the candidate set, far below the index.
-    with_sizes = pair_rows.groupBy(
-        F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
-    ).agg(
-        F.count(F.lit(1)).alias("inter"),
-        F.first("a.sz").alias("sza"),
-        F.first("b.sz").alias("szb"),
-    ).localCheckpoint(eager=True)
+    # ``materialize=False`` trades the re-run back for lineage (see
+    # relational._pin on the executor-loss failure mode).
+    with_sizes = _pin(
+        pair_rows.groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        ).agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("a.sz").alias("sza"),
+            F.first("b.sz").alias("szb"),
+        ),
+        materialize,
+    )
     ab = with_sizes.select(
         F.col("da").alias("inner_doc"),
         F.col("db").alias("outer_doc"),
@@ -1602,6 +1641,7 @@ def minhash_accuracy_audit(
     threshold: float = 0.3,
     n: int = 3,
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Accuracy audit for the MinHash estimator (the missing member of
     the sketch-audit family beside the HLL/percentile/CMS/PQ-recall
@@ -1628,12 +1668,15 @@ def minhash_accuracy_audit(
     # kernel executions: pairs ×1 + the sig chain re-derived per side
     # of the sa/sb join). sig is pinned too: it is consumed twice
     # below and re-deriving it costs a 16-min aggregate per side.
-    inv = doc_shingles(docs, text_col, n).localCheckpoint(eager=True)
+    # ``materialize=False`` trades the kernel re-runs back for lineage
+    # (see relational._pin on the executor-loss failure mode).
+    inv = _pin(doc_shingles(docs, text_col, n), materialize)
     pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n,
                                 text_col=text_col, _inv=inv)
-    sig = minhash_signatures(
-        docs, text_col=text_col, n=n, _inv=inv
-    ).localCheckpoint(eager=True)
+    sig = _pin(
+        minhash_signatures(docs, text_col=text_col, n=n, _inv=inv),
+        materialize,
+    )
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)],

@@ -16,6 +16,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _pin(frame: DataFrame, on: bool) -> DataFrame:
+    """``localCheckpoint(eager=True)`` when ``on`` (r15, ADVICE r14 #2).
+
+    The pin trades fault tolerance for plan sharing: localCheckpoint
+    truncates lineage to NON-REPLICATED executor-local storage, so an
+    executor loss/decommission after the pin fails the query
+    unrecoverably instead of recomputing the subtree. Operators that
+    benefit from pinning multiply-consumed subtrees expose a
+    ``materialize`` flag (default True — the benched-fast value);
+    pass False on long-running clusters where executor churn is the
+    bigger risk.
+    """
+    return frame.localCheckpoint(eager=True) if on else frame
+
+
 def summary(df: DataFrame, ts_col: str, where: Column | None = None) -> DataFrame:
     """Count/min/max summary (A1; reference ``fastapi/app/main.py:81-104``).
 
@@ -192,12 +207,28 @@ def global_rank(
     3. rank = bucket offset + local row_number within the bucket.
 
     The monotonicity promise is VERIFIED, not trusted: per-bucket
-    (min, max) key envelopes are checked for overlap on the driver
-    (bounded by the bucket count, capped at ``max_buckets``), and a
-    violation raises — a silently wrong global order is the one
-    failure mode this operator must not have. Window sorts are
-    per-bucket, so the skew ceiling is the hottest bucket, which the
-    bucket expression's granularity controls.
+    (min, max) key envelopes are checked for overlap (bounded by the
+    bucket count, capped at ``max_buckets``), and a violation raises —
+    a silently wrong global order is the one failure mode this
+    operator must not have. Window sorts are per-bucket, so the skew
+    ceiling is the hottest bucket, which the bucket expression's
+    granularity controls.
+
+    Laziness / error surface (r15): the audit and the cumulative
+    offsets are FOLDED INTO THE PLAN — the bucket envelopes feed
+    ``raise_error`` guards inside the offset expression, and the
+    offsets are a running sum over the (tiny, ≤ max_buckets) bucket
+    table — so calling this function launches NO job and performs no
+    driver collect; each former call paid one driver round-trip per
+    rank pass (Spearman paid two). A violated contract (NULL bucket,
+    NULL/NaN key, non-monotone bucket, bucket blow-up) therefore
+    raises when the returned frame is first ACTED on, surfacing as a
+    SparkRuntimeException (USER_RAISED_EXCEPTION carrying the same
+    message text) from the job instead of a ValueError from the call.
+    The ``max_buckets`` breach is likewise detected in-plan: a
+    pathological bucket expression now sorts its (huge) bucket table
+    once before failing, where the eager form failed after a capped
+    collect — loud either way, the cost of the failure path moved.
 
     Use case: curriculum ordering (rank a corpus by quality before
     packing), leaderboards, exact percentile assignment.
@@ -231,66 +262,103 @@ def global_rank(
     # semantics — a driver-side Python `<=` on collected Rows disagrees
     # with Spark for struct keys (Row tuples) and raises bare
     # TypeErrors on mixed-null fields. Single-partition window is fine:
-    # the frame is capped at max_buckets rows.
-    env = per_bucket.withColumn(
-        "_next_lo", F.lead("_lo").over(Window.orderBy("_gb"))
-    ).withColumn("_overlap", F.col("_hi") > F.col("_next_lo"))
-    rows = env.orderBy("_gb").limit(max_buckets + 1).collect()
-    if len(rows) > max_buckets:
-        raise ValueError(
-            f"global_rank bucket expression produced more than "
-            f"{max_buckets} buckets — coarsen it (the bucket table is "
-            "a driver-checked object and must stay tiny)"
+    # the frame is capped at max_buckets rows. r15: the offsets are a
+    # running count over the SAME single-partition sort, and every
+    # contract check guards the offset expression itself (a raise_error
+    # branch feeding the consumed column cannot be pruned away) — no
+    # collect, no createDataFrame, no driver job per call.
+    wb = Window.orderBy("_gb")
+    env = per_bucket.select(
+        "_gb",
+        "_bad_keys",
+        "_hi",
+        F.lead("_lo").over(wb).alias("_next_lo"),
+        F.coalesce(
+            F.sum("_n").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("_off"),
+        F.count(F.lit(1))
+        .over(
+            wb.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
         )
+        .alias("_nb"),
+    )
     # NULL buckets would silently vanish in the equi-join below and
     # NULL/NaN keys have no place in a total order — refuse both loudly
-    # (the operator's one forbidden failure mode is silent wrongness)
-    for r in rows:
-        if r["_gb"] is None:
-            raise ValueError(
-                f"global_rank bucket expression is NULL for {r['_n']} "
-                "row(s) — a NULL bucket has no rank position; filter or "
-                "coalesce those rows first"
-            )
-        if r["_bad_keys"]:
-            raise ValueError(
-                f"global_rank key is NULL or NaN for {r['_bad_keys']} "
-                f"row(s) in bucket {r['_gb']} (struct keys: any field) "
-                "— neither admits a total order; filter or coalesce "
-                "them first"
-            )
-    for r in rows:
-        if r["_overlap"]:
-            raise ValueError(
-                "global_rank bucket expression is not monotone in the "
-                f"requested order: bucket {r['_gb']} envelope max "
-                f"{r['_hi']} exceeds the next bucket's min "
-                f"{r['_next_lo']} — ranks would interleave across "
-                "buckets"
-            )
-    offsets = []
-    acc = 0
-    for r in rows:
-        offsets.append((r["_gb"], acc))
-        acc += r["_n"]
-
-    off_df = df.sparkSession.createDataFrame(
-        offsets,
-        T.StructType(
-            [
-                T.StructField("_gb", per_bucket.schema["_gb"].dataType),
-                T.StructField("_off", T.LongType()),
-            ]
-        ),
+    # (the operator's one forbidden failure mode is silent wrongness).
+    # The overlap test is NULL-safe: the last bucket's _next_lo is NULL,
+    # so `>` yields NULL and the branch falls through.
+    off_df = env.select(
+        F.col("_gb").alias("_gb2"),
+        F.when(
+            F.col("_nb") > max_buckets,
+            F.raise_error(
+                F.lit(
+                    f"global_rank bucket expression produced more than "
+                    f"{max_buckets} buckets — coarsen it (the bucket "
+                    "table rides a broadcast and must stay tiny)"
+                )
+            ),
+        )
+        .when(
+            F.col("_gb").isNull(),
+            F.raise_error(
+                F.lit(
+                    "global_rank bucket expression is NULL for some "
+                    "row(s) — a NULL bucket has no rank position; "
+                    "filter or coalesce those rows first"
+                )
+            ),
+        )
+        .when(
+            F.col("_bad_keys") > 0,
+            F.raise_error(
+                F.format_string(
+                    "global_rank key is NULL or NaN for %s row(s) in "
+                    "bucket %s (struct keys: any field) — neither "
+                    "admits a total order; filter or coalesce them "
+                    "first",
+                    F.col("_bad_keys"),
+                    F.col("_gb").cast("string"),
+                )
+            ),
+        )
+        .when(
+            F.col("_hi") > F.col("_next_lo"),
+            F.raise_error(
+                F.format_string(
+                    "global_rank bucket expression is not monotone in "
+                    "the requested order: bucket %s envelope max %s "
+                    "exceeds the next bucket's min %s — ranks would "
+                    "interleave across buckets",
+                    F.col("_gb").cast("string"),
+                    F.col("_hi").cast("string"),
+                    F.col("_next_lo").cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.col("_off"))
+        .alias("_off"),
     )
     w = Window.partitionBy("_gb").orderBy("_gk")
+    # NULL-SAFE join key (r15): a plain inner equi-join lets the
+    # optimizer infer isnotnull(_gb) on both sides, which would drop a
+    # NULL-bucket row — and its raise_error guard — before either
+    # evaluates, i.e. the silent-wrongness failure mode this operator
+    # forbids. <=> blocks that inference, so the NULL-bucket row meets
+    # its guard and the query refuses loudly.
     return (
-        with_b.join(F.broadcast(off_df), "_gb")
+        with_b.join(
+            F.broadcast(off_df),
+            F.col("_gb").eqNullSafe(F.col("_gb2")),
+        )
         .withColumn(
             rank_col,
             (F.col("_off") + F.row_number().over(w)).cast("long"),
         )
-        .drop("_gb", "_gk", "_off")
+        .drop("_gb", "_gb2", "_gk", "_off")
     )
 
 
@@ -858,6 +926,7 @@ def mad_outliers(
     value_col: str,
     k_num: int = 3,
     k_den: int = 1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Robust per-key outlier detection via median absolute deviation:
     rows with |v − median| > (k_num/k_den)·MAD — the screen that keeps
@@ -890,14 +959,19 @@ def mad_outliers(
     # fact table 9×. Pinning the narrow (_k, _v) projection plus the
     # two per-key single-row tables makes it ONE scan; ``dev`` stays
     # lazy (pinned base ⋈ broadcast median is cheap to derive twice).
-    base = df.select(
-        F.col(key_col).alias("_k"), v.alias("_v")
-    ).where(v.isNotNull() & ~F.isnan(v)).localCheckpoint(eager=True)
-    med = _lower_median(base, ["_k"], "_v", "_med").localCheckpoint(eager=True)
+    # ``materialize=False`` trades the re-scans back for lineage (see
+    # ``_pin`` on the executor-loss failure mode).
+    base = _pin(
+        df.select(F.col(key_col).alias("_k"), v.alias("_v")).where(
+            v.isNotNull() & ~F.isnan(v)
+        ),
+        materialize,
+    )
+    med = _pin(_lower_median(base, ["_k"], "_v", "_med"), materialize)
     dev = base.join(med, "_k").select(
         "_k", "_v", "_med", F.abs(F.col("_v") - F.col("_med")).alias("_d")
     )
-    mad = _lower_median(dev, ["_k"], "_d", "_mad").localCheckpoint(eager=True)
+    mad = _pin(_lower_median(dev, ["_k"], "_d", "_mad"), materialize)
     flagged = dev.join(mad, "_k").select(
         "_k",
         "_med",
@@ -1084,6 +1158,7 @@ def quantile_match(
     key_col: str,
     value_col: str,
     ref_key,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact quantile normalization: map every key's value distribution
     onto the REFERENCE key's distribution — each distinct value v of
@@ -1130,11 +1205,13 @@ def quantile_match(
     # value-domain-sized, the same bound the window relies on) and the
     # joined cum table are pinned; everything downstream derives from
     # them. ONE fact scan.
-    base = (
+    # ``materialize=False`` trades the re-scans back for lineage (see
+    # ``_pin`` on the executor-loss failure mode)
+    base = _pin(
         df.where(k.isNotNull() & v.isNotNull() & ~F.isnan(v))
         .groupBy(k.alias("_k"), v.alias("_v"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .agg(F.count(F.lit(1)).alias("_c")),
+        materialize,
     )
     wcum = Window.partitionBy("_k").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1169,7 +1246,7 @@ def quantile_match(
             .alias("_n"),
         )
     )
-    cum = cum.join(tot, "_k").localCheckpoint(eager=True)
+    cum = _pin(cum.join(tot, "_k"), materialize)
     ref = (
         cum.where(F.col("_k") == F.lit(ref_key))
         .select(

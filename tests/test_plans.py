@@ -366,8 +366,14 @@ def test_containment_pairs_equi_join_no_bnlj(spark):
 def test_doc_curriculum_single_bucket_exchange(spark):
     # the total-order-partitioner promise: ONE hash exchange on the
     # bucket key + broadcast offsets, never a 1-partition global sort
+    # of ROW-scale data. r15: global_rank's envelope audit + offsets
+    # fold into the plan (no driver collect), so exactly ONE
+    # single-partition exchange is expected — the per-bucket offset
+    # table, bounded by max_buckets (the same single-partition sort
+    # the eager form ran hidden in its collect pre-job). More than one
+    # would mean row-scale data collapsed to a single task.
     plan = _plan(spark, "doc_curriculum")
-    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "BroadcastExchange" in plan, plan
 
 
@@ -464,7 +470,13 @@ def test_winnow_pairs_windows_only_per_doc(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
-            assert ("doc_id" in line) or ("fp" in line), line
+            # the PARTITION SPEC itself must be the per-doc or
+            # per-fingerprint key (r15, ADVICE r14 #4: substring
+            # membership on the whole line would pass any column whose
+            # name merely contains "fp")
+            assert re.search(
+                r"windowspecdefinition\((doc_id|fp)#", line
+            ), line
             assert "windowspecdefinition()" not in line, line
 
 

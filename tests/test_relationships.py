@@ -424,12 +424,15 @@ def test_global_rank_rejects_non_monotone_bucket(spark, docs):
         global_rank,
     )
 
-    with pytest.raises(ValueError, match="not monotone"):
+    # r15: the audit is folded into the plan (no driver collect), so
+    # the refusal surfaces at ACTION time from the raise_error guard —
+    # same message text, Spark exception instead of ValueError
+    with pytest.raises(Exception, match="not monotone"):
         global_rank(
             docs.select("doc_id", "n_chars"),
             bucket=F.col("doc_id") % 7,  # uncorrelated with the order
             key=F.struct((-F.col("n_chars")).alias("nc"), F.col("doc_id").alias("id")),
-        )
+        ).collect()
 
 
 def test_global_rank_bucket_cap(spark, docs):
@@ -437,13 +440,13 @@ def test_global_rank_bucket_cap(spark, docs):
         global_rank,
     )
 
-    with pytest.raises(ValueError, match="more than"):
+    with pytest.raises(Exception, match="more than"):
         global_rank(
             docs.select("doc_id", "n_chars"),
             bucket=F.col("doc_id"),  # one bucket per row
             key=F.col("doc_id"),
             max_buckets=10,
-        )
+        ).collect()
 
 
 def test_persisted_feature_index_probe_matches_inline(docs, spark):
