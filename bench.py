@@ -637,6 +637,31 @@ def main() -> None:
     calib_once()  # codegen compile for the calib plans themselves
     calib_sec = round(min(calib_once() for _ in range(3)), 4)
 
+    # SECOND calibration probe (r15, VERDICT r14 Next #7; additions-
+    # only): the CPU-bound probe above cannot explain drift in the
+    # regime most sf0.1 queries actually live in — per-job scheduler /
+    # stage-launch latency (the r14 artifacts prove the floor: the
+    # 8-core control run beat the 32-core run on identical code). This
+    # probe times 10 sequential TINY 2-stage jobs (a 7-key shuffle of
+    # 256 rows — compute is negligible, the number measures job
+    # submit + stage schedule + task launch round-trips), so a drift
+    # episode that moves scheduling latency but not CPU (or vice
+    # versa) is now separable. Emitted ALONGSIDE calib_sec; the
+    # existing drift normalization still uses calib_sec so round-over-
+    # round comparisons stay methodology-identical — the sched ratio
+    # is recorded for the reader (and becomes usable prev-data next
+    # round).
+    def calib_sched_once() -> float:
+        t0 = time.perf_counter()
+        for _ in range(10):
+            spark.range(0, 256, 1, 8).selectExpr(
+                "id % 7 as k"
+            ).groupBy("k").count().collect()
+        return time.perf_counter() - t0
+
+    calib_sched_once()  # compile the tiny plan once
+    calib_sched_sec = round(min(calib_sched_once() for _ in range(3)), 4)
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
@@ -702,6 +727,7 @@ def main() -> None:
         "queries": timings,
         "cold_total_sec": round(cold_total, 4),
         "calib_sec": calib_sec,
+        "calib_sched_sec": calib_sched_sec,
         "sf": sf,
         # registry entries deliberately not benched, with reasons
         # (VERDICT r6 ask #4: the exclusion list must be explicit)
@@ -750,6 +776,18 @@ def main() -> None:
         # list on one timing only (run failure or pass backstop)
         detail["movers_single_timed"] = single_timed
     detail.update(drift)
+    # the scheduler-bound calib ratio rides alongside (r15): once the
+    # prior detail carries calib_sched_sec, a reader can split host
+    # drift into its CPU and scheduling components; normalization
+    # itself stays on calib_sec for methodology continuity
+    try:
+        prev_sched = float((prev_detail or {})["calib_sched_sec"])
+        if prev_sched > 0:
+            detail["calib_sched_ratio_vs_prev"] = round(
+                calib_sched_sec / prev_sched, 4
+            )
+    except (KeyError, TypeError, ValueError):
+        pass
     # VERDICT r11 Next #6: per-mover code provenance. true = the
     # query's entry function + transitive package-module closure are
     # bit-identical to the prior round's recording, so a normalized
@@ -781,6 +819,7 @@ def main() -> None:
         "n_errors": len(errors),
         "cold_total_sec": round(cold_total, 4),
         "calib_sec": calib_sec,
+        "calib_sched_sec": calib_sched_sec,
         # "queries" deliberately holds only the 10 slowest (full map in
         # the detail file) so this line always fits the tail capture
         "queries": worst,
@@ -798,6 +837,10 @@ def main() -> None:
     ):
         if k in drift:
             out[k] = drift[k]
+    if "calib_sched_ratio_vs_prev" in detail:
+        out["calib_sched_ratio_vs_prev"] = detail[
+            "calib_sched_ratio_vs_prev"
+        ]
     line = json.dumps(out)
     if len(line) > 1500:  # hard guarantee: never outgrow the tail capture
         out.pop("queries", None)
