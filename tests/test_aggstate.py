@@ -268,6 +268,7 @@ def test_stream_state_replay_after_commit_without_success_marker(
     assert rows[0].n == 1 and rows[0].sum_value == 1.0
 
 
+@pytest.mark.slow
 def test_stream_histogram_state_merge_of_batches_equals_batch_of_union(
     spark, tmp_path
 ):
@@ -429,6 +430,7 @@ def test_stream_cms_state_equals_union_build(spark, tmp_path):
     assert again == want
 
 
+@pytest.mark.slow
 def test_state_and_lsh_markers_work_through_file_scheme_hadoop_paths(
     spark, tmp_path
 ):
@@ -507,6 +509,7 @@ def test_state_and_lsh_markers_work_through_file_scheme_hadoop_paths(
             spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
 
 
+@pytest.mark.slow
 def test_mg_summary_interval_and_heavy_presence(spark):
     # the MG guarantee: cnt <= true <= cnt + n/k for every stored item,
     # and every item with true count > n/k is PRESENT in the summary
@@ -539,6 +542,7 @@ def test_mg_summary_interval_and_heavy_presence(spark):
         assert lo <= truth[it] <= hi
 
 
+@pytest.mark.slow
 def test_mg_merge_preserves_summed_bound(spark):
     import collections
 
@@ -569,6 +573,7 @@ def test_mg_merge_preserves_summed_bound(spark):
             assert it in items
 
 
+@pytest.mark.slow
 def test_stream_mg_state_tracks_heavy_keys(spark, tmp_path):
     # fifth mergeable state: the committed snapshot satisfies the MG
     # interval over EVERYTHING ingested, heavy keys are present, and a
@@ -691,6 +696,7 @@ def test_vacuum_state_keeps_pointer_and_recent(spark, tmp_path):
     assert vacuum_state(state, keep_last=2) == []
 
 
+@pytest.mark.slow
 def test_histogram_state_merge_equals_single_pass(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.aggstate import (
         histogram_percentile,

@@ -4,6 +4,7 @@ filter + PII redaction + fingerprint dedup → idempotent keyed sink."""
 from __future__ import annotations
 
 import json
+import pytest
 
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.doc_stream import (
     read_document_stream,
@@ -29,6 +30,7 @@ def _row(doc_id, text, lang="en", source="srcA"):
     return {"doc_id": doc_id, "text": text, "lang": lang, "source": source}
 
 
+@pytest.mark.slow
 def test_stream_scrubs_filters_and_dedups(spark, tmp_path):
     drop = tmp_path / "drop"
     out = str(tmp_path / "clean")
@@ -54,6 +56,7 @@ def test_stream_scrubs_filters_and_dedups(spark, tmp_path):
     assert rows[1].n_tokens > 0
 
 
+@pytest.mark.slow
 def test_stream_replay_is_idempotent(spark, tmp_path):
     drop = tmp_path / "drop"
     out = str(tmp_path / "clean")
@@ -78,6 +81,7 @@ def test_stream_replay_is_idempotent(spark, tmp_path):
     assert first == second
 
 
+@pytest.mark.slow
 def test_stream_incremental_shards_accumulate(spark, tmp_path):
     drop = tmp_path / "drop"
     out = str(tmp_path / "clean")
@@ -133,6 +137,7 @@ NOVEL = (
 )
 
 
+@pytest.mark.slow
 def test_stream_near_dup_across_batches_via_lsh_index(spark, tmp_path):
     # VERDICT r5 ask #5: with a persisted LSH index wired in, a batch-2
     # near-dup of a batch-1 doc is DROPPED (cross-batch near-dedup with
@@ -188,6 +193,7 @@ def test_stream_near_dup_across_batches_via_lsh_index(spark, tmp_path):
     } == {1, 11}
 
 
+@pytest.mark.slow
 def test_append_lsh_index_per_table_markers_are_replay_safe(spark, tmp_path):
     # review r6: a crash BETWEEN the bands and sets appends must replay
     # only the missing table — an all-or-nothing marker would re-append
@@ -232,6 +238,7 @@ def test_append_lsh_index_per_table_markers_are_replay_safe(spark, tmp_path):
     assert s2 == s1 + 1  # the missing sets append completed
 
 
+@pytest.mark.slow
 def test_stream_property_rotating_sources_exactly_one_row_per_key(spark, tmp_path):
     # VERDICT r2 #6 property test: re-ingesting the SAME doc_id under a
     # rotating source sequence (hypothesis-generated) must always end
@@ -279,6 +286,7 @@ def test_stream_property_rotating_sources_exactly_one_row_per_key(spark, tmp_pat
     run()
 
 
+@pytest.mark.slow
 def test_search_index_survives_crash_between_search_and_lsh_append(
     spark, tmp_path, monkeypatch
 ):
@@ -358,6 +366,7 @@ def test_search_index_survives_crash_between_search_and_lsh_append(
             spark.sql(f"DROP TABLE IF EXISTS {lsh_prefix}_{suffix}")
 
 
+@pytest.mark.slow
 def test_search_index_replay_after_lsh_commit_skips_empty_append(spark, tmp_path):
     # ADVICE r7 (low): a replay AFTER the LSH append committed probes
     # its own docs as self-near-dups → empty survivors; the old code
@@ -419,6 +428,7 @@ def test_search_index_replay_after_lsh_commit_skips_empty_append(spark, tmp_path
             spark.sql(f"DROP TABLE IF EXISTS {lsh_prefix}_{suffix}")
 
 
+@pytest.mark.slow
 def test_stream_maintains_search_index(spark, tmp_path):
     # the scrub stream also grows the retrieval index: after two
     # batches, probing the index equals running the inline BM25 over

@@ -62,6 +62,7 @@ def test_heavy_hitters_null_and_order(spark):
     assert [(r.item, r.n_occurrences) for r in rows] == [("a", 50), ("b", 50)]
 
 
+@pytest.mark.slow
 def test_weighted_mg_update_matches_exact_on_random_streams(spark):
     # property guard for the r6 weighted-MG rewrite: for arbitrary
     # value streams and small k, the two-pass operator must still emit

@@ -136,6 +136,7 @@ def test_new_site_and_new_hour_insert(spark, paths):
     assert key("delta", 4) in got and key("beta", 5) in got
 
 
+@pytest.mark.slow
 def test_refresh_is_idempotent(spark, paths):
     bronze_path, silver_path = paths
     delta = spark.createDataFrame(

@@ -15,6 +15,7 @@ import datetime as dt
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
+import pytest
 
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.tables import (
     load_table,
@@ -86,6 +87,7 @@ def test_silver_clean_invariants(spark, rows):
         assert r.wind_mps is not None and r.wind_mps >= 0
 
 
+@pytest.mark.slow
 @settings(**SETTINGS)
 @given(rows=raw_rows)
 def test_silver_clean_idempotent(spark, rows):
@@ -105,6 +107,7 @@ def test_silver_clean_idempotent(spark, rows):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, again.collect()))
 
 
+@pytest.mark.slow
 @settings(**SETTINGS)
 @given(rows=raw_rows, rows2=raw_rows)
 def test_merge_frames_idempotent_and_unique(spark, rows, rows2):
@@ -233,6 +236,7 @@ def test_range_join_property_vs_allpairs(spark):
     ),
     k=st.integers(min_value=2, max_value=8),
 )
+@pytest.mark.slow
 def test_heavy_hitters_property_vs_exact(spark, items, k):
     # for ANY multiset and ANY k: output == the naive GROUP BY filtered
     # strictly above n/k, despite order-dependent MG candidate sets
@@ -272,6 +276,7 @@ def test_heavy_hitters_property_vs_exact(spark, items, k):
         max_size=15,
     ),
 )
+@pytest.mark.slow
 def test_dedup_corpus_best_property(spark, rows, edges):
     # survivors = per-component argmax(quality, -id) + all singletons,
     # verified against a pure-Python union-find oracle
@@ -315,6 +320,7 @@ def test_dedup_corpus_best_property(spark, rows, edges):
         st.integers(min_value=0, max_value=1000), min_size=1, max_size=60
     )
 )
+@pytest.mark.slow
 def test_global_rank_property_dense_and_ordered(spark, vals):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.relational import (
         global_rank,

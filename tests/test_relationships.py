@@ -259,6 +259,7 @@ def test_pq_topk_full_k_and_rank_dense(emb):
         assert sims == sorted(sims, reverse=True)
 
 
+@pytest.mark.slow
 def test_pq_trained_codebooks_shape(emb):
     books = S.pq_codebooks(emb, m=4, n_codes=8, train=True, max_iter=2)
     assert books.shape == (4, 8, 16)
@@ -266,6 +267,7 @@ def test_pq_trained_codebooks_shape(emb):
     assert out.count() == 6
 
 
+@pytest.mark.slow
 def test_pq_trained_codebooks_pad_collapsed_centers(spark):
     # a duplicate-heavy corpus collapses KMeans to < n_codes distinct
     # centers; the codebook must keep its (m, n_codes, dsub) contract

@@ -468,6 +468,7 @@ _COMP = st.sampled_from([-1.0, -0.5, 0.0, 0.25, 0.5, 1.0])
     ),
     k=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_int8_mips_numpy_differential(spark, vecs, k):
     rows = list(enumerate(vecs))
     emb = _emb_df(spark, rows)
@@ -587,6 +588,7 @@ def test_mips_lsh_pairs_match_duckdb(spark, duck, tau):
     assert (got["sim"].to_numpy() == want["sim"].to_numpy()).all()
 
 
+@pytest.mark.slow
 def test_mips_lsh_pairs_subset_of_exact(spark):
     # the LSH contract: candidates are verified by the exact raw dot,
     # so every emitted pair appears in mips_threshold_pairs with the

@@ -165,6 +165,7 @@ def test_lsh_hot_bucket_cap_cosine(spark):
         ann_lsh_pairs(emb, dims=dims, threshold=0.5, max_bucket=1)
 
 
+@pytest.mark.slow
 def test_lsh_hot_bucket_cap_mips(spark):
     # MIPS flavor: identical max-norm vectors have sv = 0, so the P
     # and Q lifts coincide and each band's hot bucket holds 30 Q-rows
@@ -484,6 +485,7 @@ def test_ivf_sq8r_guards(spark):
     assert [tuple(r) for r in with_emb] == [tuple(r) for r in plain]
 
 
+@pytest.mark.slow
 def test_hot_bucket_cap_oracle_parity_when_firing(spark):
     # the sf0.001/sf0.01 corpora never trip the 4096 cap, so the
     # registered oracle differentials only prove the NON-firing path.
@@ -651,6 +653,7 @@ _COMP13 = st.sampled_from([-1.0, -0.5, 0.0, 0.25, 0.3, 0.5, 1.0])
     ),
     k=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_ivf_sq8_exhaustive_identity_property(spark, vecs, k):
     # for ANY corpus: probing every cell makes the coarse stage a
     # no-op, so IVF-SQ8 == flat int8 scan bit-for-bit
@@ -689,6 +692,7 @@ def test_ivf_sq8_exhaustive_identity_property(spark, vecs, k):
     ),
     k=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slow
 def test_ivf_sq8r_exactness_identity_property(spark, vecs, k):
     # for ANY corpus that IS the centroid head: r = 0 everywhere, so
     # the residual variant equals exact brute-force MIPS bit-for-bit

@@ -481,6 +481,7 @@ def _champion_twin_sql(name: str) -> str:
     return _FEATS_PREFIX + oracle[len(prefix):]
 
 
+@pytest.mark.slow
 def test_leaderboard_hypothesis_differential(spark):
     # adversarial differential over random series the constructed
     # cases can't cover: gappy hours (the TIME-join drop semantics),

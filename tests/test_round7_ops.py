@@ -302,6 +302,7 @@ def _lev(a, b):
     return prev[-1]
 
 
+@pytest.mark.slow
 def test_edit_distance_pairs_vs_bruteforce(spark):
     import random
 
@@ -352,6 +353,7 @@ def test_edit_distance_pairs_vs_bruteforce(spark):
         edit_distance_pairs(df, -1)
 
 
+@pytest.mark.slow
 def test_auto_gram_size_rule_and_equivalence(spark):
     # VERDICT r7 Next #4: q auto-derived as the smallest q with
     # |Σ|^q >= ratio·n from the OBSERVED alphabet, capped; and the

@@ -287,6 +287,7 @@ def test_counted_ivm_refuses_negative_multiplicity(spark):
         apply_counted_delta(view, bad_delta).collect()
 
 
+@pytest.mark.slow
 def test_cms_join_size_estimate_exact_and_one_sided(spark):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.heavy import (
         cms_join_size_audit,

@@ -4,6 +4,7 @@ nested-sample / boundary-move properties the design exists for."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+import pytest
 
 from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.sampling import (
     stratified_hash_sample,
@@ -178,6 +179,7 @@ def test_novel_against_index_near(spark):
     assert got == [12]
 
 
+@pytest.mark.slow
 def test_persisted_lsh_index_probe_matches_inline(spark):
     # offline persist + online probe ≡ the inline near-dedup, and the
     # probe re-executes NO index-side kernels (the whole point)

@@ -100,6 +100,7 @@ def test_stream_is_streaming_plan(spark, tmp_path):
     ).isStreaming
 
 
+@pytest.mark.slow
 def test_stream_to_silver_end_to_end(spark, tmp_path):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.streaming.ingest_stream import (
         read_payload_stream,

@@ -267,6 +267,7 @@ def test_connected_components_raises_when_unconverged(spark):
     assert {r.component for r in ok} == {0}
 
 
+@pytest.mark.slow
 def test_star_contraction_matches_propagation_on_random_graphs(spark):
     # The O(log n) star-contraction variant must produce IDENTICAL
     # labels to min-label propagation (both = min id per component),
@@ -311,6 +312,7 @@ def test_star_contraction_matches_propagation_on_random_graphs(spark):
             assert got == expected, (algo, edges)
 
 
+@pytest.mark.slow
 def test_star_contraction_converges_fast_on_deep_chain(spark):
     # VERDICT r4 ask #6: a 1000-deep path needs ~1000 propagation
     # rounds but must converge in <15 star-contraction rounds.
@@ -435,6 +437,7 @@ def test_dedup_corpus_keeps_canonicals_and_singletons(spark):
     assert kept == [1, 4, 5, 7]
 
 
+@pytest.mark.slow
 def test_dedup_corpus_property_random_graphs(spark):
     # Invariants for any pair graph: (1) kept ∪ dropped partitions the
     # corpus; (2) exactly the minimum id of every connected component
@@ -527,6 +530,7 @@ def test_semantic_cell_pairs_match_within_cell_bruteforce(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_semantic_dedup_survivors_superset_of_global(spark):
     # cell-scoped pairs are a subset of global pairs, so components are
     # finer and every global survivor (component min) must survive here
@@ -578,6 +582,7 @@ def test_auto_centroids_rule():
         auto_centroids(10, 0)
 
 
+@pytest.mark.slow
 def test_semantic_dedup_auto_matches_derived_pinned_k(spark):
     # the scale-safe default (n_centroids=None) must be EXACTLY the
     # pinned run at the derived k — auto-sizing changes no semantics
@@ -780,6 +785,7 @@ def test_bpe_deterministic_and_monotone(spark):
     assert t0 > t3 > t5  # each merge strictly reduces corpus tokens
 
 
+@pytest.mark.slow
 def test_bpe_paths_identical_on_astral_plane_text(spark):
     # review r6: the JVM splits text into UTF-16 code units (astral
     # chars become surrogate pairs) while Python's list(w) keeps code

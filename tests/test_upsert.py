@@ -79,6 +79,7 @@ def test_untouched_partition_preserved(spark, target):
     assert out[("a", 1)][0] == 7.0
 
 
+@pytest.mark.slow
 def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.upsert import (
         compact_partitions,
