@@ -18,7 +18,11 @@ from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import get_
 import __spark_entry__ as entry_mod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
+)
 
 
 def main() -> None:

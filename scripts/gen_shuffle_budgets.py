@@ -107,6 +107,15 @@ def main() -> None:
     budgets: dict = {
         "_confs": {k: spark.conf.get(k) for k in PLAN_CONFS}
     }
+    # ADVICE r14 #1: entries whose captured plan reads a pinned
+    # (localCheckpoint) subtree — visible as a Scan ExistingRDD — ran
+    # shuffles in PRE-CAPTURE jobs that the budget number cannot see.
+    # Annotate them so the budget is read as "shuffles in the final
+    # plan", not total shuffle cost. (Driver-side bounded collects and
+    # index-lifecycle writes are the same class; the index entries are
+    # either DYNAMIC or annotated via this list when their probe plan
+    # reads pinned state.)
+    pinned: list[str] = []
     for name, fn in entry_mod.queries().items():
         if name in DYNAMIC:
             continue
@@ -117,10 +126,16 @@ def main() -> None:
             print(f"[skip] {name}: {type(exc).__name__}: {exc}"[:200])
             continue
         budgets[name] = count_shuffles(plan)
+        if "ExistingRDD" in plan:
+            pinned.append(name)
+    budgets["_pinned_entries"] = sorted(pinned)
     with open(OUT, "w") as fh:
         json.dump(budgets, fh, indent=1, sort_keys=True)
         fh.write("\n")
-    print(f"wrote {len(budgets) - 1} budgets to {OUT}")
+    print(
+        f"wrote {len(budgets) - 2} budgets to {OUT} "
+        f"({len(pinned)} pinned-annotated)"
+    )
     spark.stop()
 
 
