@@ -861,20 +861,6 @@ def bm25_search(
     )
 
 
-def _search_postings(docs, text_col, id_col, batch_id):
-    toks = F.split(F.trim(F.col(text_col)), " ")
-    return (
-        docs.select(
-            F.col(id_col),
-            F.size(toks).alias("dl"),
-            F.explode(toks).alias("t"),
-        )
-        .groupBy("t", id_col, "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("batch_id", F.lit(batch_id))
-    )
-
-
 def _search_stats(docs, text_col, batch_id):
     toks = F.split(F.trim(F.col(text_col)), " ")
     return docs.select(toks.alias("_tk")).agg(
@@ -884,52 +870,66 @@ def _search_stats(docs, text_col, batch_id):
     )
 
 
-def _stats_from_postings(docs, table_prefix, text_col, id_col, batch_id):
-    """The batch's ``_search_stats`` row DERIVED from the postings
-    table just written, instead of a second full tokenize pass over
-    the corpus — at ingest scale the text column dominates the batch's
-    bytes, and the postings table already holds every number the stats
-    row needs in two integer columns.
+def _write_index_batch(
+    docs, table_prefix, text_col, id_col, batch_id, n_buckets, mode
+):
+    """Write one index batch — postings table + its stats row — with
+    the corpus tokenized ONCE (r15): the stats aggregates ride the
+    postings write job itself via ``observe`` (a ``CollectMetrics``
+    node on the pre-explode frame — accumulator cost only, no second
+    pass, no extra job), where the old shape paid a second full
+    tokenize of the corpus to compute two scalars. At ingest scale the
+    text column dominates the batch's bytes, so the saved pass is a
+    full corpus read per index write.
 
-    Value-identity with ``_search_stats(docs, ...)`` (r15; tested,
-    including NULL/empty-text corpora and crash replays):
+    Value-identity with ``_search_stats(docs, ...)`` is by
+    construction: ``n`` is ``count(1)`` and ``l`` is
+    ``sum(size(tokens))`` over the SAME pre-explode rows the old
+    aggregate read (NULL text contributes NULL to the sum and counts
+    in ``n``, exactly as before) — tested on NULL/empty/whitespace
+    corpora and across crash replays. Replay safety is unchanged: the
+    observed values are deterministic in the input, so a replayed
+    append writes a byte-identical stats row and the probe's
+    content-dedup keeps holding. Observed metrics are exact under task
+    retries (accumulator updates apply once per successful partition).
+    The two scalars cross the driver (the registry's bounded-collect
+    policy: 2 values per write)."""
+    from pyspark.sql import Observation
 
-    - ``split(trim(text), ' ')`` on any NON-NULL text yields >= 1
-      token ('' tokenizes to ['']), so every non-NULL-text doc owns
-      >= 1 posting row and ONLY NULL-text docs are absent from the
-      index. ``n`` is therefore (# distinct posted docs) +
-      (# NULL-text docs); the latter comes from an IsNull-pushed scan
-      that reads no text bytes from row groups whose parquet
-      null_count is 0.
-    - ``dl`` is constant per doc (the index contract: unique doc ids
-      per batch), so summing ``dl`` over the distinct (doc_id, dl)
-      rows equals ``sum(size(tokens))`` over non-NULL-text docs — and
-      a NULL text contributes NULL (nothing) to the original sum, so
-      the two sums agree on every corpus.
-    - replay safety: the distinct collapses the duplicated posting
-      rows a crash-replayed append leaves behind, so the derived row
-      is value-identical to the crash-free one and the content-dedup
-      replay guard keeps holding (a raw sum over replayed rows would
-      double ``l``).
-    """
-    spark = docs.sparkSession
-    per_doc = (
-        spark.table(f"{table_prefix}_postings")
-        .where(F.col("batch_id") == batch_id)
-        .select(id_col, "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("_nd"),
-            F.sum("dl").alias("_l"),
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    obs = Observation()
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        toks.alias("_tk"),
+    ).observe(obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l"))
+    postings = (
+        base.select(id_col, "dl", F.explode("_tk").alias("t"))
+        .groupBy("t", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("t", id_col, "dl", "tf", F.lit(batch_id).alias("batch_id"))
+    )
+    writer = (
+        postings.write.format("parquet").mode(mode)
+        .bucketBy(n_buckets, "t").sortBy("t")
+    )
+    writer.saveAsTable(f"{table_prefix}_postings")
+    try:
+        got = obs.get
+        stats_df = docs.sparkSession.createDataFrame(
+            [(batch_id, got["n"], got["l"])],
+            "batch_id string, n bigint, l bigint",
         )
-    )
-    null_docs = docs.where(F.col(text_col).isNull()).agg(
-        F.count(F.lit(1)).alias("_nn")
-    )
-    return per_doc.crossJoin(F.broadcast(null_docs)).select(
-        F.lit(batch_id).alias("batch_id"),
-        (F.col("_nd") + F.col("_nn")).alias("n"),
-        F.col("_l").alias("l"),
+    except Exception:  # noqa: BLE001 — degenerate-batch fallback
+        # a batch with ZERO posting rows (every text NULL — the only
+        # way, since any non-NULL text yields >= 1 token) loses its
+        # observed-metrics row to AQE empty-relation handling and
+        # obs.get raises in row conversion; fall back to the direct
+        # aggregate — one extra (trivial) pass over that degenerate
+        # batch only, value-identical by definition
+        stats_df = _search_stats(docs, text_col, batch_id)
+    stats_df.write.format("parquet").mode(mode).saveAsTable(
+        f"{table_prefix}_stats"
     )
 
 
@@ -967,20 +967,12 @@ def persist_search_index(
     from content, not bookkeeping. ``search_index_topk`` reproduces
     ``tfidf_search`` / ``bm25_search`` BIT-EXACTLY from these tables
     (tested, including across appends and replays)."""
-    from ..plans.layout import write_bucketed
-
-    write_bucketed(
-        _search_postings(docs, text_col, id_col, batch_id),
-        f"{table_prefix}_postings", ["t"], n_buckets, sort_cols=["t"],
-    )
-    # stats derived from the table just written (+ an IsNull-pushed
-    # NULL-text count) — saves the second full corpus tokenize per
-    # index write; value-identical to _search_stats by the proof on
-    # _stats_from_postings
-    _stats_from_postings(
-        docs, table_prefix, text_col, id_col, batch_id
-    ).write.format("parquet").mode("overwrite").saveAsTable(
-        f"{table_prefix}_stats"
+    # one corpus tokenize per write: the stats scalars ride the
+    # postings write job via observe (see _write_index_batch) —
+    # value-identical to _search_stats by construction
+    _write_index_batch(
+        docs, table_prefix, text_col, id_col, batch_id, n_buckets,
+        "overwrite",
     )
 
 
@@ -1010,19 +1002,12 @@ def append_search_index(
     scores (tested with both crash windows). Contrast
     ``append_lsh_index``'s per-table markers, whose residual window is
     harmless there but would silently corrupt sums here."""
-    spark = docs.sparkSession
-    writer = (
-        _search_postings(docs, text_col, id_col, batch_id)
-        .write.format("parquet").mode("append")
-        .bucketBy(n_buckets, "t").sortBy("t")
-    )
-    writer.saveAsTable(f"{table_prefix}_postings")
-    # derived from the appended postings (distinct-collapsed, so a
-    # replayed append still writes the same row) — no corpus re-tokenize
-    _stats_from_postings(
-        docs, table_prefix, text_col, id_col, batch_id
-    ).write.format("parquet").mode("append").saveAsTable(
-        f"{table_prefix}_stats"
+    # one corpus tokenize per append: stats ride the postings write
+    # job via observe (see _write_index_batch); a replayed append
+    # observes the same deterministic values, so the replay guard holds
+    _write_index_batch(
+        docs, table_prefix, text_col, id_col, batch_id, n_buckets,
+        "append",
     )
 
 

@@ -2,10 +2,11 @@
 
 Pin the identities the r15 optimizations rely on:
 
-- ``_stats_from_postings`` (index stats derived from the postings
-  table instead of a second corpus tokenize) must be value-identical
+- ``_write_index_batch`` (index stats observed on the postings write
+  job instead of a second corpus tokenize) must be value-identical
   to ``_search_stats`` on NULL-text / empty-text / whitespace corpora
-  — the exact row classes where the two derivations could diverge;
+  — the exact row classes where the derivations could diverge, and
+  the all-NULL batch exercises the degenerate-batch fallback;
 - ``ngram_jaccard_pairs``' df cap is now a window-count PREFILTER
   (no over-cap posting list ever materialized) — adversarial
   hot-shingle corpus must produce the same capped output as the exact
@@ -22,6 +23,24 @@ from itertools import combinations
 
 import pytest
 from pyspark.sql import functions as F
+
+
+def _clear_index_tables(spark, prefix):
+    """Drop index tables AND their warehouse locations — a crashed
+    prior run can leave an orphaned directory without a catalog entry,
+    which saveAsTable(overwrite) refuses (the q_doc_search_indexed
+    gotcha)."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark import (
+        fsutil,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    for suffix in ("postings", "stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{suffix}")
+        fsutil.delete(
+            fsutil.join(wh, f"{prefix}_{suffix}"), recursive=True,
+            spark=spark,
+        )
 
 
 # ------------------------------------- stats-from-postings identity
@@ -50,6 +69,7 @@ def test_stats_from_postings_identity_null_and_empty(spark):
     docs = _mk_corpus(spark)
     base = docs.where(F.col("doc_id") % 2 == 1)
     delta = docs.where(F.col("doc_id") % 2 == 0)
+    _clear_index_tables(spark, "t_r15_stats")
     persist_search_index(base, "t_r15_stats", batch_id="base")
     try:
         append_search_index(delta, "t_r15_stats", batch_id="delta")
@@ -81,6 +101,7 @@ def test_stats_from_postings_all_null_batch(spark):
     docs = spark.createDataFrame(
         [(1, None), (2, None)], "doc_id long, text string"
     )
+    _clear_index_tables(spark, "t_r15_allnull")
     persist_search_index(docs, "t_r15_allnull", batch_id="b0")
     try:
         got = spark.table("t_r15_allnull_stats").collect()
@@ -189,6 +210,46 @@ def test_global_rank_is_lazy_and_refuses_bad_keys_at_action(spark):
     nb = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(Exception, match="no rank position"):
         global_rank(nb, bucket=F.lit(None), key=F.col("v")).collect()
+
+
+# ------------------- spectrum-percentile negative proof (closed item)
+
+
+def test_exact_percentile_not_reproducible_from_spectrum(spark):
+    """NEGATIVE PROOF (r15, VERDICT r14 Next #6 — closes the item
+    permanently): a distinct-value-spectrum rewrite of the exact
+    ``percentile(...)`` aggregate CANNOT be bit-identical on double
+    columns. Root cause: Spark's Percentile buffer keys -0.0 and 0.0
+    as DISTINCT values (java Double equality) and can return -0.0,
+    while any groupBy spectrum NORMALIZES -0.0 to 0.0 (grouping-key
+    normalization), which flips the returned zero's sign AND — when
+    duplicates straddle the two zeros — shifts the cumulative counts
+    enough to bracket a DIFFERENT value entirely (observed: 5e-324 vs
+    0.0 on a 60-trial random differential). Do not re-attempt the
+    rewrite for ``sketch_accuracy_audit``; the oracle hashes raw
+    bytes, so the sign of zero alone breaks parity."""
+    import struct
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [-1.0, -0.0, -0.0, 0.0, 1.0]],
+        "k string, v double",
+    )
+    exact = df.groupBy("k").agg(
+        F.expr("percentile(v, 0.5)").alias("p")
+    ).collect()[0]["p"]
+    # Spark's exact percentile distinguishes the zeros: median of
+    # [-1, -0.0, -0.0, 0.0, 1] is the middle buffer key -0.0
+    assert struct.pack("d", exact) == struct.pack("d", -0.0), exact.hex()
+    # the spectrum (groupBy (k, v)) normalizes -0.0 away — only ONE
+    # zero key survives, so no spectrum-derived value can be -0.0
+    zeros = (
+        df.where(F.col("v") == 0.0)
+        .groupBy("k", "v")
+        .count()
+        .collect()
+    )
+    assert len(zeros) == 1
+    assert struct.pack("d", zeros[0]["v"]) == struct.pack("d", 0.0)
 
 
 # ------------------------------------------- materialize-flag identity
