@@ -163,12 +163,27 @@ def duplicated_spans(
     )
     if materialize_grams:
         grams = grams.localCheckpoint(eager=True)
-    hot = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("gram")
-    )
+    if min_df == 2:
+        # r15: "at least 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
+        # — unlike countDistinct, min/max partial-aggregate fully
+        # map-side, so the gram exchange carries ONE row per gram per
+        # partition instead of every locally-distinct (gram, doc_id)
+        # pair (guide §2.3: a corpus-repeated gram's shuffle weight
+        # drops from its df to the partition count). Identical hot
+        # set by definition.
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.min("doc_id").alias("_a"), F.max("doc_id").alias("_b"))
+            .filter(F.col("_a") != F.col("_b"))
+            .select("gram")
+        )
+    else:
+        hot = (
+            grams.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select("gram")
+        )
     hp = grams.join(hot, "gram", "left_semi")
     w = Window.partitionBy("doc_id").orderBy("p")
     isl = hp.withColumn("_grp", F.col("p") - F.row_number().over(w))
@@ -693,19 +708,30 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
-def _cc_driver(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+def _cc_driver(
+    pairs: DataFrame, src: str, dst: str, _pdf=None
+) -> DataFrame:
     """Union-find on the driver over a BOUNDED pair list. The caller
     (``connected_components`` auto mode) guarantees the edge count is
     under ``max_driver_edges`` before this runs; the transfer is one
     Arrow batch of two int64 columns (16 B/edge — 16 MB at the 1M
     default), and path-halving union-find is O(E α(V)). For small pair
     lists this replaces ~4 Spark jobs *per propagation round* with one
-    collect — measured 12.1 s → <1 s on a 920-edge graph at sf0.1."""
+    collect — measured 12.1 s → <1 s on a 920-edge graph at sf0.1.
+    ``_pdf`` (private): the edge list already collected by the auto
+    path's bounded probe (r15) — union-find is edge-order-independent
+    (the fixpoint is the component min), so the probe's arbitrary
+    limit order is safe."""
     import numpy as np
 
-    pdf = pairs.select(
-        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).toPandas()
+    pdf = (
+        pairs.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        ).toPandas()
+        if _pdf is None
+        else _pdf
+    )
     a = pdf["a"].to_numpy(dtype=np.int64)
     b = pdf["b"].to_numpy(dtype=np.int64)
     verts, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
@@ -813,10 +839,26 @@ def connected_components(
         )
         if algorithm == "driver" and not numeric_ids:
             raise ValueError("algorithm='driver' requires integral id columns")
-        if algorithm == "driver" or (
-            numeric_ids and base.count() <= max_driver_edges
-        ):
+        if algorithm == "driver":
             return _cc_driver(base, "_s", "_d")
+        if numeric_ids:
+            # r15: ONE bounded probe replaces the count job + the full
+            # collect — limit(max+1).toPandas() either comes back
+            # complete (≤ max rows: it IS the whole edge list, feed it
+            # straight to union-find) or proves the graph is over the
+            # driver bound (max+1 rows — at most 16 MB fetched, where
+            # the old count() scanned every edge first). Decision
+            # boundary identical to `count() <= max_driver_edges`.
+            probe = (
+                base.select(
+                    F.col("_s").cast("long").alias("a"),
+                    F.col("_d").cast("long").alias("b"),
+                )
+                .limit(max_driver_edges + 1)
+                .toPandas()
+            )
+            if len(probe) <= max_driver_edges:
+                return _cc_driver(base, "_s", "_d", _pdf=probe)
         algorithm = "star"
     if algorithm == "star":
         canon = (

@@ -212,6 +212,42 @@ def test_global_rank_is_lazy_and_refuses_bad_keys_at_action(spark):
         global_rank(nb, bucket=F.lit(None), key=F.col("v")).collect()
 
 
+# --------------------------- duplicated_spans min/max hot-gram path
+
+
+def test_duplicated_spans_minmax_path_equals_countdistinct(spark):
+    """The min_df=2 fast path (min(doc_id) != max(doc_id), fully
+    map-side) must flag exactly the grams the general countDistinct
+    path flags — including the adversarial case of one doc repeating
+    a gram many times (high tf, df=1: must NOT be hot)."""
+    from ai_driven_smart_grid_energy_data_pipeline_and_forecasting_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y z x y z x y z"),      # self-repeats only: df=1
+            (2, "a b c d e f g"),
+            (3, "a b c d e q r"),          # shares 'a b c d e' with 2
+            (4, "solo tokens here only now"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = sorted(
+        tuple(r) for r in duplicated_spans(docs, n=3, min_df=2).collect()
+    )
+    # min_df=3 exercises the general path on the same corpus; with no
+    # gram in 3 docs it must be empty while the fast path is not
+    general = sorted(
+        tuple(r) for r in duplicated_spans(docs, n=3, min_df=3).collect()
+    )
+    assert general == []
+    # doc 1's self-repeated grams must not be flagged by the fast path
+    assert all(r[0] != 1 for r in fast)
+    # docs 2 and 3 share the 'a b c d e' run: spans over tokens 0..4
+    assert {(2, 0, 4, 5), (3, 0, 4, 5)} == set(fast)
+
+
 # ------------------- spectrum-percentile negative proof (closed item)
 
 
