@@ -111,11 +111,16 @@ def main() -> None:
     # (localCheckpoint) subtree — visible as a Scan ExistingRDD — ran
     # shuffles in PRE-CAPTURE jobs that the budget number cannot see.
     # Annotate them so the budget is read as "shuffles in the final
-    # plan", not total shuffle cost. (Driver-side bounded collects and
-    # index-lifecycle writes are the same class; the index entries are
-    # either DYNAMIC or annotated via this list when their probe plan
-    # reads pinned state.)
-    pinned: list[str] = []
+    # plan", not total shuffle cost. Driver-side bounded collects and
+    # index-lifecycle writes are the same class but leave no RDD scan
+    # in the plan; those are annotated statically below.
+    PRE_JOB_STATIC = {
+        # prf_index_topk collects the bounded expansion term set and
+        # the lifecycle writes postings+stats tables before the probe
+        # plan is captured
+        "doc_search_prf_indexed",
+    }
+    pinned: list[str] = sorted(PRE_JOB_STATIC)
     for name, fn in entry_mod.queries().items():
         if name in DYNAMIC:
             continue
